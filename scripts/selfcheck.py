@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Dev-only mirror of the driver's correctness gate.
+
+Usage: python3 scripts/selfcheck.py <verify_out_dir> [sf_dir]
+
+Reads each <name>/ parquet dumped by graft.Verify plus oracle_sql.json,
+runs every oracle SQL in DuckDB against the sf parquet tables, and
+compares: column names (sorted), row counts, and values (rows sorted,
+exact after the engine-side rounding). Prints PASS/FAIL per query.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and represent with enough digits
+        return f"{v + 0.0:.10g}"
+    return str(v)
+
+
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        qdir = out_dir / name
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = got.fetchall()
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+            continue
+        gidx = [got.columns.index(c) for c in got_cols]
+        eidx = [exp.columns.index(c) for c in exp_cols]
+        g = sorted(tuple(norm(r[i]) for i in gidx) for r in got_rows)
+        e = sorted(tuple(norm(r[i]) for i in eidx) for r in exp_rows)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+        elif g != e:
+            diffs = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    # queries without an oracle: rows>0 check
+    for qdir in sorted(out_dir.iterdir()):
+        if qdir.is_dir() and qdir.name not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+                status = "PASS" if n > 0 else "FAIL"
+                print(f"{status} {qdir.name} (rows-only: {n} rows)")
+                if n > 0:
+                    n_pass += 1
+                else:
+                    n_fail += 1
+            except Exception as e:
+                print(f"FAIL {qdir.name}: {e}")
+                n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
