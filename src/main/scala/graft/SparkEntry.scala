@@ -20,6 +20,25 @@ object SparkEntry {
     "q04_semijoin" -> (Relational.q04Semijoin _),
     "q05_multiway_join" -> (Relational.q05MultiwayJoin _),
     "q06_selective_agg" -> (Relational.q06SelectiveAgg _),
+    "q07_antijoin" -> (Relational.q07Antijoin _),
+    "q08_window_rank" -> (Relational.q08WindowRank _),
+    "q09_window_running" -> (Relational.q09WindowRunning _),
+    "q10_distinct_agg" -> (Relational.q10DistinctAgg _),
+    "q11_group_having" -> (Relational.q11GroupHaving _),
+    "q12_case_agg" -> (Relational.q12CaseAgg _),
+    "q13_outerjoin_dist" -> (Relational.q13OuterjoinDist _),
+    "q14_union_agg" -> (Relational.q14UnionAgg _),
+    "q15_intersect" -> (Relational.q15SetOps _),
+    "q16_scalar_subquery" -> (Relational.q16ScalarSubquery _),
+    "q17_in_subquery" -> (Relational.q17InSubquery _),
+    "q18_rollup" -> (Relational.q18Rollup _),
+    "q19_string_funcs" -> (Relational.q19StringFuncs _),
+    "q20_date_funcs" -> (Relational.q20DateFuncs _),
+    "q21_topk_pergroup" -> (Relational.q21TopkPergroup _),
+    "q22_pivot" -> (Relational.q22Pivot _),
+    "q23_join_skew_salt" -> (Relational.q23JoinSkewSalt _),
+    "q24_cube" -> (Relational.q24Cube _),
+    "q25_percentile" -> (Relational.q25Percentile _),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
@@ -89,5 +108,150 @@ object SparkEntry {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q07_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_window_rank" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+        | rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank
+        |FROM supplier
+        |ORDER BY s_nationkey, bal_rank, s_suppkey""".stripMargin,
+    "q09_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q11_group_having" ->
+      """SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(l_quantity) > 450
+        |ORDER BY l_partkey""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_count,
+        | count(CASE WHEN o_totalprice <= 200000 THEN 1 END) AS low_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q13_outerjoin_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_union_agg" ->
+      """SELECT src, round(sum(bal), 2) AS total_bal, count(*) AS n
+        |FROM (SELECT 'customer' AS src, c_acctbal AS bal FROM customer
+        |      UNION ALL
+        |      SELECT 'supplier' AS src, s_acctbal AS bal FROM supplier)
+        |GROUP BY src
+        |ORDER BY src""".stripMargin,
+    "q15_intersect" ->
+      """SELECT 'both' AS tag, nkey
+        |FROM (SELECT c_nationkey AS nkey FROM customer
+        |      INTERSECT
+        |      SELECT s_nationkey AS nkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nkey
+        |FROM (SELECT c_nationkey AS nkey FROM customer
+        |      EXCEPT
+        |      SELECT s_nationkey AS nkey FROM supplier)
+        |ORDER BY tag, nkey""".stripMargin,
+    "q16_scalar_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q17_in_subquery" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        | round(o_totalprice, 2) AS total
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |ORDER BY total DESC, o_orderkey""".stripMargin,
+    "q18_rollup" ->
+      """SELECT n_name, c_mktsegment,
+        | round(sum(c_acctbal), 2) AS total_bal, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q19_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS name_u,
+        | substr(p_name, 1, 6) AS name6,
+        | length(p_name) AS name_len,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        | concat(p_brand, '/', p_type) AS brand_type
+        |FROM part
+        |WHERE p_name LIKE 'red%' OR p_type LIKE '%ECONOMY%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q20_date_funcs" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        | year(o_orderdate) AS order_year,
+        | month(o_orderdate) AS order_mon,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY order_month""".stripMargin,
+    "q21_topk_pergroup" ->
+      """SELECT o_orderpriority, o_orderkey, total, rn
+        |FROM (SELECT o_orderpriority, o_orderkey,
+        |       round(o_totalprice, 2) AS total,
+        |       row_number() OVER (PARTITION BY o_orderpriority
+        |                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q22_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q23_join_skew_salt" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_percentile" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

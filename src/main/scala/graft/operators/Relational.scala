@@ -122,4 +122,245 @@ object Relational {
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** q07: left-anti join (NOT EXISTS) — customers with no 2001 orders.
+    * Anti join broadcasts the filtered build side when small; the date
+    * filter is pushed to the orders scan.
+    */
+  def q07Antijoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+    Tables.customer(spark, sfDir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q08: window rank within partition (suppliers ranked by balance
+    * per nation). Single shuffle on the partition key.
+    */
+  def q08WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc)
+    Tables.supplier(spark, sfDir)
+      .withColumn("bal_rank", rank().over(w).cast("long"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"), col("bal_rank"))
+      .orderBy(col("s_nationkey"), col("bal_rank"), col("s_suppkey"))
+  }
+
+  /** q09: running aggregate (rows between unbounded preceding and
+    * current row). Frame order is fully keyed so the double summation
+    * order — and hence the bits — is deterministic across engines.
+    */
+  def q09WindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** q10: distinct aggregation — per-key countDistinct expands to
+    * two-phase aggregation (expand + partial) so cardinality work is
+    * distributed, never collected.
+    */
+  def q10DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** q11: groupBy + HAVING. The having predicate compares integral
+    * quantities (exact in FP) so engine summation order can't flip
+    * membership.
+    */
+  def q11GroupHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("raw_qty"))
+      .filter(col("raw_qty") > 450)
+      .select(col("l_partkey"), round(col("raw_qty"), 2).as("total_qty"))
+      .orderBy(col("l_partkey"))
+
+  /** q12: conditional (CASE) aggregation over a join (TPC-H Q12 shape). */
+  def q12CaseAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1998-01-01 00:00:00"))
+    li.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_totalprice") > 200000, 1)).as("high_count"),
+        count(when(col("o_totalprice") <= 200000, 1)).as("low_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q13: left outer join + nested aggregation (TPC-H Q13 shape):
+    * distribution of order counts per customer, including zero-order
+    * customers via the outer join.
+    */
+  def q13OuterjoinDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** q14: UNION ALL of heterogeneous sources + aggregate. */
+  def q14UnionAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select(lit("customer").as("src"), col("c_acctbal").as("bal"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(lit("supplier").as("src"), col("s_acctbal").as("bal"))
+    c.unionAll(s)
+      .groupBy(col("src"))
+      .agg(round(sum(col("bal")), 2).as("total_bal"), count(lit(1)).as("n"))
+      .orderBy(col("src"))
+  }
+
+  /** q15: INTERSECT / EXCEPT set operations (hash-based, distributed). */
+  def q15SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custN = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nkey"))
+    val supN = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nkey"))
+    val both = custN.intersect(supN).select(lit("both").as("tag"), col("nkey"))
+    val custOnly = custN.except(supN).select(lit("cust_only").as("tag"), col("nkey"))
+    both.unionAll(custOnly).orderBy(col("tag"), col("nkey"))
+  }
+
+  /** q16: per-group threshold from an aggregate subquery (TPC-H Q17
+    * shape), expressed as agg+join rather than a correlated scalar
+    * subquery — the scale-friendly plan: one partial agg over only the
+    * brand's lineitems, broadcast back.
+    */
+  def q16ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandParts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thresh"))
+    li.join(broadcast(thresholds), col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** q17: IN-subquery membership via left-semi against a grouped
+    * HAVING subquery (TPC-H Q18 shape).
+    */
+  def q17InSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+      .select(col("l_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+  }
+
+  /** q18: ROLLUP multi-level aggregation (partial-agg friendly expand). */
+  def q18Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(round(sum(col("c_acctbal")), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+
+  /** q19: string function surface — substr/upper/length/LIKE/regexp.
+    * Patterns restricted to constructs with identical Java/RE2
+    * semantics for oracle parity.
+    */
+  def q19StringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .filter(col("p_name").like("red%") || col("p_type").like("%ECONOMY%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        substring(col("p_name"), 1, 6).as("name6"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  /** q20: date/time functions — truncation + field extraction. */
+  def q20DateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_mon"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("order_month"))
+
+  /** q21: top-k per group — row_number window + filter; Spark plans
+    * this as a single shuffle on the partition key with a local sort
+    * (and in 4.x a rank-limit pushdown prunes per-partition).
+    */
+  def q21TopkPergroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"), col("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** q22: pivot (wide conditional aggregation); missing cells filled 0
+    * to match SQL count semantics.
+    */
+  def q22Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q23: skew-aware salted join — identical semantics to the plain
+    * key join (the oracle), but the probe side carries a deterministic
+    * salt and the build side is replicated SALT× so one hot key fans
+    * across SALT reduce partitions. The pattern AQE skew-join applies
+    * adaptively, expressed explicitly.
+    */
+  def q23JoinSkewSalt(spark: SparkSession, sfDir: String): DataFrame = {
+    val SALT = 8
+    val liS = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
+    val ordS = Tables.orders(spark, sfDir)
+      .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
+    liS.join(ordS, liS("l_orderkey") === ordS("o_orderkey") && liS("salt") === ordS("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** q24: CUBE aggregation over two dimensions. */
+  def q24Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** q25: exact interpolated percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`).
+    */
+  def q25Percentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+      .orderBy(col("o_orderpriority"))
 }
