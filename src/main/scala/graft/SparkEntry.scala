@@ -39,6 +39,10 @@ object SparkEntry {
     "q23_join_skew_salt" -> (Relational.q23JoinSkewSalt _),
     "q24_cube" -> (Relational.q24Cube _),
     "q25_percentile" -> (Relational.q25Percentile _),
+    "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
+    "q31_sessionize" -> (Events.q31Sessionize _),
+    "q32_event_funnel" -> (Events.q32EventFunnel _),
+    "q33_json_extract" -> (Events.q33JsonExtract _),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
@@ -253,5 +257,46 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q30_event_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+    "q31_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                     OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |      FROM (SELECT *, lag(epoch_us(ts)) OVER
+        |              (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
+        |g AS (SELECT *, CAST(sum(new_sess) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM g
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q32_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, min(ts) AS signup_ts FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM e
+        |      JOIN s USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > s.signup_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s) AS n_signup,
+        |       (SELECT count(*) FROM c) AS n_click_after,
+        |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin,
+    "q33_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream-shaped operators in batch form. Each has a streaming
+  * twin in [[graft.streaming.StreamOps]] (Structured Streaming); the
+  * batch form is the oracle-checkable surface, and both share the
+  * same grouping/window semantics.
+  *
+  * Timestamp note: `events.ts` is nanosecond parquet; Spark reads at
+  * microsecond precision. Oracles cast to microseconds so both
+  * engines bucket identically.
+  */
+object Events {
+
+  /** q30: tumbling 1-hour window aggregation (the canonical streaming
+    * agg, batch form). window().start == date_trunc for aligned
+    * tumbling windows.
+    */
+  def q30EventWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** q31: gap-based sessionization (30-min inactivity gap) — the
+    * classic lag→flag→running-sum pattern; one shuffle on user_id,
+    * sessions assigned with integer µs arithmetic for engine parity.
+    */
+  def q31Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** q32: ordered funnel signup→click→purchase. Each stage is a
+    * min-after-previous-stage aggregate + broadcast-back join — no
+    * per-user collect, scales linearly in events.
+    */
+  def q32EventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** q33: semi-structured JSON prop extraction + aggregate. */
+  def q33JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+}

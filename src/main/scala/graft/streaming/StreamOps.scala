@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import java.time.Instant
+
+/** Structured Streaming twins of the batch event operators: tumbling
+  * window aggregation with a watermark, and stateful gap-based
+  * sessionization via flatMapGroupsWithState.
+  *
+  * The streaming shapes match [[graft.operators.Events]] q30/q31 so a
+  * pipeline can run the same logic in batch (backfill) or streaming
+  * (live) mode — the lambda-architecture-free pattern Structured
+  * Streaming is built for.
+  */
+object StreamOps {
+
+  /** On-disk schema: ts is nanosecond parquet, surfaced as a long via
+    * spark.sql.legacy.parquet.nanosAsLong (see [[graft.Tables.events]]).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a file-based event stream over a directory of parquet, with
+    * ts converted to a microsecond timestamp exactly as the batch
+    * loader does.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour window aggregation with a 2-hour watermark: the
+    * streaming twin of q30. At scale the watermark bounds state; the
+    * partial-agg before the shuffle bounds traffic.
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  case class Ev(event_id: Long, ts: Instant, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+      nEvents: Long, totalValue: Double)
+  case class SessionOut(user_id: Long, session_id: Long,
+      session_start: Instant, session_end: Instant,
+      n_events: Long, session_value: Double)
+
+  val GapUs: Long = 1800L * 1000000L
+
+  /** Stateful sessionization: emits a session when a 30-min gap (or
+    * state timeout) closes it. State per user is O(1): the open
+    * session only.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // Within a micro-batch events may arrive unordered: sort the
+          // batch (bounded by batch size, not stream length).
+          def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+          def fromUs(u: Long): Instant = Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val eUs = us(e.ts)
+            if (st == null) {
+              st = SessionState(1L, eUs, eUs, 1L, e.value)
+            } else if (eUs - st.lastUs > GapUs) {
+              out += SessionOut(userId, st.sessionId,
+                fromUs(st.startUs), fromUs(st.lastUs),
+                st.nEvents, st.totalValue)
+              st = SessionState(st.sessionId + 1L, eUs, eUs, 1L, e.value)
+            } else {
+              st = st.copy(lastUs = eUs, nEvents = st.nEvents + 1L,
+                totalValue = st.totalValue + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Flush helper for tests/batch-drain: the open sessions still held
+    * in state are not emitted by the stream; a final batch pass over
+    * the same data closes them. (In production a state timeout emits
+    * them; tests compare closed sessions only.)
+    */
+  def closedSessionsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("session_value"),
+        max(col("next_us").isNull).as("is_open"))
+      .filter(!col("is_open"))
+      .drop("is_open")
+  }
+}

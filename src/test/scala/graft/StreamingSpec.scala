@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+/** Streaming twins must produce the same rows as their batch
+  * counterparts when the whole dataset is drained through the stream
+  * (memory sink, processAllAvailable).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // The file stream source needs a directory; stage the single-file
+  // events parquet into one.
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("stream_window_agg drains to the batch q30 result") {
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    val q = StreamOps.windowAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("win_agg_out")
+      .orderBy(col("win_start"), col("event_type"))
+      .collect().toSeq
+    val expected = operators.Events.q30EventWindowAgg(spark, sfDir).collect().toSeq
+    assert(got == expected)
+  }
+
+  test("stream_sessionize emits exactly the closed sessions of the batch twin") {
+    import spark.implicits._
+    val stream = StreamOps.readEventStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Ev]
+    val q = StreamOps.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sess_out")
+      .withColumn("session_value", round(col("session_value"), 2))
+      .orderBy(col("user_id"), col("session_id"))
+      .collect().toSeq
+    val expected = StreamOps.closedSessionsBatch(spark, sfDir)
+      .withColumn("session_value", round(col("session_value"), 2))
+      .orderBy(col("user_id"), col("session_id"))
+      .collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+}
