@@ -43,6 +43,13 @@ object SparkEntry {
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
     "q33_json_extract" -> (Events.q33JsonExtract _),
+    "d01_dedup_exact" -> (Dedup.d01DedupExact _),
+    "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
+    "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
+    "d04_dedup_ngram" -> (Dedup.d04DedupNgram _),
+    "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
+    "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
+    "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
@@ -298,5 +305,29 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin,
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT query_id, vec_id,
+        |        list_sum(list_transform(range(1, len(qv) + 1),
+        |          i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |          i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nq,
+        |        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nv
+        |      FROM embeddings CROSS JOIN q
+        |      WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, dot / (nq * nv) AS cos_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY dot / (nq * nv) DESC, vec_id) AS rank
+        |      FROM p)
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+        |FROM r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind graft's custom Catalyst expressions. Static
+  * (object) methods so generated code can call them directly via
+  * Scala's static forwarders — they execute inside WholeStageCodegen
+  * with no virtual dispatch or closure serialization.
+  *
+  * All hashing is deterministic: FNV-1a 64 over UTF-8 bytes +
+  * splitmix64 finalization (public-domain constants), so signatures
+  * are stable across runs, executors, and Spark versions.
+  */
+object Kernels {
+
+  /** splitmix64 finalizer. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over a byte range. */
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  private def tokenHashes(text: UTF8String): Array[Long] = {
+    // whitespace tokenizer over raw UTF-8 bytes; hash per token.
+    val b = text.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val ws = i == b.length || b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r'
+      if (ws) {
+        if (start >= 0) { out += fnv64(b, start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Hashes of word n-gram shingles (order-sensitive combine of token
+    * hashes — no string re-materialization).
+    */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenHashes(text)
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) { h = mix64(h ^ toks(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** k-permutation MinHash signature over word n-gram shingles. */
+  def minhash(text: UTF8String, k: Int, n: Int): ArrayData = {
+    val shingles = shingleHashes(text, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val base = shingles(s)
+      var i = 0
+      while (i < k) {
+        val h = mix64(base ^ mix64(i.toLong))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weights). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokenHashes(text)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = mix64(toks(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** Exact word n-gram Jaccard similarity between two texts. */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = new java.util.HashSet[java.lang.Long]()
+    val sb = new java.util.HashSet[java.lang.Long]()
+    shingleHashes(a, n).foreach(h => sa.add(h))
+    shingleHashes(b, n).foreach(h => sb.add(h))
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    * char k-gram rolling hashes, min per window of w (rightmost min),
+    * consecutive duplicates collapsed. Returns the selected hashes.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = text.getBytes
+    if (b.length < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = b.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) { hashes(i) = mix64(fnv64(b, i, i + k)); i += 1 }
+    if (nGrams <= w) {
+      var m = hashes(0); i = 1
+      while (i < nGrams) { if (hashes(i) <= m) m = hashes(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nGrams / w + 1)
+    var last = -1
+    i = 0
+    while (i + w <= nGrams) {
+      var mIdx = i
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) <= hashes(mIdx)) mIdx = j; j += 1 }
+      if (mIdx != last) { out += hashes(mIdx); last = mIdx }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Dot product of two float vectors, accumulated in double. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Cosine similarity of two float vectors (double accumulation;
+    * norm product, not sqrt-of-product, for oracle bit-parity).
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH signature: nPlanes sign bits packed into a
+    * long. Plane weights are uniform in [-1,1), generated on the fly
+    * from mix64(seed, plane, dim) — deterministic, no broadcast state.
+    */
+  def hyperplaneSig(v: ArrayData, nPlanes: Int, seed: Long): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = mix64(seed ^ (p.toLong << 32) ^ j.toLong)
+        // map to [-1, 1)
+        val w = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+        dot += w * v.getFloat(j).toDouble
+        j += 1
+      }
+      if (dot >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,14 +1,77 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.call_function
 
-/** Column wrappers for graft's custom Catalyst expressions, plus SQL
-  * registration so `spark.sql("SELECT cosine_sim(a,b) ...")` works.
-  * Grows as kernels land (vector / hash expressions).
+/** Column-level API for graft's custom expressions.
+  *
+  * Wrappers register the expression builders in the session's
+  * FunctionRegistry (idempotent) and build columns via
+  * `call_function`, so the same kernels are reachable from both the
+  * DataFrame API and SQL text.
   */
 package object functions {
-  def registerAll(spark: SparkSession): Unit = {
-    // populated as custom expressions land; idempotent.
-    val _ = spark
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  /** (name, builder) for every graft SQL function. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"), intArg(es(2), "n"))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
+    "hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nPlanes"), longArg(es(2), "seed"))),
+  )
+
+  /** Register all graft functions in the session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+
+  def cosine_sim(a: Column, b: Column)(implicit spark: SparkSession): Column =
+    { registerAll(spark); call_function("cosine_sim", a, b) }
+
+  def dot_product(a: Column, b: Column)(implicit spark: SparkSession): Column =
+    { registerAll(spark); call_function("dot_product", a, b) }
+
+  def minhash_sig(text: Column, k: Int, n: Int)(implicit spark: SparkSession): Column = {
+    registerAll(spark)
+    call_function("minhash_sig", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(n))
+  }
+
+  def simhash64(text: Column)(implicit spark: SparkSession): Column =
+    { registerAll(spark); call_function("simhash64", text) }
+
+  def ngram_jaccard(a: Column, b: Column, n: Int)(implicit spark: SparkSession): Column = {
+    registerAll(spark)
+    call_function("ngram_jaccard", a, b, org.apache.spark.sql.functions.lit(n))
+  }
+
+  def winnow_fingerprint(text: Column, k: Int, w: Int)(implicit spark: SparkSession): Column = {
+    registerAll(spark)
+    call_function("winnow_fingerprint", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+
+  def hyperplane_sig(vec: Column, nPlanes: Int, seed: Long)(implicit spark: SparkSession): Column = {
+    registerAll(spark)
+    call_function("hyperplane_sig", vec,
+      org.apache.spark.sql.functions.lit(nPlanes), org.apache.spark.sql.functions.lit(seed))
   }
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.registerAll
+
+/** Document deduplication for LLM-scale corpora (SURVEY §2).
+  *
+  * Scale design: every near-dup path is candidate-generation first —
+  * LSH banding (MinHash) or bit-banding (SimHash) or hyperplane
+  * buckets (embeddings) — so the pairwise-verify step touches only
+  * same-bucket pairs, never the O(N²) cross product. At 100 TB the
+  * bucket join shuffles on (band, hash) with near-uniform key
+  * distribution (hash-generated keys), and the verify kernels run
+  * codegen'd per pair.
+  */
+object Dedup {
+
+  /** d01: exact dedup — content-hash groupBy, min doc_id survives.
+    * One shuffle on the 128-bit content hash; at 100 TB, hash first so
+    * the shuffle carries 16 bytes per doc, not the document text.
+    */
+  def d01DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  private val MinhashK = 128
+  private val Bands = 16
+  private val Rows = 8 // 16 bands × 8 rows: s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71
+
+  /** MinHash signatures + banded bucket ids for a document set. */
+  private[operators] def bandedSignatures(docs: DataFrame): DataFrame = {
+    registerAll(docs.sparkSession)
+    docs
+      .withColumn("sig", call_function("minhash_sig", col("text"), lit(MinhashK), lit(3)))
+      .withColumn("bands", array((0 until Bands).map(b =>
+        hash(slice(col("sig"), b * Rows + 1, Rows), lit(b))): _*))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Candidate pairs from LSH buckets: docs sharing any band bucket. */
+  private[operators] def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val banded = bandedSignatures(docs)
+    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** d02: MinHash+LSH near-dup pairs, exact-verified with word-3gram
+    * Jaccard ≥ 0.7 (the banding s-curve threshold).
+    */
+  def d02DedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    lshCandidates(spark, sfDir)
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("jaccard", call_function("ngram_jaccard", col("text_a"), col("text_b"), lit(3)))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d03: SimHash near-dup — 64-bit signatures, 4 bands of 16 bits as
+    * candidate buckets, Hamming distance ≤ 3 verified via xor+bit_count.
+    */
+  def d03DedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d04: exact n-gram Jaccard dedup at a looser threshold (word
+    * 2-grams ≥ 0.5) over the LSH candidate set — the
+    * candidates-then-exact-verify composition.
+    */
+  def d04DedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    lshCandidates(spark, sfDir)
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("jaccard2", call_function("ngram_jaccard", col("text_a"), col("text_b"), lit(2)))
+      .filter(col("jaccard2") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard2"), 4).as("jaccard2"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d05: embedding cosine near-dup — random-hyperplane LSH (4 bands
+    * of 4 bits) generates candidates; codegen'd cosine verifies ≥ 0.4.
+    * Banding trades recall for never materializing the N² cross
+    * product (documented recall ≈ 1-(1-p^4)^4 at the threshold).
+    */
+  def d05DedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        call_function("hyperplane_sig", col("embedding"), lit(16), lit(42L)).as("sig"))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

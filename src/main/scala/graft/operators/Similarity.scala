@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.registerAll
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY §2). Query set: vec_id < 5 (deterministic).
+  *
+  * s01 is the exact baseline: broadcast the query block, scan the
+  * corpus once, codegen'd cosine, per-query top-k — at 100 TB this is
+  * the right brute-force shape (1 corpus scan, no shuffle of the
+  * corpus, TakeOrdered per query). s02 is the scale path: hyperplane
+  * LSH buckets cut the scanned fraction; recall is tunable via
+  * bands×bits.
+  */
+object Similarity {
+
+  private val TopK = 10
+
+  private def queriesBlock(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** s01: exact brute-force cosine top-k per query. */
+  def s01AnnBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val corpus = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queriesBlock(spark, sfDir)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s02: LSH-bucketed ANN — candidates share ≥1 hyperplane band with
+    * the query (8 bands × 4 bits of a 32-bit signature for recall),
+    * then exact cosine + per-query top-k over candidates only.
+    */
+  def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val nBands = 8
+    val bits = 4
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.withColumn("sig", call_function("hyperplane_sig", col(vecCol), lit(nBands * bits), lit(7L)))
+        .select(col(idCol), col(vecCol),
+          posexplode(array((0 until nBands).map(b =>
+            shiftright(col("sig"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
+            .as(Seq("band_id", "band_val")))
+    val corpus = banded(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val qs = banded(queriesBlock(spark, sfDir), "query_id", "qv")
+    val cands = corpus.join(broadcast(qs), Seq("band_id", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
+    cands
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

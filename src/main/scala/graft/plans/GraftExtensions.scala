@@ -1,14 +1,21 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** Injection point for graft's Catalyst extensions (SQL function
-  * registration + optimizer rules). Installed via
+/** Injection point for graft's Catalyst extensions: registers the
+  * custom expression builders at session build time so SQL text and
+  * DataFrame code share one kernel set. Installed via
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    // optimizer rules / function injections land here.
-    val _ = e
+    graft.functions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
   }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.functions.Kernels
+
+/** Value-level checks for the dedup/ANN operators that have no SQL
+  * oracle: compare against brute-force ground truth computed in-test.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("kernel: ngramJaccard basics") {
+    assert(Kernels.ngramJaccard(u("a b c d"), u("a b c d"), 3) == 1.0)
+    assert(Kernels.ngramJaccard(u("a b c d"), u("x y z w"), 3) == 0.0)
+    // "a b c d e" 3-grams: {abc,bcd,cde}; "a b c d x": {abc,bcd,cdx} → 2/4
+    assert(Kernels.ngramJaccard(u("a b c d e"), u("a b c d x"), 3) == 0.5)
+  }
+
+  test("kernel: minhash estimates jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val sa = Kernels.minhash(u(a), 128, 3).toLongArray()
+    val sb = Kernels.minhash(u(b), 128, 3).toLongArray()
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val exact = Kernels.ngramJaccard(u(a), u(b), 3)
+    assert(math.abs(est - exact) < 0.2, s"est $est vs exact $exact")
+  }
+
+  test("kernel: simhash near-dup has small hamming distance") {
+    val a = "the quick brown fox jumps over the lazy dog " * 10
+    val b = a.replace("lazy", "sleepy")
+    val d = Kernels.hamming64(Kernels.simhash64(u(a)), Kernels.simhash64(u(b)))
+    assert(d <= 8, s"hamming $d")
+    val c = "completely different words about spark shuffle partitions everywhere"
+    assert(Kernels.hamming64(Kernels.simhash64(u(a)), Kernels.simhash64(u(c))) > d)
+  }
+
+  test("kernel: cosine matches plain scala") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val x = Array(1.0f, 2.0f, 3.0f)
+    val y = Array(-1.0f, 0.5f, 2.0f)
+    val got = Kernels.cosineF(new GenericArrayData(x), new GenericArrayData(y))
+    val dot = x.zip(y).map { case (a, b) => a.toDouble * b.toDouble }.sum
+    val exp = dot / (math.sqrt(x.map(v => v.toDouble * v.toDouble).sum) *
+      math.sqrt(y.map(v => v.toDouble * v.toDouble).sum))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("d02 minhash-LSH finds exactly the high-jaccard pairs (vs brute force)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val truth = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      jac = Kernels.ngramJaccard(u(docs(i)._2), u(docs(j)._2), 3)
+      if jac >= 0.7
+    } yield (math.min(docs(i)._1, docs(j)._1), math.max(docs(i)._1, docs(j)._1))).toSet
+    val got = Dedup.d02DedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain near-dups")
+    // verify step guarantees precision == 1; banding at j>=0.7 with
+    // 16x8 gives recall ~1 on this corpus
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("d05 embedding near-dup pairs are all true positives with decent recall") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val got = Dedup.d05DedupEmbedding(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    assert(got.size >= truth.size / 4, s"recall too low: ${got.size}/${truth.size}")
+  }
+
+  test("s02 LSH ANN recall@10 vs s01 brute force") {
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s02AnnLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall@10 $recall too low")
+  }
+}
