@@ -50,6 +50,12 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "t01_langid" -> (TextAnalysis.t01Langid _),
+    "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
+    "t03_token_count" -> (TextAnalysis.t03TokenCount _),
+    "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
+    "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
+    "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
@@ -329,5 +335,32 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "t02_quality_score" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars_m,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |          / length(text), 4) AS punct_ratio,
+        |    round(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','and','of','to','in','is','that','for','with','on')))::DOUBLE
+        |          / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |          / len(string_split(text, ' ')), 4) AS distinct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stopword_ratio, distinct_ratio,
+        |  round(least(1.0, n_tokens / 100.0) * 0.4
+        |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT source,
+        | count(*) AS n_docs,
+        | sum(len(string_split(trim(text), ' '))) AS ws_tokens,
+        | sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS bpe_tokens,
+        | round(avg(len(string_split(trim(text), ' '))), 4) AS avg_ws_tokens
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
   )
 }

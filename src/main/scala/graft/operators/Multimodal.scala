@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Kernels
+
+/** Multimodal-column plumbing (SURVEY §2): media as opaque `binary`
+  * columns with typed metadata alongside. The container has no
+  * image/audio codecs, so the DECODE step is a deterministic stub —
+  * but the Spark-side shape (schema, magic-number sniffing, bounded
+  * per-partition batching, feature schema) is real and tested.
+  *
+  * At 100 TB the invariants that matter: binary payloads are never
+  * parsed by Catalyst (opaque pass-through), per-partition memory is
+  * bounded by the decode batch size (not the partition size), and
+  * metadata predicates (mime, byte_len) prune before any decode.
+  */
+object Multimodal {
+
+  private val MagicPng: Array[Byte] = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+  private val MagicJpeg: Array[Byte] = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+  private val MagicRiff: Array[Byte] = Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte)
+
+  /** Synthesize a deterministic binary media column from the documents
+    * table: 4 magic bytes (cycled by doc_id) + the UTF-8 payload. In a
+    * real pipeline this column arrives from the source parquet.
+    */
+  private[operators] def withBlob(docs: DataFrame): DataFrame =
+    docs.withColumn("blob",
+      concat(
+        element_at(array(lit(MagicPng), lit(MagicJpeg), lit(MagicRiff)),
+          (col("doc_id") % 3 + 1).cast("int")),
+        col("text").cast("binary")))
+
+  /** m01: magic-number sniffing over the binary column → typed
+    * metadata (mime, byte length, payload hash). Pure codegen'd
+    * builtins; the blob is never deserialized into the row format
+    * more than once.
+    */
+  def m01BinaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val head4 = substring(col("blob"), 1, 4)
+    withBlob(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(
+        col("doc_id"),
+        when(head4 === lit(MagicPng), "image/png")
+          .when(head4 === lit(MagicJpeg), "image/jpeg")
+          .when(head4 === lit(MagicRiff), "audio/wav")
+          .otherwise("application/octet-stream").as("mime"),
+        length(col("blob")).cast("long").as("byte_len"),
+        md5(col("blob")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val FeatureDim = 8
+  private val BatchSize = 32
+
+  /** m02: decode / feature-extract plumbing. Batched per partition
+    * (`grouped(BatchSize)`) the way a real codec/model call would be —
+    * memory bounded by batch, not partition — with the decode kernel
+    * STUBBED as a deterministic hash-derived feature vector.
+    * `batch_n` in the output proves the batch shape to the spec.
+    */
+  def m02FeatureStub(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = m01BinaryMeta(spark, sfDir).select("doc_id", "mime", "byte_len")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("batch_n", IntegerType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        // STUB: a real implementation decodes `blob` with a codec and
+        // runs a feature model over the batch. Deterministic fake:
+        // features_j = mix64(doc_id, mime-tag, j) scaled to [-1, 1).
+        batch.map { r =>
+          val id = r.getLong(0)
+          val mime = r.getString(1)
+          val tag = mime.hashCode.toLong
+          val feats = Array.tabulate(FeatureDim) { j =>
+            val h = Kernels.mix64(id ^ (tag << 17) ^ j.toLong)
+            ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+          }
+          Row(id, mime, feats.toSeq, batch.size)
+        }
+      }
+    }(encoder)
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.registerAll
+
+/** Text-analysis operators for LLM-corpus curation (SURVEY §2).
+  *
+  * Everything here is per-document map work over built-in codegen'd
+  * functions (split / filter / regexp) or graft expressions — zero
+  * shuffles except final presentation sorts, so at 100 TB each
+  * operator is a single embarrassingly-parallel scan whose output can
+  * be written back partition-local.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic (t01). Tiny closed-class word lists — the
+    * standard cheap langid signal.
+    */
+  private val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+    "it" -> Seq("il", "di", "che", "la", "e", "per", "un", "del", "con", "le"),
+  )
+
+  /** t01: language ID — score = fraction of tokens hitting each
+    * language's stopword profile; argmax via array_max over
+    * (score, lang) structs. Entirely codegen'd builtins; one scan.
+    */
+  def t01Langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val scored: Seq[Column] = StopwordProfiles.map { case (lang, words) =>
+      val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))
+      struct(
+        (hits.cast("double") / greatest(size(toks), lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(spark, sfDir)
+      .withColumn("best", array_max(array(scored: _*)))
+      .select(col("doc_id"),
+        col("best.lang").as("pred_lang"),
+        round(col("best.score"), 4).as("confidence"),
+        col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t02: quality scoring — length / punctuation / stopword /
+    * repeated-token signals combined into one score. Expressed in
+    * plain SQL functions so the DuckDB oracle can replicate it
+    * bit-for-bit (rounding to 4dp on every ratio).
+    */
+  def t02QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nChars = length(col("text"))
+    val toks = split(col("text"), " ")
+    val nToks = size(toks)
+    val punctStripped = length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stopHits = size(filter(toks, t =>
+      array_contains(lit(StopwordProfiles.head._2.toArray), t)))
+    val distinctToks = size(array_distinct(toks))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      nToks.as("n_tokens"),
+      round((nChars - punctStripped).cast("double") / nChars.cast("double"), 4)
+        .as("punct_ratio"),
+      round(stopHits.cast("double") / nToks.cast("double"), 4).as("stopword_ratio"),
+      round(distinctToks.cast("double") / nToks.cast("double"), 4).as("distinct_ratio"))
+      .withColumn("quality_score",
+        // 5dp: weighted sums of 4dp ratios have ≤5 exact decimals, so
+        // rounding at 5 never hits a half-way case (4dp would, and
+        // Spark HALF_UP vs DuckDB binary-round then disagree).
+        round(least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.4)
+          + col("stopword_ratio") * lit(0.3)
+          + col("distinct_ratio") * lit(0.3), 5))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03: token counting — whitespace tokens + a BPE-ish regex pass
+    * (letter runs / digit runs / single other-symbols), the standard
+    * pre-tokenizer shape. Per-doc, plus corpus totals by source.
+    */
+  def t03TokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val wsTokens = size(split(trim(col("text")), " "))
+    val bpeTokens = size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("ws_t"), bpeTokens.as("bpe_t"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_t")).as("ws_tokens"),
+        sum(col("bpe_t")).as("bpe_tokens"),
+        round(avg(col("ws_t")), 4).as("avg_ws_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** t04: winnowing document fingerprints (Schleimer et al. 2003) via
+    * the graft `winnow_fingerprint` expression: char 8-gram rolling
+    * hashes, window 4. Output is per-doc fingerprint stats plus the
+    * count of docs sharing ≥1 fingerprint — the containment-detection
+    * use. Shared-fingerprint join shuffles only (hash, doc_id) pairs.
+    */
+  def t04Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("winnow_fingerprint", col("text"), lit(8), lit(4)).as("fps"))
+    val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sharing = exploded.groupBy(col("fp"))
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc_id"))
+      .distinct()
+      .withColumn("shares_fp", lit(true))
+    fps.select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+      .join(sharing, Seq("doc_id"), "left")
+      .withColumn("shares_fp", coalesce(col("shares_fp"), lit(false)))
+      .orderBy(col("doc_id"))
+  }
+}

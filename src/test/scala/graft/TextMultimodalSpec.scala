@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.functions.Kernels
+
+/** Value-level checks for the text-analysis and multimodal operators
+  * whose oracle is rows-only.
+  */
+class TextMultimodalSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("t01 langid: classifies obvious english/spanish, deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog sat on the mat with a hat", "en", "s", 45L),
+      (1L, "el perro y el gato en la casa de los abuelos por la tarde", "es", "s", 57L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.t01Langid(spark, tmp).collect()
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap == Map(0L -> "en", 1L -> "es"))
+    // deterministic over the real corpus
+    val a = TextAnalysis.t01Langid(spark, sfDir).collect().toSeq
+    val b = TextAnalysis.t01Langid(spark, sfDir).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("t04 fingerprint: shared substrings share fingerprints; disjoint texts don't") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val fpA = Kernels.winnow(u(base + " alpha beta gamma"), 8, 4).toLongArray().toSet
+    val fpB = Kernels.winnow(u("prefix words here " + base), 8, 4).toLongArray().toSet
+    val fpC = Kernels.winnow(u("zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg"), 8, 4).toLongArray().toSet
+    assert((fpA & fpB).nonEmpty, "overlapping texts must share winnowed fingerprints")
+    assert((fpA & fpC).isEmpty, "disjoint texts should not collide")
+    val out = TextAnalysis.t04Fingerprint(spark, sfDir)
+    assert(out.columns.toSeq == Seq("doc_id", "n_fp", "fp_min", "fp_max", "shares_fp"))
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+  }
+
+  test("m01 binary meta: mime follows the magic bytes, hash is content-derived") {
+    val out = Multimodal.m01BinaryMeta(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val expected = (r.getLong(0) % 3) match {
+        case 0 => "image/png"
+        case 1 => "image/jpeg"
+        case 2 => "audio/wav"
+      }
+      assert(r.getString(1) == expected, s"doc ${r.getLong(0)}")
+      assert(r.getLong(2) > 4, "byte_len must include payload beyond magic")
+    }
+    // distinct docs → distinct content hashes (payloads differ)
+    assert(out.map(_.getString(3)).distinct.length == out.length)
+  }
+
+  test("m02 feature stub: batched, deterministic, bounded batch size") {
+    val out = Multimodal.m02FeatureStub(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[Float](2).length == 8)
+      val bn = r.getInt(3)
+      assert(bn >= 1 && bn <= 32, s"batch_n $bn out of bounds")
+    }
+    val again = Multimodal.m02FeatureStub(spark, sfDir).collect()
+    assert(out.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
+  }
+}
