@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.registerAll
@@ -41,16 +41,36 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
   }
 
+  /** Largest bucket expanded to pairs: caps the quadratic blow-up of a
+    * degenerate bucket (e.g. a corpus of empty documents) at scale; a
+    * documented recall trade never hit by real near-dup buckets.
+    */
+  private val MaxBucket = 10000
+
+  /** Expand (id, payload?) rows sharing a bucket key into ordered
+    * within-bucket pairs: groupBy bucket → collect_set → pairwise
+    * expansion → distinct. ONE pass over the input — a self-join would
+    * recompute the signature scan on both sides (broadcast sides
+    * bypass exchange reuse), which doubles the dominant kernel cost.
+    */
+  private[operators] def bucketPairs(banded: DataFrame, bucketCols: Seq[String], item: Column): DataFrame = {
+    val sorted = array_sort(collect_set(item))
+    banded.groupBy(bucketCols.map(col): _*)
+      .agg(sorted.as("items"))
+      .filter(size(col("items")).between(2, MaxBucket))
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+  }
+
   /** Candidate pairs from LSH buckets: docs sharing any band bucket. */
   private[operators] def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val banded = bandedSignatures(docs)
-    val a = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    bucketPairs(banded, Seq("band_id", "band_hash"), col("doc_id"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
   }
 
   /** d02: MinHash+LSH near-dup pairs, exact-verified with word-3gram
@@ -76,18 +96,14 @@ object Dedup {
     registerAll(spark)
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band_id", "band_val")))
-    val a = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_id"), col("band_val"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
-      .distinct()
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band_id", "band_val")),
+      col("doc_id"), col("sig"))
+    bucketPairs(banded, Seq("band_id", "band_val"),
+        struct(col("doc_id"), col("sig")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -119,18 +135,14 @@ object Dedup {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         call_function("hyperplane_sig", col("embedding"), lit(16), lit(42L)).as("sig"))
-    val banded = emb.select(col("vec_id"), col("embedding"),
+    val banded = emb.select(
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band_id", "band_val")))
-    val a = banded.select(col("band_id"), col("band_val"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = banded.select(col("band_id"), col("band_val"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("band_id", "band_val"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cos"))
-      .distinct()
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band_id", "band_val")),
+      col("vec_id"), col("embedding"))
+    bucketPairs(banded, Seq("band_id", "band_val"),
+        struct(col("vec_id"), col("embedding")))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
