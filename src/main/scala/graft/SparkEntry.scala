@@ -356,11 +356,20 @@ object SparkEntry {
     "t03_token_count" ->
       """SELECT source,
         | count(*) AS n_docs,
-        | sum(len(string_split(trim(text), ' '))) AS ws_tokens,
-        | sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS bpe_tokens,
+        | CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS bpe_tokens,
         | round(avg(len(string_split(trim(text), ' '))), 4) AS avg_ws_tokens
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |      WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+        |      ELSE 'audio/wav' END AS mime,
+        | CAST(4 + octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | md5(text) AS content_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -37,7 +37,9 @@ object Multimodal {
   /** m01: magic-number sniffing over the binary column → typed
     * metadata (mime, byte length, payload hash). Pure codegen'd
     * builtins; the blob is never deserialized into the row format
-    * more than once.
+    * more than once. The content hash is over the payload (the bytes
+    * after the magic header) so the oracle can recompute it from the
+    * source table.
     */
   def m01BinaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
     val head4 = substring(col("blob"), 1, 4)
@@ -49,28 +51,33 @@ object Multimodal {
           .when(head4 === lit(MagicRiff), "audio/wav")
           .otherwise("application/octet-stream").as("mime"),
         length(col("blob")).cast("long").as("byte_len"),
-        md5(col("blob")).as("content_hash"))
+        md5(substring(col("blob"), 5, Int.MaxValue)).as("content_hash"))
       .orderBy(col("doc_id"))
   }
 
   private val FeatureDim = 8
   private val BatchSize = 32
 
-  /** m02: decode / feature-extract plumbing. Batched per partition
-    * (`grouped(BatchSize)`) the way a real codec/model call would be —
-    * memory bounded by batch, not partition — with the decode kernel
-    * STUBBED as a deterministic hash-derived feature vector.
-    * `batch_n` in the output proves the batch shape to the spec.
+  /** m02 core: decode / feature-extract plumbing. Batched per
+    * partition (`grouped(BatchSize)`) the way a real codec/model call
+    * would be — memory bounded by batch, not partition — with the
+    * decode kernel STUBBED as a deterministic hash-derived feature
+    * vector. `batch_n` in the output proves the batch shape to the
+    * spec; `features_digest` is a scalar md5 of the vector so
+    * downstream consumers that can't sort/compare array cells (the
+    * driver's pandas compare) still get a content-faithful column.
     */
-  def m02FeatureStub(spark: SparkSession, sfDir: String): DataFrame = {
+  def m02Features(spark: SparkSession, sfDir: String): DataFrame = {
     val src = m01BinaryMeta(spark, sfDir).select("doc_id", "mime", "byte_len")
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("mime", StringType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("features_digest", StringType, nullable = false),
       StructField("batch_n", IntegerType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     src.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.grouped(BatchSize).flatMap { batch =>
         // STUB: a real implementation decodes `blob` with a codec and
         // runs a feature model over the batch. Deterministic fake:
@@ -83,10 +90,20 @@ object Multimodal {
             val h = Kernels.mix64(id ^ (tag << 17) ^ j.toLong)
             ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
           }
-          Row(id, mime, feats.toSeq, batch.size)
+          md.reset()
+          val digest = md.digest(feats.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          Row(id, mime, feats.toSeq, digest, batch.size)
         }
       }
     }(encoder)
       .orderBy(col("doc_id"))
   }
+
+  /** m02 driver-facing output: the raw `array<float>` column stays in
+    * [[m02Features]] for typed consumers and the spec; the driver dump
+    * carries the scalar digest instead.
+    */
+  def m02FeatureStub(spark: SparkSession, sfDir: String): DataFrame =
+    m02Features(spark, sfDir).drop("features")
 }

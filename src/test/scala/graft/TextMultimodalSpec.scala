@@ -67,14 +67,21 @@ class TextMultimodalSpec extends AnyFunSuite {
   }
 
   test("m02 feature stub: batched, deterministic, bounded batch size") {
-    val out = Multimodal.m02FeatureStub(spark, sfDir).collect()
+    val out = Multimodal.m02Features(spark, sfDir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       assert(r.getSeq[Float](2).length == 8)
-      val bn = r.getInt(3)
+      assert(r.getString(3).length == 32, "features_digest must be md5 hex")
+      val bn = r.getInt(4)
       assert(bn >= 1 && bn <= 32, s"batch_n $bn out of bounds")
     }
-    val again = Multimodal.m02FeatureStub(spark, sfDir).collect()
+    val again = Multimodal.m02Features(spark, sfDir).collect()
     assert(out.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
+    // distinct feature vectors → distinct digests (digest is content-faithful)
+    assert(out.map(_.getString(3)).distinct.length ==
+      out.map(_.getSeq[Float](2)).distinct.length)
+    // driver-facing output carries the digest, not the array
+    val driverCols = Multimodal.m02FeatureStub(spark, sfDir).columns.toSeq
+    assert(driverCols == Seq("doc_id", "mime", "features_digest", "batch_n"))
   }
 }
