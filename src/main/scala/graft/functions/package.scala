@@ -34,6 +34,7 @@ package object functions {
     "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
     "hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nPlanes"), longArg(es(2), "seed"))),
+    "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
   )
 
   /** Register all graft functions in the session (idempotent). */

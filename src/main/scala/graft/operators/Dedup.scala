@@ -48,16 +48,32 @@ object Dedup {
   private val MaxBucket = 10000
 
   /** Expand (id, payload?) rows sharing a bucket key into ordered
-    * within-bucket pairs: groupBy bucket → collect_set → pairwise
-    * expansion → distinct. ONE pass over the input — a self-join would
-    * recompute the signature scan on both sides (broadcast sides
-    * bypass exchange reuse), which doubles the dominant kernel cost.
+    * within-bucket pairs, in two passes so a degenerate bucket (10⁷
+    * identical/empty docs) is dropped BEFORE any row set
+    * materializes:
+    *
+    *  1. count per bucket (map-side partial agg; the shuffle carries
+    *     (key, count) only) → the tiny set of over-[[MaxBucket]] keys;
+    *  2. anti-join that broadcast set, then collect_set per surviving
+    *     bucket — every aggregation buffer is ≤ MaxBucket items by
+    *     construction.
+    *
+    * The banded input is persisted (doc_id + band key per row — bytes
+    * per doc, not the text) so the signature kernel runs once, not
+    * once per pass; same pattern MLlib uses for its LSH models.
     */
-  private[operators] def bucketPairs(banded: DataFrame, bucketCols: Seq[String], item: Column): DataFrame = {
+  private[operators] def bucketPairs(banded0: DataFrame, bucketCols: Seq[String], item: Column): DataFrame = {
+    val banded = banded0.persist()
+    val keys = bucketCols.map(col)
+    val hot = banded.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > MaxBucket)
+      .select(keys: _*)
     val sorted = array_sort(collect_set(item))
-    banded.groupBy(bucketCols.map(col): _*)
+    banded.join(broadcast(hot), bucketCols, "left_anti")
+      .groupBy(keys: _*)
       .agg(sorted.as("items"))
-      .filter(size(col("items")).between(2, MaxBucket))
+      .filter(size(col("items")) >= 2)
       .select(explode(flatten(transform(col("items"), (x, i) =>
         transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))

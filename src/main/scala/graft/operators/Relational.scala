@@ -328,18 +328,42 @@ object Relational {
       .orderBy(col("o_orderpriority"))
 
   /** q23: skew-aware salted join — identical semantics to the plain
-    * key join (the oracle), but the probe side carries a deterministic
-    * salt and the build side is replicated SALT× so one hot key fans
-    * across SALT reduce partitions. The pattern AQE skew-join applies
-    * adaptively, expressed explicitly.
+    * key join (the oracle). Two-phase hot-key salting: a cheap count
+    * pass finds the keys whose probe-side row count crosses
+    * `graft.skew.hotKeyThreshold`; ONLY those keys are salted (probe
+    * rows salted deterministically, build rows for hot keys replicated
+    * SALT×), everything else takes the plain join. Blanket SALT×
+    * replication of the whole build side — the naive pattern — is a
+    * scale-killer at 100 TB; here replication cost is
+    * |hot keys| × SALT rows. AQE skew-join (on in Engine) does this
+    * adaptively; this operator expresses it explicitly.
+    *
+    * The threshold default (5) is sized so the test SFs exercise both
+    * the hot and cold paths; production sets it to ~10⁵ rows (a key
+    * that overflows one reduce partition).
     */
   def q23JoinSkewSalt(spark: SparkSession, sfDir: String): DataFrame = {
     val SALT = 8
-    val liS = Tables.lineitem(spark, sfDir)
+    val thresh = spark.conf.get("graft.skew.hotKeyThreshold", "5").toInt
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus"))
+    val hotKeys = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thresh)
+      .select(col("l_orderkey").as("hot_key"))
+    val liHot = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
-    val ordS = Tables.orders(spark, sfDir)
+    val liCold = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_anti")
+    val ordHot = ord.join(broadcast(hotKeys), ord("o_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
-    liS.join(ordS, liS("l_orderkey") === ordS("o_orderkey") && liS("salt") === ordS("salt"))
+    val ordCold = ord.join(broadcast(hotKeys), ord("o_orderkey") === col("hot_key"), "left_anti")
+    val hotJoin = liHot.join(ordHot,
+      liHot("l_orderkey") === ordHot("o_orderkey") && liHot("salt") === ordHot("salt"))
+      .select(col("o_orderstatus"), col("l_extendedprice"))
+    val coldJoin = liCold.join(ordCold, liCold("l_orderkey") === ordCold("o_orderkey"))
+      .select(col("o_orderstatus"), col("l_extendedprice"))
+    hotJoin.unionByName(coldJoin)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
       .orderBy(col("o_orderstatus"))

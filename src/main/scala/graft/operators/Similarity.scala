@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.registerAll
 
@@ -12,9 +11,14 @@ import graft.functions.registerAll
   * s01 is the exact baseline: broadcast the query block, scan the
   * corpus once, codegen'd cosine, per-query top-k — at 100 TB this is
   * the right brute-force shape (1 corpus scan, no shuffle of the
-  * corpus, TakeOrdered per query). s02 is the scale path: hyperplane
-  * LSH buckets cut the scanned fraction; recall is tunable via
-  * bands×bits.
+  * corpus). s02 is the scale path: hyperplane LSH buckets cut the
+  * scanned fraction; recall is tunable via bands×bits.
+  *
+  * Top-k uses the bounded [[graft.functions.TopKByScore]] aggregate:
+  * partial k-capped heaps per partition, so the per-query shuffle
+  * carries ≤ k pairs per map partition — not every scored row into
+  * one reducer task per query, which is what
+  * `row_number().over(Window.partitionBy("query_id"))` would do.
   */
 object Similarity {
 
@@ -25,19 +29,25 @@ object Similarity {
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
+  /** Scored (query_id, vec_id, cos_raw) rows → top-k per query with
+    * rank, via the bounded aggregate.
+    */
+  private def topKPerQuery(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by_score", col("cos_raw"), col("vec_id"), lit(TopK)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        round(col("t.score"), 4).as("cos"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** s01: exact brute-force cosine top-k per query. */
   def s01AnnBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val corpus = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(queriesBlock(spark, sfDir)))
+    topKPerQuery(corpus.crossJoin(broadcast(queriesBlock(spark, sfDir)))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
   }
 
   /** s02: LSH-bucketed ANN — candidates share ≥1 hyperplane band with
@@ -62,13 +72,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
       .distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_raw").desc, col("vec_id"))
-    cands
-      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      cands.withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
   }
 }

@@ -109,11 +109,19 @@ object TextAnalysis {
     val fps = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         call_function("winnow_fingerprint", col("text"), lit(8), lit(4)).as("fps"))
-    val exploded = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val sharing = exploded.groupBy(col("fp"))
-      .agg(collect_set(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(col("docs")).as("doc_id"))
+      .persist()
+    // array_distinct before explode: one (doc, fp) row per distinct fp
+    // per doc, so count(*) per fp counts distinct docs. Shared-fp
+    // detection is count > 1 + semi-join — no collect_set, so a hot
+    // fingerprint (boilerplate shared by millions of docs) costs a
+    // counter, not an unbounded set buffer.
+    val exploded = fps.select(col("doc_id"), explode(array_distinct(col("fps"))).as("fp"))
+    val sharedFp = exploded.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("fp"))
+    val sharing = exploded.join(sharedFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
       .distinct()
       .withColumn("shares_fp", lit(true))
     fps.select(col("doc_id"), size(col("fps")).as("n_fp"),
