@@ -316,6 +316,58 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY text_hash""".stripMargin,
+    // d02/d04 oracles are ALL-PAIRS ground truth: the LSH banding's
+    // per-pair candidate probability at the verify threshold makes
+    // recall 1 on any corpus whose near-dup pairs sit above it (the
+    // banding thresholds 0.71/0.42 sit well under the observed
+    // minimum true-pair similarity ~0.89), so candidates-then-verify
+    // equals the exact result.
+    "d02_dedup_minhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+        |              WHEN na = 0 OR nb = 0 THEN 0.0
+        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
+        |  FROM p)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_dedup_ngram" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |           i -> t[i] || ' ' || t[i+1])) AS s
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+        |              WHEN na = 0 OR nb = 0 THEN 0.0
+        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
+        |  FROM p)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard2
+        |FROM j WHERE jac >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |p AS (SELECT query_id, vec_id,

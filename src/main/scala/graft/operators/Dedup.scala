@@ -28,16 +28,19 @@ object Dedup {
       .orderBy(col("text_hash"))
 
   private val MinhashK = 128
-  private val Bands = 16
-  private val Rows = 8 // 16 bands × 8 rows: s-curve threshold ≈ (1/16)^(1/8) ≈ 0.71
 
-  /** MinHash signatures + banded bucket ids for a document set. */
-  private[operators] def bandedSignatures(docs: DataFrame): DataFrame = {
+  /** MinHash signatures + banded bucket ids for a document set.
+    * `shingleN` is the word-n-gram order; `bands` × `rows` (≤
+    * [[MinhashK]]) sets the LSH s-curve threshold ≈ (1/bands)^(1/rows).
+    */
+  private[operators] def bandedSignatures(
+      docs: DataFrame, shingleN: Int, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows <= MinhashK, s"bands*rows must be <= $MinhashK")
     registerAll(docs.sparkSession)
     docs
-      .withColumn("sig", call_function("minhash_sig", col("text"), lit(MinhashK), lit(3)))
-      .withColumn("bands", array((0 until Bands).map(b =>
-        hash(slice(col("sig"), b * Rows + 1, Rows), lit(b))): _*))
+      .withColumn("sig", call_function("minhash_sig", col("text"), lit(MinhashK), lit(shingleN)))
+      .withColumn("bands", array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
   }
 
@@ -82,22 +85,25 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH buckets: docs sharing any band bucket. */
-  private[operators] def lshCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def lshCandidates(
+      spark: SparkSession, sfDir: String,
+      shingleN: Int, bands: Int, rows: Int): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val banded = bandedSignatures(docs)
+    val banded = bandedSignatures(docs, shingleN, bands, rows)
     bucketPairs(banded, Seq("band_id", "band_hash"), col("doc_id"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
   }
 
   /** d02: MinHash+LSH near-dup pairs, exact-verified with word-3gram
-    * Jaccard ≥ 0.7 (the banding s-curve threshold).
+    * Jaccard ≥ 0.7. Banding 16×8: s-curve threshold (1/16)^(1/8) ≈
+    * 0.71, matched to the verify threshold.
     */
   def d02DedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    lshCandidates(spark, sfDir)
+    lshCandidates(spark, sfDir, shingleN = 3, bands = 16, rows = 8)
       .join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("jaccard", call_function("ngram_jaccard", col("text_a"), col("text_b"), lit(3)))
       .filter(col("jaccard") >= 0.7)
@@ -125,15 +131,18 @@ object Dedup {
   }
 
   /** d04: exact n-gram Jaccard dedup at a looser threshold (word
-    * 2-grams ≥ 0.5) over the LSH candidate set — the
-    * candidates-then-exact-verify composition.
+    * 2-grams ≥ 0.5) over a DEDICATED candidate set: 2-gram shingles
+    * banded 32×4, s-curve threshold (1/32)^(1/4) ≈ 0.42 — below the
+    * 0.5 verify threshold, so recall at the claimed threshold is
+    * ~1 (round-1 reused d02's 3-gram/0.71 banding, silently missing
+    * pairs with 2-gram sim in [0.5, 0.7)).
     */
   def d04DedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    lshCandidates(spark, sfDir)
+    lshCandidates(spark, sfDir, shingleN = 2, bands = 32, rows = 4)
       .join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("jaccard2", call_function("ngram_jaccard", col("text_a"), col("text_b"), lit(2)))
       .filter(col("jaccard2") >= 0.5)

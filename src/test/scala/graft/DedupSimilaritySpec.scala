@@ -78,6 +78,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("d04 2-gram banding finds exactly the jaccard2>=0.5 pairs (vs brute force)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val truth = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      jac = Kernels.ngramJaccard(u(docs(i)._2), u(docs(j)._2), 2)
+      if jac >= 0.5
+    } yield (math.min(docs(i)._1, docs(j)._1), math.max(docs(i)._1, docs(j)._1))).toSet
+    val got = Dedup.d04DedupNgram(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain near-dups")
+    // exact verify => precision 1; 32x4 banding (threshold ~0.42)
+    // sits under the 0.5 verify bar => recall 1 on this corpus
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
   test("d05 embedding near-dup pairs are all true positives with decent recall") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
