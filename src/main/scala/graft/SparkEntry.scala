@@ -345,6 +345,41 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d03 oracle recomputes the EXACT simhash signatures (md5 token
+    // hashes, two 32-bit halves) and takes all pairs at hamming <= 3;
+    // 4x16-bit banding has recall 1 there by pigeonhole, so the Spark
+    // result equals all-pairs truth.
+    "d03_dedup_simhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM tk),
+        |th AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS hi,
+        |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS lo
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j.j AS j,
+        |    sum(CASE WHEN j.j < 32
+        |         THEN CASE WHEN ((lo >> j.j) & 1) = 1 THEN 1 ELSE -1 END
+        |         ELSE CASE WHEN ((hi >> (j.j - 32)) & 1) = 1 THEN 1 ELSE -1 END END) AS c
+        |  FROM th, range(64) j(j)
+        |  GROUP BY doc_id, j.j),
+        |sig0 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c > 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS slo,
+        |    sum(CASE WHEN c > 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS shi
+        |  FROM bits GROUP BY doc_id),
+        |sig AS (
+        |  SELECT tk.doc_id,
+        |    CAST(coalesce(slo, 0) AS BIGINT) AS slo, CAST(coalesce(shi, 0) AS BIGINT) AS shi
+        |  FROM tk LEFT JOIN sig0 ON tk.doc_id = sig0.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d04_dedup_ngram" ->
       """WITH tk AS (
         |  SELECT doc_id,
@@ -368,6 +403,42 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard2
         |FROM j WHERE jac >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d05/s02 oracles replicate the md5-derived hyperplane banding
+    // exactly (same weights, same sign bits, same band buckets), so
+    // the LSH candidate set — not just the verify step — is checked.
+    "d05_dedup_embedding" ->
+      """WITH pl AS (
+        |  SELECT p.p AS p, j.j AS j,
+        |    ((('0x' || substr(md5('42:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
+        |      / 281474976710656.0) * 2.0 - 1.0) AS w
+        |  FROM range(48) p(p), range(64) j(j)),
+        |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
+        |sb AS (
+        |  SELECT e.vec_id, pw.p,
+        |    CASE WHEN list_sum(list_transform(range(1, 65),
+        |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, pw),
+        |bands AS (
+        |  SELECT vec_id, p // 4 AS band_id, sum(bit * (1 << (p % 4))) AS band_val
+        |  FROM sb GROUP BY vec_id, p // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+        |sc AS (
+        |  SELECT c.va, c.vb,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))) AS cos_raw
+        |  FROM cand c
+        |  JOIN embeddings x ON x.vec_id = c.va
+        |  JOIN embeddings y ON y.vec_id = c.vb)
+        |SELECT va AS vec_a, vb AS vec_b, round(cos_raw, 4) AS cos
+        |FROM sc WHERE cos_raw >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |p AS (SELECT query_id, vec_id,
@@ -387,6 +458,70 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "s02_ann_lsh" ->
+      """WITH pl AS (
+        |  SELECT p.p AS p, j.j AS j,
+        |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
+        |      / 281474976710656.0) * 2.0 - 1.0) AS w
+        |  FROM range(36) p(p), range(64) j(j)),
+        |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
+        |sb AS (
+        |  SELECT e.vec_id, pw.p,
+        |    CASE WHEN list_sum(list_transform(range(1, 65),
+        |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, pw),
+        |bands AS (
+        |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
+        |  FROM sb GROUP BY vec_id, p // 3),
+        |cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        |  FROM bands cb JOIN bands qb
+        |    ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
+        |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+        |sc AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))) AS cos_raw
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.query_id
+        |  JOIN embeddings v ON v.vec_id = c.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+        |FROM r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    "t01_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, labeled_lang,
+        |    [
+        |      {'score': CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','in','is','that','for','with','on'], x))) AS DOUBLE)
+        |                / CAST(greatest(len(t), 1) AS DOUBLE), 'lang': 'en'},
+        |      {'score': CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS DOUBLE)
+        |                / CAST(greatest(len(t), 1) AS DOUBLE), 'lang': 'es'},
+        |      {'score': CAST(len(list_filter(t, x -> list_contains(['le','la','de','et','les','des','en','un','du','une'], x))) AS DOUBLE)
+        |                / CAST(greatest(len(t), 1) AS DOUBLE), 'lang': 'fr'},
+        |      {'score': CAST(len(list_filter(t, x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], x))) AS DOUBLE)
+        |                / CAST(greatest(len(t), 1) AS DOUBLE), 'lang': 'de'},
+        |      {'score': CAST(len(list_filter(t, x -> list_contains(['il','di','che','la','e','per','un','del','con','le'], x))) AS DOUBLE)
+        |                / CAST(greatest(len(t), 1) AS DOUBLE), 'lang': 'it'}
+        |    ] AS scores
+        |  FROM tk),
+        |b AS (SELECT doc_id, labeled_lang, list_max(scores) AS best FROM sc)
+        |SELECT doc_id, best.lang AS pred_lang, round(best.score, 4) AS confidence, labeled_lang
+        |FROM b
+        |ORDER BY doc_id""".stripMargin,
     "t02_quality_score" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -34,8 +34,43 @@ object Kernels {
     h
   }
 
-  private def tokenHashes(text: UTF8String): Array[Long] = {
-    // whitespace tokenizer over raw UTF-8 bytes; hash per token.
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes (big-endian) of MD5 over a byte range. MD5 — not
+    * FNV — where a value must be recomputable by another engine: the
+    * DuckDB oracle reconstructs it as two 32-bit halves via
+    * `('0x' || substr(md5(t), 1|9, 8))::UBIGINT`.
+    */
+  def md5_64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, from, until - from)
+    val d = md.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** First 6 bytes (48 bits, big-endian) of MD5 of a UTF-8 string —
+    * exact in a double, so `h/2^48*2-1` is bit-identical across
+    * engines.
+    */
+  def md5_48(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h
+  }
+
+  /** Whitespace tokenizer over raw UTF-8 bytes; `hash` applied per
+    * token byte-range.
+    */
+  private def tokenize(text: UTF8String, hash: (Array[Byte], Int, Int) => Long): Array[Long] = {
     val b = text.getBytes
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
@@ -43,12 +78,14 @@ object Kernels {
     while (i <= b.length) {
       val ws = i == b.length || b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r'
       if (ws) {
-        if (start >= 0) { out += fnv64(b, start, i); start = -1 }
+        if (start >= 0) { out += hash(b, start, i); start = -1 }
       } else if (start < 0) start = i
       i += 1
     }
     out.toArray
   }
+
+  private def tokenHashes(text: UTF8String): Array[Long] = tokenize(text, fnv64)
 
   /** Hashes of word n-gram shingles (order-sensitive combine of token
     * hashes — no string re-materialization).
@@ -86,13 +123,17 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
-  /** 64-bit SimHash over whitespace tokens (unit weights). */
+  /** 64-bit SimHash over whitespace tokens (unit weights). Token hash
+    * is MD5-derived so the DuckDB oracle can recompute the exact
+    * signature (and therefore exact Hamming distances) from the raw
+    * table — the FNV path stays for hashes that never cross engines.
+    */
   def simhash64(text: UTF8String): Long = {
-    val toks = tokenHashes(text)
+    val toks = tokenize(text, md5_64)
     val counts = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val h = mix64(toks(t))
+      val h = toks(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -177,22 +218,36 @@ object Kernels {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Hyperplane weight matrix for (seed, nPlanes, dim), built once per
+    * JVM and memoized: w(p,j) = md5_48(s"seed:p:j")/2^48*2-1 — uniform
+    * in [-1,1), exactly reproducible in SQL (DuckDB builds the same
+    * matrix from md5 hex), and cached so the per-row signature cost is
+    * pure dot products, no hashing.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(s"$seed:$nPlanes:$dim", _ =>
+      Array.tabulate(nPlanes, dim) { (p, j) =>
+        (md5_48(s"$seed:$p:$j").toDouble / (1L << 48).toDouble) * 2.0 - 1.0
+      })
+
   /** Random-hyperplane LSH signature: nPlanes sign bits packed into a
-    * long. Plane weights are uniform in [-1,1), generated on the fly
-    * from mix64(seed, plane, dim) — deterministic, no broadcast state.
+    * long. Deterministic across runs, executors, and engines (weights
+    * are md5-derived, see [[hyperplanes]]); no broadcast state.
     */
   def hyperplaneSig(v: ArrayData, nPlanes: Int, seed: Long): Long = {
     val dim = v.numElements()
+    val ws = hyperplanes(seed, nPlanes, dim)
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
+      val w = ws(p)
       var dot = 0.0
       var j = 0
       while (j < dim) {
-        val h = mix64(seed ^ (p.toLong << 32) ^ j.toLong)
-        // map to [-1, 1)
-        val w = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-        dot += w * v.getFloat(j).toDouble
+        dot += w(j) * v.getFloat(j).toDouble
         j += 1
       }
       if (dot >= 0.0) sig |= (1L << p)

@@ -150,18 +150,22 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** d05: embedding cosine near-dup — random-hyperplane LSH (4 bands
-    * of 4 bits) generates candidates; codegen'd cosine verifies ≥ 0.4.
-    * Banding trades recall for never materializing the N² cross
-    * product (documented recall ≈ 1-(1-p^4)^4 at the threshold).
+  /** d05: embedding cosine near-dup — random-hyperplane LSH (12 bands
+    * of 4 bits, 48 planes) generates candidates; codegen'd cosine
+    * verifies ≥ 0.4. Banding trades recall for never materializing
+    * the N² cross product: per-pair candidate probability at the
+    * threshold is 1-(1-p^4)^12 ≈ 0.88 (p = 1-acos(0.4)/π ≈ 0.63),
+    * rising steeply with similarity. The weights are md5-derived
+    * ([[graft.functions.Kernels.hyperplanes]]) so the DuckDB oracle
+    * replicates candidates AND verification exactly.
     */
   def d05DedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
-        call_function("hyperplane_sig", col("embedding"), lit(16), lit(42L)).as("sig"))
+        call_function("hyperplane_sig", col("embedding"), lit(48), lit(42L)).as("sig"))
     val banded = emb.select(
-      posexplode(array((0 until 4).map(b =>
+      posexplode(array((0 until 12).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band_id", "band_val")),
       col("vec_id"), col("embedding"))
     bucketPairs(banded, Seq("band_id", "band_val"),

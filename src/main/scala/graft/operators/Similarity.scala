@@ -51,13 +51,15 @@ object Similarity {
   }
 
   /** s02: LSH-bucketed ANN — candidates share ≥1 hyperplane band with
-    * the query (8 bands × 4 bits of a 32-bit signature for recall),
-    * then exact cosine + per-query top-k over candidates only.
+    * the query (12 bands × 3 bits of a 36-bit signature, tuned for
+    * recall@10 ≥ 0.8 on 64-dim embeddings), then exact cosine +
+    * per-query top-k over candidates only. Weights are md5-derived so
+    * the DuckDB oracle replicates bucketing and ranking exactly.
     */
   def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val nBands = 8
-    val bits = 4
+    val nBands = 12
+    val bits = 3
     def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.withColumn("sig", call_function("hyperplane_sig", col(vecCol), lit(nBands * bits), lit(7L)))
         .select(col(idCol), col(vecCol),

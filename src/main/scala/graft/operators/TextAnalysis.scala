@@ -32,7 +32,9 @@ object TextAnalysis {
     * (score, lang) structs. Entirely codegen'd builtins; one scan.
     */
   def t01Langid(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
+    // drop empty tokens so leading/trailing whitespace can't skew the
+    // denominator (and the SQL oracle's regexp_split agrees exactly)
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= lit(""))
     val scored: Seq[Column] = StopwordProfiles.map { case (lang, words) =>
       val hits = size(filter(toks, t => array_contains(lit(words.toArray), t)))
       struct(

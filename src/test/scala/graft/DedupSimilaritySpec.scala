@@ -113,7 +113,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
-    assert(got.size >= truth.size / 4, s"recall too low: ${got.size}/${truth.size}")
+    // 12 bands x 4 bits: per-pair candidate probability >= 0.88 at the
+    // 0.4 threshold, higher above it
+    assert(got.size >= (truth.size * 0.7).toInt, s"recall too low: ${got.size}/${truth.size}")
   }
 
   test("s02 LSH ANN recall@10 vs s01 brute force") {
@@ -124,6 +126,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"recall@10 $recall too low")
+    // 12 bands x 3 bits tuned for recall@10 >= 0.8 on 64-dim embeddings
+    assert(recall >= 0.8, s"recall@10 $recall too low")
   }
 }
