@@ -6,8 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Injection point for graft's Catalyst extensions: registers the
   * custom expression builders at session build time so SQL text and
-  * DataFrame code share one kernel set. Installed via
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * DataFrame code share one kernel set, and installs the
+  * [[PreAggregateBeforeShuffleRule]] optimizer rule (OPS-inspired
+  * pre-combine-before-shuffle + small-dim broadcast hinting).
+  * Installed via `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -17,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    e.injectOptimizerRule(_ => PreAggregateBeforeShuffleRule)
   }
 }

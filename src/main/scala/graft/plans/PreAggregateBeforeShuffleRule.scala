@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi, Cross, Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** OPS-inspired shuffle minimization at the logical-plan level
+  * (SURVEY §2 infra; the reference's core idea is reduce-side
+  * merge-skip enabled by map-side pre-merge —
+  * /root/reference/core/src/main/scala/org/apache/spark/shuffle/
+  * OpsShuffleReader.scala:43-72). Two rewrites, both semantics-
+  * preserving:
+  *
+  *  1. '''Semi/anti build-side pre-aggregation''': for
+  *     `LEFT SEMI/ANTI JOIN`, only the EXISTENCE of a matching build
+  *     row matters, so the build side is deduplicated on exactly the
+  *     attributes the join condition references before it reaches the
+  *     exchange. The dedup aggregate gets map-side partial
+  *     aggregation for free, so the shuffle carries distinct keys
+  *     instead of every build row — pre-combine before shuffle.
+  *
+  *  2. '''Provably-small-side broadcast hints''': joins whose build
+  *     side's logical size statistic is under
+  *     `graft.broadcast.threshold` (default 8 MiB) get a BROADCAST
+  *     hint, removing the shuffle entirely. This holds even when
+  *     `spark.sql.autoBroadcastJoinThreshold` is disabled (-1), the
+  *     common posture on large clusters where a mis-estimated
+  *     broadcast is an OOM — the graft threshold is deliberately
+  *     conservative and applies only to sides whose estimate is
+  *     already final at optimization time.
+  *
+  * Kill switch: `graft.preagg.enabled=false`. Both rewrites are
+  * idempotent (guards on existing Aggregate / existing hint), as
+  * required inside the optimizer's fixed-point batch.
+  */
+object PreAggregateBeforeShuffleRule extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("graft.preagg.enabled", "true").toBoolean
+
+  private def broadcastThreshold: BigInt =
+    BigInt(SQLConf.get.getConfString("graft.broadcast.threshold",
+      (8L * 1024 * 1024).toString))
+
+  private def deterministic(plan: LogicalPlan): Boolean =
+    plan.find(n => !n.expressions.forall(_.deterministic)).isEmpty
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      // (1) semi/anti: dedup the build side on the condition's
+      // attributes. Existence semantics are preserved: a left row
+      // matches some build row iff it matches some distinct
+      // (referenced-attribute) combination.
+      case j @ Join(_, right, LeftSemi | LeftAnti, Some(cond), _)
+          if !right.isInstanceOf[Aggregate] && !right.isInstanceOf[Distinct] &&
+            deterministic(right) =>
+        // note: ColumnPruning (same fixed-point batch) may already have
+        // narrowed the build side to exactly the referenced attributes —
+        // the dedup is still the win (distinct keys ≪ all rows), so the
+        // only guards are "has keys" and "not already aggregated".
+        val refs = right.output.filter(AttributeSet(cond.references).contains)
+        if (refs.nonEmpty) j.copy(right = Aggregate(refs, refs, right))
+        else hinted(j)
+
+      case j: Join => hinted(j)
+    }
+  }
+
+  /** Attach a BROADCAST hint to a provably-small build side when the
+    * join type allows building on that side and no hint exists yet.
+    */
+  private def hinted(j: Join): Join = {
+    if (j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty) return j
+    val bc = Some(HintInfo(strategy = Some(BROADCAST)))
+    val canBuildRight = j.joinType match {
+      case Inner | Cross | LeftOuter | LeftSemi | LeftAnti => true
+      case _ => false
+    }
+    val canBuildLeft = j.joinType match {
+      case Inner | Cross | RightOuter => true
+      case _ => false
+    }
+    val rSmall = canBuildRight && j.right.stats.sizeInBytes <= broadcastThreshold
+    val lSmall = canBuildLeft && j.left.stats.sizeInBytes <= broadcastThreshold
+    if (rSmall && (!lSmall || j.right.stats.sizeInBytes <= j.left.stats.sizeInBytes))
+      j.copy(hint = JoinHint(None, bc))
+    else if (lSmall)
+      j.copy(hint = JoinHint(bc, None))
+    else j
+  }
+}

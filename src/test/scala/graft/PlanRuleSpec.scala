@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Plan-shape assertions for [[graft.plans.PreAggregateBeforeShuffleRule]]
+  * and the partial-aggregation (pre-combine before shuffle) invariant.
+  */
+class PlanRuleSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  /** Final physical plan, unwrapping AQE (forces execution first so
+    * the adaptive plan is settled).
+    */
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("small dim side gets broadcast even with auto-broadcast disabled") {
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir) // 25 rows — provably tiny
+    val joined = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+    val bhj = executed(joined).collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "rule must broadcast the 25-row nation side")
+    // kill switch honored: without the rule the same join shuffles
+    spark.conf.set("graft.preagg.enabled", "false")
+    try {
+      val joined2 = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      val bhj2 = executed(joined2).collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj2.isEmpty, "kill switch must disable the broadcast hint")
+    } finally spark.conf.set("graft.preagg.enabled", "true")
+  }
+
+  test("semi-join build side is pre-aggregated to its referenced keys") {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val semi = orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left_semi")
+    val aggsUnderJoin = semi.queryExecution.optimizedPlan.collect {
+      case Join(_, right, _, _, _) if right.collectFirst { case a: Aggregate => a }.nonEmpty => right
+    }
+    assert(aggsUnderJoin.nonEmpty,
+      "build side of the semi join must carry a dedup Aggregate on l_orderkey")
+    // semantics unchanged: same keep-set as a distinct-based rewrite
+    val expected = orders.select("o_orderkey")
+      .join(li.select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(semi.count() == expected)
+  }
+
+  test("aggregations are partial (pre-combined) below every exchange") {
+    // the OPS invariant at plan level: every Final HashAggregate is
+    // fed (across its exchange) by a Partial-mode pre-aggregate, so
+    // the shuffle carries combined state, not raw rows
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    val plan = executed(Relational.q01PricingSummary(spark, sfDir))
+    val finals = plan.collect {
+      case h: HashAggregateExec if h.aggregateExpressions.exists(_.mode == Final) => h
+    }
+    assert(finals.nonEmpty, "q01 must aggregate")
+    finals.foreach { f =>
+      val partialBelow = f.collectFirst {
+        case h: HashAggregateExec if h.aggregateExpressions.nonEmpty &&
+          h.aggregateExpressions.forall(_.mode == Partial) => h
+      }
+      assert(partialBelow.nonEmpty, s"no partial pre-aggregate below final agg:\n$f")
+      val exchangeBetween = f.collectFirst { case e: ShuffleExchangeExec => e }
+      assert(exchangeBetween.nonEmpty, "final agg must sit above the shuffle")
+    }
+  }
+}

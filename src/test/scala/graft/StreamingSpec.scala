@@ -22,13 +22,7 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = TestSpark.spark
 
   test("stream_window_agg drains to the batch q30 result") {
     val stream = StreamOps.readEventStream(spark, streamDir)
