@@ -45,9 +45,47 @@ object StreamOps {
   def windowAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
-        col("event_type"))
+      // group by the window STRUCT (not a projected field) so the
+      // event-time column stays linked to the watermark — required
+      // for append-mode sinks; project start afterwards
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Stream-stream inner join: purchases within 1 hour after a click
+    * by the same user. Both sides carry a 2-hour watermark and the
+    * join condition bounds event time on both sides, so the state
+    * store retains at most ~3 hours of rows per side (the pattern of
+    * StreamingSymmetricHashJoinExec; unbounded state otherwise). The
+    * same body works on batch frames (EliminateEventTimeWatermark
+    * drops the watermark), so the batch twin IS this function —
+    * stream==batch equality is checked through one code path.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming exactly-once dedup on event_id (duplicate-delivery
+    * elimination): dropDuplicates backed by keyed state, bounded by
+    * the watermark — an event re-delivered more than 2 hours late is
+    * outside the dedup horizon, which is the documented at-least-once
+    * → effectively-once contract. Batch twin: same body.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates(Seq("event_id"))
 
   case class Ev(event_id: Long, ts: Instant, user_id: Long,
       event_type: String, value: Double)

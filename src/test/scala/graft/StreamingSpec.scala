@@ -37,6 +37,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream-stream join drains to the batch twin result") {
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    val q = StreamOps.clickPurchaseJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val cols = Seq("user_id", "click_id", "purchase_id")
+    val got = spark.table("ss_join_out")
+      .orderBy(cols.map(col): _*).collect().toSeq
+    val expected = StreamOps.clickPurchaseJoin(Tables.events(spark, sfDir))
+      .orderBy(cols.map(col): _*).collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("streaming dedup eliminates duplicate delivery exactly") {
+    // stage the SAME events file twice: an at-least-once source
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-events-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dupDir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dupDir.resolve("events_b.parquet"))
+    val stream = StreamOps.readEventStream(spark, dupDir.toString)
+    val q = StreamOps.dedupEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("dedup_out").orderBy(col("event_id")).collect().toSeq
+    val expected = Tables.events(spark, sfDir).orderBy(col("event_id")).collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("windowed aggregate drains through the parquet file sink") {
+    val out = java.nio.file.Files.createTempDirectory("graft-file-sink").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-file-chk").toString
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    val q = StreamOps.windowAgg(stream)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // append mode emits only watermark-finalized windows: the file
+    // rows must be a non-empty subset of the batch q30 result
+    val got = spark.read.parquet(out)
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Events.q30EventWindowAgg(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "file sink must receive finalized windows")
+    assert(got.subsetOf(batch), "file-sink rows must match batch windows")
+  }
+
   test("stream_sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     val stream = StreamOps.readEventStream(spark, streamDir)
