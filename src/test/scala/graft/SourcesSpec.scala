@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+/** Round-trip and plan-shape checks for the non-parquet sources and
+  * layout-aware sinks.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("csv round-trips with explicit schema") {
+    val nation = Tables.nation(spark, sfDir)
+    val dir = tmp("graft-csv")
+    Sources.writeCsv(nation, dir)
+    val back = Sources.readCsv(spark, dir, nation.schema)
+    assert(back.schema == nation.schema)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.orderBy(col("n_nationkey")).collect().toSeq)
+  }
+
+  test("json round-trips with explicit schema") {
+    val supplier = Tables.supplier(spark, sfDir)
+    val dir = tmp("graft-json")
+    Sources.writeJson(supplier, dir)
+    val back = Sources.readJson(spark, dir, supplier.schema)
+    assert(back.orderBy(col("s_suppkey")).collect().toSeq ==
+      supplier.orderBy(col("s_suppkey")).collect().toSeq)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = tmp("graft-part")
+    Sources.writePartitioned(docs, dir, Seq("lang"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // a filter on the partition column must become a PartitionFilter
+    // on the scan (directory pruning), not a data filter
+    val filtered = back.filter(col("lang") === "en")
+    filtered.write.format("noop").mode("overwrite").save()
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    assert(scan.get.partitionFilters.nonEmpty,
+      s"lang filter must prune partitions, got dataFilters=${scan.get.dataFilters}")
+    assert(filtered.count() ==
+      docs.filter(col("lang") === "en").count())
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus")
+    Sources.writeBucketedTable(li, "li_bkt", "l_orderkey", 4)
+    Sources.writeBucketedTable(ord, "ord_bkt", "o_orderkey", 4)
+    val joined = spark.table("li_bkt")
+      .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    // force a shuffle join (kill the graft broadcast hint for this
+    // test) so the bucketing is what removes the exchanges
+    spark.conf.set("graft.preagg.enabled", "false")
+    try {
+      joined.write.format("noop").mode("overwrite").save()
+      val exchangesUnderJoin = joined.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.collect { case e: ShuffleExchangeExec => e }
+      }.flatten
+      assert(exchangesUnderJoin.isEmpty,
+        "identically-bucketed join sides must be read pre-partitioned, no exchange")
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")).collect().toSeq
+      assert(joined.orderBy(col("o_orderstatus")).collect().toSeq == expected)
+    } finally spark.conf.set("graft.preagg.enabled", "true")
+  }
+}

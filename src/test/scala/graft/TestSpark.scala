@@ -21,5 +21,7 @@ object TestSpark {
     .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .getOrCreate()
 }
