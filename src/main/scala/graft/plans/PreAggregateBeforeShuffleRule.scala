@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.expressions.{AttributeSet, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi, Cross, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -47,20 +47,40 @@ object PreAggregateBeforeShuffleRule extends Rule[LogicalPlan] {
   private def deterministic(plan: LogicalPlan): Boolean =
     plan.find(n => !n.expressions.forall(_.deterministic)).isEmpty
 
+  /** True iff `cond` is a conjunction of equalities, each comparing a
+    * pure-left expression with a pure-right expression.
+    */
+  private def equiOnly(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    conjuncts(cond).forall {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      // (1) semi/anti: dedup the build side on the condition's
-      // attributes. Existence semantics are preserved: a left row
-      // matches some build row iff it matches some distinct
-      // (referenced-attribute) combination.
-      case j @ Join(_, right, LeftSemi | LeftAnti, Some(cond), _)
+      // (1) semi/anti: dedup the build side on its join keys.
+      // Existence semantics are preserved: a left row matches some
+      // build row iff it matches some distinct key combination.
+      // Profitability guard: applied ONLY when the whole condition is
+      // a conjunction of left=right equalities — a non-equi residual
+      // (e.g. TPC-H q4's l_shipdate > o_orderdate) would drag extra
+      // attributes into the grouping, making the build side nearly
+      // distinct already and the pre-aggregate pure overhead
+      // (measured: +0.9s on q04 at sf0.1 before this guard).
+      case j @ Join(left, right, LeftSemi | LeftAnti, Some(cond), _)
           if !right.isInstanceOf[Aggregate] && !right.isInstanceOf[Distinct] &&
-            deterministic(right) =>
-        // note: ColumnPruning (same fixed-point batch) may already have
-        // narrowed the build side to exactly the referenced attributes —
-        // the dedup is still the win (distinct keys ≪ all rows), so the
-        // only guards are "has keys" and "not already aggregated".
+            deterministic(right) && equiOnly(cond, left, right) =>
+        // ColumnPruning (same fixed-point batch) may already have
+        // narrowed the build side to exactly the key attributes — the
+        // dedup is still the win (distinct keys ≪ all rows).
         val refs = right.output.filter(AttributeSet(cond.references).contains)
         if (refs.nonEmpty) j.copy(right = Aggregate(refs, refs, right))
         else hinted(j)
