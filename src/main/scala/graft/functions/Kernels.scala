@@ -105,16 +105,25 @@ object Kernels {
     out
   }
 
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  /** Per-permutation seeds mix64(0..k-1), memoized — they were being
+    * recomputed for every shingle in the hot loop.
+    */
+  private def perms(k: Int): Array[Long] =
+    permCache.computeIfAbsent(k, _ => Array.tabulate(k)(i => mix64(i.toLong)))
+
   /** k-permutation MinHash signature over word n-gram shingles. */
   def minhash(text: UTF8String, k: Int, n: Int): ArrayData = {
     val shingles = shingleHashes(text, n)
+    val pm = perms(k)
     val sig = Array.fill(k)(Long.MaxValue)
     var s = 0
     while (s < shingles.length) {
       val base = shingles(s)
       var i = 0
       while (i < k) {
-        val h = mix64(base ^ mix64(i.toLong))
+        val h = mix64(base ^ pm(i))
         if (h < sig(i)) sig(i) = h
         i += 1
       }
