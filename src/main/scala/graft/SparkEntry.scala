@@ -39,6 +39,8 @@ object SparkEntry {
     "q23_join_skew_salt" -> (Relational.q23JoinSkewSalt _),
     "q24_cube" -> (Relational.q24Cube _),
     "q25_percentile" -> (Relational.q25Percentile _),
+    "q26_grouping_sets" -> (Relational.q26GroupingSets _),
+    "q27_ntile_window" -> (Relational.q27NtileWindow _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -48,12 +50,14 @@ object SparkEntry {
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
     "d04_dedup_ngram" -> (Dedup.d04DedupNgram _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
+    "d06_contamination" -> (Dedup.d06Contamination _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_token_count" -> (TextAnalysis.t03TokenCount _),
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
+    "t05_repetition" -> (TextAnalysis.t05Repetition _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
   )
@@ -270,6 +274,25 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q27_ntile_window" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, quartile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM q
+        |GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value
@@ -549,6 +572,49 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "d06_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s
+        |  FROM tk),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+        |m AS (SELECT c.doc_id, count(*) AS n_matched FROM corp c
+        |      WHERE c.g IN (SELECT g FROM bench) GROUP BY c.doc_id),
+        |tot AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE source <> 'src0')
+        |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+        |  round(coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE), 4) AS containment,
+        |  (coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE)) >= 0.5 AS contaminated
+        |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "t05_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE [] END AS g
+        |  FROM tk),
+        |e AS (SELECT doc_id, unnest(g) AS gram FROM gr),
+        |c AS (SELECT doc_id, gram, count(*) AS n FROM e GROUP BY doc_id, gram),
+        |top AS (
+        |  SELECT doc_id, gram, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram ASC) AS rn
+        |  FROM c)
+        |SELECT g.doc_id, CAST(len(g.g) AS BIGINT) AS n_2g, t.gram AS top_gram,
+        |  CAST(t.n AS BIGINT) AS top_n,
+        |  round(t.n / CAST(len(g.g) AS DOUBLE), 4) AS rep_ratio
+        |FROM gr g JOIN top t ON g.doc_id = t.doc_id AND t.rn = 1
+        |WHERE len(g.g) > 0
+        |ORDER BY g.doc_id""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -176,4 +176,36 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** d06: benchmark-contamination detection — for each corpus
+    * document, the fraction of its distinct word 3-gram shingles that
+    * appear anywhere in the "benchmark" slice (source = 'src0'), the
+    * standard test-set-overlap check before training. Scale shape:
+    * the benchmark shingle set is distinct-reduced then broadcast
+    * (benchmarks are small by definition); the corpus side streams
+    * through a semi-join + count — one scan, one small shuffle on
+    * doc_id for the per-doc count.
+    */
+  def d06Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val BenchSource = "src0"
+    val ContaminationBar = 0.5
+    val docs = Tables.documents(spark, sfDir)
+    val withSh = docs.select(col("doc_id"), col("source"),
+      array_distinct(TextAnalysis.grams3(col("text"))).as("sh"))
+    val bench = withSh.filter(col("source") === BenchSource)
+      .select(explode(col("sh")).as("sh")).distinct()
+    val corp = withSh.filter(col("source") =!= BenchSource)
+    val matched = corp.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    corp.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("containment",
+        round(col("n_matched").cast("double") / greatest(col("n_sh"), lit(1L)).cast("double"), 4))
+      .withColumn("contaminated",
+        (col("n_matched").cast("double") / greatest(col("n_sh"), lit(1L)).cast("double"))
+          >= ContaminationBar)
+      .orderBy(col("doc_id"))
+  }
 }

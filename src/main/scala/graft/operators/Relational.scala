@@ -387,4 +387,41 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
         round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
       .orderBy(col("o_orderpriority"))
+
+  /** q26: GROUPING SETS aggregation through the SQL-text surface (the
+    * library registers its tables as views; SQL and DataFrame code
+    * share one session/extension set). One Expand + one aggregation,
+    * partial-agg'd like rollup/cube.
+    */
+  def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** q27: ntile quartiles within order-priority groups — window
+    * bucketing with a deterministic tie-break, then per-quartile
+    * stats. NOTE: exact ntile needs a total order per partition
+    * group, so each group funnels through one task — acceptable only
+    * because the partition key is low-cardinality with bounded group
+    * size relative to executors; for high-volume groups the scale
+    * path is approx quantile cutpoints + a map-side bucket join.
+    */
+  def q27NtileWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
 }
