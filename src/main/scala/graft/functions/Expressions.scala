@@ -84,6 +84,41 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** word_grams(text, n) → array<string>: whitespace-token n-gram
+  * strings (single-space joined) in one codegen'd pass.
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.wordGrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** repetition_top(text, n) → struct(n_grams, top_gram, top_n): one
+  * hash-count pass; null when the doc has fewer than n tokens.
+  */
+case class RepetitionTop(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = false),
+    StructField("top_n", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.repetitionTop(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = graft.functions.Kernels.repetitionTop($c, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hyperplane_sig(array<float>, nPlanes, seed) → long: LSH bucket
   * signature from random hyperplane sign bits.
   */

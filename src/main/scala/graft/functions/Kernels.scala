@@ -199,6 +199,84 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Byte ranges (start, end) of whitespace-separated tokens. */
+  private def tokenRanges(b: Array[Byte]): Array[(Int, Int)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)](64)
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val ws = i == b.length || b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r'
+      if (ws) {
+        if (start >= 0) { out += ((start, i)); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Word n-gram STRINGS (tokens joined by a single space) — the
+    * codegen'd replacement for building grams with `transform` +
+    * `element_at` lambdas, which evaluate interpreted per element
+    * (measured 10-40s per query at sf0.1). Gram strings are identical
+    * to what the DuckDB oracles build with list_transform.
+    */
+  def wordGrams(text: UTF8String, n: Int): ArrayData = {
+    val b = text.getBytes
+    val toks = tokenRanges(b)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += toks(i + k)._2 - toks(i + k)._1; k += 1 }
+      val g = new Array[Byte](len)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        val (s, e) = toks(i + k)
+        System.arraycopy(b, s, g, pos, e - s)
+        pos += e - s
+        if (k < n - 1) { g(pos) = ' '; pos += 1 }
+        k += 1
+      }
+      out(i) = UTF8String.fromBytes(g)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Repetition profile: (total n-grams, most frequent n-gram, its
+    * count) with ties broken toward the binary-smallest gram — one
+    * hash-count pass per document, no sort, no shuffle. Returns null
+    * for documents with fewer than n tokens.
+    */
+  def repetitionTop(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val grams = wordGrams(text, n)
+    val total = grams.numElements()
+    if (total == 0) return null
+    val counts = new java.util.HashMap[UTF8String, Int](total * 2)
+    var i = 0
+    while (i < total) {
+      val g = grams.getUTF8String(i)
+      counts.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    var bestG: UTF8String = null
+    var bestN = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > bestN ||
+        (e.getValue == bestN && e.getKey.compareTo(bestG) < 0)) {
+        bestN = e.getValue
+        bestG = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total.toLong, bestG, bestN.toLong))
+  }
+
   /** Dot product of two float vectors, accumulated in double. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

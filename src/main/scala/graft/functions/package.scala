@@ -35,6 +35,8 @@ package object functions {
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
     "hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nPlanes"), longArg(es(2), "seed"))),
     "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
+    "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
+    "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),
   )
 
   /** Register all graft functions in the session (idempotent). */

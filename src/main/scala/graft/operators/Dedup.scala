@@ -191,7 +191,7 @@ object Dedup {
     val ContaminationBar = 0.5
     val docs = Tables.documents(spark, sfDir)
     val withSh = docs.select(col("doc_id"), col("source"),
-      array_distinct(TextAnalysis.grams3(col("text"))).as("sh"))
+      array_distinct(call_function("word_grams", col("text"), lit(3))).as("sh"))
     val bench = withSh.filter(col("source") === BenchSource)
       .select(explode(col("sh")).as("sh")).distinct()
     val corp = withSh.filter(col("source") =!= BenchSource)

@@ -50,25 +50,29 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
-  /** q32: ordered funnel signup→click→purchase. Each stage is a
-    * min-after-previous-stage aggregate + broadcast-back join — no
-    * per-user collect, scales linearly in events.
+  /** q32: ordered funnel signup→click→purchase in ONE shuffle: all
+    * three stage timestamps are whole-partition window minimums over
+    * the same user_id partitioning, so Catalyst plans one exchange and
+    * chains the Window operators on it (the previous 3-stage
+    * aggregate+join chain planned 13 exchanges). Null-chaining gives
+    * the ordering semantics: click_ts is null unless it follows that
+    * user's first signup, purchase_ts unless it follows that click.
     */
   def q32EventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val signup = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
-    val click = ev.filter(col("event_type") === "click")
-      .join(signup, "user_id")
-      .filter(col("ts") > col("signup_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
-    val purchase = ev.filter(col("event_type") === "purchase")
-      .join(click, "user_id")
-      .filter(col("ts") > col("click_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
-    signup.agg(count(lit(1)).as("n_signup"))
-      .crossJoin(click.agg(count(lit(1)).as("n_click_after")))
-      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("signup_ts",
+        min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("signup_ts"),
+          col("ts"))).over(byUser))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("click_ts"),
+          col("ts"))).over(byUser))
+      .agg(
+        countDistinct(when(col("signup_ts").isNotNull, col("user_id"))).as("n_signup"),
+        countDistinct(when(col("click_ts").isNotNull, col("user_id"))).as("n_click_after"),
+        countDistinct(when(col("purchase_ts").isNotNull, col("user_id"))).as("n_purchase_after"))
   }
 
   /** q33: semi-structured JSON prop extraction + aggregate. */

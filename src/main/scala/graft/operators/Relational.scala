@@ -348,10 +348,13 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus"))
+    // persisted: referenced by four broadcast joins below — without
+    // the cache each broadcast would recompute the full count pass
     val hotKeys = li.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= thresh)
       .select(col("l_orderkey").as("hot_key"))
+      .persist()
     val liHot = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
     val liCold = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_anti")

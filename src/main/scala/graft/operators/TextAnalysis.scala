@@ -133,54 +133,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Word n-gram strings of `text` (whitespace-tokenized, empties
-    * dropped) — built with codegen'd array functions so both the
-    * operators and the DuckDB oracles see identical gram strings.
-    */
-  private def gramsN(text: Column, n: Int): Column = {
-    val toks = filter(split(text, "[ \n\t\r]+"), t => t =!= lit(""))
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(typedLit(Seq.empty[String]))
-  }
-
-  private[operators] def grams2(text: Column): Column = gramsN(text, 2)
-  private[operators] def grams3(text: Column): Column = gramsN(text, 3)
-
   /** t05: repetition scoring (Gopher-style quality rule): the share of
     * a document taken by its single most repeated word 2-gram.
-    * Computed per row with NO shuffle: sort the gram array, then a
-    * single `aggregate` fold finds the longest run (= the max gram
-    * count, ties to the lexicographically smallest gram). At 100 TB
-    * this is an embarrassingly-parallel scan; the groupBy-per-gram
-    * alternative would shuffle every gram of every document.
+    * One codegen'd `repetition_top` kernel call per row (hash-count
+    * pass, ties to the binary-smallest gram) — NO shuffle at all. At
+    * 100 TB this is an embarrassingly-parallel scan; the
+    * groupBy-per-gram alternative would shuffle every gram of every
+    * document, and a `transform`/`aggregate` lambda formulation runs
+    * interpreted per element (measured 14s vs <1s at sf0.1).
     */
   def t05Repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val zero = struct(
-      lit("").as("prev"), lit(0L).as("run"),
-      lit(0L).as("best"), lit("").as("bestg"))
-    def longestRun(g: Column): Column = aggregate(
-      g,
-      zero,
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-        val isBetter = run > acc.getField("best")
-        struct(
-          x.as("prev"), run.as("run"),
-          when(isBetter, run).otherwise(acc.getField("best")).as("best"),
-          when(isBetter, x).otherwise(acc.getField("bestg")).as("bestg"))
-      })
+    registerAll(spark)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_sort(grams2(col("text"))).as("g"))
-      .filter(size(col("g")) > 0)
-      .withColumn("f", longestRun(col("g")))
+      .select(col("doc_id"), call_function("repetition_top", col("text"), lit(2)).as("f"))
+      .filter(col("f").isNotNull)
       .select(
         col("doc_id"),
-        size(col("g")).cast("long").as("n_2g"),
-        col("f.bestg").as("top_gram"),
-        col("f.best").as("top_n"),
-        round(col("f.best").cast("double") / size(col("g")).cast("double"), 4).as("rep_ratio"))
+        col("f.n_grams").as("n_2g"),
+        col("f.top_gram").as("top_gram"),
+        col("f.top_n").as("top_n"),
+        round(col("f.top_n").cast("double") / col("f.n_grams").cast("double"), 4).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 }

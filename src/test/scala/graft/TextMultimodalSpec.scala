@@ -44,6 +44,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("kernel: wordGrams and repetitionTop") {
+    val g = Kernels.wordGrams(u("a  b\tc\nd"), 2)
+    assert(g.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq("a b", "b c", "c d"))
+    assert(Kernels.wordGrams(u("one"), 2).numElements() == 0)
+    val r = Kernels.repetitionTop(u("x y x y x z"), 2)
+    // 2-grams: "x y","y x","x y","y x","x z" -> total 5, top "x y" (2)
+    assert(r.getLong(0) == 5L)
+    assert(r.getUTF8String(1).toString == "x y")
+    assert(r.getLong(2) == 2L)
+    assert(Kernels.repetitionTop(u("solo"), 2) == null)
+    // tie-break: all counts 1 -> binary-smallest gram
+    val t = Kernels.repetitionTop(u("b a c"), 2)
+    assert(t.getUTF8String(1).toString == "a c" && t.getLong(2) == 1L)
+  }
+
   test("m01 binary meta: mime follows the magic bytes, hash is content-derived") {
     val out = Multimodal.m01BinaryMeta(spark, sfDir).collect()
     assert(out.nonEmpty)
