@@ -119,6 +119,21 @@ case class RepetitionTop(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** langid_top(text) → struct(lang, score): best stopword-profile
+  * language guess in one codegen'd pass.
+  */
+case class LangidTop(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.langidTop(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.langidTop($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hyperplane_sig(array<float>, nPlanes, seed) → long: LSH bucket
   * signature from random hyperplane sign bits.
   */

@@ -277,6 +277,71 @@ object Kernels {
       Array[Any](total.toLong, bestG, bestN.toLong))
   }
 
+  /** Per-language stopword profiles for the language-ID heuristic —
+    * tiny closed-class word lists, the standard cheap langid signal.
+    * Canonical copy here so the t01 kernel, the t02 builtin path, and
+    * the DuckDB oracles stay in lock-step.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+    "it" -> Seq("il", "di", "che", "la", "e", "per", "un", "del", "con", "le"),
+  )
+
+  private lazy val langNames: Array[UTF8String] =
+    LangProfiles.map(p => UTF8String.fromString(p._1)).toArray
+  private lazy val langSets: Array[java.util.HashSet[UTF8String]] =
+    LangProfiles.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  /** Language ID: stopword-hit ratio per profile over lowercased
+    * whitespace tokens (full \s set, matching split("\\s+")); returns
+    * struct(lang, score) for the best profile, ties to the larger
+    * lang string (array_max-over-structs semantics, which the oracle
+    * replicates with list_max). One pass, no per-element lambdas.
+    */
+  def langidTop(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = text.toLowerCase.getBytes
+    val nLangs = langNames.length
+    val hits = new Array[Int](nLangs)
+    var total = 0
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val ws = i == b.length || b(i) == ' ' || b(i) == '\n' || b(i) == '\t' ||
+        b(i) == '\r' || b(i) == 0x0B || b(i) == 0x0C
+      if (ws) {
+        if (start >= 0) {
+          val tok = UTF8String.fromBytes(b, start, i - start)
+          total += 1
+          var l = 0
+          while (l < nLangs) { if (langSets(l).contains(tok)) hits(l) += 1; l += 1 }
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val den = math.max(total, 1).toDouble
+    var bestL: UTF8String = null
+    var bestS = -1.0
+    var l = 0
+    while (l < nLangs) {
+      val s = hits(l) / den
+      if (s > bestS || (s == bestS && (bestL == null || langNames(l).compareTo(bestL) > 0))) {
+        bestS = s
+        bestL = langNames(l)
+      }
+      l += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestL, bestS))
+  }
+
   /** Dot product of two float vectors, accumulated in double. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -37,6 +37,7 @@ package object functions {
     "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
     "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),
+    "langid_top" -> (es => LangidTop(es(0))),
   )
 
   /** Register all graft functions in the session (idempotent). */
