@@ -32,6 +32,14 @@ object Dedup {
   /** MinHash signatures + banded bucket ids for a document set.
     * `shingleN` is the word-n-gram order; `bands` × `rows` (≤
     * [[MinhashK]]) sets the LSH s-curve threshold ≈ (1/bands)^(1/rows).
+    *
+    * Band expansion explodes a FOLDABLE `sequence(0, bands-1)` and
+    * derives each band hash from the materialized sig attribute — a
+    * `posexplode(array(hash(slice(sig…))×bands))` formulation lets
+    * InferFiltersFromGenerate push a `size(…)>0` predicate that
+    * re-inlines the minhash kernel `bands` times per row (measured 6×
+    * the signature cost at sf0.1); the foldable sequence's inferred
+    * filter constant-folds away instead.
     */
   private[operators] def bandedSignatures(
       docs: DataFrame, shingleN: Int, bands: Int, rows: Int): DataFrame = {
@@ -39,9 +47,11 @@ object Dedup {
     registerAll(docs.sparkSession)
     docs
       .withColumn("sig", call_function("minhash_sig", col("text"), lit(MinhashK), lit(shingleN)))
-      .withColumn("bands", array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rows + 1, rows), lit(b))): _*))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band_id"))
+      .select(col("doc_id"), col("band_id"),
+        hash(slice(col("sig"), col("band_id") * rows + 1, lit(rows)), col("band_id"))
+          .as("band_hash"))
   }
 
   /** Largest bucket expanded to pairs: caps the quadratic blow-up of a
@@ -118,10 +128,11 @@ object Dedup {
     registerAll(spark)
     val sigs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
-    val banded = sigs.select(
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band_id", "band_val")),
-      col("doc_id"), col("sig"))
+    // foldable-sequence band expansion — see bandedSignatures
+    val banded = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band_id"))
+      .withColumn("band_val",
+        expr("shiftright(sig, band_id * 16)").bitwiseAND(lit(0xFFFFL)))
     bucketPairs(banded, Seq("band_id", "band_val"),
         struct(col("doc_id"), col("sig")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -164,10 +175,12 @@ object Dedup {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         call_function("hyperplane_sig", col("embedding"), lit(48), lit(42L)).as("sig"))
-    val banded = emb.select(
-      posexplode(array((0 until 12).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*)).as(Seq("band_id", "band_val")),
-      col("vec_id"), col("embedding"))
+    // foldable-sequence band expansion — see bandedSignatures
+    val banded = emb
+      .select(col("vec_id"), col("embedding"), col("sig"),
+        explode(sequence(lit(0), lit(11))).as("band_id"))
+      .withColumn("band_val",
+        expr("shiftright(sig, band_id * 4)").bitwiseAND(lit(0xFL)))
     bucketPairs(banded, Seq("band_id", "band_val"),
         struct(col("vec_id"), col("embedding")))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

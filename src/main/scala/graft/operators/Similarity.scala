@@ -60,12 +60,14 @@ object Similarity {
     registerAll(spark)
     val nBands = 12
     val bits = 3
+    // foldable-sequence band expansion — see Dedup.bandedSignatures
     def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.withColumn("sig", call_function("hyperplane_sig", col(vecCol), lit(nBands * bits), lit(7L)))
-        .select(col(idCol), col(vecCol),
-          posexplode(array((0 until nBands).map(b =>
-            shiftright(col("sig"), b * bits).bitwiseAND(lit((1L << bits) - 1))): _*))
-            .as(Seq("band_id", "band_val")))
+        .select(col(idCol), col(vecCol), col("sig"),
+          explode(sequence(lit(0), lit(nBands - 1))).as("band_id"))
+        .withColumn("band_val",
+          expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
+        .drop("sig")
     val corpus = banded(
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding")
