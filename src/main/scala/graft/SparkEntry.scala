@@ -60,6 +60,7 @@ object SparkEntry {
     "t05_repetition" -> (TextAnalysis.t05Repetition _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
+    "m03_frame_sample" -> (Multimodal.m03FrameSample _),
   )
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
@@ -624,5 +625,18 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 16),
+        |u AS (
+        |  SELECT doc_id, hx, unnest(range(n // 16)) AS f
+        |  FROM p)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(4 + f * 16 AS BIGINT) AS frame_offset,
+        |  md5(substr(hx, CAST(f * 32 + 1 AS BIGINT), 32)) AS frame_digest
+        |FROM u
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -106,4 +106,50 @@ object Multimodal {
     */
   def m02FeatureStub(spark: SparkSession, sfDir: String): DataFrame =
     m02Features(spark, sfDir).drop("features")
+
+  private val FrameStride = 16
+
+  /** m03: frame-sampling plumbing — one input blob row fans out to
+    * one row per sampled "frame" (every [[FrameStride]]-th byte
+    * offset of the payload), the shape of video keyframe extraction.
+    * The DECODE is stubbed (offset + an md5 digest of the frame's
+    * byte window stand in for decoded pixels); the Spark-side
+    * contract is real: fan-out happens inside `mapPartitions` with
+    * memory bounded per input row (frames stream out of an iterator,
+    * never a per-partition buffer), and payload size prunes BEFORE
+    * the fan-out. Only media rows (audio/wav here) are sampled —
+    * metadata predicates cut the expensive path first.
+    */
+  def m03FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = withBlob(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("blob"))
+      .filter((col("doc_id") % 3) === 2 && length(col("blob")) > lit(4 + FrameStride))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_offset", LongType, nullable = false),
+      StructField("frame_digest", StringType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val payloadLen = blob.length - 4
+        // STUB: a real implementation seeks container keyframes; the
+        // deterministic stand-in samples fixed byte strides. Digest is
+        // md5 over the UPPERCASE-hex rendering of the frame bytes so a
+        // SQL oracle (which cannot md5 raw blobs) reproduces it via
+        // md5(substr(hex(payload), 32f+1, 32)).
+        Iterator.range(0, payloadLen / FrameStride).map { f =>
+          val off = 4 + f * FrameStride
+          val hexFrame = blob.slice(off, off + FrameStride).map("%02X".format(_)).mkString
+          md.reset()
+          val digest = md.digest(hexFrame.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          Row(id, f, off.toLong, digest)
+        }
+      }
+    }(encoder)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

@@ -78,6 +78,26 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment: the event stream joined against a
+    * static dimension frame (user tier derived from customer — any
+    * static DataFrame works). The static side is (re)broadcast per
+    * micro-batch by Spark; no state store involved, so this is the
+    * cheap join to prefer whenever one side is genuinely static.
+    * Batch twin: same body.
+    */
+  def enrichEvents(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(users), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"), col("user_tier"))
+
+  /** Derive a static user-dimension frame from the customer table:
+    * user_id joins events.user_id, tier from the market segment.
+    */
+  def userDim(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"),
+        upper(col("c_mktsegment")).as("user_tier"))
+
   /** Streaming exactly-once dedup on event_id (duplicate-delivery
     * elimination): dropDuplicates backed by keyed state, bounded by
     * the watermark — an event re-delivered more than 2 hours late is

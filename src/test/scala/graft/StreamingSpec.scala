@@ -51,6 +51,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("stream-static enrichment drains to the batch twin result") {
+    val dim = StreamOps.userDim(spark, sfDir)
+    val stream = StreamOps.readEventStream(spark, streamDir)
+    val q = StreamOps.enrichEvents(stream, dim)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("enrich_out")
+      .orderBy(col("event_id")).collect().toSeq
+    val expected = StreamOps.enrichEvents(Tables.events(spark, sfDir), dim)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("streaming dedup eliminates duplicate delivery exactly") {
     // stage the SAME events file twice: an at-least-once source
     val dupDir = java.nio.file.Files.createTempDirectory("graft-events-dup")

@@ -76,6 +76,22 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out.map(_.getString(3)).distinct.length == out.length)
   }
 
+  test("m03 frame sample: media rows fan out to strided frames, deterministic") {
+    val out = Multimodal.m03FrameSample(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 3 == 2, "only audio/wav rows are sampled")
+      assert(r.getLong(2) == 4L + r.getInt(1) * 16L, "offset = 4 + idx*stride")
+      assert(r.getString(3).length == 32)
+    }
+    // frame indexes are dense per doc starting at 0
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until rs.length).toSeq)
+    }
+    val again = Multimodal.m03FrameSample(spark, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("m02 feature stub: batched, deterministic, bounded batch size") {
     val out = Multimodal.m02Features(spark, sfDir).collect()
     assert(out.nonEmpty)
