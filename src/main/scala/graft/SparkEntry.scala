@@ -41,6 +41,7 @@ object SparkEntry {
     "q25_percentile" -> (Relational.q25Percentile _),
     "q26_grouping_sets" -> (Relational.q26GroupingSets _),
     "q27_ntile_window" -> (Relational.q27NtileWindow _),
+    "q28_setops_all" -> (Relational.q28SetOpsAll _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -294,6 +295,24 @@ object SparkEntry {
         |FROM q
         |GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "q28_setops_all" ->
+      """WITH surplus AS (
+        |  SELECT nkey, count(*) AS n_surplus
+        |  FROM (SELECT c_nationkey AS nkey FROM customer
+        |        EXCEPT ALL
+        |        SELECT s_nationkey AS nkey FROM supplier)
+        |  GROUP BY nkey),
+        |common AS (
+        |  SELECT nkey, count(*) AS n_common
+        |  FROM (SELECT c_nationkey AS nkey FROM customer
+        |        INTERSECT ALL
+        |        SELECT s_nationkey AS nkey FROM supplier)
+        |  GROUP BY nkey)
+        |SELECT coalesce(s.nkey, c.nkey) AS nkey,
+        |  CAST(coalesce(s.n_surplus, 0) AS BIGINT) AS n_surplus,
+        |  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
+        |FROM surplus s FULL OUTER JOIN common c ON s.nkey = c.nkey
+        |ORDER BY nkey""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value

@@ -391,6 +391,24 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
       .orderBy(col("o_orderpriority"))
 
+  /** q28: multiset set-ops — EXCEPT ALL / INTERSECT ALL keep
+    * duplicate counts (q15 covers the distinct variants). Spark plans
+    * both as aggregate-count + generate (replicate min/diff counts),
+    * which partial-aggregates before the shuffle.
+    */
+  def q28SetOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val custNations = Tables.customer(spark, sfDir).select(col("c_nationkey").as("nkey"))
+    val suppNations = Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nkey"))
+    custNations.exceptAll(suppNations)
+      .groupBy(col("nkey")).agg(count(lit(1)).as("n_surplus"))
+      .join(
+        custNations.intersectAll(suppNations)
+          .groupBy(col("nkey")).agg(count(lit(1)).as("n_common")),
+        Seq("nkey"), "full_outer")
+      .na.fill(0L, Seq("n_surplus", "n_common"))
+      .orderBy(col("nkey"))
+  }
+
   /** q26: GROUPING SETS aggregation through the SQL-text surface (the
     * library registers its tables as views; SQL and DataFrame code
     * share one session/extension set). One Expand + one aggregation,
