@@ -77,7 +77,7 @@ object PreAggregateBeforeShuffleRule extends Rule[LogicalPlan] {
       // (measured: +0.9s on q04 at sf0.1 before this guard).
       case j @ Join(left, right, LeftSemi | LeftAnti, Some(cond), _)
           if !right.isInstanceOf[Aggregate] && !right.isInstanceOf[Distinct] &&
-            deterministic(right) && equiOnly(cond, left, right) =>
+            !right.isStreaming && deterministic(right) && equiOnly(cond, left, right) =>
         // ColumnPruning (same fixed-point batch) may already have
         // narrowed the build side to exactly the key attributes — the
         // dedup is still the win (distinct keys ≪ all rows).
