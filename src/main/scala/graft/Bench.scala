@@ -28,15 +28,18 @@ object Bench {
     names.foreach { n =>
       try run(n, warmDir) catch { case _: Throwable => () }
     }
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try run(name, sfDir) catch { case _: Throwable => () }
+      // a failed query must not masquerade as a fast one: record it
+      try run(name, sfDir) catch { case _: Throwable => errors += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,9 +52,16 @@ case class TopKByScore(
           s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
   }
 
-  /** (score desc, id asc): a sorts strictly before b. */
-  @inline private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (score desc, id asc): a sorts strictly before b.
+    * java.lang.Double.compare gives NaN a total-order position
+    * (greater than every value) — a raw `>` comparator is not a
+    * strict weak order under NaN and makes TimSort throw once buffers
+    * exceed 32 elements.
+    */
+  @inline private def beats(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(b._1, a._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
 
   /** Sort best-first and truncate to k — the buffer never exceeds 2k
     * between prunes, bounding memory regardless of group size.

@@ -300,7 +300,10 @@ object Kernels {
     }.toArray
 
   /** Language ID: stopword-hit ratio per profile over lowercased
-    * whitespace tokens (full \s set, matching split("\\s+")); returns
+    * whitespace tokens. The whitespace set is RE2's \s — [ \t\n\f\r],
+    * deliberately NOT Java's (which adds \x0B) — because the DuckDB
+    * oracle tokenizes with RE2 regexp_split_to_array(text, '\s+') and
+    * the signatures must agree byte-for-byte. Returns
     * struct(lang, score) for the best profile, ties to the larger
     * lang string (array_max-over-structs semantics, which the oracle
     * replicates with list_max). One pass, no per-element lambdas.
@@ -314,7 +317,7 @@ object Kernels {
     var start = -1
     while (i <= b.length) {
       val ws = i == b.length || b(i) == ' ' || b(i) == '\n' || b(i) == '\t' ||
-        b(i) == '\r' || b(i) == 0x0B || b(i) == 0x0C
+        b(i) == '\r' || b(i) == 0x0C
       if (ws) {
         if (start >= 0) {
           val tok = UTF8String.fromBytes(b, start, i - start)

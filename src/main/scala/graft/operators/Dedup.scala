@@ -71,12 +71,14 @@ object Dedup {
     *     bucket — every aggregation buffer is ≤ MaxBucket items by
     *     construction.
     *
-    * The banded input is persisted (doc_id + band key per row — bytes
-    * per doc, not the text) so the signature kernel runs once, not
-    * once per pass; same pattern MLlib uses for its LSH models.
+    * The banded frame is NOT persisted here: the count pass recomputes
+    * it (signatures are one cheap scan since band expansion reuses the
+    * materialized sig), and a library-held persist with no unpersist
+    * hook would pin every query's cache for the session lifetime. A
+    * caller batching many dedup passes should persist its OWN banded
+    * input and drop it when done.
     */
-  private[operators] def bucketPairs(banded0: DataFrame, bucketCols: Seq[String], item: Column): DataFrame = {
-    val banded = banded0.persist()
+  private[operators] def bucketPairs(banded: DataFrame, bucketCols: Seq[String], item: Column): DataFrame = {
     val keys = bucketCols.map(col)
     val hot = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))

@@ -348,13 +348,13 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus"))
-    // persisted: referenced by four broadcast joins below — without
-    // the cache each broadcast would recompute the full count pass
+    // four broadcast joins below recompute this count pass; at scale a
+    // caller persists it (a library-held persist would never be
+    // unpersisted and pins cache for the session lifetime)
     val hotKeys = li.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= thresh)
       .select(col("l_orderkey").as("hot_key"))
-      .persist()
     val liHot = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
     val liCold = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_anti")
@@ -415,14 +415,17 @@ object Relational {
     * partial-agg'd like rollup/cube.
     */
   def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_gs")
+    // view name keyed by sfDir: concurrent callers with different data
+    // directories must not race on one shared temp-view slot
+    val view = s"lineitem_gs_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView(view)
     spark.sql(
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS total
-        |FROM lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
-        |                        (l_returnflag, l_linestatus))
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  round(sum(l_extendedprice), 2) AS total
+         |FROM $view
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+         |                        (l_returnflag, l_linestatus))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
   /** q27: ntile quartiles within order-priority groups — window

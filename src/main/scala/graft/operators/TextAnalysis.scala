@@ -101,7 +101,6 @@ object TextAnalysis {
     val fps = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         call_function("winnow_fingerprint", col("text"), lit(8), lit(4)).as("fps"))
-      .persist()
     // array_distinct before explode: one (doc, fp) row per distinct fp
     // per doc, so count(*) per fp counts distinct docs. Shared-fp
     // detection is count > 1 + semi-join — no collect_set, so a hot
