@@ -42,6 +42,7 @@ object SparkEntry {
     "q26_grouping_sets" -> (Relational.q26GroupingSets _),
     "q27_ntile_window" -> (Relational.q27NtileWindow _),
     "q28_setops_all" -> (Relational.q28SetOpsAll _),
+    "q29_range_window" -> (Relational.q29RangeWindow _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -313,6 +314,13 @@ object SparkEntry {
         |  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
         |FROM surplus s FULL OUTER JOIN common c ON s.nkey = c.nkey
         |ORDER BY nkey""".stripMargin,
+    "q29_range_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value

@@ -409,6 +409,25 @@ object Relational {
       .orderBy(col("nkey"))
   }
 
+  /** q29: time-RANGE window frame — per-customer trailing-30-day
+    * spend. Unlike the ROWS frame (q09), the frame is bounded by the
+    * ORDER-BY value: Spark needs a numeric order column, so the
+    * timestamp is cast to epoch seconds and the frame is
+    * [-30·86400, 0]; equal-timestamp rows are peers in both engines.
+    */
+  def q29RangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NTZ → timestamp (session tz is UTC) → epoch seconds: Spark's
+    // RANGE frame needs a numeric order key
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_seconds(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-30L * 86400L, 0L)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** q26: GROUPING SETS aggregation through the SQL-text surface (the
     * library registers its tables as views; SQL and DataFrame code
     * share one session/extension set). One Expand + one aggregation,
