@@ -41,6 +41,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * word n-gram shingles.
   */
 case class MinHashSig(child: Expression, k: Int, n: Int) extends UnaryExpression {
+  require(k >= 1 && n >= 1, s"minhash_sig needs k >= 1 and n >= 1, got k=$k n=$n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -63,6 +64,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** ngram_jaccard(a, b, n) → double: exact word n-gram Jaccard. */
 case class NgramJaccard(left: Expression, right: Expression, n: Int) extends BinaryExpression {
+  require(n >= 1, s"ngram_jaccard needs n >= 1, got $n")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -75,6 +77,7 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int) extends Bin
 
 /** winnow_fingerprint(text, k, w) → array<long>: winnowing fingerprint. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow_fingerprint needs k >= 1 and w >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -88,6 +91,9 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int) extends UnaryExp
   * strings (single-space joined) in one codegen'd pass.
   */
 case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  // analysis-time guard: n = 0 would pass the toks.length < n kernel
+  // check and compute a negative gram length mid-job
+  require(n >= 1, s"word_grams needs n >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -101,6 +107,7 @@ case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
   * hash-count pass; null when the doc has fewer than n tokens.
   */
 case class RepetitionTop(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"repetition_top needs n >= 1, got $n")
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
     StructField("top_gram", StringType, nullable = false),
@@ -138,6 +145,8 @@ case class LangidTop(child: Expression) extends UnaryExpression {
   * signature from random hyperplane sign bits.
   */
 case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long) extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 64,
+    s"hyperplane_sig packs sign bits into a long: need 1 <= nPlanes <= 64, got $nPlanes")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =

@@ -382,11 +382,24 @@ object Kernels {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent(s"$seed:$nPlanes:$dim", _ =>
-      Array.tabulate(nPlanes, dim) { (p, j) =>
-        (md5_48(s"$seed:$p:$j").toDouble / (1L << 48).toDouble) * 2.0 - 1.0
-      })
+  /** Cap on memoized weight matrices: keys are user-supplied
+    * (seed, nPlanes, dim) triples, so an unbounded cache would grow
+    * for the executor JVM lifetime under ad-hoc calls. Past the cap,
+    * new triples compute on the fly (cheap: md5 per weight) instead
+    * of evicting — the library's own operators use 2 triples total.
+    */
+  private val MaxPlaneCacheEntries = 64
+
+  def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val key = s"$seed:$nPlanes:$dim"
+    val cached = planeCache.get(key)
+    if (cached != null) return cached
+    val built = Array.tabulate(nPlanes, dim) { (p, j) =>
+      (md5_48(s"$seed:$p:$j").toDouble / (1L << 48).toDouble) * 2.0 - 1.0
+    }
+    if (planeCache.size < MaxPlaneCacheEntries) planeCache.putIfAbsent(key, built)
+    built
+  }
 
   /** Random-hyperplane LSH signature: nPlanes sign bits packed into a
     * long. Deterministic across runs, executors, and engines (weights

@@ -434,17 +434,19 @@ object Relational {
     * partial-agg'd like rollup/cube.
     */
   def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    // view name keyed by sfDir: concurrent callers with different data
-    // directories must not race on one shared temp-view slot
-    val view = s"lineitem_gs_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+    // view name keyed by the FULL sanitized path (hashCode could
+    // collide two directories into one slot), dropped after the query
+    // is analyzed so views don't accumulate for the session lifetime
+    val view = "lineitem_gs_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_")
     Tables.lineitem(spark, sfDir).createOrReplaceTempView(view)
-    spark.sql(
+    try spark.sql(
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  round(sum(l_extendedprice), 2) AS total
          |FROM $view
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
          |                        (l_returnflag, l_linestatus))
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    finally spark.catalog.dropTempView(view)
   }
 
   /** q27: ntile quartiles within order-priority groups — window

@@ -94,6 +94,11 @@ object PreAggregateBeforeShuffleRule extends Rule[LogicalPlan] {
     */
   private def hinted(j: Join): Join = {
     if (j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty) return j
+    // A streaming side's size estimate (e.g. a micro-batch
+    // LocalRelation) says nothing about the stream; today streaming
+    // strategies win before JoinSelection, but don't depend on that
+    // ordering — mirror the isStreaming guard on the semi/anti branch.
+    if (j.left.isStreaming || j.right.isStreaming) return j
     val bc = Some(HintInfo(strategy = Some(BROADCAST)))
     val canBuildRight = j.joinType match {
       case Inner | Cross | LeftOuter | LeftSemi | LeftAnti => true

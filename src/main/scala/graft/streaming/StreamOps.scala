@@ -99,13 +99,17 @@ object StreamOps {
         upper(col("c_mktsegment")).as("user_tier"))
 
   /** Streaming exactly-once dedup on event_id (duplicate-delivery
-    * elimination): dropDuplicates backed by keyed state, bounded by
-    * the watermark — an event re-delivered more than 2 hours late is
-    * outside the dedup horizon, which is the documented at-least-once
-    * → effectively-once contract. Batch twin: same body.
+    * elimination): dropDuplicatesWithinWatermark — plain
+    * dropDuplicates(event_id) under a watermark never EVICTS state
+    * (eviction requires the event-time column in the key set), so a
+    * long-running stream leaks one state entry per event_id forever;
+    * the WithinWatermark variant expires each key once the watermark
+    * passes its event time, making the 2-hour dedup horizon real.
+    * On batch frames it degenerates to plain dropDuplicates, so the
+    * batch twin is this same body.
     */
   def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates(Seq("event_id"))
+    events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(Seq("event_id"))
 
   case class Ev(event_id: Long, ts: Instant, user_id: Long,
       event_type: String, value: Double)
