@@ -53,6 +53,9 @@ object SparkEntry {
     "d04_dedup_ngram" -> (Dedup.d04DedupNgram _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "d06_contamination" -> (Dedup.d06Contamination _),
+    "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
+    "j01_asof_join" -> (Joins.j01AsofJoin _),
+    "j02_range_join" -> (Joins.j02RangeJoin _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
@@ -643,6 +646,77 @@ object SparkEntry {
         |FROM gr g JOIN top t ON g.doc_id = t.doc_id AND t.rn = 1
         |WHERE len(g.g) > 0
         |ORDER BY g.doc_id""".stripMargin,
+    // d07 oracle: the d02 all-pairs edge set (see that comment), then
+    // true connected components via a recursive CTE — min reachable
+    // node per doc — so the Spark iterative hash-to-min result is
+    // checked against exact transitive closure.
+    "d07_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
+        |             WHEN na = 0 OR nb = 0 THEN 0.0
+        |             ELSE i / CAST(na + nb - i AS DOUBLE) END >= 0.7),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM e
+        |          UNION ALL SELECT doc_b, doc_a FROM e),
+        |reach(doc_id, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.doc_id, ed.b FROM reach r JOIN edges ed ON r.node = ed.a),
+        |lab AS (SELECT doc_id, min(node) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+        |FROM lab l JOIN sz s USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin,
+    "j01_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS is_event,
+        |         NULL::BIGINT AS event_id, o_orderkey,
+        |         o_orderdate AS od, o_totalprice AS tp
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id, NULL, NULL, NULL
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER win AS m_orderkey,
+        |    last_value(od IGNORE NULLS) OVER win AS m_orderdate,
+        |    last_value(tp IGNORE NULLS) OVER win AS m_totalprice
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |                 ORDER BY t, is_event, coalesce(o_orderkey, 0)
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t AS ts, m_orderkey AS last_orderkey,
+        |  m_orderdate AS last_orderdate, round(m_totalprice, 2) AS last_totalprice
+        |FROM w WHERE is_event = 1
+        |ORDER BY event_id""".stripMargin,
+    "j02_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type, value FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, c.click_ts,
+        |  count(p.p_ts) AS n_purchases,
+        |  coalesce(round(sum(p.value), 2), 0.0) AS total_value
+        |FROM c LEFT JOIN p
+        |  ON p.user_id = c.user_id AND p.p_ts >= c.click_ts
+        |     AND p.p_ts < c.click_ts + INTERVAL 24 HOUR
+        |GROUP BY 1, 2, 3
+        |ORDER BY click_id""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -106,11 +106,11 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
   }
 
-  /** d02: MinHash+LSH near-dup pairs, exact-verified with word-3gram
-    * Jaccard ≥ 0.7. Banding 16×8: s-curve threshold (1/16)^(1/8) ≈
-    * 0.71, matched to the verify threshold.
+  /** Verified MinHash near-dup pairs (word-3gram Jaccard ≥ 0.7 over
+    * LSH candidates) — the shared edge set behind d02 (pair listing)
+    * and d07 (cluster assembly).
     */
-  def d02DedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
@@ -119,9 +119,17 @@ object Dedup {
       .join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("jaccard", call_function("ngram_jaccard", col("text_a"), col("text_b"), lit(3)))
       .filter(col("jaccard") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** d02: MinHash+LSH near-dup pairs, exact-verified with word-3gram
+    * Jaccard ≥ 0.7. Banding 16×8: s-curve threshold (1/16)^(1/8) ≈
+    * 0.71, matched to the verify threshold.
+    */
+  def d02DedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** d03: SimHash near-dup — 64-bit signatures, 4 bands of 16 bits as
     * candidate buckets, Hamming distance ≤ 3 verified via xor+bit_count.
@@ -221,6 +229,77 @@ object Dedup {
       .withColumn("contaminated",
         (col("n_matched").cast("double") / greatest(col("n_sh"), lit(1L)).cast("double"))
           >= ContaminationBar)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components by iterative min-label propagation
+    * ("hash-to-min"): label(v) ← min(label(v), min over neighbors),
+    * repeated until a fixpoint. Each round is one shuffle join + one
+    * partial-agg'd min — fully distributed, no driver-side graph.
+    * Rounds needed = component diameter; near-dup components are
+    * near-cliques (high-Jaccard similarity is almost transitive), so
+    * 2–3 rounds in practice, `maxIters` as a runaway bound. For
+    * adversarial long-path graphs the published upgrade is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC '14) — same primitives, O(log² n)
+    * rounds.
+    *
+    * Intermediates are persisted per round and explicitly dropped;
+    * the returned label frame stays cached (it was materialized by
+    * the convergence check) — two longs per node, freed by Spark's
+    * ContextCleaner once the result goes out of scope.
+    *
+    * @param nodes single column `id`
+    * @param edges columns `src`, `dst` (undirected; any orientation)
+    * @return columns `id`, `label` (= min node id in the component)
+    */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val viaEdges = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only ever decrease, so "any row decreased" is the
+      // fixpoint test; this count also materializes `next`'s cache
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** d07: duplicate-cluster assembly — connected components over the
+    * verified MinHash near-dup pairs ([[minhashPairs]]), the step a
+    * real dedup pipeline needs after pair generation: "keep one doc
+    * per cluster" is only well-defined on components, not pairs
+    * (A~B, B~C must collapse to ONE survivor even when A~C wasn't
+    * directly detected). Every document gets a row; singletons are
+    * their own cluster. cluster_id = min doc_id in the component =
+    * the canonical survivor.
+    */
+  def d07DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+    val pairs = minhashPairs(spark, sfDir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = connectedComponents(docs, pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
       .orderBy(col("doc_id"))
   }
 }

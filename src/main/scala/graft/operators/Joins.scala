@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark SQL lacks as primitives — as-of join
+  * and interval range join — composed from existing operators so
+  * Catalyst plans them (SURVEY §2; preference order (a) of the
+  * custom-operator ladder). Both avoid the naive inequality-join
+  * plan, which Spark executes as a broadcast-nested-loop: the as-of
+  * join is a single co-shuffle + linear window pass, the range join
+  * an equi-join on coarse time buckets with a residual filter.
+  */
+object Joins {
+
+  /** j01: as-of join — for every event, the most recent order by the
+    * same user at-or-before the event time (latest state as of ts,
+    * the canonical feature-lookup / point-in-time-correctness join in
+    * training pipelines).
+    *
+    * Shape: union both sides tagged, one shuffle on user_id, then a
+    * running `last(..., ignoreNulls)` window carries the latest order
+    * forward onto each event row. Cost is one exchange + one linear
+    * pass regardless of how many orders precede each event — the
+    * scale-right as-of plan (a per-event subquery or inequality join
+    * is quadratic per user). Ties: an order dated exactly at ts
+    * matches (at-or-before); among same-date orders the largest
+    * o_orderkey wins (explicit third sort key, engine-portable).
+    */
+  def j01AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("od"),
+      col("o_totalprice"))
+    val events = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("od"),
+      lit(null).cast("double").as("o_totalprice"))
+    // orders sort before events at the same instant (<= semantics);
+    // coalesce pins the null-key rows so both engines order alike
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_event"), coalesce(col("o_orderkey"), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.union(events)
+      .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("m_orderdate", last(col("od"), ignoreNulls = true).over(w))
+      .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("m_orderkey").as("last_orderkey"),
+        col("m_orderdate").as("last_orderdate"),
+        round(col("m_totalprice"), 2).as("last_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** j02: interval range join — per click event, the count and value
+    * of purchases by the same user inside [click_ts, click_ts + 24h)
+    * (the attribution-window join; every click gets a row, zero-
+    * purchase clicks included).
+    *
+    * Shape: bucket time into window-sized bins; a click's interval
+    * spans at most two consecutive bins, so the click side explodes
+    * to 2 rows, the purchase side maps to exactly 1, and the join is
+    * a plain equi-join on (user_id, bucket) with the precise interval
+    * check as a residual filter — shuffle-partitioned, AQE-skew-
+    * handled, never the O(rows²) broadcast-nested-loop Spark would
+    * plan for a bare inequality join. Each purchase matches a given
+    * click at most once (its single bucket equals at most one of the
+    * click's two).
+    */
+  def j02RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketSec = 86400L // = the 24h attribution window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val cb = clicks
+      .withColumn("b0", floor(unix_seconds(col("click_ts")) / bucketSec))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+    val pb = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"),
+        floor(unix_seconds(col("ts")) / bucketSec).as("bucket"))
+    val matched = cb.join(pb, Seq("user_id", "bucket"))
+      .filter(col("p_ts") >= col("click_ts") &&
+        col("p_ts") < col("click_ts") + expr("INTERVAL 24 HOUR"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("total_value"))
+    clicks.join(matched, Seq("click_id"), "left")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy(col("click_id"))
+  }
+}

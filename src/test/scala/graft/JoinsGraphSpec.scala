@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Joins}
+
+/** Value-level checks for the temporal joins (j01/j02) against
+  * brute-force ground truth, and for connected-components cluster
+  * assembly (d07) including transitivity the pair operators can't
+  * express.
+  */
+class JoinsGraphSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("connectedComponents merges across paths, keeps singletons") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // path 1-2-3 (transitive merge), pair 5-6, singleton 4
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("d07 clusters are consistent closures of the d02 pairs") {
+    val pairs = Dedup.d02DedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.d07DedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "one row per document")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the min member; sizes match membership
+    val members = rows.groupBy(_._2)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid not labeled by min member")
+      assert(ms.forall(_._3 == ms.length), s"cluster $cid size mismatch")
+    }
+    // ground-truth components from the pairs via in-test union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    rows.foreach { case (doc, cid, _) =>
+      val truth = find(doc)
+      assert(cid == truth, s"doc $doc: cluster $cid != union-find root $truth")
+    }
+  }
+
+  test("j01 as-of join matches per-event brute force") {
+    val orders = Tables.orders(spark, sfDir)
+      .selectExpr("o_custkey", "cast(o_orderdate as timestamp) as od",
+        "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val byUser = orders.groupBy(_._1)
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val got = Joins.j01AsofJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(events.nonEmpty && got.size == events.length)
+    events.foreach { case (eid, uid, ets) =>
+      // latest order at-or-before ts; ties on date -> max orderkey
+      val best = byUser.getOrElse(uid, Array.empty)
+        .filter(_._2 <= ets)
+        .sortBy(o => (o._2, o._3)).lastOption.map(_._3)
+      assert(got(eid) == best, s"event $eid: got ${got(eid)} want $best")
+    }
+  }
+
+  test("j02 range join matches brute-force interval counts") {
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3)))
+    val purchasesByUser = events.filter(_._4 == "purchase").groupBy(_._2)
+    val clicks = events.filter(_._4 == "click")
+    val got = Joins.j02RangeJoin(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.size == clicks.length, "one row per click")
+    val dayMs = 86400L * 1000L
+    clicks.foreach { case (cid, uid, cts, _) =>
+      val n = purchasesByUser.getOrElse(uid, Array.empty)
+        .count(p => p._3 >= cts && p._3 < cts + dayMs)
+      assert(got(cid) == n, s"click $cid: got ${got(cid)} want $n")
+    }
+    assert(got.values.sum > 0, "attribution windows should capture purchases")
+  }
+}
