@@ -63,6 +63,10 @@ object SparkEntry {
     "t03_token_count" -> (TextAnalysis.t03TokenCount _),
     "t04_fingerprint" -> (TextAnalysis.t04Fingerprint _),
     "t05_repetition" -> (TextAnalysis.t05Repetition _),
+    "t06_redact_ids" -> (TextAnalysis.t06RedactIds _),
+    "t07_vocab" -> (TextAnalysis.t07Vocab _),
+    "p01_split_assign" -> (Pipeline.p01SplitAssign _),
+    "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
@@ -717,6 +721,58 @@ object SparkEntry {
         |     AND p.p_ts < c.click_ts + INTERVAL 24 HOUR
         |GROUP BY 1, 2, 3
         |ORDER BY click_id""".stripMargin,
+    "t06_redact_ids" ->
+      """SELECT entity, key, name,
+        |  regexp_replace(name, '[0-9]', 'X', 'g') AS redacted,
+        |  CAST(length(name) - length(regexp_replace(name, '[0-9]', '', 'g')) AS BIGINT)
+        |    AS n_id_chars,
+        |  (length(name) - length(regexp_replace(name, '[0-9]', '', 'g'))) > 0 AS has_id
+        |FROM (SELECT 'customer' AS entity, c_custkey AS key, c_name AS name FROM customer
+        |      UNION ALL
+        |      SELECT 'supplier' AS entity, s_suppkey AS key, s_name AS name FROM supplier)
+        |ORDER BY entity, key""".stripMargin,
+    "t07_vocab" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |ag AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, tf, df, round(ln((n.n_docs + 1.0) / (df + 1.0)), 4) AS idf
+        |FROM ag, n
+        |ORDER BY df DESC, token
+        |LIMIT 100""".stripMargin,
+    "p01_split_assign" ->
+      """SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100
+        |       AS BIGINT) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 90
+        |         THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "p02_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        |  start_offset // 2048 AS chunk_id,
+        |  n_tokens > 0 AND (start_offset + n_tokens - 1) // 2048 <> start_offset // 2048
+        |    AS spans_boundary
+        |FROM w
+        |ORDER BY doc_id""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline mechanics (SURVEY §2): deterministic
+  * dataset splitting and sequence packing — the steps between a
+  * curated corpus and what a trainer actually reads.
+  */
+object Pipeline {
+
+  /** p01: deterministic train/val/test assignment — bucket =
+    * md5(doc_id) mod 100, split at 90/5/5. Hash-based (not random())
+    * so the split is a pure function of the document id: stable
+    * across runs, engines, and cluster sizes, and any future doc
+    * joins back to the same split — the reproducibility property
+    * training pipelines need. Pure per-row map, no shuffle.
+    */
+  def p01SplitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      // first 16 bits of md5 over the decimal doc_id string
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  private val SeqLen = 2048L
+  private val NShards = 8L
+
+  /** p02: sequence packing (concat-and-chunk): documents are laid
+    * end-to-end in deterministic order and cut into fixed
+    * [[SeqLen]]-token training chunks — the standard LLM-pretraining
+    * packing. A single global concatenation would serialize through
+    * one task, so the corpus is first split into [[NShards]]
+    * independent shards (doc_id mod shards) packed in parallel:
+    * one shuffle on shard, then a linear running-sum window per
+    * shard. At cluster scale NShards is sized to executors×cores;
+    * chunk addresses stay deterministic because shard assignment and
+    * within-shard order are pure functions of doc_id.
+    */
+  def p02PackChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(NShards)))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_offset div $SeqLen"))
+      .withColumn("spans_boundary",
+        col("n_tokens") > 0 &&
+          expr(s"(start_offset + n_tokens - 1) div $SeqLen") =!= col("chunk_id"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("chunk_id"), col("spans_boundary"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -144,4 +144,49 @@ object TextAnalysis {
         round(col("f.top_n").cast("double") / col("f.n_grams").cast("double"), 4).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** t06: identifier detection + redaction — the anonymization pass a
+    * curation pipeline runs before text leaves a trust boundary.
+    * Entity names carry embedded numeric ids (`Customer#000000042`);
+    * each row reports how many id characters were found and the
+    * redacted form. Pure per-row regex map (codegen'd), zero shuffle;
+    * the union is two scans appended, not joined.
+    */
+  def t06RedactIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select(
+      lit("customer").as("entity"), col("c_custkey").as("key"), col("c_name").as("name"))
+    val supp = Tables.supplier(spark, sfDir).select(
+      lit("supplier").as("entity"), col("s_suppkey").as("key"), col("s_name").as("name"))
+    cust.union(supp)
+      .withColumn("redacted", regexp_replace(col("name"), "[0-9]", "X"))
+      .withColumn("n_id_chars",
+        (length(col("name")) - length(regexp_replace(col("name"), "[0-9]", "")))
+          .cast("long"))
+      .withColumn("has_id", col("n_id_chars") > 0)
+      .orderBy(col("entity"), col("key"))
+  }
+
+  /** t07: corpus vocabulary with document frequency and smoothed IDF
+    * — the global statistics pass behind TF-IDF features, stopword
+    * discovery, and tokenizer fitting. One explode + one
+    * partial-agg'd groupBy on token (count + count-distinct both
+    * decompose map-side), doc count broadcast — at 100 TB the
+    * shuffle carries one row per distinct (token, doc) pair, not the
+    * corpus. Top-100 by document frequency, ties alphabetical.
+    */
+  def t07Vocab(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        call_function("word_grams", lower(col("text")), lit(1)).as("toks"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+      .select(col("token"), col("tf"), col("df"), col("idf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(100)
+  }
 }

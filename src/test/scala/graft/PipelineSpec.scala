@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Pipeline, TextAnalysis}
+
+/** Invariant checks for the pipeline-mechanics operators (p01/p02)
+  * and the vocabulary/redaction text ops (t06/t07).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("p01 split is deterministic and roughly 90/5/5") {
+    val a = Pipeline.p01SplitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val b = Pipeline.p01SplitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(a.sameElements(b), "split must be a pure function of doc_id")
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"train frac $frac")
+    assert(frac.getOrElse("val", 0.0) + frac.getOrElse("test", 0.0) > 0.03, s"holdout $frac")
+  }
+
+  test("p02 packing is gap-free and contiguous within each shard") {
+    val rows = Pipeline.p02PackChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._2).foreach { case (shard, docs) =>
+      val ordered = docs.sortBy(_._1)
+      var expectedOffset = 0L
+      ordered.foreach { case (doc, _, nTok, start, chunk) =>
+        assert(start == expectedOffset, s"shard $shard doc $doc: offset $start != $expectedOffset")
+        assert(chunk == start / 2048L, s"shard $shard doc $doc: chunk $chunk")
+        expectedOffset += nTok
+      }
+    }
+    assert(rows.map(_._5).max > 0, "corpus should span multiple chunks")
+  }
+
+  test("t06 redaction removes exactly the digit characters") {
+    val rows = TextAnalysis.t06RedactIds(spark, sfDir).collect()
+      .map(r => (r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (name, redacted, nIds) =>
+      assert(!redacted.exists(_.isDigit), s"'$redacted' still has digits")
+      assert(redacted.length == name.length, "redaction must preserve length")
+      assert(nIds == name.count(_.isDigit), s"'$name' id-char count")
+      assert(redacted.zip(name).forall { case (r, n) => r == n || (n.isDigit && r == 'X') })
+    }
+  }
+
+  test("t07 vocabulary df/tf/idf are mutually consistent") {
+    val rows = TextAnalysis.t07Vocab(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    rows.foreach { case (tok, tf, df, idf) =>
+      assert(tf >= df, s"$tok: tf $tf < df $df")
+      assert(df <= nDocs, s"$tok: df $df > corpus $nDocs")
+      val expected = math.log((nDocs + 1.0) / (df + 1.0))
+      assert(math.abs(idf - expected) < 5e-5, s"$tok: idf $idf vs $expected")
+    }
+    // sorted by df descending
+    assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+}
