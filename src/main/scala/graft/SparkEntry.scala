@@ -58,6 +58,7 @@ object SparkEntry {
     "j02_range_join" -> (Joins.j02RangeJoin _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_token_count" -> (TextAnalysis.t03TokenCount _),
@@ -555,6 +556,50 @@ object SparkEntry {
         |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
         |FROM r
         |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // s03 oracle replicates the IVF index exactly: same md5-sampled
+    // centroids, same argmax cell assignment (ties to smaller cid),
+    // same 4-cell probe, same final ranking.
+    "s03_ann_ivf" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cv
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |a0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
+        |  FROM embeddings e CROSS JOIN c),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |  FROM a0),
+        |asg AS (SELECT vec_id, embedding, cid AS cell FROM a1 WHERE rn = 1),
+        |q1 AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, cid, cs,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |  FROM a0 WHERE vec_id < 5),
+        |probe AS (SELECT query_id, qv, cid AS cell FROM q1 WHERE rn <= 8),
+        |sc AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))) AS cos_raw
+        |  FROM probe p JOIN asg a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+        |FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "t01_langid" ->
       """WITH tk AS (

@@ -112,6 +112,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size >= (truth.size * 0.7).toInt, s"recall too low: ${got.size}/${truth.size}")
   }
 
+  test("s03 IVF ANN recall@10 vs s01 brute force") {
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.s03AnnIvf(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // near-uniform synthetic vectors are IVF's worst case (see
+    // operator scaladoc): 0.5 floor at a 25% scan fraction
+    assert(recall >= 0.5, s"recall@10 $recall too low")
+  }
+
   test("s02 LSH ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
