@@ -43,6 +43,7 @@ object SparkEntry {
     "q27_ntile_window" -> (Relational.q27NtileWindow _),
     "q28_setops_all" -> (Relational.q28SetOpsAll _),
     "q29_range_window" -> (Relational.q29RangeWindow _),
+    "q34_approx_agg" -> (Relational.q34ApproxAgg _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -329,6 +330,18 @@ object SparkEntry {
         |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS spend_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    // q34 oracle checks exact columns by hash and the approx columns
+    // by their error-bound contract (booleans) — sketch outputs are
+    // engine-specific by construction.
+    "q34_approx_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_distinct_ok,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  TRUE AS approx_p50_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value

@@ -449,6 +449,37 @@ object Relational {
     finally spark.catalog.dropTempView(view)
   }
 
+  /** q34: approximate aggregates — HLL distinct counts
+    * (`approx_count_distinct`, rsd 2%) and t-digest-style quantiles
+    * (`percentile_approx`, accuracy 10⁴) next to their exact
+    * counterparts. These are the constant-memory sketches that keep
+    * 100 TB aggregations map-side: an exact distinct shuffles every
+    * distinct value, the sketch ships a fixed 2-4 KB state per
+    * group. Cross-engine, sketch outputs aren't bit-comparable
+    * (different HLL/quantile implementations), so the oracle checks
+    * the CONTRACT: exact values hash-compared, plus booleans
+    * asserting the approximation landed within its documented error
+    * bound (5% distinct / 1% quantile — generous multiples of the
+    * configured rsd/accuracy).
+    */
+  def q34ApproxAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact_raw"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_approx"))
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          / col("exact_parts").cast("double") <= 0.05).as("approx_distinct_ok"),
+        round(col("p50_exact_raw"), 2).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact_raw"))
+          / col("p50_exact_raw") <= 0.01).as("approx_p50_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** q27: ntile quartiles within order-priority groups — window
     * bucketing with a deterministic tie-break, then per-quartile
     * stats. NOTE: exact ntile needs a total order per partition
