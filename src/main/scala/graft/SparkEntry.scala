@@ -44,6 +44,7 @@ object SparkEntry {
     "q28_setops_all" -> (Relational.q28SetOpsAll _),
     "q29_range_window" -> (Relational.q29RangeWindow _),
     "q34_approx_agg" -> (Relational.q34ApproxAgg _),
+    "q35_window_suite" -> (Relational.q35WindowSuite _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -342,6 +343,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q35_window_suite" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  round(s_acctbal, 2) AS bal,
+        |  dense_rank() OVER win AS drank,
+        |  round(percent_rank() OVER win, 4) AS prank,
+        |  round(cume_dist() OVER win, 4) AS cdist,
+        |  round(lag(s_acctbal, 1) OVER win, 2) AS prev_bal,
+        |  round(lead(s_acctbal, 1) OVER win, 2) AS next_bal
+        |FROM supplier
+        |WINDOW win AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, drank, s_suppkey""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value

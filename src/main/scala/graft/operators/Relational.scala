@@ -480,6 +480,27 @@ object Relational {
           / col("p50_exact_raw") <= 0.01).as("approx_p50_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** q35: ranking/distribution window-function suite — dense_rank,
+    * percent_rank, cume_dist, lag, lead over one shared partitioning
+    * (supplier balances per nation). All six window columns ride ONE
+    * exchange + one sort: same partition spec + order spec, so
+    * Catalyst collapses them into a single Window operator.
+    */
+  def q35WindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 4).as("prank"),
+        round(cume_dist().over(w), 4).as("cdist"),
+        round(lag(col("s_acctbal"), 1).over(w), 2).as("prev_bal"),
+        round(lead(col("s_acctbal"), 1).over(w), 2).as("next_bal"))
+      .orderBy(col("s_nationkey"), col("drank"), col("s_suppkey"))
+  }
+
   /** q27: ntile quartiles within order-priority groups — window
     * bucketing with a deterministic tie-break, then per-quartile
     * stats. NOTE: exact ntile needs a total order per partition
