@@ -63,6 +63,46 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(semi.count() == expected)
   }
 
+  test("j01 as-of join shuffles once (hash) for the window pass") {
+    import graft.operators.Joins
+    val plan = executed(Joins.j01AsofJoin(spark, sfDir))
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.length == 1,
+      s"as-of join must co-shuffle both sides exactly once, got ${hashEx.length}")
+  }
+
+  test("j02 range join never plans a nested-loop join") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = executed(Joins.j02RangeJoin(spark, sfDir))
+    val bnl = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.isEmpty, "interval join must run as bucketed equi-join, not BNLJ")
+  }
+
+  test("s03 IVF cell assignment pre-aggregates before its shuffle") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = executed(Similarity.s03AnnIvf(spark, sfDir))
+    // the N×K scored rows must be combined map-side: some partial
+    // aggregate (argmax buffers or top-k states) below each final.
+    // struct-max / TopKByScore plan as Sort/ObjectHash aggregates,
+    // hence BaseAggregateExec.
+    val finals = plan.collect {
+      case h: BaseAggregateExec if h.aggregateExpressions.exists(_.mode == Final) => h
+    }
+    assert(finals.nonEmpty)
+    val partials = plan.collect {
+      case h: BaseAggregateExec if h.aggregateExpressions.nonEmpty &&
+        h.aggregateExpressions.forall(_.mode == Partial) => h
+    }
+    assert(partials.nonEmpty, "argmax must pre-combine before the exchange")
+  }
+
   test("aggregations are partial (pre-combined) below every exchange") {
     // the OPS invariant at plan level: every Final HashAggregate is
     // fed (across its exchange) by a Partial-mode pre-aggregate, so
