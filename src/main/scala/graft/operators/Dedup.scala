@@ -261,21 +261,28 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // fixpoint test: per-node labels are monotonically non-increasing
+    // (min over self ∪ neighbors), so the label SUM strictly decreases
+    // iff any label changed — one partial-agg'd scan of the cached
+    // frame, no comparison join. Decimal(38,0) keeps the sum exact at
+    // any node count (1e11 ids of ~1e11 overflow a long).
+    def labelSum(df: DataFrame): BigDecimal = BigDecimal(
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0))
+    var prevSum = labelSum(labels) // also materializes the cache
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val viaEdges = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // labels only ever decrease, so "any row decreased" is the
-      // fixpoint test; this count also materializes `next`'s cache
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
+      val nextSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist(blocking = false)

@@ -38,6 +38,16 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC read with explicit schema — the other columnar interchange
+    * format next to parquet; same pushdown/pruning behavior.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC write. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Hive-style partitioned parquet write: one directory per value of
     * the partition columns. Keep partition-column cardinality modest
     * (≤ ~10⁴ directories) — per-key file explosion is its own scale

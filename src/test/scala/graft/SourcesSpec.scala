@@ -37,6 +37,22 @@ class SourcesSpec extends AnyFunSuite {
       supplier.orderBy(col("s_suppkey")).collect().toSeq)
   }
 
+  test("orc round-trips with explicit schema and pushes filters") {
+    val part = Tables.part(spark, sfDir)
+    val dir = tmp("graft-orc")
+    Sources.writeOrc(part, dir)
+    val back = Sources.readOrc(spark, dir, part.schema)
+    assert(back.orderBy(col("p_partkey")).collect().toSeq ==
+      part.orderBy(col("p_partkey")).collect().toSeq)
+    val filtered = back.filter(col("p_size") > 25).select("p_partkey", "p_size")
+    filtered.write.format("noop").mode("overwrite").save()
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s.scan
+      case s: FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "orc read must plan a file scan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val docs = Tables.documents(spark, sfDir)
     val dir = tmp("graft-part")

@@ -105,6 +105,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(batch), "file-sink rows must match batch windows")
   }
 
+  test("file-sink stream resumes from its checkpoint without reprocessing") {
+    // exactly-once across restarts: drain half the data, stop, add
+    // the other half, restart with the SAME checkpoint + sink — the
+    // output must be the full set with no re-emitted rows.
+    val src = java.nio.file.Files.createTempDirectory("graft-resume-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-resume-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-resume-chk").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts stays long
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        src.resolve(s"$name.parquet"))
+    }
+    def drain(): Unit = {
+      val q = StreamOps.readEventStream(spark, src.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    stage(col("event_id") % 2 === 0, "evens")
+    drain()
+    val firstIds = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    stage(col("event_id") % 2 === 1, "odds")
+    drain()
+    val allIds = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    val expected = raw.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(firstIds.nonEmpty && firstIds.forall(_ % 2 == 0))
+    assert(allIds.length == allIds.distinct.length, "restart must not re-emit rows")
+    assert(allIds.sameElements(expected), "resume must process exactly the new file")
+  }
+
   test("stream_sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     val stream = StreamOps.readEventStream(spark, streamDir)
