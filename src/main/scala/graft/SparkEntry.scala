@@ -56,6 +56,8 @@ object SparkEntry {
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
+    "d08_dedup_apply" -> (Dedup.d08DedupApply _),
+    "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
     "j02_range_join" -> (Joins.j02RangeJoin _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
@@ -754,6 +756,57 @@ object SparkEntry {
         |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
         |FROM lab l JOIN sz s USING (cluster_id)
         |ORDER BY l.doc_id""".stripMargin,
+    // d08 oracle: d07's transitive closure, survivors only, joined
+    // back for payload stats.
+    "d08_dedup_apply" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
+        |             WHEN na = 0 OR nb = 0 THEN 0.0
+        |             ELSE i / CAST(na + nb - i AS DOUBLE) END >= 0.7),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM e
+        |          UNION ALL SELECT doc_b, doc_a FROM e),
+        |reach(doc_id, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.doc_id, ed.b FROM reach r JOIN edges ed ON r.node = ed.a),
+        |lab AS (SELECT doc_id, min(node) AS cluster_id FROM reach GROUP BY doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(s.cluster_size AS BIGINT) AS n_merged
+        |FROM lab l JOIN sz s USING (cluster_id)
+        |JOIN documents d ON d.doc_id = l.doc_id
+        |WHERE l.doc_id = l.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "p03_mix_sample" ->
+      """WITH r(source, rate_pct) AS (VALUES ('src0', 0), ('src1', 50), ('src2', 25)),
+        |d AS (
+        |  SELECT doc_id, d.source,
+        |    coalesce(r.rate_pct, 100) AS rate_pct,
+        |    CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100
+        |         AS BIGINT) AS bucket
+        |  FROM documents d LEFT JOIN r USING (source))
+        |SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+        |FROM d
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "j01_asof_join" ->
       """WITH u AS (
         |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS is_event,

@@ -289,6 +289,26 @@ object Dedup {
     labels
   }
 
+  /** d08: dedup application — the corpus AFTER near-dup removal: one
+    * canonical survivor (the min-id member, = the d07 cluster id) per
+    * cluster, with how many documents it absorbed and its token
+    * count. This is the operator a pipeline actually materializes;
+    * d02/d07 are its evidence trail. Survivor selection is a filter
+    * on the cluster labels (doc_id == cluster_id), then one join back
+    * to the corpus for payload columns.
+    */
+  def d08DedupApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    d07DedupClusters(spark, sfDir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cluster_size").as("n_merged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d07: duplicate-cluster assembly — connected components over the
     * verified MinHash near-dup pairs ([[minhashPairs]]), the step a
     * real dedup pipeline needs after pair generation: "keep one doc

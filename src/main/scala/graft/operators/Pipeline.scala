@@ -31,6 +31,44 @@ object Pipeline {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  /** Per-source sampling rates in percent — the data-mixture config.
+    * src0 is the benchmark slice (excluded from training entirely,
+    * matching d06's contamination posture); two sources are
+    * down-weighted; everything else passes through.
+    */
+  private val MixRatesPct: Seq[(String, Int)] =
+    Seq("src0" -> 0, "src1" -> 50, "src2" -> 25)
+  private val DefaultRatePct = 100
+
+  /** p03: deterministic data-mixture sampling — each source keeps an
+    * md5-bucketed fraction of its documents per [[MixRatesPct]] (the
+    * corpus-reweighting step of a training-data pipeline). Hash-based
+    * like p01, so the kept set is a pure function of doc_id: stable
+    * across runs and engines, and disjoint rate changes only move the
+    * marginal documents. The rate table is a broadcast literal frame;
+    * the scan is one pass, no shuffle before the per-source summary.
+    */
+  def p03MixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = MixRatesPct.toDF("source", "rate_pct")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn("rate_pct", coalesce(col("rate_pct"), lit(DefaultRatePct)))
+      // p01 buckets on md5(doc_id); a DIFFERENT salt decorrelates the
+      // mixing decision from the split assignment
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("kept", col("bucket") < col("rate_pct"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_total").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
   private val SeqLen = 2048L
   private val NShards = 8L
 
