@@ -337,14 +337,14 @@ object SparkEntry {
     // by their error-bound contract (booleans) — sketch outputs are
     // engine-specific by construction.
     "q34_approx_agg" ->
-      """SELECT l_returnflag,
-        |  count(DISTINCT l_partkey) AS exact_parts,
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_custs,
         |  TRUE AS approx_distinct_ok,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
         |  TRUE AS approx_p50_ok
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q35_window_suite" ->
       """SELECT s_suppkey, s_nationkey,
         |  round(s_acctbal, 2) AS bal,
