@@ -462,21 +462,27 @@ object Relational {
     * bound (5% distinct / 1% quantile — generous multiples of the
     * configured rsd/accuracy).
     *
-    * Runs over orders, not lineitem: Spark's exact `percentile`
-    * keeps a per-partition value→count map, so on a near-unique
-    * double column its partial state is effectively all values —
-    * 13s on 600k lineitem rows vs ~1s here for the same contract
-    * coverage. (At 100 TB only the sketch side survives at all;
-    * the exact side exists to judge the sketch.)
+    * The distinct counts and the percentiles aggregate SEPARATELY
+    * and join on the 5-row group key: a DISTINCT aggregate makes
+    * Catalyst pre-group by (group, distinct-key), and any expensive
+    * aggregate sharing that Aggregate (exact `percentile` keeps a
+    * value→count map as partial state) is then evaluated per
+    * (group, custkey) pair — measured 8× this query's cost. Two
+    * cheap single-purpose aggregations + a broadcast join beat one
+    * entangled one. (At 100 TB only the sketch side survives at
+    * all; the exact side exists to judge the sketch.)
     */
-  def q34ApproxAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
-      .groupBy(col("o_orderpriority"))
+  def q34ApproxAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val distincts = orders.groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_custkey")).as("exact_custs"),
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+    val quantiles = orders.groupBy(col("o_orderpriority"))
+      .agg(
         expr("percentile(o_totalprice, 0.5)").as("p50_exact_raw"),
         expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50_approx"))
+    distincts.join(broadcast(quantiles), Seq("o_orderpriority"))
       .select(
         col("o_orderpriority"),
         col("exact_custs"),
@@ -486,6 +492,7 @@ object Relational {
         (abs(col("p50_approx") - col("p50_exact_raw"))
           / col("p50_exact_raw") <= 0.01).as("approx_p50_ok"))
       .orderBy(col("o_orderpriority"))
+  }
 
   /** q35: ranking/distribution window-function suite — dense_rank,
     * percent_rank, cume_dist, lag, lead over one shared partitioning
