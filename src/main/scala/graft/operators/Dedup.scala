@@ -244,10 +244,14 @@ object Dedup {
     * MapReduce and Beyond", SoCC '14) — same primitives, O(log² n)
     * rounds.
     *
-    * Intermediates are persisted per round and explicitly dropped;
-    * the returned label frame stays cached (it was materialized by
-    * the convergence check) — two longs per node, freed by Spark's
-    * ContextCleaner once the result goes out of scope.
+    * Each round's label frame is `localCheckpoint`ed (eager): a
+    * plain persist would NOT truncate the logical plan, and with the
+    * previous frame referenced twice per round the un-truncated plan
+    * DOUBLES in size every iteration — exponential analysis cost and
+    * a driver OOM near 30 rounds (measured). Checkpointing pins the
+    * materialized rows (two longs per node) and resets lineage to a
+    * leaf; blocks of dropped rounds are freed by Spark's
+    * ContextCleaner once unreferenced.
     *
     * @param nodes single column `id`
     * @param edges columns `src`, `dst` (undirected; any orientation)
@@ -260,16 +264,16 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // fixpoint test: per-node labels are monotonically non-increasing
     // (min over self ∪ neighbors), so the label SUM strictly decreases
-    // iff any label changed — one partial-agg'd scan of the cached
-    // frame, no comparison join. Decimal(38,0) keeps the sum exact at
-    // any node count (1e11 ids of ~1e11 overflow a long).
+    // iff any label changed — one partial-agg'd scan of the
+    // checkpointed frame, no comparison join. Decimal(38,0) keeps the
+    // sum exact at any node count (1e11 ids of ~1e11 overflow a long).
     def labelSum(df: DataFrame): BigDecimal = BigDecimal(
       df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0))
-    var prevSum = labelSum(labels) // also materializes the cache
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -277,9 +281,8 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
-      labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

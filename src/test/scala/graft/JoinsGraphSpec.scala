@@ -24,6 +24,33 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents matches union-find on a random 2000-node graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 2000L
+    // mean degree 3 → one giant component of small diameter plus
+    // small components and isolated nodes (multi-hop merging without
+    // adversarial chain diameters)
+    val edgeList = Seq.fill(3000)((rnd.nextLong(n).abs % n, rnd.nextLong(n).abs % n))
+      .filter(e => e._1 != e._2)
+    val nodes = (0L until n).toDF("id")
+    val edges = edgeList.toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).foreach { v =>
+      assert(got(v) == find(v), s"node $v: ${got(v)} != ${find(v)}")
+    }
+  }
+
   test("d07 clusters are consistent closures of the d02 pairs") {
     val pairs = Dedup.d02DedupMinhash(spark, sfDir)
       .select("doc_a", "doc_b").collect()

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Kernels
+
+/** Property-style checks over the codegen kernels: algebraic laws
+  * (symmetry, bounds, determinism) that must hold on ARBITRARY input,
+  * not just the corpus — regressions here break operators silently
+  * because the oracles only exercise the synthetic tables. Inputs are
+  * fixed-seed random so failures reproduce.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def u(s: String) = UTF8String.fromString(s)
+  private val rnd = new scala.util.Random(42)
+
+  private def word(): String =
+    (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  private def text(): String =
+    (0 until rnd.nextInt(40)).map(_ => word()).mkString(" ")
+  private def vec(n: Int): Array[Float] =
+    Array.fill(n)(rnd.nextFloat() * 6.0f - 3.0f)
+
+  test("ngramJaccard is symmetric, bounded, and 1 on self") {
+    for (_ <- 1 to 300) {
+      val (a, b) = (text(), text())
+      val ab = Kernels.ngramJaccard(u(a), u(b), 2)
+      assert(ab == Kernels.ngramJaccard(u(b), u(a), 2))
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(Kernels.ngramJaccard(u(a), u(a), 2) == 1.0)
+    }
+  }
+
+  test("minhash signatures are deterministic and length-k") {
+    for (_ <- 1 to 100) {
+      val a = text()
+      val s1 = Kernels.minhash(u(a), 64, 3).toLongArray()
+      val s2 = Kernels.minhash(u(a), 64, 3).toLongArray()
+      assert(s1.sameElements(s2) && s1.length == 64)
+    }
+  }
+
+  test("simhash is insensitive to token order (bag semantics)") {
+    for (_ <- 1 to 200) {
+      val ws = List.fill(10)(word())
+      val a = Kernels.simhash64(u(ws.mkString(" ")))
+      val b = Kernels.simhash64(u(ws.reverse.mkString(" ")))
+      assert(a == b)
+    }
+  }
+
+  test("winnow fingerprints are deterministic and non-empty past k chars") {
+    for (_ <- 1 to 200) {
+      val a = text()
+      val f1 = Kernels.winnow(u(a), 4, 3).toLongArray()
+      val f2 = Kernels.winnow(u(a), 4, 3).toLongArray()
+      assert(f1.sameElements(f2))
+      if (a.length >= 4) assert(f1.nonEmpty, s"'$a' must fingerprint")
+    }
+  }
+
+  test("wordGrams(n=1) recovers exactly the whitespace tokens") {
+    for (_ <- 1 to 300) {
+      val a = text()
+      val grams = Kernels.wordGrams(u(a), 1)
+      val toks = a.split("[ \n\t\r]+").filter(_.nonEmpty).toSeq
+      val got = (0 until grams.numElements()).map(i => grams.getUTF8String(i).toString)
+      assert(got == toks)
+    }
+  }
+
+  test("wordGrams(n) gram count and join structure") {
+    for (_ <- 1 to 200) {
+      val a = text()
+      val n = 2 + rnd.nextInt(3)
+      val toks = a.split("[ \n\t\r]+").filter(_.nonEmpty).toSeq
+      val grams = Kernels.wordGrams(u(a), n)
+      val expected = if (toks.length < n) 0 else toks.length - n + 1
+      assert(grams.numElements() == expected)
+      if (expected > 0)
+        assert(grams.getUTF8String(0).toString == toks.take(n).mkString(" "))
+    }
+  }
+
+  test("hyperplane weights are in [-1,1) and signature uses only low bits") {
+    for (seed <- 1L to 50L) {
+      val planes = Kernels.hyperplanes(seed, 8, 16)
+      assert(planes.flatten.forall(w => w >= -1.0 && w < 1.0))
+      val v = vec(16)
+      val a = Kernels.hyperplaneSig(new GenericArrayData(v), 8, seed)
+      val b = Kernels.hyperplaneSig(new GenericArrayData(v), 8, seed)
+      assert(a == b)
+      assert((a & ~0xFFL) == 0L, "only nPlanes low bits may be set")
+    }
+  }
+
+  test("cosine is symmetric, bounded, NaN-free on nonzero input") {
+    for (_ <- 1 to 300) {
+      val (a, b) = (vec(8), vec(8))
+      val x = new GenericArrayData(a)
+      val y = new GenericArrayData(b)
+      val ab = Kernels.cosineF(x, y)
+      assert(ab == Kernels.cosineF(y, x))
+      assert(!ab.isNaN && ab >= -1.0000001 && ab <= 1.0000001)
+    }
+  }
+
+  test("zero/empty vectors give cosine 0, never NaN") {
+    val z = new GenericArrayData(Array.fill(8)(0.0f))
+    val v = new GenericArrayData(vec(8))
+    assert(Kernels.cosineF(z, v) == 0.0)
+    assert(Kernels.cosineF(z, z) == 0.0)
+    val empty = new GenericArrayData(Array.empty[Float])
+    assert(Kernels.cosineF(empty, empty) == 0.0)
+  }
+}
