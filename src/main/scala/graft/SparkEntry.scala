@@ -45,6 +45,7 @@ object SparkEntry {
     "q29_range_window" -> (Relational.q29RangeWindow _),
     "q34_approx_agg" -> (Relational.q34ApproxAgg _),
     "q35_window_suite" -> (Relational.q35WindowSuite _),
+    "q36_unpivot" -> (Relational.q36Unpivot _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -356,6 +357,18 @@ object SparkEntry {
         |FROM supplier
         |WINDOW win AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_nationkey, drank, s_suppkey""".stripMargin,
+    // q36: unpivot-of-pivot keeps zero-count combinations — the
+    // oracle materializes priority × {F,O,P} and left-joins counts.
+    "q36_unpivot" ->
+      """WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2),
+        |pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |st(o_orderstatus) AS (VALUES ('F'), ('O'), ('P'))
+        |SELECT pr.o_orderpriority, st.o_orderstatus,
+        |  CAST(coalesce(g.n, 0) AS BIGINT) AS n
+        |FROM pr CROSS JOIN st
+        |LEFT JOIN g USING (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "q30_event_window_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
         | count(*) AS n, round(sum(value), 2) AS total_value

@@ -515,6 +515,22 @@ object Relational {
       .orderBy(col("s_nationkey"), col("drank"), col("s_suppkey"))
   }
 
+  /** q36: UNPIVOT via `stack` — the inverse of q22's pivot: the wide
+    * per-priority status counts fold back to long form, zero-count
+    * combinations included (what distinguishes unpivot-of-pivot from
+    * a plain two-column groupBy). One aggregation + a generate; no
+    * extra shuffle.
+    */
+  def q36Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .selectExpr("o_orderpriority",
+        "stack(3, 'F', coalesce(F, 0L), 'O', coalesce(O, 0L), 'P', coalesce(P, 0L))" +
+          " AS (o_orderstatus, n)")
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
   /** q27: ntile quartiles within order-priority groups — window
     * bucketing with a deterministic tie-break, then per-quartile
     * stats. NOTE: exact ntile needs a total order per partition
