@@ -713,6 +713,78 @@ object SparkEntry {
         |  (coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE)) >= 0.5 AS contaminated
         |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // t04 oracle replicates winnowing EXACTLY in SQL: FNV-1a 64 +
+    // splitmix64 with wrap-around arithmetic emulated in UHUGEINT
+    // (multiply then mod 2^64), rightmost-min window selection via
+    // (value ASC, index DESC) row_number, consecutive-dedup = index
+    // distinct (selections are monotone), two's-complement back to
+    // the JVM long.
+    "t04_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 8 + 1, 0) + 1), i ->
+        |      substr(text, CAST(i AS INTEGER), 8)) AS grams
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id, generate_subscripts(grams, 1) AS i, unnest(grams) AS gram
+        |  FROM g),
+        |h1 AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        list_transform(range(1, 9), j -> CAST(ord(substr(gram, CAST(j AS INTEGER), 1)) AS UBIGINT))),
+        |      (h, c) -> CAST((CAST(xor(h, c) AS UHUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)
+        |    ) AS f
+        |  FROM h0),
+        |h2 AS (
+        |  SELECT doc_id, i,
+        |    CAST((CAST(f AS UHUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z1
+        |  FROM h1),
+        |h3 AS (
+        |  SELECT doc_id, i,
+        |    CAST((CAST(xor(z1, z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z2
+        |  FROM h2),
+        |h4 AS (
+        |  SELECT doc_id, i,
+        |    CAST((CAST(xor(z2, z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z3
+        |  FROM h3),
+        |hh AS (
+        |  SELECT doc_id, i,
+        |    CAST(CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808
+        |         THEN CAST(xor(z3, z3 >> 31) AS HUGEINT) - 18446744073709551616
+        |         ELSE CAST(xor(z3, z3 >> 31) AS HUGEINT) END AS BIGINT) AS v
+        |  FROM h4),
+        |n AS (SELECT doc_id, count(*) AS ng FROM hh GROUP BY doc_id),
+        |selA AS (
+        |  SELECT hh.doc_id, hh.v
+        |  FROM hh JOIN n USING (doc_id)
+        |  WHERE n.ng <= 4
+        |  QUALIFY row_number() OVER (PARTITION BY hh.doc_id ORDER BY hh.v ASC, hh.i DESC) = 1),
+        |winB AS (
+        |  SELECT a.doc_id, a.i AS win, b.i, b.v
+        |  FROM hh a JOIN n USING (doc_id)
+        |  JOIN hh b ON b.doc_id = a.doc_id AND b.i BETWEEN a.i AND a.i + 3
+        |  WHERE n.ng > 4 AND a.i <= n.ng - 3),
+        |selB0 AS (
+        |  SELECT doc_id, win, i, v
+        |  FROM winB
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, win ORDER BY v ASC, i DESC) = 1),
+        |selB AS (SELECT DISTINCT doc_id, i, v FROM selB0),
+        |sel AS (SELECT doc_id, v FROM selA UNION ALL SELECT doc_id, v FROM selB),
+        |fp AS (
+        |  SELECT doc_id, count(*) AS n_fp, min(v) AS fp_min, max(v) AS fp_max
+        |  FROM sel GROUP BY doc_id),
+        |dv AS (SELECT DISTINCT doc_id, v FROM sel),
+        |shared AS (SELECT v FROM dv GROUP BY v HAVING count(*) > 1),
+        |sh AS (SELECT DISTINCT doc_id FROM dv WHERE v IN (SELECT v FROM shared))
+        |SELECT d.doc_id,
+        |  CAST(coalesce(fp.n_fp, 0) AS INTEGER) AS n_fp,
+        |  fp.fp_min, fp.fp_max,
+        |  coalesce(sh.doc_id IS NOT NULL, FALSE) AS shares_fp
+        |FROM documents d
+        |LEFT JOIN fp ON fp.doc_id = d.doc_id
+        |LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t05_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id,
