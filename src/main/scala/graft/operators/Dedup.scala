@@ -289,6 +289,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // an unconverged result is NOT connected components — fail loudly
+    // rather than hand back labels that look plausible
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(component diameter exceeds the bound; raise maxIters or switch " +
+        "to large-star/small-star)")
     labels
   }
 

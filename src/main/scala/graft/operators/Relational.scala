@@ -348,13 +348,16 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus"))
-    // four broadcast joins below recompute this count pass; at scale a
-    // caller persists it (a library-held persist would never be
-    // unpersisted and pins cache for the session lifetime)
+    // localCheckpoint: four broadcast joins consume this tiny frame;
+    // without materialization each re-runs the full lineitem count
+    // pass (4 extra scans measured). Eager checkpoint = one scan, and
+    // the hot-key RDD is freed by the ContextCleaner when the plan
+    // goes out of scope.
     val hotKeys = li.groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= thresh)
       .select(col("l_orderkey").as("hot_key"))
+      .localCheckpoint(true)
     val liHot = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
     val liCold = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_anti")
