@@ -46,6 +46,7 @@ object SparkEntry {
     "q34_approx_agg" -> (Relational.q34ApproxAgg _),
     "q35_window_suite" -> (Relational.q35WindowSuite _),
     "q36_unpivot" -> (Relational.q36Unpivot _),
+    "q37_lateral" -> (Relational.q37Lateral _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -357,6 +358,14 @@ object SparkEntry {
         |FROM supplier
         |WINDOW win AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_nationkey, drank, s_suppkey""".stripMargin,
+    "q37_lateral" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |  l.n_items, round(l.max_price, 2) AS max_price
+        |FROM orders o,
+        |LATERAL (SELECT count(*) AS n_items, max(l_extendedprice) AS max_price
+        |         FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+        |WHERE o.o_totalprice > 400000
+        |ORDER BY o.o_orderkey""".stripMargin,
     // q36: unpivot-of-pivot keeps zero-count combinations — the
     // oracle materializes priority × {F,O,P} and left-joins counts.
     "q36_unpivot" ->

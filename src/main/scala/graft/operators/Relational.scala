@@ -534,6 +534,31 @@ object Relational {
           " AS (o_orderstatus, n)")
       .orderBy(col("o_orderpriority"), col("o_orderstatus"))
 
+  /** q37: LATERAL correlated subquery through the SQL-text surface —
+    * per order, an aggregate over exactly its lineitems. Catalyst
+    * decorrelates the lateral into a plain aggregate + equi-join
+    * (one shuffle each), NOT a per-row subquery execution — the plan
+    * to check when users port correlated SQL.
+    */
+  def q37Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    val (ov, lv) = (s"orders_lat_$tag", s"lineitem_lat_$tag")
+    Tables.orders(spark, sfDir).createOrReplaceTempView(ov)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView(lv)
+    try spark.sql(
+      s"""SELECT o.o_orderkey, o.o_orderpriority,
+         |  l.n_items, round(l.max_price, 2) AS max_price
+         |FROM $ov o,
+         |LATERAL (SELECT count(*) AS n_items, max(l_extendedprice) AS max_price
+         |         FROM $lv WHERE l_orderkey = o.o_orderkey) l
+         |WHERE o.o_totalprice > 400000
+         |ORDER BY o.o_orderkey""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(ov)
+      spark.catalog.dropTempView(lv)
+    }
+  }
+
   /** q27: ntile quartiles within order-priority groups — window
     * bucketing with a deterministic tie-break, then per-quartile
     * stats. NOTE: exact ntile needs a total order per partition

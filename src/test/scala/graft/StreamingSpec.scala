@@ -145,6 +145,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(allIds.sameElements(expected), "resume must process exactly the new file")
   }
 
+  test("update-mode aggregation via foreachBatch converges to the batch result") {
+    // two micro-batches IN TIME ORDER (batch 2 split mid-window so
+    // one window updates across batches): update mode re-emits only
+    // changed windows; folding the per-batch updates last-write-wins
+    // must converge to the full batch aggregation (foreachBatch = the
+    // escape hatch for sinks Spark lacks; the fold is an idempotent
+    // upsert). Splitting by anything but event time would make batch
+    // 2 late against batch 1's watermark and be legitimately dropped.
+    val src = java.nio.file.Files.createTempDirectory("graft-upd-src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts is raw nanos here; cutoff = 2024-01-15 00:30 UTC mid-window
+    val cutoffNs = java.time.Instant.parse("2024-01-15T00:30:00Z")
+      .getEpochSecond * 1000000000L
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-upd-$name")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        src.resolve(s"$name.parquet"))
+    }
+    val state = scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Double)]()
+    stage(col("ts") < cutoffNs, "first_half")
+    val q = StreamOps.windowAgg(StreamOps.readEventStream(spark, src.toString))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          state.synchronized {
+            state((r.getTimestamp(0), r.getString(1))) = (r.getLong(2), r.getDouble(3))
+          }
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      stage(col("ts") >= cutoffNs, "second_half")
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = operators.Events.q30EventWindowAgg(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(state.nonEmpty && state.toMap == expected)
+  }
+
   test("stream_sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     val stream = StreamOps.readEventStream(spark, streamDir)
