@@ -999,6 +999,51 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // m02 oracle replicates the stub feature derivation EXACTLY: tag =
+    // first 8 md5 bytes of mime, h_j = splitmix64(doc_id ^ tag<<17 ^ j)
+    // in UHUGEINT wrap arithmetic (same chain as the t04 oracle), and
+    // the digest is md5 over the comma-joined SIGNED decimal h values
+    // (the float features are a pure function of the h's).
+    "m02_feature_stub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+        |         ELSE 'audio/wav' END AS mime
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, mime,
+        |    ('0x' || substr(md5(mime), 1, 16))::UBIGINT AS tag
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, mime, j,
+        |    xor(xor(CAST(doc_id AS UBIGINT),
+        |            CAST((CAST(tag AS UHUGEINT) * 131072) % 18446744073709551616 AS UBIGINT)),
+        |        CAST(j AS UBIGINT)) AS z0
+        |  FROM t, range(0, 8) r(j)),
+        |s1 AS (
+        |  SELECT doc_id, mime, j,
+        |    CAST((CAST(z0 AS UHUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z1
+        |  FROM x),
+        |s2 AS (
+        |  SELECT doc_id, mime, j,
+        |    CAST((CAST(xor(z1, z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z2
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, mime, j,
+        |    CAST((CAST(xor(z2, z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z3
+        |  FROM s2),
+        |v AS (
+        |  SELECT doc_id, mime, j,
+        |    CAST(CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808
+        |         THEN CAST(xor(z3, z3 >> 31) AS HUGEINT) - 18446744073709551616
+        |         ELSE CAST(xor(z3, z3 >> 31) AS HUGEINT) END AS BIGINT) AS h
+        |  FROM s3)
+        |SELECT doc_id, mime,
+        |  md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS features_digest
+        |FROM v
+        |GROUP BY doc_id, mime
+        |ORDER BY doc_id""".stripMargin,
     "m03_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n

@@ -78,21 +78,31 @@ object Multimodal {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     src.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      def md5Hex(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
       rows.grouped(BatchSize).flatMap { batch =>
         // STUB: a real implementation decodes `blob` with a codec and
         // runs a feature model over the batch. Deterministic fake:
-        // features_j = mix64(doc_id, mime-tag, j) scaled to [-1, 1).
+        // features_j = mix64(doc_id ^ tag<<17 ^ j) scaled to [-1, 1),
+        // where tag is the first 8 md5 bytes of the mime string (NOT
+        // JVM String.hashCode — md5 any engine can recompute, so the
+        // DuckDB oracle replicates the vector bit-exactly).
         batch.map { r =>
           val id = r.getLong(0)
           val mime = r.getString(1)
-          val tag = mime.hashCode.toLong
-          val feats = Array.tabulate(FeatureDim) { j =>
-            val h = Kernels.mix64(id ^ (tag << 17) ^ j.toLong)
-            ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+          val tag = java.lang.Long.parseUnsignedLong(md5Hex(mime).substring(0, 16), 16)
+          val hs = Array.tabulate(FeatureDim) { j =>
+            Kernels.mix64(id ^ (tag << 17) ^ j.toLong)
           }
-          md.reset()
-          val digest = md.digest(feats.mkString(",").getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
+          val feats = hs.map(h =>
+            ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat)
+          // Digest the underlying mix64 longs, not the floats: the
+          // floats are a pure function of them, and decimal long
+          // rendering is identical across engines where JVM
+          // float-to-string is not.
+          val digest = md5Hex(hs.mkString(","))
           Row(id, mime, feats.toSeq, digest, batch.size)
         }
       }
@@ -102,10 +112,12 @@ object Multimodal {
 
   /** m02 driver-facing output: the raw `array<float>` column stays in
     * [[m02Features]] for typed consumers and the spec; the driver dump
-    * carries the scalar digest instead.
+    * carries the scalar digest instead. `batch_n` also stays spec-only:
+    * it reflects Spark's physical partition boundaries, which no
+    * cross-engine oracle can (or should) reproduce.
     */
   def m02FeatureStub(spark: SparkSession, sfDir: String): DataFrame =
-    m02Features(spark, sfDir).drop("features")
+    m02Features(spark, sfDir).drop("features", "batch_n")
 
   private val FrameStride = 16
 

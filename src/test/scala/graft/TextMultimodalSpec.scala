@@ -108,6 +108,6 @@ class TextMultimodalSpec extends AnyFunSuite {
       out.map(_.getSeq[Float](2)).distinct.length)
     // driver-facing output carries the digest, not the array
     val driverCols = Multimodal.m02FeatureStub(spark, sfDir).columns.toSeq
-    assert(driverCols == Seq("doc_id", "mime", "features_digest", "batch_n"))
+    assert(driverCols == Seq("doc_id", "mime", "features_digest"))
   }
 }
