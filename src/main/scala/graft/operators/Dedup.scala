@@ -60,16 +60,37 @@ object Dedup {
     */
   private val MaxBucket = 10000
 
+  /** Above this bucket size, pairs STREAM out of a bucket self-join
+    * instead of materializing as one in-memory pair array per bucket:
+    * a bucket just under [[MaxBucket]] holds ~5×10⁷ pair structs —
+    * gigabytes in a single task via the array path, but a plain
+    * streamed join output via the self-join path.
+    */
+  private val PairStreamBucket = 1000
+
   /** Expand (id, payload?) rows sharing a bucket key into ordered
-    * within-bucket pairs, in two passes so a degenerate bucket (10⁷
-    * identical/empty docs) is dropped BEFORE any row set
-    * materializes:
+    * within-bucket pairs (`a < b`), sized in three tiers so no task
+    * ever holds a quadratic pair set in memory:
     *
     *  1. count per bucket (map-side partial agg; the shuffle carries
-    *     (key, count) only) → the tiny set of over-[[MaxBucket]] keys;
-    *  2. anti-join that broadcast set, then collect_set per surviving
-    *     bucket — every aggregation buffer is ≤ MaxBucket items by
-    *     construction.
+    *     (key, count) only), `localCheckpoint`ed so the expensive
+    *     banded scan behind it runs ONCE for all tier filters;
+    *  2. buckets over `maxBucket` are dropped entirely BEFORE any row
+    *     set materializes (degenerate 10⁷-identical-doc buckets —
+    *     documented recall trade);
+    *  3. buckets over `pairStream` stream their pairs through a
+    *     semi-join + bucket self-join (`a < b`) — pair rows flow out
+    *     of the join iterator, never an array. This path is only
+    *     planned when such buckets EXIST (a 1-row count over the
+    *     checkpointed counts frame), so the common case pays no extra
+    *     scan;
+    *  4. buckets ≤ `pairStream` expand via collect_set + in-array pair
+    *     enumeration — every aggregation buffer and pair array is
+    *     bounded by `pairStream` items by construction.
+    *
+    * Both paths emit pairs under the same Spark ordering (array_sort
+    * and `<` share the struct/array comparator), so the union is
+    * consistent and `distinct` collapses cross-bucket repeats.
     *
     * The banded frame is NOT persisted here: the count pass recomputes
     * it (signatures are one cheap scan since band expansion reuses the
@@ -78,22 +99,40 @@ object Dedup {
     * caller batching many dedup passes should persist its OWN banded
     * input and drop it when done.
     */
-  private[operators] def bucketPairs(banded: DataFrame, bucketCols: Seq[String], item: Column): DataFrame = {
+  private[graft] def bucketPairs(
+      banded: DataFrame, bucketCols: Seq[String], item: Column,
+      maxBucket: Int = MaxBucket, pairStream: Int = PairStreamBucket): DataFrame = {
+    require(pairStream <= maxBucket, "pairStream threshold must be <= maxBucket")
     val keys = bucketCols.map(col)
-    val hot = banded.groupBy(keys: _*)
+    // (key, count) per bucket — tiny rows; checkpointed so the banded
+    // scan below it is not re-run per tier filter.
+    val counts = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > MaxBucket)
-      .select(keys: _*)
+      .localCheckpoint(true)
+    val overStream = counts.filter(col("bucket_n") > pairStream)
+    val streamKeys = overStream.filter(col("bucket_n") <= maxBucket).select(keys: _*)
     val sorted = array_sort(collect_set(item))
-    banded.join(broadcast(hot), bucketCols, "left_anti")
+    val smallPairs = banded
+      .join(broadcast(overStream.select(keys: _*)), bucketCols, "left_anti")
       .groupBy(keys: _*)
       .agg(sorted.as("items"))
       .filter(size(col("items")) >= 2)
       .select(explode(flatten(transform(col("items"), (x, i) =>
         transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a"), col("p.b"))
-      .distinct()
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs =
+      if (streamKeys.isEmpty) smallPairs
+      else {
+        val inStream = banded.join(broadcast(streamKeys), bucketCols, "left_semi")
+        val left = inStream.select(keys :+ item.as("a"): _*)
+        val right = inStream.select(keys :+ item.as("b"): _*)
+        val streamedPairs = left.join(right, bucketCols)
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+        smallPairs.union(streamedPairs)
+      }
+    pairs.distinct()
   }
 
   /** Candidate pairs from LSH buckets: docs sharing any band bucket. */

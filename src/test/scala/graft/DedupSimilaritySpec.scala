@@ -112,6 +112,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size >= (truth.size * 0.7).toInt, s"recall too low: ${got.size}/${truth.size}")
   }
 
+  test("bucketPairs streams large buckets through a self-join, arrays only small ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // one streamable bucket (300 > pairStream), one small array bucket
+    // (5), one degenerate bucket over maxBucket that must be dropped
+    val rows = (0 until 300).map(i => (0, 7L, i.toLong)) ++
+      (0 until 5).map(i => (1, 9L, (1000 + i).toLong)) ++
+      (0 until 500).map(i => (2, 11L, (2000 + i).toLong))
+    val banded = rows.toDF("band_id", "band_hash", "doc_id")
+    val streamed = Dedup.bucketPairs(banded, Seq("band_id", "band_hash"),
+      col("doc_id"), maxBucket = 400, pairStream = 100)
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 300 * 299 / 2 + 5 * 4 / 2,
+      "streamed + arrayed pairs, degenerate bucket dropped")
+    assert(got.forall { case (a, b) => a < b })
+    // the generator (per-bucket pair ARRAY) only ever emitted the small
+    // bucket's 10 pairs — the 300-bucket's 44850 streamed from the join
+    val plan = streamed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val genOut = plan.collect { case g: GenerateExec => g }
+      .map(_.metrics("numOutputRows").value).sum
+    assert(genOut == 10, s"generator must not expand the large bucket, emitted $genOut")
+    // path equivalence: raising pairStream to cover every bucket (all
+    // collect_set) yields the identical pair set
+    val arrayed = Dedup.bucketPairs(banded, Seq("band_id", "band_hash"),
+        col("doc_id"), maxBucket = 400, pairStream = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == arrayed.toSet)
+  }
+
   test("s03 IVF ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
