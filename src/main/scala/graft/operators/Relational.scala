@@ -559,20 +559,68 @@ object Relational {
     }
   }
 
-  /** q27: ntile quartiles within order-priority groups — window
-    * bucketing with a deterministic tie-break, then per-quartile
-    * stats. NOTE: exact ntile needs a total order per partition
-    * group, so each group funnels through one task — acceptable only
-    * because the partition key is low-cardinality with bounded group
-    * size relative to executors; for high-volume groups the scale
-    * path is approx quantile cutpoints + a map-side bucket join.
+  /** q27: ntile quartiles within order-priority groups, then
+    * per-quartile stats — computed as a DISTRIBUTED exact ntile.
+    *
+    * A plain `ntile(4) over (partition by priority order by …)` needs
+    * a total order per group, so each group funnels through ONE task —
+    * at 100× each of the 5 priorities is one task holding ~20% of
+    * orders. Instead this reproduces ntile's bucket assignment exactly
+    * from global ranks computed in parallel:
+    *
+    *  1. range-repartition on (priority, price, key) — Spark's
+    *     parallel sort: every partition holds a contiguous slice of
+    *     each group's order, so global rank = per-partition offset +
+    *     local row_number. The frame is `localCheckpoint`ed to freeze
+    *     `spark_partition_id` across the two consumers;
+    *  2. offsets come from a (pid, priority) count — ~partitions ×
+    *     groups rows — cumulated by a window over that TINY frame and
+    *     broadcast back;
+    *  3. local row_number windows partition by (pid, priority): max
+    *     task size is a range-partition slice, tunable by partition
+    *     count, never a whole group;
+    *  4. ntile's exact sizing (first n%4 buckets get ⌈n/4⌉ rows) is
+    *     arithmetic on (rank, group size).
+    *
+    * No whole-group window frame anywhere on the hot path (asserted in
+    * PlanRuleSpec); results are bit-identical to the single-task ntile.
     */
   def q27NtileWindow(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val tagged = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val cnts = tagged.groupBy(col("pid"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets/totals live on the counts frame (≤ partitions × groups
+    // rows): the offset is a RUNNING frame and the group total a plain
+    // aggregate, so the whole plan carries no whole-group window frame.
+    val totals = cnts.groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("n_total"))
+    val offsets = cnts
+      .withColumn("offset", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .join(totals, "o_orderpriority")
+      .select(col("pid"), col("o_orderpriority"), col("offset"), col("n_total"))
+    val wLocal = Window.partitionBy(col("pid"), col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, sfDir)
-      .withColumn("quartile", ntile(4).over(w))
+    val ranked = tagged
+      .withColumn("local_rn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("pid", "o_orderpriority"))
+      .withColumn("rnk", col("offset") + col("local_rn"))
+    // exact ntile(4) arithmetic: base = n div 4, rem = n mod 4; the
+    // first rem buckets hold base+1 rows each
+    val quartile = expr(
+      """CASE WHEN rnk <= (n_total % 4) * (n_total div 4 + 1)
+        |     THEN (rnk - 1) div (n_total div 4 + 1) + 1
+        |     ELSE (n_total % 4) + (rnk - (n_total % 4) * (n_total div 4 + 1) - 1)
+        |            div (n_total div 4) + 1
+        |END""".stripMargin).cast("int")
+    ranked
+      .withColumn("quartile", quartile)
       .groupBy(col("o_orderpriority"), col("quartile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 2).as("min_price"),

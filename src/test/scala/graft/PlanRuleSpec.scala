@@ -103,6 +103,20 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(partials.nonEmpty, "argmax must pre-combine before the exchange")
   }
 
+  test("q27 distributed ntile: no whole-group window frame anywhere in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = executed(Relational.q27NtileWindow(spark, sfDir))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "rank assembly must use running-frame windows")
+    wins.foreach { w =>
+      val s = w.windowExpression.mkString(";").toLowerCase
+      assert(!s.contains("ntile"),
+        s"single-task whole-group ntile window on the hot path: $s")
+      assert(!s.contains("unboundedfollowing"),
+        s"whole-group window frame found: $s")
+    }
+  }
+
   test("aggregations are partial (pre-combined) below every exchange") {
     // the OPS invariant at plan level: every Final HashAggregate is
     // fed (across its exchange) by a Partial-mode pre-aggregate, so
