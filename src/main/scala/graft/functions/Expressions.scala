@@ -141,6 +141,20 @@ case class LangidTop(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** stopword_hits(text) → int: count of single-space-delimited tokens
+  * in the English stopword profile — the t02 quality signal in one
+  * codegen'd pass.
+  */
+case class StopwordHits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.stopwordHits(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.stopwordHits($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hyperplane_sig(array<float>, nPlanes, seed) → long: LSH bucket
   * signature from random hyperplane sign bits.
   */

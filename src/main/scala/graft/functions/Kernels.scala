@@ -345,6 +345,34 @@ object Kernels {
       Array[Any](bestL, bestS))
   }
 
+  /** Count of single-space-delimited tokens hitting the English
+    * stopword profile ([[LangProfiles]] head) — the t02 quality signal
+    * in ONE byte pass. Split semantics deliberately match
+    * `split(text, ' ')` / DuckDB `string_split`: ONLY the space byte
+    * delimits (a token containing a newline stays one token), and
+    * empty tokens can't hit. The HOF formulation
+    * (`filter(toks, t => array_contains(...))`) evaluates interpreted
+    * per token — the measured t02 cost this kernel removes.
+    */
+  def stopwordHits(text: UTF8String): Int = {
+    val b = text.getBytes
+    val set = langSets(0)
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        if (i > start) {
+          val tok = UTF8String.fromBytes(b, start, i - start)
+          if (set.contains(tok)) hits += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** Dot product of two float vectors, accumulated in double. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

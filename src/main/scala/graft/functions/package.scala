@@ -38,6 +38,7 @@ package object functions {
     "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),
     "langid_top" -> (es => LangidTop(es(0))),
+    "stopword_hits" -> (es => StopwordHits(es(0))),
   )
 
   /** Register all graft functions in the session (idempotent). */

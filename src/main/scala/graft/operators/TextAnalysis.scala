@@ -15,12 +15,6 @@ import graft.functions.registerAll
   */
 object TextAnalysis {
 
-  /** Canonical stopword profiles live in
-    * [[graft.functions.Kernels.LangProfiles]] (shared with the t01
-    * kernel and the DuckDB oracles).
-    */
-  private def StopwordProfiles = graft.functions.Kernels.LangProfiles
-
   /** t01: language ID — score = fraction of lowercased tokens hitting
     * each language's stopword profile, argmax with ties to the larger
     * lang string. One codegen'd `langid_top` kernel call per row (the
@@ -41,18 +35,22 @@ object TextAnalysis {
   }
 
   /** t02: quality scoring — length / punctuation / stopword /
-    * repeated-token signals combined into one score. Expressed in
-    * plain SQL functions so the DuckDB oracle can replicate it
-    * bit-for-bit (rounding to 4dp on every ratio).
+    * repeated-token signals combined into one score, replicated
+    * bit-for-bit by the DuckDB oracle (rounding to 4dp on every
+    * ratio). The stopword count runs as the codegen'd `stopword_hits`
+    * kernel (canonical profile:
+    * [[graft.functions.Kernels.LangProfiles]]) — the array-HOF
+    * formulation evaluated its lambda interpreted per token and was
+    * t02's dominant cost.
     */
   def t02QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
     val docs = Tables.documents(spark, sfDir)
     val nChars = length(col("text"))
     val toks = split(col("text"), " ")
     val nToks = size(toks)
     val punctStripped = length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val stopHits = size(filter(toks, t =>
-      array_contains(lit(StopwordProfiles.head._2.toArray), t)))
+    val stopHits = call_function("stopword_hits", col("text"))
     val distinctToks = size(array_distinct(toks))
     docs.select(
       col("doc_id"),

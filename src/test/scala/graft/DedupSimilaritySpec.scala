@@ -114,8 +114,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("bucketPairs streams large buckets through a self-join, arrays only small ones") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.GenerateExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // one streamable bucket (300 > pairStream), one small array bucket
     // (5), one degenerate bucket over maxBucket that must be dropped
     val rows = (0 until 300).map(i => (0, 7L, i.toLong)) ++
@@ -128,15 +126,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.length == 300 * 299 / 2 + 5 * 4 / 2,
       "streamed + arrayed pairs, degenerate bucket dropped")
     assert(got.forall { case (a, b) => a < b })
-    // the generator (per-bucket pair ARRAY) only ever emitted the small
-    // bucket's 10 pairs — the 300-bucket's 44850 streamed from the join
-    val plan = streamed.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // structural invariant: every row reaching the pair-array generator
+    // first passes the anti-join that excludes over-threshold buckets
+    // (so per-bucket arrays stay bounded), and the large bucket's pairs
+    // flow through an inner self-join instead
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+    val lp = streamed.queryExecution.optimizedPlan
+    val gens = lp.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "small-bucket path must expand via the generator")
+    gens.foreach { g =>
+      assert(g.child.collect { case j: LJoin if j.joinType == LeftAnti => j }.nonEmpty,
+        "generator input must exclude over-threshold buckets via the anti-join")
     }
-    val genOut = plan.collect { case g: GenerateExec => g }
-      .map(_.metrics("numOutputRows").value).sum
-    assert(genOut == 10, s"generator must not expand the large bucket, emitted $genOut")
+    assert(lp.collect { case j: LJoin if j.joinType == Inner => j }.nonEmpty,
+      "large buckets must stream pairs through a bucket self-join")
     // path equivalence: raising pairStream to cover every bucket (all
     // collect_set) yields the identical pair set
     val arrayed = Dedup.bucketPairs(banded, Seq("band_id", "band_hash"),

@@ -33,6 +33,22 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stopwordHits matches the split-on-space + set-membership reference") {
+    val en = Kernels.LangProfiles.head._2.toSet
+    def ref(s: String): Int = s.split(" ", -1).count(en.contains)
+    assert(Kernels.stopwordHits(u("the cat and the hat")) == 3)
+    assert(Kernels.stopwordHits(u("")) == 0)
+    // newline does NOT delimit: "the\nand" is one (non-stopword) token
+    assert(Kernels.stopwordHits(u("the\nand of")) == 1)
+    assert(Kernels.stopwordHits(u("  the  ")) == 1)
+    for (_ <- 1 to 300) {
+      val t = (0 until rnd.nextInt(30)).map(_ =>
+        if (rnd.nextBoolean()) Kernels.LangProfiles.head._2(rnd.nextInt(10)) else word())
+        .mkString(" ")
+      assert(Kernels.stopwordHits(u(t)) == ref(t), s"input: '$t'")
+    }
+  }
+
   test("minhash signatures are deterministic and length-k") {
     for (_ <- 1 to 100) {
       val a = text()
