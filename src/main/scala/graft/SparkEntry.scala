@@ -608,7 +608,7 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
     // s03 oracle replicates the IVF index exactly: same md5-sampled
     // centroids, same argmax cell assignment (ties to smaller cid),
-    // same 4-cell probe, same final ranking.
+    // same 8-cell probe (NProbe = 8), same final ranking.
     "s03_ann_ivf" ->
       """WITH c AS (
         |  SELECT vec_id AS cid, embedding AS cv
@@ -727,7 +727,12 @@ object SparkEntry {
     // (multiply then mod 2^64), rightmost-min window selection via
     // (value ASC, index DESC) row_number, consecutive-dedup = index
     // distinct (selections are monotone), two's-complement back to
-    // the JVM long.
+    // the JVM long. ASCII-ONLY parity: the oracle grams via substr
+    // (characters) and hashes via ord (code points) while the Spark
+    // kernel walks UTF-8 BYTES — identical only while every char is
+    // one byte, which holds for the synthetic corpus. A non-ASCII
+    // corpus needs byte-based grams here (encode(text) + per-byte
+    // access) to match the kernel.
     "t04_fingerprint" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -309,9 +309,11 @@ object Dedup {
     // iff any label changed — one partial-agg'd scan of the
     // checkpointed frame, no comparison join. Decimal(38,0) keeps the
     // sum exact at any node count (1e11 ids of ~1e11 overflow a long).
-    def labelSum(df: DataFrame): BigDecimal = BigDecimal(
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0))
+    // sum() over zero rows is SQL NULL — map it to 0 so an empty nodes
+    // frame converges to an empty result instead of NPE-ing
+    def labelSum(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

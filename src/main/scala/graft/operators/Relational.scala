@@ -492,6 +492,13 @@ object Relational {
         (abs(col("approx_custs") - col("exact_custs")).cast("double")
           / col("exact_custs").cast("double") <= 0.05).as("approx_distinct_ok"),
         round(col("p50_exact_raw"), 2).as("p50_exact"),
+        // NOTE: percentile_approx(accuracy=10000) bounds RANK error
+        // (~N/10000), not value error; the 1% VALUE bound asserted
+        // here is an empirical contract for this near-uniform
+        // o_totalprice distribution. On a heavy-tailed column the
+        // value error at a rank-shifted median can exceed 1% with the
+        // sketch still in spec — widen the bound (or derive it from
+        // the local quantile density) before reusing this check.
         (abs(col("p50_approx") - col("p50_exact_raw"))
           / col("p50_exact_raw") <= 0.01).as("approx_p50_ok"))
       .orderBy(col("o_orderpriority"))

@@ -24,6 +24,13 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents on an empty graph returns empty, no NPE") {
+    import spark.implicits._
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.connectedComponents(nodes, edges).count() == 0)
+  }
+
   test("connectedComponents matches union-find on a random 2000-node graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
