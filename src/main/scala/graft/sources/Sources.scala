@@ -48,6 +48,47 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Raw text read — a top ingest format for LLM corpora. Line mode
+    * (default) yields one row per line in a single `value` column;
+    * `wholetext = true` yields one row per FILE, the shape for
+    * document-per-file corpora. Line mode splits at arbitrary byte
+    * offsets, so it parallelizes over 100 TB like any file scan;
+    * wholetext makes one task per file — partition the corpus into
+    * many files, and never wholetext multi-GB files.
+    */
+  def readText(spark: SparkSession, path: String, wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString).text(path)
+
+  /** Text write: exactly one string column, one row per line. Rows
+    * containing newlines will NOT round-trip through a line-mode read
+    * — strip or escape them first.
+    */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  /** JDBC read — dimension/metadata tables routinely live in an
+    * RDBMS. `partitioning = Some((column, lower, upper, n))` issues n
+    * range-predicate queries in parallel (the scale path: a single
+    * unpartitioned JDBC read is ONE task pulling the whole table
+    * through one connection); bounds only steer the split points, rows
+    * outside them are still read. Predicates on the result push down
+    * to the database as WHERE clauses where the dialect allows.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      partitioning: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withProps = props.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }
+    partitioning.fold(withProps) { case (column, lower, upper, n) =>
+      withProps.option("partitionColumn", column)
+        .option("lowerBound", lower.toString)
+        .option("upperBound", upper.toString)
+        .option("numPartitions", n.toString)
+    }.load()
+  }
+
   /** Hive-style partitioned parquet write: one directory per value of
     * the partition columns. Keep partition-column cardinality modest
     * (≤ ~10⁴ directories) — per-key file explosion is its own scale

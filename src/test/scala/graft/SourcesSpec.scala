@@ -73,6 +73,56 @@ class SourcesSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("text source round-trips a documents ingest (line mode + wholetext)") {
+    // line mode: one doc per line (newlines stripped — the documented
+    // contract for line-mode writes)
+    val docs = Tables.documents(spark, sfDir)
+      .select(regexp_replace(col("text"), "[\\n\\r]", " ").as("value"))
+    val dir = tmp("graft-text")
+    Sources.writeText(docs, dir)
+    val back = Sources.readText(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.count() == docs.count())
+    assert(back.orderBy("value").collect().map(_.getString(0)).toSeq ==
+      docs.orderBy("value").collect().map(_.getString(0)).toSeq)
+    // wholetext: one row per FILE, newlines preserved
+    val wdir = java.nio.file.Files.createTempDirectory("graft-wholetext")
+    java.nio.file.Files.write(wdir.resolve("a.txt"),
+      "line one\nline two".getBytes("UTF-8"))
+    java.nio.file.Files.write(wdir.resolve("b.txt"),
+      "single doc".getBytes("UTF-8"))
+    val whole = Sources.readText(spark, wdir.toString, wholetext = true)
+      .collect().map(_.getString(0)).sorted
+    assert(whole.toSeq == Seq("line one\nline two", "single doc"))
+  }
+
+  test("jdbc read pulls a table in range-partitioned parallel queries") {
+    val dbDir = tmp("graft-derby")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE dim_region (r_key BIGINT NOT NULL, r_name VARCHAR(32))")
+      val ps = conn.prepareStatement("INSERT INTO dim_region VALUES (?, ?)")
+      (0 until 40).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"region_$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    val df = Sources.readJdbc(spark, url, "dim_region",
+      props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      partitioning = Some(("r_key", 0L, 40L, 4)))
+    assert(df.rdd.getNumPartitions == 4,
+      "partitioned jdbc read must issue one range query per partition")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.length == 40 && rows.head == (0L, "region_0") &&
+      rows.last == (39L, "region_39"))
+    // pushdown: a filter becomes a WHERE clause against the database,
+    // and rows OUTSIDE the partitioning bounds are still read
+    assert(df.filter(col("r_key") >= 35).count() == 5)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
