@@ -121,9 +121,47 @@ object StreamOps {
 
   val GapUs: Long = 1800L * 1000000L
 
-  /** Stateful sessionization: emits a session when a 30-min gap (or
-    * state timeout) closes it. State per user is O(1): the open
-    * session only.
+  private def usOf(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def fromUs(u: Long): Instant =
+    Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)
+
+  private def sessionOut(userId: Long, st: SessionState,
+      mkId: SessionState => Long): SessionOut =
+    SessionOut(userId, mkId(st), fromUs(st.startUs), fromUs(st.lastUs),
+      st.nEvents, st.totalValue)
+
+  /** Fold one micro-batch of a user's events into the open-session
+    * state, emitting sessions the gap rule closes. Within a
+    * micro-batch events may arrive unordered: the batch is sorted
+    * (bounded by batch size, not stream length). `mkId` picks the
+    * session identity — callers choose a sequential counter or the
+    * start time.
+    */
+  private def foldGaps(userId: Long, evs: Iterator[Ev], st0: Option[SessionState],
+      mkId: SessionState => Long): (Option[SessionState], Seq[SessionOut]) = {
+    val sorted = evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+    var st = st0.orNull
+    val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+    sorted.foreach { e =>
+      val eUs = usOf(e.ts)
+      if (st == null) {
+        st = SessionState(1L, eUs, eUs, 1L, e.value)
+      } else if (eUs - st.lastUs > GapUs) {
+        out += sessionOut(userId, st, mkId)
+        st = SessionState(st.sessionId + 1L, eUs, eUs, 1L, e.value)
+      } else {
+        st = st.copy(lastUs = eUs, nEvents = st.nEvents + 1L,
+          totalValue = st.totalValue + e.value)
+      }
+    }
+    (Option(st), out.toSeq)
+  }
+
+  /** Stateful sessionization: emits a session when a 30-min gap
+    * closes it. State per user is O(1): the open session only.
+    * NoTimeout — idle sessions stay open until the next event or a
+    * batch drain; [[sessionizeWithTimeout]] is the production variant
+    * that closes them in-stream.
     */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -131,29 +169,49 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          // Within a micro-batch events may arrive unordered: sort the
-          // batch (bounded by batch size, not stream length).
-          def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
-          def fromUs(u: Long): Instant = Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)
-          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          sorted.foreach { e =>
-            val eUs = us(e.ts)
-            if (st == null) {
-              st = SessionState(1L, eUs, eUs, 1L, e.value)
-            } else if (eUs - st.lastUs > GapUs) {
-              out += SessionOut(userId, st.sessionId,
-                fromUs(st.startUs), fromUs(st.lastUs),
-                st.nEvents, st.totalValue)
-              st = SessionState(st.sessionId + 1L, eUs, eUs, 1L, e.value)
-            } else {
-              st = st.copy(lastUs = eUs, nEvents = st.nEvents + 1L,
-                totalValue = st.totalValue + e.value)
-            }
-          }
-          if (st != null) state.update(st)
+          val (st, out) = foldGaps(userId, evs, state.getOption, _.sessionId)
+          st.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Production sessionization: the [[sessionize]] gap logic plus
+    * EventTimeTimeout, so an IDLE session closes in-stream once the
+    * watermark passes its last event + gap — no batch drain needed,
+    * and the state store stays bounded (timed-out state is removed).
+    *
+    * Session identity is the session START MICROS, not the sequential
+    * counter: once a user's timed-out state is removed, a counter
+    * restarts at 1 and would collide with that user's earlier emitted
+    * sessions; the start time is unique per user (sessions never
+    * overlap) and survives state expiry.
+    */
+  def sessionizeWithTimeout(events: Dataset[Ev],
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = sessionOut(userId, state.get, _.startUs)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val (st, out) = foldGaps(userId, evs, state.getOption, _.startUs)
+            st.foreach { s =>
+              state.update(s)
+              // close once the watermark passes last event + gap; the
+              // timeout timestamp must sit above the current watermark
+              // or Spark rejects it (a late batch could otherwise set
+              // one already expired)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastUs + GapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
       }
   }
 

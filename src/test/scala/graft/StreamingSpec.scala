@@ -190,6 +190,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.nonEmpty && state.toMap == expected)
   }
 
+  test("sessionizeWithTimeout closes an idle session via event-time timeout alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionizeWithTimeout(ms.toDS(), "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout_out").start()
+    try {
+      val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      ms.addData(
+        StreamOps.Ev(1L, t0, 42L, "click", 1.0),
+        StreamOps.Ev(2L, t0.plusSeconds(60), 42L, "click", 2.5))
+      q.processAllAvailable()
+      assert(spark.table("sess_timeout_out").isEmpty,
+        "session still open, nothing may be emitted")
+      // events from ANOTHER user push the watermark past user 42's
+      // last event + gap; user 42 itself never sends again and no
+      // batch flush runs — the idle session must close via timeout.
+      // (Watermark advances at batch END, so the timeout fires in the
+      // batch after the one that moved it.)
+      ms.addData(StreamOps.Ev(3L, t0.plusSeconds(7200), 7L, "click", 0.0))
+      q.processAllAvailable()
+      ms.addData(StreamOps.Ev(4L, t0.plusSeconds(7210), 7L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_timeout_out")
+        .filter(col("user_id") === 42L).collect()
+      assert(got.length == 1, s"timeout must close exactly one session, got ${got.length}")
+      val r = got(0)
+      assert(r.getLong(4) == 2L, "both events belong to the closed session")
+      assert(r.getDouble(5) == 3.5)
+      assert(r.getTimestamp(2).toInstant == t0 &&
+        r.getTimestamp(3).toInstant == t0.plusSeconds(60))
+    } finally q.stop()
+  }
+
   test("stream_sessionize emits exactly the closed sessions of the batch twin") {
     import spark.implicits._
     val stream = StreamOps.readEventStream(spark, streamDir)
