@@ -607,12 +607,44 @@ object SparkEntry {
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // s03 oracle replicates the IVF index exactly: same md5-sampled
-    // centroids, same argmax cell assignment (ties to smaller cid),
-    // same 8-cell probe (NProbe = 8), same final ranking.
+    // seeds, one Lloyd round with the SAME fixed-point cell means
+    // (floor(x*1024+0.5) long sums — order-independent, so exact in
+    // both engines), same argmax cell assignment (ties to smaller
+    // cid), same 8-cell probe (NProbe = 8), same final ranking.
     "s03_ann_ivf" ->
-      """WITH c AS (
+      """WITH c0 AS (
         |  SELECT vec_id AS cid, embedding AS cv
         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |l0 AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
+        |  FROM embeddings e CROSS JOIN c0 c),
+        |l1 AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |  FROM l0),
+        |lasg AS (SELECT vec_id, embedding, cid AS cell FROM l1 WHERE rn = 1),
+        |lex AS (
+        |  SELECT cell, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS x
+        |  FROM lasg),
+        |lsum AS (
+        |  SELECT cell, j,
+        |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM lex GROUP BY cell, j),
+        |lcnt AS (SELECT cell, count(*) AS n FROM lasg GROUP BY cell),
+        |c1 AS (
+        |  SELECT cell AS cid,
+        |    list(CAST(CAST(s AS DOUBLE) / (1024.0 * n) AS FLOAT) ORDER BY j) AS cv
+        |  FROM lsum JOIN lcnt USING (cell) GROUP BY cell, n),
+        |cf AS (
+        |  SELECT cid, cv FROM c1
+        |  UNION ALL
+        |  SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM lcnt)),
         |a0 AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
         |    list_sum(list_transform(range(1, 65),
@@ -621,7 +653,7 @@ object SparkEntry {
         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
         |     sqrt(list_sum(list_transform(range(1, 65),
         |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
-        |  FROM embeddings e CROSS JOIN c),
+        |  FROM embeddings e CROSS JOIN cf c),
         |a1 AS (
         |  SELECT vec_id, embedding, cid,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn

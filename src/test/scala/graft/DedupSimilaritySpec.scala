@@ -157,9 +157,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // near-uniform synthetic vectors are IVF's worst case (see
-    // operator scaladoc): 0.5 floor at a 25% scan fraction
-    assert(recall >= 0.5, s"recall@10 $recall too low")
+    info(s"s03 recall@10 = $recall")
+    // deterministic pipeline on deterministic data → recall is a fixed
+    // value (0.62 here, 50 pairs). Near-uniform synthetic vectors are
+    // IVF's worst case (see operator scaladoc); floor set one pair
+    // under the observed value.
+    assert(recall >= 0.6, s"recall@10 $recall too low")
   }
 
   test("s02 LSH ANN recall@10 vs s01 brute force") {
