@@ -22,6 +22,51 @@ object Engine {
     spark
   }
 
+  /** Default post-shuffle partition target. 128 MiB ≈ one HDFS/object
+    * block: big enough to amortize task overhead, small enough to fit
+    * an executor core's working memory with room for hash tables.
+    */
+  val TargetPartitionBytes: Long = 128L << 20
+
+  /** Hard cap on computed shuffle partitions — past ~1M partitions the
+    * scheduler/shuffle-index overhead dominates any skew benefit.
+    */
+  private val MaxShufflePartitions = 1 << 20
+
+  /** Size shuffle partitions from the INPUT footprint instead of
+    * shipping a constant: enough partitions that a post-shuffle
+    * partition targets [[TargetPartitionBytes]], floored at the total
+    * core count so every slot has work. AQE's partition coalescing
+    * then shrinks cheap stages at runtime — this sets the UPPER bound
+    * AQE coalesces from (too low a static value is the one mistake
+    * AQE cannot fix, since it only merges, never splits, non-skewed
+    * partitions). 32 is the right answer for this sandbox's sf0.1 on
+    * local[32]; a 100 TB input on 1000×4 cores computes ~800k.
+    */
+  def shufflePartitionsFor(inputBytes: Long, totalCores: Int,
+      targetPartitionBytes: Long = TargetPartitionBytes): Int = {
+    require(inputBytes >= 0, s"inputBytes must be >= 0, got $inputBytes")
+    require(totalCores >= 1, s"totalCores must be >= 1, got $totalCores")
+    require(targetPartitionBytes >= 1, s"targetPartitionBytes must be >= 1")
+    val bySize = (inputBytes + targetPartitionBytes - 1) / targetPartitionBytes
+    math.max(totalCores, math.min(bySize, MaxShufflePartitions.toLong).toInt)
+  }
+
+  /** Total bytes under a local data directory — the input-footprint
+    * probe for [[shufflePartitionsFor]] in local/test runs (a cluster
+    * deployment asks its FileSystem the same question).
+    */
+  def dirBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
   def build(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
       .master(master)
@@ -33,4 +78,12 @@ object Engine {
       .getOrCreate()
     configure(spark)
   }
+
+  /** Build a session whose shuffle partitioning is derived from the
+    * data directory it will read — the production entry point;
+    * [[build]]'s constant default exists for the sandbox's fixed SF.
+    */
+  def buildFor(dataDir: String, master: String = "local[*]",
+      totalCores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    build(master, shufflePartitionsFor(dirBytes(dataDir), totalCores))
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit checks for the size-aware shuffle-partition sizing rule —
+  * no SparkSession needed.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  test("shufflePartitionsFor floors at core count and scales with input") {
+    // small input on a big cluster: every core still gets a slot
+    assert(Engine.shufflePartitionsFor(1L << 20, totalCores = 128) == 128)
+    // 100 TB at 128 MiB target: ~800k partitions, above a 4000-core floor
+    val p100tb = Engine.shufflePartitionsFor(100L * (1L << 40), totalCores = 4000)
+    assert(p100tb == (100L * (1L << 40) / (128L << 20)).toInt)
+    // sandbox shape: sf0.1 (~100 MB) on 32 cores → the 32 the repo ships
+    assert(Engine.shufflePartitionsFor(100L << 20, totalCores = 32) == 32)
+    // cap holds on absurd input
+    assert(Engine.shufflePartitionsFor(Long.MaxValue / 2, totalCores = 8) == (1 << 20))
+    intercept[IllegalArgumentException](Engine.shufflePartitionsFor(-1L, 8))
+    intercept[IllegalArgumentException](Engine.shufflePartitionsFor(1L, 0))
+  }
+
+  test("dirBytes sums regular files recursively, 0 for missing dirs") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dirbytes")
+    java.nio.file.Files.write(d.resolve("a.bin"), new Array[Byte](1000))
+    val sub = java.nio.file.Files.createDirectory(d.resolve("sub"))
+    java.nio.file.Files.write(sub.resolve("b.bin"), new Array[Byte](234))
+    assert(Engine.dirBytes(d.toString) == 1234L)
+    assert(Engine.dirBytes(d.resolve("nope").toString) == 0L)
+  }
+}
