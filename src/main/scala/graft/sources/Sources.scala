@@ -89,6 +89,42 @@ object Sources {
     }.load()
   }
 
+  /** Avro read with explicit schema — the row-oriented interchange
+    * format (Kafka payloads, log shipping). Columnar pruning does NOT
+    * apply the way it does for parquet/orc: Avro is row-major, so a
+    * 2-column projection still reads whole records — use it for
+    * interchange, convert to parquet for analytics.
+    */
+  /** The avro connector classes ship inside spark-sql but without the
+    * DataSourceRegister service entry, so the "avro" short name does
+    * not resolve — the full class name does.
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).format(AvroFormat).load(path)
+
+  /** Avro write. */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
+
+  /** JDBC write — the return path for [[readJdbc]] (publishing a
+    * result table to an RDBMS). `numPartitions` caps concurrent
+    * connections: every partition opens one, so an unthrottled 10k-
+    * partition frame is a 10k-connection stampede on the database.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      maxConnections: Int = 8): Unit = {
+    require(maxConnections >= 1, s"maxConnections must be >= 1, got $maxConnections")
+    val base = df.coalesce(maxConnections).write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    props.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }
+      .mode(SaveMode.Overwrite)
+      .save()
+  }
+
   /** Hive-style partitioned parquet write: one directory per value of
     * the partition columns. Keep partition-column cardinality modest
     * (≤ ~10⁴ directories) — per-key file explosion is its own scale

@@ -96,6 +96,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(whole.toSeq == Seq("line one\nline two", "single doc"))
   }
 
+  test("avro round-trips with explicit schema") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = tmp("graft-avro")
+    Sources.writeAvro(orders, dir)
+    val back = Sources.readAvro(spark, dir, orders.schema)
+    assert(back.orderBy(col("o_orderkey")).collect().toSeq ==
+      orders.orderBy(col("o_orderkey")).collect().toSeq)
+  }
+
+  test("jdbc write publishes a frame and reads back identically") {
+    val dbDir = tmp("graft-derby-w")
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/graftwdb;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val nation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    Sources.writeJdbc(nation, url, "nation_out", props, maxConnections = 2)
+    val back = Sources.readJdbc(spark, url, "nation_out", props)
+    assert(back.orderBy(col("n_nationkey")).collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      nation.orderBy(col("n_nationkey")).collect().map(r => (r.getInt(0), r.getString(1))).toSeq)
+  }
+
   test("jdbc read pulls a table in range-partitioned parallel queries") {
     val dbDir = tmp("graft-derby")
     System.setProperty("derby.system.home", dbDir)
