@@ -47,6 +47,7 @@ object SparkEntry {
     "q35_window_suite" -> (Relational.q35WindowSuite _),
     "q36_unpivot" -> (Relational.q36Unpivot _),
     "q37_lateral" -> (Relational.q37Lateral _),
+    "q38_latest_per_key" -> (Relational.q38LatestPerKey _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
     "d04_dedup_ngram" -> (Dedup.d04DedupNgram _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
+    "d09_dedup_containment" -> (Dedup.d09DedupContainment _),
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
@@ -72,6 +74,7 @@ object SparkEntry {
     "t05_repetition" -> (TextAnalysis.t05Repetition _),
     "t06_redact_ids" -> (TextAnalysis.t06RedactIds _),
     "t07_vocab" -> (TextAnalysis.t07Vocab _),
+    "t08_entropy" -> (TextAnalysis.t08Entropy _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
@@ -754,6 +757,78 @@ object SparkEntry {
         |  (coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE)) >= 0.5 AS contaminated
         |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q38_latest_per_key" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |  FROM orders)
+        |SELECT o_custkey, o_orderdate AS latest_date, o_orderkey AS latest_orderkey,
+        |  round(o_totalprice, 2) AS latest_price, o_orderstatus AS latest_status,
+        |  CAST(n_orders AS BIGINT) AS n_orders
+        |FROM r WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    // d09 oracle replicates the candidate rule exactly (rare-shingle
+    // inverted index, df in [2,20]) and verifies containment on the
+    // same word-3-gram shingle sets the kernel builds.
+    "d09_dedup_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s
+        |  FROM tk),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20),
+        |ri AS (SELECT doc_id, g FROM inv WHERE g IN (SELECT g FROM rare)),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ri a JOIN ri b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CASE WHEN len(sa.s) = 0 THEN 0.0
+        |         ELSE len(list_intersect(sa.s, sb.s))::DOUBLE / len(sa.s) END AS ab,
+        |    CASE WHEN len(sb.s) = 0 THEN 0.0
+        |         ELSE len(list_intersect(sa.s, sb.s))::DOUBLE / len(sb.s) END AS ba
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b)
+        |SELECT contained_id, container_id, containment FROM (
+        |  SELECT doc_a AS contained_id, doc_b AS container_id,
+        |    round(ab, 4) AS containment FROM sc WHERE ab >= 0.8
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, round(ba, 4) FROM sc WHERE ba >= 0.8)
+        |ORDER BY contained_id, container_id""".stripMargin,
+    // t08 oracle rebuilds the entropy sum in ASCENDING char order
+    // (list(... ORDER BY c) + list_sum = the kernel's byte loop);
+    // ASCII-only parity like t04 (substr chars vs kernel bytes).
+    "t08_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 1)) AS cs
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(cs) AS c FROM ch),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM e GROUP BY doc_id, c),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(list(CAST(k AS DOUBLE) ORDER BY c),
+        |      x -> x * ln(x))) AS sl
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  round(CASE WHEN length(d.text) = 0 THEN 0.0
+        |        ELSE ln(CAST(length(d.text) AS DOUBLE)) - s.sl / length(d.text)
+        |        END, 4) AS entropy,
+        |  (CASE WHEN length(d.text) = 0 THEN 0.0
+        |        ELSE ln(CAST(length(d.text) AS DOUBLE)) - s.sl / length(d.text)
+        |        END) < 2.0 AS low_entropy
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // t04 oracle replicates winnowing EXACTLY in SQL: FNV-1a 64 +
     // splitmix64 with wrap-around arithmetic emulated in UHUGEINT
     // (multiply then mod 2^64), rightmost-min window selection via

@@ -141,6 +141,34 @@ case class LangidTop(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ngram_containment(a, b, n) → double: |shingles(a) ∩ shingles(b)|
+  * / |shingles(a)| — asymmetric near-superset score.
+  */
+case class NgramContainment(left: Expression, right: Expression, n: Int) extends BinaryExpression {
+  require(n >= 1, s"ngram_containment needs n >= 1, got $n")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.ngramContainment(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.ngramContainment($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** char_entropy(text) → double: byte-distribution Shannon entropy in
+  * nats, summed in ascending byte order (cross-engine contract).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.charEntropy(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** stopword_hits(text) → int: count of single-space-delimited tokens
   * in the English stopword profile — the t02 quality signal in one
   * codegen'd pass.

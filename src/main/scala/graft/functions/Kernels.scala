@@ -170,6 +170,48 @@ object Kernels {
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
 
+  /** Exact word n-gram CONTAINMENT of a in b: |A ∩ B| / |A| over
+    * shingle sets — the asymmetric near-superset signal (a quoted or
+    * boilerplate-wrapped document scores high containment in its
+    * superset while Jaccard stays low). 0.0 when a has no shingles.
+    */
+  def ngramContainment(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = new java.util.HashSet[java.lang.Long]()
+    val sb = new java.util.HashSet[java.lang.Long]()
+    shingleHashes(a, n).foreach(h => sa.add(h))
+    shingleHashes(b, n).foreach(h => sb.add(h))
+    if (sa.isEmpty) return 0.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / sa.size.toDouble
+  }
+
+  /** Shannon entropy (nats) of the BYTE distribution of a document —
+    * the cheap gibberish/compressibility quality signal. Computed as
+    * ln(N) − Σ n_c·ln(n_c) / N with the sum taken in ASCENDING byte
+    * order, which the DuckDB oracle replicates with an ORDER BY c
+    * list — float addition is order-sensitive, so the iteration
+    * order IS part of the cross-engine contract. Bytes == characters
+    * only for ASCII corpora (same documented bound as the t04
+    * oracle).
+    */
+  def charEntropy(text: UTF8String): Double = {
+    val b = text.getBytes
+    if (b.length == 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < b.length) { counts(b(i) & 0xFF) += 1; i += 1 }
+    var s = 0.0
+    var c = 0
+    while (c < 256) {
+      val n = counts(c)
+      if (n > 0) s += n.toDouble * math.log(n.toDouble)
+      c += 1
+    }
+    math.log(b.length.toDouble) - s / b.length.toDouble
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     * char k-gram rolling hashes, min per window of w (rightmost min),
     * consecutive duplicates collapsed. Returns the selected hashes.

@@ -39,6 +39,8 @@ package object functions {
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),
     "langid_top" -> (es => LangidTop(es(0))),
     "stopword_hits" -> (es => StopwordHits(es(0))),
+    "ngram_containment" -> (es => NgramContainment(es(0), es(1), intArg(es(2), "n"))),
+    "char_entropy" -> (es => CharEntropy(es(0))),
   )
 
   /** Register all graft functions in the session (idempotent). */

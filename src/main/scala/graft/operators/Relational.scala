@@ -634,4 +634,31 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy(col("o_orderpriority"), col("quartile"))
   }
+
+  /** q38: latest-row-per-key ("current snapshot" / SCD-style dedup by
+    * recency) — each customer's most recent order, via a partial-agg'd
+    * STRUCT MAX argmax instead of the textbook
+    * `row_number() over (partition by key order by ts desc) = 1`
+    * window. The window formulation shuffles EVERY row to its key's
+    * reducer then sorts; the struct-max aggregation combines map-side,
+    * so the shuffle carries one candidate row per key per map
+    * partition — at 100 TB that is the difference between shuffling
+    * the fact table and shuffling ~#keys rows. Ties (same date)
+    * resolve to the larger orderkey by lexicographic struct order;
+    * (date, orderkey) is unique so trailing fields never decide.
+    */
+  def q38LatestPerKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))).as("m"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        col("m.o_orderdate").as("latest_date"),
+        col("m.o_orderkey").as("latest_orderkey"),
+        round(col("m.o_totalprice"), 2).as("latest_price"),
+        col("m.o_orderstatus").as("latest_status"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"))
 }

@@ -164,6 +164,27 @@ object TextAnalysis {
       .orderBy(col("entity"), col("key"))
   }
 
+  /** t08: character-entropy scoring — Shannon entropy (nats) of each
+    * document's byte distribution, the cheap gibberish /
+    * compressibility filter (near-zero entropy = repeated filler,
+    * near-log(256) = random bytes; natural text sits in between).
+    * One codegen `char_entropy` kernel pass per row, zero shuffle
+    * beyond the presentation sort. The kernel sums in ascending byte
+    * order so the DuckDB oracle reproduces the float sum exactly
+    * (addition order is part of the contract); low/high flags use the
+    * UNROUNDED value.
+    */
+  def t08Entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val h = call_function("char_entropy", col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(h, 4).as("entropy"),
+        (h < 2.0).as("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t07: corpus vocabulary with document frequency and smoothed IDF
     * — the global statistics pass behind TF-IDF features, stopword
     * discovery, and tokenizer fitting. One explode + one

@@ -112,6 +112,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size >= (truth.size * 0.7).toInt, s"recall too low: ${got.size}/${truth.size}")
   }
 
+  test("d09 containment pairs are true positives; substring docs are found") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // brute-force directed containment truth at the 0.8 bar
+    val truth = (for {
+      i <- docs.indices; j <- docs.indices if i != j
+      c = Kernels.ngramContainment(u(docs(i)._2), u(docs(j)._2), 3)
+      if c >= 0.8
+    } yield (docs(i)._1, docs(j)._1)).toSet
+    val got = Dedup.d09DedupContainment(spark, sfDir)
+      .select("contained_id", "container_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
+    // recall bound is the documented df-cap trade; on this corpus the
+    // rare-shingle index recovers the large majority of true pairs
+    assert(truth.isEmpty || got.size >= (truth.size * 0.7).toInt,
+      s"recall too low: ${got.size}/${truth.size}")
+  }
+
   test("bucketPairs streams large buckets through a self-join, arrays only small ones") {
     import spark.implicits._
     // one streamable bucket (300 > pairStream), one small array bucket

@@ -49,6 +49,37 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramContainment is bounded, 1 on self/superset, asymmetric") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = s"prefix words here $small suffix words there"
+    assert(Kernels.ngramContainment(u(small), u(small), 3) == 1.0)
+    assert(Kernels.ngramContainment(u(small), u(big), 3) == 1.0,
+      "all shingles of a substring document appear in its superset")
+    assert(Kernels.ngramContainment(u(big), u(small), 3) < 1.0)
+    assert(Kernels.ngramContainment(u(""), u(big), 3) == 0.0)
+    for (_ <- 1 to 200) {
+      val (a, b) = (text(), text())
+      val c = Kernels.ngramContainment(u(a), u(b), 2)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("charEntropy: 0 on uniform byte, ln(k) on k equally frequent bytes") {
+    assert(Kernels.charEntropy(u("")) == 0.0)
+    assert(Kernels.charEntropy(u("aaaaaaa")) == 0.0)
+    val h2 = Kernels.charEntropy(u("abababab"))
+    assert(math.abs(h2 - math.log(2.0)) < 1e-12)
+    val h4 = Kernels.charEntropy(u("abcdabcdabcd"))
+    assert(math.abs(h4 - math.log(4.0)) < 1e-12)
+    for (_ <- 1 to 200) {
+      val t = text()
+      if (t.nonEmpty) {
+        val h = Kernels.charEntropy(u(t))
+        assert(h >= 0.0 && h <= math.log(256.0) + 1e-12)
+      }
+    }
+  }
+
   test("minhash signatures are deterministic and length-k") {
     for (_ <- 1 to 100) {
       val a = text()
