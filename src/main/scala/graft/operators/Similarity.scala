@@ -123,21 +123,40 @@ object Similarity {
     * appears on real, clustered corpora; s02 (LSH) is the better fit
     * for unstructured vectors.
     */
-  def s03AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Refined IVF centroids for a corpus (md5-sampled seeds + one
+    * Lloyd round).
+    */
+  private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val seeds = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(NCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val centroids = lloydRefine(emb, seeds)
+    lloydRefine(emb, seeds)
+  }
+
+  /** Cell assignment (vec_id, cell, embedding) — the IVF index frame.
+    * At 100 TB THIS is what gets materialized `partitionBy("cell")`
+    * so probing reads only the probed cells via partition pruning
+    * (spec-demonstrated in DedupSimilaritySpec).
+    */
+  private[graft] def ivfCells(spark: SparkSession, sfDir: String,
+      centroids: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     // argmax over broadcast centroids via struct-max: highest cosine,
     // ties to the smaller cid (negated id in the comparison struct)
-    val assigned = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .withColumn("cs", call_function("cosine_sim", col("embedding"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cs"), (-col("cid")).as("negc"), col("embedding").as("e"))).as("m"))
       .select(col("vec_id"), (-col("m.negc")).as("cell"), col("m.e").as("embedding"))
+  }
+
+  def s03AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val centroids = ivfCentroids(spark, sfDir)
+    val assigned = ivfCells(spark, sfDir, centroids)
     val probed = queriesBlock(spark, sfDir).crossJoin(broadcast(centroids))
       .withColumn("cs", call_function("cosine_sim", col("qv"), col("cv")))
       .groupBy(col("query_id"))

@@ -78,6 +78,33 @@ object StreamOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: every click, with its within-1h
+    * purchase where one exists. Same watermark + event-time-bound
+    * conditions as [[clickPurchaseJoin]] — for OUTER joins they are
+    * mandatory, not just state hygiene: an unmatched click can only
+    * emit its null-extended row once the watermark proves no matching
+    * purchase can still arrive (watermark past click_ts + 1h), so
+    * null results trail the watermark by design. Batch twin: same
+    * body (a batch left join nulls immediately — end-of-input proves
+    * absence).
+    */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment: the event stream joined against a
     * static dimension frame (user tier derived from customer — any
     * static DataFrame works). The static side is (re)broadcast per

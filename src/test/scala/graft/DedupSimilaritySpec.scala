@@ -185,6 +185,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@10 $recall too low")
   }
 
+  test("s03 100TB path: cell-partitioned index read prunes to the probed cells") {
+    // the documented scale path: materialize the IVF cell map
+    // partitionBy(cell), probe by reading ONLY the probed partitions —
+    // partition pruning does the scan cut, no full-corpus pass
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val centroids = Similarity.ivfCentroids(spark, sfDir)
+    val cells = Similarity.ivfCells(spark, sfDir, centroids)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cells").toString
+    cells.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    // cells are centroid ids (seed vec_ids) — probe three real ones
+    val probeCells = cells.select("cell").distinct().orderBy("cell")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    val probed = index.filter(col("cell").isin(probeCells: _*))
+    probed.write.format("noop").mode("overwrite").save()
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty)
+    assert(scan.get.partitionFilters.nonEmpty,
+      "cell probe must prune partitions at the scan, not filter rows")
+    // the pruned read returns exactly the probed cells' vectors
+    val expected = cells.filter(col("cell").isin(probeCells: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val got = probed.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.sameElements(expected))
+  }
+
   test("s02 LSH ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()

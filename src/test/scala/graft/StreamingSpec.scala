@@ -190,6 +190,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.nonEmpty && state.toMap == expected)
   }
 
+  test("stream-stream LEFT OUTER join nulls unmatched clicks after the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.clickPurchaseLeftJoin(ms.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try {
+      val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      ms.addData(
+        StreamOps.Ev(1L, t0, 1L, "click", 0.0),               // will match
+        StreamOps.Ev(2L, t0, 2L, "click", 0.0),               // never matches
+        StreamOps.Ev(3L, t0.plusSeconds(1800), 1L, "purchase", 9.0))
+      q.processAllAvailable()
+      // matched row may emit immediately; the unmatched click may NOT
+      // until the watermark proves no purchase can still arrive
+      val early = spark.table("loj_out").collect()
+      assert(!early.exists(r => r.getLong(0) == 2L),
+        "unmatched click must not null-emit before the watermark passes")
+      // sentinels on BOTH sides: the query's global watermark is the
+      // MIN across the two watermark nodes (multipleWatermarkPolicy
+      // default), so advancing only clicks leaves the purchase-side
+      // watermark at t0+30min and nothing evicts. Eviction runs on
+      // the batch after the one that moved the watermark.
+      ms.addData(
+        StreamOps.Ev(4L, t0.plusSeconds(6 * 3600), 9L, "click", 0.0),
+        StreamOps.Ev(5L, t0.plusSeconds(6 * 3600), 8L, "purchase", 0.0))
+      q.processAllAvailable()
+      ms.addData(
+        StreamOps.Ev(6L, t0.plusSeconds(6 * 3600 + 10), 9L, "click", 0.0),
+        StreamOps.Ev(7L, t0.plusSeconds(6 * 3600 + 10), 8L, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out")
+        .select("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(rows.contains((1L, 1L, 3L)), "matched pair must appear")
+      assert(rows.contains((2L, 2L, -1L)),
+        "unmatched click must null-emit once the watermark proves absence")
+      assert(!rows.contains((1L, 1L, -1L)), "matched click must not also null-emit")
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout closes an idle session via event-time timeout alone") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
