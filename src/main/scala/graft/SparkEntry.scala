@@ -77,6 +77,7 @@ object SparkEntry {
     "t08_entropy" -> (TextAnalysis.t08Entropy _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
+    "p04_curate" -> (Pipeline.p04Curate _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
@@ -1102,6 +1103,46 @@ object SparkEntry {
         |    AS spans_boundary
         |FROM w
         |ORDER BY doc_id""".stripMargin,
+    // p04 oracle composes the t02 quality formula, the t08 entropy
+    // (same ORDER BY c float-sum contract), and d01's min-id
+    // survivor rule — the curation filter end to end.
+    "p04_curate" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    round(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','and','of','to','in','is','that','for','with','on')))::DOUBLE
+        |          / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |          / len(string_split(text, ' ')), 4) AS distinct_ratio
+        |  FROM documents),
+        |qs AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(least(1.0, n_tokens / 100.0) * 0.4
+        |          + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
+        |  FROM q),
+        |ch AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 1)) AS cs
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(cs) AS c FROM ch),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM e GROUP BY doc_id, c),
+        |s AS (SELECT doc_id,
+        |    list_sum(list_transform(list(CAST(k AS DOUBLE) ORDER BY c),
+        |      x -> x * ln(x))) AS sl
+        |  FROM cnt GROUP BY doc_id),
+        |h AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN length(d.text) = 0 THEN 0.0
+        |         ELSE ln(CAST(length(d.text) AS DOUBLE)) - s.sl / length(d.text)
+        |    END AS hv
+        |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
+        |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT qs.doc_id, qs.n_tokens, qs.quality_score, round(h.hv, 4) AS entropy
+        |FROM qs JOIN h ON h.doc_id = qs.doc_id
+        |WHERE qs.doc_id IN (SELECT doc_id FROM k)
+        |  AND qs.quality_score >= 0.35 AND NOT (h.hv < 2.0)
+        |ORDER BY qs.doc_id""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image/png'

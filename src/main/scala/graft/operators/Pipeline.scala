@@ -11,6 +11,34 @@ import graft.Tables
   */
 object Pipeline {
 
+  /** Quality-score floor for [[p04Curate]] — set near the corpus
+    * median so the filter is a real decision boundary, not a no-op.
+    */
+  private val CurateQualityBar = 0.35
+
+  /** p04: the end-to-end curation pass — the composition a real
+    * pipeline materializes from the individual operators: keep a
+    * document iff it (a) survives exact dedup (is the min-id copy of
+    * its content hash, d01's rule), (b) clears the quality-score
+    * floor (t02), and (c) is not low-entropy filler (t08). Each
+    * input operator is reused as a DataFrame — composition is plan
+    * composition, so Catalyst fuses the three per-row scans and the
+    * one dedup shuffle into a single job; nothing is materialized
+    * between "stages".
+    */
+  def p04Curate(spark: SparkSession, sfDir: String): DataFrame = {
+    val survivors = Dedup.d01DedupExact(spark, sfDir)
+      .select(col("keep_id").as("doc_id"))
+    TextAnalysis.t02QualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(TextAnalysis.t08Entropy(spark, sfDir)
+        .select(col("doc_id"), col("entropy"), col("low_entropy")), "doc_id")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(col("quality_score") >= CurateQualityBar && !col("low_entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p01: deterministic train/val/test assignment — bucket =
     * md5(doc_id) mod 100, split at 90/5/5. Hash-based (not random())
     * so the split is a pure function of the document id: stable

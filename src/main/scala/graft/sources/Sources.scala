@@ -135,6 +135,28 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files — the maintenance pass every long-lived
+    * table needs (streaming sinks and fine-grained partitioning
+    * accrete thousands of KB-sized files, and scan cost then is
+    * dominated by per-file open/seek, not bytes). File count comes
+    * from the CURRENT on-disk footprint via the Hadoop FileSystem, so
+    * the same call works on HDFS/object stores. Returns the target
+    * file count.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes >= 1, s"targetFileBytes must be >= 1")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   /** Bucketed + sorted managed table: `nBuckets` files per partition,
     * rows hash-distributed by `bucketCol` and sorted within buckets —
     * equi-joins between tables bucketed identically need no exchange.

@@ -146,6 +146,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(col("r_key") >= 35).count() == 5)
   }
 
+  test("compaction rewrites a many-small-files table into sized files") {
+    val docs = Tables.documents(spark, sfDir)
+    val smallDir = tmp("graft-small")
+    docs.repartition(40).write.mode("overwrite").parquet(smallDir)
+    def parts(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parts(smallDir).length == 40, "precondition: a small-files table")
+    val outDir = tmp("graft-compact")
+    // target sized so the corpus lands in a handful of files
+    val target = parts(smallDir).map(_.length).sum / 3
+    val n = Sources.compactParquet(spark, smallDir, outDir, target)
+    assert(n >= 3 && n <= 5, s"expected a handful of files, got $n")
+    assert(parts(outDir).length == n)
+    assert(spark.read.parquet(outDir).orderBy(col("doc_id")).collect().toSeq ==
+      docs.orderBy(col("doc_id")).collect().toSeq)
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
