@@ -117,6 +117,23 @@ class PlanRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("q38 latest-per-key plans as partial-agg'd struct max, no window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = executed(Relational.q38LatestPerKey(spark, sfDir))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "latest-per-key must not shuffle every row through a window")
+    // struct max isn't hash-aggregable — it plans as Sort/ObjectHash
+    // aggregate, hence BaseAggregateExec
+    val partials = plan.collect {
+      case h: BaseAggregateExec if h.aggregateExpressions.nonEmpty &&
+        h.aggregateExpressions.forall(_.mode == Partial) => h
+    }
+    assert(partials.nonEmpty,
+      "struct-max argmax must combine map-side before the exchange")
+  }
+
   test("aggregations are partial (pre-combined) below every exchange") {
     // the OPS invariant at plan level: every Final HashAggregate is
     // fed (across its exchange) by a Partial-mode pre-aggregate, so
