@@ -277,11 +277,12 @@ object Dedup {
     * partial-agg'd min — fully distributed, no driver-side graph.
     * Rounds needed = component diameter; near-dup components are
     * near-cliques (high-Jaccard similarity is almost transitive), so
-    * 2–3 rounds in practice, `maxIters` as a runaway bound. For
-    * adversarial long-path graphs the published upgrade is
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC '14) — same primitives, O(log² n)
-    * rounds.
+    * 2–3 rounds in practice, `maxIters` as a runaway bound. If the
+    * bound is hit (adversarial long-chain graphs), the default is to
+    * fall back to [[connectedComponentsStar]], whose round count is
+    * polylog in n regardless of diameter; `starFallback = false`
+    * restores the fail-loud contract for callers that would rather
+    * abort than change algorithm mid-query.
     *
     * Each round's label frame is `localCheckpoint`ed (eager): a
     * plain persist would NOT truncate the logical plan, and with the
@@ -297,7 +298,8 @@ object Dedup {
     * @return columns `id`, `label` (= min node id in the component)
     */
   private[graft] def connectedComponents(
-      nodes: DataFrame, edges: DataFrame, maxIters: Int = 50): DataFrame = {
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 50,
+      starFallback: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -330,13 +332,106 @@ object Dedup {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    if (!converged && starFallback)
+      // diameter exceeded the bound: restart with the diameter-
+      // independent algorithm rather than abort (the wasted min-label
+      // rounds are bounded by maxIters; star converges in polylog
+      // rounds from scratch)
+      return connectedComponentsStar(nodes, edges)
     // an unconverged result is NOT connected components — fail loudly
     // rather than hand back labels that look plausible
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds " +
-        "(component diameter exceeds the bound; raise maxIters or switch " +
-        "to large-star/small-star)")
+        "(component diameter exceeds the bound; raise maxIters or use " +
+        "connectedComponentsStar)")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC '14): round count is polylog in n REGARDLESS
+    * of component diameter, vs min-label propagation's O(diameter) —
+    * the algorithm of record for adversarial long-chain graphs
+    * (boilerplate dup chains at corpus scale). Same distributed
+    * primitives as [[connectedComponents]]: each half-round is one
+    * partial-agg'd groupBy-min plus one shuffle join, no driver-side
+    * graph state.
+    *
+    * large-star hooks every node's LARGER neighbors directly onto the
+    * minimum of its closed neighborhood — long chains halve per round.
+    * small-star re-hooks the smaller neighbors (and the node itself)
+    * onto that minimum — partial stars flatten. The only states fixed
+    * under both steps are forests of stars rooted at component minima
+    * (Kiveris et al., Thm 1-2), so at the fixpoint every non-root
+    * carries exactly the edge (v, component-min) and labels read off
+    * with one groupBy.
+    *
+    * The edge set is kept canonically oriented (u > v) and deduped;
+    * the fixpoint test compares a multiset digest of that canonical
+    * set — row count plus an exact decimal sum of a 60-bit md5 prefix
+    * per edge — one partial-agg'd scan per round, no comparison join
+    * (same digest trick as the Verify oracle hashes). Each round is
+    * eagerly `localCheckpoint`ed for the same lineage-doubling reason
+    * documented on [[connectedComponents]].
+    *
+    * @param nodes single column `id`
+    * @param edges columns `src`, `dst` (undirected; any orientation)
+    * @return columns `id`, `label` (= min node id in the component)
+    */
+  private[graft] def connectedComponentsStar(
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 32): DataFrame = {
+    // canonical form: u > v, self-loops dropped, deduped — makes the
+    // digest representation-independent and bounds edge growth
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    def digest(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(conv(substring(md5(concat_ws(":", col("u"), col("v"))), 1, 15), 16, 10)
+          .cast("decimal(38,0)")).as("h")).collect()(0)
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    }
+    // for each u over BOTH edge directions: m = min(closed nbhd);
+    // emit (v, m) for every strictly-larger neighbor v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // canonical input (u > v): every v-side neighbor is smaller, so
+    // m = min neighbor; re-hook each smaller neighbor and u onto m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val attach = e.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      canon(attach.union(mins.select(col("u"), col("m").as("v"))))
+    }
+    var e = canon(edges.select(col("src").as("u"), col("dst").as("v")))
+      .localCheckpoint(true)
+    var prev = digest(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val d = digest(next)
+      converged = d == prev
+      prev = d
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    // fixpoint = star forest: every non-root has exactly (v, root);
+    // roots and isolated nodes label themselves
+    val lbl = e.groupBy(col("u")).agg(min(col("v")).as("label"))
+      .withColumnRenamed("u", "lid")
+    nodes.join(lbl, col("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Materialize-once cluster labels per (session, sfDir): d07 and

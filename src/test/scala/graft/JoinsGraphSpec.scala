@@ -58,6 +58,68 @@ class JoinsGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponentsStar matches union-find on a random 2000-node graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 2000L
+    val edgeList = Seq.fill(3000)((rnd.nextLong(n).abs % n, rnd.nextLong(n).abs % n))
+      .filter(e => e._1 != e._2)
+    val nodes = (0L until n).toDF("id")
+    val edges = edgeList.toDF("src", "dst")
+    val got = Dedup.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(got.size == n)
+    (0L until n).foreach { v =>
+      assert(got(v) == find(v), s"node $v: ${got(v)} != ${find(v)}")
+    }
+  }
+
+  test("star CC converges on a 512-node path where min-label's bound trips") {
+    import spark.implicits._
+    // adversarial diameter: a path over PERMUTED ids (so label order
+    // carries no shortcut); min-label needs ~512 rounds, star is polylog
+    val n = 512
+    val perm = new scala.util.Random(3).shuffle((0L until n.toLong).toVector)
+    val edgeList = perm.sliding(2).map(w => (w(0), w(1))).toSeq
+    val nodes = perm.toDF("id")
+    val edges = edgeList.toDF("src", "dst")
+    val want = perm.map(_ -> perm.min).toMap
+    // star alone: correct within a small diameter-independent bound
+    val star = Dedup.connectedComponentsStar(nodes, edges, maxIters = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == want)
+    // min-label with a tripped bound: fail-loud without fallback ...
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIters = 8, starFallback = false)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // ... rescued by the default star fallback
+    val rescued = Dedup.connectedComponents(nodes, edges, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rescued == want)
+  }
+
+  test("connectedComponentsStar: empty graph and isolated nodes") {
+    import spark.implicits._
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("src", "dst")
+    ).count() == 0)
+    val got = Dedup.connectedComponentsStar(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"),
+      Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    ).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("d07 clusters are consistent closures of the d02 pairs") {
     val pairs = Dedup.d02DedupMinhash(spark, sfDir)
       .select("doc_a", "doc_b").collect()
