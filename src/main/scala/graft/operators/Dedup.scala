@@ -528,6 +528,12 @@ object Dedup {
   def d09DedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // the full index feeds BOTH the df pass and the rare semi-join,
+    // and is deliberately RECOMPUTED for each (not persisted): the
+    // exploded index is ~10× the corpus (one row per distinct shingle
+    // per doc), so storing it costs more than a second codegen'd
+    // scan+explode — measured at sf0.1: persist(MEMORY_AND_DISK) made
+    // d09 15% slower; at 100 TB it would mean petabyte-scale spill
     val inv = docs
       .select(col("doc_id"),
         explode(array_distinct(call_function("word_grams", col("text"), lit(3)))).as("sh"))
