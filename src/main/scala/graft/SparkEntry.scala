@@ -78,6 +78,7 @@ object SparkEntry {
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
+    "p05_profile" -> (Pipeline.p05Profile _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
@@ -1143,6 +1144,26 @@ object SparkEntry {
         |WHERE qs.doc_id IN (SELECT doc_id FROM k)
         |  AND qs.quality_score >= 0.35 AND NOT (h.hv < 2.0)
         |ORDER BY qs.doc_id""".stripMargin,
+    // p05: both engines profile the STRINGIFIED value (so numeric
+    // columns compare their decimal rendering) and count distincts on
+    // md5 digests — exactly what the Spark side shuffles.
+    "p05_profile" ->
+      """WITH m AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+        |SELECT col_name,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT md5(val)) AS BIGINT) AS n_distinct,
+        |  CAST(min(length(val)) AS BIGINT) AS min_len,
+        |  CAST(max(length(val)) AS BIGINT) AS max_len,
+        |  round(avg(CAST(length(val) AS DOUBLE)), 2) AS avg_len
+        |FROM m
+        |GROUP BY col_name
+        |ORDER BY col_name""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -127,4 +127,39 @@ object Pipeline {
         col("start_offset"), col("chunk_id"), col("spans_boundary"))
       .orderBy(col("doc_id"))
   }
+
+  /** Columns profiled by [[p05Profile]] — the full documents schema. */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** p05: data profiling — per-column null count, exact distinct
+    * count, and value-length stats over the corpus in ONE scan: the
+    * health dashboard every ingest runs before training. Columns are
+    * melted to (col_name, stringified value) rows with `stack` (a
+    * generator — 5× row fan-out, still one pass over the parquet),
+    * then one aggregation. Distinct counting hashes values to 16-byte
+    * md5 digests first, so the distinct-rewrite shuffle carries
+    * (col_name, digest) — never document text — and Catalyst's
+    * two-phase rewrite partial-aggregates on that pair, so 5 group
+    * keys do NOT mean 5 reducer tasks. At 100 TB swap
+    * `count(distinct …)` for `approx_count_distinct` (single-pass
+    * HLL partial agg, no per-value shuffle at all); exact counting is
+    * kept here because it is what a DuckDB oracle can verify.
+    * Length stats are on the stringified value (profiling convention;
+    * numeric columns profile their decimal rendering).
+    */
+  def p05Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', cast($c as string)").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .select(expr(s"stack(${ProfileCols.size}, $stackArgs) as (col_name, val)"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(md5(col("val"))).as("n_distinct"),
+        min(length(col("val"))).cast("long").as("min_len"),
+        max(length(col("val"))).cast("long").as("max_len"),
+        round(avg(length(col("val")).cast("double")), 2).as("avg_len"))
+      .orderBy(col("col_name"))
+  }
 }

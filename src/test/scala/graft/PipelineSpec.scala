@@ -38,6 +38,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._5).max > 0, "corpus should span multiple chunks")
   }
 
+  test("p05 profile: one scan, truth values on a known frame") {
+    import spark.implicits._
+    // plan shape: profiling all 5 columns must read the parquet ONCE
+    // (melt-then-aggregate), never once per column
+    val plan = Pipeline.p05Profile(spark, sfDir).queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected 1 parquet scan, got ${scans.size}")
+    // value truth against the real table, brute-forced in memory
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    val byCol: Map[String, Array[String]] = Map(
+      "doc_id" -> docs.map(r => String.valueOf(r.getLong(0))),
+      "text" -> docs.map(_.getString(1)),
+      "lang" -> docs.map(_.getString(2)),
+      "source" -> docs.map(_.getString(3)),
+      "n_chars" -> docs.map(r => String.valueOf(r.getLong(4))))
+    val got = Pipeline.p05Profile(spark, sfDir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    }.toMap
+    assert(got.keySet == byCol.keySet)
+    byCol.foreach { case (cname, vals) =>
+      val nonNull = vals.filter(_ != null)
+      val (nRows, nNull, nDistinct, minLen, maxLen, avgLen) = got(cname)
+      assert(nRows == vals.length, s"$cname n_rows")
+      assert(nNull == vals.count(_ == null), s"$cname n_null")
+      assert(nDistinct == nonNull.distinct.length, s"$cname n_distinct")
+      assert(minLen == nonNull.map(_.length).min, s"$cname min_len")
+      assert(maxLen == nonNull.map(_.length).max, s"$cname max_len")
+      val want = BigDecimal(nonNull.map(_.length.toDouble).sum / nonNull.length)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(avgLen - want) < 1e-9, s"$cname avg_len $avgLen != $want")
+    }
+  }
+
   test("t06 redaction removes exactly the digit characters") {
     val rows = TextAnalysis.t06RedactIds(spark, sfDir).collect()
       .map(r => (r.getString(2), r.getString(3), r.getLong(4)))
