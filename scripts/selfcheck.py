@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Dev-only mirror of the driver's correctness gate.
 
-Usage: python3 scripts/selfcheck.py <verify_out_dir> [sf_dir]
+Usage: python3 scripts/selfcheck.py <verify_out_dir> [sf_dir] [--only a,b,c]
+
+--only runs just the named queries (comma-separated) — the fast loop
+when iterating on one operator, or to skip the O(N^2) truth oracles
+at larger SFs.
 
 Reads each <name>/ parquet dumped by graft.Verify plus oracle_sql.json,
 runs every oracle SQL in DuckDB against the sf parquet tables, and
@@ -19,6 +23,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def _p(*a):
+    print(*a, flush=True)
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -29,9 +37,17 @@ def norm(v):
 
 
 def main():
-    out_dir = Path(sys.argv[1])
-    sf_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
+    out_dir = Path(args[0])
+    sf_dir = Path(args[1] if len(args) > 1 else "/root/testdata/sf0.01")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
@@ -48,11 +64,11 @@ def main():
             exp_cols = sorted(exp.columns)
             exp_rows = exp.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: error {e}")
+            _p(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         if got_cols != exp_cols:
-            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            _p(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
         gidx = [got.columns.index(c) for c in got_cols]
@@ -60,30 +76,31 @@ def main():
         g = sorted(tuple(norm(r[i]) for i in gidx) for r in got_rows)
         e = sorted(tuple(norm(r[i]) for i in eidx) for r in exp_rows)
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            _p(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
         elif g != e:
             diffs = [(a, b) for a, b in zip(g, e) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            _p(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(g)} rows)")
+            _p(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
     # queries without an oracle: rows>0 check
     for qdir in sorted(out_dir.iterdir()):
-        if qdir.is_dir() and qdir.name not in oracle:
+        if qdir.is_dir() and qdir.name not in oracle and (
+                only is None or qdir.name in only):
             try:
                 n = con.sql(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
                 status = "PASS" if n > 0 else "FAIL"
-                print(f"{status} {qdir.name} (rows-only: {n} rows)")
+                _p(f"{status} {qdir.name} (rows-only: {n} rows)")
                 if n > 0:
                     n_pass += 1
                 else:
                     n_fail += 1
             except Exception as e:
-                print(f"FAIL {qdir.name}: {e}")
+                _p(f"FAIL {qdir.name}: {e}")
                 n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    _p(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 
