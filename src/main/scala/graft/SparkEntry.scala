@@ -58,6 +58,7 @@ object SparkEntry {
     "d04_dedup_ngram" -> (Dedup.d04DedupNgram _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
     "d09_dedup_containment" -> (Dedup.d09DedupContainment _),
+    "d10_dedup_incremental" -> (Dedup.d10DedupIncremental _),
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
@@ -458,6 +459,32 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d10 oracle: all-pairs TRUTH restricted to delta × corpus — the
+    // same independent ground truth as d02's, which the LSH banding
+    // (identical 16×8 / 0.71 s-curve) must reproduce at ≥ 0.7.
+    "d10_dedup_incremental" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tk),
+        |p AS (
+        |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |         len(list_intersect(n.s, c.s)) AS i, len(n.s) AS na, len(c.s) AS nb
+        |  FROM sh n JOIN sh c ON n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7),
+        |j AS (
+        |  SELECT new_id, corpus_id,
+        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+        |              WHEN na = 0 OR nb = 0 THEN 0.0
+        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
+        |  FROM p)
+        |SELECT new_id, corpus_id, round(jac, 4) AS jaccard
+        |FROM j WHERE jac >= 0.7
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // d03 oracle recomputes the EXACT simhash signatures (md5 token
     // hashes, two 32-bit halves) and takes all pairs at hamming <= 3;
     // 4x16-bit banding has recall 1 there by pigeonhole, so the Spark

@@ -568,6 +568,54 @@ object Dedup {
       .orderBy(col("contained_id"), col("container_id"))
   }
 
+  /** d10: incremental dedup — a NEW ingest batch probed against the
+    * already-indexed corpus, the shape a production pipeline runs
+    * daily: never re-dedup the whole corpus, only the delta. The
+    * batch here is `doc_id % 10 == 7` (a deterministic ~10% slice);
+    * output is every (new doc, corpus doc) pair with word-3gram
+    * Jaccard ≥ 0.7, i.e. the new documents the corpus already has.
+    *
+    * Scale design: the corpus side is the SAME banded MinHash index
+    * d02 builds — in production it is materialized once and written
+    * bucketed by (band_id, band_hash) (`Sources.writeBucketed`), so
+    * the daily probe join is shuffle-free on the corpus side and
+    * only the delta's bands (16 small rows per new doc) move; here
+    * both sides are computed inline because the driver contract
+    * evaluates the operator standalone. Degenerate corpus buckets
+    * are dropped at [[MaxBucket]] before the probe join (the same
+    * documented recall trade as [[bucketPairs]] tier 2), so a
+    * boilerplate bucket can never quadratically explode a probe.
+    * Candidates stream out of the band join (no per-bucket arrays),
+    * are `distinct`-ed to one per pair, then exact-verified with the
+    * codegen Jaccard kernel.
+    */
+  def d10DedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val corpus = docs.filter(!isNew)
+    val delta = docs.filter(isNew)
+    val corpusBands = bandedSignatures(corpus, shingleN = 3, bands = 16, rows = 8)
+    val hot = corpusBands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucket)
+      .select(col("band_id"), col("band_hash"))
+    val index = corpusBands
+      .join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val probe = bandedSignatures(delta, shingleN = 3, bands = 16, rows = 8)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("new_id"))
+    val cands = probe.join(index, Seq("band_id", "band_hash"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val tn = delta.select(col("doc_id").as("new_id"), col("text").as("text_n"))
+    val tc = corpus.select(col("doc_id").as("corpus_id"), col("text").as("text_c"))
+    cands.join(tn, "new_id").join(tc, "corpus_id")
+      .withColumn("jaccard",
+        call_function("ngram_jaccard", col("text_n"), col("text_c"), lit(3)))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   /** d07: duplicate-cluster assembly — connected components over the
     * verified MinHash near-dup pairs ([[minhashPairs]]), the step a
     * real dedup pipeline needs after pair generation: "keep one doc

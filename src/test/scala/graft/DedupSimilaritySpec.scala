@@ -72,6 +72,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("d10 incremental probe equals the d02 pairs straddling the split") {
+    // same banding, same verify threshold -> restricted to
+    // (delta, corpus) pairs the two operators must agree exactly
+    val d02 = Dedup.d02DedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = d02.flatMap { case (a, b, j) =>
+      val (an, bn) = (a % 10 == 7, b % 10 == 7)
+      if (an && !bn) Some((a, b, j))
+      else if (bn && !an) Some((b, a, j))
+      else None
+    }.toSet
+    val got = Dedup.d10DedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "split should straddle some near-dup pairs")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("d04 2-gram banding finds exactly the jaccard2>=0.5 pairs (vs brute force)") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
