@@ -41,17 +41,19 @@ object Dedup {
     * the signature cost at sf0.1); the foldable sequence's inferred
     * filter constant-folds away instead.
     */
-  private[operators] def bandedSignatures(
-      docs: DataFrame, shingleN: Int, bands: Int, rows: Int): DataFrame = {
+  private[graft] def bandedSignatures(
+      docs: DataFrame, shingleN: Int, bands: Int, rows: Int,
+      keep: Seq[String] = Nil): DataFrame = {
     require(bands * rows <= MinhashK, s"bands*rows must be <= $MinhashK")
     registerAll(docs.sparkSession)
+    val keepCols = keep.map(col)
     docs
       .withColumn("sig", call_function("minhash_sig", col("text"), lit(MinhashK), lit(shingleN)))
-      .select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band_id"))
-      .select(col("doc_id"), col("band_id"),
+      .select(col("doc_id") +: col("sig") +: keepCols :+
+        explode(sequence(lit(0), lit(bands - 1))).as("band_id"): _*)
+      .select(col("doc_id") +: col("band_id") +:
         hash(slice(col("sig"), col("band_id") * rows + 1, lit(rows)), col("band_id"))
-          .as("band_hash"))
+          .as("band_hash") +: keepCols: _*)
   }
 
   /** Largest bucket expanded to pairs: caps the quadratic blow-up of a
@@ -589,19 +591,28 @@ object Dedup {
     * are `distinct`-ed to one per pair, then exact-verified with the
     * codegen Jaccard kernel.
     */
+  /** The probe-able corpus band index behind [[d10DedupIncremental]]
+    * and its streaming twin: the d02 MinHash banding with degenerate
+    * buckets dropped at [[MaxBucket]]. In production this frame is
+    * materialized once and written bucketed by (band_id, band_hash).
+    */
+  private[graft] def corpusBandIndex(corpus: DataFrame): DataFrame = {
+    val corpusBands = bandedSignatures(corpus, shingleN = 3, bands = 16, rows = 8)
+    val hot = corpusBands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucket)
+      .select(col("band_id"), col("band_hash"))
+    corpusBands
+      .join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_id"))
+  }
+
   def d10DedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val isNew = pmod(col("doc_id"), lit(10)) === 7
     val corpus = docs.filter(!isNew)
     val delta = docs.filter(isNew)
-    val corpusBands = bandedSignatures(corpus, shingleN = 3, bands = 16, rows = 8)
-    val hot = corpusBands.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucket)
-      .select(col("band_id"), col("band_hash"))
-    val index = corpusBands
-      .join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
-      .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_id"))
+    val index = corpusBandIndex(corpus)
     val probe = bandedSignatures(delta, shingleN = 3, bands = 16, rows = 8)
       .select(col("band_id"), col("band_hash"), col("doc_id").as("new_id"))
     val cands = probe.join(index, Seq("band_id", "band_hash"))

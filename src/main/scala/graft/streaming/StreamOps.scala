@@ -138,6 +138,46 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** On-disk documents schema for a streaming ingest of new docs. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming twin of d10 incremental dedup: new documents arrive as
+    * a stream and probe the STATIC corpus band index — the continuous
+    * form of the daily batch-vs-corpus probe. Entirely stateless:
+    * banding is a scalar-expression generator, and both joins are
+    * stream-static (the index and the corpus text), so no state store
+    * grows with the stream. Emits one row per (new doc, corpus match,
+    * matching band) — per-pair dedup belongs in the sink (all bands
+    * of a new doc share its micro-batch, so a per-batch distinct is
+    * exact; a global `dropDuplicates` here would grow unbounded
+    * keyed state for no benefit).
+    *
+    * `corpusIndex` is [[graft.operators.Dedup.corpusBandIndex]]
+    * output, pre-materialized (production: written bucketed by
+    * (band_id, band_hash) so the per-batch probe is shuffle-free on
+    * the corpus side).
+    */
+  def incrementalDedupProbe(newDocs: DataFrame, corpusIndex: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    val banded = graft.operators.Dedup.bandedSignatures(
+      newDocs, shingleN = 3, bands = 16, rows = 8, keep = Seq("text"))
+      .select(col("doc_id").as("new_id"), col("band_id"), col("band_hash"),
+        col("text").as("text_n"))
+    banded.join(corpusIndex, Seq("band_id", "band_hash"))
+      .join(corpusDocs.select(col("doc_id").as("corpus_id"),
+        col("text").as("text_c")), "corpus_id")
+      .withColumn("jaccard",
+        call_function("ngram_jaccard", col("text_n"), col("text_c"), lit(3)))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   case class Ev(event_id: Long, ts: Instant, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,

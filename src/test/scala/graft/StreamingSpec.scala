@@ -24,6 +24,58 @@ class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.spark
 
+  test("streaming incremental dedup probe converges to the batch d10 result") {
+    import graft.operators.Dedup
+    // static side: corpus docs + the materialized band index
+    // (production pre-materializes it; localCheckpoint is the
+    // sandbox stand-in so per-micro-batch reads hit stored blocks)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val corpus = docs.filter(!isNew)
+    val index = Dedup.corpusBandIndex(corpus).localCheckpoint(true)
+    // delta arrives as TWO micro-batches (split by doc_id half)
+    val delta = docs.filter(isNew)
+    val mid = delta.agg(percentile_approx(col("doc_id"), lit(0.5), lit(100)))
+      .collect()(0).getLong(0)
+    val src = java.nio.file.Files.createTempDirectory("graft-d10-stream")
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-d10-$name")
+      Tables.documents(spark, sfDir).filter(isNew && cond)
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        src.resolve(s"$name.parquet"))
+    }
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    var nBatches = 0
+    val stream = spark.readStream.schema(StreamOps.documentSchema)
+      .parquet(src.toString)
+      .select(col("doc_id"), col("text"))
+    val q = StreamOps.incrementalDedupProbe(stream, index, corpus)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch distinct is exact: all bands of a doc share its batch
+        val rows = df.collect()
+        got.synchronized {
+          nBatches += 1
+          rows.foreach(r => got += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+      }
+      .start()
+    try {
+      stage(col("doc_id") <= mid, "b0")
+      q.processAllAvailable()
+      stage(col("doc_id") > mid, "b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(nBatches >= 2, s"expected at least two micro-batches, got $nBatches")
+    val want = Dedup.d10DedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty && got.toSet == want,
+      s"missing=${want -- got} extra=${got.toSet -- want}")
+  }
+
   test("stream_window_agg drains to the batch q30 result") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val q = StreamOps.windowAgg(stream)
