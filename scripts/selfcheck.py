@@ -47,6 +47,11 @@ def main():
     sf_dir = Path(args[1] if len(args) > 1 else "/root/testdata/sf0.01")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     if only is not None:
+        known = set(oracle) | {d.name for d in out_dir.iterdir() if d.is_dir()}
+        unknown = only - known
+        if not only or unknown:
+            _p(f"ERROR: --only names not found: {sorted(unknown) or '(empty)'}")
+            sys.exit(2)
         oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:

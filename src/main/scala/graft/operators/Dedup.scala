@@ -443,28 +443,29 @@ object Dedup {
     * [[connectedComponents]] already `localCheckpoint`s its result;
     * the memo keeps that reference so the second caller reads the
     * materialized blocks (the production "materialize labels once"
-    * pattern, previously only documented). Weak session keys: entries
-    * for stopped/unreferenced sessions are GC-collected, so the memo
-    * never outlives the sessions it serves.
+    * pattern, previously only documented). Bounded by construction:
+    * a SINGLE (session, sfDir) entry — d07/d08 over the same input
+    * hit it back-to-back, any other (session, sfDir) evicts the old
+    * entry, so the memo can never accumulate frames across sessions
+    * or inputs. (A WeakHashMap keyed by session would NOT collect:
+    * the cached DataFrame strongly references its session, pinning
+    * the weak key — the classic WeakHashMap value→key pitfall.)
     */
-  private val labelsMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private var labelsMemo: Option[(SparkSession, String, DataFrame)] = None
 
-  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = labelsMemo.synchronized {
-      var m = labelsMemo.get(spark)
-      if (m == null) { m = scala.collection.mutable.Map.empty; labelsMemo.put(spark, m) }
-      m
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      labelsMemo match {
+        case Some((s, d, labels)) if (s eq spark) && d == sfDir => labels
+        case _ =>
+          val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+          val pairs = minhashPairs(spark, sfDir)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val labels = connectedComponents(docs, pairs)
+          labelsMemo = Some((spark, sfDir, labels))
+          labels
+      }
     }
-    perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir, {
-        val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-        val pairs = minhashPairs(spark, sfDir)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        connectedComponents(docs, pairs)
-      })
-    }
-  }
 
   /** d08: dedup application — the corpus AFTER near-dup removal: one
     * canonical survivor (the min-id member, = the d07 cluster id) per
@@ -595,6 +596,14 @@ object Dedup {
     * and its streaming twin: the d02 MinHash banding with degenerate
     * buckets dropped at [[MaxBucket]]. In production this frame is
     * materialized once and written bucketed by (band_id, band_hash).
+    *
+    * The cap counts CORPUS rows only — the index is built before any
+    * delta exists, so it cannot count probe docs. d02's [[bucketPairs]]
+    * cap counts the whole bucket; the two can therefore disagree only
+    * on a bucket whose corpus side is ≤ [[MaxBucket]] but whose
+    * corpus+delta total exceeds it (d02 drops, d10 probes) — a
+    * boundary band of width |delta∩bucket| around the cap, empty at
+    * the test SFs and vanishingly rare outside degenerate corpora.
     */
   private[graft] def corpusBandIndex(corpus: DataFrame): DataFrame = {
     val corpusBands = bandedSignatures(corpus, shingleN = 3, bands = 16, rows = 8)

@@ -146,29 +146,42 @@ object StreamOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming twin of d10 incremental dedup: new documents arrive as
-    * a stream and probe the STATIC corpus band index — the continuous
-    * form of the daily batch-vs-corpus probe. Entirely stateless:
-    * banding is a scalar-expression generator, and both joins are
-    * stream-static (the index and the corpus text), so no state store
-    * grows with the stream. Emits one row per (new doc, corpus match,
-    * matching band) — per-pair dedup belongs in the sink (all bands
-    * of a new doc share its micro-batch, so a per-batch distinct is
-    * exact; a global `dropDuplicates` here would grow unbounded
-    * keyed state for no benefit).
+  /** Streaming twin of d10 incremental dedup, candidate stage: new
+    * documents arrive as a stream and probe the STATIC corpus band
+    * index — the continuous form of the daily batch-vs-corpus probe.
+    * Entirely stateless (banding is a scalar-expression generator,
+    * the index join is stream-static), so no state store grows with
+    * the stream. Emits one row per (new doc, corpus match, MATCHING
+    * BAND); pair-level dedup and the expensive exact verify belong in
+    * the sink via [[verifyDedupCandidates]] — all bands of a doc
+    * share its micro-batch, so a per-batch distinct there is exact,
+    * whereas a streaming-side `dropDuplicates` would grow unbounded
+    * keyed state and a pre-distinct verify would re-run the Jaccard
+    * kernel once per band (a true dup collides in all 16).
     *
     * `corpusIndex` is [[graft.operators.Dedup.corpusBandIndex]]
     * output, pre-materialized (production: written bucketed by
     * (band_id, band_hash) so the per-batch probe is shuffle-free on
     * the corpus side).
     */
-  def incrementalDedupProbe(newDocs: DataFrame, corpusIndex: DataFrame,
-      corpusDocs: DataFrame): DataFrame = {
-    val banded = graft.operators.Dedup.bandedSignatures(
+  def incrementalDedupCandidates(newDocs: DataFrame,
+      corpusIndex: DataFrame): DataFrame =
+    graft.operators.Dedup.bandedSignatures(
       newDocs, shingleN = 3, bands = 16, rows = 8, keep = Seq("text"))
       .select(col("doc_id").as("new_id"), col("band_id"), col("band_hash"),
         col("text").as("text_n"))
-    banded.join(corpusIndex, Seq("band_id", "band_hash"))
+      .join(corpusIndex, Seq("band_id", "band_hash"))
+      .select(col("new_id"), col("corpus_id"), col("text_n"))
+
+  /** Sink-side verify for [[incrementalDedupCandidates]], run per
+    * micro-batch inside foreachBatch (batch semantics): distinct the
+    * band matches to one row per pair, join the corpus text, and
+    * exact-verify with the codegen Jaccard kernel — once per pair,
+    * not once per matching band.
+    */
+  def verifyDedupCandidates(candidates: DataFrame,
+      corpusDocs: DataFrame): DataFrame =
+    candidates.dropDuplicates("new_id", "corpus_id")
       .join(corpusDocs.select(col("doc_id").as("corpus_id"),
         col("text").as("text_c")), "corpus_id")
       .withColumn("jaccard",
@@ -176,7 +189,6 @@ object StreamOps {
       .filter(col("jaccard") >= 0.7)
       .select(col("new_id"), col("corpus_id"),
         round(col("jaccard"), 4).as("jaccard"))
-  }
 
   case class Ev(event_id: Long, ts: Instant, user_id: Long,
       event_type: String, value: Double)

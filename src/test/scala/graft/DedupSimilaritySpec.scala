@@ -74,7 +74,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("d10 incremental probe equals the d02 pairs straddling the split") {
     // same banding, same verify threshold -> restricted to
-    // (delta, corpus) pairs the two operators must agree exactly
+    // (delta, corpus) pairs the two operators must agree exactly.
+    // (Exact equality additionally needs no band bucket straddling
+    // MaxBucket — d10's cap counts corpus rows, d02's the full
+    // bucket; buckets here are orders of magnitude below the cap.)
     val d02 = Dedup.d02DedupMinhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val want = d02.flatMap { case (a, b, j) =>

@@ -44,19 +44,24 @@ class StreamingSpec extends AnyFunSuite {
         .coalesce(1).write.mode("overwrite").parquet(d.toString)
       val part = java.nio.file.Files.list(d).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
-      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
-        src.resolve(s"$name.parquet"))
+      // stage atomically: the query is polling src, and a half-copied
+      // parquet (missing footer) would fail the micro-batch
+      val tmp = java.nio.file.Paths.get(part).resolveSibling(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), tmp)
+      java.nio.file.Files.move(tmp, src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val got = scala.collection.mutable.Set[(Long, Long, Double)]()
     var nBatches = 0
     val stream = spark.readStream.schema(StreamOps.documentSchema)
       .parquet(src.toString)
       .select(col("doc_id"), col("text"))
-    val q = StreamOps.incrementalDedupProbe(stream, index, corpus)
+    val q = StreamOps.incrementalDedupCandidates(stream, index)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        // per-batch distinct is exact: all bands of a doc share its batch
-        val rows = df.collect()
+        // sink-side verify: per-batch pair distinct is exact since all
+        // bands of a doc share its batch; Jaccard runs once per pair
+        val rows = StreamOps.verifyDedupCandidates(df, corpus).collect()
         got.synchronized {
           nBatches += 1
           rows.foreach(r => got += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
@@ -171,8 +176,12 @@ class StreamingSpec extends AnyFunSuite {
       raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
       val part = java.nio.file.Files.list(d).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet")).head
-      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
-        src.resolve(s"$name.parquet"))
+      // stage atomically: the query is polling src, and a half-copied
+      // parquet (missing footer) would fail the micro-batch
+      val tmp = java.nio.file.Paths.get(part).resolveSibling(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), tmp)
+      java.nio.file.Files.move(tmp, src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     def drain(): Unit = {
       val q = StreamOps.readEventStream(spark, src.toString)
@@ -216,8 +225,12 @@ class StreamingSpec extends AnyFunSuite {
       raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
       val part = java.nio.file.Files.list(d).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).head
-      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
-        src.resolve(s"$name.parquet"))
+      // stage atomically: the query is polling src, and a half-copied
+      // parquet (missing footer) would fail the micro-batch
+      val tmp = java.nio.file.Paths.get(part).resolveSibling(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), tmp)
+      java.nio.file.Files.move(tmp, src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val state = scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Double)]()
     stage(col("ts") < cutoffNs, "first_half")
