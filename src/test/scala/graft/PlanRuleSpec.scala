@@ -83,6 +83,16 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(bnl.isEmpty, "interval join must run as bucketed equi-join, not BNLJ")
   }
 
+  test("d10 incremental probe: equi-joins only, never a nested loop or cartesian") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = executed(Dedup.d10DedupIncremental(spark, sfDir))
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "band probe must stay an equi-join")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "band probe must never plan a cartesian product")
+  }
+
   test("s03 IVF cell assignment pre-aggregates before its shuffle") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
     import graft.operators.Similarity
