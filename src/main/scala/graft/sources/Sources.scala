@@ -135,6 +135,29 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Backfill/replace ONLY the partitions present in `df`, leaving
+    * every other partition untouched — dynamic partition overwrite,
+    * the write mode a daily pipeline uses to re-run one day of a
+    * years-deep table without clobbering the rest. (Static overwrite
+    * mode — the Spark default — would delete ALL partitions first.)
+    * The conf is set per-write and restored so the session default
+    * is not silently changed for other writers.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetFileBytes` files — the maintenance pass every long-lived
     * table needs (streaming sinks and fine-grained partitioning

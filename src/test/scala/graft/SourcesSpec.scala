@@ -73,6 +73,31 @@ class SourcesSpec extends AnyFunSuite {
       docs.filter(col("lang") === "en").count())
   }
 
+  test("dynamic partition overwrite replaces only the partitions written") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val dir = tmp("graft-dynpart")
+    Sources.writePartitioned(docs, dir, Seq("lang"))
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length >= 2, "need at least two partitions to distinguish modes")
+    val target = langs.min
+    // backfill one partition with amended rows (doc_id shifted)
+    val amended = docs.filter(col("lang") === target)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Sources.overwritePartitions(amended, dir, Seq("lang"))
+    val back = spark.read.parquet(dir)
+    // untouched partitions survive; the target partition is replaced
+    assert(back.filter(col("lang") =!= target).count() ==
+      docs.filter(col("lang") =!= target).count(),
+      "static-overwrite semantics would have deleted the other partitions")
+    assert(back.filter(col("lang") === target && col("doc_id") < 1000000L).count() == 0,
+      "target partition must hold only the backfilled rows")
+    assert(back.filter(col("lang") === target).count() ==
+      docs.filter(col("lang") === target).count())
+    // session conf restored (per-write override must not leak)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"))
+  }
+
   test("text source round-trips a documents ingest (line mode + wholetext)") {
     // line mode: one doc per line (newlines stripped — the documented
     // contract for line-mode writes)
