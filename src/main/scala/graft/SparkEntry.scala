@@ -80,16 +80,75 @@ object SparkEntry {
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
     "p05_profile" -> (Pipeline.p05Profile _),
+    "s04_kmeans" -> (Similarity.s04Kmeans _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
   )
+
+  /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
+    * the same cosine / argmax / fixed-point-mean CTE blocks as the
+    * s03 oracle, GENERATED one block per round (c0 → c1 → … → c_iters)
+    * rather than hand-written — then the final assignment and cell
+    * sizes. Bit-exactness across rounds holds because cell means are
+    * long sums of `floor(x·1024+0.5)` (order-independent in both
+    * engines) and cosines are double-precision in index order.
+    */
+  private def kmeansOracle(iters: Int): String = {
+    def assignCtes(tag: String, cents: String): String =
+      s"""sc$tag AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
+         |  FROM embeddings e CROSS JOIN $cents c),
+         |rk$tag AS (
+         |  SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM sc$tag),
+         |asg$tag AS (SELECT vec_id, embedding, cid AS cell FROM rk$tag WHERE rn = 1)""".stripMargin
+    def meanCtes(tag: String, prevCents: String, outCents: String): String =
+      s"""lex$tag AS (
+         |  SELECT cell, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS x
+         |  FROM asg$tag),
+         |lsum$tag AS (
+         |  SELECT cell, j,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |  FROM lex$tag GROUP BY cell, j),
+         |lcnt$tag AS (SELECT cell, count(*) AS n FROM asg$tag GROUP BY cell),
+         |cm$tag AS (
+         |  SELECT cell AS cid,
+         |    list(CAST(CAST(s AS DOUBLE) / (1024.0 * n) AS FLOAT) ORDER BY j) AS cv
+         |  FROM lsum$tag JOIN lcnt$tag USING (cell) GROUP BY cell, n),
+         |$outCents AS (
+         |  SELECT cid, cv FROM cm$tag
+         |  UNION ALL
+         |  SELECT cid, cv FROM $prevCents WHERE cid NOT IN (SELECT cell FROM lcnt$tag))""".stripMargin
+    val seed =
+      """c0 AS (
+        |  SELECT vec_id AS cid, embedding AS cv
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      assignCtes(s"_$r", s"c${r - 1}") + ",\n" + meanCtes(s"_$r", s"c${r - 1}", s"c$r")
+    }.mkString(",\n")
+    val fin =
+      s"""${assignCtes("_f", s"c$iters")},
+         |siz AS (SELECT cell, count(*) AS cell_size FROM asg_f GROUP BY cell)
+         |SELECT a.vec_id, a.cell, CAST(s.cell_size AS BIGINT) AS cell_size
+         |FROM asg_f a JOIN siz s ON a.cell = s.cell
+         |ORDER BY a.vec_id""".stripMargin
+    s"WITH $seed,\n$rounds,\n$fin"
+  }
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
     * Spark result column names exactly (driver hash-compares by
     * name-sorted columns).
     */
   def oracleSql: Map[String, String] = Map(
+    "s04_kmeans" -> kmeansOracle(graft.operators.Similarity.KmeansIters),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -123,17 +123,62 @@ object Similarity {
     * appears on real, clustered corpora; s02 (LSH) is the better fit
     * for unstructured vectors.
     */
+  /** Deterministic md5-ordered seed sample of corpus vectors. */
+  private def seedCentroids(emb: DataFrame): DataFrame = emb
+    .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    .limit(NCentroids)
+    .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** Seeds refined by `iters` Lloyd rounds — each round one broadcast
+    * cross join + one fixed-point partial-agg'd mean (see
+    * [[lloydRefine]]); the 32-row centroid frame is checkpointed per
+    * round so lineage stays flat across iterations.
+    */
+  private[graft] def kmeansCentroids(spark: SparkSession, sfDir: String,
+      iters: Int): DataFrame = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    (1 to iters).foldLeft(seedCentroids(emb))((c, _) => lloydRefine(emb, c))
+  }
+
   /** Refined IVF centroids for a corpus (md5-sampled seeds + one
     * Lloyd round).
     */
-  private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    registerAll(spark)
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val seeds = emb
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(NCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    lloydRefine(emb, seeds)
+  private[graft] def ivfCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansCentroids(spark, sfDir, iters = 1)
+
+  /** Lloyd iterations for [[s04Kmeans]] — fixed (not convergence-
+    * tested) so the result is a pure function of the corpus and the
+    * DuckDB oracle can replicate it by unrolling exactly this many
+    * rounds.
+    */
+  private[graft] val KmeansIters = 3
+
+  /** s04: k-means clustering of the embedding corpus — the curation
+    * primitive behind cluster-then-dedup (SemDeDup-style), topic
+    * balancing, and mixture design. Seeds are the md5-ordered sample,
+    * refined by [[KmeansIters]] Lloyd rounds, then every vector is
+    * assigned to its argmax-cosine cell (ties to the smaller cid).
+    * Output: (vec_id, cell, cell_size).
+    *
+    * Scale shape — identical per round to the s03 index build:
+    * centroids stay a broadcast 32-row frame, assignment is a
+    * partial-agg'd argmax (the shuffle carries one row per vector),
+    * and the cell means are FIXED-POINT long sums
+    * (`floor(x·1024+0.5)`) — exact, order-independent, so the
+    * iteration is deterministic across partitionings/retries and
+    * bit-reproducible in the DuckDB oracle across all
+    * [[KmeansIters]] rounds (float partial sums are neither). At
+    * 100 TB: k grows to √N, rounds stay single-digit, and each round
+    * is one corpus scan — the textbook distributed Lloyd.
+    */
+  def s04Kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
+    val cells = ivfCells(spark, sfDir, centroids).select(col("vec_id"), col("cell"))
+    val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+    cells.join(sizes, "cell")
+      .select(col("vec_id"), col("cell"), col("cell_size"))
+      .orderBy(col("vec_id"))
   }
 
   /** Cell assignment (vec_id, cell, embedding) — the IVF index frame.

@@ -132,6 +132,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size >= (truth.size * 0.7).toInt, s"recall too low: ${got.size}/${truth.size}")
   }
 
+  test("s04 kmeans: assignment partitions the corpus; Lloyd rounds improve fit") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = Similarity.s04Kmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one cell per vector; sizes consistent with membership
+    assert(rows.length == vecs.length)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (cell, ms) =>
+      assert(ms.forall(_._3 == ms.length), s"cell $cell size mismatch")
+    }
+    // fit metric: mean best-cosine to the centroid set; refined
+    // centroids must fit at least as well as the raw seeds (Lloyd
+    // recentring), and in practice strictly better
+    def fit(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(spark, sfDir, iters).collect()
+        .map(r => r.getSeq[Float](1).toArray)
+      vecs.map { case (_, v) => cents.map(c => cos(v, c)).max }.sum / vecs.length
+    }
+    val (f0, f3) = (fit(0), fit(Similarity.KmeansIters))
+    assert(f3 >= f0 - 1e-9, s"refined fit $f3 worse than seed fit $f0")
+    assert(f3 > f0, s"expected strict improvement on this corpus: $f3 vs $f0")
+  }
+
   test("d09 containment pairs are true positives; substring docs are found") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
