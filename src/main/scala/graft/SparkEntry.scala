@@ -81,6 +81,7 @@ object SparkEntry {
     "p04_curate" -> (Pipeline.p04Curate _),
     "p05_profile" -> (Pipeline.p05Profile _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
+    "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
@@ -134,21 +135,44 @@ object SparkEntry {
     val rounds = (1 to iters).map { r =>
       assignCtes(s"_$r", s"c${r - 1}") + ",\n" + meanCtes(s"_$r", s"c${r - 1}", s"c$r")
     }.mkString(",\n")
-    val fin =
-      s"""${assignCtes("_f", s"c$iters")},
-         |siz AS (SELECT cell, count(*) AS cell_size FROM asg_f GROUP BY cell)
-         |SELECT a.vec_id, a.cell, CAST(s.cell_size AS BIGINT) AS cell_size
-         |FROM asg_f a JOIN siz s ON a.cell = s.cell
-         |ORDER BY a.vec_id""".stripMargin
-    s"WITH $seed,\n$rounds,\n$fin"
+    // prefix ends at asg_f: (vec_id, embedding, cell) under the final
+    // centroids — shared by the s04 and d11 oracles
+    s"WITH $seed,\n$rounds,\n${assignCtes("_f", s"c$iters")}"
   }
+
+  private def s04OracleSql(iters: Int): String =
+    s"""${kmeansOracle(iters)},
+       |siz AS (SELECT cell, count(*) AS cell_size FROM asg_f GROUP BY cell)
+       |SELECT a.vec_id, a.cell, CAST(s.cell_size AS BIGINT) AS cell_size
+       |FROM asg_f a JOIN siz s ON a.cell = s.cell
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** d11 oracle: same generated k-means prefix, then the min-id-
+    * representative rule — a vector is a dup iff a smaller-id
+    * cell-mate has cosine ≥ the bar.
+    */
+  private def d11OracleSql(iters: Int, bar: Double): String =
+    s"""${kmeansOracle(iters)},
+       |pr AS (
+       |  SELECT b.vec_id AS vb
+       |  FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= $bar)
+       |SELECT v.vec_id, v.cell, v.vec_id IN (SELECT vb FROM pr) AS is_dup
+       |FROM asg_f v ORDER BY v.vec_id""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
     * Spark result column names exactly (driver hash-compares by
     * name-sorted columns).
     */
   def oracleSql: Map[String, String] = Map(
-    "s04_kmeans" -> kmeansOracle(graft.operators.Similarity.KmeansIters),
+    "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
+    "d11_dedup_semantic" -> d11OracleSql(
+      graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

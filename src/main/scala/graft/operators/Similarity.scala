@@ -181,6 +181,43 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cosine bar for [[d11DedupSemantic]] — matches d05's near-dup
+    * threshold so the two operators' notions of "duplicate" align.
+    */
+  private[graft] val SemBar = 0.4
+
+  /** d11: semantic dedup, cluster-then-dedup (the SemDeDup recipe):
+    * k-means cells bound the pairwise comparison, then within each
+    * cell a vector is a duplicate iff a SMALLER-id cell-mate has
+    * cosine ≥ [[SemBar]] — the deterministic min-id-representative
+    * rule. Output: (vec_id, cell, is_dup) for every vector.
+    *
+    * Scale shape: the quadratic step is within-cell only — with
+    * k = √N cells the expected cell is √N vectors, and the cell
+    * self-join shuffles on the cell id. The documented recall trade
+    * is exactly SemDeDup's: near-dup pairs split across cells are
+    * missed (measured here: 24 of 59 ≥0.4-cosine pairs share a cell
+    * at sf0.01 on near-uniform synthetic vectors — real, clustered
+    * embeddings co-locate far better); d05 (LSH over the whole
+    * corpus) is the cross-cell-complete alternative.
+    */
+  def d11DedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
+    val cells = ivfCells(spark, sfDir, centroids)
+    val smaller = cells.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val dupIds = cells.select(col("cell"), col("vec_id"), col("embedding").as("eb"))
+      .join(smaller, "cell")
+      .filter(col("va") < col("vec_id"))
+      .filter(call_function("cosine_sim", col("ea"), col("eb")) >= SemBar)
+      .select(col("vec_id")).distinct()
+    cells.select(col("vec_id"), col("cell"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .select(col("vec_id"), col("cell"), col("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cell assignment (vec_id, cell, embedding) — the IVF index frame.
     * At 100 TB THIS is what gets materialized `partitionBy("cell")`
     * so probing reads only the probed cells via partition pruning

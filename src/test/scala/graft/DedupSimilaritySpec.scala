@@ -162,6 +162,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(f3 > f0, s"expected strict improvement on this corpus: $f3 vs $f0")
   }
 
+  test("d11 semantic dedup implements the min-id-representative rule exactly") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cells = Similarity.s04Kmeans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.d11DedupSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == emb.size)
+    rows.foreach { case (v, cell, isDup) =>
+      assert(cell == cells(v), s"d11 cell of $v differs from s04")
+      val truth = emb.keys.exists(u =>
+        u < v && cells(u) == cell && cos(emb(u), emb(v)) >= 0.4)
+      assert(isDup == truth, s"vec $v: is_dup=$isDup truth=$truth")
+    }
+  }
+
   test("d09 containment pairs are true positives; substring docs are found") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
