@@ -93,6 +93,14 @@ class PlanRuleSpec extends AnyFunSuite {
       "band probe must never plan a cartesian product")
   }
 
+  test("d11 within-cell pair join is an equi-join, never a cartesian") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val plan = executed(Similarity.d11DedupSemantic(spark, sfDir))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "cell self-join must shuffle on the cell id, not cross-product")
+  }
+
   test("s03 IVF cell assignment pre-aggregates before its shuffle") {
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
     import graft.operators.Similarity
