@@ -95,16 +95,23 @@ object SparkEntry {
     * long sums of `floor(x·1024+0.5)` (order-independent in both
     * engines) and cosines are double-precision in index order.
     */
+  /** The double-precision cosine SQL fragment (index-order sums —
+    * bit-identical to the Spark kernel) between two array columns.
+    * Single source for every embedding oracle below.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
   private def kmeansOracle(iters: Int): String = {
     def assignCtes(tag: String, cents: String): String =
       s"""sc$tag AS (
          |  SELECT e.vec_id, e.embedding, c.cid,
-         |    list_sum(list_transform(range(1, 65),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
-         |    (sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
-         |     sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
+         |    ${cosSql("e.embedding", "c.cv")} AS cs
          |  FROM embeddings e CROSS JOIN $cents c),
          |rk$tag AS (
          |  SELECT vec_id, embedding, cid,
@@ -132,12 +139,15 @@ object SparkEntry {
       """c0 AS (
         |  SELECT vec_id AS cid, embedding AS cv
         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)""".stripMargin
-    val rounds = (1 to iters).map { r =>
-      assignCtes(s"_$r", s"c${r - 1}") + ",\n" + meanCtes(s"_$r", s"c${r - 1}", s"c$r")
-    }.mkString(",\n")
     // prefix ends at asg_f: (vec_id, embedding, cell) under the final
-    // centroids — shared by the s04 and d11 oracles
-    s"WITH $seed,\n$rounds,\n${assignCtes("_f", s"c$iters")}"
+    // centroids — shared by the s03/s04/d11 oracles. Built as a part
+    // list so iters = 0 (seed-only) still yields valid SQL.
+    val parts = seed +:
+      (1 to iters).map { r =>
+        assignCtes(s"_$r", s"c${r - 1}") + ",\n" +
+          meanCtes(s"_$r", s"c${r - 1}", s"c$r")
+      } :+ assignCtes("_f", s"c$iters")
+    s"WITH ${parts.mkString(",\n")}"
   }
 
   private def s04OracleSql(iters: Int): String =
@@ -156,14 +166,35 @@ object SparkEntry {
        |pr AS (
        |  SELECT b.vec_id AS vb
        |  FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE list_sum(list_transform(range(1, 65),
-       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-       |    (sqrt(list_sum(list_transform(range(1, 65),
-       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-       |     sqrt(list_sum(list_transform(range(1, 65),
-       |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= $bar)
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $bar)
        |SELECT v.vec_id, v.cell, v.vec_id IN (SELECT vb FROM pr) AS is_dup
        |FROM asg_f v ORDER BY v.vec_id""".stripMargin
+
+  /** s03 oracle: the generated one-round k-means prefix (identical to
+    * what `ivfCentroids` computes) plus the probe/top-k suffix —
+    * sc_f scores every vector against the refined centroids, so the
+    * query probes read straight off it.
+    */
+  private def s03OracleSql: String =
+    s"""${kmeansOracle(1)},
+       |q1 AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, cid, cs,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM sc_f WHERE vec_id < 5),
+       |probe AS (SELECT query_id, qv, cid AS cell FROM q1 WHERE rn <= 8),
+       |scq AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    ${cosSql("p.qv", "a.embedding")} AS cos_raw
+       |  FROM probe p JOIN asg_f a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |rq AS (
+       |  SELECT query_id, vec_id, cos_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_raw DESC, vec_id) AS rank
+       |  FROM scq)
+       |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+       |FROM rq WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB-runnable ANSI SQL oracle per query key. Aliases match the
     * Spark result column names exactly (driver hash-compares by
@@ -726,77 +757,7 @@ object SparkEntry {
     // (floor(x*1024+0.5) long sums — order-independent, so exact in
     // both engines), same argmax cell assignment (ties to smaller
     // cid), same 8-cell probe (NProbe = 8), same final ranking.
-    "s03_ann_ivf" ->
-      """WITH c0 AS (
-        |  SELECT vec_id AS cid, embedding AS cv
-        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
-        |l0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
-        |  FROM embeddings e CROSS JOIN c0 c),
-        |l1 AS (
-        |  SELECT vec_id, embedding, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |  FROM l0),
-        |lasg AS (SELECT vec_id, embedding, cid AS cell FROM l1 WHERE rn = 1),
-        |lex AS (
-        |  SELECT cell, generate_subscripts(embedding, 1) AS j, unnest(embedding) AS x
-        |  FROM lasg),
-        |lsum AS (
-        |  SELECT cell, j,
-        |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
-        |  FROM lex GROUP BY cell, j),
-        |lcnt AS (SELECT cell, count(*) AS n FROM lasg GROUP BY cell),
-        |c1 AS (
-        |  SELECT cell AS cid,
-        |    list(CAST(CAST(s AS DOUBLE) / (1024.0 * n) AS FLOAT) ORDER BY j) AS cv
-        |  FROM lsum JOIN lcnt USING (cell) GROUP BY cell, n),
-        |cf AS (
-        |  SELECT cid, cv FROM c1
-        |  UNION ALL
-        |  SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM lcnt)),
-        |a0 AS (
-        |  SELECT e.vec_id, e.embedding, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))) AS cs
-        |  FROM embeddings e CROSS JOIN cf c),
-        |a1 AS (
-        |  SELECT vec_id, embedding, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |  FROM a0),
-        |asg AS (SELECT vec_id, embedding, cid AS cell FROM a1 WHERE rn = 1),
-        |q1 AS (
-        |  SELECT vec_id AS query_id, embedding AS qv, cid, cs,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-        |  FROM a0 WHERE vec_id < 5),
-        |probe AS (SELECT query_id, qv, cid AS cell FROM q1 WHERE rn <= 8),
-        |sc AS (
-        |  SELECT p.query_id, a.vec_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))) AS cos_raw
-        |  FROM probe p JOIN asg a ON a.cell = p.cell
-        |  WHERE a.vec_id <> p.query_id),
-        |r AS (
-        |  SELECT query_id, vec_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cos_raw DESC, vec_id) AS rank
-        |  FROM sc)
-        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
-        |FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "s03_ann_ivf" -> s03OracleSql,
     "t01_langid" ->
       """WITH tk AS (
         |  SELECT doc_id, lang AS labeled_lang,

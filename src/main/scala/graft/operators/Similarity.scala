@@ -174,7 +174,10 @@ object Similarity {
     */
   def s04Kmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
-    val cells = ivfCells(spark, sfDir, centroids).select(col("vec_id"), col("cell"))
+    // checkpointed: read by the size agg AND the final join — without
+    // it each consumer re-runs the corpus argmax (lloydRefine pattern)
+    val cells = ivfCells(spark, sfDir, centroids)
+      .select(col("vec_id"), col("cell")).localCheckpoint(true)
     val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
     cells.join(sizes, "cell")
       .select(col("vec_id"), col("cell"), col("cell_size"))
@@ -203,7 +206,11 @@ object Similarity {
     */
   def d11DedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
-    val cells = ivfCells(spark, sfDir, centroids)
+    // checkpointed: read by BOTH self-join sides and the final left
+    // join — three corpus argmax re-runs otherwise (lloydRefine
+    // pattern; in production this frame is the materialized
+    // partitionBy("cell") index)
+    val cells = ivfCells(spark, sfDir, centroids).localCheckpoint(true)
     val smaller = cells.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("ea"))
     val dupIds = cells.select(col("cell"), col("vec_id"), col("embedding").as("eb"))

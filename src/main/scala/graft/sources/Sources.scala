@@ -140,22 +140,23 @@ object Sources {
     * the write mode a daily pipeline uses to re-run one day of a
     * years-deep table without clobbering the rest. (Static overwrite
     * mode — the Spark default — would delete ALL partitions first.)
-    * The conf is set per-write and restored so the session default
-    * is not silently changed for other writers.
+    * The conf is set per-write and restored to its previous EFFECTIVE
+    * value afterwards: for a registered SQLConf `conf.get` returns the
+    * default when unset, so a never-set conf comes back pinned to that
+    * default — observably identical for every conf reader (an
+    * `unset`-based restore would be dead code, since `getOption` also
+    * reports the registered default).
     */
   def overwritePartitions(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
+    val prev = spark.conf.get(key)
     spark.conf.set(key, "dynamic")
     try df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    finally spark.conf.set(key, prev)
   }
 
   /** Small-files compaction: rewrite a parquet directory into

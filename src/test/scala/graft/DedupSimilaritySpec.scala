@@ -17,6 +17,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   private def u(s: String) = UTF8String.fromString(s)
 
+  /** Plain-Scala cosine (double accumulate, index order) — the truth
+    * twin of Kernels.cosineF used by the embedding specs.
+    */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   test("kernel: ngramJaccard basics") {
     assert(Kernels.ngramJaccard(u("a b c d"), u("a b c d"), 3) == 1.0)
     assert(Kernels.ngramJaccard(u("a b c d"), u("x y z w"), 3) == 0.0)
@@ -114,11 +123,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val truth = (for {
       i <- vecs.indices; j <- (i + 1) until vecs.length
       if cos(vecs(i)._2, vecs(j)._2) >= 0.4
@@ -133,11 +137,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("s04 kmeans: assignment partitions the corpus; Lloyd rounds improve fit") {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -163,11 +162,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("d11 semantic dedup implements the min-id-representative rule exactly") {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val emb = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
