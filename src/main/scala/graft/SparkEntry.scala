@@ -76,6 +76,7 @@ object SparkEntry {
     "t06_redact_ids" -> (TextAnalysis.t06RedactIds _),
     "t07_vocab" -> (TextAnalysis.t07Vocab _),
     "t08_entropy" -> (TextAnalysis.t08Entropy _),
+    "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
@@ -1133,6 +1134,28 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT 'supplier' AS entity, s_suppkey AS key, s_name AS name FROM supplier)
         |ORDER BY entity, key""".stripMargin,
+    "t09_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |ag AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS t_total, count(*) AS v_size FROM ag),
+        |mdl AS (
+        |  SELECT token,
+        |    CAST(floor(-log2((cnt + 1.0) / (t_total + v_size)) * 1048576.0 + 0.5) AS BIGINT) AS q
+        |  FROM ag, tot),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM tok JOIN mdl USING (token) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN pd.n_tokens > 0
+        |       THEN round(CAST(pd.sq AS DOUBLE) / (1048576.0 * pd.n_tokens), 4)
+        |       ELSE NULL END AS surprisal_bits
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t07_vocab" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -208,4 +208,52 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token"))
       .limit(100)
   }
+
+  /** Ticks per bit for [[t09Surprisal]]'s quantized code lengths (2²⁰). */
+  private val SurprisalScale = 1048576.0
+
+  /** t09: unigram surprisal — each document's mean code length in
+    * bits/token under the corpus's own add-1-smoothed unigram model:
+    * the LM-free perplexity proxy used as a quality filter (high
+    * surprisal = rare-token gibberish, very low = boilerplate
+    * repetition). Two passes: (1) unigram counts — one (token)
+    * shuffle, partial-agg'd — with the per-DISTINCT-token code length
+    * quantized to integer ticks `q = floor(−log2(p)·2²⁰ + 0.5)`;
+    * (2) docs explode to (doc, token) and join the model, and the
+    * per-doc tick sums are LONG sums — exact and order-independent
+    * where double sums are neither (the s03/t08 fixed-point pattern),
+    * so scores are deterministic across partitionings and
+    * reproducible in the DuckDB oracle. log2 is evaluated once per
+    * vocab entry (never per occurrence), so cross-engine libm ULP
+    * differences are confined to a ~2⁻³¹ floor-boundary window per
+    * distinct token, and a flipped tick moves a doc mean by 2⁻²⁰/n
+    * bits — invisible at the 4-decimal contract. At 100 TB the model
+    * is a small (token, q) frame: broadcast it when the vocab fits,
+    * shuffle-join otherwise; everything else is linear scans.
+    */
+  def t09Surprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("t_total"), count(lit(1)).as("v_size"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("q",
+        floor(-log2((col("cnt") + lit(1)).cast("double") /
+            (col("t_total") + col("v_size")).cast("double")) *
+          lit(SurprisalScale) + lit(0.5)).cast("long"))
+      .select(col("token"), col("q"))
+    val perDoc = toks.join(model, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("q")).as("sq"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_tokens"),
+        when(col("n_toks") > 0,
+          round(col("sq").cast("double") / (lit(SurprisalScale) * col("n_toks")), 4))
+          .otherwise(lit(null).cast("double")).as("surprisal_bits"))
+      .orderBy(col("doc_id"))
+  }
 }

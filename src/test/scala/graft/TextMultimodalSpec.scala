@@ -60,6 +60,40 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(t.getUTF8String(1).toString == "a c" && t.getLong(2) == 1L)
   }
 
+
+  test("t09 surprisal matches the brute-force unigram model") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[ \n\t\r]+").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap(d => toks(d._2))
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTotal = all.length.toLong
+    val vSize = cnt.size.toLong
+    def q(tok: String): Long =
+      math.floor(-(math.log((cnt(tok) + 1.0) / (tTotal + vSize)) / math.log(2.0))
+        * 1048576.0 + 0.5).toLong
+    val byId = TextAnalysis.t09Surprisal(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(byId.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val ts = toks(text)
+      val (n, s) = byId(id)
+      assert(n == ts.length, s"doc $id n_tokens")
+      if (ts.nonEmpty) {
+        val want = ts.map(q).sum.toDouble / (1048576.0 * ts.length)
+        // one quantization tick + rounding tolerance
+        assert(math.abs(s - want) < 2e-4, s"doc $id: $s vs $want")
+      }
+    }
+    // sanity: a rare-token doc scores above the corpus median
+    val scores = byId.values.collect { case (n, s) if n > 0 => s }.toSeq.sorted
+    assert(scores.last > scores(scores.size / 2), "surprisal should spread")
+  }
+
+
   test("m01 binary meta: mime follows the magic bytes, hash is content-derived") {
     val out = Multimodal.m01BinaryMeta(spark, sfDir).collect()
     assert(out.nonEmpty)
