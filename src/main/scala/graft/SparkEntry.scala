@@ -48,6 +48,7 @@ object SparkEntry {
     "q36_unpivot" -> (Relational.q36Unpivot _),
     "q37_lateral" -> (Relational.q37Lateral _),
     "q38_latest_per_key" -> (Relational.q38LatestPerKey _),
+    "q39_recursive_cal" -> (Relational.q39RecursiveCal _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -1156,6 +1157,19 @@ object SparkEntry {
         |       ELSE NULL END AS surprisal_bits
         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q39_recursive_cal" ->
+      """WITH RECURSIVE cal(month) AS (
+        |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM cal
+        |  WHERE month < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE))
+        |SELECT cal.month,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+        |  round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_price
+        |FROM cal LEFT JOIN orders o
+        |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = cal.month
+        |GROUP BY cal.month
+        |ORDER BY cal.month""".stripMargin,
     "t07_vocab" ->
       """WITH tk AS (
         |  SELECT doc_id,
