@@ -436,21 +436,33 @@ object Relational {
     * share one session/extension set). One Expand + one aggregation,
     * partial-agg'd like rollup/cube.
     */
-  def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    // view name keyed by the FULL sanitized path (hashCode could
-    // collide two directories into one slot), dropped after the query
-    // is analyzed so views don't accumulate for the session lifetime
-    val view = "lineitem_gs_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_")
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView(view)
-    try spark.sql(
-      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
-         |  round(sum(l_extendedprice), 2) AS total
-         |FROM $view
-         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
-         |                        (l_returnflag, l_linestatus))
-         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
-    finally spark.catalog.dropTempView(view)
+
+  /** Run `body` against uniquely-named temp views of `dfs`, then drop
+    * them. View names are keyed by the FULL sanitized path (hashCode
+    * could collide two directories into one slot) and dropped right
+    * after the query is ANALYZED (`sql()` resolves views eagerly), so
+    * views don't accumulate for the session lifetime. Shared by the
+    * SQL-text-surface operators (q26/q37/q39).
+    */
+  private def withTempViews(spark: SparkSession, sfDir: String,
+      dfs: (String, DataFrame)*)(body: Seq[String] => DataFrame): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    val names = dfs.map { case (p, df) =>
+      val v = s"${p}_$tag"; df.createOrReplaceTempView(v); v
+    }
+    try body(names) finally names.foreach(spark.catalog.dropTempView(_))
   }
+
+  def q26GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    withTempViews(spark, sfDir, "lineitem_gs" -> Tables.lineitem(spark, sfDir)) {
+      case Seq(view) => spark.sql(
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  round(sum(l_extendedprice), 2) AS total
+           |FROM $view
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+           |                        (l_returnflag, l_linestatus))
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }
 
   /** q34: approximate aggregates — HLL distinct counts
     * (`approx_count_distinct`, rsd 2%) and t-digest-style quantiles
@@ -547,24 +559,19 @@ object Relational {
     * (one shuffle each), NOT a per-row subquery execution — the plan
     * to check when users port correlated SQL.
     */
-  def q37Lateral(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
-    val (ov, lv) = (s"orders_lat_$tag", s"lineitem_lat_$tag")
-    Tables.orders(spark, sfDir).createOrReplaceTempView(ov)
-    Tables.lineitem(spark, sfDir).createOrReplaceTempView(lv)
-    try spark.sql(
-      s"""SELECT o.o_orderkey, o.o_orderpriority,
-         |  l.n_items, round(l.max_price, 2) AS max_price
-         |FROM $ov o,
-         |LATERAL (SELECT count(*) AS n_items, max(l_extendedprice) AS max_price
-         |         FROM $lv WHERE l_orderkey = o.o_orderkey) l
-         |WHERE o.o_totalprice > 400000
-         |ORDER BY o.o_orderkey""".stripMargin)
-    finally {
-      spark.catalog.dropTempView(ov)
-      spark.catalog.dropTempView(lv)
+  def q37Lateral(spark: SparkSession, sfDir: String): DataFrame =
+    withTempViews(spark, sfDir,
+      "orders_lat" -> Tables.orders(spark, sfDir),
+      "lineitem_lat" -> Tables.lineitem(spark, sfDir)) {
+      case Seq(ov, lv) => spark.sql(
+        s"""SELECT o.o_orderkey, o.o_orderpriority,
+           |  l.n_items, round(l.max_price, 2) AS max_price
+           |FROM $ov o,
+           |LATERAL (SELECT count(*) AS n_items, max(l_extendedprice) AS max_price
+           |         FROM $lv WHERE l_orderkey = o.o_orderkey) l
+           |WHERE o.o_totalprice > 400000
+           |ORDER BY o.o_orderkey""".stripMargin)
     }
-  }
 
   /** q27: ntile quartiles within order-priority groups, then
     * per-quartile stats — computed as a DISTRIBUTED exact ntile.
@@ -688,9 +695,12 @@ object Relational {
       .collect()(0)
     val lo = b.getString(0)
     val hi = b.getString(1)
-    val view = "orders_rc_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_")
-    Tables.orders(spark, sfDir).createOrReplaceTempView(view)
-    try spark.sql(
+    // an empty orders table yields null bounds, which would otherwise
+    // reach the SQL as the literal string 'null' — fail cleanly instead
+    require(lo != null && hi != null,
+      s"q39: orders at $sfDir is empty, no calendar bounds")
+    withTempViews(spark, sfDir, "orders_rc" -> Tables.orders(spark, sfDir)) {
+      case Seq(view) => spark.sql(
       s"""WITH RECURSIVE cal(month) AS (
          |  SELECT CAST('$lo' AS DATE)
          |  UNION ALL
@@ -703,6 +713,6 @@ object Relational {
          |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = cal.month
          |GROUP BY cal.month
          |ORDER BY cal.month""".stripMargin)
-    finally spark.catalog.dropTempView(view)
+    }
   }
 }
