@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share ONE SparkSession (TestSpark) and several toggle
+// session confs (graft.preagg.enabled) around plan-shape assertions;
+// parallel suite execution races those toggles against other suites'
+// plans (observed: intermittent plan/metric assertion failures).
+// Parallelism comes from Spark's local[4] inside each query, not from
+// running suites concurrently.
+Test / parallelExecution := false
 run / fork := true
 // Forked run output must reach stdout raw (no "[info] " prefix) — the
 // driver parses graft.Bench's JSON line from stdout.

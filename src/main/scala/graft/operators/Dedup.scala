@@ -450,19 +450,38 @@ object Dedup {
     * or inputs. (A WeakHashMap keyed by session would NOT collect:
     * the cached DataFrame strongly references its session, pinning
     * the weak key — the classic WeakHashMap value→key pitfall.)
+    *
+    * Staleness: the key includes a cheap fingerprint of the documents
+    * table (file count + total bytes + max mtime, one driver-side FS
+    * listing) so a rewrite of the data under `sfDir` mid-session
+    * invalidates the entry instead of serving labels for data that no
+    * longer exists. The fingerprint is layout-level, not content-level
+    * — an exotic same-size-same-mtime in-place rewrite would still hit
+    * the memo; that is the documented contract.
     */
-  private var labelsMemo: Option[(SparkSession, String, DataFrame)] = None
+  private var labelsMemo: Option[(SparkSession, String, String, DataFrame)] = None
+
+  /** One FS listing of the documents directory → "n:bytes:maxMtime". */
+  private def docsFingerprint(spark: SparkSession, sfDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).filter(_.isFile)
+    s"${files.length}:${files.map(_.getLen).sum}:" +
+      s"${if (files.isEmpty) 0L else files.map(_.getModificationTime).max}"
+  }
 
   private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     synchronized {
+      val fp = docsFingerprint(spark, sfDir)
       labelsMemo match {
-        case Some((s, d, labels)) if (s eq spark) && d == sfDir => labels
+        case Some((s, d, f, labels)) if (s eq spark) && d == sfDir && f == fp =>
+          labels
         case _ =>
           val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
           val pairs = minhashPairs(spark, sfDir)
             .select(col("doc_a").as("src"), col("doc_b").as("dst"))
           val labels = connectedComponents(docs, pairs)
-          labelsMemo = Some((spark, sfDir, labels))
+          labelsMemo = Some((spark, sfDir, fp, labels))
           labels
       }
     }
@@ -604,12 +623,28 @@ object Dedup {
     * corpus+delta total exceeds it (d02 drops, d10 probes) — a
     * boundary band of width |delta∩bucket| around the cap, empty at
     * the test SFs and vanishingly rare outside degenerate corpora.
+    *
+    * The drop is not silent: the hot-bucket frame carries an
+    * `observe` metric (`dropped_hot_buckets`) that every execution of
+    * the index reports through `QueryExecution.observedMetrics` /
+    * any registered `QueryExecutionListener` — a degenerate corpus
+    * that actually hits the cap is visible in ops telemetry instead
+    * of quietly losing recall. Costs nothing extra: `CollectMetrics`
+    * rides the aggregation that computes the hot set anyway. One AQE
+    * caveat consumers must know: when the hot set is EMPTY, adaptive
+    * empty-relation propagation removes the anti-join build side —
+    * CollectMetrics included — so the metric is simply absent; absent
+    * and 0 both mean "no buckets dropped", and any actual drop always
+    * reports (a non-empty build side is never propagated away).
     */
+  private[graft] val DroppedBucketsMetric = "dropped_hot_buckets"
+
   private[graft] def corpusBandIndex(corpus: DataFrame): DataFrame = {
     val corpusBands = bandedSignatures(corpus, shingleN = 3, bands = 16, rows = 8)
     val hot = corpusBands.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("n")).filter(col("n") > MaxBucket)
       .select(col("band_id"), col("band_hash"))
+      .observe(DroppedBucketsMetric, count(lit(1)).as("n_dropped"))
     corpusBands
       .join(broadcast(hot), Seq("band_id", "band_hash"), "left_anti")
       .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_id"))

@@ -117,7 +117,14 @@ object Sources {
       props: Map[String, String] = Map.empty,
       maxConnections: Int = 8): Unit = {
     require(maxConnections >= 1, s"maxConnections must be >= 1, got $maxConnections")
-    val base = df.coalesce(maxConnections).write.format("jdbc")
+    // repartition, not coalesce: coalesce installs no shuffle barrier,
+    // so it would cap the parallelism of the ENTIRE upstream
+    // computation at maxConnections — a heavy frame would compute on 8
+    // tasks. The one extra shuffle confines the cap to the write stage.
+    val capped =
+      if (df.rdd.getNumPartitions > maxConnections) df.repartition(maxConnections)
+      else df
+    val base = capped.write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
     props.foldLeft(base) { case (w, (k, v)) => w.option(k, v) }
@@ -173,6 +180,15 @@ object Sources {
     require(targetFileBytes >= 1, s"targetFileBytes must be >= 1")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place compaction would be data loss: the scan is lazy, so
+    // mode(Overwrite) on the SAME path deletes the source files out
+    // from under the read. Compare fully-qualified URIs, not strings.
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hadoop Path keeps ".." segments, so qualify THEN URI-normalize
+    require(fs.makeQualified(path).toUri.normalize() !=
+        outFs.makeQualified(outPath).toUri.normalize(),
+      s"compactParquet cannot write in place: outDir == inDir ($inDir)")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inDir)

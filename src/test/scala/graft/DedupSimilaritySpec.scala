@@ -279,6 +279,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(expected))
   }
 
+  test("d07 cluster-labels memo invalidates when the table is rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.d07DedupClusters(spark, dir).count() == docs.count())
+    // rewrite the table under the same path with half the corpus: the
+    // memo's data fingerprint changes, so d07 must recompute instead of
+    // serving labels for documents that no longer exist
+    val half = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val staging = java.nio.file.Files.createTempDirectory("graft-memo-stage").toString
+    half.write.mode("overwrite").parquet(s"$staging/documents.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$staging/documents.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    assert(Dedup.d07DedupClusters(spark, dir).count() == half.count(),
+      "stale memo served labels for a rewritten table")
+  }
+
+  test("d10 corpus band index reports dropped hot buckets via observe") {
+    import spark.implicits._
+    // 10100 identical docs: one signature, 16 band buckets all over
+    // MaxBucket (10000) -> the whole index is dropped, and the drop
+    // must be observable, not silent
+    val degenerate = (0 until 10100)
+      .map(i => (i.toLong, "all the same boilerplate text repeated again"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.corpusBandIndex(degenerate)
+    assert(idx.collect().isEmpty, "a fully-degenerate corpus drops every bucket")
+    val m = idx.queryExecution.observedMetrics(Dedup.DroppedBucketsMetric)
+    assert(m.getLong(0) == 16L, s"expected 16 dropped band buckets, got $m")
+    // a healthy corpus reports zero dropped buckets
+    val ok = Dedup.corpusBandIndex(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    ok.collect()
+    // under AQE, an EMPTY hot set is propagated away along with its
+    // CollectMetrics node — absent metric <=> nothing was dropped
+    val dropped = ok.queryExecution.observedMetrics
+      .get(Dedup.DroppedBucketsMetric).map(_.getLong(0)).getOrElse(0L)
+    assert(dropped == 0L)
+  }
+
   test("s02 LSH ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()

@@ -18,7 +18,16 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("entry() returns rows") {
-    assert(SparkEntry.entry(spark).count() > 0)
+    // entry() calls Engine.configure, which flips AQE on — restore the
+    // suite's plan-shape posture (TestSpark sets AQE off) afterwards,
+    // or every plan assertion in a later-running suite silently runs
+    // under AQE (observed: empty-relation propagation erasing nodes)
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.enabled")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try assert(SparkEntry.entry(spark).count() > 0)
+    finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

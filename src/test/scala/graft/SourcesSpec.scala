@@ -188,6 +188,19 @@ class SourcesSpec extends AnyFunSuite {
       docs.orderBy(col("doc_id")).collect().toSeq)
   }
 
+  test("compaction refuses to write in place") {
+    val d = tmp("graft-inplace")
+    Tables.region(spark, sfDir).write.mode("overwrite").parquet(d)
+    val e = intercept[IllegalArgumentException] {
+      // same directory spelled differently — URI normalization must
+      // still catch it (a lazy scan + Overwrite on the source path
+      // deletes the table before it is read)
+      Sources.compactParquet(spark, d, d + "/../" + new java.io.File(d).getName)
+    }
+    assert(e.getMessage.contains("in place"))
+    assert(spark.read.parquet(d).count() == 5, "source table must be untouched")
+  }
+
   test("bucketed tables join without a shuffle") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_extendedprice")
