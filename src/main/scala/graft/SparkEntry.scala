@@ -49,6 +49,7 @@ object SparkEntry {
     "q37_lateral" -> (Relational.q37Lateral _),
     "q38_latest_per_key" -> (Relational.q38LatestPerKey _),
     "q39_recursive_cal" -> (Relational.q39RecursiveCal _),
+    "q40_stats_suite" -> (Relational.q40StatsSuite _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "d09_dedup_containment" -> (Dedup.d09DedupContainment _),
     "d10_dedup_incremental" -> (Dedup.d10DedupIncremental _),
     "d06_contamination" -> (Dedup.d06Contamination _),
+    "d12_contamination_bloom" -> (Dedup.d12ContaminationBloom _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
@@ -69,6 +71,7 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
+    "s05_knn_join" -> (Similarity.s05KnnJoin _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_token_count" -> (TextAnalysis.t03TokenCount _),
@@ -202,6 +205,32 @@ object SparkEntry {
     * Spark result column names exactly (driver hash-compares by
     * name-sorted columns).
     */
+  /** Shared by d06 and d12: the two operators compute the SAME result
+    * by contract (d12's bloom stage is a prefilter with no false
+    * negatives, followed by the same exact verify).
+    */
+  private val contaminationOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS s
+      |  FROM tk),
+      |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+      |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0'),
+      |m AS (SELECT c.doc_id, count(*) AS n_matched FROM corp c
+      |      WHERE c.g IN (SELECT g FROM bench) GROUP BY c.doc_id),
+      |tot AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE source <> 'src0')
+      |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+      |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+      |  round(coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE), 4) AS containment,
+      |  (coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE)) >= 0.5 AS contaminated
+      |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
     "d11_dedup_semantic" -> d11OracleSql(
@@ -754,6 +783,48 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // s05 oracle = the s02 replication with query set := the whole
+    // corpus (both directions of each bucket pair) and rank <= 3
+    "s05_knn_join" ->
+      """WITH pl AS (
+        |  SELECT p.p AS p, j.j AS j,
+        |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
+        |      / 281474976710656.0) * 2.0 - 1.0) AS w
+        |  FROM range(36) p(p), range(64) j(j)),
+        |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
+        |sb AS (
+        |  SELECT e.vec_id, pw.p,
+        |    CASE WHEN list_sum(list_transform(range(1, 65),
+        |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, pw),
+        |bands AS (
+        |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
+        |  FROM sb GROUP BY vec_id, p // 3),
+        |cand AS (
+        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        |  FROM bands cb JOIN bands qb
+        |    ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
+        |  WHERE cb.vec_id <> qb.vec_id),
+        |sc AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))) AS cos_raw
+        |  FROM cand c
+        |  JOIN embeddings q ON q.vec_id = c.query_id
+        |  JOIN embeddings v ON v.vec_id = c.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+        |FROM r
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     // s03 oracle replicates the IVF index exactly: same md5-sampled
     // seeds, one Lloyd round with the SAME fixed-point cell means
     // (floor(x*1024+0.5) long sums — order-independent, so exact in
@@ -811,27 +882,11 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
-    "d06_contamination" ->
-      """WITH tk AS (
-        |  SELECT doc_id, source,
-        |    list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 3
-        |    THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-        |    ELSE [] END) AS s
-        |  FROM tk),
-        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
-        |corp AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src0'),
-        |m AS (SELECT c.doc_id, count(*) AS n_matched FROM corp c
-        |      WHERE c.g IN (SELECT g FROM bench) GROUP BY c.doc_id),
-        |tot AS (SELECT doc_id, len(s) AS n_sh FROM sh WHERE source <> 'src0')
-        |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
-        |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
-        |  round(coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE), 4) AS containment,
-        |  (coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE)) >= 0.5 AS contaminated
-        |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+    "d06_contamination" -> contaminationOracleSql,
+    // d12 is d06 with a bloom PREFILTER — blooms have no false
+    // negatives and the exact verify removes false positives, so the
+    // result (and therefore the oracle) is identical by construction.
+    "d12_contamination_bloom" -> contaminationOracleSql,
     "q38_latest_per_key" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice, o_orderstatus,
@@ -1170,6 +1225,20 @@ object SparkEntry {
         |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = cal.month
         |GROUP BY cal.month
         |ORDER BY cal.month""".stripMargin,
+    "q40_stats_suite" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+        |  round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+        |  round(var_samp(l_extendedprice), 4) AS var_price,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "t07_vocab" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -41,6 +41,19 @@ package object functions {
     "stopword_hits" -> (es => StopwordHits(es(0))),
     "ngram_containment" -> (es => NgramContainment(es(0), es(1), intArg(es(2), "n"))),
     "char_entropy" -> (es => CharEntropy(es(0))),
+    // Spark's own bloom-filter expressions (the machinery behind AQE
+    // runtime row-group filtering) exposed by name: bloom_filter_agg
+    // is registry-internal and might_contain is not registered at all,
+    // but both classes are public catalyst API. bloom_agg(xxhash64(x),
+    // estItems, numBits) -> binary sketch; bloom_contains(sketch,
+    // xxhash64(x)) -> boolean (sketch must be a literal or scalar
+    // subquery — Spark's own analysis rule enforces it).
+    "bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))),
+    "bloom_contains" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1))),
   )
 
   /** Register all graft functions in the session (idempotent). */

@@ -250,18 +250,27 @@ object Dedup {
     * through a semi-join + count — one scan, one small shuffle on
     * doc_id for the per-doc count.
     */
-  def d06Contamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val BenchSource = "src0"
-    val ContaminationBar = 0.5
+  private val BenchSource = "src0"
+  private val ContaminationBar = 0.5
+
+  /** Per-doc distinct word-3-gram shingles, split into the benchmark
+    * slice's distinct shingle set and the corpus side — shared by d06
+    * and d12.
+    */
+  private def contaminationFrames(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val withSh = docs.select(col("doc_id"), col("source"),
       array_distinct(call_function("word_grams", col("text"), lit(3))).as("sh"))
     val bench = withSh.filter(col("source") === BenchSource)
       .select(explode(col("sh")).as("sh")).distinct()
-    val corp = withSh.filter(col("source") =!= BenchSource)
-    val matched = corp.select(col("doc_id"), explode(col("sh")).as("sh"))
-      .join(broadcast(bench), Seq("sh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    (bench, withSh.filter(col("source") =!= BenchSource))
+  }
+
+  /** Per-doc containment report from the corpus side + matched-shingle
+    * counts — the shared d06/d12 tail.
+    */
+  private def contaminationReport(corp: DataFrame, matched: DataFrame): DataFrame =
     corp.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
       .join(matched, Seq("doc_id"), "left")
       .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
@@ -271,6 +280,49 @@ object Dedup {
         (col("n_matched").cast("double") / greatest(col("n_sh"), lit(1L)).cast("double"))
           >= ContaminationBar)
       .orderBy(col("doc_id"))
+
+  def d06Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bench, corp) = contaminationFrames(spark, sfDir)
+    val matched = corp.select(col("doc_id"), explode(col("sh")).as("sh"))
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    contaminationReport(corp, matched)
+  }
+
+  /** d12: bloom-prefiltered contamination — SAME semantics and output
+    * as [[d06Contamination]] (the oracle is shared), different
+    * physical path for the scale regime where the benchmark shingle
+    * set is too large to broadcast as an exact hash set: a FIXED-SIZE
+    * bloom sketch of the benchmark shingles (built distributively via
+    * Spark's own `BloomFilterAggregate`, collected as one ~1 MB binary
+    * scalar — the same driver-side sketch pattern as
+    * `df.stat.bloomFilter` and AQE's injected runtime filters) is
+    * embedded as a literal and prefilters the corpus shingle stream
+    * with the codegen'd `BloomFilterMightContain` before the exact
+    * semi-join. Blooms have no false negatives, so the exact verify
+    * on the survivors reproduces d06 bit-for-bit; false positives
+    * only cost verify work (~2^23 bits / 2^20 items ⇒ <1% fp). At
+    * 100 TB the verify join sees only the decimated stream — if the
+    * benchmark outgrows broadcast entirely, it becomes a shuffle join
+    * whose probe side the bloom already cut by ~the contamination
+    * rate.
+    */
+  def d12ContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bench, corp) = contaminationFrames(spark, sfDir)
+    val bloomBytes = bench
+      .agg(call_function("bloom_agg", xxhash64(col("sh")),
+        lit(1L << 20), lit(1L << 23)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val shingled = corp.select(col("doc_id"), explode(col("sh")).as("sh"))
+    // bloom_agg over an EMPTY benchmark returns null — nothing can match
+    val prefiltered =
+      if (bloomBytes == null) shingled.filter(lit(false))
+      else shingled.filter(
+        call_function("bloom_contains", lit(bloomBytes), xxhash64(col("sh"))))
+    val matched = prefiltered
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    contaminationReport(corp, matched)
   }
 
   /** Connected components by iterative min-label propagation

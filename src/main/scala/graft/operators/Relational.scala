@@ -715,4 +715,37 @@ object Relational {
          |ORDER BY cal.month""".stripMargin)
     }
   }
+
+  /** q40: bivariate statistics suite — corr / covariance / stddev /
+    * variance / least-squares regression (slope, intercept, r²) of
+    * line-item price against quantity per return flag. Every one of
+    * these aggregates decomposes into the same six streaming moments
+    * (n, Σx, Σy, Σx², Σy², Σxy), so the whole suite is ONE partial
+    * aggregation — the map side ships six doubles per group, never
+    * rows — and whole-stage codegen fuses all of it into the scan
+    * loop. The 100 TB shape is identical to q01: scan → partial agg →
+    * one 3-row exchange → final agg.
+    *
+    * Results round to 4dp: the moment SUMS are order-dependent float
+    * arithmetic, but at these magnitudes cross-engine divergence is
+    * ~1e-10 relative — far under the rounding quantum (same contract
+    * as every other float aggregate in the suite).
+    */
+  def q40StatsSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val x = col("l_quantity").cast("double")
+    val y = col("l_extendedprice").cast("double")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(x, y), 4).as("corr_qty_price"),
+        round(covar_samp(x, y), 4).as("covar_s"),
+        round(covar_pop(x, y), 4).as("covar_p"),
+        round(stddev_samp(y), 4).as("stddev_price"),
+        round(var_samp(y), 4).as("var_price"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -32,10 +32,10 @@ object Similarity {
   /** Scored (query_id, vec_id, cos_raw) rows → top-k per query with
     * rank, via the bounded aggregate.
     */
-  private def topKPerQuery(scored: DataFrame): DataFrame =
+  private def topKPerQuery(scored: DataFrame, k: Int = TopK): DataFrame =
     scored
       .groupBy(col("query_id"))
-      .agg(call_function("top_k_by_score", col("cos_raw"), col("vec_id"), lit(TopK)).as("top"))
+      .agg(call_function("top_k_by_score", col("cos_raw"), col("vec_id"), lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         round(col("t.score"), 4).as("cos"), (col("pos") + 1).cast("long").as("rank"))
@@ -280,5 +280,62 @@ object Similarity {
       .distinct()
     topKPerQuery(
       cands.withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
+  }
+
+  /** Neighbors per vector for [[s05KnnJoin]] — small k is the k-NN
+    * graph regime (SemDeDup adjacency, graph clustering), and output
+    * is k rows per corpus vector, so k multiplies the result size.
+    */
+  private val KnnK = 3
+
+  /** s05: k-NN join — the TOP-[[KnnK]] cosine neighbors of EVERY
+    * corpus vector (not just a query block): the all-pairs primitive
+    * behind k-NN-graph clustering, SemDeDup adjacency, and
+    * diversity-aware sampling. Candidates come from the same 12×3
+    * hyperplane banding as s02, but as a SELF-join on the bucket key
+    * carrying IDS ONLY — embeddings are joined back exactly twice
+    * (query side, neighbor side) after the pair set is distinct, so
+    * the shuffle moves (band, id) rows and 2 embedding copies per
+    * candidate pair, never a vector per band replica. Per-vector
+    * top-k rides the bounded [[graft.functions.TopKByScore]]
+    * aggregate (k-capped partial heaps — the shuffle carries ≤ k
+    * pairs per map partition per vector).
+    *
+    * Scale shape: the self-join shuffles on (band_id, band_val) —
+    * co-located, no broadcast needed at any corpus size; output is
+    * exactly k rows per vector. The documented degenerate-bucket risk
+    * (a band value shared by ~everything) is the SAME trade as d02's
+    * [[Dedup.bucketPairs]] cap; here buckets are bounded by the 2^3
+    * values per band spreading near-uniform sign bits — at 100 TB one
+    * raises bits-per-band so expected bucket size stays ~N/2^bits
+    * per band.
+    *
+    * Vectors whose buckets contain no other vector produce no rows
+    * (no candidates ⇒ no neighbors) — the honest LSH contract; s01 is
+    * the exhaustive fallback.
+    */
+  def s05KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val nBands = 12
+    val bits = 3
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val bands = emb
+      .withColumn("sig", call_function("hyperplane_sig", col("embedding"),
+        lit(nBands * bits), lit(7L)))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band_id"),
+        col("sig"))
+      .withColumn("band_val",
+        expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
+      .select(col("vec_id"), col("band_id"), col("band_val"))
+    val candIds = bands
+      .join(bands.select(col("band_id"), col("band_val"), col("vec_id").as("query_id")),
+        Seq("band_id", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val scored = candIds
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
+    topKPerQuery(scored, KnnK)
   }
 }

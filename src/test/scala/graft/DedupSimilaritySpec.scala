@@ -321,6 +321,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(dropped == 0L)
   }
 
+  test("s05 knn join: true cosines, k rows per vector, decent graph recall") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val got = Similarity.s05KnnJoin(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // k rows per covered vector, ranks 1..k dense
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3 && rows.map(_._4).sorted.sameElements(1L to rows.length),
+        s"vector $q: ranks must be dense 1..k")
+    }
+    // reported cosines are the true cosines (4dp)
+    got.foreach { case (q, n, c, _) =>
+      assert(math.abs(c - cos(emb(q), emb(n))) < 5e-4, s"cos($q,$n) off: $c")
+    }
+    // graph recall vs exact top-3 (same LSH regime as s02 ⇒ similar floor)
+    val exact = emb.keys.flatMap { q =>
+      emb.toSeq.filter(_._1 != q)
+        .map { case (v, e) => (v, cos(emb(q), e)) }
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(v => (q, v._1))
+    }.toSet
+    val approx = got.map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"knn-graph recall@3 $recall too low")
+  }
+
+  test("d12 bloom contamination equals d06 and actually plans the bloom") {
+    val d06 = Dedup.d06Contamination(spark, sfDir).collect().toSeq
+    val d12df = Dedup.d12ContaminationBloom(spark, sfDir)
+    val d12 = d12df.collect().toSeq
+    assert(d12 == d06, "bloom prefilter must not change the result")
+    // the prefilter is really in the plan: a codegen'd might_contain
+    // over the corpus shingle stream, not a no-op
+    val hasBloom = d12df.queryExecution.executedPlan.toString
+      .contains("might_contain")
+    assert(hasBloom, "executed plan must contain the bloom prefilter")
+  }
+
   test("s02 LSH ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
