@@ -19,7 +19,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev isolation: SPARK_GRAFT_ONLY=q01_pricing_summary,m03_... runs
+    // a subset (the driver never sets it — full sweep by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // noop sink (not count): count() lets Catalyst prune unreferenced
     // output columns, under-measuring projection-heavy queries.
     def run(name: String, dir: String): Unit =

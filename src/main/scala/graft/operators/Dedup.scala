@@ -294,24 +294,33 @@ object Dedup {
     * physical path for the scale regime where the benchmark shingle
     * set is too large to broadcast as an exact hash set: a FIXED-SIZE
     * bloom sketch of the benchmark shingles (built distributively via
-    * Spark's own `BloomFilterAggregate`, collected as one ~1 MB binary
+    * Spark's own `BloomFilterAggregate`, collected as one binary
     * scalar — the same driver-side sketch pattern as
     * `df.stat.bloomFilter` and AQE's injected runtime filters) is
     * embedded as a literal and prefilters the corpus shingle stream
     * with the codegen'd `BloomFilterMightContain` before the exact
     * semi-join. Blooms have no false negatives, so the exact verify
     * on the survivors reproduces d06 bit-for-bit; false positives
-    * only cost verify work (~2^23 bits / 2^20 items ⇒ <1% fp). At
-    * 100 TB the verify join sees only the decimated stream — if the
-    * benchmark outgrows broadcast entirely, it becomes a shuffle join
-    * whose probe side the bloom already cut by ~the contamination
-    * rate.
+    * only cost verify work (2^20 bits / ~5·10^4 benchmark shingles at
+    * sf0.1 ⇒ fp ≪ 1e-3). At 100 TB the verify join sees only the
+    * decimated stream — if the benchmark outgrows broadcast entirely,
+    * it becomes a shuffle join whose probe side the bloom already cut
+    * by ~the contamination rate.
+    *
+    * SIZE THE SKETCH TO THE SET, never "comfortably large": every
+    * partial-aggregation buffer is one full-size sketch, so an
+    * oversized bloom multiplies across map tasks — measured here, an
+    * 8 MiB-bits sketch (1 MiB buffers × 32 tasks, merged pairwise)
+    * left enough old-gen churn in a shared JVM to slow UNRELATED
+    * downstream queries 4-6×; at 2^20 bits the effect vanishes. In
+    * production derive `estItems` from an approx_count_distinct
+    * pre-pass instead of hard-coding.
     */
   def d12ContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val (bench, corp) = contaminationFrames(spark, sfDir)
     val bloomBytes = bench
       .agg(call_function("bloom_agg", xxhash64(col("sh")),
-        lit(1L << 20), lit(1L << 23)).as("bf"))
+        lit(1L << 17), lit(1L << 20)).as("bf"))
       .head().getAs[Array[Byte]](0)
     val shingled = corp.select(col("doc_id"), explode(col("sh")).as("sh"))
     // bloom_agg over an EMPTY benchmark returns null — nothing can match
