@@ -90,6 +90,7 @@ object SparkEntry {
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
+    "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -1349,6 +1350,27 @@ object SparkEntry {
         | CAST(4 + octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "m04_sample_assembly" ->
+      """WITH meta AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+        |         ELSE 'audio/wav' END AS mime,
+        |    CAST(4 + octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    md5(text) AS content_hash,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT m.*, e.label AS embed_label,
+        |    ('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 AS bucket
+        |  FROM meta m JOIN embeddings e ON e.vec_id = m.doc_id
+        |  WHERE m.mime LIKE 'image/%')
+        |SELECT doc_id, mime, byte_len, content_hash, n_tokens, source, embed_label,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b
         |ORDER BY doc_id""".stripMargin,
     // m02 oracle replicates the stub feature derivation EXACTLY: tag =
     // first 8 md5 bytes of mime, h_j = splitmix64(doc_id ^ tag<<17 ^ j)

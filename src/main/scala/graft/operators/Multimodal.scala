@@ -164,4 +164,43 @@ object Multimodal {
     }(encoder)
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** m04: multimodal training-sample assembly — the step that turns
+    * per-modality tables into ONE row per trainable sample: media
+    * metadata (m01's sniffed mime + payload size), the paired text
+    * (token count), the paired embedding's label, and a deterministic
+    * split assignment (p01's md5 rule), restricted to the image
+    * modality. A sample exists only when EVERY modality is present
+    * (inner joins) — half-assembled samples are a training-loader
+    * crash, not a row.
+    *
+    * Scale shape: the modality filter (mime) prunes on metadata
+    * BEFORE any join touches payloads; the joins are equi-joins on
+    * doc_id — at 100 TB both sides are large, so this is the
+    * canonical co-shuffle (or zero-exchange if the modality tables
+    * are bucketed by doc_id — `Sources.writeBucketedTable`); the
+    * split column is a pure per-row hash, no extra pass. Binary
+    * payloads are NOT carried through the assembly — the sample row
+    * references content by hash; the loader fetches payloads by key.
+    */
+  def m04SampleAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val meta = m01BinaryMeta(spark, sfDir)
+      .filter(col("mime").startsWith("image/"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("label").as("embed_label"))
+    meta.join(docs, "doc_id").join(emb, "doc_id")
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("mime"), col("byte_len"), col("content_hash"),
+        col("n_tokens"), col("source"), col("embed_label"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }

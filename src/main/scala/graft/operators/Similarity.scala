@@ -327,11 +327,16 @@ object Similarity {
       .withColumn("band_val",
         expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
       .select(col("vec_id"), col("band_id"), col("band_val"))
-    val candIds = bands
+    // one orientation (a < b) through the distinct — HALF the shuffle
+    // volume of the dedup stage — then mirror, since the k-NN graph
+    // needs both directions and candidacy is symmetric
+    val half = bands
       .join(bands.select(col("band_id"), col("band_val"), col("vec_id").as("query_id")),
         Seq("band_id", "band_val"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("query_id") < col("vec_id"))
       .select(col("query_id"), col("vec_id")).distinct()
+    val candIds = half.union(
+      half.select(col("vec_id").as("query_id"), col("query_id").as("vec_id")))
     val scored = candIds
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .join(emb, "vec_id")

@@ -152,6 +152,27 @@ class PlanRuleSpec extends AnyFunSuite {
       "struct-max argmax must combine map-side before the exchange")
   }
 
+  test("q40 stats suite is one partial-agg'd aggregation, no second pass") {
+    // corr/covar/stddev/var/regr_* all decompose into the same six
+    // streaming moments: the suite must plan as ONE scan feeding ONE
+    // Partial->Final aggregate pair (the shuffle carries 6 doubles
+    // per group), never per-statistic passes
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = executed(Relational.q40StatsSuite(spark, sfDir))
+    assert(plan.collect { case s: FileSourceScanExec => s }.size == 1,
+      "the whole suite must ride a single lineitem scan")
+    val finals = plan.collect {
+      case h: HashAggregateExec if h.aggregateExpressions.exists(_.mode == Final) => h
+    }
+    assert(finals.size == 1, s"expected one final aggregate, got ${finals.size}")
+    val partials = plan.collect {
+      case h: HashAggregateExec if h.aggregateExpressions.nonEmpty &&
+        h.aggregateExpressions.forall(_.mode == Partial) => h
+    }
+    assert(partials.size == 1, "moments must combine map-side in one partial pass")
+  }
+
   test("aggregations are partial (pre-combined) below every exchange") {
     // the OPS invariant at plan level: every Final HashAggregate is
     // fed (across its exchange) by a Partial-mode pre-aggregate, so
