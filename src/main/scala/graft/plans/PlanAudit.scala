@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Structural summary of an executed physical plan — the numbers a
+  * scale review reads off `.explain("formatted")`, as data.
+  */
+case class PlanReport(
+    scans: Int,
+    scansWithPushedFilters: Int,
+    shuffleExchanges: Int,
+    broadcastExchanges: Int,
+    broadcastJoins: Int,
+    shuffledJoins: Int,
+    nestedLoopJoins: Int,
+    cartesianProducts: Int,
+    partialAggregates: Int,
+    finalAggregates: Int,
+    windows: Int) {
+
+  /** The red flags a 100 TB review hunts for. Heuristics, not laws —
+    * a tiny broadcast nested-loop can be fine — but every entry is
+    * something a reviewer should have consciously accepted.
+    */
+  def warnings: Seq[String] = {
+    val w = Seq.newBuilder[String]
+    if (cartesianProducts > 0)
+      w += s"$cartesianProducts cartesian product(s): O(NxM) row explosion at scale"
+    if (nestedLoopJoins > 0)
+      w += s"$nestedLoopJoins nested-loop join(s): per-row probe of the other side"
+    if (finalAggregates > partialAggregates)
+      w += s"$finalAggregates final aggregate(s) over only $partialAggregates " +
+        "partial(s): some shuffle carries raw rows, not combined state"
+    w.result()
+  }
+}
+
+/** Plan introspection for scale reviews and tests: execute a frame,
+  * settle AQE, and report the structural counts that decide whether
+  * the plan survives a 100x scale-up. The OPS-inspired review loop —
+  * "is the shuffle carrying pre-combined state? did the filter reach
+  * the scan? is the small side broadcast?" — as a library call
+  * instead of an eyeball pass over `.explain`.
+  */
+object PlanAudit {
+
+  /** Final (adaptive) physical plan after executing `df` to the noop
+    * sink. Execution is required: before it, AQE plans are
+    * placeholders and runtime broadcasts/coalesces haven't happened.
+    */
+  def executedPlan(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  def audit(df: DataFrame): PlanReport = report(executedPlan(df))
+
+  /** Counts over an already-executed plan (no re-execution). */
+  def report(plan: SparkPlan): PlanReport = {
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    PlanReport(
+      scans = scans.size,
+      scansWithPushedFilters = scans.count(_.dataFilters.nonEmpty),
+      shuffleExchanges = plan.collect { case e: ShuffleExchangeExec => e }.size,
+      broadcastExchanges = plan.collect { case e: BroadcastExchangeExec => e }.size,
+      broadcastJoins = plan.collect { case j: BroadcastHashJoinExec => j }.size,
+      shuffledJoins = plan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }.size,
+      nestedLoopJoins = plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size,
+      cartesianProducts = plan.collect { case j: CartesianProductExec => j }.size,
+      partialAggregates = plan.collect {
+        case a: BaseAggregateExec if a.aggregateExpressions.nonEmpty &&
+          a.aggregateExpressions.forall(_.mode == Partial) => a
+      }.size,
+      finalAggregates = plan.collect {
+        case a: BaseAggregateExec if a.aggregateExpressions.exists(_.mode == Final) => a
+      }.size,
+      windows = plan.collect { case w: WindowExec => w }.size)
+  }
+}

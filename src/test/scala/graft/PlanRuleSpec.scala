@@ -173,6 +173,40 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(partials.size == 1, "moments must combine map-side in one partial pass")
   }
 
+  test("PlanAudit: clean plan reports clean, scale smells warn") {
+    import graft.plans.PlanAudit
+    val r = PlanAudit.audit(Relational.q01PricingSummary(spark, sfDir))
+    assert(r.scans == 1 && r.scansWithPushedFilters == 1,
+      s"q01 must be one scan with its filter pushed: $r")
+    assert(r.partialAggregates >= r.finalAggregates && r.finalAggregates >= 1,
+      s"every q01 final aggregate must ride a partial: $r")
+    assert(r.warnings.isEmpty, s"q01 is the clean baseline: ${r.warnings}")
+    // a deliberate cartesian must be called out
+    val bad = Tables.region(spark, sfDir)
+      .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
+    val rb = PlanAudit.audit(bad)
+    assert(rb.warnings.exists(w => w.contains("cartesian") || w.contains("nested-loop")),
+      s"cross join must warn: ${rb.warnings} ($rb)")
+  }
+
+  test("bloom_agg/bloom_contains: no false negatives, low fp rate") {
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    val members = (0 until 2000).map(i => s"member_$i")
+    val bloom = members.toDF("s")
+      .agg(call_function("bloom_agg", xxhash64(col("s")), lit(4096L), lit(1L << 16)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probes = members.toDF("s")
+      .union((0 until 2000).map(i => s"outsider_$i").toDF("s"))
+      .withColumn("hit", call_function("bloom_contains", lit(bloom), xxhash64(col("s"))))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    // a bloom NEVER misses a member — this is what makes d12 exact
+    assert(probes.filter(_._1.startsWith("member")).forall(_._2),
+      "false negative: bloom missed an inserted member")
+    val fp = probes.filter(_._1.startsWith("outsider")).count(_._2)
+    assert(fp <= 100, s"fp rate implausibly high for 2k items in 64k bits: $fp/2000")
+  }
+
   test("aggregations are partial (pre-combined) below every exchange") {
     // the OPS invariant at plan level: every Final HashAggregate is
     // fed (across its exchange) by a Partial-mode pre-aggregate, so
