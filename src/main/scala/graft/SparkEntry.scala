@@ -85,6 +85,7 @@ object SparkEntry {
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
     "p05_profile" -> (Pipeline.p05Profile _),
+    "p06_stratified_sample" -> (Pipeline.p06StratifiedSample _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
@@ -231,6 +232,27 @@ object SparkEntry {
       |  (coalesce(m.n_matched, 0) / CAST(greatest(t.n_sh, 1) AS DOUBLE)) >= 0.5 AS contaminated
       |FROM tot t LEFT JOIN m ON t.doc_id = m.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** t02's DuckDB replication without the final ORDER BY — used
+    * standalone (t02) and as p06's scoring CTE.
+    */
+  private val qualityScoreOracleBody: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars_m,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+      |          / length(text), 4) AS punct_ratio,
+      |    round(len(list_filter(string_split(text, ' '),
+      |            t -> t IN ('the','and','of','to','in','is','that','for','with','on')))::DOUBLE
+      |          / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |          / len(string_split(text, ' ')), 4) AS distinct_ratio
+      |  FROM documents)
+      |SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stopword_ratio, distinct_ratio,
+      |  round(least(1.0, n_tokens / 100.0) * 0.4
+      |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
+      |FROM r""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
@@ -856,24 +878,26 @@ object SparkEntry {
         |SELECT doc_id, best.lang AS pred_lang, round(best.score, 4) AS confidence, labeled_lang
         |FROM b
         |ORDER BY doc_id""".stripMargin,
-    "t02_quality_score" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |    length(text) AS n_chars_m,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |          / length(text), 4) AS punct_ratio,
-        |    round(len(list_filter(string_split(text, ' '),
-        |            t -> t IN ('the','and','of','to','in','is','that','for','with','on')))::DOUBLE
-        |          / len(string_split(text, ' ')), 4) AS stopword_ratio,
-        |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |          / len(string_split(text, ' ')), 4) AS distinct_ratio
-        |  FROM documents)
-        |SELECT doc_id, n_chars_m, n_tokens, punct_ratio, stopword_ratio, distinct_ratio,
-        |  round(least(1.0, n_tokens / 100.0) * 0.4
-        |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
-        |FROM r
-        |ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" -> (qualityScoreOracleBody + "\nORDER BY doc_id"),
+    // p06 stratifies on t02's score: the same replication feeds the
+    // quartile cutpoints (quantile_cont == Spark's exact percentile,
+    // parity established by q25) and the md5 keep rule (p01's pattern,
+    // 'p06:'-salted)
+    "p06_stratified_sample" ->
+      ("WITH q AS (" + qualityScoreOracleBody + "),\n" +
+        """c AS (SELECT quantile_cont(quality_score, 0.25) AS c1,
+          |            quantile_cont(quality_score, 0.5)  AS c2,
+          |            quantile_cont(quality_score, 0.75) AS c3 FROM q),
+          |s AS (SELECT doc_id, quality_score,
+          |  CASE WHEN quality_score < c1 THEN 0
+          |       WHEN quality_score < c2 THEN 1
+          |       WHEN quality_score < c3 THEN 2 ELSE 3 END AS stratum,
+          |  ('0x' || substr(md5('p06:' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 AS bucket
+          |  FROM q, c)
+          |SELECT doc_id, quality_score, stratum,
+          |  bucket < [10, 25, 50, 100][stratum + 1] AS kept
+          |FROM s
+          |ORDER BY doc_id""".stripMargin),
     "t03_token_count" ->
       """SELECT source,
         | count(*) AS n_docs,

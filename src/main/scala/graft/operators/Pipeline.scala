@@ -162,4 +162,53 @@ object Pipeline {
         round(avg(length(col("val")).cast("double")), 2).as("avg_len"))
       .orderBy(col("col_name"))
   }
+
+  /** Keep-rates per quality quartile (percent): heavy downsampling of
+    * the bottom, everything from the top — the quality-curriculum
+    * mixture shape.
+    */
+  private val StratumRatesPct = Seq(10, 25, 50, 100)
+
+  /** p06: quality-stratified sampling — documents bucketed into exact
+    * quality-score quartiles (t02's score), then deterministically
+    * md5-sampled at a per-stratum rate ([[StratumRatesPct]]): keep
+    * little of the worst quality, everything from the best. This is
+    * the quality-reweighting step between scoring (t02) and mixing
+    * (p03); like p01/p03 the kept set is a pure function of doc_id,
+    * reproducible on any engine.
+    *
+    * Scale shape: the quartile cutpoints are ONE exact-percentile
+    * aggregation collapsed to a 1-row frame and broadcast back
+    * (cross join with a 1-row side = a map-side literal join); the
+    * stratum assignment and sampling hash are then pure per-row maps
+    * — no window, no per-group funnel. Exact `percentile` shuffles
+    * every score to one reducer per group at 100 TB; swap in
+    * `percentile_approx` there (fixed-size sketch partials — same
+    * trade as p05's distinct and q34's sketches; exact is kept here
+    * because it is what the oracle can verify bit-for-bit).
+    */
+  def p06StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.t02QualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val cuts = q.agg(expr(
+      "percentile(quality_score, array(0.25, 0.5, 0.75))").as("c"))
+      .select(col("c")(0).as("c1"), col("c")(1).as("c2"), col("c")(2).as("c3"))
+    q.crossJoin(broadcast(cuts))
+      .withColumn("stratum",
+        when(col("quality_score") < col("c1"), 0)
+          .when(col("quality_score") < col("c2"), 1)
+          .when(col("quality_score") < col("c3"), 2)
+          .otherwise(3))
+      // a p06-specific salt: the same doc must be able to draw
+      // independently for split (p01), mixing (p03) and stratified
+      // sampling — an unsalted hash would correlate the three
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("p06:"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long") % 100)
+      .withColumn("kept",
+        col("bucket") < element_at(
+          array(StratumRatesPct.map(r => lit(r)): _*), col("stratum") + 1))
+      .select(col("doc_id"), col("quality_score"), col("stratum"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -101,4 +101,26 @@ class PipelineSpec extends AnyFunSuite {
     // sorted by df descending
     assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("p06 strata are score-monotone quartiles with rate-ordered keeps") {
+    val rows = Pipeline.p06StratifiedSample(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.length == 500)
+    val byStratum = rows.groupBy(_._3)
+    assert(byStratum.keySet == Set(0, 1, 2, 3), "all four strata populated")
+    // stratum assignment is monotone in score: no doc in a lower
+    // stratum outscores any doc in a higher one
+    (0 to 2).foreach { s =>
+      assert(byStratum(s).map(_._2).max <= byStratum(s + 1).map(_._2).min,
+        s"stratum $s overlaps stratum ${s + 1}")
+    }
+    // exact-percentile cutpoints ⇒ quartiles within tie-slack of n/4
+    byStratum.values.foreach(g =>
+      assert(g.length > 75 && g.length < 175, s"degenerate stratum size ${g.length}"))
+    // keep fraction rises with quality (10/25/50/100 targets, md5 noise)
+    val kf = (0 to 3).map(s => byStratum(s).count(_._4).toDouble / byStratum(s).length)
+    assert(kf.sliding(2).forall(p => p(0) <= p(1) + 0.05), s"keep fractions not rising: $kf")
+    assert(kf(3) == 1.0, "top stratum keeps everything")
+    assert(kf(0) < 0.25, s"bottom stratum must be heavily downsampled: ${kf(0)}")
+  }
 }
