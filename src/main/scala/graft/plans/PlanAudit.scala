@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -20,6 +21,7 @@ case class PlanReport(
     broadcastJoins: Int,
     shuffledJoins: Int,
     nestedLoopJoins: Int,
+    largeNestedLoopJoins: Int,
     cartesianProducts: Int,
     partialAggregates: Int,
     finalAggregates: Int,
@@ -33,8 +35,9 @@ case class PlanReport(
     val w = Seq.newBuilder[String]
     if (cartesianProducts > 0)
       w += s"$cartesianProducts cartesian product(s): O(NxM) row explosion at scale"
-    if (nestedLoopJoins > 0)
-      w += s"$nestedLoopJoins nested-loop join(s): per-row probe of the other side"
+    if (largeNestedLoopJoins > 0)
+      w += s"$largeNestedLoopJoins nested-loop join(s) with a non-tiny (or " +
+        "unmeasured) build side: per-row probe of the other side"
     if (finalAggregates > partialAggregates)
       w += s"$finalAggregates final aggregate(s) over only $partialAggregates " +
         "partial(s): some shuffle carries raw rows, not combined state"
@@ -51,12 +54,17 @@ case class PlanReport(
   */
 object PlanAudit {
 
-  /** Final (adaptive) physical plan after executing `df` to the noop
-    * sink. Execution is required: before it, AQE plans are
-    * placeholders and runtime broadcasts/coalesces haven't happened.
+  /** Final (adaptive) physical plan after executing `df`. Execution
+    * is required twice over: AQE plans are placeholders until run, and
+    * the per-node SQLMetrics the audit reads (broadcast side rows)
+    * only populate on execution. The frame's OWN plan tree must be the
+    * one executed — a `df.write.format("noop")` drain builds a
+    * SEPARATE QueryExecution, leaving this tree's metrics at their
+    * unset defaults — so drive `queryExecution.toRdd` directly (rows
+    * stay internal, nothing materializes on the driver).
     */
   def executedPlan(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.toRdd.count()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
@@ -65,9 +73,31 @@ object PlanAudit {
 
   def audit(df: DataFrame): PlanReport = report(executedPlan(df))
 
+  /** A broadcast side at or under this many rows is a scalar/dimension
+    * frame (1-row cutpoints, a centroid block, a query block) — a
+    * nested-loop against it is a map-side constant join, not a scale
+    * smell.
+    */
+  val TinyBroadcastRows = 1024L
+
+  /** Post-execution row count of a nested-loop join's broadcast build
+    * side, read off the exchange's metrics; None when the plan wasn't
+    * executed (treated as not-tiny: unmeasured is unproven).
+    */
+  private def buildSideRows(j: BroadcastNestedLoopJoinExec): Option[Long] = {
+    val side = j.buildSide match {
+      case BuildLeft => j.left
+      case BuildRight => j.right
+    }
+    side.collectFirst { case b: BroadcastExchangeExec => b }
+      .flatMap(b => scala.util.Try(b.metrics("numOutputRows").value).toOption)
+      .filter(_ >= 0)
+  }
+
   /** Counts over an already-executed plan (no re-execution). */
   def report(plan: SparkPlan): PlanReport = {
     val scans = plan.collect { case s: FileSourceScanExec => s }
+    val nlJoins = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
     PlanReport(
       scans = scans.size,
       scansWithPushedFilters = scans.count(_.dataFilters.nonEmpty),
@@ -78,7 +108,9 @@ object PlanAudit {
         case j: SortMergeJoinExec => j
         case j: ShuffledHashJoinExec => j
       }.size,
-      nestedLoopJoins = plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size,
+      nestedLoopJoins = nlJoins.size,
+      largeNestedLoopJoins =
+        nlJoins.count(j => !buildSideRows(j).exists(_ <= TinyBroadcastRows)),
       cartesianProducts = plan.collect { case j: CartesianProductExec => j }.size,
       partialAggregates = plan.collect {
         case a: BaseAggregateExec if a.aggregateExpressions.nonEmpty &&

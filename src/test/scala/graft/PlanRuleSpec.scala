@@ -181,12 +181,22 @@ class PlanRuleSpec extends AnyFunSuite {
     assert(r.partialAggregates >= r.finalAggregates && r.finalAggregates >= 1,
       s"every q01 final aggregate must ride a partial: $r")
     assert(r.warnings.isEmpty, s"q01 is the clean baseline: ${r.warnings}")
-    // a deliberate cartesian must be called out
-    val bad = Tables.region(spark, sfDir)
-      .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
+    // a cross join whose BUILD side is non-tiny must be called out
+    // (forced broadcast so Spark can't pick the smaller side)
+    val bad = Tables.orders(spark, sfDir)
+      .crossJoin(broadcast(
+        Tables.orders(spark, sfDir).select(col("o_orderkey")).limit(1100)))
     val rb = PlanAudit.audit(bad)
     assert(rb.warnings.exists(w => w.contains("cartesian") || w.contains("nested-loop")),
-      s"cross join must warn: ${rb.warnings} ($rb)")
+      s"big cross join must warn: ${rb.warnings} ($rb)")
+    // ...but a scalar/dimension broadcast side (the s01/p06/t09
+    // pattern) is a map-side constant join, not a scale smell
+    val fine = Tables.customer(spark, sfDir)
+      .crossJoin(broadcast(Tables.region(spark, sfDir).select(col("r_name"))))
+    val rf = PlanAudit.audit(fine)
+    assert(rf.nestedLoopJoins == 1 && rf.largeNestedLoopJoins == 0 &&
+      rf.warnings.isEmpty,
+      s"tiny-broadcast cross join must not warn: $rf ${rf.warnings}")
   }
 
   test("bloom_agg/bloom_contains: no false negatives, low fp rate") {
