@@ -257,7 +257,7 @@ object Dedup {
     * slice's distinct shingle set and the corpus side — shared by d06
     * and d12.
     */
-  private def contaminationFrames(spark: SparkSession, sfDir: String)
+  private[graft] def contaminationFrames(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val withSh = docs.select(col("doc_id"), col("source"),
@@ -316,12 +316,22 @@ object Dedup {
     * production derive `estItems` from an approx_count_distinct
     * pre-pass instead of hard-coding.
     */
-  def d12ContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    val (bench, corp) = contaminationFrames(spark, sfDir)
-    val bloomBytes = bench
+  /** The benchmark shingle set as a bloom sketch (one distributed
+    * aggregation, one binary scalar) — d12's prefilter, also reusable
+    * as a stream-plan literal ([[graft.streaming.StreamOps]]). Null
+    * when `bench` is empty.
+    */
+  private[graft] def benchmarkBloom(bench: DataFrame): Array[Byte] = {
+    registerAll(bench.sparkSession)
+    bench
       .agg(call_function("bloom_agg", xxhash64(col("sh")),
         lit(1L << 17), lit(1L << 20)).as("bf"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  def d12ContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bench, corp) = contaminationFrames(spark, sfDir)
+    val bloomBytes = benchmarkBloom(bench)
     val shingled = corp.select(col("doc_id"), explode(col("sh")).as("sh"))
     // bloom_agg over an EMPTY benchmark returns null — nothing can match
     val prefiltered =

@@ -30,6 +30,23 @@ object Sources {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** JSON-lines read that QUARANTINES corrupt records instead of
+    * failing the job: PERMISSIVE mode parses what it can and routes
+    * each unparseable line, verbatim, into `corruptCol` (the parsed
+    * columns of that row are null). The strict [[readJson]] is the
+    * right default — silent nulling hides data bugs — but at 100 TB
+    * one malformed line must not kill a multi-hour ingest: this
+    * variant lets the pipeline `filter(col(corruptCol).isNotNull)`
+    * into a dead-letter sink and alert on its count instead.
+    */
+  def readJsonLenient(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** CSV write (header on), for round-trip interchange. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

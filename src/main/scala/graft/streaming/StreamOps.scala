@@ -190,6 +190,52 @@ object StreamOps {
       .select(col("new_id"), col("corpus_id"),
         round(col("jaccard"), 4).as("jaccard"))
 
+  /** Stateless stream-side stage of streaming contamination checking
+    * (the d06/d12 twin): per incoming document, one row carrying the
+    * doc's total distinct-shingle count (`sh` null) UNIONed with one
+    * row per shingle that survives the benchmark BLOOM prefilter —
+    * the sketch rides the streaming plan as a literal, so the codegen
+    * `bloom_contains` decimates shingles inside the micro-batch with
+    * zero state and no stream-side join. Nothing here is stateful:
+    * project + explode + filter + self-union, so any watermark/output
+    * mode works and a document's rows always share its micro-batch.
+    */
+  def contaminationStream(docs: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    graft.functions.registerAll(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(call_function("word_grams", col("text"), lit(3))).as("sh"))
+    val totals = sh.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n_sh"),
+      lit(null).cast("string").as("sh"))
+    val hits = sh.select(col("doc_id"), lit(-1L).as("n_sh"),
+      explode(col("sh")).as("sh"))
+      .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("sh"))))
+    totals.union(hits)
+  }
+
+  /** Sink-side per-micro-batch rollup for [[contaminationStream]]:
+    * exact-verify the prefiltered shingles against the benchmark set
+    * (bloom false positives die here) and emit one report row per
+    * document — exact because a doc's total row and all its shingle
+    * rows arrive in the same batch. Same output contract as batch
+    * d06/d12 (n_sh, n_matched, containment, contaminated >= 0.5).
+    */
+  def contaminationReportBatch(batch: DataFrame, bench: DataFrame): DataFrame = {
+    val totals = batch.filter(col("sh").isNull)
+      .select(col("doc_id"), col("n_sh"))
+    val matched = batch.filter(col("sh").isNotNull)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("containment",
+        round(col("n_matched").cast("double")
+          / greatest(col("n_sh"), lit(1L)).cast("double"), 4))
+      .withColumn("contaminated",
+        (col("n_matched").cast("double")
+          / greatest(col("n_sh"), lit(1L)).cast("double")) >= 0.5)
+  }
+
   case class Ev(event_id: Long, ts: Instant, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,

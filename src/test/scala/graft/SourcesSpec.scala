@@ -188,6 +188,31 @@ class SourcesSpec extends AnyFunSuite {
       docs.orderBy(col("doc_id")).collect().toSeq)
   }
 
+  test("lenient json quarantines corrupt lines instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lenient")
+    java.nio.file.Files.write(dir.resolve("part.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": broken not json""",
+        """{"id": 3, "name": "also ok"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // the strict reader fails the job on the bad line
+    intercept[org.apache.spark.SparkException] {
+      Sources.readJson(spark, dir.toString, schema).collect()
+    }
+    // the lenient reader parses 2, quarantines 1 verbatim
+    val rows = Sources.readJsonLenient(spark, dir.toString, schema)
+      .collect().sortBy(r => Option(r.getAs[java.lang.Long]("id")).map(_.toLong).getOrElse(99L))
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("name") == "ok" &&
+      rows(1).getAs[String]("name") == "also ok")
+    val bad = rows(2)
+    assert(bad.isNullAt(bad.fieldIndex("id")) &&
+      bad.getAs[String]("_corrupt_record").contains("broken"))
+  }
+
   test("compaction refuses to write in place") {
     val d = tmp("graft-inplace")
     Tables.region(spark, sfDir).write.mode("overwrite").parquet(d)

@@ -354,4 +354,38 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got.nonEmpty && got == expected)
   }
+
+  test("streaming bloom contamination equals the batch d06/d12 report") {
+    import graft.operators.Dedup
+    val (bench, _) = Dedup.contaminationFrames(spark, sfDir)
+    val bloom = Dedup.benchmarkBloom(bench)
+    assert(bloom != null)
+    val benchSet = bench.localCheckpoint(true) // static side, read per batch
+    // stage the corpus (non-benchmark docs) as one streamed file; the
+    // per-doc rollup is within-batch, so batch boundaries only need to
+    // respect document boundaries (they do: rows derive per doc row)
+    val src = java.nio.file.Files.createTempDirectory("graft-d06-stream")
+    Tables.documents(spark, sfDir).filter(col("source") =!= "src0")
+      .select("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream.schema(StreamOps.documentSchema)
+      .parquet(src.toString).select(col("doc_id"), col("text"))
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Double, Boolean)]()
+    val q = StreamOps.contaminationStream(stream, bloom)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.contaminationReportBatch(df, benchSet).collect().foreach { r =>
+          got.synchronized {
+            got(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+          }
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = Dedup.d06Contamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.nonEmpty && got.toMap == expected,
+      s"stream report diverged: ${got.size} vs ${expected.size} docs")
+  }
 }
