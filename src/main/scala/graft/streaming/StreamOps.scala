@@ -236,6 +236,68 @@ object StreamOps {
           / greatest(col("n_sh"), lit(1L)).cast("double")) >= 0.5)
   }
 
+  /** Stateless stream-side stage of streaming ANN enrichment: each
+    * incoming embedding is banded with the SAME 12x3 hyperplane LSH
+    * as the batch index (s02/s05, seed 7) and probes the static
+    * corpus band index via a stream-static equi-join — no state, no
+    * stream-side shuffle beyond the probe join. `corpusBands` is the
+    * pre-materialized (production: bucketed by (band_id, band_val))
+    * banded corpus with its embeddings.
+    *
+    * Emits candidate rows (query_id, qv, vec_id, embedding); the
+    * per-batch sink dedups pairs and ranks ([[annTopKBatch]]) — a
+    * query's bands all share its micro-batch, so in-batch top-k is
+    * exact over the candidate set, same contract as batch s02.
+    */
+  def annProbeStream(newVecs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    graft.functions.registerAll(newVecs.sparkSession)
+    val nBands = 12
+    val bits = 3
+    newVecs
+      .withColumn("sig", call_function("hyperplane_sig", col("embedding"),
+        lit(nBands * bits), lit(7L)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
+      .withColumn("band_val",
+        expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
+      .drop("sig")
+      .join(corpusBands, Seq("band_id", "band_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
+  }
+
+  /** The matching batch-side banded corpus index for
+    * [[annProbeStream]] (band_id, band_val, vec_id, embedding).
+    */
+  def corpusBandIndexAnn(corpus: DataFrame): DataFrame = {
+    graft.functions.registerAll(corpus.sparkSession)
+    val nBands = 12
+    val bits = 3
+    corpus
+      .withColumn("sig", call_function("hyperplane_sig", col("embedding"),
+        lit(nBands * bits), lit(7L)))
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
+      .withColumn("band_val",
+        expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
+      .select(col("band_id"), col("band_val"), col("vec_id"), col("embedding"))
+  }
+
+  /** Sink-side per-micro-batch ranking for [[annProbeStream]]: dedup
+    * candidate pairs (a pair matches once per shared band), score with
+    * the codegen cosine, rank with the bounded top-k aggregate — the
+    * exact tail batch s02 runs.
+    */
+  def annTopKBatch(candidates: DataFrame, k: Int = 10): DataFrame =
+    candidates.dropDuplicates("query_id", "vec_id")
+      .withColumn("cos_raw",
+        call_function("cosine_sim", col("qv"), col("embedding")))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by_score", col("cos_raw"), col("vec_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        round(col("t.score"), 4).as("cos"), (col("pos") + 1).cast("long").as("rank"))
+
   case class Ev(event_id: Long, ts: Instant, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,

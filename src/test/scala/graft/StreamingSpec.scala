@@ -355,6 +355,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("streaming ANN probe of the static band index equals batch s02") {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val index = StreamOps.corpusBandIndexAnn(emb).localCheckpoint(true)
+    val src = java.nio.file.Files.createTempDirectory("graft-ann-stream")
+    emb.filter(col("vec_id") < 5)
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
+    val q = StreamOps.annProbeStream(stream, index)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.annTopKBatch(df).collect().foreach(r =>
+          got.synchronized {
+            got += ((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          })
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = graft.operators.Similarity.s02AnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got.nonEmpty && got.toSet == expected,
+      s"streaming ANN diverged from batch s02: ${got.size} vs ${expected.size}")
+  }
+
   test("streaming bloom contamination equals the batch d06/d12 report") {
     import graft.operators.Dedup
     val (bench, _) = Dedup.contaminationFrames(spark, sfDir)
