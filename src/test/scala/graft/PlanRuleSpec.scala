@@ -199,6 +199,31 @@ class PlanRuleSpec extends AnyFunSuite {
       s"tiny-broadcast cross join must not warn: $rf ${rf.warnings}")
   }
 
+  test("custom expressions compile into generated code that calls the kernels") {
+    // the §8 claim as a check: hot-path expressions participate in
+    // whole-stage codegen with a direct static-kernel call — if one
+    // regressed to CodegenFallback, the generated source would carry
+    // an interpreted eval instead and these markers would vanish
+    graft.functions.registerAll(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val textCode = org.apache.spark.sql.execution.debug.codegenString(
+      docs.select(
+        call_function("minhash_sig", col("text"), lit(16), lit(3)).as("m"),
+        call_function("word_grams", col("text"), lit(2)).as("g"),
+        call_function("langid_top", col("text")).as("l"),
+        call_function("char_entropy", col("text")).as("e"),
+        call_function("stopword_hits", col("text")).as("s"))
+        .queryExecution.executedPlan)
+    assert(textCode.contains("graft.functions.Kernels"),
+      "text kernels must be called from whole-stage generated code")
+    val vecCode = org.apache.spark.sql.execution.debug.codegenString(
+      Tables.embeddings(spark, sfDir)
+        .select(call_function("cosine_sim", col("embedding"), col("embedding")).as("c"))
+        .queryExecution.executedPlan)
+    assert(vecCode.contains("Kernels.cosineF"),
+      "vector cosine must be a direct static call in generated code")
+  }
+
   test("bloom_agg/bloom_contains: no false negatives, low fp rate") {
     import spark.implicits._
     graft.functions.registerAll(spark)
