@@ -102,4 +102,59 @@ object Joins {
         coalesce(col("total_value"), lit(0.0)).as("total_value"))
       .orderBy(col("click_id"))
   }
+
+  /** Hot-key-only salted inner equi-join — q23's demonstration as a
+    * reusable operator. Keys whose LEFT-side row count reaches
+    * `hotThreshold` are split across `saltBuckets` sub-keys (the
+    * right side's hot rows are replicated `saltBuckets`×); every
+    * other key joins plainly. Identical semantics to
+    * `left.join(right, leftKey === rightKey)`, but no task ever holds
+    * a whole hot key — the straggler/OOM profile of a power-law key
+    * (the shape of per-user or per-domain joins on web data) goes
+    * away, while the replication cost is confined to the hot slice
+    * instead of a blanket build-side blow-up.
+    *
+    * The hot-key set is one partial-agg'd count pass, checkpointed
+    * (four broadcast consumers) and broadcast — hot keys are by
+    * definition few. `saltBy` picks the left-side salt source (any
+    * deterministic, roughly-uniform column, e.g. a line number);
+    * default is a hash of the entire left row, deterministic across
+    * retries where a random/partition-id salt is not. AQE's
+    * skew-join split covers the same risk REACTIVELY for sort-merge
+    * joins; this operator is the declarative form that also works
+    * where AQE can't re-plan (e.g. under a required distribution).
+    *
+    * Column names must be disjoint across the two sides (the usual
+    * prefixed-schema convention); both key columns survive in the
+    * output like a plain join's.
+    */
+  def skewSaltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      hotThreshold: Long, saltBuckets: Int = 8,
+      saltBy: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    val overlap = left.columns.toSet & right.columns.toSet
+    require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    val saltCol = "__graft_salt"
+    val hotKeys = left.groupBy(col(leftKey))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hotThreshold)
+      .select(col(leftKey).as("__graft_hot_key"))
+      .localCheckpoint(true)
+    val saltSrc = saltBy.getOrElse(
+      xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)))
+    val hotSet = broadcast(hotKeys)
+    val lHot = left.join(hotSet, col(leftKey) === col("__graft_hot_key"), "left_semi")
+      .withColumn(saltCol, pmod(saltSrc, lit(saltBuckets)))
+    val lCold = left.join(hotSet, col(leftKey) === col("__graft_hot_key"), "left_anti")
+    val rHot = right.join(hotSet, col(rightKey) === col("__graft_hot_key"), "left_semi")
+      .withColumn(saltCol, explode(array((0 until saltBuckets).map(lit): _*)))
+    val rCold = right.join(hotSet, col(rightKey) === col("__graft_hot_key"), "left_anti")
+    val hotJoin = lHot.join(rHot,
+      lHot(leftKey) === rHot(rightKey) && lHot(saltCol) === rHot(saltCol))
+      .drop(saltCol)
+    val coldJoin = lCold.join(rCold, lCold(leftKey) === rCold(rightKey))
+    hotJoin.unionByName(coldJoin)
+  }
 }

@@ -343,33 +343,16 @@ object Relational {
     * that overflows one reduce partition).
     */
   def q23JoinSkewSalt(spark: SparkSession, sfDir: String): DataFrame = {
-    val SALT = 8
-    val thresh = spark.conf.get("graft.skew.hotKeyThreshold", "5").toInt
+    // [[Joins.skewSaltedJoin]] is the operator (hot-key count pass is
+    // checkpointed inside it — one scan for its four broadcast
+    // consumers); this query is its demonstration with the salt
+    // sourced from the line number
+    val thresh = spark.conf.get("graft.skew.hotKeyThreshold", "5").toLong
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderstatus"))
-    // localCheckpoint: four broadcast joins consume this tiny frame;
-    // without materialization each re-runs the full lineitem count
-    // pass (4 extra scans measured). Eager checkpoint = one scan, and
-    // the hot-key RDD is freed by the ContextCleaner when the plan
-    // goes out of scope.
-    val hotKeys = li.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= thresh)
-      .select(col("l_orderkey").as("hot_key"))
-      .localCheckpoint(true)
-    val liHot = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_semi")
-      .withColumn("salt", pmod(col("l_linenumber"), lit(SALT)))
-    val liCold = li.join(broadcast(hotKeys), li("l_orderkey") === col("hot_key"), "left_anti")
-    val ordHot = ord.join(broadcast(hotKeys), ord("o_orderkey") === col("hot_key"), "left_semi")
-      .withColumn("salt", explode(array((0 until SALT).map(lit): _*)))
-    val ordCold = ord.join(broadcast(hotKeys), ord("o_orderkey") === col("hot_key"), "left_anti")
-    val hotJoin = liHot.join(ordHot,
-      liHot("l_orderkey") === ordHot("o_orderkey") && liHot("salt") === ordHot("salt"))
-      .select(col("o_orderstatus"), col("l_extendedprice"))
-    val coldJoin = liCold.join(ordCold, liCold("l_orderkey") === ordCold("o_orderkey"))
-      .select(col("o_orderstatus"), col("l_extendedprice"))
-    hotJoin.unionByName(coldJoin)
+    Joins.skewSaltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      hotThreshold = thresh, saltBuckets = 8, saltBy = Some(col("l_linenumber")))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
       .orderBy(col("o_orderstatus"))

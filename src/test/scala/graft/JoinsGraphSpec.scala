@@ -194,4 +194,30 @@ class JoinsGraphSpec extends AnyFunSuite {
     }
     assert(got.values.sum > 0, "attribution windows should capture purchases")
   }
+
+  test("skewSaltedJoin equals the plain join on a power-law key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 0 holds half the rows (the hot domain); the rest are uniform
+    val left = (0 until 4000)
+      .map(i => (if (i % 2 == 0) 0L else (i % 97).toLong, i.toLong))
+      .toDF("k", "payload")
+    val right = (0 until 97).map(k => (k.toLong, s"dim_$k")).toDF("rk", "attr")
+    val salted = Joins.skewSaltedJoin(left, right, "k", "rk",
+      hotThreshold = 100, saltBuckets = 8)
+      .select("k", "payload", "rk", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "rk", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted
+    assert(salted.length == plain.length && salted.sameElements(plain),
+      s"salted join diverged: ${salted.length} vs ${plain.length} rows")
+    // the default whole-row-hash salt really spreads the hot key: the
+    // hot slice must occupy >1 salt bucket (2000 rows, 8 buckets)
+    val hotSalts = left
+      .filter(col("k") === 0L)
+      .withColumn("salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
+      .select("salt").distinct().count()
+    assert(hotSalts > 4, s"hot key spread over only $hotSalts salt buckets")
+  }
 }

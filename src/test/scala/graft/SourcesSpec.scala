@@ -188,6 +188,22 @@ class SourcesSpec extends AnyFunSuite {
       docs.orderBy(col("doc_id")).collect().toSeq)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    // generation 1 writes (id, a); generation 2 adds column b — the
+    // long-lived-table reality: readers must see the union with nulls
+    // where a generation lacks the column
+    val dir = tmp("graft-evolve")
+    Seq((1L, "a1")).toDF("id", "a").write.mode("append").parquet(dir)
+    Seq((2L, "a2", 20L)).toDF("id", "a", "b").write.mode("append").parquet(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.sameElements(Array("a", "b", "id")))
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(rows(0).fieldIndex("b")),
+      "old-generation rows surface the new column as null")
+    assert(rows(1).getAs[Long]("b") == 20L)
+  }
+
   test("lenient json quarantines corrupt lines instead of failing") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-lenient")
