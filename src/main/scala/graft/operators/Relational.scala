@@ -582,48 +582,80 @@ object Relational {
     * No whole-group window frame anywhere on the hot path (asserted in
     * PlanRuleSpec); results are bit-identical to the single-task ntile.
     */
-  def q27NtileWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Distributed exact ntile — bit-identical to
+    * `ntile(n) over (partition by groupCols order by orderCols)`
+    * without ever funneling a group through one task (the plain
+    * window needs a total order per group ⇒ one task per group).
+    * Generalized from q27's inline form:
+    *
+    *  1. range-repartition on (groupCols ++ orderCols) — Spark's
+    *     parallel sort: every partition holds a contiguous slice of
+    *     each group's order, so global rank = per-partition offset +
+    *     local row_number. Checkpointed to freeze
+    *     `spark_partition_id` across the two consumers;
+    *  2. offsets from a (pid, group) count — ~partitions × groups
+    *     rows — cumulated by a RUNNING window over that tiny frame
+    *     and broadcast back;
+    *  3. local row_number windows partition by (pid, group): max task
+    *     size is a range-partition slice, never a whole group;
+    *  4. ntile's exact sizing (first n_total%n buckets get one extra
+    *     row) is arithmetic on (rank, group size).
+    *
+    * `orderCols` must make (groupCols ++ orderCols) a total order
+    * (ntile over ties is nondeterministic in ANY engine — add a key
+    * column). `groupCols` may be empty for a global ntile. Output =
+    * input columns + `bucketCol` (int, 1-based).
+    */
+  def distributedNtile(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], n: Int, bucketCol: String = "bucket"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tagged = Tables.orders(spark, sfDir)
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .repartitionByRange(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("pid", spark_partition_id())
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val gc = groupCols.map(col)
+    val sortCols = (groupCols ++ orderCols).map(col)
+    val tagged = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val cnts = tagged.groupBy(col("pid"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("c"))
-    val wOff = Window.partitionBy(col("o_orderpriority")).orderBy(col("pid"))
+    val cnts = tagged.groupBy((col("__pid") +: gc): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // offsets/totals live on the counts frame (≤ partitions × groups
-    // rows): the offset is a RUNNING frame and the group total a plain
-    // aggregate, so the whole plan carries no whole-group window frame.
-    val totals = cnts.groupBy(col("o_orderpriority"))
-      .agg(sum(col("c")).as("n_total"))
-    val offsets = cnts
-      .withColumn("offset", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .join(totals, "o_orderpriority")
-      .select(col("pid"), col("o_orderpriority"), col("offset"), col("n_total"))
-    val wLocal = Window.partitionBy(col("pid"), col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ranked = tagged
-      .withColumn("local_rn", row_number().over(wLocal))
-      .join(broadcast(offsets), Seq("pid", "o_orderpriority"))
-      .withColumn("rnk", col("offset") + col("local_rn"))
-    // exact ntile(4) arithmetic: base = n div 4, rem = n mod 4; the
-    // first rem buckets hold base+1 rows each
-    val quartile = expr(
-      """CASE WHEN rnk <= (n_total % 4) * (n_total div 4 + 1)
-        |     THEN (rnk - 1) div (n_total div 4 + 1) + 1
-        |     ELSE (n_total % 4) + (rnk - (n_total % 4) * (n_total div 4 + 1) - 1)
-        |            div (n_total div 4) + 1
-        |END""".stripMargin).cast("int")
-    ranked
-      .withColumn("quartile", quartile)
+    val totals = cnts.groupBy(gc: _*).agg(sum(col("__c")).as("__n_total"))
+    val cum = cnts
+      .withColumn("__offset", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+    // empty groupCols (global ntile): totals is ONE row — cross join it
+    val offsets = (if (groupCols.isEmpty) cum.crossJoin(broadcast(totals))
+                   else cum.join(totals, groupCols, "inner"))
+      .select((col("__pid") +: col("__offset") +: col("__n_total") +: gc): _*)
+    val wLocal = Window.partitionBy((col("__pid") +: gc): _*)
+      .orderBy(orderCols.map(col): _*)
+    val bucket = expr(
+      s"""CASE WHEN __rnk <= (__n_total % $n) * (__n_total div $n + 1)
+         |     THEN (__rnk - 1) div (__n_total div $n + 1) + 1
+         |     ELSE (__n_total % $n) + (__rnk - (__n_total % $n) * (__n_total div $n + 1) - 1)
+         |            div (__n_total div $n) + 1
+         |END""".stripMargin).cast("int")
+    tagged
+      .withColumn("__local_rn", row_number().over(wLocal))
+      .join(broadcast(offsets), "__pid" +: groupCols, "inner")
+      .withColumn("__rnk", col("__offset") + col("__local_rn"))
+      .withColumn(bucketCol, bucket)
+      .drop("__pid", "__c", "__offset", "__n_total", "__local_rn", "__rnk")
+  }
+
+  def q27NtileWindow(spark: SparkSession, sfDir: String): DataFrame =
+    distributedNtile(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      groupCols = Seq("o_orderpriority"),
+      orderCols = Seq("o_totalprice", "o_orderkey"),
+      n = 4, bucketCol = "quartile")
       .groupBy(col("o_orderpriority"), col("quartile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy(col("o_orderpriority"), col("quartile"))
-  }
 
   /** q38: latest-row-per-key ("current snapshot" / SCD-style dedup by
     * recency) — each customer's most recent order, via a partial-agg'd

@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
 
 /** Structural sanity for every declared query: runs at sf0.001,
   * asserts non-empty results and that queries/oracleSql stay in sync.
@@ -36,5 +38,27 @@ class RelationalSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       assert(df.count() > 0, s"$name returned no rows")
     }
+  }
+
+  test("distributedNtile is bit-identical to the window ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    def collectBuckets(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.select(col("o_orderkey"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    // grouped, n=7 (non-divisible remainders exercise the sizing rule)
+    val grouped = collectBuckets(Relational.distributedNtile(
+      orders, Seq("o_orderpriority"), Seq("o_totalprice", "o_orderkey"), 7, "b"))
+    val groupedRef = collectBuckets(orders.withColumn("b",
+      ntile(7).over(Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey")))))
+    assert(grouped == groupedRef, "grouped ntile diverged from the window form")
+    // global (no group columns), n=4
+    val global = collectBuckets(Relational.distributedNtile(
+      orders, Nil, Seq("o_totalprice", "o_orderkey"), 4, "b"))
+    val globalRef = collectBuckets(orders.withColumn("b",
+      ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))))
+    assert(global == globalRef, "global ntile diverged from the window form")
   }
 }
