@@ -86,6 +86,7 @@ object SparkEntry {
     "p04_curate" -> (Pipeline.p04Curate _),
     "p05_profile" -> (Pipeline.p05Profile _),
     "p06_stratified_sample" -> (Pipeline.p06StratifiedSample _),
+    "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
@@ -879,6 +880,21 @@ object SparkEntry {
         |FROM b
         |ORDER BY doc_id""".stripMargin,
     "t02_quality_score" -> (qualityScoreOracleBody + "\nORDER BY doc_id"),
+    // α=0.5 temperature sampling: rate ticks floor(65536·sqrt(n/nmax));
+    // IEEE sqrt and floor are correctly rounded in both engines, and
+    // the keep compare is integer — bit-reproducible
+    "p07_mix_temperature" ->
+      """WITH s AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+        |m AS (SELECT max(n_source) AS nmax FROM s),
+        |r AS (SELECT source, n_source,
+        |        CAST(floor(65536.0 * sqrt(n_source / CAST(nmax AS DOUBLE))) AS BIGINT)
+        |          AS rate_ticks
+        |      FROM s, m)
+        |SELECT d.doc_id, d.source, CAST(r.n_source AS BIGINT) AS n_source, r.rate_ticks,
+        |  (('0x' || substr(md5('p07:' || CAST(d.doc_id AS VARCHAR)), 1, 4))::UBIGINT
+        |    < r.rate_ticks) AS kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |ORDER BY d.doc_id""".stripMargin,
     // p06 stratifies on t02's score: the same replication feeds the
     // quartile cutpoints (quantile_cont == Spark's exact percentile,
     // parity established by q25) and the md5 keep rule (p01's pattern,

@@ -163,6 +163,51 @@ object Pipeline {
       .orderBy(col("col_name"))
   }
 
+  /** Temperature exponent for [[p07MixTemperature]]: keep-probability
+    * ∝ size^(α−1), i.e. α = 1 is proportional (no rebalancing), α → 0
+    * is uniform-over-sources. 0.5 is the mC4/XLM-R-style midpoint.
+    */
+  private val MixAlpha = 0.5
+
+  /** p07: temperature-based mixture sampling — the α-sampling recipe
+    * for balancing skewed source sizes (big sources downsampled,
+    * small ones kept whole) without hand-written per-source rates
+    * (p03's table becomes a FORMULA of the source sizes). Sampling
+    * probability per source: (n_i/n_max)^(α−1) normalized so the
+    * LARGEST source keeps rate (n_i fixed: rate_i =
+    * (n_i/n_max)^(α−1)·(n_i/n_i) — concretely rate_i =
+    * (n_max/n_i)^(1−α) capped at 1, downsample-only). The keep
+    * decision is the p01/p03 md5-bucket rule against the rate
+    * quantized to 1/65536 ticks — integer compare, so the kept set is
+    * a pure function of (doc_id, source sizes) and bit-reproducible
+    * cross-engine (IEEE sqrt/floor are correctly rounded in both).
+    *
+    * Scale shape: source sizes are ONE partial-agg'd count collapsed
+    * to a ≤#sources-row frame, broadcast back; the keep decision is a
+    * pure per-row map. Output: every doc with its source rate and
+    * kept flag.
+    */
+  def p07MixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val nMax = sizes.agg(max(col("n_source")).as("__m"))
+    // rate in 1/65536 ticks: floor(65536 * (n_i/n_max)^(1-alpha));
+    // alpha=0.5 => sqrt. max source: exactly 65536 (kept whole).
+    val rates = sizes.crossJoin(broadcast(nMax))
+      .withColumn("rate_ticks",
+        floor(lit(65536.0) * sqrt(col("n_source").cast("double") / col("__m").cast("double")))
+          .cast("long"))
+      .select(col("source"), col("n_source"), col("rate_ticks"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("p07:"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long"))
+      .withColumn("kept", col("bucket") < col("rate_ticks"))
+      .select(col("doc_id"), col("source"), col("n_source"),
+        col("rate_ticks"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-rates per quality quartile (percent): heavy downsampling of
     * the bottom, everything from the top — the quality-curriculum
     * mixture shape.

@@ -355,6 +355,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("late rows beyond the watermark are dropped AND accounted for") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-late")
+    val t0 = 1700000000L // epoch seconds
+    def stage(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part),
+        src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def ns(sec: Long): Long = sec * 1000000000L
+    val q = StreamOps.windowAgg(
+      StreamOps.readEventStream(spark, src.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1 advances the watermark to t0+6h-2h = t0+4h
+      stage("b1", Seq(
+        (1L, ns(t0), 10L, "click", 1.0, "{}"),
+        (2L, ns(t0 + 6 * 3600), 11L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 2: an event 3h BEFORE the watermark — its window closed
+      stage("b2", Seq((3L, ns(t0 + 3600), 12L, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1,
+        "the late row must be dropped by the watermark AND visible in metrics")
+    } finally q.stop()
+  }
+
   test("streaming ANN probe of the static band index equals batch s02") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
