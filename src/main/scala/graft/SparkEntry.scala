@@ -54,6 +54,7 @@ object SparkEntry {
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
     "q33_json_extract" -> (Events.q33JsonExtract _),
+    "q41_retention_cohorts" -> (Events.q41RetentionCohorts _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -559,6 +560,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+    "q41_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, w.week) // 7 AS INT) AS week_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN f ON w.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q31_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, CASE WHEN prev_us IS NULL

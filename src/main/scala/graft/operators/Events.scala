@@ -85,4 +85,27 @@ object Events {
         round(avg(col("k")), 4).as("avg_k"),
         countDistinct(col("k")).as("n_distinct_k"))
       .orderBy(col("event_type"))
+
+  /** q41: cohort retention matrix — users grouped by first-active
+    * week (the cohort), counted in each later week they return: the
+    * canonical product-analytics retention triangle. Shape: the
+    * first-touch frame is one partial-agg'd min per user; the join
+    * back is a co-shuffle on user_id; the retention cell count is a
+    * distinct-count whose two-phase rewrite partial-aggregates on
+    * (cohort, offset, user) — no window, no per-cohort funnel, every
+    * stage combines map-side. Weeks are Monday-truncated dates in
+    * both engines; offsets are exact day-diffs over multiples of 7.
+    */
+  def q41RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val first = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }
