@@ -82,6 +82,7 @@ object SparkEntry {
     "t07_vocab" -> (TextAnalysis.t07Vocab _),
     "t08_entropy" -> (TextAnalysis.t08Entropy _),
     "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
+    "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
@@ -936,6 +937,18 @@ object SparkEntry {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // the exact top-20 hash-compares; sketch_ok is a contract column
+    // (oracle-side literal true), q34's sketch-check pattern
+    "t10_topk_sketch" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+        |                t -> t <> '')) AS token
+        |  FROM documents),
+        |e AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |w AS (SELECT token, tf FROM e ORDER BY tf DESC, token LIMIT 20)
+        |SELECT token, CAST(tf AS BIGINT) AS tf, true AS sketch_ok
+        |FROM w
+        |ORDER BY tf DESC, token""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
     // d12 is d06 with a bloom PREFILTER — blooms have no false
     // negatives and the exact verify removes false positives, so the

@@ -256,4 +256,36 @@ object TextAnalysis {
           .otherwise(lit(null).cast("double")).as("surprisal_bits"))
       .orderBy(col("doc_id"))
   }
+
+  /** t10: frequent-items sketch beside its exact twin — the third
+    * member of the sketch family (q34 covers HLL + quantiles): the
+    * corpus's top-20 tokens by term frequency computed exactly
+    * (hash-compared), with a `sketch_ok` contract column checking
+    * Spark's `approx_top_k` frequent-items sketch against it. With
+    * `maxItemsTracked` ≥ the vocabulary size the sketch's counts are
+    * exact, so every token STRICTLY above the rank-20 boundary must
+    * appear in the sketch's top-20; boundary ties are vacuously ok
+    * (any correct top-k may break ties either way — same
+    * tie-robustness reasoning as q34's error-bound booleans). At
+    * 100 TB the sketch is the point: fixed-size partial states vs
+    * t07's exact (token, count) shuffle.
+    */
+  def t10TopkSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(call_function("word_grams", lower(col("text")), lit(1))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val top20 = exact.orderBy(col("tf").desc, col("token")).limit(20)
+    val boundary = top20.agg(min(col("tf")).as("__b"))
+    val sketch = toks
+      .agg(expr("approx_top_k(token, 20, 65536)").as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.item").as("sk_token"))
+    top20.crossJoin(broadcast(boundary))
+      .join(broadcast(sketch.withColumn("hit", lit(true))),
+        col("token") === col("sk_token"), "left")
+      .select(col("token"), col("tf"),
+        (col("tf") === col("__b") || coalesce(col("hit"), lit(false))).as("sketch_ok"))
+      .orderBy(col("tf").desc, col("token"))
+  }
 }
