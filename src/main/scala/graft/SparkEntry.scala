@@ -50,6 +50,7 @@ object SparkEntry {
     "q38_latest_per_key" -> (Relational.q38LatestPerKey _),
     "q39_recursive_cal" -> (Relational.q39RecursiveCal _),
     "q40_stats_suite" -> (Relational.q40StatsSuite _),
+    "q42_window_extras" -> (Relational.q42WindowExtras _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -863,6 +864,27 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "q42_window_extras" ->
+      """WITH b AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+        |    first_value(o_totalprice) OVER wf AS first_price,
+        |    nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |    last_value(o_totalprice) OVER wf AS last_price,
+        |    last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+        |      OVER wr AS last_final_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    wf AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |    wr AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+        |  round(first_price, 2) AS first_price,
+        |  round(second_price, 2) AS second_price,
+        |  round(last_price, 2) AS last_price,
+        |  round(last_final_price, 2) AS last_final_price
+        |FROM b WHERE rn = n_orders
+        |ORDER BY o_custkey""".stripMargin,
     // s03 oracle replicates the IVF index exactly: same md5-sampled
     // seeds, one Lloyd round with the SAME fixed-point cell means
     // (floor(x*1024+0.5) long sums — order-independent, so exact in

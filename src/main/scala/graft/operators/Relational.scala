@@ -657,6 +657,43 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("max_price"))
       .orderBy(col("o_orderpriority"), col("quartile"))
 
+  /** q42: positional window functions — first_value / nth_value /
+    * last_value over whole-group frames plus last(..., ignoreNulls)
+    * over a running frame (the carry-last-known-value idiom j01
+    * builds on): one snapshot row per customer with their first,
+    * second, latest, and latest-FINALIZED order price. Whole-group
+    * frames are fine HERE, unlike q27's: the partition is one
+    * customer's orders (bounded, millions of parallel groups), not
+    * 20% of the table in one task. All five window columns share one
+    * (partition, order) spec, so Spark computes them in a single
+    * Window operator after one shuffle+sort.
+    */
+  def q42WindowExtras(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("last_final_price",
+        last(when(col("o_orderstatus") === "F", col("o_totalprice")),
+          ignoreNulls = true).over(run))
+      .filter(col("rn") === col("n_orders"))
+      .select(col("o_custkey"), col("n_orders"),
+        round(col("first_price"), 2).as("first_price"),
+        round(col("second_price"), 2).as("second_price"),
+        round(col("last_price"), 2).as("last_price"),
+        round(col("last_final_price"), 2).as("last_final_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** q38: latest-row-per-key ("current snapshot" / SCD-style dedup by
     * recency) — each customer's most recent order, via a partial-agg'd
     * STRUCT MAX argmax instead of the textbook
