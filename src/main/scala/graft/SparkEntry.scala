@@ -90,6 +90,7 @@ object SparkEntry {
     "p05_profile" -> (Pipeline.p05Profile _),
     "p06_stratified_sample" -> (Pipeline.p06StratifiedSample _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
+    "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
@@ -972,6 +973,21 @@ object SparkEntry {
         |FROM w
         |ORDER BY tf DESC, token""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
+    // p08 = d06's contamination verdict x p01's md5 split, fused
+    "p08_decontaminated_split" ->
+      ("WITH c AS (" + contaminationOracleSql + "),\n" +
+        """p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 90
+          |           THEN 'train'
+          |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 100 < 95
+          |           THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM documents)
+          |SELECT c.doc_id, p.split, c.contaminated,
+          |  (p.split = 'train' AND NOT c.contaminated) AS included
+          |FROM c JOIN p ON c.doc_id = p.doc_id
+          |ORDER BY c.doc_id""".stripMargin),
     // d12 is d06 with a bloom PREFILTER — blooms have no false
     // negatives and the exact verify removes false positives, so the
     // result (and therefore the oracle) is identical by construction.

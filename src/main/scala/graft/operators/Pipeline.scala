@@ -208,6 +208,25 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** p08: decontaminated training split — the d06 → p01 composition a
+    * real pipeline materializes: a corpus document reaches training
+    * iff its md5 split says 'train' AND the benchmark-contamination
+    * check clears it (contaminated training docs inflate benchmark
+    * scores; the benchmark slice itself never trains). One fused plan:
+    * the contamination report and the split assignment are both
+    * per-doc maps over the same scan family, joined on doc_id.
+    * Output: every corpus doc with split, contaminated, included.
+    */
+  def p08DecontaminatedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val split = p01SplitAssign(spark, sfDir).select(col("doc_id"), col("split"))
+    val contam = graft.operators.Dedup.d06Contamination(spark, sfDir)
+      .select(col("doc_id"), col("contaminated"))
+    contam.join(split, "doc_id")
+      .withColumn("included", col("split") === "train" && !col("contaminated"))
+      .select(col("doc_id"), col("split"), col("contaminated"), col("included"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-rates per quality quartile (percent): heavy downsampling of
     * the bottom, everything from the top — the quality-curriculum
     * mixture shape.
