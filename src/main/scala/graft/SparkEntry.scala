@@ -74,6 +74,7 @@ object SparkEntry {
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s05_knn_join" -> (Similarity.s05KnnJoin _),
+    "s06_knn_classify" -> (Similarity.s06KnnClassify _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
     "t03_token_count" -> (TextAnalysis.t03TokenCount _),
@@ -258,6 +259,46 @@ object SparkEntry {
       |  round(least(1.0, n_tokens / 100.0) * 0.4
       |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
       |FROM r""".stripMargin
+
+  /** The s05 k-NN-graph replication up to the ranked candidate CTE
+    * `r` (no WITH keyword) — shared by s05 and s06.
+    */
+  private val knnGraphOracleCtes: String =
+    """pl AS (
+      |  SELECT p.p AS p, j.j AS j,
+      |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
+      |      / 281474976710656.0) * 2.0 - 1.0) AS w
+      |  FROM range(36) p(p), range(64) j(j)),
+      |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
+      |sb AS (
+      |  SELECT e.vec_id, pw.p,
+      |    CASE WHEN list_sum(list_transform(range(1, 65),
+      |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e, pw),
+      |bands AS (
+      |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
+      |  FROM sb GROUP BY vec_id, p // 3),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+      |  FROM bands cb JOIN bands qb
+      |    ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
+      |  WHERE cb.vec_id <> qb.vec_id),
+      |sc AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))) AS cos_raw
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |  JOIN embeddings v ON v.vec_id = c.vec_id),
+      |r AS (
+      |  SELECT query_id, vec_id, cos_raw,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_raw DESC, vec_id) AS rank
+      |  FROM sc)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
@@ -824,47 +865,39 @@ object SparkEntry {
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // s05 oracle = the s02 replication with query set := the whole
-    // corpus (both directions of each bucket pair) and rank <= 3
+    // corpus (both directions of each bucket pair) and rank <= 3;
+    // the CTE chain is shared with s06 (which classifies over it)
     "s05_knn_join" ->
-      """WITH pl AS (
-        |  SELECT p.p AS p, j.j AS j,
-        |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
-        |      / 281474976710656.0) * 2.0 - 1.0) AS w
-        |  FROM range(36) p(p), range(64) j(j)),
-        |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
-        |sb AS (
-        |  SELECT e.vec_id, pw.p,
-        |    CASE WHEN list_sum(list_transform(range(1, 65),
-        |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM embeddings e, pw),
-        |bands AS (
-        |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
-        |  FROM sb GROUP BY vec_id, p // 3),
-        |cand AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
-        |  FROM bands cb JOIN bands qb
-        |    ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
-        |  WHERE cb.vec_id <> qb.vec_id),
-        |sc AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))) AS cos_raw
-        |  FROM cand c
-        |  JOIN embeddings q ON q.vec_id = c.query_id
-        |  JOIN embeddings v ON v.vec_id = c.vec_id),
-        |r AS (
-        |  SELECT query_id, vec_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY cos_raw DESC, vec_id) AS rank
-        |  FROM sc)
+      ("WITH " + knnGraphOracleCtes + """
         |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
         |FROM r
         |WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // s06: cosine-weighted 3-NN vote over the s05 graph; weights are
+    // integer 1/10000 ticks of the 4dp cosines so the per-label sums
+    // are order-independent and bit-equal cross-engine
+    "s06_knn_classify" ->
+      ("WITH " + knnGraphOracleCtes + """,
+        |k AS (SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+        |      FROM r WHERE rank <= 3),
+        |lv AS (SELECT k.query_id, e.label AS n_label,
+        |         CAST(floor(k.cos * 10000 + 0.5) AS BIGINT) AS w
+        |       FROM k JOIN embeddings e ON e.vec_id = k.neighbor_id),
+        |v AS (SELECT query_id, n_label, sum(w) AS wsum, count(*) AS nv
+        |      FROM lv GROUP BY query_id, n_label),
+        |best AS (SELECT query_id, n_label,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY wsum DESC, n_label) AS rn
+        |         FROM v),
+        |tot AS (SELECT query_id, CAST(sum(nv) AS BIGINT) AS n_votes
+        |        FROM v GROUP BY query_id)
+        |SELECT b.query_id AS vec_id, b.n_label AS predicted_label, t.n_votes,
+        |  e.label AS true_label, (b.n_label = e.label) AS correct
+        |FROM best b
+        |JOIN tot t ON t.query_id = b.query_id
+        |JOIN embeddings e ON e.vec_id = b.query_id
+        |WHERE b.rn = 1
+        |ORDER BY vec_id""".stripMargin),
     "q42_window_extras" ->
       """WITH b AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, o_orderstatus,

@@ -343,4 +343,43 @@ object Similarity {
       .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
     topKPerQuery(scored, KnnK)
   }
+
+  /** s06: k-NN classification over the [[s05KnnJoin]] graph — each
+    * vector takes the cosine-weighted majority label of its
+    * [[KnnK]] nearest neighbors: the weak-supervision auto-labeling /
+    * label-spreading primitive (label a small seed set, let the
+    * embedding geometry label the rest), with `correct` grading the
+    * vote against the stored label. Vote weights are INTEGER 1/10000
+    * ticks of the 4dp cosines — long sums are order-independent, so
+    * the winning label is deterministic across partitionings and
+    * bit-reproducible in the oracle (a double sum's last-ulp order
+    * dependence could flip near-tied votes); label ties break to the
+    * smaller label via the same struct-max argmax as q38.
+    *
+    * Scale shape: everything downstream of the k-NN graph is
+    * per-vector bounded — ≤ k vote rows per vector, two partial-agg'd
+    * aggregations (per-label sum, per-vector argmax), one broadcast-
+    * free equi-join to the label column.
+    */
+  def s06KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val knn = s05KnnJoin(spark, sfDir)
+    val lbl = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    val truth = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").as("true_label"))
+    val votes = knn.join(lbl, "neighbor_id")
+      .withColumn("w", floor(col("cos") * 10000 + 0.5).cast("long"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("nv"))
+    votes.groupBy(col("query_id"))
+      .agg(max(struct(col("wsum"), (-col("n_label")).as("negl"))).as("m"),
+        sum(col("nv")).as("n_votes"))
+      .select(col("query_id").as("vec_id"), (-col("m.negl")).as("predicted_label"),
+        col("n_votes"))
+      .join(truth, "vec_id")
+      .withColumn("correct", col("predicted_label") === col("true_label"))
+      .select(col("vec_id"), col("predicted_label"), col("n_votes"),
+        col("true_label"), col("correct"))
+      .orderBy(col("vec_id"))
+  }
 }
