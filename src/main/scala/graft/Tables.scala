@@ -35,4 +35,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Cheap layout-level fingerprint of one table's files (count +
+    * total bytes + max mtime; a single driver-side FS listing) — the
+    * cache key ingredient for session-scoped memos (d07/d08 cluster
+    * labels, s05/s06 k-NN graph): a rewrite of the data invalidates
+    * the memo instead of serving results for rows that no longer
+    * exist. Layout-level, not content-level — a same-size-same-mtime
+    * in-place rewrite would still hit; that is the documented
+    * contract.
+    */
+  def fingerprint(s: SparkSession, d: String, name: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).filter(_.isFile)
+    s"${files.length}:${files.map(_.getLen).sum}:" +
+      s"${if (files.isEmpty) 0L else files.map(_.getModificationTime).max}"
+  }
 }

@@ -532,14 +532,8 @@ object Dedup {
     */
   private var labelsMemo: Option[(SparkSession, String, String, DataFrame)] = None
 
-  /** One FS listing of the documents directory → "n:bytes:maxMtime". */
-  private def docsFingerprint(spark: SparkSession, sfDir: String): String = {
-    val path = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path).filter(_.isFile)
-    s"${files.length}:${files.map(_.getLen).sum}:" +
-      s"${if (files.isEmpty) 0L else files.map(_.getModificationTime).max}"
-  }
+  private def docsFingerprint(spark: SparkSession, sfDir: String): String =
+    Tables.fingerprint(spark, sfDir, "documents")
 
   private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     synchronized {

@@ -314,7 +314,28 @@ object Similarity {
     * (no candidates ⇒ no neighbors) — the honest LSH contract; s01 is
     * the exhaustive fallback.
     */
-  def s05KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Materialize-once k-NN graph per (session, sfDir, embeddings
+    * fingerprint): s05 and s06 both consume it, and the driver
+    * contract evaluates each operator standalone — the same memo
+    * pattern (and staleness contract) as Dedup's cluster labels. The
+    * graph is small (k rows per vector), so the eager checkpoint is
+    * cheap and the second consumer reads stored blocks.
+    */
+  private var knnMemo: Option[(SparkSession, String, String, DataFrame)] = None
+
+  private def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val fp = Tables.fingerprint(spark, sfDir, "embeddings")
+      knnMemo match {
+        case Some((s, d, f, g)) if (s eq spark) && d == sfDir && f == fp => g
+        case _ =>
+          val g = knnGraphCompute(spark, sfDir).localCheckpoint(true)
+          knnMemo = Some((spark, sfDir, fp, g))
+          g
+      }
+    }
+
+  private def knnGraphCompute(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val nBands = 12
     val bits = 3
@@ -344,6 +365,9 @@ object Similarity {
     topKPerQuery(scored, KnnK)
   }
 
+  def s05KnnJoin(spark: SparkSession, sfDir: String): DataFrame =
+    knnGraph(spark, sfDir).orderBy(col("query_id"), col("rank"))
+
   /** s06: k-NN classification over the [[s05KnnJoin]] graph — each
     * vector takes the cosine-weighted majority label of its
     * [[KnnK]] nearest neighbors: the weak-supervision auto-labeling /
@@ -362,7 +386,7 @@ object Similarity {
     * free equi-join to the label column.
     */
   def s06KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
-    val knn = s05KnnJoin(spark, sfDir)
+    val knn = knnGraph(spark, sfDir)
     val lbl = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
     val truth = Tables.embeddings(spark, sfDir)
