@@ -355,6 +355,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("built-in session_window assembles the same sessions as q31") {
+    // Spark's native session_window (usable batch AND streaming) must
+    // agree with the hand-rolled gap logic (q31 / flatMapGroupsWithState
+    // twin) on membership and metrics. Boundary note: session_window
+    // splits at gap >= 30min where q31 splits at > 30min — the corpus
+    // has no exact-boundary gap (checked), so disagreement here means
+    // a real sessionization bug, not tie semantics.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4))
+    val ev = Tables.events(spark, sfDir)
+    val built = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .collect().map(key).sorted.toSeq
+    val custom = operators.Events.q31Sessionize(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .collect().map(key).sorted.toSeq
+    assert(built.nonEmpty && built == custom,
+      s"session_window diverged from q31: ${built.length} vs ${custom.length} sessions")
+  }
+
   test("late rows beyond the watermark are dropped AND accounted for") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-late")
