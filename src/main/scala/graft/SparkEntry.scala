@@ -65,6 +65,7 @@ object SparkEntry {
     "d10_dedup_incremental" -> (Dedup.d10DedupIncremental _),
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d12_contamination_bloom" -> (Dedup.d12ContaminationBloom _),
+    "d13_chunk_dedup" -> (Dedup.d13ChunkDedup _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
@@ -1006,6 +1007,25 @@ object SparkEntry {
         |FROM w
         |ORDER BY tf DESC, token""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
+    // d13: same 32-word windows, same single-space split as d08/p02
+    // (consecutive-space empties kept identically in both engines)
+    "d13_chunk_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |ch0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(CAST(ceil(len(t) / 32.0) AS BIGINT)),
+        |      i -> md5(array_to_string(t[(i*32+1):(i*32+32)], ' '))) AS hashes
+        |  FROM tk),
+        |ch AS (SELECT doc_id, unnest(hashes) AS chunk_hash FROM ch0)
+        |SELECT chunk_hash,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  min(doc_id) AS first_doc
+        |FROM ch
+        |GROUP BY chunk_hash
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     // p08 = d06's contamination verdict x p01's md5 split, fused
     "p08_decontaminated_split" ->
       ("WITH c AS (" + contaminationOracleSql + "),\n" +

@@ -344,6 +344,45 @@ object Dedup {
     contaminationReport(corp, matched)
   }
 
+  /** Chunk width (words) for [[d13ChunkDedup]] — small enough to
+    * catch template paragraphs, large enough that coincidental
+    * n-gram overlap doesn't fire.
+    */
+  private val ChunkWords = 32
+
+  /** d13: sub-document (chunk-level) exact dedup — split every doc
+    * into fixed [[ChunkWords]]-word windows, hash each, and report
+    * chunks appearing in ≥2 documents: boilerplate/template passages
+    * that whole-document dedup (d01) can't see because the documents
+    * AROUND them differ (the C4 line-dedup recipe at word-window
+    * granularity, since this corpus has no newlines). Downstream, a
+    * pipeline drops or collapses the flagged chunks.
+    *
+    * Scale shape: the shuffle carries (16-byte md5, doc_id) pairs —
+    * never chunk text (d01's trick at chunk granularity); counting is
+    * partial-agg'd and the distinct-doc count rides the two-phase
+    * rewrite. Output is only the duplicated chunks (the report, not
+    * the corpus).
+    */
+  def d13ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+    docs
+      .withColumn("n_chunks",
+        ceil(size(col("toks")).cast("double") / ChunkWords).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk_hash",
+        md5(concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * ChunkWords + 1, lit(ChunkWords)))))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_hash"))
+  }
+
   /** Connected components by iterative min-label propagation
     * ("hash-to-min"): label(v) ← min(label(v), min over neighbors),
     * repeated until a fixpoint. Each round is one shuffle join + one
