@@ -66,6 +66,7 @@ object SparkEntry {
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d12_contamination_bloom" -> (Dedup.d12ContaminationBloom _),
     "d13_chunk_dedup" -> (Dedup.d13ChunkDedup _),
+    "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
@@ -300,6 +301,39 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id
       |                       ORDER BY cos_raw DESC, vec_id) AS rank
       |  FROM sc)""".stripMargin
+
+  /** The d02 all-pairs truth edge set + recursive-CTE transitive
+    * closure up to `lab` (doc_id, cluster_id) and `sz` (cluster_id,
+    * cluster_size) — shared by the d07/d08/d14 oracles. No WITH
+    * keyword (callers prepend "WITH RECURSIVE ").
+    */
+  private val closureOracleCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM tk),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |e AS (
+      |  SELECT doc_a, doc_b FROM p
+      |  WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
+      |             WHEN na = 0 OR nb = 0 THEN 0.0
+      |             ELSE i / CAST(na + nb - i AS DOUBLE) END >= 0.7),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM e
+      |          UNION ALL SELECT doc_b, doc_a FROM e),
+      |reach(doc_id, node) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.doc_id, ed.b FROM reach r JOIN edges ed ON r.node = ed.a),
+      |lab AS (SELECT doc_id, min(node) AS cluster_id FROM reach GROUP BY doc_id),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
@@ -1219,73 +1253,33 @@ object SparkEntry {
     // d07 oracle: the d02 all-pairs edge set (see that comment), then
     // true connected components via a recursive CTE — min reachable
     // node per doc — so the Spark iterative hash-to-min result is
-    // checked against exact transitive closure.
+    // checked against exact transitive closure. The CTE chain is
+    // shared by d07/d08/d14.
     "d07_dedup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tk),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |e AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
-        |             WHEN na = 0 OR nb = 0 THEN 0.0
-        |             ELSE i / CAST(na + nb - i AS DOUBLE) END >= 0.7),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM e
-        |          UNION ALL SELECT doc_b, doc_a FROM e),
-        |reach(doc_id, node) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.doc_id, ed.b FROM reach r JOIN edges ed ON r.node = ed.a),
-        |lab AS (SELECT doc_id, min(node) AS cluster_id FROM reach GROUP BY doc_id),
-        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      ("WITH RECURSIVE " + closureOracleCtes + """
         |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
         |FROM lab l JOIN sz s USING (cluster_id)
-        |ORDER BY l.doc_id""".stripMargin,
+        |ORDER BY l.doc_id""".stripMargin),
     // d08 oracle: d07's transitive closure, survivors only, joined
     // back for payload stats.
     "d08_dedup_apply" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tk),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |e AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  WHERE CASE WHEN na = 0 AND nb = 0 THEN 1.0
-        |             WHEN na = 0 OR nb = 0 THEN 0.0
-        |             ELSE i / CAST(na + nb - i AS DOUBLE) END >= 0.7),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM e
-        |          UNION ALL SELECT doc_b, doc_a FROM e),
-        |reach(doc_id, node) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.doc_id, ed.b FROM reach r JOIN edges ed ON r.node = ed.a),
-        |lab AS (SELECT doc_id, min(node) AS cluster_id FROM reach GROUP BY doc_id),
-        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      ("WITH RECURSIVE " + closureOracleCtes + """
         |SELECT d.doc_id, d.source,
         |  CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
         |  CAST(s.cluster_size AS BIGINT) AS n_merged
         |FROM lab l JOIN sz s USING (cluster_id)
         |JOIN documents d ON d.doc_id = l.doc_id
         |WHERE l.doc_id = l.cluster_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
+    // d14: the closure's cluster-size distribution
+    "d14_dedup_report" ->
+      ("WITH RECURSIVE " + closureOracleCtes + """
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM sz
+        |GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin),
     "p03_mix_sample" ->
       """WITH r(source, rate_pct) AS (VALUES ('src0', 0), ('src1', 50), ('src2', 25)),
         |d AS (

@@ -612,6 +612,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d14: dedup report — the cluster-size distribution of the d07
+    * closure: how many clusters of each size, how many documents they
+    * hold. The number every dedup run publishes (dup rate, largest
+    * template family) before anyone trusts the deduped corpus.
+    * Reads the memoized cluster labels (shared with d07/d08), so
+    * standalone evaluation costs one tiny aggregation over k rows.
+    */
+  def d14DedupReport(spark: SparkSession, sfDir: String): DataFrame =
+    d07DedupClusters(spark, sfDir)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Candidate shingles for containment detection keep document
     * frequency in [2, [[ContainDfMax]]]: df = 1 can't witness a pair,
     * and ubiquitous boilerplate shingles (df above the cap) would
