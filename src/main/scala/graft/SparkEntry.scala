@@ -985,14 +985,15 @@ object SparkEntry {
         |FROM b
         |ORDER BY doc_id""".stripMargin,
     "t02_quality_score" -> (qualityScoreOracleBody + "\nORDER BY doc_id"),
-    // α=0.5 temperature sampling: rate ticks floor(65536·sqrt(n/nmax));
-    // IEEE sqrt and floor are correctly rounded in both engines, and
-    // the keep compare is integer — bit-reproducible
+    // α=0.5 temperature sampling: rate ticks floor(65536·sqrt(nmin/n))
+    // — kept_i ∝ n_i^α, smallest source kept whole; IEEE sqrt and
+    // floor are correctly rounded in both engines, and the keep
+    // compare is integer — bit-reproducible
     "p07_mix_temperature" ->
       """WITH s AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
-        |m AS (SELECT max(n_source) AS nmax FROM s),
+        |m AS (SELECT min(n_source) AS nmin FROM s),
         |r AS (SELECT source, n_source,
-        |        CAST(floor(65536.0 * sqrt(n_source / CAST(nmax AS DOUBLE))) AS BIGINT)
+        |        CAST(floor(65536.0 * sqrt(nmin / CAST(n_source AS DOUBLE))) AS BIGINT)
         |          AS rate_ticks
         |      FROM s, m)
         |SELECT d.doc_id, d.source, CAST(r.n_source AS BIGINT) AS n_source, r.rate_ticks,
@@ -1041,14 +1042,15 @@ object SparkEntry {
         |FROM w
         |ORDER BY tf DESC, token""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
-    // d13: same 32-word windows, same single-space split as d08/p02
-    // (consecutive-space empties kept identically in both engines)
+    // d13: same FULL 32-word windows (floor — short tails excluded),
+    // same single-space split as d08/p02 (consecutive-space empties
+    // kept identically in both engines)
     "d13_chunk_dedup" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
         |ch0 AS (
         |  SELECT doc_id,
-        |    list_transform(range(CAST(ceil(len(t) / 32.0) AS BIGINT)),
+        |    list_transform(range(CAST(floor(len(t) / 32.0) AS BIGINT)),
         |      i -> md5(array_to_string(t[(i*32+1):(i*32+32)], ' '))) AS hashes
         |  FROM tk),
         |ch AS (SELECT doc_id, unnest(hashes) AS chunk_hash FROM ch0)

@@ -358,6 +358,12 @@ object Dedup {
     * granularity, since this corpus has no newlines). Downstream, a
     * pipeline drops or collapses the flagged chunks.
     *
+    * Only FULL windows are hashed: a short tail chunk (down to one
+    * word) would flag every common trailing word as cross-document
+    * "boilerplate" — a false positive a chunk-dropping pipeline turns
+    * into deleted text. The tail (< [[ChunkWords]] words) is covered
+    * by d01 (whole doc) and d02 (near-dup), not by this operator.
+    *
     * Scale shape: the shuffle carries (16-byte md5, doc_id) pairs —
     * never chunk text (d01's trick at chunk granularity); counting is
     * partial-agg'd and the distinct-doc count rides the two-phase
@@ -369,7 +375,10 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
     docs
       .withColumn("n_chunks",
-        ceil(size(col("toks")).cast("double") / ChunkWords).cast("int"))
+        floor(size(col("toks")).cast("double") / ChunkWords).cast("int"))
+      // docs shorter than one window yield no chunks; the filter also
+      // keeps sequence() bounds ordered (sequence(0, -1) is [0, -1])
+      .filter(col("n_chunks") >= 1)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
       .withColumn("chunk_hash",

@@ -170,17 +170,18 @@ object Pipeline {
   private val MixAlpha = 0.5
 
   /** p07: temperature-based mixture sampling — the α-sampling recipe
-    * for balancing skewed source sizes (big sources downsampled,
-    * small ones kept whole) without hand-written per-source rates
-    * (p03's table becomes a FORMULA of the source sizes). Sampling
-    * probability per source: (n_i/n_max)^(α−1) normalized so the
-    * LARGEST source keeps rate (n_i fixed: rate_i =
-    * (n_i/n_max)^(α−1)·(n_i/n_i) — concretely rate_i =
-    * (n_max/n_i)^(1−α) capped at 1, downsample-only). The keep
-    * decision is the p01/p03 md5-bucket rule against the rate
-    * quantized to 1/65536 ticks — integer compare, so the kept set is
-    * a pure function of (doc_id, source sizes) and bit-reproducible
-    * cross-engine (IEEE sqrt/floor are correctly rounded in both).
+    * for balancing skewed source sizes (BIG sources downsampled
+    * hardest, the smallest kept whole) without hand-written per-source
+    * rates (p03's table becomes a FORMULA of the source sizes). Kept
+    * counts follow kept_i ∝ n_i^α: with the downsample-only
+    * normalization (the smallest source keeps everything), the
+    * keep-rate is rate_i = (n_min/n_i)^(1−α) — for α = 0.5, a source
+    * 100× the smallest keeps 1/10th of its docs, compressing a 100:1
+    * size skew to 10:1. The keep decision is the p01/p03 md5-bucket
+    * rule against the rate quantized to 1/65536 ticks — integer
+    * compare, so the kept set is a pure function of (doc_id, source
+    * sizes) and bit-reproducible cross-engine (IEEE sqrt/floor are
+    * correctly rounded in both).
     *
     * Scale shape: source sizes are ONE partial-agg'd count collapsed
     * to a ≤#sources-row frame, broadcast back; the keep decision is a
@@ -190,12 +191,12 @@ object Pipeline {
   def p07MixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
-    val nMax = sizes.agg(max(col("n_source")).as("__m"))
-    // rate in 1/65536 ticks: floor(65536 * (n_i/n_max)^(1-alpha));
-    // alpha=0.5 => sqrt. max source: exactly 65536 (kept whole).
-    val rates = sizes.crossJoin(broadcast(nMax))
+    val nMin = sizes.agg(min(col("n_source")).as("__m"))
+    // rate in 1/65536 ticks: floor(65536 * (n_min/n_i)^(1-alpha));
+    // alpha=0.5 => sqrt. smallest source: exactly 65536 (kept whole).
+    val rates = sizes.crossJoin(broadcast(nMin))
       .withColumn("rate_ticks",
-        floor(lit(65536.0) * sqrt(col("n_source").cast("double") / col("__m").cast("double")))
+        floor(lit(65536.0) * sqrt(col("__m").cast("double") / col("n_source").cast("double")))
           .cast("long"))
       .select(col("source"), col("n_source"), col("rate_ticks"))
     docs.join(broadcast(rates), "source")
@@ -252,8 +253,13 @@ object Pipeline {
     * because it is what the oracle can verify bit-for-bit).
     */
   def p06StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    // checkpointed: the cutpoint aggregation AND the main branch both
+    // consume this frame, and Spark has no cross-branch reuse — an
+    // unmaterialized `q` re-runs the whole t02 scoring scan twice
+    // (the q23 lesson; the frame is two small columns per doc)
     val q = TextAnalysis.t02QualityScore(spark, sfDir)
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(true)
     val cuts = q.agg(expr(
       "percentile(quality_score, array(0.25, 0.5, 0.75))").as("c"))
       .select(col("c")(0).as("c1"), col("c")(1).as("c2"), col("c")(2).as("c3"))

@@ -258,22 +258,38 @@ object Similarity {
         .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
   }
 
+  /** The one 12-band × 3-bit seed-7 hyperplane banding shared by s02,
+    * the k-NN graph (s05/s06), the streaming ANN probe, and every
+    * oracle that replicates it — ONE definition so a retune can't
+    * silently desynchronize batch, stream, and oracle (the
+    * stream==batch specs only catch a drift that exists at test
+    * time). Foldable-sequence band expansion — see
+    * Dedup.bandedSignatures for why not posexplode.
+    */
+  private[graft] val AnnBands = 12
+  private[graft] val AnnBits = 3
+  private[graft] val AnnSeed = 7L
+
+  private[graft] def annBanded(df: DataFrame, idCol: String, vecCol: String,
+      keepVec: Boolean = true): DataFrame = {
+    registerAll(df.sparkSession)
+    val keep = if (keepVec) Seq(col(vecCol)) else Nil
+    df.withColumn("sig", call_function("hyperplane_sig", col(vecCol),
+        lit(AnnBands * AnnBits), lit(AnnSeed)))
+      .select(col(idCol) +: keep :+ col("sig") :+
+        explode(sequence(lit(0), lit(AnnBands - 1))).as("band_id"): _*)
+      .withColumn("band_val",
+        expr(s"shiftright(sig, band_id * $AnnBits)")
+          .bitwiseAND(lit((1L << AnnBits) - 1)))
+      .drop("sig")
+  }
+
   def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val nBands = 12
-    val bits = 3
-    // foldable-sequence band expansion — see Dedup.bandedSignatures
-    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.withColumn("sig", call_function("hyperplane_sig", col(vecCol), lit(nBands * bits), lit(7L)))
-        .select(col(idCol), col(vecCol), col("sig"),
-          explode(sequence(lit(0), lit(nBands - 1))).as("band_id"))
-        .withColumn("band_val",
-          expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
-        .drop("sig")
-    val corpus = banded(
+    val corpus = annBanded(
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding")
-    val qs = banded(queriesBlock(spark, sfDir), "query_id", "qv")
+    val qs = annBanded(queriesBlock(spark, sfDir), "query_id", "qv")
     val cands = corpus.join(broadcast(qs), Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
@@ -337,17 +353,8 @@ object Similarity {
 
   private def knnGraphCompute(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val nBands = 12
-    val bits = 3
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val bands = emb
-      .withColumn("sig", call_function("hyperplane_sig", col("embedding"),
-        lit(nBands * bits), lit(7L)))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band_id"),
-        col("sig"))
-      .withColumn("band_val",
-        expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
-      .select(col("vec_id"), col("band_id"), col("band_val"))
+    val bands = annBanded(emb, "vec_id", "embedding", keepVec = false)
     // one orientation (a < b) through the distinct — HALF the shuffle
     // volume of the dedup stage — then mirror, since the k-NN graph
     // needs both directions and candidacy is symmetric

@@ -275,7 +275,11 @@ object TextAnalysis {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(call_function("word_grams", lower(col("text")), lit(1))).as("token"))
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    // checkpointed: the boundary min and the final join both read this
+    // 20-row frame — unmaterialized, each consumer re-runs the whole
+    // exact token aggregation + global sort (no cross-branch reuse)
     val top20 = exact.orderBy(col("tf").desc, col("token")).limit(20)
+      .localCheckpoint(true)
     val boundary = top20.agg(min(col("tf")).as("__b"))
     val sketch = toks
       .agg(expr("approx_top_k(token, 20, 65536)").as("tk"))

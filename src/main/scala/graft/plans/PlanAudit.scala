@@ -4,9 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -73,6 +73,26 @@ object PlanAudit {
 
   def audit(df: DataFrame): PlanReport = report(executedPlan(df))
 
+  /** Every node of the executed plan INCLUDING what hides inside AQE
+    * query stages. Under adaptive execution (the production default)
+    * a settled plan is a tree of `QueryStageExec` LEAVES — a plain
+    * `plan.collect` sees only stage shells and reports zero scans,
+    * zero joins, zero everything (measured: an audit of a parquet
+    * groupBy under AQE returned all-zero counts). So: recurse into
+    * `QueryStageExec.plan`, follow `ReusedExchangeExec.child` (reuse
+    * counts once per consumer — each use is real work the consumer
+    * depends on), and unwrap nested adaptive plans (subquery stages).
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val through = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: through.flatMap(allNodes)
+  }
+
   /** A broadcast side at or under this many rows is a scalar/dimension
     * frame (1-row cutpoints, a centroid block, a query block) — a
     * nested-loop against it is a map-side constant join, not a scale
@@ -81,44 +101,46 @@ object PlanAudit {
   val TinyBroadcastRows = 1024L
 
   /** Post-execution row count of a nested-loop join's broadcast build
-    * side, read off the exchange's metrics; None when the plan wasn't
-    * executed (treated as not-tiny: unmeasured is unproven).
+    * side, read off the exchange's metrics (seen through query stages
+    * and exchange reuse); None when the plan wasn't executed (treated
+    * as not-tiny: unmeasured is unproven).
     */
   private def buildSideRows(j: BroadcastNestedLoopJoinExec): Option[Long] = {
     val side = j.buildSide match {
       case BuildLeft => j.left
       case BuildRight => j.right
     }
-    side.collectFirst { case b: BroadcastExchangeExec => b }
+    allNodes(side).collectFirst { case b: BroadcastExchangeExec => b }
       .flatMap(b => scala.util.Try(b.metrics("numOutputRows").value).toOption)
       .filter(_ >= 0)
   }
 
   /** Counts over an already-executed plan (no re-execution). */
   def report(plan: SparkPlan): PlanReport = {
-    val scans = plan.collect { case s: FileSourceScanExec => s }
-    val nlJoins = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    val nodes = allNodes(plan)
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val nlJoins = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
     PlanReport(
       scans = scans.size,
       scansWithPushedFilters = scans.count(_.dataFilters.nonEmpty),
-      shuffleExchanges = plan.collect { case e: ShuffleExchangeExec => e }.size,
-      broadcastExchanges = plan.collect { case e: BroadcastExchangeExec => e }.size,
-      broadcastJoins = plan.collect { case j: BroadcastHashJoinExec => j }.size,
-      shuffledJoins = plan.collect {
+      shuffleExchanges = nodes.collect { case e: ShuffleExchangeExec => e }.size,
+      broadcastExchanges = nodes.collect { case e: BroadcastExchangeExec => e }.size,
+      broadcastJoins = nodes.collect { case j: BroadcastHashJoinExec => j }.size,
+      shuffledJoins = nodes.collect {
         case j: SortMergeJoinExec => j
         case j: ShuffledHashJoinExec => j
       }.size,
       nestedLoopJoins = nlJoins.size,
       largeNestedLoopJoins =
         nlJoins.count(j => !buildSideRows(j).exists(_ <= TinyBroadcastRows)),
-      cartesianProducts = plan.collect { case j: CartesianProductExec => j }.size,
-      partialAggregates = plan.collect {
+      cartesianProducts = nodes.collect { case j: CartesianProductExec => j }.size,
+      partialAggregates = nodes.collect {
         case a: BaseAggregateExec if a.aggregateExpressions.nonEmpty &&
           a.aggregateExpressions.forall(_.mode == Partial) => a
       }.size,
-      finalAggregates = plan.collect {
+      finalAggregates = nodes.collect {
         case a: BaseAggregateExec if a.aggregateExpressions.exists(_.mode == Final) => a
       }.size,
-      windows = plan.collect { case w: WindowExec => w }.size)
+      windows = nodes.collect { case w: WindowExec => w }.size)
   }
 }

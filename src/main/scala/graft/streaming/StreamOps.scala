@@ -207,10 +207,14 @@ object StreamOps {
     val totals = sh.select(col("doc_id"),
       size(col("sh")).cast("long").as("n_sh"),
       lit(null).cast("string").as("sh"))
-    val hits = sh.select(col("doc_id"), lit(-1L).as("n_sh"),
-      explode(col("sh")).as("sh"))
-      .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("sh"))))
-    totals.union(hits)
+    // an EMPTY benchmark blooms to null (same contract as d12's
+    // guard): nothing can match, so stream only the totals — a null
+    // literal would fail bloom_contains' analysis, killing the query
+    // at construction where the batch twin returns an all-clear report
+    if (bloomBytes == null) totals
+    else totals.union(
+      sh.select(col("doc_id"), lit(-1L).as("n_sh"), explode(col("sh")).as("sh"))
+        .filter(call_function("bloom_contains", lit(bloomBytes), xxhash64(col("sh")))))
   }
 
   /** Sink-side per-micro-batch rollup for [[contaminationStream]]:
@@ -249,39 +253,22 @@ object StreamOps {
     * query's bands all share its micro-batch, so in-batch top-k is
     * exact over the candidate set, same contract as batch s02.
     */
-  def annProbeStream(newVecs: DataFrame, corpusBands: DataFrame): DataFrame = {
-    graft.functions.registerAll(newVecs.sparkSession)
-    val nBands = 12
-    val bits = 3
-    newVecs
-      .withColumn("sig", call_function("hyperplane_sig", col("embedding"),
-        lit(nBands * bits), lit(7L)))
+  def annProbeStream(newVecs: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.operators.Similarity.annBanded(newVecs, "vec_id", "embedding")
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
-      .withColumn("band_val",
-        expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
-      .drop("sig")
+        col("band_id"), col("band_val"))
       .join(corpusBands, Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
-  }
 
   /** The matching batch-side banded corpus index for
-    * [[annProbeStream]] (band_id, band_val, vec_id, embedding).
+    * [[annProbeStream]] (band_id, band_val, vec_id, embedding) —
+    * the SAME banding definition as s02/s05 by construction
+    * (Similarity.annBanded).
     */
-  def corpusBandIndexAnn(corpus: DataFrame): DataFrame = {
-    graft.functions.registerAll(corpus.sparkSession)
-    val nBands = 12
-    val bits = 3
-    corpus
-      .withColumn("sig", call_function("hyperplane_sig", col("embedding"),
-        lit(nBands * bits), lit(7L)))
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
-      .withColumn("band_val",
-        expr(s"shiftright(sig, band_id * $bits)").bitwiseAND(lit((1L << bits) - 1)))
+  def corpusBandIndexAnn(corpus: DataFrame): DataFrame =
+    graft.operators.Similarity.annBanded(corpus, "vec_id", "embedding")
       .select(col("band_id"), col("band_val"), col("vec_id"), col("embedding"))
-  }
 
   /** Sink-side per-micro-batch ranking for [[annProbeStream]]: dedup
     * candidate pairs (a pair matches once per shared band), score with

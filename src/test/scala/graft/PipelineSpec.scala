@@ -102,6 +102,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("p07 downsamples the BIG sources and keeps the smallest whole") {
+    // the alpha-sampling direction: kept_i ∝ n_i^alpha means the
+    // keep-RATE falls as source size grows — an inverted formula
+    // (rate rising with size) amplifies skew instead of compressing
+    // it. The shipped corpus has UNIFORM source sizes (rates all
+    // 65536 — direction unobservable), so stage a skewed one:
+    // 400/100/25 docs give exact power-of-4 ratios and rate ticks
+    // 16384/32768/65536 under alpha = 0.5.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-p07").toString
+    ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.p07MixTemperature(spark, dir)
+      .select("source", "n_source", "rate_ticks", "kept").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val bySource = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.head._2, g.head._3, g.count(_._4)) }.toSeq.sortBy(_._2)
+    assert(bySource.map(_._2).distinct.length > 1, "sources must differ in size")
+    // smallest source: rate exactly 65536 ticks = kept whole
+    assert(bySource.head._3 == 65536L && bySource.head._4 == bySource.head._2,
+      s"smallest source must be kept whole: ${bySource.head}")
+    // rate_ticks non-increasing as n_source grows
+    assert(bySource.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      s"keep rate must fall with source size: $bySource")
+    // kept counts follow n^alpha: the largest source keeps close to
+    // sqrt(n_min * n_max) docs (md5 noise aside)
+    val big = bySource.last
+    val expect = math.sqrt(bySource.head._2.toDouble * big._2.toDouble)
+    assert(math.abs(big._4 - expect) / expect < 0.25,
+      s"largest source kept ${big._4}, expected ~$expect")
+  }
+
   test("p06 strata are score-monotone quartiles with rate-ordered keeps") {
     val rows = Pipeline.p06StratifiedSample(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getBoolean(3)))

@@ -199,6 +199,30 @@ class PlanRuleSpec extends AnyFunSuite {
       s"tiny-broadcast cross join must not warn: $rf ${rf.warnings}")
   }
 
+  test("PlanAudit sees through AQE query stages (no vacuous zero report)") {
+    // under adaptive execution (the production default) the settled
+    // plan is a tree of QueryStageExec LEAVES — a naive collect
+    // reports zero everything and every audit passes vacuously
+    import graft.plans.PlanAudit
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val r = PlanAudit.audit(
+        Tables.lineitem(spark, sfDir)
+          .filter(col("l_quantity") > 10)
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")))
+      assert(r.scans == 1 && r.scansWithPushedFilters == 1,
+        s"AQE audit must still see the scan: $r")
+      assert(r.partialAggregates >= 1 && r.finalAggregates >= 1 &&
+        r.shuffleExchanges >= 1, s"AQE audit must see agg + exchange: $r")
+      // and the tiny-broadcast metric read works through stage shells
+      val fine = Tables.customer(spark, sfDir)
+        .crossJoin(broadcast(Tables.region(spark, sfDir).select(col("r_name"))))
+      val rf = PlanAudit.audit(fine)
+      assert(rf.nestedLoopJoins == 1 && rf.largeNestedLoopJoins == 0,
+        s"tiny broadcast side must be measured through the query stage: $rf")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("custom expressions compile into generated code that calls the kernels") {
     // the §8 claim as a check: hot-path expressions participate in
     // whole-stage codegen with a direct static-kernel call — if one
