@@ -51,11 +51,14 @@ object SparkEntry {
     "q39_recursive_cal" -> (Relational.q39RecursiveCal _),
     "q40_stats_suite" -> (Relational.q40StatsSuite _),
     "q42_window_extras" -> (Relational.q42WindowExtras _),
+    "q44_histogram" -> (Relational.q44Histogram _),
+    "q45_mode_per_group" -> (Relational.q45ModePerGroup _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
     "q33_json_extract" -> (Events.q33JsonExtract _),
     "q41_retention_cohorts" -> (Events.q41RetentionCohorts _),
+    "q43_gaps_islands" -> (Events.q43GapsIslands _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -66,6 +69,7 @@ object SparkEntry {
     "d06_contamination" -> (Dedup.d06Contamination _),
     "d12_contamination_bloom" -> (Dedup.d12ContaminationBloom _),
     "d13_chunk_dedup" -> (Dedup.d13ChunkDedup _),
+    "d15_dedup_prefix" -> (Dedup.d15DedupPrefix _),
     "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
@@ -87,6 +91,8 @@ object SparkEntry {
     "t08_entropy" -> (TextAnalysis.t08Entropy _),
     "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
+    "t11_collocations" -> (TextAnalysis.t11Collocations _),
+    "p09_epoch_repeats" -> (Pipeline.p09EpochRepeats _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
@@ -651,6 +657,66 @@ object SparkEntry {
         |FROM w JOIN f ON w.user_id = f.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q43_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+        |      AS anchor
+        |  FROM days),
+        |g AS (
+        |  SELECT user_id, anchor, count(*) AS len, min(day) AS start_day
+        |  FROM isl GROUP BY user_id, anchor),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |    CAST(count(*) AS BIGINT) AS n_streaks,
+        |    CAST(max(len) AS BIGINT) AS longest_streak
+        |  FROM g GROUP BY user_id),
+        |best AS (
+        |  SELECT user_id, start_day AS longest_start FROM (
+        |    SELECT user_id, start_day,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY len DESC, start_day) AS rn
+        |    FROM g) WHERE rn = 1)
+        |SELECT a.user_id, a.n_active_days, a.n_streaks, a.longest_streak,
+        |  b.longest_start
+        |FROM agg a JOIN best b ON a.user_id = b.user_id
+        |ORDER BY a.user_id""".stripMargin,
+    "q44_histogram" ->
+      """WITH b AS (
+        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+        |x AS (
+        |  SELECT o_totalprice,
+        |    least(19, CAST(floor((o_totalprice - lo) / (hi - lo) * 20) AS INTEGER))
+        |      AS bin
+        |  FROM orders, b),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(o_totalprice), 2) AS bin_total
+        |  FROM x GROUP BY bin)
+        |SELECT bin, n, bin_total,
+        |  round(n / CAST((SELECT sum(n) FROM g) AS DOUBLE), 4) AS share
+        |FROM g ORDER BY bin""".stripMargin,
+    "q45_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |a AS (
+        |  SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_orders,
+        |    CAST(max(cnt) AS BIGINT) AS mode_n
+        |  FROM c GROUP BY 1),
+        |m AS (
+        |  SELECT c_mktsegment, o_orderpriority AS mode_priority FROM (
+        |    SELECT c_mktsegment, o_orderpriority,
+        |      row_number() OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY cnt DESC, o_orderpriority) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT a.c_mktsegment, a.n_orders, m.mode_priority, a.mode_n,
+        |  round(a.mode_n / CAST(a.n_orders AS DOUBLE), 4) AS mode_share
+        |FROM a JOIN m ON a.c_mktsegment = m.c_mktsegment
+        |ORDER BY a.c_mktsegment""".stripMargin,
     "q31_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, CASE WHEN prev_us IS NULL
@@ -1001,6 +1067,25 @@ object SparkEntry {
         |    < r.rate_ticks) AS kept
         |FROM documents d JOIN r ON d.source = r.source
         |ORDER BY d.doc_id""".stripMargin,
+    // p09: epochs from the same sqrt rate family as p07, UPsampling
+    // (max/n_i, clamped at 4 epochs in 1/256 ticks); the copy list
+    // materializes via generate_series == Spark's sequence(1, n)
+    "p09_epoch_repeats" ->
+      """WITH s AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+        |m AS (SELECT max(n_source) AS nmax FROM s),
+        |r AS (SELECT source,
+        |        least(1024, CAST(floor(256.0 * sqrt(nmax / CAST(n_source AS DOUBLE)))
+        |          AS BIGINT)) AS e_ticks
+        |      FROM s, m),
+        |d AS (
+        |  SELECT doc_id, d.source, e_ticks,
+        |    e_ticks // 256 +
+        |      CASE WHEN ('0x' || substr(md5('p09:' || CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT % 256
+        |                < e_ticks % 256 THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN r ON d.source = r.source)
+        |SELECT doc_id, source, e_ticks, unnest(generate_series(1, n_copies)) AS copy
+        |FROM d
+        |ORDER BY doc_id, copy""".stripMargin,
     // p06 stratifies on t02's score: the same replication feeds the
     // quartile cutpoints (quantile_cont == Spark's exact percentile,
     // parity established by q25) and the md5 keep rule (p01's pattern,
@@ -1041,6 +1126,35 @@ object SparkEntry {
         |SELECT token, CAST(tf AS BIGINT) AS tf, true AS sketch_ok
         |FROM w
         |ORDER BY tf DESC, token""".stripMargin,
+    // t11: PMI from long counts divided as doubles in the SAME op
+    // order as Spark; ranking on the ROUNDED score so a log2 ULP
+    // can't reorder the top-k
+    "t11_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+        |                     t -> t <> '') AS t
+        |  FROM documents),
+        |u AS (SELECT unnest(t) AS w FROM tk),
+        |uni AS (SELECT w, count(*) AS cu FROM u GROUP BY w),
+        |ut AS (SELECT sum(cu) AS t_uni FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tk),
+        |bi AS (SELECT bigram, count(*) AS n_pair FROM bg GROUP BY bigram),
+        |bt AS (SELECT sum(n_pair) AS t_bi FROM bi),
+        |j AS (
+        |  SELECT b.bigram, b.n_pair,
+        |    round(log2((CAST(b.n_pair AS DOUBLE) / CAST(bt.t_bi AS DOUBLE)) /
+        |      ((CAST(ux.cu AS DOUBLE) / CAST(ut.t_uni AS DOUBLE)) *
+        |       (CAST(uy.cu AS DOUBLE) / CAST(ut.t_uni AS DOUBLE)))), 4) AS pmi
+        |  FROM bi b
+        |  CROSS JOIN ut CROSS JOIN bt
+        |  JOIN uni ux ON ux.w = string_split(b.bigram, ' ')[1]
+        |  JOIN uni uy ON uy.w = string_split(b.bigram, ' ')[2]
+        |  WHERE b.n_pair >= 10)
+        |SELECT bigram, n_pair, pmi FROM j
+        |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
     // d13: same FULL 32-word windows (floor — short tails excluded),
     // same single-space split as d08/p02 (consecutive-space empties
@@ -1062,6 +1176,31 @@ object SparkEntry {
         |GROUP BY chunk_hash
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+    // d15's oracle is the brute-force all-pairs 3-gram-shingle-set
+    // Jaccard truth (d04's shape at n=3/0.7): prefix filtering claims
+    // recall 1 by theorem, so the oracle must NOT replicate the
+    // candidate scheme — any pair the prefix join missed fails the
+    // hash compare.
+    "d15_dedup_prefix" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tk),
+        |ne AS (SELECT * FROM sh WHERE len(s) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+        |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b, i / CAST(na + nb - i AS DOUBLE) AS jac FROM p)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard3
+        |FROM j WHERE jac >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // p08 = d06's contamination verdict x p01's md5 split, fused
     "p08_decontaminated_split" ->
       ("WITH c AS (" + contaminationOracleSql + "),\n" +

@@ -392,6 +392,91 @@ object Dedup {
       .orderBy(col("chunk_hash"))
   }
 
+  /** Shingle-set Jaccard threshold for [[d15DedupPrefix]] — d02's
+    * verify bar, so d15 is d02's exact-recall twin.
+    */
+  private val PrefixJaccardBar = 0.7
+
+  /** d15: EXACT-recall near-dup via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW '07) over the same similarity d02
+    * computes probabilistically: distinct word 3-gram shingle sets,
+    * Jaccard ≥ 0.7. Each document's shingles are ordered by ascending
+    * global document frequency (rarest first, ties lexicographic) and
+    * only the first n − ⌈t·n⌉ + 1 — the *prefix* — are indexed. Two
+    * sets with Jaccard ≥ t must share a prefix element (if they
+    * shared none, their overlap is confined to the ⌈t·n⌉ − 1 suffix
+    * elements of each side — too few to reach the threshold), so an
+    * equi-join on prefix shingles yields EVERY qualifying pair:
+    * recall is 1 by THEOREM, where d02's MinHash banding trades
+    * recall on an s-curve. The price is threshold sensitivity
+    * (prefixes grow to whole documents as t falls): prefix filtering
+    * is the high-threshold exact tool, LSH the low-threshold
+    * probabilistic one — a complete dedup engine carries both.
+    *
+    * Scale shape: df ordering puts each document's RAREST shingles in
+    * its prefix, so prefix postings are short and the self-join
+    * avoids the hot-token quadratic blowup a naive shingle-join hits
+    * (the ordering is the entire point of the algorithm — boilerplate
+    * shingles shared by millions of docs land in suffixes and are
+    * never joined on). The lossless length filter
+    * (⌈t·max(na,nb)⌉ ≤ min(na,nb)) prunes candidates before the
+    * verify; the df table is shingle-vocabulary-sized (shuffle-join
+    * here; broadcast when it fits); the per-doc rank window
+    * partitions on doc_id with partitions bounded by document length.
+    * Verification re-reads only candidate docs' shingle arrays and
+    * computes exact set Jaccard.
+    */
+  def d15DedupPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerAll(spark)
+    // checkpointed: four branches consume this frame (df counts,
+    // prefix ranking, and both verify sides) and Spark has no
+    // cross-branch reuse — unmaterialized, the corpus tokenizes 4×
+    // (the p06/t10 lesson)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(call_function("word_grams", col("text"), lit(3))).as("s"))
+      .filter(size(col("s")) > 0)
+      .localCheckpoint(true)
+    // candidate generation runs on 64-bit shingle hashes (codegen'd
+    // xxhash64 after the explode — NOT a per-element HOF lambda), so
+    // every shuffle from here to the verify carries longs, never
+    // shingle text. Collisions cannot lose pairs: merging elements
+    // only RAISES set Jaccard (|∩| grows, |∪| shrinks), so hashed
+    // candidates are a superset of string candidates and the exact
+    // string verify restores precision.
+    val exploded = toks
+      .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("sh0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("sh0")).as("sh"))
+    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = exploded.join(dfreq, "sh")
+      .withColumn("r", row_number().over(byRarity))
+      .filter(col("r") <= col("n") - ceil(col("n") * lit(PrefixJaccardBar)) + 1)
+      // df = 1 prefix shingles appear in ONE document — they cannot
+      // produce a candidate pair, and by construction (rarest-first
+      // order) they dominate prefixes; dropping them AFTER ranking is
+      // lossless and empties most postings before the self-join
+      .filter(col("df") >= 2)
+      .select(col("sh"), col("doc_id"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n"), col("b.n")) >=
+        ceil(greatest(col("a.n"), col("b.n")) * lit(PrefixJaccardBar)))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = toks.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val sb = toks.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")).cast("double"))
+      .filter(col("jac") >= PrefixJaccardBar)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard3"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Connected components by iterative min-label propagation
     * ("hash-to-min"): label(v) ← min(label(v), min over neighbors),
     * repeated until a fixpoint. Each round is one shuffle join + one

@@ -96,6 +96,39 @@ object Events {
     * stage combines map-side. Weeks are Monday-truncated dates in
     * both engines; offsets are exact day-diffs over multiples of 7.
     */
+  /** q43: gaps-and-islands — each user's activity collapsed to
+    * maximal runs of CONSECUTIVE active days (the streak/churn-gap
+    * primitive behind "N-day streak" and "days since last activity"
+    * metrics). The classic row_number trick: within a user, day −
+    * row_number(day) is constant exactly along a consecutive run, so
+    * grouping on that anchor date identifies islands with two bounded
+    * windows and no self-join (the naive formulation joins the day
+    * list to itself on day+1 — quadratic in streak length). Shape:
+    * one shuffle on user_id; window partitions are bounded by a
+    * user's distinct active days; everything after the window is
+    * partial-agg'd. Output: per-user streak profile.
+    */
+  def q43GapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("anchor", date_sub(col("day"), row_number().over(byUser)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("user_id"))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        // struct-min argmax (q38's pattern, negated): longest streak,
+        // ties to the EARLIEST start — no second window pass
+        min(struct((-col("len")).as("nl"), col("start_day").as("sd")))
+          .getField("sd").as("longest_start"))
+      .orderBy(col("user_id"))
+  }
+
   def q41RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
     val weekly = Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))

@@ -228,6 +228,52 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch cap for [[p09EpochRepeats]] — repeating a small source
+    * more than ~4× degrades models faster than it balances data, so
+    * the rate formula is clamped.
+    */
+  private val MaxEpochTicks = 4 * 256L
+
+  /** p09: epoch-weighted mixture materialization — the UPSAMPLING
+    * half of temperature mixing (p07 downsamples big sources; here
+    * small sources are REPEATED): target epochs_i = (n_max/n_i)^(1−α)
+    * with α = 0.5, clamped to [[MaxEpochTicks]]/256 epochs, so the
+    * largest source trains once and a 100× smaller one ~10 times.
+    * Fractional epochs materialize deterministically: every doc gets
+    * ⌊e⌋ copies, and an md5-bucketed frac(e)-fraction of docs one
+    * more (the p01/p03 hash rule — which docs carry the fractional
+    * epoch is a pure function of doc_id, reproducible cross-engine;
+    * epochs quantize to 1/256 ticks so the comparison is integer).
+    * Output is the exploded copy list a trainer would read — one row
+    * per (doc, copy).
+    *
+    * Scale shape: source sizes are one partial-agg'd count broadcast
+    * back; the copy fan-out is a per-row generator (≤4×, bounded by
+    * the clamp) — no shuffle anywhere, and the explosion multiplies
+    * only SMALL sources by construction, so output stays O(corpus).
+    */
+  def p09EpochRepeats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val nMax = sizes.agg(max(col("n_source")).as("__mx"))
+    val rates = sizes.crossJoin(broadcast(nMax))
+      .withColumn("e_ticks",
+        least(lit(MaxEpochTicks),
+          floor(lit(256.0) * sqrt(col("__mx").cast("double") / col("n_source").cast("double")))
+            .cast("long")))
+      .select(col("source"), col("e_ticks"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("p09:"), col("doc_id").cast("string"))), 1, 4),
+          16, 10).cast("long") % 256)
+      .withColumn("n_copies",
+        expr("e_ticks div 256") +
+          when(col("bucket") < col("e_ticks") % 256, 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("e_ticks"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   /** Keep-rates per quality quartile (percent): heavy downsampling of
     * the bottom, everything from the top — the quality-curriculum
     * mixture shape.

@@ -800,4 +800,64 @@ object Relational {
         round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Bin count for [[q44Histogram]]. */
+  private val HistBins = 20
+
+  /** q44: equi-width histogram of order totals with DATA-DERIVED
+    * bounds — the distribution-profiling pass behind dashboards and
+    * skew diagnostics. Two aggregations: (1) global min/max collapse
+    * to a 1-row frame broadcast back (map-side literal join — the
+    * p06 cutpoint shape), (2) per-row bin assignment then a
+    * partial-agg'd count/sum per bin. Bin membership is pure IEEE
+    * arithmetic (sub/div/mul/floor are correctly rounded in any
+    * engine), so the oracle reproduces it bit-for-bit; the top edge
+    * clamps into the last bin (the standard right-closed final
+    * interval). No window, no per-bin scan; at 100 TB this is one
+    * scan + one 1-row broadcast.
+    */
+  def q44Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val bounds = ord.agg(
+      min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    ord.select(col("o_totalprice")).crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(HistBins - 1),
+          floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo"))
+            * HistBins).cast("int")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("bin_total"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()), 4))
+      .orderBy(col("bin"))
+  }
+
+  /** q45: per-group MODE (most frequent value) — the categorical
+    * summary statistic: the dominant order priority per market
+    * segment, with its share. Two-level aggregation, no window: the
+    * (segment, priority) counts partial-agg map-side; the argmax is
+    * q38's struct-min trick (max count, ties to the lexicographically
+    * smallest priority — a deterministic tie rule both engines can
+    * replicate, where a bare `mode()` would be tie-arbitrary). The
+    * orders→customer join shuffles on custkey; segment totals ride
+    * the same two-level aggregation instead of a second scan.
+    */
+  def q45ModePerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val counts = Tables.orders(spark, sfDir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("c_mktsegment"))
+      .agg(
+        sum(col("cnt")).as("n_orders"),
+        min(struct((-col("cnt")).as("nc"), col("o_orderpriority").as("pri")))
+          .getField("pri").as("mode_priority"),
+        max(col("cnt")).as("mode_n"))
+      .withColumn("mode_share",
+        round(col("mode_n").cast("double") / col("n_orders").cast("double"), 4))
+      .orderBy(col("c_mktsegment"))
+  }
 }

@@ -257,6 +257,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Minimum pair count for [[t11Collocations]] — PMI is unstable on
+    * rare pairs (one co-occurrence of two rare words maxes the
+    * score), so the standard practice is a count floor first.
+    */
+  private val CollocMinPair = 10
+  private val CollocTopK = 30
+
+  /** t11: collocation mining — word bigrams ranked by pointwise
+    * mutual information, PMI = log2(p(xy) / (p(x)·p(y))): the
+    * phrase-discovery pass behind tokenizer merge rules and
+    * stop-phrase lists (high PMI = words that occur together far
+    * more than chance — names, idioms, templates). Three partial-agg
+    * aggregations (unigram counts, bigram counts, their 1-row
+    * totals); the bigram→unigram probability join is
+    * vocabulary-sized (broadcast when it fits, shuffle otherwise —
+    * same regime as t09's model join). Probabilities divide longs as
+    * doubles in a fixed op order so the oracle reproduces each PMI
+    * bit-for-bit; ranking uses the ROUNDED score (ties lexicographic)
+    * so a cross-engine log2 ULP can't reorder the top-k.
+    */
+  def t11Collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val uni = docs
+      .select(explode(call_function("word_grams", lower(col("text")), lit(1))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val uniTotal = uni.agg(sum(col("cu")).as("t_uni"))
+    val bi = docs
+      .select(explode(call_function("word_grams", lower(col("text")), lit(2))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+    val biTotal = bi.agg(sum(col("n_pair")).as("t_bi"))
+    bi.filter(col("n_pair") >= CollocMinPair)
+      .withColumn("x", split(col("bigram"), " ")(0))
+      .withColumn("y", split(col("bigram"), " ")(1))
+      .join(uni.select(col("w").as("x"), col("cu").as("cx")), "x")
+      .join(uni.select(col("w").as("y"), col("cu").as("cy")), "y")
+      .crossJoin(broadcast(uniTotal))
+      .crossJoin(broadcast(biTotal))
+      .withColumn("pmi", round(
+        log2((col("n_pair").cast("double") / col("t_bi").cast("double")) /
+          ((col("cx").cast("double") / col("t_uni").cast("double")) *
+           (col("cy").cast("double") / col("t_uni").cast("double")))), 4))
+      .select(col("bigram"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(CollocTopK)
+  }
+
   /** t10: frequent-items sketch beside its exact twin — the third
     * member of the sketch family (q34 covers HLL + quantiles): the
     * corpus's top-20 tokens by term frequency computed exactly

@@ -119,6 +119,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("d15 prefix filtering finds exactly the jaccard3>=0.7 pairs (vs brute force)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // string-shingle truth (the operator's exact set definition, not
+    // the hashed-shingle kernel — identical modulo fnv collisions)
+    def shingles(t: String): Set[String] = {
+      val w = t.split("[ \n\t\r]+").filter(_.nonEmpty)
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val truth = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      sa = shingles(docs(i)._2); sb = shingles(docs(j)._2)
+      if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.7
+    } yield (math.min(docs(i)._1, docs(j)._1), math.max(docs(i)._1, docs(j)._1))).toSet
+    val got = Dedup.d15DedupPrefix(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test corpus should contain near-dups")
+    // prefix filtering is lossless at the threshold (recall 1 by
+    // theorem) and the exact verify gives precision 1 — unlike the
+    // LSH specs above, ANY mismatch here is a bug, not bad luck
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
   test("d05 embedding near-dup pairs are all true positives with decent recall") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()

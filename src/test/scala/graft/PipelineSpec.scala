@@ -137,6 +137,35 @@ class PipelineSpec extends AnyFunSuite {
       s"largest source kept ${big._4}, expected ~$expect")
   }
 
+  test("p09 repeats SMALL sources and trains the largest exactly once") {
+    // the epoch direction: epochs_i = (n_max/n_i)^(1-alpha) must RISE
+    // as source size falls (the upsampling mirror of p07). Shipped
+    // corpus sources are uniform (everyone exactly 1 copy — direction
+    // unobservable), so stage the p07 skew: 400/100/25 docs → e_ticks
+    // 256/512/1024 exactly under alpha = 0.5 (power-of-4 ratios).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-p09").toString
+    ((0 until 400).map(i => (i.toLong, "big")) ++
+      (400 until 500).map(i => (i.toLong, "mid")) ++
+      (500 until 525).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.p09EpochRepeats(spark, dir)
+      .select("doc_id", "source", "e_ticks", "copy").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySource = rows.groupBy(_._2)
+    assert(bySource("big").forall(_._3 == 256L), "largest source: 1.0 epochs")
+    assert(bySource("mid").forall(_._3 == 512L), "4x smaller: 2.0 epochs")
+    assert(bySource("small").forall(_._3 == 1024L), "16x smaller: 4.0 epochs (clamped path exact)")
+    // whole-number epochs here, so copy counts are exact, no md5 noise
+    assert(bySource("big").length == 400, "each big doc exactly once")
+    assert(bySource("mid").length == 200, "mid docs exactly twice")
+    assert(bySource("small").length == 100, "small docs exactly 4x")
+    // copies enumerate 1..n per doc
+    val copies = rows.filter(_._2 == "small").groupBy(_._1).values
+    assert(copies.forall(c => c.map(_._4).sorted.sameElements(1L to c.length)))
+  }
+
   test("p06 strata are score-monotone quartiles with rate-ordered keeps") {
     val rows = Pipeline.p06StratifiedSample(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getBoolean(3)))
