@@ -76,8 +76,10 @@ object SparkEntry {
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
     "j02_range_join" -> (Joins.j02RangeJoin _),
+    "j03_nearest_join" -> (Joins.j03NearestJoin _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
+    "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s05_knn_join" -> (Similarity.s05KnnJoin _),
     "s06_knn_classify" -> (Similarity.s06KnnClassify _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
+    "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
     "p09_epoch_repeats" -> (Pipeline.p09EpochRepeats _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
@@ -267,6 +270,43 @@ object SparkEntry {
       |  round(least(1.0, n_tokens / 100.0) * 0.4
       |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
       |FROM r""".stripMargin
+
+  /** The s02/s07 query-probe LSH replication up to the scored
+    * candidate CTE `sc` (no WITH keyword) — banding, query×corpus
+    * bucket join, exact cosine. s02 appends the top-k tail, s07 the
+    * radius tail.
+    */
+  private val annProbeOracleCtes: String =
+    """pl AS (
+      |  SELECT p.p AS p, j.j AS j,
+      |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
+      |      / 281474976710656.0) * 2.0 - 1.0) AS w
+      |  FROM range(36) p(p), range(64) j(j)),
+      |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
+      |sb AS (
+      |  SELECT e.vec_id, pw.p,
+      |    CASE WHEN list_sum(list_transform(range(1, 65),
+      |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e, pw),
+      |bands AS (
+      |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
+      |  FROM sb GROUP BY vec_id, p // 3),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+      |  FROM bands cb JOIN bands qb
+      |    ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
+      |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+      |sc AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))) AS cos_raw
+      |  FROM cand c
+      |  JOIN embeddings q ON q.vec_id = c.query_id
+      |  JOIN embeddings v ON v.vec_id = c.vec_id)""".stripMargin
 
   /** The s05 k-NN-graph replication up to the ranked candidate CTE
     * `r` (no WITH keyword) — shared by s05 and s06.
@@ -926,36 +966,7 @@ object SparkEntry {
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     "s02_ann_lsh" ->
-      """WITH pl AS (
-        |  SELECT p.p AS p, j.j AS j,
-        |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
-        |      / 281474976710656.0) * 2.0 - 1.0) AS w
-        |  FROM range(36) p(p), range(64) j(j)),
-        |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
-        |sb AS (
-        |  SELECT e.vec_id, pw.p,
-        |    CASE WHEN list_sum(list_transform(range(1, 65),
-        |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM embeddings e, pw),
-        |bands AS (
-        |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
-        |  FROM sb GROUP BY vec_id, p // 3),
-        |cand AS (
-        |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
-        |  FROM bands cb JOIN bands qb
-        |    ON cb.band_id = qb.band_id AND cb.band_val = qb.band_val
-        |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
-        |sc AS (
-        |  SELECT c.query_id, c.vec_id,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))) AS cos_raw
-        |  FROM cand c
-        |  JOIN embeddings q ON q.vec_id = c.query_id
-        |  JOIN embeddings v ON v.vec_id = c.vec_id),
+      ("WITH " + annProbeOracleCtes + """,
         |r AS (
         |  SELECT query_id, vec_id, cos_raw,
         |    row_number() OVER (PARTITION BY query_id
@@ -964,7 +975,16 @@ object SparkEntry {
         |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
         |FROM r
         |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // s07 = the same probe replication with a radius tail: the
+    // banded candidate set and every cosine are hash-compared, so
+    // the oracle checks candidate generation, not just scoring
+    "s07_radius_search" ->
+      ("WITH " + annProbeOracleCtes + """
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+        |FROM sc
+        |WHERE cos_raw >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
     // s05 oracle = the s02 replication with query set := the whole
     // corpus (both directions of each bucket pair) and rank <= 3;
     // the CTE chain is shared with s06 (which classifies over it)
@@ -1155,6 +1175,22 @@ object SparkEntry {
         |  WHERE b.n_pair >= 10)
         |SELECT bigram, n_pair, pmi FROM j
         |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+    // t12: identical point set (ties lexicographic), 4dp rounding
+    // absorbs cross-engine sum reassociation (q40's contract)
+    "t12_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+        |                t -> t <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 1000),
+        |rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM top),
+        |l AS (SELECT log2(rank) AS lx, log2(tf) AS ly FROM rk)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(ly, lx), 4) AS slope,
+        |  round(regr_intercept(ly, lx), 4) AS intercept,
+        |  round(regr_r2(ly, lx), 4) AS r2
+        |FROM l""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
     // d13: same FULL 32-word windows (floor — short tails excluded),
     // same single-space split as d08/p02 (consecutive-space empties
@@ -1473,6 +1509,33 @@ object SparkEntry {
         |     AND p.p_ts < c.click_ts + INTERVAL 24 HOUR
         |GROUP BY 1, 2, 3
         |ORDER BY click_id""".stripMargin,
+    // j03's oracle is the brute-force per-event argmin over ALL the
+    // user's orders (independent of the window construction); the
+    // composite ORDER BY encodes the same tie rules: nearest µs
+    // distance, before beats after, before side largest orderkey,
+    // after side smallest
+    "j03_nearest_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT o_custkey, o_orderkey,
+        |             CAST(o_orderdate AS TIMESTAMP) AS ot FROM orders),
+        |j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.ot,
+        |    abs(epoch_us(e.ts) - epoch_us(o.ot)) AS ad,
+        |    CASE WHEN o.ot <= e.ts THEN 0 ELSE 1 END AS af
+        |  FROM e JOIN o ON e.user_id = o.o_custkey),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY ad, af,
+        |      CASE WHEN af = 0 THEN -o_orderkey ELSE o_orderkey END) AS rn
+        |  FROM j)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  r.o_orderkey AS nearest_orderkey, r.ot AS nearest_orderdate,
+        |  CASE WHEN r.event_id IS NULL THEN 'none'
+        |       WHEN r.af = 0 THEN 'before' ELSE 'after' END AS direction,
+        |  r.ad AS delta_us
+        |FROM e LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+        |  ON e.event_id = r.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "t06_redact_ids" ->
       """SELECT entity, key, name,
         |  regexp_replace(name, '[0-9]', 'X', 'g') AS redacted,

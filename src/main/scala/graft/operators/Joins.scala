@@ -103,6 +103,64 @@ object Joins {
       .orderBy(col("click_id"))
   }
 
+  /** j03: nearest-neighbor temporal join — for every event, the
+    * temporally CLOSEST order by the same user, before or after (the
+    * symmetric completion of j01's at-or-before: label joins and
+    * sensor alignment want "nearest reading", not "latest state").
+    *
+    * Shape: the j01 tagged-union co-shuffle, then TWO linear window
+    * passes over the SAME partitioning and sort order (Catalyst plans
+    * one exchange, chained Window operators): a running
+    * `last(ignoreNulls)` carries the latest at-or-before order onto
+    * each event, a mirrored `first(ignoreNulls)` over the following
+    * frame carries the earliest strictly-after one (same-instant
+    * orders sort before the event, so they land in the at-or-before
+    * side — no double count). The winner is the smaller integer-µs
+    * distance; ties prefer the before side, then j01's within-side
+    * orderkey rules — every rule engine-portable. Events whose user
+    * has no orders emit direction 'none'. Never a per-event subquery
+    * or inequality join: cost is one exchange + two linear passes.
+    */
+  def j03NearestJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("od"))
+    val events = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("od"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_event"), coalesce(col("o_orderkey"), lit(0L)))
+    val wBefore = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAfter = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val deltaB = unix_micros(col("t")) - unix_micros(col("b_t"))
+    val deltaA = unix_micros(col("a_t")) - unix_micros(col("t"))
+    val pickBefore = col("b_key").isNotNull &&
+      (col("a_key").isNull || deltaB <= deltaA)
+    orders.union(events)
+      .withColumn("b_key", last(col("o_orderkey"), ignoreNulls = true).over(wBefore))
+      .withColumn("b_t", last(col("od"), ignoreNulls = true).over(wBefore))
+      .withColumn("a_key", first(col("o_orderkey"), ignoreNulls = true).over(wAfter))
+      .withColumn("a_t", first(col("od"), ignoreNulls = true).over(wAfter))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        when(pickBefore, col("b_key")).otherwise(col("a_key")).as("nearest_orderkey"),
+        when(pickBefore, col("b_t")).otherwise(col("a_t")).as("nearest_orderdate"),
+        when(col("b_key").isNull && col("a_key").isNull, "none")
+          .when(pickBefore, "before").otherwise("after").as("direction"),
+        when(pickBefore, deltaB)
+          .when(col("a_key").isNotNull, deltaA)
+          .otherwise(lit(null).cast("long")).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Hot-key-only salted inner equi-join — q23's demonstration as a
     * reusable operator. Keys whose LEFT-side row count reaches
     * `hotThreshold` are split across `saltBuckets` sub-keys (the

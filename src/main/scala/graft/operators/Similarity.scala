@@ -284,18 +284,48 @@ object Similarity {
       .drop("sig")
   }
 
-  def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    registerAll(spark)
+  /** Scored LSH candidates (query × banded corpus, exact cosine) —
+    * the shared probe stage of [[s02AnnLsh]] (top-k tail) and
+    * [[s07RadiusSearch]] (threshold tail).
+    */
+  private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = annBanded(
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding")
     val qs = annBanded(queriesBlock(spark, sfDir), "query_id", "qv")
-    val cands = corpus.join(broadcast(qs), Seq("band_id", "band_val"))
+    corpus.join(broadcast(qs), Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
       .distinct()
-    topKPerQuery(
-      cands.withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
+  }
+
+  def s02AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    topKPerQuery(lshScoredCandidates(spark, sfDir))
+  }
+
+  /** Cosine floor for [[s07RadiusSearch]]. */
+  private val RadiusBar = 0.3
+
+  /** s07: radius (range) similarity search — ALL corpus vectors
+    * within cosine ≥ [[RadiusBar]] of each query, not a fixed top-k:
+    * the retrieval mode behind "everything semantically close to X"
+    * (near-dup sweeps seeded by exemplars, policy screens, recall
+    * sets whose size the data decides). Same banded-LSH candidate
+    * stage as s02 — the two differ only in the tail (bounded top-k
+    * aggregate vs a codegen threshold filter), so the 100 TB story is
+    * s02's: candidates per query ∝ bucket occupancy, never a corpus
+    * scan per query; the oracle replicates banding + scoring exactly
+    * (md5-derived weights), so the candidate set itself is checked.
+    */
+  def s07RadiusSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    lshScoredCandidates(spark, sfDir)
+      .filter(col("cos_raw") >= RadiusBar)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   /** Neighbors per vector for [[s05KnnJoin]] — small k is the k-NN

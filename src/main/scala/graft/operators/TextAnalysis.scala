@@ -304,6 +304,44 @@ object TextAnalysis {
       .limit(CollocTopK)
   }
 
+  /** Rank depth for [[t12ZipfFit]] — the fit runs over the top-N
+    * tokens: bounded input (the single-task ranking window and the
+    * regression sums stay small and well-conditioned at any corpus
+    * size) and standard practice — Zipf behavior lives in the head,
+    * the long tail just bends the line.
+    */
+  private val ZipfTopN = 1000
+
+  /** t12: Zipf rank-frequency fit — regress log2(tf) on log2(rank)
+    * over the top-[[ZipfTopN]] tokens: the corpus-health check that
+    * natural language obeys Zipf's law (slope ≈ −1; templated or
+    * machine-generated corpora flatten or kink the line, so a
+    * drifting slope is an ingest alarm). Shape: one token shuffle
+    * for tf, a global top-N (partial top-k per partition, then the
+    * tiny sorted head), ranks from a window over the BOUNDED 1000-row
+    * frame (single task by construction — not q27's unbounded group),
+    * and one regression aggregation reusing q40's streaming-moment
+    * functions. Ranking ties break lexicographically so both engines
+    * regress the identical point set; 4dp rounding absorbs float
+    * reassociation across partitions (the q40 contract).
+    */
+  def t12ZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerAll(spark)
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(call_function("word_grams", lower(col("text")), lit(1))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    tf.orderBy(col("tf").desc, col("token")).limit(ZipfTopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+      .select(log2(col("rank")).as("lx"), log2(col("tf")).as("ly"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(expr("regr_slope(ly, lx)"), 4).as("slope"),
+        round(expr("regr_intercept(ly, lx)"), 4).as("intercept"),
+        round(expr("regr_r2(ly, lx)"), 4).as("r2"))
+  }
+
   /** t10: frequent-items sketch beside its exact twin — the third
     * member of the sketch family (q34 covers HLL + quantiles): the
     * corpus's top-20 tokens by term frequency computed exactly

@@ -125,6 +125,34 @@ object Sources {
   def writeAvro(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(AvroFormat).save(path)
 
+  /** Binary-file read — the multimodal INGEST edge: each matching
+    * file becomes one row (path, modificationTime, length, content:
+    * binary), the shape [[graft.operators.Multimodal]] consumes
+    * (blobs stay opaque to Catalyst; metadata columns prune without
+    * touching bytes). `pathGlob` filters by name pattern
+    * (e.g. "*.png") BEFORE any read. One task per file — media
+    * corpora should be many files, and multi-GB blobs belong in a
+    * packed format, not single files.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      pathGlob: Option[String] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    pathGlob.fold(base)(g => base.option("pathGlobFilter", g)).load(path)
+  }
+
+  /** XML read (built into Spark 4) — config/feed interchange.
+    * `rowTag` names the repeated element that becomes a row; schema
+    * explicit as everywhere (inference reads the data twice and
+    * guesses). Row-major like Avro: convert to parquet for analytics.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
+  /** XML write: one `rowTag` element per row under `rootTag`. */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).xml(path)
+
   /** JDBC write — the return path for [[readJdbc]] (publishing a
     * result table to an RDBMS). `numPartitions` caps concurrent
     * connections: every partition opens one, so an unthrottled 10k-
@@ -212,6 +240,45 @@ object Sources {
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     nFiles
+  }
+
+  /** Keyed upsert (SCD-1 MERGE) into a partitioned parquet table:
+    * rows of `updates` replace target rows with the same `keyCol`,
+    * new keys append — confined to the partitions the updates
+    * actually touch. The non-touched history is NEVER read or
+    * written: touched partition values collapse to a small distinct
+    * frame, the target read prunes to those partitions (an IN filter
+    * on the partition column — SourcesSpec asserts the pruned scan),
+    * survivors come from one anti-join, and the rewrite goes through
+    * [[overwritePartitions]] (dynamic mode). This is the
+    * compose-from-primitives MERGE for plain parquet — a table format
+    * (Delta/Iceberg) adds ACID on top, but the data movement is
+    * exactly this.
+    *
+    * The anti-join build side is the updates' key set (small by the
+    * incremental-batch assumption); updates spanning a partition's
+    * whole key space still rewrite just that partition. Caller
+    * guarantees `updates` has the target's schema.
+    */
+  def upsertParquet(spark: SparkSession, targetDir: String, updates: DataFrame,
+      keyCol: String, partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(touched.nonEmpty, "upsertParquet: updates frame is empty")
+    val target = spark.read.parquet(targetDir)
+      .filter(col(partitionCol).isin(touched: _*))
+    val keys = updates.select(col(keyCol)).distinct()
+    val survivors = target.join(broadcast(keys), Seq(keyCol), "left_anti")
+    // materialize BEFORE the write: the merged frame reads the very
+    // files the overwrite replaces (lazy scan + same-path overwrite is
+    // the compactParquet in-place data-loss trap, and Spark's
+    // overwrite-while-reading detection does not cover path reads).
+    // The checkpoint truncates lineage to materialized blocks, sized
+    // to the TOUCHED partitions only — the incremental-batch regime
+    // this operator is for.
+    val merged = survivors.unionByName(updates).localCheckpoint(true)
+    overwritePartitions(merged, targetDir, Seq(partitionCol))
   }
 
   /** Bucketed + sorted managed table: `nBuckets` files per partition,

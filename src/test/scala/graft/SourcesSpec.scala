@@ -171,6 +171,59 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(col("r_key") >= 35).count() == 5)
   }
 
+  test("binaryFile source reads blobs with metadata and glob filtering") {
+    val dir = tmp("graft-bin")
+    val payloads = Map("a.png" -> Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      "b.png" -> Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 1),
+      "c.txt" -> "not media".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val all = Sources.readBinaryFiles(spark, dir).collect()
+    assert(all.length == 3)
+    val pngs = Sources.readBinaryFiles(spark, dir, Some("*.png"))
+      .select(col("path"), col("length"), col("content")).collect()
+    assert(pngs.length == 2, "glob must filter before the read")
+    pngs.foreach { r =>
+      val name = r.getString(0).split('/').last
+      assert(r.getLong(1) == payloads(name).length)
+      assert(r.getAs[Array[Byte]](2).sameElements(payloads(name)))
+    }
+  }
+
+  test("xml round-trips with explicit schema and rowTag") {
+    val nation = Tables.nation(spark, sfDir)
+    val dir = tmp("graft-xml")
+    Sources.writeXml(nation, dir, rowTag = "nation")
+    val back = Sources.readXml(spark, dir, "nation", nation.schema)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq ==
+      nation.orderBy(col("n_nationkey")).collect().toSeq)
+  }
+
+  test("keyed upsert replaces/appends only in touched partitions") {
+    import spark.implicits._
+    val dir = tmp("graft-upsert")
+    Seq((1L, "p1", "old1"), (2L, "p1", "old2"), (3L, "p2", "old3"),
+      (4L, "p3", "old4"))
+      .toDF("id", "part", "payload")
+      .write.partitionBy("part").parquet(dir + "/t")
+    // fingerprint the untouched partition's files: they must survive
+    // the upsert byte-for-byte (proof the rewrite never touched p3)
+    def p3Files = new java.io.File(dir + "/t/part=p3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified))
+    val before = p3Files.toSeq
+    val updates = Seq((2L, "p1", "NEW2"), (5L, "p2", "NEW5"))
+      .toDF("id", "part", "payload")
+    Sources.upsertParquet(spark, dir + "/t", updates, "id", "part")
+    val got = spark.read.parquet(dir + "/t")
+      .select(col("id"), col("payload"), col("part"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "old1", "p1"), (2L, "NEW2", "p1"),
+      (3L, "old3", "p2"), (4L, "old4", "p3"), (5L, "NEW5", "p2")))
+    assert(p3Files.toSeq == before, "untouched partition must not be rewritten")
+  }
+
   test("compaction rewrites a many-small-files table into sized files") {
     val docs = Tables.documents(spark, sfDir)
     val smallDir = tmp("graft-small")
