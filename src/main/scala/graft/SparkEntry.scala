@@ -70,6 +70,7 @@ object SparkEntry {
     "d12_contamination_bloom" -> (Dedup.d12ContaminationBloom _),
     "d13_chunk_dedup" -> (Dedup.d13ChunkDedup _),
     "d15_dedup_prefix" -> (Dedup.d15DedupPrefix _),
+    "d16_dedup_sweep" -> (Dedup.d16DedupSweep _),
     "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
@@ -96,6 +97,8 @@ object SparkEntry {
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
     "p09_epoch_repeats" -> (Pipeline.p09EpochRepeats _),
+    "p10_token_budget" -> (Pipeline.p10TokenBudget _),
+    "t13_distinctive_tokens" -> (TextAnalysis.t13DistinctiveTokens _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
     "p04_curate" -> (Pipeline.p04Curate _),
@@ -270,6 +273,31 @@ object SparkEntry {
       |  round(least(1.0, n_tokens / 100.0) * 0.4
       |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
       |FROM r""".stripMargin
+
+  /** The d04 all-pairs 2-gram Jaccard truth up to the scored-pair
+    * CTE `j` (no WITH keyword) — shared by d04 (threshold tail) and
+    * d16 (decile-sweep tail).
+    */
+  private val ngramTruthOracleCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS s
+      |  FROM tk),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+      |              WHEN na = 0 OR nb = 0 THEN 0.0
+      |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
+      |  FROM p)""".stripMargin
 
   /** The s02/s07 query-probe LSH replication up to the scored
     * candidate CTE `sc` (no WITH keyword) — banding, query×corpus
@@ -888,28 +916,20 @@ object SparkEntry {
         |WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "d04_dedup_ngram" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
-        |           i -> t[i] || ' ' || t[i+1])) AS s
-        |  FROM tk),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
-        |              WHEN na = 0 OR nb = 0 THEN 0.0
-        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
-        |  FROM p)
+      ("WITH " + ngramTruthOracleCtes + """
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard2
         |FROM j WHERE jac >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // d16 = d04's truth bucketed into deciles of the ROUNDED score
+    "d16_dedup_sweep" ->
+      ("WITH " + ngramTruthOracleCtes + """,
+        |sel AS (SELECT round(jac, 4) AS jaccard2 FROM j WHERE jac >= 0.5)
+        |SELECT least(9, CAST(floor(jaccard2 * 10) AS INTEGER)) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(min(jaccard2), 4) AS min_jac,
+        |  round(max(jaccard2), 4) AS max_jac
+        |FROM sel GROUP BY 1
+        |ORDER BY decile""".stripMargin),
     // d05/s02 oracles replicate the md5-derived hyperplane banding
     // exactly (same weights, same sign bits, same band buckets), so
     // the LSH candidate set — not just the verify step — is checked.
@@ -1106,6 +1126,53 @@ object SparkEntry {
         |SELECT doc_id, source, e_ticks, unnest(generate_series(1, n_copies)) AS copy
         |FROM d
         |ORDER BY doc_id, copy""".stripMargin,
+    // p10 reuses the t02 replication for scores and token counts;
+    // the greedy-by-rank keep rule (kept iff running total fits) is
+    // replicated with the identical (quality DESC, doc_id) ordering
+    "p10_token_budget" ->
+      ("WITH q AS (" + qualityScoreOracleBody + "),\n" +
+        """s AS (SELECT q.doc_id, q.n_tokens, q.quality_score, d.source
+          |      FROM q JOIN documents d ON q.doc_id = d.doc_id),
+          |b AS (SELECT source, CAST(floor(sum(n_tokens) * 0.4) AS BIGINT) AS budget
+          |      FROM s GROUP BY source),
+          |r AS (SELECT s.*, b.budget,
+          |        sum(s.n_tokens) OVER (PARTITION BY s.source
+          |          ORDER BY s.quality_score DESC, s.doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+          |      FROM s JOIN b ON s.source = b.source)
+          |SELECT doc_id, source, n_tokens, quality_score,
+          |  CAST(running_tokens AS BIGINT) AS running_tokens, budget,
+          |  running_tokens <= budget AS kept
+          |FROM r ORDER BY doc_id""".stripMargin),
+    // t13: lift from long counts divided as doubles in the same op
+    // order; ranking on the ROUNDED lift (ties lexicographic)
+    "t13_distinctive_tokens" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+        |           t -> t <> '')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_st FROM tk GROUP BY 1, 2),
+        |ps AS (SELECT source, sum(c_st) AS t_s FROM st GROUP BY source),
+        |pt AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY token),
+        |tt AS (SELECT sum(c_t) AS t_all FROM pt),
+        |l AS (
+        |  SELECT st.source, st.token, st.c_st,
+        |    round((CAST(st.c_st AS DOUBLE) / CAST(ps.t_s AS DOUBLE)) /
+        |          (CAST(pt.c_t AS DOUBLE) / CAST(tt.t_all AS DOUBLE)), 4) AS lift
+        |  FROM st
+        |  JOIN ps ON st.source = ps.source
+        |  JOIN pt ON st.token = pt.token
+        |  CROSS JOIN tt
+        |  WHERE st.c_st >= 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY lift DESC, token) AS rank
+        |  FROM l)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(c_st AS BIGINT) AS n_in_source, lift
+        |FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     // p06 stratifies on t02's score: the same replication feeds the
     // quartile cutpoints (quantile_cont == Spark's exact percentile,
     // parity established by q25) and the md5 keep rule (p01's pattern,

@@ -392,6 +392,25 @@ object Dedup {
       .orderBy(col("chunk_hash"))
   }
 
+  /** d16: dedup threshold-sweep report — the candidate pairs of
+    * d04's 2-gram pipeline bucketed into Jaccard deciles [0.5, 1.0]:
+    * the calibration curve an operator reads before PICKING a dedup
+    * threshold (how many pairs does each 0.1 of threshold add?).
+    * Pure reuse: d04's banding covers ≥ 0.5 (s-curve 0.42), so every
+    * decile of the report is complete; one extra tiny aggregation
+    * over the verified pairs. The decile key is computed from the
+    * 4dp-ROUNDED similarity so bucket edges are engine-exact.
+    */
+  def d16DedupSweep(spark: SparkSession, sfDir: String): DataFrame =
+    d04DedupNgram(spark, sfDir)
+      .withColumn("decile",
+        least(lit(9), floor(col("jaccard2") * 10).cast("int")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard2")), 4).as("min_jac"),
+        round(max(col("jaccard2")), 4).as("max_jac"))
+      .orderBy(col("decile"))
+
   /** Shingle-set Jaccard threshold for [[d15DedupPrefix]] — d02's
     * verify bar, so d15 is d02's exact-recall twin.
     */

@@ -274,6 +274,50 @@ object Pipeline {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  /** Token-budget fraction for [[p10TokenBudget]]: each source's
+    * budget = 40% of its token mass — a real boundary at every SF
+    * (an absolute number would be a no-op at sf0.001 and starve
+    * sf0.1).
+    */
+  private val BudgetFrac = 0.4
+
+  /** p10: token-budget curation — keep the highest-quality documents
+    * of each source until that source's token budget is spent: the
+    * budget-constrained selection step when compute (not data) is the
+    * binding constraint ("we can afford N tokens of src X; take the
+    * best ones"). Rule: docs ordered by (quality desc, doc_id) per
+    * source; a doc is kept iff the running token total THROUGH it
+    * fits the budget — deterministic, and a later smaller doc may
+    * still fit after a big one overflowed (documented greedy-by-rank,
+    * not prefix-until-first-overflow). Budgets are one partial-agg'd
+    * count frame broadcast back (floor(0.4·tokens_source)).
+    *
+    * Scale note: the per-source running sum is a window whose
+    * partition is a whole source — the q27 shape. At 100 TB, swap
+    * the exact window for quality-cutpoint selection
+    * (percentile_approx of the token-weighted quality distribution
+    * at the budget point — the p06/distributedNtile recipe); the
+    * exact window is kept here because it is what the oracle can
+    * verify bit-for-bit, and test sources are bounded.
+    */
+  def p10TokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = TextAnalysis.t02QualityScore(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val budgets = scored.groupBy(col("source"))
+      .agg(floor(sum(col("n_tokens")) * lit(BudgetFrac)).cast("long").as("budget"))
+    scored.join(broadcast(budgets), "source")
+      .withColumn("running_tokens", sum(col("n_tokens")).over(bySource))
+      .withColumn("kept", col("running_tokens") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"), col("running_tokens"), col("budget"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep-rates per quality quartile (percent): heavy downsampling of
     * the bottom, everything from the top — the quality-curriculum
     * mixture shape.

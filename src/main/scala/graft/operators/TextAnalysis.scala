@@ -304,6 +304,50 @@ object TextAnalysis {
       .limit(CollocTopK)
   }
 
+  /** Candidate floor and per-source depth for [[t13DistinctiveTokens]]. */
+  private val DistinctMinCount = 5
+  private val DistinctTopK = 5
+
+  /** t13: distinctive tokens per source — the top tokens by LIFT,
+    * p(token | source) / p(token | corpus): the drift/fingerprint
+    * report that tells you what a source is ABOUT (and catches an
+    * ingest gone wrong — a source whose distinctive tokens are
+    * boilerplate markers). Two partial-agg counts (per-source and
+    * corpus token counts share one explode via rollup-free
+    * aggregation on (source, token) then a re-aggregate), a rare-
+    * token floor ([[DistinctMinCount]] — lift is unstable on
+    * singletons, t11's PMI argument), lift from long counts divided
+    * as doubles in fixed order, and a per-source top-k window over
+    * the ROUNDED score (partition = a source's qualifying vocab —
+    * bounded; ties lexicographic so both engines rank identically).
+    */
+  def t13DistinctiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerAll(spark)
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(call_function("word_grams", lower(col("text")), lit(1))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+    val perSource = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val perToken = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val total = perToken.agg(sum(col("c_t")).as("t_all"))
+    val lifted = st.filter(col("c_st") >= DistinctMinCount)
+      .join(broadcast(perSource), "source")
+      .join(perToken, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round(
+        (col("c_st").cast("double") / col("t_s").cast("double")) /
+          (col("c_t").cast("double") / col("t_all").cast("double")), 4))
+    lifted
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("lift").desc, col("token"))))
+      .filter(col("rank") <= DistinctTopK)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("token"), col("c_st").as("n_in_source"), col("lift"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Rank depth for [[t12ZipfFit]] — the fit runs over the top-N
     * tokens: bounded input (the single-task ranking window and the
     * regression sums stay small and well-conditioned at any corpus

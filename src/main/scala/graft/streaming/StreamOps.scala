@@ -295,6 +295,26 @@ object StreamOps {
 
   val GapUs: Long = 1800L * 1000000L
 
+  /** CDC upsert sink: drain a stream of keyed updates into a
+    * partitioned parquet table via [[graft.sources.Sources.upsertParquet]]
+    * — the change-data-capture landing pattern (each micro-batch is
+    * one MERGE confined to the partitions it touches; untouched
+    * history is never read or rewritten). foreachBatch is the right
+    * tool because the merge needs batch-only primitives (anti-join +
+    * dynamic partition overwrite); exactly-once comes from the sink
+    * checkpoint + the merge's idempotence (re-applying a batch of
+    * keyed upserts lands the same state). Empty micro-batches are
+    * skipped — upsertParquet treats an empty updates frame as a bug.
+    */
+  def cdcUpsert(updates: DataFrame, targetDir: String,
+      keyCol: String, partitionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sources.upsertParquet(
+            batch.sparkSession, targetDir, batch, keyCol, partitionCol)
+      }
+
   private def usOf(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
   private def fromUs(u: Long): Instant =
     Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)

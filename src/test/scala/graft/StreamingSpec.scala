@@ -414,6 +414,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC stream upserts micro-batches into partitioned parquet, touching only their partitions") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val target = s"$base/t"
+    Seq((1L, "p1", "old1"), (2L, "p1", "old2"), (3L, "p2", "old3"),
+      (4L, "p3", "old4"))
+      .toDF("id", "part", "payload")
+      .write.partitionBy("part").parquet(target)
+    def p3Files = new java.io.File(s"$target/part=p3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    val before = p3Files
+    // stage two CDC files; maxFilesPerTrigger=1 forces two sequential
+    // micro-batches (an update-then-insert ordering, the CDC shape)
+    val src = java.nio.file.Files.createTempDirectory("graft-cdc-src").toString
+    Seq((2L, "p1", "NEW2")).toDF("id", "part", "payload")
+      .coalesce(1).write.parquet(s"$src/a")
+    Seq((5L, "p2", "NEW5"), (2L, "p1", "NEWER2")).toDF("id", "part", "payload")
+      .coalesce(1).write.parquet(s"$src/b")
+    new java.io.File(src).listFiles().filter(_.isDirectory).foreach { d =>
+      val f = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(src, s"${d.getName}.parquet"))
+    }
+    // the file source orders micro-batches by file timestamp — pin
+    // distinct mtimes so a (update) strictly precedes b (newer update)
+    new java.io.File(s"$src/a.parquet").setLastModified(System.currentTimeMillis() - 60000)
+    new java.io.File(s"$src/b.parquet").setLastModified(System.currentTimeMillis())
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val chk = java.nio.file.Files.createTempDirectory("graft-cdc-chk").toString
+    val q = StreamOps.cdcUpsert(stream, target, "id", "part")
+      .option("checkpointLocation", chk).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.read.parquet(target)
+      .select(col("id"), col("payload"), col("part"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // id=2 was upserted twice across micro-batches: last write wins
+    assert(got == Seq((1L, "old1", "p1"), (2L, "NEWER2", "p1"),
+      (3L, "old3", "p2"), (4L, "old4", "p3"), (5L, "NEW5", "p2")),
+      s"unexpected table state: $got")
+    assert(p3Files == before, "untouched partition rewritten by CDC upsert")
+  }
+
   test("streaming ANN probe of the static band index equals batch s02") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
