@@ -53,6 +53,7 @@ object SparkEntry {
     "q42_window_extras" -> (Relational.q42WindowExtras _),
     "q44_histogram" -> (Relational.q44Histogram _),
     "q45_mode_per_group" -> (Relational.q45ModePerGroup _),
+    "q46_referential_audit" -> (Relational.q46ReferentialAudit _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
@@ -785,6 +786,49 @@ object SparkEntry {
         |  round(a.mode_n / CAST(a.n_orders AS DOUBLE), 4) AS mode_share
         |FROM a JOIN m ON a.c_mktsegment = m.c_mktsegment
         |ORDER BY a.c_mktsegment""".stripMargin,
+    "q46_referential_audit" ->
+      """WITH rel AS (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_child,
+        |    (SELECT count(*) FROM orders) AS n_parent,
+        |    (SELECT count(*) FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                         WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parent
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_custkey = c.c_custkey))
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c
+        |       WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                         WHERE n.n_nationkey = c.c_nationkey)),
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_nationkey = n.n_nationkey))
+        |  UNION ALL
+        |  SELECT 'events->customer',
+        |    (SELECT count(*) FROM events),
+        |    (SELECT count(*) FROM events e
+        |       WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                         WHERE c.c_custkey = e.user_id)),
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c
+        |       WHERE NOT EXISTS (SELECT 1 FROM events e
+        |                         WHERE e.user_id = c.c_custkey)))
+        |SELECT relationship, n_child, n_orphan_child, n_parent, n_childless_parent
+        |FROM rel ORDER BY relationship""".stripMargin,
     "q31_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT *, CASE WHEN prev_us IS NULL

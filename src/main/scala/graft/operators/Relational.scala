@@ -833,6 +833,43 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** q46: referential-integrity audit — for each foreign-key
+    * relationship of the star schema, both failure directions: child
+    * rows whose key has no parent (orphans — broken ingest), and
+    * parents no child references (childless — not an error, but the
+    * coverage statistic capacity planning reads). One anti-join +
+    * count per direction per relationship, all partial-agg'd, results
+    * unioned into the audit report a pipeline runs after every load.
+    * Orphan counts on consistent data are zero — the childless
+    * direction keeps the report a real measurement, and a nonzero
+    * orphan cell is exactly the alarm this exists for.
+    */
+  def q46ReferentialAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.join(parent,
+        child(childKey) === parent(parentKey), "left_anti")
+      val childless = parent.join(child,
+        parent(parentKey) === child(childKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child")).crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphan_child"))).crossJoin(
+        parent.agg(count(lit(1)).as("n_parent"))).crossJoin(
+        childless.agg(count(lit(1)).as("n_childless_parent")))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphan_child"), col("n_parent"), col("n_childless_parent"))
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+    rel("lineitem->orders", li, "l_orderkey", ord, "o_orderkey")
+      .unionByName(rel("orders->customer", ord, "o_custkey", cust, "c_custkey"))
+      .unionByName(rel("customer->nation", cust, "c_nationkey", nat, "n_nationkey"))
+      .unionByName(rel("events->customer",
+        Tables.events(spark, sfDir), "user_id", cust, "c_custkey"))
+      .orderBy(col("relationship"))
+  }
+
   /** q45: per-group MODE (most frequent value) — the categorical
     * summary statistic: the dominant order priority per market
     * segment, with its share. Two-level aggregation, no window: the
