@@ -99,6 +99,7 @@ object SparkEntry {
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
     "p09_epoch_repeats" -> (Pipeline.p09EpochRepeats _),
     "p10_token_budget" -> (Pipeline.p10TokenBudget _),
+    "p11_corpus_shuffle" -> (Pipeline.p11CorpusShuffle _),
     "t13_distinctive_tokens" -> (TextAnalysis.t13DistinctiveTokens _),
     "p01_split_assign" -> (Pipeline.p01SplitAssign _),
     "p02_pack_chunks" -> (Pipeline.p02PackChunks _),
@@ -1217,6 +1218,15 @@ object SparkEntry {
         |  CAST(c_st AS BIGINT) AS n_in_source, lift
         |FROM r WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin,
+    // p11: identical salted-md5 order in both engines; the oracle's
+    // single window IS the formulation distributedRank replaces
+    "p11_corpus_shuffle" ->
+      """SELECT doc_id, source,
+        |  md5('p11:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  row_number() OVER (
+        |    ORDER BY md5('p11:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos
+        |FROM documents
+        |ORDER BY shuffle_pos""".stripMargin,
     // p06 stratifies on t02's score: the same replication feeds the
     // quartile cutpoints (quantile_cont == Spark's exact percentile,
     // parity established by q25) and the md5 keep rule (p01's pattern,

@@ -318,6 +318,29 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** p11: deterministic corpus shuffle — the training-order
+    * randomization every pretraining run needs, as a pure function of
+    * doc_id: shuffle key = salted md5, position = the EXACT global
+    * rank under that key. Rank comes from
+    * [[Relational.distributedRank]] (range-partition + broadcast
+    * offsets), so no task ever holds the whole corpus — the scale
+    * trap of `row_number() OVER (ORDER BY ...)`, which funnels 100 TB
+    * through one window task. Reproducible on any engine, stable
+    * under re-runs, and a different salt gives an independent
+    * permutation per epoch. Tie-break doc_id (md5 collisions).
+    */
+  def p11CorpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("shuffle_key",
+        md5(concat(lit("p11:"), col("doc_id").cast("string"))))
+    Relational.distributedRank(keyed, Nil,
+        Seq("shuffle_key", "doc_id"), "shuffle_pos")
+      .select(col("doc_id"), col("source"), col("shuffle_key"),
+        col("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
   /** Keep-rates per quality quartile (percent): heavy downsampling of
     * the bottom, everything from the top — the quality-curriculum
     * mixture shape.

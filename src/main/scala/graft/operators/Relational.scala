@@ -606,10 +606,17 @@ object Relational {
     * column). `groupCols` may be empty for a global ntile. Output =
     * input columns + `bucketCol` (int, 1-based).
     */
-  def distributedNtile(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[String], n: Int, bucketCol: String = "bucket"): DataFrame = {
+  /** Exact per-group row_number WITHOUT a whole-group window task:
+    * range-partition on (group, order) keys, per-partition local
+    * ranks, plus broadcast per-partition offsets — the rank of any
+    * row is offset(partition) + local rank, so no task ever holds a
+    * whole group (q27's single-task-ntile fix, generalized). Returns
+    * the input columns plus `__rnk` (1-based, per group) and
+    * `__n_total` (group size) for callers that derive buckets.
+    */
+  private def rankedWithTotals(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(n >= 1, s"n must be >= 1, got $n")
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val gc = groupCols.map(col)
     val sortCols = (groupCols ++ orderCols).map(col)
@@ -624,24 +631,43 @@ object Relational {
     val totals = cnts.groupBy(gc: _*).agg(sum(col("__c")).as("__n_total"))
     val cum = cnts
       .withColumn("__offset", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-    // empty groupCols (global ntile): totals is ONE row — cross join it
+    // empty groupCols (global rank): totals is ONE row — cross join it
     val offsets = (if (groupCols.isEmpty) cum.crossJoin(broadcast(totals))
                    else cum.join(totals, groupCols, "inner"))
       .select((col("__pid") +: col("__offset") +: col("__n_total") +: gc): _*)
     val wLocal = Window.partitionBy((col("__pid") +: gc): _*)
       .orderBy(orderCols.map(col): _*)
+    tagged
+      .withColumn("__local_rn", row_number().over(wLocal))
+      .join(broadcast(offsets), "__pid" +: groupCols, "inner")
+      .withColumn("__rnk", col("__offset") + col("__local_rn"))
+      .drop("__pid", "__c", "__offset", "__local_rn")
+  }
+
+  /** Distributed exact row_number — [[rankedWithTotals]] exposed as a
+    * reusable operator: input columns + `rankCol` (1-based within
+    * each group; global when `groupCols` is empty). The scale-right
+    * replacement for `row_number().over(Window.partitionBy(...))`
+    * whenever a group can be a whole table's worth of rows.
+    */
+  def distributedRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], rankCol: String = "rank"): DataFrame =
+    rankedWithTotals(df, groupCols, orderCols)
+      .withColumnRenamed("__rnk", rankCol)
+      .drop("__n_total")
+
+  def distributedNtile(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], n: Int, bucketCol: String = "bucket"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val bucket = expr(
       s"""CASE WHEN __rnk <= (__n_total % $n) * (__n_total div $n + 1)
          |     THEN (__rnk - 1) div (__n_total div $n + 1) + 1
          |     ELSE (__n_total % $n) + (__rnk - (__n_total % $n) * (__n_total div $n + 1) - 1)
          |            div (__n_total div $n) + 1
          |END""".stripMargin).cast("int")
-    tagged
-      .withColumn("__local_rn", row_number().over(wLocal))
-      .join(broadcast(offsets), "__pid" +: groupCols, "inner")
-      .withColumn("__rnk", col("__offset") + col("__local_rn"))
+    rankedWithTotals(df, groupCols, orderCols)
       .withColumn(bucketCol, bucket)
-      .drop("__pid", "__c", "__offset", "__n_total", "__local_rn", "__rnk")
+      .drop("__n_total", "__rnk")
   }
 
   def q27NtileWindow(spark: SparkSession, sfDir: String): DataFrame =
