@@ -248,7 +248,9 @@ object Sources {
     * actually touch. The non-touched history is NEVER read or
     * written: touched partition values collapse to a small distinct
     * frame, the target read prunes to those partitions (an IN filter
-    * on the partition column — SourcesSpec asserts the pruned scan),
+    * on the partition column — the standard partition-pruning path
+    * SourcesSpec proves for partitioned reads; the upsert spec
+    * additionally proves untouched partitions survive byte-for-byte),
     * survivors come from one anti-join, and the rewrite goes through
     * [[overwritePartitions]] (dynamic mode). This is the
     * compose-from-primitives MERGE for plain parquet — a table format

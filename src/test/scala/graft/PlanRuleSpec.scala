@@ -75,6 +75,35 @@ class PlanRuleSpec extends AnyFunSuite {
       s"as-of join must co-shuffle both sides exactly once, got ${hashEx.length}")
   }
 
+  test("j03 nearest join: both window passes ride j01's single hash exchange") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = executed(Joins.j03NearestJoin(spark, sfDir))
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.length == 1,
+      s"before+after passes must share ONE co-shuffle, got ${hashEx.length}")
+    // the invariant that matters at scale is the single exchange:
+    // the before/after frames may plan as separate Window operators
+    // (and the presentation orderBy adds its own range sort), but
+    // both ride the same user_id co-partitioning
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in the nearest-join plan")
+  }
+
+  test("d15 prefix filtering plans equi-joins only — no cartesian, no nested loop") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = executed(Dedup.d15DedupPrefix(spark, sfDir))
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "prefix self-join must be an equi-join on the shingle hash")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "no stage of prefix filtering may go cartesian")
+  }
+
   test("j02 range join never plans a nested-loop join") {
     import graft.operators.Joins
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
