@@ -758,8 +758,10 @@ object SparkEntry {
         |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
         |x AS (
         |  SELECT o_totalprice,
-        |    least(19, CAST(floor((o_totalprice - lo) / (hi - lo) * 20) AS INTEGER))
-        |      AS bin
+        |    CASE WHEN hi > lo
+        |         THEN least(19, CAST(floor((o_totalprice - lo) / (hi - lo) * 20)
+        |                        AS INTEGER))
+        |         ELSE 0 END AS bin
         |  FROM orders, b),
         |g AS (
         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,

@@ -96,6 +96,19 @@ object Events {
     * stage combines map-side. Weeks are Monday-truncated dates in
     * both engines; offsets are exact day-diffs over multiples of 7.
     */
+  def q41RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val first = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** q43: gaps-and-islands — each user's activity collapsed to
     * maximal runs of CONSECUTIVE active days (the streak/churn-gap
     * primitive behind "N-day streak" and "days since last activity"
@@ -127,18 +140,5 @@ object Events {
         min(struct((-col("len")).as("nl"), col("start_day").as("sd")))
           .getField("sd").as("longest_start"))
       .orderBy(col("user_id"))
-  }
-
-  def q41RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val weekly = Tables.events(spark, sfDir)
-      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
-    val first = weekly.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    weekly.join(first, "user_id")
-      .withColumn("week_offset",
-        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
-      .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort_week"), col("week_offset"))
   }
 }

@@ -287,10 +287,13 @@ object Pipeline {
     * binding constraint ("we can afford N tokens of src X; take the
     * best ones"). Rule: docs ordered by (quality desc, doc_id) per
     * source; a doc is kept iff the running token total THROUGH it
-    * fits the budget — deterministic, and a later smaller doc may
-    * still fit after a big one overflowed (documented greedy-by-rank,
-    * not prefix-until-first-overflow). Budgets are one partial-agg'd
-    * count frame broadcast back (floor(0.4·tokens_source)).
+    * fits the budget. Because the running sum accumulates over every
+    * ranked doc (kept or not), the kept set is exactly the maximal
+    * fitting PREFIX — once one doc overflows, everything after it is
+    * out, even a smaller doc that would have fit alone (the simple,
+    * order-faithful contract; bin-packing the tail is a different
+    * operator). Budgets are one partial-agg'd count frame broadcast
+    * back (floor(0.4·tokens_source)).
     *
     * Scale note: the per-source running sum is a window whose
     * partition is a whole source — the q27 shape. At 100 TB, swap

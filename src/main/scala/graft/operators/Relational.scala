@@ -651,10 +651,13 @@ object Relational {
     * whenever a group can be a whole table's worth of rows.
     */
   def distributedRank(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[String], rankCol: String = "rank"): DataFrame =
+      orderCols: Seq[String], rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column — pass a different rankCol")
     rankedWithTotals(df, groupCols, orderCols)
       .withColumnRenamed("__rnk", rankCol)
       .drop("__n_total")
+  }
 
   def distributedNtile(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], n: Int, bucketCol: String = "bucket"): DataFrame = {
@@ -847,10 +850,15 @@ object Relational {
     val bounds = ord.agg(
       min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
     ord.select(col("o_totalprice")).crossJoin(broadcast(bounds))
+      // hi == lo (constant column) makes the scale NaN, and the two
+      // engines disagree on floor(NaN) — pin the degenerate case to
+      // bin 0 explicitly (oracle mirrors the guard)
       .withColumn("bin",
-        least(lit(HistBins - 1),
-          floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo"))
-            * HistBins).cast("int")))
+        when(col("hi") > col("lo"),
+          least(lit(HistBins - 1),
+            floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo"))
+              * HistBins).cast("int")))
+          .otherwise(lit(0)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("bin_total"))

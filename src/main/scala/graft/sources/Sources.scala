@@ -261,10 +261,50 @@ object Sources {
     * incremental-batch assumption); updates spanning a partition's
     * whole key space still rewrite just that partition. Caller
     * guarantees `updates` has the target's schema.
+    *
+    * Key contract: the merged table must have at most one row per
+    * key, so a batch carrying TWO rows for one key (a key changed
+    * twice inside one CDC window) needs `versionCol` — the
+    * monotonically-increasing change ordinal (LSN / change ts) every
+    * real CDC feed carries — and only the highest-version row per
+    * key lands (struct-max argmax, deterministic). Without
+    * `versionCol` there is no defensible winner, so duplicate keys
+    * FAIL LOUD rather than landing both rows silently.
+    *
+    * Partition-stability precondition: `partitionCol` must be a
+    * stable function of the key (ingest date, hash bucket — the
+    * normal layouts). An update that MOVES a key to a new partition
+    * would leave the old partition's row in place, because only
+    * touched partitions are read — replacing that silent duplicate
+    * with correctness requires reading every partition the key might
+    * inhabit, i.e. the full-table merge a table format (Delta/
+    * Iceberg) runs when it cannot prune. Partition-moving updates
+    * are out of contract here.
     */
-  def upsertParquet(spark: SparkSession, targetDir: String, updates: DataFrame,
-      keyCol: String, partitionCol: String): Unit = {
-    import org.apache.spark.sql.functions.{col, broadcast}
+  def upsertParquet(spark: SparkSession, targetDir: String, updates0: DataFrame,
+      keyCol: String, partitionCol: String,
+      versionCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, broadcast, count, countDistinct, lit, max, struct}
+    val updates = versionCol match {
+      case Some(v) =>
+        // last-writer-wins per key: max over (version, remaining
+        // cols) structs — deterministic even on version ties (the
+        // remaining fields break them by value)
+        val others = updates0.columns.filterNot(_ == keyCol).toSeq
+        val ordered = col(v) +: others.filterNot(_ == v).map(col)
+        updates0.groupBy(col(keyCol))
+          .agg(max(struct(ordered: _*)).as("__r"))
+          .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
+          .select(updates0.columns.map(col).toIndexedSeq: _*)
+      case None =>
+        val Array(n, nk) = updates0
+          .agg(count(lit(1)), countDistinct(col(keyCol))).collect()(0)
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        require(n == nk,
+          s"upsertParquet: updates carry duplicate keys ($n rows, $nk distinct " +
+            s"$keyCol) — pass versionCol to resolve last-writer-wins")
+        updates0
+    }
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
     require(touched.nonEmpty, "upsertParquet: updates frame is empty")

@@ -305,14 +305,21 @@ object StreamOps {
     * checkpoint + the merge's idempotence (re-applying a batch of
     * keyed upserts lands the same state). Empty micro-batches are
     * skipped — upsertParquet treats an empty updates frame as a bug.
+    *
+    * `versionCol` (the CDC change ordinal — LSN, change timestamp)
+    * resolves a key changed TWICE within one micro-batch to its
+    * latest row; without it such a batch fails loud in upsertParquet
+    * rather than landing two rows for one key (see its key
+    * contract). Real CDC feeds should always pass it.
     */
   def cdcUpsert(updates: DataFrame, targetDir: String,
-      keyCol: String, partitionCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      keyCol: String, partitionCol: String,
+      versionCol: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     updates.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           graft.sources.Sources.upsertParquet(
-            batch.sparkSession, targetDir, batch, keyCol, partitionCol)
+            batch.sparkSession, targetDir, batch, keyCol, partitionCol, versionCol)
       }
 
   private def usOf(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L

@@ -224,6 +224,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(p3Files.toSeq == before, "untouched partition must not be rewritten")
   }
 
+  test("versioned upsert resolves a key changed twice in one batch last-writer-wins") {
+    import spark.implicits._
+    val dir = tmp("graft-upsert-v")
+    Seq((1L, "p1", 0L, "old1"), (2L, "p1", 0L, "old2"))
+      .toDF("id", "part", "ver", "payload")
+      .write.partitionBy("part").parquet(dir + "/t")
+    // one CDC window carrying TWO changes for id=2 (the routine CDC
+    // shape): versionCol must land only the higher-version row
+    val updates = Seq((2L, "p1", 1L, "MID2"), (2L, "p1", 2L, "FINAL2"),
+      (5L, "p1", 1L, "NEW5"))
+      .toDF("id", "part", "ver", "payload")
+    Sources.upsertParquet(spark, dir + "/t", updates, "id", "part",
+      versionCol = Some("ver"))
+    val got = spark.read.parquet(dir + "/t")
+      .select(col("id"), col("ver"), col("payload"))
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 0L, "old1"), (2L, 2L, "FINAL2"), (5L, 1L, "NEW5")))
+    // without versionCol the same duplicate-key batch must fail loud,
+    // not land two id=2 rows
+    val ex = intercept[IllegalArgumentException] {
+      Sources.upsertParquet(spark, dir + "/t", updates, "id", "part")
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+  }
+
   test("compaction rewrites a many-small-files table into sized files") {
     val docs = Tables.documents(spark, sfDir)
     val smallDir = tmp("graft-small")
