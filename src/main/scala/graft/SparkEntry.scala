@@ -72,6 +72,7 @@ object SparkEntry {
     "d13_chunk_dedup" -> (Dedup.d13ChunkDedup _),
     "d15_dedup_prefix" -> (Dedup.d15DedupPrefix _),
     "d16_dedup_sweep" -> (Dedup.d16DedupSweep _),
+    "d17_cross_source_dups" -> (Dedup.d17CrossSourceDups _),
     "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
+    "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s05_knn_join" -> (Similarity.s05KnnJoin _),
     "s06_knn_classify" -> (Similarity.s06KnnClassify _),
@@ -1043,6 +1045,25 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin),
+    // s08: same md5 probe block, cosines quantized to 2^-20 ticks —
+    // long sums are order-independent, so mean/min/max hash-compare
+    "s08_diversity_stats" ->
+      s"""WITH pr AS (
+        |  SELECT vec_id AS probe_id, embedding AS pv FROM (
+        |    SELECT vec_id, embedding,
+        |      md5('s08:' || CAST(vec_id AS VARCHAR)) AS k
+        |    FROM embeddings ORDER BY k, vec_id LIMIT 32)),
+        |sc AS (
+        |  SELECT ${cosSql("e.embedding", "p.pv")} AS c
+        |  FROM embeddings e CROSS JOIN pr p
+        |  WHERE e.vec_id <> p.probe_id),
+        |q AS (SELECT CAST(floor(c * 1048576.0 + 0.5) AS BIGINT) AS qc FROM sc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(sum(qc) / (1048576.0 * count(*)), 4) AS mean_cos,
+        |  round(min(qc) / 1048576.0, 4) AS min_cos,
+        |  round(max(qc) / 1048576.0, 4) AS max_cos,
+        |  CAST(count(*) FILTER (qc >= 524288) AS BIGINT) AS n_above_half
+        |FROM q""".stripMargin,
     // s07 = the same probe replication with a radius tail: the
     // banded candidate set and every cosine are hash-compared, so
     // the oracle checks candidate generation, not just scoring
@@ -1314,6 +1335,36 @@ object SparkEntry {
         |  round(regr_intercept(ly, lx), 4) AS intercept,
         |  round(regr_r2(ly, lx), 4) AS r2
         |FROM l""".stripMargin,
+    // d17 = the d02 all-pairs truth rolled up to source pairs
+    "d17_cross_source_dups" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+        |              WHEN na = 0 OR nb = 0 THEN 0.0
+        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
+        |  FROM p),
+        |sel AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.7)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_pairs
+        |FROM sel
+        |JOIN documents da ON da.doc_id = sel.doc_a
+        |JOIN documents db ON db.doc_id = sel.doc_b
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin,
     "d06_contamination" -> contaminationOracleSql,
     // d13: same FULL 32-word windows (floor — short tails excluded),
     // same single-space split as d08/p02 (consecutive-space empties

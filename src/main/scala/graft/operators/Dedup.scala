@@ -392,6 +392,28 @@ object Dedup {
       .orderBy(col("chunk_hash"))
   }
 
+  /** d17: cross-source duplication matrix — d02's verified near-dup
+    * pairs rolled up to one count per UNORDERED source pair: the
+    * provenance report that tells you which corpora copy from which
+    * (mirror sites, syndication, benchmark leakage between
+    * collections), with the diagonal (source_a == source_b) counting
+    * intra-source duplication. This is the step AFTER dedup says
+    * "duplicates exist" — it says where they come from. Shape: two
+    * broadcast-sized joins of the (small) pair list against
+    * (doc_id, source), matrix aggregation partial-agg'd; all the
+    * heavy lifting is d02's candidate pipeline, reused as a frame.
+    */
+  def d17CrossSourceDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    d02DedupMinhash(spark, sfDir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_shared_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** d16: dedup threshold-sweep report — the candidate pairs of
     * d04's 2-gram pipeline bucketed into Jaccard deciles [0.5, 1.0]:
     * the calibration curve an operator reads before PICKING a dedup

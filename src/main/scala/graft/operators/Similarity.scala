@@ -328,6 +328,46 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Probe-block size for [[s08DiversityStats]]. */
+  private val DiversitySample = 32
+  /** Ticks per cosine unit (2^20) for the exact long-sum mean. */
+  private val DiversityScale = 1048576.0
+
+  /** s08: embedding-space diversity report — pairwise-cosine
+    * statistics between a deterministic md5-sampled probe block and
+    * the whole corpus: the geometry health check behind
+    * diversity-aware sampling (a collapsing embedding space — mean
+    * pairwise cosine drifting up — means the corpus is going
+    * redundant long before dedup thresholds fire). One corpus scan
+    * against a broadcast [[DiversitySample]]-vector block; cosines
+    * quantize to 2⁻²⁰ ticks so the mean is an ORDER-INDEPENDENT long
+    * sum (the t09/s04 fixed-point pattern — a raw double mean would
+    * hash-differ across partitionings and engines). The probe block
+    * is a pure function of vec_id (salted-md5 top-32), so the whole
+    * report is reproducible anywhere.
+    */
+  def s08DiversityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val probes = emb
+      .withColumn("k", md5(concat(lit("s08:"), col("vec_id").cast("string"))))
+      .orderBy(col("k"), col("vec_id")).limit(DiversitySample)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qc",
+        floor(call_function("cosine_sim", col("embedding"), col("pv"))
+          * lit(DiversityScale) + lit(0.5)).cast("long"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("qc")).cast("double") /
+          (lit(DiversityScale) * count(lit(1))), 4).as("mean_cos"),
+        round(min(col("qc")) / lit(DiversityScale), 4).as("min_cos"),
+        round(max(col("qc")) / lit(DiversityScale), 4).as("max_cos"),
+        sum(when(col("qc") >= (DiversityScale / 2).toLong, 1L).otherwise(0L))
+          .as("n_above_half"))
+  }
+
   /** Neighbors per vector for [[s05KnnJoin]] — small k is the k-NN
     * graph regime (SemDeDup adjacency, graph clustering), and output
     * is k rows per corpus vector, so k multiplies the result size.
