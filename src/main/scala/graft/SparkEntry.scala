@@ -73,6 +73,7 @@ object SparkEntry {
     "d15_dedup_prefix" -> (Dedup.d15DedupPrefix _),
     "d16_dedup_sweep" -> (Dedup.d16DedupSweep _),
     "d17_cross_source_dups" -> (Dedup.d17CrossSourceDups _),
+    "d18_match_forensics" -> (Dedup.d18MatchForensics _),
     "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
@@ -277,6 +278,32 @@ object SparkEntry {
       |  round(least(1.0, n_tokens / 100.0) * 0.4
       |        + stopword_ratio * 0.3 + distinct_ratio * 0.3, 5) AS quality_score
       |FROM r""".stripMargin
+
+  /** The d02 all-pairs 3-gram Jaccard truth up to the scored-pair
+    * CTE `j` (no WITH keyword; shingle lists live in CTE `sh`) —
+    * shared by d02 (threshold tail), d17 (source rollup) and d18
+    * (shared-shingle forensics).
+    */
+  private val minhashTruthOracleCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM tk),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
+      |              WHEN na = 0 OR nb = 0 THEN 0.0
+      |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
+      |  FROM p)""".stripMargin
 
   /** The d04 all-pairs 2-gram Jaccard truth up to the scored-pair
     * CTE `j` (no WITH keyword) — shared by d04 (threshold tail) and
@@ -881,28 +908,31 @@ object SparkEntry {
     // minimum true-pair similarity ~0.89), so candidates-then-verify
     // equals the exact result.
     "d02_dedup_minhash" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tk),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
-        |              WHEN na = 0 OR nb = 0 THEN 0.0
-        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
-        |  FROM p)
+      ("WITH " + minhashTruthOracleCtes + """
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.7
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // d18 = the d02 truth's shared shingles ranked by corpus rarity
+    "d18_match_forensics" ->
+      ("WITH " + minhashTruthOracleCtes + """,
+        |sel AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.7),
+        |dfq AS (
+        |  SELECT shg, count(*) AS df
+        |  FROM (SELECT unnest(s) AS shg FROM sh) GROUP BY shg),
+        |shd AS (
+        |  SELECT sel.doc_a, sel.doc_b, unnest(list_intersect(a.s, b.s)) AS shg
+        |  FROM sel
+        |  JOIN sh a ON a.doc_id = sel.doc_a
+        |  JOIN sh b ON b.doc_id = sel.doc_b),
+        |r AS (
+        |  SELECT doc_a, doc_b, shg, df,
+        |    row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY df, shg) AS rank
+        |  FROM (SELECT shd.doc_a, shd.doc_b, shd.shg, dfq.df
+        |        FROM shd JOIN dfq ON shd.shg = dfq.shg))
+        |SELECT doc_a, doc_b, CAST(rank AS BIGINT) AS rank,
+        |  shg AS shingle, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_a, doc_b, rank""".stripMargin),
     // d10 oracle: all-pairs TRUTH restricted to delta × corpus — the
     // same independent ground truth as d02's, which the LSH banding
     // (identical 16×8 / 0.71 s-curve) must reproduce at ≥ 0.7.
@@ -1337,25 +1367,7 @@ object SparkEntry {
         |FROM l""".stripMargin,
     // d17 = the d02 all-pairs truth rolled up to source pairs
     "d17_cross_source_dups" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(text, '[ \n\t\r]+'), t -> t <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM tk),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |         CASE WHEN na = 0 AND nb = 0 THEN 1.0
-        |              WHEN na = 0 OR nb = 0 THEN 0.0
-        |              ELSE i / CAST(na + nb - i AS DOUBLE) END AS jac
-        |  FROM p),
+      ("WITH " + minhashTruthOracleCtes + """,
         |sel AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.7)
         |SELECT least(da.source, db.source) AS source_a,
         |  greatest(da.source, db.source) AS source_b,
@@ -1364,7 +1376,7 @@ object SparkEntry {
         |JOIN documents da ON da.doc_id = sel.doc_a
         |JOIN documents db ON db.doc_id = sel.doc_b
         |GROUP BY 1, 2
-        |ORDER BY source_a, source_b""".stripMargin,
+        |ORDER BY source_a, source_b""".stripMargin),
     "d06_contamination" -> contaminationOracleSql,
     // d13: same FULL 32-word windows (floor — short tails excluded),
     // same single-space split as d08/p02 (consecutive-space empties

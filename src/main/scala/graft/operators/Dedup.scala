@@ -414,6 +414,44 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Shingles reported per pair by [[d18MatchForensics]]. */
+  private val ForensicsTopK = 3
+
+  /** d18: near-dup match forensics — for every verified d02 pair,
+    * the [[ForensicsTopK]] RAREST shingles the two documents share
+    * (ascending corpus document frequency): the "why did these
+    * match" report an operator reads before trusting or tuning a
+    * dedup run (rare shared shingles = genuine shared content;
+    * only-common shared shingles = boilerplate driving false
+    * merges). Shape: the pair list is small (dedup output), so the
+    * shingle-array joins against it are broadcast-sized; the corpus
+    * df table is the d15 regime (shuffle-join on the shingle,
+    * broadcast when the vocab fits); the per-pair top-k window is
+    * bounded by a document's shingle count.
+    */
+  def d18MatchForensics(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerAll(spark)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(call_function("word_grams", col("text"), lit(3))).as("s"))
+    val dfreq = toks.select(explode(col("s")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val shared = d02DedupMinhash(spark, sfDir)
+      .join(toks.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array_intersect(col("sa"), col("sb"))).as("sh"))
+    val byRarity = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("df"), col("sh"))
+    shared.join(dfreq, "sh")
+      .withColumn("rank", row_number().over(byRarity))
+      .filter(col("rank") <= ForensicsTopK)
+      .select(col("doc_a"), col("doc_b"), col("rank").cast("long").as("rank"),
+        col("sh").as("shingle"), col("df"))
+      .orderBy(col("doc_a"), col("doc_b"), col("rank"))
+  }
+
   /** d16: dedup threshold-sweep report — the candidate pairs of
     * d04's 2-gram pipeline bucketed into Jaccard deciles [0.5, 1.0]:
     * the calibration curve an operator reads before PICKING a dedup
