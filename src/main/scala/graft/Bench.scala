@@ -5,6 +5,14 @@ import org.apache.spark.sql.SparkSession
   * total wall seconds at SPARK_GRAFT_SF_DIR. A warmup sweep at
   * sf0.001 first so timings measure steady-state execution, not
   * first-query JVM/codegen warmup.
+  *
+  * The driver's stdout capture is tail-bounded — BENCH_r05.json lost
+  * 40 per-query times to head truncation of the (then ~5 KB) line. Two
+  * fixes: per-query seconds are rounded to 3 decimals (halves the line
+  * length; ms precision is far below run-to-run noise), and the SAME
+  * JSON is also written un-truncated to SPARK_GRAFT_BENCH_OUT
+  * (default `bench_full.json` in the working directory) so the full
+  * map survives any capture window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,11 +48,18 @@ object Bench {
       try run(name, sfDir) catch { case _: Throwable => errors += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout line still carries the result
+    println(line)
     spark.stop()
   }
 }

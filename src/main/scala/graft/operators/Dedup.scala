@@ -60,7 +60,7 @@ object Dedup {
     * degenerate bucket (e.g. a corpus of empty documents) at scale; a
     * documented recall trade never hit by real near-dup buckets.
     */
-  private val MaxBucket = 10000
+  private[graft] val MaxBucket = 10000
 
   /** Above this bucket size, pairs STREAM out of a bucket self-join
     * instead of materializing as one in-memory pair array per bucket:
@@ -68,7 +68,7 @@ object Dedup {
     * gigabytes in a single task via the array path, but a plain
     * streamed join output via the self-join path.
     */
-  private val PairStreamBucket = 1000
+  private[graft] val PairStreamBucket = 1000
 
   /** Expand (id, payload?) rows sharing a bucket key into ordered
     * within-bucket pairs (`a < b`), sized in three tiers so no task

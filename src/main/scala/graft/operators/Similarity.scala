@@ -389,12 +389,15 @@ object Similarity {
     *
     * Scale shape: the self-join shuffles on (band_id, band_val) —
     * co-located, no broadcast needed at any corpus size; output is
-    * exactly k rows per vector. The documented degenerate-bucket risk
-    * (a band value shared by ~everything) is the SAME trade as d02's
-    * [[Dedup.bucketPairs]] cap; here buckets are bounded by the 2^3
-    * values per band spreading near-uniform sign bits — at 100 TB one
-    * raises bits-per-band so expected bucket size stays ~N/2^bits
-    * per band.
+    * exactly k rows per vector. Candidate generation goes through
+    * [[Dedup.bucketPairs]] — the SAME tiered generator every banded
+    * dedup operator uses: per-bucket counts first, buckets over
+    * `maxBucket` dropped before any pair materializes (the documented
+    * recall trade; at 100 TB also raise bits-per-band so expected
+    * bucket size stays ~N/2^bits), mid-size buckets streaming their
+    * pairs through a self-join, small buckets expanding in-array. No
+    * banded candidate path in the library can go quadratic on a
+    * degenerate (undifferentiated) embedding corpus.
     *
     * Vectors whose buckets contain no other vector produce no rows
     * (no candidates ⇒ no neighbors) — the honest LSH contract; s01 is
@@ -423,23 +426,31 @@ object Similarity {
 
   private def knnGraphCompute(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    knnGraphFor(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+  }
+
+  /** The k-NN-graph core over an arbitrary (vec_id, embedding) frame —
+    * parameterized so the cap contract is spec-testable on adversarial
+    * (all-identical-vector) corpora. Candidate (a < b) pairs come from
+    * [[Dedup.bucketPairs]] — one orientation through the distinct
+    * (HALF the shuffle volume), then mirrored, since the graph needs
+    * both directions and candidacy is symmetric.
+    */
+  private[graft] def knnGraphFor(emb: DataFrame, k: Int = KnnK,
+      maxBucket: Int = Dedup.MaxBucket,
+      pairStream: Int = Dedup.PairStreamBucket): DataFrame = {
     val bands = annBanded(emb, "vec_id", "embedding", keepVec = false)
-    // one orientation (a < b) through the distinct — HALF the shuffle
-    // volume of the dedup stage — then mirror, since the k-NN graph
-    // needs both directions and candidacy is symmetric
-    val half = bands
-      .join(bands.select(col("band_id"), col("band_val"), col("vec_id").as("query_id")),
-        Seq("band_id", "band_val"))
-      .filter(col("query_id") < col("vec_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
+    val half = Dedup.bucketPairs(bands, Seq("band_id", "band_val"),
+        col("vec_id"), maxBucket, pairStream)
+      .select(col("a").as("query_id"), col("b").as("vec_id"))
     val candIds = half.union(
       half.select(col("vec_id").as("query_id"), col("query_id").as("vec_id")))
     val scored = candIds
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .join(emb, "vec_id")
       .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
-    topKPerQuery(scored, KnnK)
+    topKPerQuery(scored, k)
   }
 
   def s05KnnJoin(spark: SparkSession, sfDir: String): DataFrame =

@@ -376,6 +376,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"knn-graph recall@3 $recall too low")
   }
 
+  test("s05 cap contract: degenerate buckets drop, graph stays bounded") {
+    import spark.implicits._
+    // adversarial corpus: N IDENTICAL vectors — every band collapses to
+    // ONE bucket of N rows, the regime where an uncapped self-join
+    // yields N(N-1)/2 candidate pairs
+    val n = 60
+    val degen = (0 until n).map(i => (i.toLong, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    // cap below the bucket size: every bucket drops (tier 2) — the
+    // graph is EMPTY, the documented recall trade, never a blow-up
+    val capped = Similarity.knnGraphFor(degen, maxBucket = n - 1, pairStream = n - 1)
+    assert(capped.collect().isEmpty, "hot buckets must drop, not explode")
+    // cap above the bucket size, pairStream forcing the STREAMED tier:
+    // full graph, exactly k dense-ranked rows per vector
+    val streamed = Similarity.knnGraphFor(degen, maxBucket = 10 * n, pairStream = 4)
+      .select("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length == n * 3, "k rows per vector under the streamed tier")
+    streamed.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to 3L), s"vector $q ranks not dense")
+    }
+    // in-array tier (defaults) agrees with the streamed tier pair-for-pair
+    // on neighbor SETS (per-rank ids may differ on all-tied cosines)
+    val inArray = Similarity.knnGraphFor(degen)
+      .select("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(inArray.sorted.sameElements(streamed.sorted))
+  }
+
   test("d12 bloom contamination equals d06 and actually plans the bloom") {
     val d06 = Dedup.d06Contamination(spark, sfDir).collect().toSeq
     val d12df = Dedup.d12ContaminationBloom(spark, sfDir)
