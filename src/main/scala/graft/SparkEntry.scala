@@ -190,14 +190,17 @@ object SparkEntry {
        |ORDER BY a.vec_id""".stripMargin
 
   /** d11 oracle: same generated k-means prefix, then the min-id-
-    * representative rule — a vector is a dup iff a smaller-id
-    * cell-mate has cosine ≥ the bar.
+    * representative rule under MULTI-PROBE assignment — a vector is a
+    * dup iff a smaller-id vector sharing ANY of its `probes`-nearest
+    * cells (rk_f rank ≤ probes) has cosine ≥ the bar; the reported
+    * cell stays the rank-1 (asg_f) cell.
     */
-  private def d11OracleSql(iters: Int, bar: Double): String =
+  private def d11OracleSql(iters: Int, bar: Double, probes: Int): String =
     s"""${kmeansOracle(iters)},
+       |ma AS (SELECT vec_id, embedding, cid AS cell FROM rk_f WHERE rn <= $probes),
        |pr AS (
-       |  SELECT b.vec_id AS vb
-       |  FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  SELECT DISTINCT b.vec_id AS vb
+       |  FROM ma a JOIN ma b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $bar)
        |SELECT v.vec_id, v.cell, v.vec_id IN (SELECT vb FROM pr) AS is_dup
        |FROM asg_f v ORDER BY v.vec_id""".stripMargin
@@ -443,7 +446,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
     "d11_dedup_semantic" -> d11OracleSql(
-      graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar),
+      graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,
+      graft.operators.Similarity.SemProbes),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -189,36 +189,59 @@ object Similarity {
     */
   private[graft] val SemBar = 0.4
 
+  /** Probe cells per vector for [[d11DedupSemantic]] — each vector
+    * joins the pairwise stage under its [[SemProbes]] nearest
+    * centroids (SemDeDup multi-probe), so a near-dup pair split
+    * across one Voronoi boundary is still compared when the probe
+    * sets overlap.
+    */
+  private[graft] val SemProbes = 2
+
   /** d11: semantic dedup, cluster-then-dedup (the SemDeDup recipe):
-    * k-means cells bound the pairwise comparison, then within each
-    * cell a vector is a duplicate iff a SMALLER-id cell-mate has
-    * cosine ≥ [[SemBar]] — the deterministic min-id-representative
-    * rule. Output: (vec_id, cell, is_dup) for every vector.
+    * k-means cells bound the pairwise comparison, then a vector is a
+    * duplicate iff a SMALLER-id vector sharing ANY of its
+    * [[SemProbes]]-nearest cells has cosine ≥ [[SemBar]] — the
+    * deterministic min-id-representative rule. Output:
+    * (vec_id, cell, is_dup) for every vector, `cell` the PRIMARY
+    * (nearest) cell.
     *
     * Scale shape: the quadratic step is within-cell only — with
     * k = √N cells the expected cell is √N vectors, and the cell
-    * self-join shuffles on the cell id. The documented recall trade
-    * is exactly SemDeDup's: near-dup pairs split across cells are
-    * missed (measured here: 24 of 59 ≥0.4-cosine pairs share a cell
-    * at sf0.01 on near-uniform synthetic vectors — real, clustered
-    * embeddings co-locate far better); d05 (LSH over the whole
-    * corpus) is the cross-cell-complete alternative.
+    * self-join shuffles on the cell id; multi-probe multiplies the
+    * self-join input by [[SemProbes]] (candidate pairs by ≤
+    * SemProbes², a constant), not the corpus. The residual recall
+    * trade is SemDeDup's: pairs whose probe sets are disjoint are
+    * still missed — single-cell assignment found 24 of 59 ≥0.4-cosine
+    * pairs at sf0.01 on near-uniform synthetic vectors; 2-probe
+    * lifts cell co-occurrence to 45 of 59 (real, clustered embeddings
+    * co-locate far better). d05 (LSH over the whole corpus) stays the
+    * cross-cell-complete alternative.
     */
   def d11DedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
     val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
-    // checkpointed: read by BOTH self-join sides and the final left
-    // join — three corpus argmax re-runs otherwise (lloydRefine
-    // pattern; in production this frame is the materialized
-    // partitionBy("cell") index)
-    val cells = ivfCells(spark, sfDir, centroids).localCheckpoint(true)
-    val smaller = cells.select(col("cell"), col("vec_id").as("va"),
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // one corpus scan: top-SemProbes cells per vector via the bounded
+    // aggregate (score desc, ties to the smaller cid — the oracle's
+    // rank order); checkpointed because BOTH self-join sides and the
+    // final output read it (in production this frame is the
+    // materialized partitionBy("cell") index)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("cs", call_function("cosine_sim", col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(call_function("top_k_by_score", col("cs"), col("cid"), lit(SemProbes)).as("top"),
+        max(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    val multi = assigned.select(col("vec_id"), col("embedding"),
+      explode(col("top.id")).as("cell"))
+    val smaller = multi.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("ea"))
-    val dupIds = cells.select(col("cell"), col("vec_id"), col("embedding").as("eb"))
+    val dupIds = multi.select(col("cell"), col("vec_id"), col("embedding").as("eb"))
       .join(smaller, "cell")
       .filter(col("va") < col("vec_id"))
       .filter(call_function("cosine_sim", col("ea"), col("eb")) >= SemBar)
       .select(col("vec_id")).distinct()
-    cells.select(col("vec_id"), col("cell"))
+    assigned.select(col("vec_id"), element_at(col("top.id"), 1).as("cell"))
       .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
       .select(col("vec_id"), col("cell"), col("is_dup"))

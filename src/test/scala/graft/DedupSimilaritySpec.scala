@@ -189,21 +189,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(f3 > f0, s"expected strict improvement on this corpus: $f3 vs $f0")
   }
 
-  test("d11 semantic dedup implements the min-id-representative rule exactly") {
+  test("d11 semantic dedup: min-id rule under 2-probe cell assignment") {
     val emb = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val cells = Similarity.s04Kmeans(spark, sfDir).collect()
+    val cents = Similarity.kmeansCentroids(spark, sfDir, Similarity.KmeansIters)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // truth twin of the probe assignment: 2 nearest centroids, ties to
+    // the smaller cid — rank-1 is the s04 cell
+    val pcells = emb.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(Similarity.SemProbes).map(_._1).toSet
+    }
+    val s04 = Similarity.s04Kmeans(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rows = Similarity.d11DedupSemantic(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.length == emb.size)
     rows.foreach { case (v, cell, isDup) =>
-      assert(cell == cells(v), s"d11 cell of $v differs from s04")
+      assert(cell == s04(v), s"d11 primary cell of $v differs from s04")
       val truth = emb.keys.exists(u =>
-        u < v && cells(u) == cell && cos(emb(u), emb(v)) >= 0.4)
+        u < v && (pcells(u) & pcells(v)).nonEmpty && cos(emb(u), emb(v)) >= 0.4)
       assert(isDup == truth, s"vec $v: is_dup=$isDup truth=$truth")
     }
+    // multi-probe exists to lift pair co-occurrence over single-cell
+    // assignment: on every corpus it can only widen the compared set,
+    // and on this one it must strictly find more true pairs in-cell
+    val truePairs = (for {
+      u <- emb.keys; v <- emb.keys if u < v && cos(emb(u), emb(v)) >= 0.4
+    } yield (u, v)).toSet
+    val coSingle = truePairs.count { case (u, v) => s04(u) == s04(v) }
+    val coMulti = truePairs.count { case (u, v) => (pcells(u) & pcells(v)).nonEmpty }
+    assert(coMulti >= coSingle, "2-probe can never co-locate fewer pairs")
+    assert(truePairs.isEmpty || coMulti > coSingle,
+      s"expected strict co-occurrence lift on this corpus: $coMulti vs $coSingle of ${truePairs.size}")
   }
 
   test("d09 containment pairs are true positives; substring docs are found") {
