@@ -194,6 +194,12 @@ object Joins {
     require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
     val overlap = left.columns.toSet & right.columns.toSet
     require(overlap.isEmpty, s"column names must be disjoint, both sides have: $overlap")
+    // the salt/hot-key working columns are added to the INPUTS — an
+    // input already carrying one of these names would silently corrupt
+    // the join (same contract as distributedRank's rankCol guard)
+    val reserved = Seq("__graft_salt", "__graft_hot_key")
+    val clash = (left.columns.toSet ++ right.columns.toSet) & reserved.toSet
+    require(clash.isEmpty, s"inputs must not contain reserved internal columns: $clash")
     val saltCol = "__graft_salt"
     val hotKeys = left.groupBy(col(leftKey))
       .agg(count(lit(1)).as("n"))

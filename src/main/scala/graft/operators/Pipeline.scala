@@ -307,10 +307,15 @@ object Pipeline {
     val bySource = Window.partitionBy(col("source"))
       .orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // checkpointed: both the budgets aggregation and the main join
+    // read this frame — without it the t02 scoring scan runs twice
+    // (the p06/t10/d15 double-evaluation pattern; three small columns
+    // + source per doc, so the materialization is cheap)
     val scored = TextAnalysis.t02QualityScore(spark, sfDir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
         "doc_id")
+      .localCheckpoint(true)
     val budgets = scored.groupBy(col("source"))
       .agg(floor(sum(col("n_tokens")) * lit(BudgetFrac)).cast("long").as("budget"))
     scored.join(broadcast(budgets), "source")

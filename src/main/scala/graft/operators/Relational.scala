@@ -618,6 +618,12 @@ object Relational {
       orderCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    // internal working columns — an input carrying one would be
+    // silently clobbered (same contract as distributedRank's rankCol)
+    val clash = df.columns.toSet &
+      Set("__pid", "__c", "__offset", "__local_rn", "__rnk", "__n_total")
+    require(clash.isEmpty,
+      s"input must not contain reserved internal columns: $clash")
     val gc = groupCols.map(col)
     val sortCols = (groupCols ++ orderCols).map(col)
     val tagged = df

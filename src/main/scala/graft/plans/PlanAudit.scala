@@ -82,14 +82,18 @@ object PlanAudit {
     * `QueryStageExec.plan`, follow `ReusedExchangeExec.child` (reuse
     * counts once per consumer — each use is real work the consumer
     * depends on), and unwrap nested adaptive plans (subquery stages).
+    * Subquery plans (scalar / IN) hang off EXPRESSIONS, not children —
+    * `plan.subqueries` — so a scan or join inside a subquery would
+    * otherwise be invisible to the audit and a subquery-shaped scale
+    * smell would pass the sweep silently.
     */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val through = p match {
+    val through = (p match {
       case q: QueryStageExec => Seq(q.plan)
       case r: ReusedExchangeExec => Seq(r.child)
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case other => other.children
-    }
+    }) ++ p.subqueries
     p +: through.flatMap(allNodes)
   }
 
@@ -134,6 +138,10 @@ object PlanAudit {
       largeNestedLoopJoins =
         nlJoins.count(j => !buildSideRows(j).exists(_ <= TinyBroadcastRows)),
       cartesianProducts = nodes.collect { case j: CartesianProductExec => j }.size,
+      // Complete / PartialMerge aggregate modes (single-stage or
+      // objHashAgg fallback shapes) are deliberately counted by
+      // NEITHER bucket: partial/final here mean the two halves of the
+      // map-side-combine pair the pre-agg rule cares about.
       partialAggregates = nodes.collect {
         case a: BaseAggregateExec if a.aggregateExpressions.nonEmpty &&
           a.aggregateExpressions.forall(_.mode == Partial) => a

@@ -38,6 +38,16 @@ object Sources {
     * one malformed line must not kill a multi-hour ingest: this
     * variant lets the pipeline `filter(col(corruptCol).isNotNull)`
     * into a dead-letter sink and alert on its count instead.
+    *
+    * Dead-letter caveat (Spark restriction): a query that references
+    * ONLY the corrupt-record column of a raw JSON scan throws
+    * `AnalysisException` — Spark forbids it because the parser skips
+    * corrupt-record bookkeeping when no data column is needed. So
+    * `df.filter(col(corruptCol).isNotNull).count()` on the raw frame
+    * fails. Either `df.cache()` first (the frame is then no longer a
+    * raw JSON scan) or carry at least one data column into the
+    * dead-letter sink (`select(corruptCol, <any data col>)`), which
+    * is what a real quarantine sink does anyway.
     */
   def readJsonLenient(spark: SparkSession, path: String, schema: StructType,
       corruptCol: String = "_corrupt_record"): DataFrame =
@@ -305,9 +315,35 @@ object Sources {
             s"$keyCol) — pass versionCol to resolve last-writer-wins")
         updates0
     }
+    // Bootstrap: the very first batch against a not-yet-existing
+    // target IS the table — write it directly instead of failing
+    // inside spark.read.parquet with a path-not-found that points at
+    // the wrong layer.
+    val targetExists = {
+      val p = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    if (!targetExists) {
+      updates.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(targetDir)
+      return
+    }
+    // The touched-partition values come to the driver (they drive the
+    // pruning filter below) — bounded by the incremental-batch
+    // assumption. A mis-keyed updates frame (e.g. partitionCol
+    // accidentally the KEY column) would collect millions of values
+    // and OOM the driver; fail loud at a limit far above any real
+    // incremental batch instead.
+    val MaxTouchedPartitions = 100000
     val touched = updates.select(col(partitionCol)).distinct()
+      .limit(MaxTouchedPartitions + 1)
       .collect().map(_.get(0)).toSeq
     require(touched.nonEmpty, "upsertParquet: updates frame is empty")
+    require(touched.size <= MaxTouchedPartitions,
+      s"upsertParquet: updates touch > $MaxTouchedPartitions distinct " +
+        s"'$partitionCol' values — is $partitionCol really the partition " +
+        "column? (incremental batches touch few partitions)")
     val target = spark.read.parquet(targetDir)
       .filter(col(partitionCol).isin(touched: _*))
     val keys = updates.select(col(keyCol)).distinct()

@@ -219,5 +219,12 @@ class JoinsGraphSpec extends AnyFunSuite {
       .withColumn("salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
       .select("salt").distinct().count()
     assert(hotSalts > 4, s"hot key spread over only $hotSalts salt buckets")
+    // an input already carrying an internal working column would be
+    // silently clobbered — the guard must fail loud instead
+    val poisoned = left.withColumn("__graft_salt", lit(0))
+    val ex = intercept[IllegalArgumentException] {
+      Joins.skewSaltedJoin(poisoned, right, "k", "rk", hotThreshold = 100)
+    }
+    assert(ex.getMessage.contains("reserved internal column"))
   }
 }

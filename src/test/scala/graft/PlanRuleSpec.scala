@@ -228,6 +228,23 @@ class PlanRuleSpec extends AnyFunSuite {
       s"tiny-broadcast cross join must not warn: $rf ${rf.warnings}")
   }
 
+  test("PlanAudit sees scans and joins hiding inside subquery plans") {
+    // scalar/IN subquery plans hang off EXPRESSIONS, not children — a
+    // walker that only follows children reports a subquery-heavy query
+    // as scan-free and every audit of it passes vacuously
+    import graft.plans.PlanAudit
+    // a REAL scalar subquery via SQL, so it stays a subquery plan
+    // (DataFrame-side scalar joins would surface as ordinary joins)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("pa_li")
+    val r = PlanAudit.audit(spark.sql(
+      """SELECT l_orderkey, l_quantity FROM pa_li
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM pa_li)""".stripMargin))
+    assert(r.scans >= 2,
+      s"the subquery's own scan must be visible to the audit: $r")
+    assert(r.finalAggregates >= 1,
+      s"the subquery's aggregate must be visible: $r")
+  }
+
   test("PlanAudit sees through AQE query stages (no vacuous zero report)") {
     // under adaptive execution (the production default) the settled
     // plan is a tree of QueryStageExec LEAVES — a naive collect

@@ -224,6 +224,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(p3Files.toSeq == before, "untouched partition must not be rewritten")
   }
 
+  test("upsert into an absent target bootstraps the table from the first batch") {
+    import spark.implicits._
+    val dir = tmp("graft-upsert-boot")
+    val first = Seq((1L, "p1", "v1"), (2L, "p2", "v2"))
+      .toDF("id", "part", "payload")
+    // no prior write at dir/t: the first CDC micro-batch must CREATE
+    // the partitioned table, not die in spark.read.parquet
+    Sources.upsertParquet(spark, dir + "/t", first, "id", "part")
+    val got = spark.read.parquet(dir + "/t")
+      .select(col("id"), col("payload")).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "v1"), (2L, "v2")))
+    // and a second batch against the bootstrapped table upserts normally
+    Sources.upsertParquet(spark, dir + "/t",
+      Seq((2L, "p2", "NEW2"), (3L, "p1", "v3")).toDF("id", "part", "payload"),
+      "id", "part")
+    val got2 = spark.read.parquet(dir + "/t")
+      .select(col("id"), col("payload")).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == Seq((1L, "v1"), (2L, "NEW2"), (3L, "v3")))
+  }
+
   test("versioned upsert resolves a key changed twice in one batch last-writer-wins") {
     import spark.implicits._
     val dir = tmp("graft-upsert-v")
