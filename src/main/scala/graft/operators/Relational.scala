@@ -885,28 +885,49 @@ object Relational {
     * orphan cell is exactly the alarm this exists for.
     */
   def q46ReferentialAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    def rel(name: String, child: DataFrame, childKey: String,
-        parent: DataFrame, parentKey: String): DataFrame = {
-      val orphans = child.join(parent,
-        child(childKey) === parent(parentKey), "left_anti")
-      val childless = parent.join(child,
-        parent(parentKey) === child(childKey), "left_anti")
-      child.agg(count(lit(1)).as("n_child")).crossJoin(
-        orphans.agg(count(lit(1)).as("n_orphan_child"))).crossJoin(
-        parent.agg(count(lit(1)).as("n_parent"))).crossJoin(
-        childless.agg(count(lit(1)).as("n_childless_parent")))
-        .select(lit(name).as("relationship"), col("n_child"),
-          col("n_orphan_child"), col("n_parent"), col("n_childless_parent"))
-    }
-    val li = Tables.lineitem(spark, sfDir)
-    val ord = Tables.orders(spark, sfDir)
-    val cust = Tables.customer(spark, sfDir)
-    val nat = Tables.nation(spark, sfDir)
-    rel("lineitem->orders", li, "l_orderkey", ord, "o_orderkey")
-      .unionByName(rel("orders->customer", ord, "o_custkey", cust, "c_custkey"))
-      .unionByName(rel("customer->nation", cust, "c_nationkey", nat, "n_nationkey"))
-      .unionByName(rel("events->customer",
-        Tables.events(spark, sfDir), "user_id", cust, "c_custkey"))
+    // ONE scan per base table, shared across every FK edge the table
+    // participates in: each scan unpivots its key columns into
+    // (relationship, side, key) contribution rows — orders contributes
+    // to lineitem->orders as parent AND orders->customer as child off
+    // the same scan — then a single (relationship, key) aggregation
+    // counts both sides of every edge at once, and a per-edge rollup
+    // derives the four audit counters. Anti-join semantics fall out
+    // of the counts: an orphan child key is one with parent_cnt = 0,
+    // a childless parent key has child_cnt = 0. vs the naive form
+    // (2 anti-joins + 4 count scans per edge = 8 scans + stacked
+    // crossJoins): one scan per table, one shuffle on (edge, key) —
+    // all partial-agg'd — and a final 4-row aggregate.
+    def contrib(df: DataFrame, roles: (String, String, String)*): DataFrame =
+      df.select(explode(array(roles.map { case (edge, side, keyCol) =>
+        struct(lit(edge).as("relationship"), lit(side).as("side"),
+          col(keyCol).cast("long").as("key"))
+      }: _*)).as("c")).select(col("c.*"))
+    val contribs = contrib(Tables.lineitem(spark, sfDir),
+        ("lineitem->orders", "c", "l_orderkey"))
+      .unionByName(contrib(Tables.orders(spark, sfDir),
+        ("lineitem->orders", "p", "o_orderkey"),
+        ("orders->customer", "c", "o_custkey")))
+      .unionByName(contrib(Tables.customer(spark, sfDir),
+        ("orders->customer", "p", "c_custkey"),
+        ("customer->nation", "c", "c_nationkey"),
+        ("events->customer", "p", "c_custkey")))
+      .unionByName(contrib(Tables.nation(spark, sfDir),
+        ("customer->nation", "p", "n_nationkey")))
+      .unionByName(contrib(Tables.events(spark, sfDir),
+        ("events->customer", "c", "user_id")))
+    contribs
+      .groupBy(col("relationship"), col("key"))
+      .agg(
+        sum(when(col("side") === "c", 1L).otherwise(0L)).as("child_cnt"),
+        sum(when(col("side") === "p", 1L).otherwise(0L)).as("parent_cnt"))
+      .groupBy(col("relationship"))
+      .agg(
+        sum(col("child_cnt")).as("n_child"),
+        sum(when(col("parent_cnt") === 0L, col("child_cnt")).otherwise(0L))
+          .as("n_orphan_child"),
+        sum(col("parent_cnt")).as("n_parent"),
+        sum(when(col("child_cnt") === 0L, col("parent_cnt")).otherwise(0L))
+          .as("n_childless_parent"))
       .orderBy(col("relationship"))
   }
 

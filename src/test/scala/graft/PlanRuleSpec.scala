@@ -228,6 +228,19 @@ class PlanRuleSpec extends AnyFunSuite {
       s"tiny-broadcast cross join must not warn: $rf ${rf.warnings}")
   }
 
+  test("q46 referential audit shares one scan per base table across all FK edges") {
+    // 4 FK edges over 5 tables: the naive per-edge form costs 8 scans
+    // + stacked crossJoins; the consolidated form must scan each base
+    // table exactly once and join nothing (counts fall out of one
+    // (edge, key) aggregation)
+    import graft.plans.PlanAudit
+    val r = PlanAudit.audit(Relational.q46ReferentialAudit(spark, sfDir))
+    assert(r.scans == 5, s"one scan per base table, got ${r.scans}: $r")
+    assert(r.broadcastJoins + r.shuffledJoins + r.nestedLoopJoins +
+      r.cartesianProducts == 0, s"no joins at all: $r")
+    assert(r.partialAggregates >= 1, s"the key agg must combine map-side: $r")
+  }
+
   test("PlanAudit sees scans and joins hiding inside subquery plans") {
     // scalar/IN subquery plans hang off EXPRESSIONS, not children — a
     // walker that only follows children reports a subquery-heavy query
