@@ -1,18 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark: one JSON line on stdout with per-query and
-  * total wall seconds at SPARK_GRAFT_SF_DIR. A warmup sweep at
-  * sf0.001 first so timings measure steady-state execution, not
-  * first-query JVM/codegen warmup.
+/** Per-round benchmark: one JSON line on stdout with total wall
+  * seconds at SPARK_GRAFT_SF_DIR. A warmup sweep at sf0.001 first so
+  * timings measure steady-state execution, not first-query
+  * JVM/codegen warmup.
   *
-  * The driver's stdout capture is tail-bounded — BENCH_r05.json lost
-  * 40 per-query times to head truncation of the (then ~5 KB) line. Two
-  * fixes: per-query seconds are rounded to 3 decimals (halves the line
-  * length; ms precision is far below run-to-run noise), and the SAME
-  * JSON is also written un-truncated to SPARK_GRAFT_BENCH_OUT
-  * (default `bench_full.json` in the working directory) so the full
-  * map survives any capture window.
+  * Two harness lessons are baked in:
+  *
+  *  - The driver's stdout capture is tail-bounded — BENCH_r05/r06
+  *    lost the head of the (4-5 KB) per-query map to truncation, so
+  *    the driver-side artifact recorded `parsed: null`. The stdout
+  *    line now carries the per-query map ONLY when the whole line
+  *    stays under a conservative budget (subset runs); the full map
+  *    always goes un-truncated to SPARK_GRAFT_BENCH_OUT (default
+  *    `bench_full.json`).
+  *
+  *  - One JVM running 103 queries back-to-back accumulates every
+  *    query's `localCheckpoint(true)` blocks (bucket counts, k-means
+  *    cells, multi-pass frames …), and by mid-sweep the storage/GC
+  *    churn taxes whatever runs next — BENCH_r06 measured nine
+  *    contiguous queries at 3-9x their isolated time with unchanged
+  *    code. After each timed query the harness now unpersists every
+  *    persistent RDD EXCEPT blocks backing the two deliberate
+  *    materialize-once memos (Dedup cluster labels, Similarity k-NN
+  *    graph — [[FrameMemo.retainedIds]]): those memos are the
+  *    production "materialize labels once" pattern shared by
+  *    d07/d08/d14 and s05/s06, and freeing them would misprice the
+  *    second consumer. The cleanup runs OUTSIDE the timed window —
+  *    it is harness bookkeeping, not query cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,28 +54,55 @@ object Bench {
     def run(name: String, dir: String): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-    names.foreach { n =>
-      try run(n, warmDir) catch { case _: Throwable => () }
+    // Free checkpoint blocks parked by the previous query, keeping
+    // live memo blocks (see class doc). Diagnostics to stderr only —
+    // stdout must stay a single parseable JSON line.
+    def cleanup(): Unit = {
+      val retained = graft.operators.Dedup.memoRetainedIds ++
+        graft.operators.Similarity.memoRetainedIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!retained.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
+    names.foreach { n =>
+      try run(n, warmDir)
+      catch { case e: Throwable =>
+        System.err.println(s"bench warmup failed: $n ${e.getClass.getName}") }
+      cleanup()
+    }
+    // warm-dir memos would only be evicted (and freed) when the first
+    // sf query probes them — drop them now so the timed sweep starts
+    // with zero parked blocks.
+    graft.operators.Dedup.clearMemos()
+    graft.operators.Similarity.clearMemos()
+    cleanup()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast one: record it
       try run(name, sfDir) catch { case _: Throwable => errors += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> dt
     }
-    def r3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE …) would
+    // format 1.234 as "1,234" — malformed JSON.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    def line(queryMap: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$queryMap,"errors":$errs,"sf":"$sfDir"}"""
+    val full = line(qs)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line still carries the result
-    println(line)
+    // Tail-bounded driver capture (~3.5 KB observed): emit the
+    // per-query map inline only when the line safely fits; the full
+    // map is always in bench_full.json either way.
+    println(if (full.length <= 2500) full else line("{}"))
     spark.stop()
   }
 }

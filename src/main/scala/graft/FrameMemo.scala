@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single-entry materialize-once memo for an eagerly checkpointed
+  * frame, keyed by (session, dir, content fingerprint) — the shared
+  * lifecycle behind Dedup's cluster labels and Similarity's k-NN
+  * graph (see their scaladocs for WHY each memoizes).
+  *
+  * What this class adds over the raw `private var` memos it replaced
+  * is block accounting: `localCheckpoint(true)` parks storage blocks
+  * that outlive the query that created them, and a long sweep (the
+  * 103-query bench) accumulating every query's checkpoint blocks in
+  * one JVM taxes whatever runs next (measured: nine mid-sweep queries
+  * 3-9x their isolated time in BENCH_r06). The sweep harness must
+  * free blocks between queries — but blindly unpersisting EVERY
+  * persistent RDD would also kill the blocks behind a live memo,
+  * whose frame is then unreadable (a local checkpoint truncates
+  * lineage; lost blocks cannot be recomputed). So:
+  *
+  *  - `getOrCompute` records the persistent-RDD ids that appear while
+  *    `compute` runs (the memo's own checkpoint plus any transient
+  *    checkpoints its pipeline makes — a small over-approximation,
+  *    freed together at eviction);
+  *  - `retainedIds` exposes them so [[Bench]] can unpersist
+  *    everything EXCEPT live memo blocks at each query boundary;
+  *  - eviction (key mismatch) and `clear()` unpersist the recorded
+  *    ids atomically with dropping the reference — the invalidation
+  *    contract that makes the harness-side cleanup safe.
+  *
+  * Single-threaded creation is assumed (all callers synchronize on
+  * their operator object via this memo's own lock); the id-diff
+  * recording is only meaningful when one compute runs at a time,
+  * which the `synchronized` here guarantees.
+  */
+private[graft] final class FrameMemo {
+  private var entry: Option[(SparkSession, String, String, DataFrame, Set[Int])] = None
+
+  def getOrCompute(spark: SparkSession, dir: String, fp: String)(
+      compute: => DataFrame): DataFrame = synchronized {
+    entry match {
+      case Some((s, d, f, frame, _)) if (s eq spark) && d == dir && f == fp =>
+        frame
+      case prev =>
+        prev.foreach { case (s, _, _, _, ids) => unpersistIds(s, ids) }
+        entry = None
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val frame = compute
+        val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+        entry = Some((spark, dir, fp, frame, ids))
+        frame
+    }
+  }
+
+  /** Persistent-RDD ids backing the live entry (empty when vacant). */
+  def retainedIds: Set[Int] = synchronized {
+    entry.map(_._5).getOrElse(Set.empty)
+  }
+
+  /** Drop the entry and unpersist its blocks. Safe when vacant. */
+  def clear(): Unit = synchronized {
+    entry.foreach { case (s, _, _, _, ids) => unpersistIds(s, ids) }
+    entry = None
+  }
+
+  private def unpersistIds(spark: SparkSession, ids: Set[Int]): Unit =
+    if (!spark.sparkContext.isStopped)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids.contains(id)) rdd.unpersist(blocking = false)
+      }
+}

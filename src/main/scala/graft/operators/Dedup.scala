@@ -742,26 +742,26 @@ object Dedup {
     * — an exotic same-size-same-mtime in-place rewrite would still hit
     * the memo; that is the documented contract.
     */
-  private var labelsMemo: Option[(SparkSession, String, String, DataFrame)] = None
+  private val labelsMemo = new graft.FrameMemo
 
   private def docsFingerprint(spark: SparkSession, sfDir: String): String =
     Tables.fingerprint(spark, sfDir, "documents")
 
   private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
-    synchronized {
-      val fp = docsFingerprint(spark, sfDir)
-      labelsMemo match {
-        case Some((s, d, f, labels)) if (s eq spark) && d == sfDir && f == fp =>
-          labels
-        case _ =>
-          val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
-          val pairs = minhashPairs(spark, sfDir)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          val labels = connectedComponents(docs, pairs)
-          labelsMemo = Some((spark, sfDir, fp, labels))
-          labels
-      }
+    labelsMemo.getOrCompute(spark, sfDir, docsFingerprint(spark, sfDir)) {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+      val pairs = minhashPairs(spark, sfDir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      connectedComponents(docs, pairs)
     }
+
+  /** Persistent-RDD ids backing the live labels memo — see
+    * [[graft.FrameMemo]] for the bench-harness cleanup contract.
+    */
+  private[graft] def memoRetainedIds: Set[Int] = labelsMemo.retainedIds
+
+  /** Drop the labels memo and unpersist its blocks. */
+  private[graft] def clearMemos(): Unit = labelsMemo.clear()
 
   /** d08: dedup application — the corpus AFTER near-dup removal: one
     * canonical survivor (the min-id member, = the d07 cluster id) per

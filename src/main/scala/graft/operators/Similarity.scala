@@ -433,19 +433,21 @@ object Similarity {
     * graph is small (k rows per vector), so the eager checkpoint is
     * cheap and the second consumer reads stored blocks.
     */
-  private var knnMemo: Option[(SparkSession, String, String, DataFrame)] = None
+  private val knnMemo = new graft.FrameMemo
 
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    synchronized {
-      val fp = Tables.fingerprint(spark, sfDir, "embeddings")
-      knnMemo match {
-        case Some((s, d, f, g)) if (s eq spark) && d == sfDir && f == fp => g
-        case _ =>
-          val g = knnGraphCompute(spark, sfDir).localCheckpoint(true)
-          knnMemo = Some((spark, sfDir, fp, g))
-          g
-      }
+    knnMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "embeddings")) {
+      knnGraphCompute(spark, sfDir).localCheckpoint(true)
     }
+
+  /** Persistent-RDD ids backing the live k-NN memo — see
+    * [[graft.FrameMemo]] for the bench-harness cleanup contract.
+    */
+  private[graft] def memoRetainedIds: Set[Int] = knnMemo.retainedIds
+
+  /** Drop the k-NN memo and unpersist its blocks. */
+  private[graft] def clearMemos(): Unit = knnMemo.clear()
 
   private def knnGraphCompute(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
