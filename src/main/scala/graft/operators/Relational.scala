@@ -915,8 +915,25 @@ object Relational {
         ("customer->nation", "p", "n_nationkey")))
       .unionByName(contrib(Tables.events(spark, sfDir),
         ("events->customer", "c", "user_id")))
+    referentialAuditFor(contribs)
+  }
+
+  /** The q46 aggregation over a (relationship, side, key) contribution
+    * frame — extracted so NULL-key semantics are spec-testable on
+    * synthetic contributions (the base tables carry no NULL keys).
+    *
+    * NULL keys follow JOIN semantics, matching the anti-join form this
+    * rewrite replaced (and the oracle's NOT EXISTS): NULL never equals
+    * NULL, so a NULL-keyed child row is an orphan and a NULL-keyed
+    * parent row is childless. A plain groupBy on `key` would instead
+    * co-group NULL children with NULL parents and call them matched —
+    * the `nullside` tag splits NULL keys by side so they can never
+    * see a count from the other side.
+    */
+  private[graft] def referentialAuditFor(contribs: DataFrame): DataFrame = {
     contribs
-      .groupBy(col("relationship"), col("key"))
+      .groupBy(col("relationship"), col("key"),
+        when(col("key").isNull, col("side")).otherwise(lit("")).as("nullside"))
       .agg(
         sum(when(col("side") === "c", 1L).otherwise(0L)).as("child_cnt"),
         sum(when(col("side") === "p", 1L).otherwise(0L)).as("parent_cnt"))

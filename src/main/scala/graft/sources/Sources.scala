@@ -325,6 +325,13 @@ object Sources {
       fs.exists(p) && fs.listStatus(p).nonEmpty
     }
     if (!targetExists) {
+      // An empty bootstrap batch would write a parquet-less dir (only
+      // _SUCCESS): targetExists is then true on the next batch and
+      // spark.read.parquet fails with a schema-inference error —
+      // exactly the wrong-layer failure the bootstrap branch exists
+      // to avoid. Same loud contract as the merge path's
+      // `touched.nonEmpty` require.
+      require(!updates.isEmpty, "upsertParquet: updates frame is empty")
       updates.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCol).parquet(targetDir)
       return

@@ -61,4 +61,25 @@ class RelationalSpec extends AnyFunSuite {
       ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))))
     assert(global == globalRef, "global ntile diverged from the window form")
   }
+
+  test("q46 audit gives NULL keys join semantics: NULL child orphan, NULL parent childless") {
+    import spark.implicits._
+    // synthetic contributions (the base tables carry no NULL keys):
+    // one matched pair, one NULL-keyed child, one NULL-keyed parent.
+    // Join semantics (= the oracle's NOT EXISTS): NULL never equals
+    // NULL, so the NULL child must count as an orphan and the NULL
+    // parent as childless — NOT co-group as a "match".
+    val contribs = Seq(
+      ("e", "c", Some(1L)), ("e", "p", Some(1L)),
+      ("e", "c", None: Option[Long]),
+      ("e", "p", None: Option[Long])
+    ).toDF("relationship", "side", "key")
+    val r = Relational.referentialAuditFor(contribs).collect()(0)
+    assert(r.getAs[Long]("n_child") == 2L)
+    assert(r.getAs[Long]("n_orphan_child") == 1L,
+      "a NULL-keyed child row is an orphan under join semantics")
+    assert(r.getAs[Long]("n_parent") == 2L)
+    assert(r.getAs[Long]("n_childless_parent") == 1L,
+      "a NULL-keyed parent row is childless under join semantics")
+  }
 }

@@ -246,6 +246,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(got2 == Seq((1L, "v1"), (2L, "NEW2"), (3L, "v3")))
   }
 
+  test("an empty bootstrap batch fails loud instead of writing a parquet-less dir") {
+    import spark.implicits._
+    val dir = tmp("graft-upsert-empty")
+    // an empty first batch must NOT create the target: a dir holding
+    // only _SUCCESS makes targetExists true, and the NEXT batch dies
+    // in spark.read.parquet schema inference — the wrong layer
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "part", "payload")
+    val ex = intercept[IllegalArgumentException] {
+      Sources.upsertParquet(spark, dir + "/t", empty, "id", "part")
+    }
+    assert(ex.getMessage.contains("empty"))
+    assert(!new java.io.File(dir + "/t").exists(),
+      "a failed bootstrap must leave no target dir behind")
+  }
+
   test("versioned upsert resolves a key changed twice in one batch last-writer-wins") {
     import spark.implicits._
     val dir = tmp("graft-upsert-v")
