@@ -339,11 +339,14 @@ object SparkEntry {
     * radius tail.
     */
   private val annProbeOracleCtes: String =
-    """pl AS (
+    """nb AS (
+      |  SELECT greatest(3, CAST(ceil(log2(count(*) / 1024.0)) AS INT)) AS bits
+      |  FROM embeddings),
+      |pl AS (
       |  SELECT p.p AS p, j.j AS j,
       |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
       |      / 281474976710656.0) * 2.0 - 1.0) AS w
-      |  FROM range(36) p(p), range(64) j(j)),
+      |  FROM range(756) p(p), range(64) j(j), nb WHERE p.p < 12 * nb.bits),
       |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
       |sb AS (
       |  SELECT e.vec_id, pw.p,
@@ -351,8 +354,8 @@ object SparkEntry {
       |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
       |  FROM embeddings e, pw),
       |bands AS (
-      |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
-      |  FROM sb GROUP BY vec_id, p // 3),
+      |  SELECT vec_id, p // nb.bits AS band_id, sum(bit * (1 << (p % nb.bits))) AS band_val
+      |  FROM sb, nb GROUP BY vec_id, p // nb.bits),
       |cand AS (
       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
       |  FROM bands cb JOIN bands qb
@@ -374,11 +377,14 @@ object SparkEntry {
     * `r` (no WITH keyword) — shared by s05 and s06.
     */
   private val knnGraphOracleCtes: String =
-    """pl AS (
+    """nb AS (
+      |  SELECT greatest(3, CAST(ceil(log2(count(*) / 1024.0)) AS INT)) AS bits
+      |  FROM embeddings),
+      |pl AS (
       |  SELECT p.p AS p, j.j AS j,
       |    ((('0x' || substr(md5('7:' || CAST(p.p AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 12))::UBIGINT
       |      / 281474976710656.0) * 2.0 - 1.0) AS w
-      |  FROM range(36) p(p), range(64) j(j)),
+      |  FROM range(756) p(p), range(64) j(j), nb WHERE p.p < 12 * nb.bits),
       |pw AS (SELECT p, list(w ORDER BY j) AS ws FROM pl GROUP BY p),
       |sb AS (
       |  SELECT e.vec_id, pw.p,
@@ -386,8 +392,8 @@ object SparkEntry {
       |           j -> ws[j] * CAST(e.embedding[j] AS DOUBLE))) >= 0 THEN 1 ELSE 0 END AS bit
       |  FROM embeddings e, pw),
       |bands AS (
-      |  SELECT vec_id, p // 3 AS band_id, sum(bit * (1 << (p % 3))) AS band_val
-      |  FROM sb GROUP BY vec_id, p // 3),
+      |  SELECT vec_id, p // nb.bits AS band_id, sum(bit * (1 << (p % nb.bits))) AS band_val
+      |  FROM sb, nb GROUP BY vec_id, p // nb.bits),
       |cand AS (
       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
       |  FROM bands cb JOIN bands qb

@@ -197,3 +197,23 @@ case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long) extends Un
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneSig($c, $nPlanes, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** hyperplane_bands(array<float>, bands, bits, seed) → array<long>:
+  * per-band LSH bucket values over the same md5-derived plane family
+  * as [[HyperplaneSig]] (band b, bit j = plane b*bits+j). Total plane
+  * count is NOT capped at 64 — only the per-band value must fit a
+  * long — so bits-per-band can scale with corpus size.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  require(bands >= 1 && bits >= 1 && bits <= 63,
+    s"hyperplane_bands: need bands >= 1 and 1 <= bits <= 63, got bands=$bands bits=$bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneBands(v.asInstanceOf[ArrayData], bands, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.hyperplaneBands($c, $bands, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -494,6 +494,40 @@ object Kernels {
     sig
   }
 
+  /** Per-band hyperplane LSH values: band b packs the sign bits of
+    * planes p = b*bits .. b*bits + bits-1 (bit j of band b is plane
+    * b*bits + j, weights from the SAME md5-derived family as
+    * [[hyperplaneSig]]) — so for bands*bits <= 64 the output is
+    * exactly the unpacked bands of the packed signature. Unlike the
+    * single-long packing, total plane count is unbounded (only the
+    * per-band value must fit a long), which is what lets bits-per-band
+    * be DERIVED from corpus size instead of capped at 64/bands.
+    */
+  def hyperplaneBands(v: ArrayData, bands: Int, bits: Int, seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val ws = hyperplanes(seed, bands * bits, dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bv = 0L
+      var j = 0
+      while (j < bits) {
+        val w = ws(b * bits + j)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          dot += w(d) * v.getFloat(d).toDouble
+          d += 1
+        }
+        if (dot >= 0.0) bv |= (1L << j)
+        j += 1
+      }
+      out(b) = bv
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }

@@ -34,6 +34,8 @@ package object functions {
     "ngram_jaccard" -> (es => NgramJaccard(es(0), es(1), intArg(es(2), "n"))),
     "winnow_fingerprint" -> (es => WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
     "hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nPlanes"), longArg(es(2), "seed"))),
+    "hyperplane_bands" -> (es => HyperplaneBands(es(0), intArg(es(1), "bands"),
+      intArg(es(2), "bits"), longArg(es(3), "seed"))),
     "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
     "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),

@@ -281,30 +281,59 @@ object Similarity {
         .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
   }
 
-  /** The one 12-band × 3-bit seed-7 hyperplane banding shared by s02,
-    * the k-NN graph (s05/s06), the streaming ANN probe, and every
-    * oracle that replicates it — ONE definition so a retune can't
-    * silently desynchronize batch, stream, and oracle (the
-    * stream==batch specs only catch a drift that exists at test
-    * time). Foldable-sequence band expansion — see
-    * Dedup.bandedSignatures for why not posexplode.
+  /** The one 12-band seed-7 hyperplane banding shared by s02, the
+    * k-NN graph (s05/s06), the streaming ANN probe, and every oracle
+    * that replicates it — ONE definition so a retune can't silently
+    * desynchronize batch, stream, and oracle (the stream==batch specs
+    * only catch a drift that exists at test time). [[AnnBits]] is the
+    * FLOOR for bits-per-band; the operating value is
+    * [[annBitsFor]](corpus size).
     */
   private[graft] val AnnBands = 12
   private[graft] val AnnBits = 3
   private[graft] val AnnSeed = 7L
 
+  /** Target expected band-bucket occupancy for the ANN paths: with
+    * `bits = annBitsFor(n)`, a band bucket holds n/2^bits ≤ this many
+    * vectors in expectation — well under [[Dedup.MaxBucket]], so the
+    * degenerate-bucket cap stays the exception path it was designed
+    * to be instead of silently dropping EVERY bucket at scale.
+    */
+  private[graft] val AnnTargetBucket = 1024L
+
+  /** Bits-per-band DERIVED from corpus size — the scale contract the
+    * fixed [[AnnBits]] could not give: at 3 bits the expected bucket
+    * is n/8, so a 100× corpus pushed every bucket past
+    * [[Dedup.MaxBucket]] and the cap turned quadratic blow-up into
+    * recall 0. `max(AnnBits, ceil(log2(n / AnnTargetBucket)))` keeps
+    * expected occupancy ≤ [[AnnTargetBucket]] for every n (for
+    * n ≤ 8·[[AnnTargetBucket]] the [[AnnBits]] floor already does) —
+    * spec: DedupSimilaritySpec "derived bits keep expected
+    * occupancy bounded". The oracle SQL replicates this formula
+    * bit-for-bit (`greatest(3, ceil(log2(count/1024.0)))`), so a
+    * retune desynchronizing engine and oracle fails the gate.
+    */
+  private[graft] def annBitsFor(n: Long): Int =
+    if (n <= AnnTargetBucket) AnnBits
+    else math.max(AnnBits,
+      math.ceil(math.log(n.toDouble / AnnTargetBucket.toDouble) / math.log(2.0)).toInt)
+
+  /** Banded LSH expansion: `AnnBands` (band_id, band_val) rows per
+    * vector via the `hyperplane_bands` expression — per-band packed
+    * values, so bands × bits may exceed 64 total planes (the packed
+    * single-long form capped bits at 64/bands, which is exactly what
+    * pinned [[AnnBits]] at 3). The kernel evaluates once per input
+    * row inside the Generate node; band expansion reuses the
+    * materialized array.
+    */
   private[graft] def annBanded(df: DataFrame, idCol: String, vecCol: String,
-      keepVec: Boolean = true): DataFrame = {
+      keepVec: Boolean = true, bits: Int = AnnBits): DataFrame = {
     registerAll(df.sparkSession)
     val keep = if (keepVec) Seq(col(vecCol)) else Nil
-    df.withColumn("sig", call_function("hyperplane_sig", col(vecCol),
-        lit(AnnBands * AnnBits), lit(AnnSeed)))
-      .select(col(idCol) +: keep :+ col("sig") :+
-        explode(sequence(lit(0), lit(AnnBands - 1))).as("band_id"): _*)
-      .withColumn("band_val",
-        expr(s"shiftright(sig, band_id * $AnnBits)")
-          .bitwiseAND(lit((1L << AnnBits) - 1)))
-      .drop("sig")
+    df.withColumn("bv", call_function("hyperplane_bands", col(vecCol),
+        lit(AnnBands), lit(bits), lit(AnnSeed)))
+      .select(col(idCol) +: keep :+
+        posexplode(col("bv")).as(Seq("band_id", "band_val")): _*)
   }
 
   /** Scored LSH candidates (query × banded corpus, exact cosine) —
@@ -312,10 +341,12 @@ object Similarity {
     * [[s07RadiusSearch]] (threshold tail).
     */
   private def lshScoredCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = annBanded(
-      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding")
-    val qs = annBanded(queriesBlock(spark, sfDir), "query_id", "qv")
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    // one count() (parquet metadata-weight) sizes the banding; the
+    // query side MUST band with the same bits or buckets never match
+    val bits = annBitsFor(emb.count())
+    val corpus = annBanded(emb, "vec_id", "embedding", bits = bits)
+    val qs = annBanded(queriesBlock(spark, sfDir), "query_id", "qv", bits = bits)
     corpus.join(broadcast(qs), Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("embedding"))
@@ -400,7 +431,7 @@ object Similarity {
   /** s05: k-NN join — the TOP-[[KnnK]] cosine neighbors of EVERY
     * corpus vector (not just a query block): the all-pairs primitive
     * behind k-NN-graph clustering, SemDeDup adjacency, and
-    * diversity-aware sampling. Candidates come from the same 12×3
+    * diversity-aware sampling. Candidates come from the same
     * hyperplane banding as s02, but as a SELF-join on the bucket key
     * carrying IDS ONLY — embeddings are joined back exactly twice
     * (query side, neighbor side) after the pair set is distinct, so
@@ -416,9 +447,11 @@ object Similarity {
     * [[Dedup.bucketPairs]] — the SAME tiered generator every banded
     * dedup operator uses: per-bucket counts first, buckets over
     * `maxBucket` dropped before any pair materializes (the documented
-    * recall trade; at 100 TB also raise bits-per-band so expected
-    * bucket size stays ~N/2^bits), mid-size buckets streaming their
-    * pairs through a self-join, small buckets expanding in-array. No
+    * recall trade — and bits-per-band is [[annBitsFor]]-derived from
+    * corpus size, so expected occupancy stays ≤ [[AnnTargetBucket]]
+    * and the cap never becomes the common path at ANY corpus size),
+    * mid-size buckets streaming their pairs through a self-join,
+    * small buckets expanding in-array. No
     * banded candidate path in the library can go quadratic on a
     * degenerate (undifferentiated) embedding corpus.
     *
@@ -464,8 +497,10 @@ object Similarity {
     */
   private[graft] def knnGraphFor(emb: DataFrame, k: Int = KnnK,
       maxBucket: Int = Dedup.MaxBucket,
-      pairStream: Int = Dedup.PairStreamBucket): DataFrame = {
-    val bands = annBanded(emb, "vec_id", "embedding", keepVec = false)
+      pairStream: Int = Dedup.PairStreamBucket,
+      bitsOverride: Option[Int] = None): DataFrame = {
+    val bits = bitsOverride.getOrElse(annBitsFor(emb.count()))
+    val bands = annBanded(emb, "vec_id", "embedding", keepVec = false, bits = bits)
     val half = Dedup.bucketPairs(bands, Seq("band_id", "band_val"),
         col("vec_id"), maxBucket, pairStream)
       .select(col("a").as("query_id"), col("b").as("vec_id"))

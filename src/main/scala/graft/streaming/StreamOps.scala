@@ -241,20 +241,29 @@ object StreamOps {
   }
 
   /** Stateless stream-side stage of streaming ANN enrichment: each
-    * incoming embedding is banded with the SAME 12x3 hyperplane LSH
-    * as the batch index (s02/s05, seed 7) and probes the static
+    * incoming embedding is banded with the SAME hyperplane LSH as
+    * the batch index (s02/s05, seed 7) and probes the static
     * corpus band index via a stream-static equi-join — no state, no
     * stream-side shuffle beyond the probe join. `corpusBands` is the
     * pre-materialized (production: bucketed by (band_id, band_val))
     * banded corpus with its embeddings.
+    *
+    * `bits` MUST equal the value the corpus index was built with
+    * (buckets never match otherwise): a streaming frame cannot
+    * count itself, so the caller derives it ONCE from the corpus —
+    * `Similarity.annBitsFor(corpus.count())` — and passes the same
+    * value to both [[corpusBandIndexAnn]] and here (the default
+    * mirrors corpusBandIndexAnn's floor default for small corpora).
     *
     * Emits candidate rows (query_id, qv, vec_id, embedding); the
     * per-batch sink dedups pairs and ranks ([[annTopKBatch]]) — a
     * query's bands all share its micro-batch, so in-batch top-k is
     * exact over the candidate set, same contract as batch s02.
     */
-  def annProbeStream(newVecs: DataFrame, corpusBands: DataFrame): DataFrame =
-    graft.operators.Similarity.annBanded(newVecs, "vec_id", "embedding")
+  def annProbeStream(newVecs: DataFrame, corpusBands: DataFrame,
+      bits: Int = graft.operators.Similarity.AnnBits): DataFrame =
+    graft.operators.Similarity.annBanded(newVecs, "vec_id", "embedding",
+        bits = bits)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("band_id"), col("band_val"))
       .join(corpusBands, Seq("band_id", "band_val"))
@@ -264,10 +273,13 @@ object StreamOps {
   /** The matching batch-side banded corpus index for
     * [[annProbeStream]] (band_id, band_val, vec_id, embedding) —
     * the SAME banding definition as s02/s05 by construction
-    * (Similarity.annBanded).
+    * (Similarity.annBanded), with `bits` shared explicitly with the
+    * stream side (see [[annProbeStream]]'s bits contract).
     */
-  def corpusBandIndexAnn(corpus: DataFrame): DataFrame =
-    graft.operators.Similarity.annBanded(corpus, "vec_id", "embedding")
+  def corpusBandIndexAnn(corpus: DataFrame,
+      bits: Int = graft.operators.Similarity.AnnBits): DataFrame =
+    graft.operators.Similarity.annBanded(corpus, "vec_id", "embedding",
+        bits = bits)
       .select(col("band_id"), col("band_val"), col("vec_id"), col("embedding"))
 
   /** Sink-side per-micro-batch ranking for [[annProbeStream]]: dedup

@@ -424,6 +424,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inArray.sorted.sameElements(streamed.sorted))
   }
 
+  test("derived bits keep expected occupancy bounded as the corpus grows") {
+    // the scale contract: expected band-bucket occupancy n/2^bits must
+    // stay <= AnnTargetBucket at EVERY corpus size — the fixed 3-bit
+    // banding held it only below 8k vectors, past which the MaxBucket
+    // cap dropped every bucket and recall collapsed to 0
+    var n = 1000L
+    var prev = Similarity.AnnBits
+    while (n <= 1000L * 1000 * 1000 * 1000) {
+      val bits = Similarity.annBitsFor(n)
+      assert(bits >= Similarity.AnnBits, s"n=$n: bits $bits under the floor")
+      val occupancy = n.toDouble / math.pow(2.0, bits.toDouble)
+      assert(occupancy <= Similarity.AnnTargetBucket.toDouble,
+        s"n=$n bits=$bits: expected occupancy $occupancy over target")
+      assert(bits >= prev, s"n=$n: bits must grow monotonically with n")
+      prev = bits
+      n *= 10
+    }
+    // and the derivation never over-shoots into uselessly-empty buckets:
+    // one fewer bit would break the bound (tightness, above the floor)
+    Seq(100000L, 10000000L, 1000000000L).foreach { m =>
+      val bits = Similarity.annBitsFor(m)
+      assert(m.toDouble / math.pow(2.0, (bits - 1).toDouble) >
+        Similarity.AnnTargetBucket.toDouble,
+        s"n=$m: bits $bits is one more than the bound needs")
+    }
+  }
+
+  test("hyperplane_bands unpacks exactly the packed hyperplane_sig bands") {
+    import spark.implicits._
+    // same plane family by construction: for bands*bits <= 64 the
+    // array form must equal the shifted/masked packed form bit-for-bit
+    // (the array form exists so bands*bits may EXCEED 64 at scale)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).limit(50)
+    graft.functions.registerAll(spark)
+    val both = emb.select(col("vec_id"),
+        call_function("hyperplane_bands", col("embedding"),
+          lit(Similarity.AnnBands), lit(Similarity.AnnBits), lit(Similarity.AnnSeed)).as("bv"),
+        call_function("hyperplane_sig", col("embedding"),
+          lit(Similarity.AnnBands * Similarity.AnnBits), lit(Similarity.AnnSeed)).as("sig"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val bv = r.getSeq[Long](1)
+      val sig = r.getLong(2)
+      assert(bv.length == Similarity.AnnBands)
+      bv.zipWithIndex.foreach { case (v, b) =>
+        val expected = (sig >> (b * Similarity.AnnBits)) &
+          ((1L << Similarity.AnnBits) - 1)
+        assert(v == expected, s"vec ${r.getLong(0)} band $b: $v != $expected")
+      }
+    }
+  }
+
   test("d12 bloom contamination equals d06 and actually plans the bloom") {
     val d06 = Dedup.d06Contamination(spark, sfDir).collect().toSeq
     val d12df = Dedup.d12ContaminationBloom(spark, sfDir)

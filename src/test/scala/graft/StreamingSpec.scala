@@ -466,7 +466,11 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming ANN probe of the static band index equals batch s02") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val index = StreamOps.corpusBandIndexAnn(emb).localCheckpoint(true)
+    // the bits contract: ONE corpus-derived value passed to BOTH the
+    // batch index and the stream probe (batch s02 derives the same
+    // value internally, so stream==batch holds at any corpus size)
+    val bits = graft.operators.Similarity.annBitsFor(emb.count())
+    val index = StreamOps.corpusBandIndexAnn(emb, bits).localCheckpoint(true)
     val src = java.nio.file.Files.createTempDirectory("graft-ann-stream")
     emb.filter(col("vec_id") < 5)
       .coalesce(1).write.mode("overwrite").parquet(src.toString)
@@ -475,7 +479,7 @@ class StreamingSpec extends AnyFunSuite {
       StructField("embedding", ArrayType(FloatType))))
     val stream = spark.readStream.schema(schema).parquet(src.toString)
     val got = scala.collection.mutable.Set[(Long, Long, Double, Long)]()
-    val q = StreamOps.annProbeStream(stream, index)
+    val q = StreamOps.annProbeStream(stream, index, bits)
       .writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         StreamOps.annTopKBatch(df).collect().foreach(r =>
