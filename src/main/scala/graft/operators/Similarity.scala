@@ -217,7 +217,12 @@ object Similarity {
     * co-locate far better). d05 (LSH over the whole corpus) stays the
     * cross-cell-complete alternative.
     */
-  def d11DedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The d11 probe assignment: (vec_id, top [SemProbes ranked cells],
+    * embedding), checkpointed — exposed so the recall spec can measure
+    * probe-set co-occurrence of true near-dup pairs directly (the
+    * number a banding retune must not silently regress).
+    */
+  private[graft] def semAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
     val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -226,12 +231,16 @@ object Similarity {
     // rank order); checkpointed because BOTH self-join sides and the
     // final output read it (in production this frame is the
     // materialized partitionBy("cell") index)
-    val assigned = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .withColumn("cs", call_function("cosine_sim", col("embedding"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(call_function("top_k_by_score", col("cs"), col("cid"), lit(SemProbes)).as("top"),
         max(col("embedding")).as("embedding"))
       .localCheckpoint(true)
+  }
+
+  def d11DedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = semAssigned(spark, sfDir)
     val multi = assigned.select(col("vec_id"), col("embedding"),
       explode(col("top.id")).as("cell"))
     val smaller = multi.select(col("cell"), col("vec_id").as("va"),

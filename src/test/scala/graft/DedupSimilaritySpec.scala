@@ -424,6 +424,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inArray.sorted.sameElements(streamed.sorted))
   }
 
+  test("d11 2-probe cells co-locate >= 72% of true near-dup pairs at sf0.01") {
+    // pins the 2-probe lift (43 of the 59 >= 0.4-cosine pairs share a
+    // probe cell on the adversarial near-uniform sf0.01 vectors, vs 24
+    // under single-cell assignment) so a centroid/probe retune can't
+    // silently regress recall; the residual probe-disjoint pairs are
+    // SemDeDup's documented trade, d05 being the cross-cell-complete
+    // path
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val truth = (for {
+      i <- emb.indices.iterator
+      j <- (i + 1) until emb.length
+      if cos(emb(i)._2, emb(j)._2) >= Similarity.SemBar
+    } yield (emb(i)._1, emb(j)._1)).toSeq
+    assert(truth.nonEmpty, "no true near-dup pairs at sf0.01?")
+    val probes = Similarity.semAssigned(spark, dir)
+      .select(col("vec_id"), col("top.id").as("cells")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("cells").toSet)
+      .toMap
+    val co = truth.count { case (a, b) => (probes(a) & probes(b)).nonEmpty }
+    val ratio = co.toDouble / truth.size
+    assert(ratio >= 0.72,
+      s"probe co-occurrence $co/${truth.size} = $ratio under the 0.72 floor")
+  }
+
   test("derived bits keep expected occupancy bounded as the corpus grows") {
     // the scale contract: expected band-bucket occupancy n/2^bits must
     // stay <= AnnTargetBucket at EVERY corpus size — the fixed 3-bit
