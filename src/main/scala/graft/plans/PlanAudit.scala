@@ -87,7 +87,7 @@ object PlanAudit {
     * otherwise be invisible to the audit and a subquery-shaped scale
     * smell would pass the sweep silently.
     */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+  private[graft] def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val through = (p match {
       case q: QueryStageExec => Seq(q.plan)
       case r: ReusedExchangeExec => Seq(r.child)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executed-metrics assertions for [[graft.Audit]] — the runtime
+  * complement to PlanRuleSpec's structural checks: not "is there a
+  * partial aggregate in the plan" but "did it actually remove rows
+  * before the shuffle".
+  */
+class AuditSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("q01's partial aggregate reduces the shuffle by > 1x, measured") {
+    val m = Audit.executedMetrics(
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+    assert(m.partialAggInputRows > 0L, "partial-agg input rows not measured")
+    assert(m.partialAggOutputRows > 0L, "partial-agg output rows not measured")
+    assert(m.partialAggReduction > 1.0,
+      s"q01's groupBy shuffle carried raw rows: " +
+        s"${m.partialAggInputRows} in -> ${m.partialAggOutputRows} out")
+    // lineitem collapses to a handful of (returnflag, linestatus)
+    // groups per map partition — the reduction is large, not marginal
+    assert(m.partialAggReduction > 10.0,
+      s"reduction ${m.partialAggReduction} implausibly small for q01")
+    assert(m.shuffleRecordsWritten > 0L && m.shuffleBytesWritten > 0L,
+      "q01's aggregate shuffle moved no measured bytes")
+    // the read side accounts for at least what was written (strictly
+    // more under q01's final orderBy: the range partitioner's sampling
+    // job re-reads the aggregate shuffle before the real read)
+    assert(m.shuffleRecordsRead >= m.shuffleRecordsWritten,
+      s"read ${m.shuffleRecordsRead} < written ${m.shuffleRecordsWritten}")
+  }
+
+  test("a shuffle-free scan reports zero shuffle traffic") {
+    val m = Audit.executedMetrics(
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"))
+        .filter(col("l_quantity") > 25))
+    assert(m.shuffleBytesWritten == 0L && m.shuffleRecordsWritten == 0L)
+    assert(m.outputRows > 0L)
+  }
+
+  test("metrics listener records a labeled row per completed action") {
+    val l = Audit.attach(spark)
+    try {
+      l.label = "probe_q01"
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      // the execution-listener bus is async: poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!l.rows.exists(_._1 == "probe_q01") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val row = l.rows.find(_._1 == "probe_q01")
+      assert(row.nonEmpty, "listener never saw the labeled action")
+      val (_, durationNs, m) = row.get
+      assert(durationNs > 0L)
+      assert(m.partialAggReduction > 1.0,
+        "listener-captured metrics missed the partial aggregate")
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("sweep emits the per-query metrics table") {
+    val t = Audit.sweep(spark, sfDir,
+      Seq("q01_pricing_summary", "q06_selective_agg"))
+    val rows = t.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("q01_pricing_summary", "q06_selective_agg"))
+    val q01 = rows(0)
+    assert(q01.getAs[Double]("partial_agg_reduction") > 1.0)
+    assert(q01.getAs[Long]("shuffle_bytes_written") > 0L)
+  }
+}
