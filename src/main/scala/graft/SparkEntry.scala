@@ -117,6 +117,7 @@ object SparkEntry {
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
+    "g01_pagerank" -> (Graph.g01PageRank _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -449,7 +450,44 @@ object SparkEntry {
       |lab AS (SELECT doc_id, min(node) AS cluster_id FROM reach GROUP BY doc_id),
       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)""".stripMargin
 
+  /** g01 oracle: unrolls EXACTLY [[graft.operators.Graph.PageRankIters]]
+    * integer-tick PageRank rounds (the s04 generated-per-round
+    * pattern). Bit-exactness: every value is a positive long, every
+    * division floors (DuckDB `//` == Spark `div` on positives), and
+    * long sums are order-independent.
+    */
+  private def g01OracleSql(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, sum(r.r // d.odeg) AS s
+         |  FROM e JOIN $prev r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |i$k AS (
+         |  SELECT n.id, (SELECT base FROM p) + COALESCE((85 * c$k.s) // 100, 0) AS r
+         |  FROM n LEFT JOIN c$k ON c$k.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM e0),
+       |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |p AS (SELECT $scale // count(*) AS r0,
+       |             (($scale // count(*)) * 15) // 100 AS base FROM n),
+       |r0 AS (SELECT id, (SELECT r0 FROM p) AS r FROM n),
+       |$rounds
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key, r AS rank_ticks
+       |FROM i$iters ORDER BY node_type, entity_key""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> g01OracleSql(
+      graft.operators.Graph.PageRankIters, graft.operators.Graph.RankScale),
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
     "d11_dedup_semantic" -> d11OracleSql(
       graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,

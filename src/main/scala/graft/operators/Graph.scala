@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph algorithms over the star schema beyond the dedup
+  * connected-components (Dedup.connectedComponents) — the PageRank
+  * family the reference ships in its graph library (reference:
+  * /root/reference/graphx/src/main/scala/org/apache/spark/graphx/
+  * lib/PageRank.scala:1), re-expressed as DataFrame joins +
+  * partial-agg'd sums instead of a vertex-program runtime.
+  *
+  * The graph: the customer↔supplier trading network — an edge when a
+  * customer's order contains a supplier's line item, taken in BOTH
+  * directions so the walk is over the undirected bipartite graph and
+  * no node is dangling (every node in the edge set has out-degree
+  * ≥ 1, so no dangling-mass redistribution step is needed and the
+  * oracle replication stays exact). Node ids disambiguate the two
+  * key spaces arithmetically: customer c ↦ 2c, supplier s ↦ 2s+1.
+  *
+  * Determinism contract (the kmeans-oracle pattern): ranks live in
+  * integer TICKS of 2^-40 ([[RankScale]]), every per-edge
+  * contribution and damping step is integer arithmetic over
+  * positives (floor == truncate, so DuckDB's `//` and Spark's `div`
+  * agree), and sums of longs are order-independent — the
+  * [[PageRankIters]]-round iteration is bit-reproducible across
+  * partitionings, retries, and engines. Truncation loss (≤ 1 tick
+  * per division) leaks mass instead of redistributing it — the
+  * documented trade for cross-engine exactness; at 2^40 ticks the
+  * relative loss is ~1e-9 per round.
+  *
+  * Scale shape: each round is ONE shuffle — contributions aggregate
+  * on dst with map-side partial sums (ticks are longs), then a
+  * broadcast-free left join back to the node set; the edge frame with
+  * its out-degrees is computed once and reused every round
+  * (production: bucketed by src so the per-round join is
+  * exchange-free). Per-round `localCheckpoint` keeps lineage flat —
+  * the same exponential-plan lesson as connectedComponents.
+  */
+object Graph {
+
+  /** Tick scale: ranks are longs in units of 2^-40. */
+  private[graft] val RankScale: Long = 1L << 40
+
+  /** Fixed iteration count — fixed (not convergence-tested) so the
+    * result is a pure function of the corpus and the oracle unrolls
+    * exactly this many rounds.
+    */
+  private[graft] val PageRankIters = 5
+
+  /** Directed-both-ways bipartite edge set with out-degrees:
+    * (src, dst, odeg). Distinct (customer, supplier) pairs from
+    * orders⋈lineitem, mirrored.
+    */
+  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    edges.join(odeg, "src")
+  }
+
+  /** g01: PageRank over the customer↔supplier trading network —
+    * the "which suppliers anchor the purchasing graph" centrality a
+    * procurement or risk review asks for. Output one row per node:
+    * (node_type 'c'|'s', entity_key, rank_ticks).
+    */
+  def g01PageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "g01: empty trading graph")
+    // r0 = SCALE/n; base = (r0*15)/100 — the SAME expression order the
+    // oracle uses, so truncation agrees bit-for-bit
+    val r0 = RankScale / n
+    val base = r0 * 15 / 100
+    var ranks = nodes.select(col("id"), lit(r0).as("r")).localCheckpoint(true)
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div odeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        col("r").as("rank_ticks"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+}

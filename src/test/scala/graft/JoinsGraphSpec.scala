@@ -227,4 +227,28 @@ class JoinsGraphSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("reserved internal column"))
   }
+
+  test("g01 PageRank: mass conserved up to truncation, bipartite ids well-formed") {
+    import graft.operators.Graph
+    val rows = Graph.g01PageRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every node is typed and positively ranked
+    assert(rows.forall(r => Set("c", "s").contains(r.getString(0))))
+    assert(rows.forall(_.getLong(2) > 0L), "ranks must stay positive")
+    // both sides of the bipartite graph are present
+    val types = rows.map(_.getString(0)).toSet
+    assert(types == Set("c", "s"))
+    // total mass stays within integer-truncation loss of RankScale:
+    // each round loses < 1 tick per division — bounded by
+    // (edges + nodes) * iters ticks, astronomically under 1% of 2^40
+    val total = rows.map(_.getLong(2)).sum
+    val scale = Graph.RankScale
+    assert(total <= scale, "mass cannot be created")
+    assert(total > scale - scale / 100,
+      s"mass leak beyond truncation bounds: $total of $scale")
+    // deterministic: a second run is bit-identical (integer ticks)
+    val again = Graph.g01PageRank(spark, sfDir).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
