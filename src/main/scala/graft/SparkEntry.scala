@@ -118,6 +118,8 @@ object SparkEntry {
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
     "g01_pagerank" -> (Graph.g01PageRank _),
+    "g02_hits" -> (Graph.g02Hits _),
+    "t14_tfidf" -> (TextAnalysis.t14Tfidf _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -485,9 +487,57 @@ object SparkEntry {
        |FROM i$iters ORDER BY node_type, entity_key""".stripMargin
   }
 
+  /** g02 oracle: unrolls EXACTLY [[graft.operators.Graph.HitsIters]]
+    * integer-tick HITS rounds — long sums (cast back to BIGINT: DuckDB
+    * widens sum to HUGEINT), L∞ normalization by floor division.
+    */
+  private def g02OracleSql(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""ar$k AS MATERIALIZED (SELECT e.s, CAST(sum(h.h) AS BIGINT) AS a
+         |  FROM e JOIN $prevH h ON h.c = e.c GROUP BY e.s),
+         |a$k AS MATERIALIZED (
+         |  SELECT s, (a * $scale) // (SELECT max(a) FROM ar$k) AS a FROM ar$k),
+         |hr$k AS MATERIALIZED (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS h
+         |  FROM e JOIN a$k a ON a.s = e.s GROUP BY e.c),
+         |h$k AS MATERIALIZED (
+         |  SELECT c, (h * $scale) // (SELECT max(h) FROM hr$k) AS h FROM hr$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT c, $scale AS h FROM e),
+       |$rounds
+       |SELECT 'c' AS node_type, c AS entity_key, h AS score_ticks FROM h$iters
+       |UNION ALL
+       |SELECT 's' AS node_type, s AS entity_key, a AS score_ticks FROM a$iters
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> g01OracleSql(
       graft.operators.Graph.PageRankIters, graft.operators.Graph.RankScale),
+    "g02_hits" -> g02OracleSql(
+      graft.operators.Graph.HitsIters, graft.operators.Graph.HitsScale),
+    "t14_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, token),
+        |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |         round(tf.tf * (round(ln((n.n_docs + 1.0) / (dfr.df + 1.0)), 4) + 1.0), 4) AS tfidf
+        |       FROM tf JOIN dfr ON dfr.token = tf.token, n),
+        |r AS (SELECT doc_id, token, tf, tfidf,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT doc_id, token, tf, tfidf, rank FROM r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
     "d11_dedup_semantic" -> d11OracleSql(
       graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,

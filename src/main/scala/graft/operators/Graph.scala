@@ -100,4 +100,66 @@ object Graph {
         col("r").as("rank_ticks"))
       .orderBy(col("node_type"), col("entity_key"))
   }
+
+  /** Tick scale for [[g02Hits]]: 2^20 per unit, small enough that
+    * raw-sum × scale stays in a long for out-degrees up to ~2^23
+    * (documented bound; degrees beyond that call for a wider tick).
+    */
+  private[graft] val HitsScale: Long = 1L << 20
+
+  /** Fixed HITS rounds — unrolled exactly in the oracle. */
+  private[graft] val HitsIters = 4
+
+  /** g02: HITS over the directed customer→supplier order graph —
+    * hubs (customers whose orders span the important suppliers) and
+    * authorities (suppliers ordered by the important customers): the
+    * mutual-reinforcement centrality PageRank's single score can't
+    * split, and the natural fit for a bipartite graph (customers are
+    * ONLY hubs, suppliers ONLY authorities, so the two HITS halves
+    * land on the two node families with no mixing).
+    *
+    * Determinism: scores are integer ticks of 2^-20; each half-round
+    * is a long sum over in/out-edges followed by L∞ normalization
+    * `(raw * scale) div max(raw)` — max over longs and floor division
+    * on positives agree across engines, so [[HitsIters]] rounds are
+    * bit-reproducible and the oracle unrolls them exactly.
+    *
+    * Scale shape per round: two shuffles (sum on supplier, sum on
+    * customer), both partial-agg'd; the max is a 1-row broadcast, the
+    * same scalar-join pattern as the kmeans oracle ops. Raw-sum
+    * frames are checkpointed per half-round: each is read twice (max
+    * + normalize join), and unmaterialized that re-runs the whole
+    * preceding chain — the exponential-recompute lesson, applied.
+    */
+  def g02Hits(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .localCheckpoint(true)
+    def normalized(raw: DataFrame, valueCol: String): DataFrame = {
+      val r = raw.localCheckpoint(true)
+      val m = r.agg(max(col(valueCol)).as("__m"))
+      r.crossJoin(broadcast(m))
+        .select(r.columns.filterNot(_ == valueCol).map(col) :+
+          expr(s"($valueCol * $HitsScale) div __m").as(valueCol): _*)
+    }
+    var hubs = edges.select(col("c")).distinct()
+      .select(col("c"), lit(HitsScale).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auths = normalized(
+        edges.join(hubs, "c").groupBy(col("s")).agg(sum(col("h")).as("a")), "a")
+      hubs = normalized(
+        edges.join(auths, "s").groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
+    }
+    hubs.select(lit("c").as("node_type"), col("c").as("entity_key"),
+        col("h").as("score_ticks"))
+      .unionByName(auths.select(lit("s").as("node_type"),
+        col("s").as("entity_key"), col("a").as("score_ticks")))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
 }

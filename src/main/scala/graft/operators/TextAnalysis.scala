@@ -421,4 +421,40 @@ object TextAnalysis {
         (col("tf") === col("__b") || coalesce(col("hit"), lit(false))).as("sketch_ok"))
       .orderBy(col("tf").desc, col("token"))
   }
+
+  /** t14: per-document top-5 TF-IDF terms — the classic keyword /
+    * topic-signal extraction a curation pipeline files next to each
+    * document (near-dup triage, topic balancing, retrieval keys).
+    * Same tokenizer as t07 (word_grams over lowercased text), idf
+    * smoothed `ln((N+1)/(df+1))` rounded to 4dp BEFORE the tf
+    * multiply — the single libm call per DISTINCT token, so
+    * cross-engine ULP exposure matches t07's proven contract — and
+    * scores rounded to 4dp with ties broken token-ascending.
+    *
+    * Scale shape: tf is one (doc, token) shuffle (partial-agg'd); df
+    * derives from tf's output, NOT a second corpus scan; N is a
+    * 1-row broadcast; the per-doc top-5 is a window partitioned by
+    * doc_id — bounded by tokens-per-document, never a global sort.
+    */
+  def t14Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerAll(spark)
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+      .withColumn("tfidf", round(col("tf") * (col("idf") + lit(1.0)), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

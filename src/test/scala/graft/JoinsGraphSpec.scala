@@ -251,4 +251,20 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("g02 HITS: hubs are customers, authorities suppliers, L-inf normalized") {
+    import graft.operators.Graph
+    val rows = Graph.g02Hits(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val (hubs, auths) = rows.partition(_._1 == "c")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    // L-inf normalization: the max of each family is exactly the tick
+    // scale, everything else in (0, scale]
+    assert(hubs.map(_._3).max == Graph.HitsScale)
+    assert(auths.map(_._3).max == Graph.HitsScale)
+    assert(rows.forall(r => r._3 > 0L && r._3 <= Graph.HitsScale))
+    // every customer/supplier in the edge set is scored exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
 }
