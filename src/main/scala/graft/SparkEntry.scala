@@ -120,6 +120,7 @@ object SparkEntry {
     "g01_pagerank" -> (Graph.g01PageRank _),
     "g02_hits" -> (Graph.g02Hits _),
     "t14_tfidf" -> (TextAnalysis.t14Tfidf _),
+    "d19_span_dedup" -> (Dedup.d19SpanDedup _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -519,6 +520,34 @@ object SparkEntry {
       graft.operators.Graph.PageRankIters, graft.operators.Graph.RankScale),
     "g02_hits" -> g02OracleSql(
       graft.operators.Graph.HitsIters, graft.operators.Graph.HitsScale),
+    "d19_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |wn AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))::UBIGINT)) AS wh
+        |  FROM tk),
+        |rep AS (
+        |  SELECT wh FROM (
+        |    SELECT wh, count(*) AS nd
+        |    FROM (SELECT DISTINCT wh, doc_id FROM wn) GROUP BY wh)
+        |  WHERE nd >= 2),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wn GROUP BY doc_id),
+        |dup AS (SELECT wn.doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+        |        FROM wn JOIN rep USING (wh) GROUP BY wn.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(tot.n_windows, 0) AS n_windows,
+        |  COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN COALESCE(tot.n_windows, 0) > 0
+        |       THEN round(COALESCE(dup.n_dup_windows, 0) / CAST(tot.n_windows AS DOUBLE), 4)
+        |       ELSE 0.0 END AS dup_fraction
+        |FROM documents d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN dup ON dup.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t14_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id,

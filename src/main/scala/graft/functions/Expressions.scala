@@ -198,6 +198,21 @@ case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long) extends Un
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** window_hashes(array<string>, w) → array<long>: one 48-bit
+  * md5-derived hash per w-token rolling window (span-level dedup
+  * primitive; DuckDB replicates the hash exactly).
+  */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window_hashes: need w >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.windowHashes(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.windowHashes($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hyperplane_bands(array<float>, bands, bits, seed) → array<long>:
   * per-band LSH bucket values over the same md5-derived plane family
   * as [[HyperplaneSig]] (band b, bit j = plane b*bits+j). Total plane

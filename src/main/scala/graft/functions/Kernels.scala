@@ -528,6 +528,30 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Rolling window hashes for span-level dedup: one 48-bit
+    * md5-derived hash per w-token window (tokens joined by a single
+    * space — the md5_48 construction DuckDB replicates as
+    * `('0x' || substr(md5(s),1,12))::UBIGINT`). n-w+1 hashes for n
+    * tokens; empty for n < w.
+    */
+  def windowHashes(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](math.max(n - w + 1, 0))
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = md5_48(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }

@@ -36,6 +36,7 @@ package object functions {
     "hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nPlanes"), longArg(es(2), "seed"))),
     "hyperplane_bands" -> (es => HyperplaneBands(es(0), intArg(es(1), "bands"),
       intArg(es(2), "bits"), longArg(es(3), "seed"))),
+    "window_hashes" -> (es => WindowHashes(es(0), intArg(es(1), "w"))),
     "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
     "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),

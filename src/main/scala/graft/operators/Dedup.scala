@@ -982,4 +982,65 @@ object Dedup {
         col("cluster_size"))
       .orderBy(col("doc_id"))
   }
+
+  /** Window width (tokens) for [[d19SpanDedup]]: long enough that a
+    * repeat is memorization-grade boilerplate, not idiom.
+    */
+  private[graft] val SpanW = 8
+
+  /** d19: SPAN-level duplication profile — for each document, how
+    * much of it consists of [[SpanW]]-token windows that also occur
+    * in ANOTHER document: the substring-dedup signal (boilerplate
+    * headers, license blocks, templated passages) that document-level
+    * dedup (d01-d18) cannot see, because two documents sharing a
+    * paragraph are far below any whole-document similarity bar. The
+    * literature operator this re-expresses is exact-substring
+    * training-data dedup; a pipeline uses the per-doc `dup_fraction`
+    * to strip or down-weight boilerplate-heavy documents.
+    *
+    * Shape: windows are rolling 48-bit md5 hashes (one codegen kernel
+    * call per document, n-w+1 longs out — never the token strings);
+    * the cross-doc test is a two-level aggregation (distinct
+    * (hash, doc) → hashes with ≥ 2 docs), and per-doc counts come
+    * from ONE windows frame consumed by both sides. At 100 TB the
+    * shuffle carries (hash, doc_id) longs — linear in corpus tokens,
+    * same order as the corpus scan itself — and the repeated-hash set
+    * (boilerplate is rare relative to all windows) semi-joins back
+    * small. 48-bit collisions over-flag ~n²/2^49 windows — at 1e12
+    * windows that is a measurable false-dup floor, so production at
+    * that scale widens the hash; documented trade for the exact
+    * DuckDB replication.
+    */
+  def d19SpanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanProfileFor(Tables.documents(spark, sfDir))
+
+  /** The d19 core over any (doc_id, text) frame — extracted so the
+    * spec can pin the flagging semantics on synthetic documents with
+    * a known shared span.
+    */
+  private[graft] def spanProfileFor(docs: DataFrame): DataFrame = {
+    registerAll(docs.sparkSession)
+    val wins = docs
+      .select(col("doc_id"),
+        explode(call_function("window_hashes",
+          call_function("word_grams", lower(col("text")), lit(1)),
+          lit(SpanW))).as("wh"))
+      .localCheckpoint(true) // read by tot, dup, AND the repeat set
+    val rep = wins.select(col("wh"), col("doc_id")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("wh"))
+    val tot = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val dup = wins.join(rep, Seq("wh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows") / col("n_windows"), 4)).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -505,6 +505,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("d19 span profile flags cross-doc repeated windows, not within-doc or unique text") {
+    import spark.implicits._
+    val boiler = "this content is provided as is without warranty of any kind"  // 11 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"$boiler epsilon zeta eta theta iota"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "short doc"), // under the 8-token window: zero windows
+      // within-doc repetition only: its repeated window must NOT flag
+      // (the cross-doc test is count(DISTINCT doc) >= 2)
+      (5L, "p q r s t u v w x p q r s t u v w x")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.spanProfileFor(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1+2 share the 11-token boilerplate: 11-8+1 = 4 shared
+    // windows each; doc 1 has 15 tokens -> 8 windows
+    assert(rows(1L) == ((8L, 4L, 0.5)), s"doc1: ${rows(1L)}")
+    assert(rows(2L)._2 == 4L && rows(2L)._1 == 9L, s"doc2: ${rows(2L)}")
+    assert(rows(3L) == ((5L, 0L, 0.0)), "unique text must not flag")
+    assert(rows(4L) == ((0L, 0L, 0.0)), "sub-window doc: zero windows, zero fraction")
+    assert(rows(5L)._2 == 0L, "within-doc repetition must not flag")
+  }
+
   test("d12 bloom contamination equals d06 and actually plans the bloom") {
     val d06 = Dedup.d06Contamination(spark, sfDir).collect().toSeq
     val d12df = Dedup.d12ContaminationBloom(spark, sfDir)
