@@ -78,9 +78,20 @@ object Audit {
       .flatMap(_.metrics.get("numOutputRows").map(_.value).filter(_ >= 0L))
       .nextOption().getOrElse(0L)
 
-  /** Sum the runtime counters off an already-executed plan. */
+  /** Sum the runtime counters off an already-executed plan.
+    *
+    * Nodes are deduplicated by REFERENCE identity first:
+    * [[PlanAudit.allNodes]] deliberately traverses a reused exchange
+    * once per consumer (right for structural counts — each use is
+    * real work), but SQLMetrics live on the one shared instance, and
+    * summing it per consumer would double-count the bytes the
+    * shuffle actually moved. Identity, not structural equality: two
+    * genuinely separate but identical scans must still both count.
+    */
   def metricsOf(plan: SparkPlan): ExecutedMetrics = {
-    val nodes = PlanAudit.allNodes(plan)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    val nodes = PlanAudit.allNodes(plan).filter(seen.add)
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
     val partials = nodes.collect {
       case a: BaseAggregateExec if a.aggregateExpressions.nonEmpty &&
@@ -153,6 +164,10 @@ object Audit {
     import spark.implicits._
     names.map { name =>
       val m = executedMetrics(SparkEntry.queries(name)(spark, sfDir))
+      // same between-query block release as Bench: a sweep in ONE
+      // session otherwise accumulates every query's checkpoint
+      // blocks (the measured 3-9x mid-sweep tax)
+      FrameMemo.releaseTransientBlocks(spark)
       (name, m.shuffleBytesWritten, m.shuffleRecordsWritten,
         m.shuffleBytesRead, m.shuffleRecordsRead, m.spillBytes,
         m.outputRows, m.partialAggInputRows, m.partialAggOutputRows,
@@ -201,6 +216,7 @@ object Audit {
       } catch {
         case e: Throwable => println(s"$name AUDIT FAILED: ${e.getMessage}")
       }
+      FrameMemo.releaseTransientBlocks(spark)
     }
     println(s"[audit] ${SparkEntry.queries.size} queries, $flagged with warnings")
     spark.stop()

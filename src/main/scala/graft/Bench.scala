@@ -57,13 +57,7 @@ object Bench {
     // Free checkpoint blocks parked by the previous query, keeping
     // live memo blocks (see class doc). Diagnostics to stderr only —
     // stdout must stay a single parseable JSON line.
-    def cleanup(): Unit = {
-      val retained = graft.operators.Dedup.memoRetainedIds ++
-        graft.operators.Similarity.memoRetainedIds
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!retained.contains(id)) rdd.unpersist(blocking = false)
-      }
-    }
+    def cleanup(): Unit = FrameMemo.releaseTransientBlocks(spark)
     names.foreach { n =>
       try run(n, warmDir)
       catch { case e: Throwable =>

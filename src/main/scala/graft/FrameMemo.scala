@@ -44,11 +44,20 @@ private[graft] final class FrameMemo {
       case prev =>
         prev.foreach { case (s, _, _, _, ids) => unpersistIds(s, ids) }
         entry = None
-        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-        val frame = compute
-        val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
-        entry = Some((spark, dir, fp, frame, ids))
-        frame
+        // The before/after diff is only attributable when no OTHER
+        // memo computes concurrently: two instances each hold their
+        // own lock, and an overlapped compute would capture the other
+        // memo's checkpoint ids — whose later eviction would then
+        // unpersist blocks backing a live lineage-truncated frame
+        // (unrecoverable). One process-wide lock across all memo
+        // computes makes the diff exact.
+        FrameMemo.computeLock.synchronized {
+          val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+          val frame = compute
+          val ids = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+          entry = Some((spark, dir, fp, frame, ids))
+          frame
+        }
     }
   }
 
@@ -68,4 +77,26 @@ private[graft] final class FrameMemo {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (ids.contains(id)) rdd.unpersist(blocking = false)
       }
+}
+
+private[graft] object FrameMemo {
+  /** Process-wide lock serializing every memo's compute+diff section
+    * — see the attribution note in [[FrameMemo.getOrCompute]].
+    */
+  private val computeLock = new Object
+
+  /** Unpersist every persistent RDD EXCEPT blocks backing the live
+    * library memos (Dedup cluster labels, Similarity k-NN graph) —
+    * the between-query cleanup any long sweep over many operators in
+    * ONE session needs: accumulated localCheckpoint blocks measured
+    * a 3-9x mid-sweep tax on unrelated queries (BENCH_r06). Shared
+    * by [[graft.Bench]] and [[graft.Audit]]'s sweeps.
+    */
+  def releaseTransientBlocks(spark: SparkSession): Unit = {
+    val retained = graft.operators.Dedup.memoRetainedIds ++
+      graft.operators.Similarity.memoRetainedIds
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!retained.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
 }

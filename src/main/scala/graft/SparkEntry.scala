@@ -344,7 +344,8 @@ object SparkEntry {
     */
   private val annProbeOracleCtes: String =
     """nb AS (
-      |  SELECT greatest(3, CAST(ceil(log2(count(*) / 1024.0)) AS INT)) AS bits
+      |  SELECT greatest(3, CASE WHEN (count(*) + 1023) // 1024 <= 1 THEN 3
+      |    ELSE length(bin((count(*) + 1023) // 1024 - 1)) END) AS bits
       |  FROM embeddings),
       |pl AS (
       |  SELECT p.p AS p, j.j AS j,
@@ -382,7 +383,8 @@ object SparkEntry {
     */
   private val knnGraphOracleCtes: String =
     """nb AS (
-      |  SELECT greatest(3, CAST(ceil(log2(count(*) / 1024.0)) AS INT)) AS bits
+      |  SELECT greatest(3, CASE WHEN (count(*) + 1023) // 1024 <= 1 THEN 3
+      |    ELSE length(bin((count(*) + 1023) // 1024 - 1)) END) AS bits
       |  FROM embeddings),
       |pl AS (
       |  SELECT p.p AS p, j.j AS j,

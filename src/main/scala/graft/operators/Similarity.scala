@@ -319,13 +319,20 @@ object Similarity {
     * n ≤ 8·[[AnnTargetBucket]] the [[AnnBits]] floor already does) —
     * spec: DedupSimilaritySpec "derived bits keep expected
     * occupancy bounded". The oracle SQL replicates this formula
-    * bit-for-bit (`greatest(3, ceil(log2(count/1024.0)))`), so a
-    * retune desynchronizing engine and oracle fails the gate.
+    * bit-for-bit (integer `length(bin(q-1))` over the same ceil
+    * divide), so a retune desynchronizing engine and oracle fails
+    * the gate.
     */
-  private[graft] def annBitsFor(n: Long): Int =
-    if (n <= AnnTargetBucket) AnnBits
-    else math.max(AnnBits,
-      math.ceil(math.log(n.toDouble / AnnTargetBucket.toDouble) / math.log(2.0)).toInt)
+  private[graft] def annBitsFor(n: Long): Int = {
+    // INTEGER ceil-log2, not floating log: ceil(ln(x)/ln 2) computes
+    // 29.000000000000004 for x = 2^29 (measured) and would round one
+    // bit HIGHER than the oracle's log2 at power-of-two corpus sizes.
+    // bitLength(q-1) = ceil(log2(q)) exactly, mirrored in the oracle
+    // as length(bin(q-1)) — integers on both sides, no libm anywhere.
+    val q = (n + AnnTargetBucket - 1) / AnnTargetBucket
+    if (q <= 1L) AnnBits
+    else math.max(AnnBits, 64 - java.lang.Long.numberOfLeadingZeros(q - 1L))
+  }
 
   /** Banded LSH expansion: `AnnBands` (band_id, band_val) rows per
     * vector via the `hyperplane_bands` expression — per-band packed

@@ -249,11 +249,14 @@ object StreamOps {
     * banded corpus with its embeddings.
     *
     * `bits` MUST equal the value the corpus index was built with
-    * (buckets never match otherwise): a streaming frame cannot
-    * count itself, so the caller derives it ONCE from the corpus —
+    * (buckets never match otherwise — the probe join silently emits
+    * ZERO candidates): a streaming frame cannot count itself, so the
+    * caller derives it ONCE from the corpus —
     * `Similarity.annBitsFor(corpus.count())` — and passes the same
-    * value to both [[corpusBandIndexAnn]] and here (the default
-    * mirrors corpusBandIndexAnn's floor default for small corpora).
+    * value to both [[corpusBandIndexAnn]] and here. Deliberately NO
+    * default on either side: two independently-defaulted parameters
+    * made the desync representable, and a recall-0 stream has no
+    * error to notice.
     *
     * Emits candidate rows (query_id, qv, vec_id, embedding); the
     * per-batch sink dedups pairs and ranks ([[annTopKBatch]]) — a
@@ -261,7 +264,7 @@ object StreamOps {
     * exact over the candidate set, same contract as batch s02.
     */
   def annProbeStream(newVecs: DataFrame, corpusBands: DataFrame,
-      bits: Int = graft.operators.Similarity.AnnBits): DataFrame =
+      bits: Int): DataFrame =
     graft.operators.Similarity.annBanded(newVecs, "vec_id", "embedding",
         bits = bits)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -276,8 +279,7 @@ object StreamOps {
     * (Similarity.annBanded), with `bits` shared explicitly with the
     * stream side (see [[annProbeStream]]'s bits contract).
     */
-  def corpusBandIndexAnn(corpus: DataFrame,
-      bits: Int = graft.operators.Similarity.AnnBits): DataFrame =
+  def corpusBandIndexAnn(corpus: DataFrame, bits: Int): DataFrame =
     graft.operators.Similarity.annBanded(corpus, "vec_id", "embedding",
         bits = bits)
       .select(col("band_id"), col("band_val"), col("vec_id"), col("embedding"))

@@ -476,6 +476,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
         Similarity.AnnTargetBucket.toDouble,
         s"n=$m: bits $bits is one more than the bound needs")
     }
+    // power-of-two boundaries, exactly: floating ceil(ln(x)/ln 2)
+    // computed 29.000000000000004 at n = 1024*2^29 and over-banded by
+    // one bit vs the oracle — the integer form must not
+    assert(Similarity.annBitsFor(1024L << 29) == 29)
+    assert(Similarity.annBitsFor((1024L << 29) + 1) == 30)
+    assert(Similarity.annBitsFor(1024L * 8) == 3)
+    assert(Similarity.annBitsFor(1024L * 8 + 1) == 4)
   }
 
   test("hyperplane_bands unpacks exactly the packed hyperplane_sig bands") {
