@@ -121,6 +121,7 @@ object SparkEntry {
     "g02_hits" -> (Graph.g02Hits _),
     "t14_tfidf" -> (TextAnalysis.t14Tfidf _),
     "d19_span_dedup" -> (Dedup.d19SpanDedup _),
+    "g03_ppr" -> (Graph.g03PersonalizedPagerank _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -517,7 +518,44 @@ object SparkEntry {
        |ORDER BY node_type, entity_key""".stripMargin
   }
 
+  /** g03 oracle: g01's unrolled rounds with the teleport confined to
+    * the seed (smallest customer node).
+    */
+  private def g03OracleSql(iters: Int, scale: Long): String = {
+    val teleport = scale * 15 / 100
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "r0" else s"i${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, sum(r.r // d.odeg) AS s
+         |  FROM e JOIN $prev r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |i$k AS (
+         |  SELECT n.id,
+         |    CASE WHEN n.id = (SELECT seed FROM sd) THEN $teleport ELSE 0 END
+         |      + COALESCE((85 * c$k.s) // 100, 0) AS r
+         |  FROM n LEFT JOIN c$k ON c$k.id = n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |e AS (
+       |  SELECT a AS src, b AS dst FROM e0
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM e0),
+       |deg AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |sd AS (SELECT min(id) AS seed FROM n WHERE id % 2 = 0),
+       |r0 AS (SELECT id,
+       |  CASE WHEN id = (SELECT seed FROM sd) THEN $scale ELSE 0 END AS r FROM n),
+       |$rounds
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key, r AS rank_ticks
+       |FROM i$iters ORDER BY node_type, entity_key""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "g03_ppr" -> g03OracleSql(
+      graft.operators.Graph.PageRankIters, graft.operators.Graph.RankScale),
     "g01_pagerank" -> g01OracleSql(
       graft.operators.Graph.PageRankIters, graft.operators.Graph.RankScale),
     "g02_hits" -> g02OracleSql(

@@ -109,6 +109,46 @@ object Graph {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** g03: PERSONALIZED PageRank — the random walk teleports to one
+    * seed node instead of everywhere, ranking the graph BY RELEVANCE
+    * TO THAT NODE ("which suppliers matter to this account", the
+    * account-centric view g01's global centrality can't give). Seed:
+    * the smallest customer node id — deterministic and
+    * parameter-free, as the driver contract requires; a production
+    * caller passes its own seed. Same tick arithmetic, edge frame,
+    * and lineage strategy as [[g01PageRank]]; the only delta is the
+    * teleport term (full mass at the seed, zero elsewhere), so rank
+    * mass decays with graph distance from the seed and unreachable
+    * nodes stay exactly 0.
+    */
+  def g03PersonalizedPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    // 1-row driver scalars, same bounded pattern as g01's node count
+    val seed = nodes.filter(col("id") % 2 === 0).agg(min(col("id")))
+      .collect()(0).getLong(0)
+    val teleport = RankScale * 15 / 100
+    var ranks = nodes.select(col("id"),
+      when(col("id") === seed, lit(RankScale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div odeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("id") === seed, lit(teleport)).otherwise(lit(0L)) +
+            coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+      .select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        col("r").as("rank_ticks"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
   /** Tick scale for [[g02Hits]]: 2^20 per unit, small enough that
     * raw-sum × scale stays in a long for out-degrees up to ~2^23
     * (documented bound; degrees beyond that call for a wider tick).

@@ -252,6 +252,28 @@ class JoinsGraphSpec extends AnyFunSuite {
       again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("g03 personalized PageRank: mass centers on the seed and decays outward") {
+    import graft.operators.Graph
+    val rows = Graph.g03PersonalizedPagerank(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the seed (smallest customer key in the graph) holds the maximum
+    // rank: teleport returns all damped mass there every round
+    val custs = rows.filter(_._1 == "c")
+    val seedKey = custs.map(_._2).min
+    val maxRank = rows.map(_._3).max
+    assert(custs.find(_._2 == seedKey).get._3 == maxRank,
+      "seed must carry the maximum personalized rank")
+    // teleport-to-one-node conserves mass within truncation, like g01
+    val total = rows.map(_._3).sum
+    assert(total <= Graph.RankScale && total > Graph.RankScale / 2,
+      s"personalized mass off: $total of ${Graph.RankScale}")
+    // ranks are non-negative and SOME supplier is reached (1 hop)
+    assert(rows.forall(_._3 >= 0L))
+    assert(rows.exists(r => r._1 == "s" && r._3 > 0L),
+      "seed's suppliers must receive mass")
+  }
+
   test("g02 HITS: hubs are customers, authorities suppliers, L-inf normalized") {
     import graft.operators.Graph
     val rows = Graph.g02Hits(spark, sfDir).collect()
