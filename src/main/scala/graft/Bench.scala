@@ -67,8 +67,7 @@ object Bench {
     // warm-dir memos would only be evicted (and freed) when the first
     // sf query probes them — drop them now so the timed sweep starts
     // with zero parked blocks.
-    graft.operators.Dedup.clearMemos()
-    graft.operators.Similarity.clearMemos()
+    FrameMemo.clearAllMemos()
     cleanup()
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = names.map { name =>

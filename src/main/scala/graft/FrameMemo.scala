@@ -94,9 +94,19 @@ private[graft] object FrameMemo {
     */
   def releaseTransientBlocks(spark: SparkSession): Unit = {
     val retained = graft.operators.Dedup.memoRetainedIds ++
-      graft.operators.Similarity.memoRetainedIds
+      graft.operators.Similarity.memoRetainedIds ++
+      graft.operators.Graph.memoRetainedIds
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!retained.contains(id)) rdd.unpersist(blocking = false)
     }
+  }
+
+  /** Drop every library memo (and its blocks) — the full reset a
+    * harness runs between data regimes (e.g. warm dir → timed dir).
+    */
+  def clearAllMemos(): Unit = {
+    graft.operators.Dedup.clearMemos()
+    graft.operators.Similarity.clearMemos()
+    graft.operators.Graph.clearMemos()
   }
 }
