@@ -9,8 +9,13 @@ at larger SFs.
 
 Reads each <name>/ parquet dumped by graft.Verify plus oracle_sql.json,
 runs every oracle SQL in DuckDB against the sf parquet tables, and
-compares: column names (sorted), row counts, and values (rows sorted,
-exact after the engine-side rounding). Prints PASS/FAIL per query.
+compares: column names (sorted), column TYPE CLASSES (sorted by name
+— the driver's hash is type-sensitive across classes but not widths:
+INTEGER-vs-BIGINT passes the driver gate, while a DuckDB sum()
+widening BIGINT to HUGEINT fails it because the pandas fetch turns
+HUGEINT into float64 — the round-7 g01/g03 lesson), row counts, and
+values (rows sorted, exact after the engine-side rounding). Prints
+PASS/FAIL per query.
 """
 import json
 import math
@@ -25,6 +30,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def _p(*a):
     print(*a, flush=True)
+
+
+def type_class(t):
+    """Collapse a DuckDB type name to the equivalence class the
+    driver's hash actually distinguishes. Exact-int widths hash the
+    same (pandas holds them all as exact ints); HUGEINT is NOT in
+    that class — the pandas fetch converts it to float64, which is
+    exactly how the round-7 g01/g03 oracle defect slipped past a
+    type-blind compare."""
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t  # HUGEINT, DECIMAL(p,s), VARCHAR, DATE, ... stand alone
 
 
 def norm(v):
@@ -78,6 +99,14 @@ def main():
             continue
         gidx = [got.columns.index(c) for c in got_cols]
         eidx = [exp.columns.index(c) for c in exp_cols]
+        got_types = [type_class(got.types[i]) for i in gidx]
+        exp_types = [type_class(exp.types[i]) for i in eidx]
+        if got_types != exp_types:
+            bad = [(c, a, b) for c, a, b in
+                   zip(got_cols, got_types, exp_types) if a != b]
+            _p(f"FAIL {name}: column types differ (spark vs oracle): {bad}")
+            n_fail += 1
+            continue
         g = sorted(tuple(norm(r[i]) for i in gidx) for r in got_rows)
         e = sorted(tuple(norm(r[i]) for i in eidx) for r in exp_rows)
         if len(g) != len(e):

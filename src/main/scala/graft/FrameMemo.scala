@@ -32,6 +32,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * their operator object via this memo's own lock); the id-diff
   * recording is only meaningful when one compute runs at a time,
   * which the `synchronized` here guarantees.
+  *
+  * LOCK-ORDER INVARIANT: a `compute` block must NEVER call another
+  * memo's `getOrCompute` (no nested memo computes). `getOrCompute`
+  * takes this instance's monitor first and the process-wide
+  * [[FrameMemo.computeLock]] second; a nested call from inside a
+  * compute block would try to take a SECOND instance monitor while
+  * holding `computeLock`, which deadlocks against a thread that holds
+  * that other monitor and is waiting on `computeLock`. If an operator
+  * memo ever needs to derive from another memoized frame, compute the
+  * upstream frame BEFORE entering `getOrCompute` and close over the
+  * result.
   */
 private[graft] final class FrameMemo {
   private var entry: Option[(SparkSession, String, String, DataFrame, Set[Int])] = None

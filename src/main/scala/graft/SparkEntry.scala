@@ -460,13 +460,16 @@ object SparkEntry {
     * integer-tick PageRank rounds (the s04 generated-per-round
     * pattern). Bit-exactness: every value is a positive long, every
     * division floors (DuckDB `//` == Spark `div` on positives), and
-    * long sums are order-independent.
+    * long sums are order-independent. The per-round sum is cast back
+    * to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT — the same guard
+    * [[g02OracleSql]] applies) so `rank_ticks` types as int64 and the
+    * driver's type-sensitive hash matches Spark's LongType.
     */
   private def g01OracleSql(iters: Int, scale: Long): String = {
     val rounds = (1 to iters).map { k =>
       val prev = if (k == 1) "r0" else s"i${k - 1}"
       s"""c$k AS (
-         |  SELECT e.dst AS id, sum(r.r // d.odeg) AS s
+         |  SELECT e.dst AS id, CAST(sum(r.r // d.odeg) AS BIGINT) AS s
          |  FROM e JOIN $prev r ON r.id = e.src JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst),
          |i$k AS (
@@ -487,7 +490,7 @@ object SparkEntry {
        |r0 AS (SELECT id, (SELECT r0 FROM p) AS r FROM n),
        |$rounds
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
-       |       id // 2 AS entity_key, r AS rank_ticks
+       |       id // 2 AS entity_key, CAST(r AS BIGINT) AS rank_ticks
        |FROM i$iters ORDER BY node_type, entity_key""".stripMargin
   }
 
@@ -519,14 +522,15 @@ object SparkEntry {
   }
 
   /** g03 oracle: g01's unrolled rounds with the teleport confined to
-    * the seed (smallest customer node).
+    * the seed (smallest customer node). Per-round sum cast back to
+    * BIGINT — the HUGEINT-widening guard, same as [[g01OracleSql]].
     */
   private def g03OracleSql(iters: Int, scale: Long): String = {
     val teleport = scale * 15 / 100
     val rounds = (1 to iters).map { k =>
       val prev = if (k == 1) "r0" else s"i${k - 1}"
       s"""c$k AS (
-         |  SELECT e.dst AS id, sum(r.r // d.odeg) AS s
+         |  SELECT e.dst AS id, CAST(sum(r.r // d.odeg) AS BIGINT) AS s
          |  FROM e JOIN $prev r ON r.id = e.src JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst),
          |i$k AS (
@@ -549,7 +553,7 @@ object SparkEntry {
        |  CASE WHEN id = (SELECT seed FROM sd) THEN $scale ELSE 0 END AS r FROM n),
        |$rounds
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
-       |       id // 2 AS entity_key, r AS rank_ticks
+       |       id // 2 AS entity_key, CAST(r AS BIGINT) AS rank_ticks
        |FROM i$iters ORDER BY node_type, entity_key""".stripMargin
   }
 
