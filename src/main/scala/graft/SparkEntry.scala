@@ -122,6 +122,9 @@ object SparkEntry {
     "t14_tfidf" -> (TextAnalysis.t14Tfidf _),
     "d19_span_dedup" -> (Dedup.d19SpanDedup _),
     "g03_ppr" -> (Graph.g03PersonalizedPagerank _),
+    "g04_triangles" -> (Graph.g04TriangleCount _),
+    "g05_labelprop" -> (Graph.g05LabelProp _),
+    "g06_sssp" -> (Graph.g06ShortestPaths _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -557,7 +560,113 @@ object SparkEntry {
        |FROM i$iters ORDER BY node_type, entity_key""".stripMargin
   }
 
+  /** Shared oracle prelude for the trade-graph family: mirrored edge
+    * set + node set, identical to g01's CTEs.
+    */
+  private val gEdgeCtes =
+    """e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL
+      |  SELECT b AS src, a AS dst FROM e0),
+      |n AS (SELECT DISTINCT src AS id FROM e)""".stripMargin
+
+  /** g04 oracle: the same per-vertex top-k sparsification + degree-
+    * ordered wedge join as [[graft.operators.Graph.g04TriangleCount]]
+    * — counts are BIGINT end to end (count(*), no sum widening).
+    */
+  private def g04OracleSql(k: Int, rankBase: Long): String =
+    s"""WITH tp AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |cc AS MATERIALIZED (
+       |  SELECT x.s AS s1, y.s AS s2, count(*) AS n
+       |  FROM tp x JOIN tp y ON x.c = y.c AND x.s < y.s
+       |  GROUP BY 1, 2),
+       |dir AS (SELECT s1 AS u, s2 AS v, n FROM cc
+       |        UNION ALL SELECT s2, s1, n FROM cc),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+       |    SELECT u, v, row_number() OVER (
+       |      PARTITION BY u ORDER BY n DESC, v) AS rn FROM dir)
+       |  WHERE rn <= $k),
+       |deg AS MATERIALIZED (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |rk AS MATERIALIZED (SELECT v, d * $rankBase + v AS r FROM deg),
+       |ore AS MATERIALIZED (
+       |  SELECT CASE WHEN ra.r < rb.r THEN und.a ELSE und.b END AS src,
+       |         CASE WHEN ra.r < rb.r THEN und.b ELSE und.a END AS dst,
+       |         greatest(ra.r, rb.r) AS rdst
+       |  FROM und JOIN rk ra ON ra.v = und.a JOIN rk rb ON rb.v = und.b),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+       |  FROM ore e1
+       |  JOIN ore e2 ON e1.src = e2.src AND e1.rdst < e2.rdst
+       |  JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |tc AS (SELECT v, count(*) AS t FROM (
+       |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY v)
+       |SELECT deg.v AS supp_key, deg.d AS degree,
+       |       COALESCE(tc.t, CAST(0 AS BIGINT)) AS tri_cnt
+       |FROM deg LEFT JOIN tc ON tc.v = deg.v
+       |ORDER BY supp_key""".stripMargin
+
+  /** g05 oracle: unrolls EXACTLY
+    * [[graft.operators.Graph.LabelPropIters]] synchronous rounds —
+    * per round a (dst, label) count, then min label among the max
+    * count (the same argmax the engine's struct-max computes). Labels
+    * are node ids (longs); no sums, so no HUGEINT hazard.
+    */
+  private def g05OracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { kk =>
+      val prev = if (kk == 1) "l0" else s"l${kk - 1}"
+      s"""nb$kk AS MATERIALIZED (
+         |  SELECT e.dst AS id, l.lab AS lab, count(*) AS c
+         |  FROM e JOIN $prev l ON l.id = e.src
+         |  GROUP BY 1, 2),
+         |mx$kk AS MATERIALIZED (SELECT id, max(c) AS mc FROM nb$kk GROUP BY id),
+         |l$kk AS MATERIALIZED (
+         |  SELECT nb.id, min(nb.lab) AS lab
+         |  FROM nb$kk nb JOIN mx$kk m ON m.id = nb.id AND nb.c = m.mc
+         |  GROUP BY nb.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gEdgeCtes,
+       |l0 AS (SELECT id, id AS lab FROM n),
+       |$rounds
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key,
+       |       CASE WHEN lab % 2 = 0 THEN 'c' ELSE 's' END AS label_type,
+       |       lab // 2 AS label_key
+       |FROM l$iters ORDER BY node_type, entity_key""".stripMargin
+  }
+
+  /** g06 oracle: bounded BFS as a recursive CTE (edge CTEs
+    * MATERIALIZED — the HITS multi-reference lesson); the `d < iters`
+    * guard replicates the engine's fixed round count exactly, and
+    * min(BIGINT) does not widen.
+    */
+  private def g06OracleSql(seeds: Int, iters: Int): String =
+    s"""WITH RECURSIVE $gEdgeCtes,
+       |sd AS (SELECT id FROM n WHERE id % 2 = 0 ORDER BY id LIMIT $seeds),
+       |r(id, d) AS (
+       |  SELECT id, CAST(0 AS BIGINT) FROM sd
+       |  UNION
+       |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+       |  WHERE r.d < $iters)
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key, min(d) AS hops
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "g04_triangles" -> g04OracleSql(
+      graft.operators.Graph.TriTopK, graft.operators.Graph.RankBase),
+    "g05_labelprop" -> g05OracleSql(
+      graft.operators.Graph.LabelPropIters),
+    "g06_sssp" -> g06OracleSql(
+      graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(
       graft.operators.Graph.PageRankIters, graft.operators.Graph.RankScale),
     "g01_pagerank" -> g01OracleSql(

@@ -149,9 +149,13 @@ object Graph {
     val edges = tradeEdges(spark, sfDir).localCheckpoint(true)
     val nodes = edges.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
-    // 1-row driver scalars, same bounded pattern as g01's node count
-    val seed = nodes.filter(col("id") % 2 === 0).agg(min(col("id")))
-      .collect()(0).getLong(0)
+    // 1-row driver scalars, same bounded pattern as g01's node count.
+    // min() over zero rows is a null aggregate — fail with a contract
+    // message (g01's require(n > 0) analogue) instead of an NPE.
+    val seedRow = nodes.filter(col("id") % 2 === 0).agg(min(col("id")))
+      .collect()(0)
+    require(!seedRow.isNullAt(0), "g03: empty trading graph (no customer nodes)")
+    val seed = seedRow.getLong(0)
     val teleport = RankScale * 15 / 100
     var ranks = nodes.select(col("id"),
       when(col("id") === seed, lit(RankScale)).otherwise(lit(0L)).as("r"))
@@ -237,6 +241,198 @@ object Graph {
         col("h").as("score_ticks"))
       .unionByName(auths.select(lit("s").as("node_type"),
         col("s").as("entity_key"), col("a").as("score_ticks")))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** Strongest partners kept per vertex in g04's sparsified graph. */
+  private[graft] val TriTopK = 10
+
+  /** Rank encoding for g04's degree ordering: (degree, id) packed
+    * into one long, `deg * 2^32 + id`. Requires ids < 2^32 —
+    * suppkeys at any realistic SF; a wider key space would move to a
+    * (deg, id) struct join key.
+    */
+  private[graft] val RankBase = 4294967296L
+
+  /** g04: triangle count over the supplier co-purchase graph — the
+    * local-density / community signal the reference ships as
+    * TriangleCount (reference: /root/reference/graphx/src/main/
+    * scala/org/apache/spark/graphx/lib/TriangleCount.scala:1). The
+    * bipartite trade graph itself has no triangles, so g04 projects
+    * it: suppliers are linked by shared customers — but in this
+    * corpus EVERY supplier pair shares a customer (the projection is
+    * complete, C(n,2) edges, and its triangle count degenerates to
+    * C(n,3)). So the graph g04 counts on is the co-purchase STRENGTH
+    * graph: each supplier keeps its [[TriTopK]] strongest partners
+    * (most shared customers, ties broken by partner key), the union
+    * of kept directed edges taken undirected. Per-vertex top-k is the
+    * scale-safe sparsification — a partitioned window, no global
+    * sort, no fixed threshold to retune per corpus.
+    *
+    * Counting is the standard degree-ordered wedge join: orient every
+    * edge from lower to higher (degree, id) rank, join wedges on the
+    * shared low vertex, probe the oriented edge set — O(E^1.5) worst
+    * case instead of a hub blow-up, and each triangle is found
+    * exactly once. Output: (supp_key, degree, tri_cnt) per vertex of
+    * the sparsified graph.
+    *
+    * Scale shape: the projection self-join explodes per-customer
+    * degree (C(d,2) pairs per customer) — at 100 TB the projection
+    * step caps per-customer fan-out first (keep each customer's
+    * top suppliers by line count, the d05 tiering pattern); the
+    * window, orientation, and wedge join are all partition-parallel.
+    */
+  def g04TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tp = tradePairs(spark, sfDir)
+      .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+    val cc = tp.as("x").join(tp.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+      .agg(count(lit(1)).as("n"))
+    val dir = cc.select(col("s1").as("u"), col("s2").as("v"), col("n"))
+      .union(cc.select(col("s2").as("u"), col("s1").as("v"), col("n")))
+    val topk = Window.partitionBy(col("u")).orderBy(col("n").desc, col("v").asc)
+    val und = dir.withColumn("rn", row_number().over(topk))
+      .filter(col("rn") <= TriTopK)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // read by deg and the orientation join
+    val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // read by rank join and the final output
+    val rk = deg.select(col("v"), (col("d") * RankBase + col("v")).as("r"))
+    val ore = und
+      .join(rk.select(col("v").as("a"), col("r").as("ra")), "a")
+      .join(rk.select(col("v").as("b"), col("r").as("rb")), "b")
+      .select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ra"), col("rb")).as("rdst"))
+      .localCheckpoint(true) // read three times by the wedge self-join
+    val tri = ore.as("e1")
+      .join(ore.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
+      .join(ore.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val tc = tri.select(col("x").as("v"))
+      .union(tri.select(col("y").as("v")))
+      .union(tri.select(col("z").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    deg.join(tc, Seq("v"), "left")
+      .select(col("v").as("supp_key"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("tri_cnt"))
+      .orderBy(col("supp_key"))
+  }
+
+  /** Fixed synchronous label-propagation rounds — unrolled exactly in
+    * the oracle.
+    */
+  private[graft] val LabelPropIters = 4
+
+  /** g05: label propagation over the trading network — the
+    * community-detection pass the reference ships as LabelPropagation
+    * (reference: /root/reference/graphx/src/main/scala/org/apache/
+    * spark/graphx/lib/LabelPropagation.scala:1). Every node starts
+    * labeled with its own id; each synchronous round relabels every
+    * node with the most frequent label among its NEIGHBORS (not
+    * itself), ties broken toward the smallest label — the same
+    * argmax-by-(count, -label) struct-max trick as q45's
+    * mode-per-group, so the result is deterministic and tick-free
+    * (labels are node ids, longs end to end).
+    *
+    * Scale shape per round: one shuffle to count (dst, label) pairs
+    * with map-side partial aggregation, one partial-agg'd struct-max
+    * per dst — the CC loop's cost profile with mode instead of min.
+    * Lazy per-round localCheckpoint, the measured g01 strategy.
+    */
+  /** Synchronous label-propagation core: `edges` is a mirrored
+    * (src, dst) frame; returns (id, lab) after `iters` rounds.
+    * Package-private so the spec can probe convergence round by
+    * round on synthetic graphs.
+    */
+  private[graft] def labelPropRounds(edges: DataFrame, iters: Int): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  def g05LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    labelPropRounds(edges, LabelPropIters).select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        when(col("lab") % 2 === 0, lit("c")).otherwise(lit("s"))
+          .as("label_type"),
+        expr("lab div 2").as("label_key"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** g06 seed-set size and hop bound. The trade graph's diameter at
+    * test SFs is ≤ 4; [[SsspIters]] = 6 bounds the frontier expansion
+    * (and the oracle's recursion depth) with slack, and makes the
+    * result a pure function of the corpus even on a corpus where the
+    * bound binds.
+    */
+  private[graft] val SsspSeeds = 3
+  private[graft] val SsspIters = 6
+
+  /** g06: multi-source shortest paths (hop counts) from a seed set —
+    * the reference's ShortestPaths (reference: /root/reference/
+    * graphx/src/main/scala/org/apache/spark/graphx/lib/
+    * ShortestPaths.scala:1). Seeds: the [[SsspSeeds]] smallest
+    * customer nodes — deterministic and parameter-free like g03's
+    * seed; a production caller passes its own seed frame. Iterative
+    * min-plus: each round extends the reached set one hop
+    * ([[SsspIters]] rounds) and keeps the minimum hop count per node;
+    * nodes unreached within the bound are absent from the output.
+    *
+    * Scale shape per round: one join of the edge frame against the
+    * reached set (shuffle on src) and one partial-agg'd min — the
+    * production variant joins only the FRONTIER (rows whose distance
+    * changed), which this loop's union+min structure admits without
+    * reshaping. Integer hops, no ticks needed.
+    */
+  /** Bounded multi-source BFS core: `edges` mirrored (src, dst),
+    * `seeds` a 1-column (id) frame; returns (id, d) for every node
+    * reached within `iters` hops. Package-private for the spec.
+    */
+  private[graft] def boundedBfs(
+      edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var dist = seeds.select(col("id"), lit(0L).as("d")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = edges.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("d") + 1).as("d"))
+      dist = dist.union(next).groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
+  def g06ShortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.filter(col("id") % 2 === 0)
+      .orderBy(col("id")).limit(SsspSeeds)
+    boundedBfs(edges, seeds, SsspIters).select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        col("d").as("hops"))
       .orderBy(col("node_type"), col("entity_key"))
   }
 }

@@ -289,4 +289,94 @@ class JoinsGraphSpec extends AnyFunSuite {
     // every customer/supplier in the edge set is scored exactly once
     assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
   }
+
+  test("g04 triangles: exact on the K10 projection, degree bounded by top-k") {
+    import graft.operators.Graph
+    val rows = Graph.g04TriangleCount(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 1 && r._3 >= 0))
+    // at sf0.001 the co-purchase projection is the complete K10 (45
+    // pairs, checked against the corpus) and TriTopK = 10 ≥ 9 keeps
+    // every edge — so the expected output is exact: every supplier
+    // has degree 9 and C(9,2) = 36 triangles
+    assert(rows.length == 10 && rows.forall(r => r._2 == 9 && r._3 == 36),
+      s"K10 projection must give (9, 36) per vertex: ${rows.toSeq}")
+    // every triangle increments exactly three per-vertex counters
+    val triSum = rows.map(_._3).sum
+    assert(triSum % 3 == 0, s"per-vertex counts don't triple-count: $triSum")
+    // each vertex KEEPS at most TriTopK partners, so the undirected
+    // edge count (= sum(degree)/2) is bounded by n * TriTopK
+    val degSum = rows.map(_._2).sum
+    assert(degSum % 2 == 0 && degSum / 2 <= rows.length * Graph.TriTopK)
+    // a vertex's triangles can't exceed its wedge count C(d, 2)
+    assert(rows.forall(r => r._3 <= r._2 * (r._2 - 1) / 2))
+  }
+
+  test("g05 label propagation: cliques converge, distinct labels shrink") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two 3-cliques {1,2,3} and {10,11,12}, no cross edges (mirrored)
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val l3 = Graph.labelPropRounds(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique agrees on ONE label (its min id), none leaks across
+    assert(Set(1L, 2L, 3L).map(l3) == Set(1L))
+    assert(Set(10L, 11L, 12L).map(l3) == Set(10L))
+    // distinct-label count is non-increasing round over round on the
+    // trade graph — the convergence digest (CC-digest pattern)
+    val counts = (1 to Graph.LabelPropIters).map { k =>
+      Graph.labelPropRounds(
+        graftTestEdges(), k).select("lab").distinct().count()
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"label count must not grow: $counts")
+    // labels are node ids from the graph itself
+    val rows = Graph.g05LabelProp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("c", "s").contains(r.getString(0)) &&
+      Set("c", "s").contains(r.getString(2))))
+  }
+
+  /** Mirrored trade edge frame at the spec SF, built the same way the
+    * operators build it (via the public query's input tables).
+    */
+  private def graftTestEdges() = {
+    import spark.implicits._
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"o_custkey")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select($"l_orderkey".as("o_orderkey"), $"l_suppkey")
+    val p = o.join(l, "o_orderkey")
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+      .distinct()
+    p.select($"a".as("src"), $"b".as("dst"))
+      .union(p.select($"b".as("src"), $"a".as("dst")))
+  }
+
+  test("g06 shortest paths: BFS hops exact on a path graph, bound binds") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 0-1-2-3-4-5-6-7-8 (mirrored); seed {0}; iters 6 → node 7
+    // is at hop 7 and node 8 at hop 8: both beyond the bound, absent
+    val half = (0L to 7L).map(i => (i, i + 1))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.boundedBfs(edges, seeds, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 6L).map(i => i -> i).toMap,
+      s"path-graph hops wrong: $got")
+    // multi-source: seeds {0, 8} → hops are min over the two sources
+    val got2 = Graph.boundedBfs(edges, Seq(0L, 8L).toDF("id"), 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == (0L to 8L).map(i => i -> math.min(i, 8 - i)).toMap)
+    // full query: seeds at hop 0, everything within the bound
+    val rows = Graph.g06ShortestPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.count(r => r._3 == 0L) == Graph.SsspSeeds)
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= Graph.SsspIters))
+  }
 }
