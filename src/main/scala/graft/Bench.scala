@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: one JSON line on stdout with total wall
   * seconds at SPARK_GRAFT_SF_DIR. A warmup sweep at sf0.001 first so
   * timings measure steady-state execution, not first-query
-  * JVM/codegen warmup.
+  * JVM/codegen warmup. Since round 8 the sweep also records each
+  * query's EXECUTED metrics (shuffle bytes/records, spill,
+  * partial-agg reduction — [[Audit.metricsOf]]) into bench_full.json,
+  * and the timed action is `toRdd.count()` instead of the noop-v2
+  * write: same full-width execution, but it hands back the executed
+  * plan the metrics are read from.
   *
   * Two harness lessons are baked in:
   *
@@ -49,11 +54,17 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // noop sink (not count): count() lets Catalyst prune unreferenced
-    // output columns, under-measuring projection-heavy queries.
-    def run(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+    // Full-width sink (not df.count): count() lets Catalyst prune
+    // unreferenced output columns, under-measuring projection-heavy
+    // queries. `toRdd.count()` executes the compiled plan at full
+    // width (the same work the former noop-v2 write drove, minus the
+    // write shell) AND hands back the executed plan, so the sweep can
+    // read each query's runtime SQLMetrics — shuffle bytes/records,
+    // spill, partial-agg reduction — off the very plan that ran,
+    // synchronously (a QueryExecutionListener is event-bus-async in
+    // Spark 4 and can mis-attribute rows across query boundaries).
+    def run(name: String, dir: String): org.apache.spark.sql.execution.SparkPlan =
+      graft.plans.PlanAudit.executedPlan(SparkEntry.queries(name)(spark, dir))
     // Free checkpoint blocks parked by the previous query, keeping
     // live memo blocks (see class doc). Diagnostics to stderr only —
     // stdout must stay a single parseable JSON line.
@@ -73,29 +84,48 @@ object Bench {
     val results = names.map { name =>
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast one: record it
-      try run(name, sfDir) catch { case _: Throwable => errors += name }
+      val plan = try Some(run(name, sfDir))
+        catch { case _: Throwable => errors += name; None }
       val dt = (System.nanoTime() - t0) / 1e9
+      // metrics traversal runs OUTSIDE the timed window — driver-side
+      // bookkeeping, not query cost
+      val m = plan.map(Audit.metricsOf)
       cleanup()
-      name -> dt
+      (name, dt, m)
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE …) would
     // format 1.234 as "1,234" — malformed JSON.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // executed metrics per query (bench_full.json only — ~100 bytes a
+    // query would blow the stdout budget): every future perf
+    // adjudication compares in-sweep vs isolated EVIDENCE (same bytes
+    // ⇒ host/GC; more bytes ⇒ a plan or cleanup interaction) without
+    // a re-run.
+    val ms = results.collect { case (k, _, Some(m)) =>
+      s"\"$k\":{\"shuffle_bytes_written\":${m.shuffleBytesWritten}" +
+        s",\"shuffle_records_written\":${m.shuffleRecordsWritten}" +
+        s",\"shuffle_bytes_read\":${m.shuffleBytesRead}" +
+        s",\"shuffle_records_read\":${m.shuffleRecordsRead}" +
+        s",\"spill_bytes\":${m.spillBytes}" +
+        s",\"output_rows\":${m.outputRows}" +
+        s",\"partial_agg_reduction\":${r3(m.partialAggReduction)}}"
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    def line(queryMap: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$queryMap,"errors":$errs,"sf":"$sfDir"}"""
-    val full = line(qs)
+    def line(queryMap: String, metricsTail: String): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$queryMap,"errors":$errs,"sf":"$sfDir"$metricsTail}"""
+    val full = line(qs, s""","exec_metrics":$ms""")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line still carries the result
     // Tail-bounded driver capture (~3.5 KB observed): emit the
-    // per-query map inline only when the line safely fits; the full
-    // map is always in bench_full.json either way.
-    println(if (full.length <= 2500) full else line("{}"))
+    // per-query map inline only when the line safely fits (metrics
+    // never go to stdout); the full map is always in bench_full.json.
+    val slim = line(qs, "")
+    println(if (slim.length <= 2500) slim else line("{}", ""))
     spark.stop()
   }
 }

@@ -41,32 +41,57 @@ object CatalogTables {
     "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_returnflag", "l_linestatus", "l_shipdate"),
-    // no "events" entry: register() excludes the table (its
-    // ns-timestamp cast is read-side logic DDL can't express), so a
-    // key-column row here would be dead configuration implying stats
-    // that can never be computed
+    // events stats live on the BACKING table (events_raw): the ns
+    // timestamp is a raw long there, so even `ts` gets min/max — the
+    // view's derived timestamp column inherits selectivity from the
+    // untyped key columns below, which is what event queries filter on
+    "events_raw" -> Seq("event_id", "user_id", "event_type", "ts"),
     "documents" -> Seq("doc_id", "source", "lang"),
     "embeddings" -> Seq("vec_id", "label"))
 
   /** Register every star-schema table under `db` as an external
     * parquet table. Idempotent: an existing registration is replaced
     * (the location may point at a different SF dir), data files are
-    * never written or removed. `events` is excluded: its nanosecond
-    * timestamp column needs the read-side cast in [[Tables.events]],
-    * which catalog DDL cannot express — path reads remain its one
-    * surface (documented gap).
+    * never written or removed.
+    *
+    * `events` registers in two layers, because its nanosecond
+    * timestamp needs read-side logic plain table DDL can't express
+    * (the [[Tables.events]] cast): the parquet registers as
+    * `$db.events_raw` (ts stays the raw ns long — ANALYZE-able like
+    * any column), and `$db.events` is a VIEW applying the same
+    * `timestamp_micros(ts div 1000)` cast the path read applies.
+    * Event queries against the view are stats-driven through the
+    * view's projection (CBO propagates the base table's column stats
+    * through aliases); reading either layer needs
+    * `spark.sql.legacy.parquet.nanosAsLong`, which this method sets
+    * on the session — the same conf [[Tables.events]] sets per call.
     */
   def register(spark: SparkSession, sfDir: String, db: String = "graft"): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     Tables.names.filterNot(_ == "events").foreach { t =>
       val path = s"$sfDir/$t.parquet"
-      val fsPath = new org.apache.hadoop.fs.Path(path)
-      val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(fsPath)) {
+      if (pathExists(spark, path)) {
         spark.sql(s"DROP TABLE IF EXISTS $db.$t")
         spark.sql(s"CREATE TABLE $db.$t USING parquet LOCATION '$path'")
       }
     }
+    val eventsPath = s"$sfDir/events.parquet"
+    if (pathExists(spark, eventsPath)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.sql(s"DROP VIEW IF EXISTS $db.events")
+      spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
+      spark.sql(s"CREATE TABLE $db.events_raw USING parquet LOCATION '$eventsPath'")
+      spark.sql(
+        s"""CREATE VIEW $db.events AS
+           |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+           |       user_id, event_type, value, props
+           |FROM $db.events_raw""".stripMargin)
+    }
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fsPath)
   }
 
   /** ANALYZE every registered table: table-level (size + row count)
@@ -77,7 +102,7 @@ object CatalogTables {
     */
   def analyze(spark: SparkSession, db: String = "graft",
       withColumns: Boolean = true): Unit =
-    Tables.names.filterNot(_ == "events")
+    (Tables.names.filterNot(_ == "events") :+ "events_raw")
       .filter(t => spark.catalog.tableExists(s"$db.$t"))
       .foreach { t =>
         spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS")

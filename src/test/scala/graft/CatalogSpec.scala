@@ -48,6 +48,31 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("events registers as raw table + casting view, stats-driven") {
+    CatalogTables.register(spark, sfDir, db)
+    val viewed = spark.table(s"$db.events")
+    // the view applies the same ns→timestamp cast as the path read
+    assert(viewed.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val direct = Tables.events(spark, sfDir)
+    assert(viewed.count() == direct.count())
+    val wantTs = direct.select(max(col("ts"))).collect()(0).getTimestamp(0)
+    assert(viewed.select(max(col("ts"))).collect()(0).getTimestamp(0) == wantTs)
+    // the backing table ANALYZEs like any other — event queries against
+    // the view see real row counts instead of selectivity-1 file bytes
+    CatalogTables.analyze(spark, db)
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val (size, rows) = CatalogTables.stats(spark, s"$db.events_raw")
+      assert(size > 0 && rows.contains(BigInt(direct.count())),
+        s"events_raw stats missing after ANALYZE: $rows")
+      // and they propagate THROUGH the view's projection
+      val viewRows = spark.table(s"$db.events")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(viewRows.contains(BigInt(direct.count())),
+        s"view must inherit the base table's row count, got $viewRows")
+    }
+  }
+
   test("column statistics flip a filtered-dimension join to broadcast") {
     // register a FRESH db so the 'before' side is guaranteed unanalyzed
     val db2 = "graft_cat_flip"
