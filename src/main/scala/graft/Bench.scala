@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * partial-agg reduction — [[Audit.metricsOf]]) into bench_full.json,
   * and the timed action is `toRdd.count()` instead of the noop-v2
   * write: same full-width execution, but it hands back the executed
-  * plan the metrics are read from.
+  * plan the metrics are read from. Caveat: the metrics cover the
+  * FINAL action's plan — an iterative operator whose per-round
+  * frames localCheckpoint (g01-g06, s04, CC) runs earlier rounds as
+  * separate jobs, so its recorded bytes are the last round's, not
+  * the loop total. Right for the primary use (single-action queries
+  * like s05, where in-sweep vs isolated bytes adjudicate
+  * measurement disputes); an audit needing loop totals uses
+  * [[Audit.attach]].
   *
   * Two harness lessons are baked in:
   *

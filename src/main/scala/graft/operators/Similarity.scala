@@ -217,12 +217,16 @@ object Similarity {
     * co-locate far better). d05 (LSH over the whole corpus) stays the
     * cross-cell-complete alternative.
     */
-  /** The d11 probe assignment: (vec_id, top [SemProbes ranked cells],
+  /** The d11 probe assignment: (vec_id, top [`probes` ranked cells],
     * embedding), checkpointed — exposed so the recall spec can measure
     * probe-set co-occurrence of true near-dup pairs directly (the
-    * number a banding retune must not silently regress).
+    * number a banding retune must not silently regress), and
+    * parameterized by probe count so the probe∈{1,2,3} recall-vs-cost
+    * sweep spec can chart the operating points a future retune picks
+    * between (the shipped operator always uses [[SemProbes]]).
     */
-  private[graft] def semAssigned(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def semAssigned(spark: SparkSession, sfDir: String,
+      probes: Int = SemProbes): DataFrame = {
     registerAll(spark)
     val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -234,7 +238,7 @@ object Similarity {
     emb.crossJoin(broadcast(centroids))
       .withColumn("cs", call_function("cosine_sim", col("embedding"), col("cv")))
       .groupBy(col("vec_id"))
-      .agg(call_function("top_k_by_score", col("cs"), col("cid"), lit(SemProbes)).as("top"),
+      .agg(call_function("top_k_by_score", col("cs"), col("cid"), lit(probes)).as("top"),
         max(col("embedding")).as("embedding"))
       .localCheckpoint(true)
   }

@@ -451,6 +451,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"probe co-occurrence $co/${truth.size} = $ratio under the 0.72 floor")
   }
 
+  test("d11 probe sweep: recall and candidate cost, probes 1 to 3") {
+    // the operating-point table: co-occurrence (recall proxy) and
+    // candidate-pair count (cost proxy) per probe setting, so a future
+    // retune picks probes DELIBERATELY — on this corpus 2-probe buys
+    // +19 pairs over 1-probe, 3-probe's extra candidates buy the tail
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val truth = (for {
+      i <- emb.indices.iterator
+      j <- (i + 1) until emb.length
+      if cos(emb(i)._2, emb(j)._2) >= Similarity.SemBar
+    } yield (emb(i)._1, emb(j)._1)).toSeq
+    val sweep = (1 to 3).map { p =>
+      val assigned = Similarity.semAssigned(spark, dir, p)
+      val cells = assigned
+        .select(col("vec_id"), col("top.id").as("cells")).collect()
+        .map(r => r.getLong(0) ->
+          r.getAs[scala.collection.Seq[Long]]("cells").toSet).toMap
+      val co = truth.count { case (a, b) => (cells(a) & cells(b)).nonEmpty }
+      val multi = assigned.select(col("vec_id"), explode(col("top.id")).as("cell"))
+      val cand = multi.as("x")
+        .join(multi.as("y"), col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+      info(f"probes=$p co-occur=$co/${truth.size} candidates=$cand")
+      (p, co, cand)
+    }
+    // recall is monotone in probes, and so is the candidate cost —
+    // the sweep's whole point is that the trade is real in both axes
+    sweep.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 <= b._2, s"co-occurrence regressed: $a -> $b")
+        assert(a._3 <= b._3, s"candidate count shrank: $a -> $b")
+      case _ => ()
+    }
+    // the shipped operating point (SemProbes = 2) holds the 0.72
+    // floor; single-probe demonstrably does NOT on this corpus — the
+    // documented reason d11 pays the 2-probe candidate multiplier
+    assert(sweep(1)._2.toDouble / truth.size >= 0.72)
+    assert(sweep(0)._2.toDouble / truth.size < 0.72,
+      "single-probe now meets the floor — revisit the SemProbes choice")
+  }
+
   test("derived bits keep expected occupancy bounded as the corpus grows") {
     // the scale contract: expected band-bucket occupancy n/2^bits must
     // stay <= AnnTargetBucket at EVERY corpus size — the fixed 3-bit
