@@ -82,6 +82,7 @@ object SparkEntry {
     "j02_range_join" -> (Joins.j02RangeJoin _),
     "j03_nearest_join" -> (Joins.j03NearestJoin _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
+    "s09_mmr_select" -> (Similarity.s09MmrSelect _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -660,7 +661,59 @@ object SparkEntry {
        |       id // 2 AS entity_key, min(d) AS hops
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** s09 oracle: unrolls EXACTLY [[graft.operators.Similarity.MmrK]]
+    * greedy MMR selections over the top-`pool` pool. All-integer
+    * score arithmetic (`7·rel_t − 3·max_sim_t`, λ = 0.7 scaled by
+    * 10 — deliberately NO division: integer div truncates toward
+    * zero in Spark but floors in DuckDB on negative scores); cosine
+    * ticks are `floor(cos · 2^20 + 0.5)` cast BIGINT, the s08
+    * contract. Ties to the smaller vec_id at every argmax.
+    */
+  private def s09OracleSql(k: Int, pool: Int): String = {
+    val steps = (1 to k).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""c$i AS (
+         |  SELECT p.vec_id, p.rel_t,
+         |    (SELECT max(s.sim_t) FROM sims s WHERE s.a = p.vec_id
+         |       AND s.b IN (SELECT id FROM $prev)) AS ms
+         |  FROM pool p WHERE p.vec_id NOT IN (SELECT id FROM $prev)),
+         |pick$i AS (
+         |  SELECT vec_id, rel_t, 7 * rel_t - 3 * COALESCE(ms, 0) AS mmr_t
+         |  FROM c$i ORDER BY mmr_t DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL
+         |  SELECT vec_id AS id, CAST($i AS BIGINT) AS rank, rel_t, mmr_t
+         |  FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mq AS (SELECT min(vec_id) AS qid FROM embeddings),
+       |qq AS (SELECT embedding AS qv FROM embeddings
+       |       WHERE vec_id = (SELECT qid FROM mq)),
+       |rel AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |    CAST(floor(${cosSql("e.embedding", "q.qv")} * 1048576.0 + 0.5)
+       |      AS BIGINT) AS rel_t
+       |  FROM embeddings e CROSS JOIN qq q
+       |  WHERE e.vec_id <> (SELECT qid FROM mq)),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, embedding, rel_t FROM (
+       |    SELECT vec_id, embedding, rel_t,
+       |      row_number() OVER (ORDER BY rel_t DESC, vec_id) AS rn
+       |    FROM rel) WHERE rn <= $pool),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(floor(${cosSql("a.embedding", "b.embedding")} * 1048576.0 + 0.5)
+       |      AS BIGINT) AS sim_t
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS rank,
+       |  CAST(NULL AS BIGINT) AS rel_t, CAST(NULL AS BIGINT) AS mmr_t
+       |  WHERE false),
+       |$steps
+       |SELECT rank, id AS vec_id, rel_t AS rel_ticks, mmr_t AS mmr_ticks
+       |FROM sel$k ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "s09_mmr_select" -> s09OracleSql(
+      graft.operators.Similarity.MmrK, graft.operators.Similarity.MmrPool),
     "g04_triangles" -> g04OracleSql(
       graft.operators.Graph.TriTopK, graft.operators.Graph.RankBase),
     "g05_labelprop" -> g05OracleSql(

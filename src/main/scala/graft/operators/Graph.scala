@@ -38,6 +38,20 @@ import graft.Tables
   * (production: bucketed by src so the per-round join is
   * exchange-free). Per-round `localCheckpoint` keeps lineage flat —
   * the same exponential-plan lesson as connectedComponents.
+  *
+  * Coverage vs the reference graph library: PageRank (g01/g03), HITS
+  * (g02), TriangleCount (g04), LabelPropagation (g05), ShortestPaths
+  * (g06), ConnectedComponents (Dedup.connectedComponents, shipped
+  * under d07). StronglyConnectedComponents is deliberately omitted:
+  * on a mirrored (undirected) edge set SCC coincides exactly with CC
+  * — every edge is bidirectional, so mutual reachability IS
+  * reachability — and the corpus's only natural directed relation
+  * (customer→supplier purchases) is bipartite one-way, where every
+  * SCC is a singleton. Neither graph gives SCC semantics distinct
+  * from what CC already computes; a synthetic direction assignment
+  * would test the machinery against an invented relation, not the
+  * data (reference: /root/reference/graphx/src/main/scala/org/
+  * apache/spark/graphx/lib/StronglyConnectedComponents.scala:1).
   */
 object Graph {
 

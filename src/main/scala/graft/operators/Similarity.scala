@@ -442,6 +442,110 @@ object Similarity {
           .as("n_above_half"))
   }
 
+  /** Candidate-pool size for [[s09MmrSelect]] — the bounded rerank
+    * set; at any corpus size the pool stays this many rows.
+    */
+  private[graft] val MmrPool = 20
+
+  /** Selections [[s09MmrSelect]] makes (unrolled exactly in the
+    * oracle).
+    */
+  private[graft] val MmrK = 5
+
+  /** s09: MMR (maximal-marginal-relevance) diverse top-k — the
+    * curation selector that picks items RELEVANT to a query but not
+    * REDUNDANT with each other (`λ·rel − (1−λ)·max-sim-to-selected`,
+    * λ = 0.7), the standard answer to "the top-k by plain cosine is
+    * five near-copies of the same document". Query: the smallest
+    * vec_id's embedding (deterministic, parameter-free for the
+    * driver contract; production passes its own query vector).
+    *
+    * Scale shape — the honest two-phase decomposition every MMR
+    * deployment uses, because greedy selection is inherently
+    * sequential: (1) candidate generation is DISTRIBUTED (one
+    * broadcast corpus scan, ticks into the bounded
+    * [[graft.functions.TopKByScore]] aggregate — k-capped partial
+    * heaps, the s01 shape, never a global sort), then (2) the exact
+    * greedy rerank runs over the [[MmrPool]]-row pool: per step one
+    * tiny max-struct aggregate and a 1-row collect ([[MmrK]] bounded
+    * control-plane fetches, the g03 seed pattern). At 100 TB phase 1
+    * is the same single scan; the pool is still 20 rows.
+    *
+    * Determinism: cosines quantize to 2⁻²⁰ ticks (the s08 contract),
+    * the MMR score is the ALL-INTEGER `7·rel_t − 3·max_sim_t` (λ
+    * scaled by 10; no division anywhere — integer div truncates
+    * toward zero in Spark but floors in DuckDB on NEGATIVE scores,
+    * so the score arithmetic deliberately avoids it), ties to the
+    * smaller vec_id. Output: (rank, vec_id, rel_ticks, mmr_ticks).
+    */
+  def s09MmrSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    mmrSelectFrom(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+  }
+
+  /** The s09 core over any (vec_id, embedding) frame — package-
+    * private so the spec can drive it with hand-built geometry where
+    * the diversity skip is provable by construction.
+    */
+  private[graft] def mmrSelectFrom(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    registerAll(spark)
+    val qRow = emb.agg(min(col("vec_id"))).collect()(0)
+    require(!qRow.isNullAt(0), "s09: empty embeddings corpus")
+    val qid = qRow.getLong(0)
+    val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+    val rel = emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+      .withColumn("rel_t",
+        floor(call_function("cosine_sim", col("embedding"), col("qv"))
+          * lit(DiversityScale) + lit(0.5)).cast("long"))
+      .select(col("vec_id"), col("embedding"), col("rel_t"))
+    // distributed top-Pool by (rel desc, id asc); ids only through the
+    // aggregate, embeddings joined back for the 20 pool rows
+    val pool = rel
+      .agg(call_function("top_k_by_score",
+        col("rel_t").cast("double"), col("vec_id"), lit(MmrPool)).as("top"))
+      .select(explode(col("top.id")).as("vec_id"))
+      .join(rel, "vec_id")
+      .localCheckpoint(true) // read every greedy step
+    // pairwise pool sims once (≤ Pool² rows), not per step
+    val sims = pool.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        pool.select(col("vec_id").as("b"), col("embedding").as("eb"))))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim_t",
+        floor(call_function("cosine_sim", col("ea"), col("eb"))
+          * lit(DiversityScale) + lit(0.5)).cast("long"))
+      .select(col("a"), col("b"), col("sim_t"))
+      .localCheckpoint(true)
+    var selected = Vector.empty[(Long, Long, Long, Long)] // rank,id,rel,mmr
+    for (k <- 1 to MmrK) {
+      val selIds = selected.map(_._2)
+      val remaining =
+        if (selIds.isEmpty) pool else pool.filter(!col("vec_id").isInCollection(selIds))
+      val scored =
+        if (selIds.isEmpty)
+          remaining.withColumn("mmr_t", lit(7L) * col("rel_t"))
+        else {
+          val ms = sims.filter(col("b").isInCollection(selIds))
+            .groupBy(col("a").as("vec_id")).agg(max(col("sim_t")).as("ms"))
+          remaining.join(ms, Seq("vec_id"), "left")
+            .withColumn("mmr_t",
+              lit(7L) * col("rel_t") - lit(3L) * coalesce(col("ms"), lit(0L)))
+        }
+      val m = scored
+        .agg(max(struct(col("mmr_t"), (-col("vec_id")).as("nid"),
+          col("rel_t").as("rt"))).as("m"))
+        .select(col("m.mmr_t"), (-col("m.nid")).as("id"), col("m.rt"))
+        .collect()(0)
+      require(!m.isNullAt(0), s"s09: pool exhausted at step $k (corpus < ${MmrK + 1} vectors)")
+      selected :+= ((k.toLong, m.getLong(1), m.getLong(2), m.getLong(0)))
+    }
+    selected.toDF("rank", "vec_id", "rel_ticks", "mmr_ticks")
+      .orderBy(col("rank"))
+  }
+
   /** Neighbors per vector for [[s05KnnJoin]] — small k is the k-NN
     * graph regime (SemDeDup adjacency, graph clustering), and output
     * is k rows per corpus vector, so k multiplies the result size.

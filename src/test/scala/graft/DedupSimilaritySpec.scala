@@ -496,6 +496,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "single-probe now meets the floor — revisit the SemProbes choice")
   }
 
+  test("s09 MMR skips the near-duplicate a plain top-k would take") {
+    import spark.implicits._
+    // hand-built geometry: query q = id 0 (the min id). Candidate a
+    // (id 1) is most relevant; b (id 2) is a NEAR-COPY of a with the
+    // second-best relevance; c (id 3) is decently relevant but nearly
+    // orthogonal to a. Plain top-2 by cosine = (a, b); MMR's second
+    // pick must be c: score(b) = 7·rel(b) − 3·sim(a,b) ≈ 5.5 − 3.0
+    // loses to score(c) ≈ 4.9 − 0.4. Ids 4-6 are low-relevance
+    // filler so the pool covers MmrK selections.
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0.8f, 0.6f, 0f, 0f),
+      2L -> Array(0.79f, 0.6f, 0.1f, 0f),
+      3L -> Array(0.7f, -0.714f, 0f, 0f),
+      4L -> Array(0.2f, 0f, 0.98f, 0f),
+      5L -> Array(0.1f, 0f, 0f, 0.99f),
+      6L -> Array(0f, 0.3f, 0.3f, 0.9f))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelectFrom(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L, s"step 1 must take the most relevant: $got")
+    assert(got(2L) == 3L,
+      s"step 2 must take the diverse candidate over the near-copy: $got")
+    assert(got.values.toSet.size == Similarity.MmrK, "selections must be distinct")
+    assert(got.values.toSet.contains(2L),
+      "the near-copy should still surface once diversity is established")
+    // determinism: integer ticks + id tie-breaks — a second run is
+    // bit-identical
+    val again = Similarity.mmrSelectFrom(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("derived bits keep expected occupancy bounded as the corpus grows") {
     // the scale contract: expected band-bucket occupancy n/2^bits must
     // stay <= AnnTargetBucket at EVERY corpus size — the fixed 3-bit
