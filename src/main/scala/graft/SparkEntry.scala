@@ -98,6 +98,7 @@ object SparkEntry {
     "t07_vocab" -> (TextAnalysis.t07Vocab _),
     "t08_entropy" -> (TextAnalysis.t08Entropy _),
     "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
+    "t15_bigram_bits" -> (TextAnalysis.t15BigramBits _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -2065,6 +2066,38 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT 'supplier' AS entity, s_suppkey AS key, s_name AS name FROM supplier)
         |ORDER BY entity, key""".stripMargin,
+    // t15: t09's tick contract over conditional bigram probabilities
+    // — the model CTE joins each bigram to its FIRST word's unigram
+    // count (t11's string_split access), add-one smoothed
+    "t15_bigram_bits" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS w FROM tk),
+        |uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        |vs AS (SELECT count(*) AS v_size FROM uni),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tk),
+        |bi AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+        |mdl AS (
+        |  SELECT b.bigram,
+        |    CAST(floor(-log2((b.cb + 1.0) / (u.cu + vs.v_size)) * 1048576.0 + 0.5) AS BIGINT) AS q
+        |  FROM bi b
+        |  JOIN uni u ON u.w = string_split(b.bigram, ' ')[1]
+        |  CROSS JOIN vs),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM bg JOIN mdl USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN pd.nb > 0
+        |       THEN round(CAST(pd.sq AS DOUBLE) / (1048576.0 * pd.nb), 4)
+        |       ELSE NULL END AS bigram_bits
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t09_surprisal" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -457,4 +457,56 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("tfidf"), col("rank"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** t15: bigram-LM fluency score — per-document mean CONDITIONAL
+    * surprisal −log2 P(w2|w1) under the corpus's own bigram model
+    * with add-one smoothing (the CCNet-style LM quality filter,
+    * complementing t09's unigram rarity: t09 asks "are these words
+    * rare", t15 asks "are these TRANSITIONS unusual" — boilerplate
+    * and templates score low bits, shuffled or disfluent text scores
+    * high even when every word is common). P(w2|w1) =
+    * (cb(w1w2)+1)/(cu(w1)+V); every scored bigram is in the model by
+    * construction (the doc contributed it), so smoothing only damps
+    * rare transitions, never divides by zero.
+    *
+    * Determinism: t09's proven contract — one libm log2 per DISTINCT
+    * model bigram, quantized to 2⁻²⁰-tick longs
+    * (`floor(−log2(P)·2^20 + 0.5)`), per-doc mean of an
+    * order-independent long sum, rounded 4dp.
+    *
+    * Scale shape: two corpus token scans (unigram + bigram counts),
+    * both partial-agg'd; the model join is bigram-vocabulary-sized
+    * (broadcast when it fits — t09's model-join regime); the per-doc
+    * aggregation shuffles (doc_id, tick) longs only.
+    */
+  def t15BigramBits(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val uni = docs
+      .select(explode(call_function("word_grams", lower(col("text")), lit(1))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vsize = uni.agg(count(lit(1)).as("v_size"))
+    val bisByDoc = docs.select(col("doc_id"),
+      explode(call_function("word_grams", lower(col("text")), lit(2))).as("bigram"))
+    val model = bisByDoc.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .join(uni.select(col("w").as("w1"), col("cu")), "w1")
+      .crossJoin(broadcast(vsize))
+      .withColumn("q",
+        floor(-log2((col("cb") + lit(1)).cast("double") /
+            (col("cu") + col("v_size")).cast("double")) *
+          lit(SurprisalScale) + lit(0.5)).cast("long"))
+      .select(col("bigram"), col("q"))
+    val perDoc = bisByDoc.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("q")).as("sq"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(col("nb") > 0,
+          round(col("sq").cast("double") / (lit(SurprisalScale) * col("nb")), 4))
+          .otherwise(lit(null).cast("double")).as("bigram_bits"))
+      .orderBy(col("doc_id"))
+  }
 }

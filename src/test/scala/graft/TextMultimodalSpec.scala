@@ -94,6 +94,47 @@ class TextMultimodalSpec extends AnyFunSuite {
   }
 
 
+  test("t15 bigram bits matches the brute-force conditional model") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[ \n\t\r]+").filter(_.nonEmpty).toSeq
+    val all = docs.map(d => toks(d._2))
+    val uni = all.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vSize = uni.size.toLong
+    val bigrams = all.flatMap(ts => ts.sliding(2).filter(_.size == 2)
+      .map(p => (p.head, p(1))).toSeq)
+    val cb = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def q(p: (String, String)): Long =
+      math.floor(-(math.log((cb(p) + 1.0) / (uni(p._1) + vSize)) / math.log(2.0))
+        * 1048576.0 + 0.5).toLong
+    val byId = TextAnalysis.t15BigramBits(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(byId.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val ps = toks(text).sliding(2).filter(_.size == 2)
+        .map(p => (p.head, p(1))).toSeq
+      val (n, s) = byId(id)
+      assert(n == ps.length, s"doc $id n_bigrams")
+      if (ps.nonEmpty) {
+        val want = ps.map(q).sum.toDouble / (1048576.0 * ps.length)
+        assert(math.abs(s - want) < 2e-4, s"doc $id: $s vs $want")
+      } else assert(s.isNaN, s"doc $id must have null bits with no bigrams")
+    }
+    // conditional bits differ from t09's unigram bits (a genuinely
+    // different signal, not a re-labeling): the two scores disagree
+    // on at least some documents
+    val t09 = TextAnalysis.t09Surprisal(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    val diff = byId.collect {
+      case (id, (n, s)) if n > 0 && !t09(id).isNaN => math.abs(s - t09(id))
+    }
+    assert(diff.exists(_ > 0.1), "bigram bits should not mirror unigram bits")
+  }
+
   test("m01 binary meta: mime follows the magic bytes, hash is content-derived") {
     val out = Multimodal.m01BinaryMeta(spark, sfDir).collect()
     assert(out.nonEmpty)
