@@ -66,10 +66,11 @@ object Graph {
 
   /** Materialize-once distinct (customer, supplier) pair frame
     * (a = 2·custkey, b = 2·suppkey+1) per (session, sfDir, input
-    * fingerprints) — g01, g02, and g03 all derive their edge frames
-    * from it, and rebuilding the orders⋈lineitem distinct three
-    * times in one sweep is pure waste. Same [[graft.FrameMemo]]
-    * lifecycle (and staleness contract) as Dedup's cluster labels.
+    * fingerprints) — the whole g-family derives its edge frames from
+    * it (g02/g04 directly, the rest via [[tradeEdges]]), and
+    * rebuilding the orders⋈lineitem distinct per operator in one
+    * sweep is pure waste. Same [[graft.FrameMemo]] lifecycle (and
+    * staleness contract) as Dedup's cluster labels.
     */
   private val pairsMemo = new graft.FrameMemo
 
@@ -87,23 +88,41 @@ object Graph {
         .localCheckpoint(true)
     }
 
-  /** Persistent-RDD ids backing the live pairs memo — see
+  /** Materialize-once mirrored edge frame with out-degrees — FIVE
+    * operators consume it (g01, g03, g05, g06 directly; g02 via the
+    * pairs), and re-deriving the mirror + degree shuffle + checkpoint
+    * per operator is the same waste the pairs memo removed.
+    */
+  private val edgesMemo = new graft.FrameMemo
+
+  /** Persistent-RDD ids backing the live graph memos — see
     * [[graft.FrameMemo]] for the bench-harness cleanup contract.
     */
-  private[graft] def memoRetainedIds: Set[Int] = pairsMemo.retainedIds
+  private[graft] def memoRetainedIds: Set[Int] =
+    pairsMemo.retainedIds ++ edgesMemo.retainedIds
 
-  /** Drop the pairs memo and unpersist its blocks. */
-  private[graft] def clearMemos(): Unit = pairsMemo.clear()
+  /** Drop the graph memos and unpersist their blocks. */
+  private[graft] def clearMemos(): Unit = {
+    pairsMemo.clear(); edgesMemo.clear()
+  }
 
   /** Directed-both-ways bipartite edge set with out-degrees:
-    * (src, dst, odeg) — the shared pairs, mirrored.
+    * (src, dst, odeg) — the shared pairs, mirrored, memoized and
+    * eagerly checkpointed once per (session, dir, inputs). The
+    * upstream pairs frame is computed BEFORE entering this memo's
+    * compute block — the [[graft.FrameMemo]] no-nested-compute
+    * lock-order invariant.
     */
   private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = tradePairs(spark, sfDir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    edges.join(odeg, "src")
+    edgesMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|edges") {
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      edges.join(odeg, "src").localCheckpoint(true)
+    }
   }
 
   /** g01: PageRank over the customer↔supplier trading network —
@@ -112,7 +131,7 @@ object Graph {
     * (node_type 'c'|'s', entity_key, rank_ticks).
     */
   def g01PageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = tradeEdges(spark, sfDir).localCheckpoint(true)
+    val edges = tradeEdges(spark, sfDir)
     val nodes = edges.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
@@ -160,7 +179,7 @@ object Graph {
     * nodes stay exactly 0.
     */
   def g03PersonalizedPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = tradeEdges(spark, sfDir).localCheckpoint(true)
+    val edges = tradeEdges(spark, sfDir)
     val nodes = edges.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
     // 1-row driver scalars, same bounded pattern as g01's node count.
@@ -386,7 +405,6 @@ object Graph {
 
   def g05LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-      .localCheckpoint(true)
     labelPropRounds(edges, LabelPropIters).select(
         when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
         expr("id div 2").as("entity_key"),
@@ -439,7 +457,6 @@ object Graph {
 
   def g06ShortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-      .localCheckpoint(true)
     val nodes = edges.select(col("src").as("id")).distinct()
     val seeds = nodes.filter(col("id") % 2 === 0)
       .orderBy(col("id")).limit(SsspSeeds)
