@@ -111,6 +111,7 @@ object SparkEntry {
     "p04_curate" -> (Pipeline.p04Curate _),
     "p05_profile" -> (Pipeline.p05Profile _),
     "p06_stratified_sample" -> (Pipeline.p06StratifiedSample _),
+    "p12_curriculum" -> (Pipeline.p12Curriculum _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -1618,6 +1619,28 @@ object SparkEntry {
     // quartile cutpoints (quantile_cont == Spark's exact percentile,
     // parity established by q25) and the md5 keep rule (p01's pattern,
     // 'p06:'-salted)
+    // p12: p06's quartile CTEs + a (stratum, source)-partitioned
+    // within-rank + the global schedule rank — md5 hex orders
+    // identically in both engines (p11's contract)
+    "p12_curriculum" ->
+      ("WITH q AS (" + qualityScoreOracleBody + "),\n" +
+        """c AS (SELECT quantile_cont(quality_score, 0.25) AS c1,
+          |            quantile_cont(quality_score, 0.5)  AS c2,
+          |            quantile_cont(quality_score, 0.75) AS c3 FROM q),
+          |s AS (SELECT q.doc_id, d.source,
+          |  CASE WHEN quality_score < c1 THEN 0
+          |       WHEN quality_score < c2 THEN 1
+          |       WHEN quality_score < c3 THEN 2 ELSE 3 END AS stratum,
+          |  md5('p12:' || CAST(q.doc_id AS VARCHAR)) AS k
+          |  FROM q JOIN documents d ON d.doc_id = q.doc_id, c),
+          |r AS (SELECT doc_id, source, stratum,
+          |  row_number() OVER (PARTITION BY stratum, source
+          |                     ORDER BY k, doc_id) AS rr
+          |  FROM s)
+          |SELECT doc_id, stratum, source,
+          |  row_number() OVER (ORDER BY stratum, rr, source, doc_id) AS seq
+          |FROM r
+          |ORDER BY seq""".stripMargin),
     "p06_stratified_sample" ->
       ("WITH q AS (" + qualityScoreOracleBody + "),\n" +
         """c AS (SELECT quantile_cont(quality_score, 0.25) AS c1,

@@ -402,4 +402,50 @@ object Pipeline {
       .select(col("doc_id"), col("quality_score"), col("stratum"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** p12: curriculum schedule — the corpus emitted in TRAINING ORDER:
+    * quality-annealed phases (t02 quartiles, worst first so training
+    * ends on the highest-quality data — the standard quality-anneal
+    * recipe) with sources ROUND-ROBIN-interleaved inside each phase
+    * (rank within (stratum, source) by salted md5, then a global rank
+    * over (stratum, within-rank, source)) so no batch is
+    * source-correlated. This is the ORDERING step after scoring
+    * (t02), sampling (p06), and mixing (p03) — p11 gives a uniform
+    * shuffle, p12 gives the schedule.
+    *
+    * Scale shape: the quartile cuts are one exact-percentile
+    * aggregation broadcast back (p06's pattern and its documented
+    * percentile_approx swap at 100 TB); the within-phase rank is a
+    * PARTITIONED window ((stratum, source) partitions — never one
+    * global window task); the final sequence comes from
+    * [[Relational.distributedRank]] (range partition + broadcast
+    * offsets). Every step is a pure function of (doc_id, text,
+    * source), reproducible on any engine.
+    */
+  def p12Curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.t02QualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(true) // cuts + assignment both consume it
+    val cuts = q.agg(expr(
+      "percentile(quality_score, array(0.25, 0.5, 0.75))").as("c"))
+      .select(col("c")(0).as("c1"), col("c")(1).as("c2"), col("c")(2).as("c3"))
+    val assigned = q.crossJoin(broadcast(cuts))
+      .withColumn("stratum",
+        when(col("quality_score") < col("c1"), 0)
+          .when(col("quality_score") < col("c2"), 1)
+          .when(col("quality_score") < col("c3"), 2)
+          .otherwise(3))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .withColumn("k",
+        md5(concat(lit("p12:"), col("doc_id").cast("string"))))
+    val within = assigned.withColumn("rr", row_number().over(
+      Window.partitionBy(col("stratum"), col("source"))
+        .orderBy(col("k"), col("doc_id"))))
+    Relational.distributedRank(within, Nil,
+        Seq("stratum", "rr", "source", "doc_id"), "seq")
+      .select(col("doc_id"), col("stratum"), col("source"), col("seq"))
+      .orderBy(col("seq"))
+  }
 }

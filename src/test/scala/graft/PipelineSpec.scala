@@ -187,4 +187,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(kf(3) == 1.0, "top stratum keeps everything")
     assert(kf(0) < 0.25, s"bottom stratum must be heavily downsampled: ${kf(0)}")
   }
+
+  test("p12 curriculum: dense schedule, annealed phases, sources interleaved") {
+    val rows = Pipeline.p12Curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // seq is a dense 1..N permutation of the whole corpus
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n)
+    assert(rows.map(_._4).sorted.sameElements(1L to n))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // phases anneal: stratum is non-decreasing along the schedule
+    val bySeq = rows.sortBy(_._4)
+    assert(bySeq.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      "stratum must never decrease along the schedule")
+    // round-robin inside a phase: walking a stratum in schedule order,
+    // block b (the b-th pass over the sources) holds exactly the
+    // sources that still have a b-th document, each once — so no batch
+    // is source-correlated until a source runs dry
+    bySeq.groupBy(_._2).foreach { case (stratum, docs) =>
+      val inOrder = docs.sortBy(_._4).map(_._3)
+      val srcCounts = inOrder.groupBy(identity).view.mapValues(_.size).toMap
+      var idx = 0
+      var block = 1
+      while (idx < inOrder.length) {
+        val expect = srcCounts.filter(_._2 >= block).keys.toSeq.sorted
+        val got = inOrder.slice(idx, idx + expect.length)
+        assert(got.sameElements(expect),
+          s"stratum $stratum block $block: $got != $expect")
+        idx += expect.length
+        block += 1
+      }
+    }
+    // deterministic: a second run is identical
+    val again = Pipeline.p12Curriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(again.sameElements(rows))
+  }
 }
