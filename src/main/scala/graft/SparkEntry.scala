@@ -99,6 +99,7 @@ object SparkEntry {
     "t08_entropy" -> (TextAnalysis.t08Entropy _),
     "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
     "t15_bigram_bits" -> (TextAnalysis.t15BigramBits _),
+    "t16_source_kl" -> (TextAnalysis.t16SourceKl _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "g04_triangles" -> (Graph.g04TriangleCount _),
     "g05_labelprop" -> (Graph.g05LabelProp _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
+    "g07_linkpred" -> (Graph.g07LinkPredict _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -580,8 +582,12 @@ object SparkEntry {
     * ordered wedge join as [[graft.operators.Graph.g04TriangleCount]]
     * — counts are BIGINT end to end (count(*), no sum widening).
     */
-  private def g04OracleSql(k: Int, rankBase: Long): String =
-    s"""WITH tp AS MATERIALIZED (
+  /** Shared CTE prefix for the g04/g07 oracles: the sparsified
+    * undirected co-purchase graph `und` (a < b) — mirrors
+    * [[graft.operators.Graph.coPurchaseUnd]] exactly.
+    */
+  private def undCtes(k: Int): String =
+    s"""tp AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
        |cc AS MATERIALIZED (
@@ -594,7 +600,10 @@ object SparkEntry {
        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
        |    SELECT u, v, row_number() OVER (
        |      PARTITION BY u ORDER BY n DESC, v) AS rn FROM dir)
-       |  WHERE rn <= $k),
+       |  WHERE rn <= $k)""".stripMargin
+
+  private def g04OracleSql(k: Int, rankBase: Long): String =
+    s"""WITH ${undCtes(k)},
        |deg AS MATERIALIZED (
        |  SELECT v, count(*) AS d FROM (
        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
@@ -616,6 +625,33 @@ object SparkEntry {
        |       COALESCE(tc.t, CAST(0 AS BIGINT)) AS tri_cnt
        |FROM deg LEFT JOIN tc ON tc.v = deg.v
        |ORDER BY supp_key""".stripMargin
+
+  /** g07 oracle: the shared `und` prefix, then neighbor lists, the
+    * wedge-join candidate count, the adjacency anti-join, and the
+    * Jaccard projection — counts CAST to BIGINT (no HUGEINT sums),
+    * ranking on the raw count with a (a, b) tiebreak.
+    */
+  private def g07OracleSql(undK: Int, k: Int): String =
+    s"""WITH ${undCtes(undK)},
+       |nb AS MATERIALIZED (
+       |  SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+       |dg AS MATERIALIZED (SELECT v, count(*) AS d FROM nb GROUP BY v),
+       |cand AS MATERIALIZED (
+       |  SELECT x.v AS a, y.v AS b, count(*) AS cn
+       |  FROM nb x JOIN nb y ON x.nbr = y.nbr AND x.v < y.v
+       |  GROUP BY 1, 2),
+       |nonadj AS (
+       |  SELECT c.a, c.b, c.cn FROM cand c
+       |  LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+       |  WHERE u.a IS NULL)
+       |SELECT n.a AS supp_a, n.b AS supp_b,
+       |  CAST(n.cn AS BIGINT) AS common_cnt,
+       |  round(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 4) AS jaccard
+       |FROM nonadj n
+       |JOIN dg da ON da.v = n.a
+       |JOIN dg db ON db.v = n.b
+       |ORDER BY common_cnt DESC, supp_a, supp_b
+       |LIMIT $k""".stripMargin
 
   /** g05 oracle: unrolls EXACTLY
     * [[graft.operators.Graph.LabelPropIters]] synchronous rounds —
@@ -718,6 +754,8 @@ object SparkEntry {
       graft.operators.Similarity.MmrK, graft.operators.Similarity.MmrPool),
     "g04_triangles" -> g04OracleSql(
       graft.operators.Graph.TriTopK, graft.operators.Graph.RankBase),
+    "g07_linkpred" -> g07OracleSql(
+      graft.operators.Graph.TriTopK, graft.operators.Graph.LinkTopK),
     "g05_labelprop" -> g05OracleSql(
       graft.operators.Graph.LabelPropIters),
     "g06_sssp" -> g06OracleSql(
@@ -2143,6 +2181,33 @@ object SparkEntry {
         |       ELSE NULL END AS surprisal_bits
         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // t16: the t09 tick contract over per-source KL terms — every sum
+    // CAST to BIGINT (the g01/g03 HUGEINT lesson), one log2 per
+    // distinct (source, token) from integer counts.
+    "t16_source_kl" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(t) AS w FROM tk),
+        |st AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM st GROUP BY w),
+        |ps AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s,
+        |         CAST(count(*) AS BIGINT) AS src_vocab
+        |       FROM st GROUP BY source),
+        |tt AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+        |tks AS (
+        |  SELECT st.source,
+        |    CAST(floor((CAST(st.c_sw AS DOUBLE) / ps.n_s) *
+        |      log2((CAST(st.c_sw AS DOUBLE) * tt.n) /
+        |           (CAST(cw.c_w AS DOUBLE) * ps.n_s)) *
+        |      1048576.0 + 0.5) AS BIGINT) AS q
+        |  FROM st JOIN cw USING (w) JOIN ps USING (source) CROSS JOIN tt),
+        |sq AS (SELECT source, CAST(sum(q) AS BIGINT) AS sq FROM tks GROUP BY source)
+        |SELECT ps.source, ps.n_s AS n_tokens, ps.src_vocab,
+        |  round(CAST(sq.sq AS DOUBLE) / 1048576.0, 4) AS kl_bits
+        |FROM ps JOIN sq USING (source)
+        |ORDER BY ps.source""".stripMargin,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

@@ -99,11 +99,11 @@ object Graph {
     * [[graft.FrameMemo]] for the bench-harness cleanup contract.
     */
   private[graft] def memoRetainedIds: Set[Int] =
-    pairsMemo.retainedIds ++ edgesMemo.retainedIds
+    pairsMemo.retainedIds ++ edgesMemo.retainedIds ++ undMemo.retainedIds
 
   /** Drop the graph memos and unpersist their blocks. */
   private[graft] def clearMemos(): Unit = {
-    pairsMemo.clear(); edgesMemo.clear()
+    pairsMemo.clear(); edgesMemo.clear(); undMemo.clear()
   }
 
   /** Directed-both-ways bipartite edge set with out-degrees:
@@ -315,23 +315,46 @@ object Graph {
     * top suppliers by line count, the d05 tiering pattern); the
     * window, orientation, and wedge join are all partition-parallel.
     */
-  def g04TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memo for the sparsified co-purchase graph — TWO operators read
+    * it (g04's triangle count, g07's link prediction), and the
+    * projection self-join behind it is the family's most expensive
+    * derived frame after the trade pairs themselves.
+    */
+  private val undMemo = new graft.FrameMemo
+
+  /** The sparsified undirected supplier co-purchase graph (a < b):
+    * suppliers linked by shared customers, each keeping its
+    * [[TriTopK]] strongest partners (most shared customers, ties to
+    * the smaller partner key), the union of kept directed edges taken
+    * undirected. Memoized + eagerly checkpointed; the upstream pairs
+    * frame is computed BEFORE entering the memo block (the
+    * [[graft.FrameMemo]] no-nested-compute lock-order invariant).
+    */
+  private[graft] def coPurchaseUnd(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tp = tradePairs(spark, sfDir)
-      .select(expr("a div 2").as("c"), expr("b div 2").as("s"))
-    val cc = tp.as("x").join(tp.as("y"),
-        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
-      .agg(count(lit(1)).as("n"))
-    val dir = cc.select(col("s1").as("u"), col("s2").as("v"), col("n"))
-      .union(cc.select(col("s2").as("u"), col("s1").as("v"), col("n")))
-    val topk = Window.partitionBy(col("u")).orderBy(col("n").desc, col("v").asc)
-    val und = dir.withColumn("rn", row_number().over(topk))
-      .filter(col("rn") <= TriTopK)
-      .select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .localCheckpoint(true) // read by deg and the orientation join
+    val tpPairs = tradePairs(spark, sfDir)
+    undMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|copurchase") {
+      val tp = tpPairs.select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+      val cc = tp.as("x").join(tp.as("y"),
+          col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+        .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+        .agg(count(lit(1)).as("n"))
+      val dir = cc.select(col("s1").as("u"), col("s2").as("v"), col("n"))
+        .union(cc.select(col("s2").as("u"), col("s1").as("v"), col("n")))
+      val topk = Window.partitionBy(col("u")).orderBy(col("n").desc, col("v").asc)
+      dir.withColumn("rn", row_number().over(topk))
+        .filter(col("rn") <= TriTopK)
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+  }
+
+  def g04TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coPurchaseUnd(spark, sfDir)
     val deg = und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true) // read by rank join and the final output
@@ -466,4 +489,61 @@ object Graph {
         col("d").as("hops"))
       .orderBy(col("node_type"), col("entity_key"))
   }
+
+  /** Predicted links reported by [[g07LinkPredict]]. */
+  private[graft] val LinkTopK = 20
+
+  /** Link-prediction core over an undirected (a < b) edge frame:
+    * for every NON-adjacent pair with ≥1 common neighbor, the common
+    * neighbor count and the Jaccard of the two neighborhoods,
+    * top-`k` by (common desc, pair asc). Package-private for the
+    * spec.
+    *
+    * The candidate join is the wedge pattern (two neighbor lists
+    * joined on the shared middle vertex) — cost Σ_v C(deg(v), 2),
+    * the same budget as g04's triangle probe, held down by the same
+    * top-k sparsification upstream. Jaccard is one integer-derived
+    * division rounded at 4dp; ranking uses the raw count (total
+    * order by (cn, a, b)) so cross-engine float ordering can't move
+    * the cut.
+    */
+  private[graft] def linkPredict(und: DataFrame, k: Int): DataFrame = {
+    val nb = und.select(col("a").as("v"), col("b").as("nbr"))
+      .union(und.select(col("b").as("v"), col("a").as("nbr")))
+    val deg = nb.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val cand = nb.as("x").join(nb.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    cand.join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("supp_a"), col("b").as("supp_b"),
+        col("cn").as("common_cnt"),
+        round(col("cn").cast("double") / (col("da") + col("db") - col("cn")), 4)
+          .as("jaccard"))
+      .orderBy(col("common_cnt").desc, col("supp_a"), col("supp_b"))
+      .limit(k)
+  }
+
+  /** g07: link prediction on the supplier co-purchase graph — the
+    * "which suppliers SHOULD be trading partners" recommendation /
+    * anomaly signal (a missing link with many common neighbors is
+    * either an opportunity or a data hole). Standard neighborhood
+    * similarity (common-neighbors + Jaccard) over the same
+    * [[coPurchaseUnd]] frame g04 counts triangles on — the two
+    * operators share one memoized projection per sweep. Output:
+    * top-[[LinkTopK]] non-adjacent pairs
+    * (supp_a, supp_b, common_cnt, jaccard).
+    *
+    * Scale shape: neighbor lists and degrees are frames derived from
+    * the sparsified edge set (never the raw projection); the wedge
+    * join shuffles on the middle vertex whose degree the top-k
+    * sparsification caps; the final top-k is a TakeOrdered, not a
+    * global sort. At sparser corpora the non-adjacent candidate set
+    * can be empty (a complete sparsified graph predicts nothing) —
+    * correct, not an error.
+    */
+  def g07LinkPredict(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredict(coPurchaseUnd(spark, sfDir), LinkTopK)
 }

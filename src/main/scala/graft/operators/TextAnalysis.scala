@@ -509,4 +509,53 @@ object TextAnalysis {
           .otherwise(lit(null).cast("double")).as("bigram_bits"))
       .orderBy(col("doc_id"))
   }
+
+  /** t16: per-source KL divergence from the corpus unigram model —
+    * the data-mixture drift diagnostic: KL(source ‖ corpus) in bits
+    * answers "how far does this source's token distribution sit from
+    * the blend", the number a mixture designer watches when a new
+    * crawl snapshot or domain is added (near 0 = redundant with the
+    * blend, large = distributionally novel). Output one row per
+    * source: (source, n_tokens, src_vocab, kl_bits).
+    *
+    * Determinism is the t09 tick contract: each (source, token) term
+    * p_s(w)·log2(p_s(w)/p(w)) is computed from integer counts in one
+    * fixed expression (products stay < 2⁻⁵³-exact doubles), quantized
+    * to 2⁻²⁰-tick longs, and summed as longs — order-independent and
+    * bit-identical in the DuckDB oracle. Terms are signed (p_s < p
+    * gives a negative term); the long sum is exact so the signed
+    * cancellation is too.
+    *
+    * Scale shape: ONE corpus scan (the (source, token) partial-agg'd
+    * count); everything downstream is vocabulary-sized — corpus
+    * counts derive from the per-source counts by a second vocab-sized
+    * agg (no second scan, the t14 lesson), the totals joins are a
+    * broadcast of |sources| and 1 rows, and the final agg carries
+    * |sources| rows.
+    */
+  def t16SourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val st = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(call_function("word_grams", lower(col("text")), lit(1))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val corpus = st.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val perSrc = st.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("n_s"), count(lit(1)).as("src_vocab"))
+    val total = corpus.agg(sum(col("c_w")).as("n"))
+    val ticks = st
+      .join(corpus, "w")
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("q",
+        floor((col("c_sw").cast("double") / col("n_s")) *
+          log2((col("c_sw").cast("double") * col("n")) /
+            (col("c_w").cast("double") * col("n_s"))) *
+          lit(SurprisalScale) + lit(0.5)).cast("long"))
+      .groupBy(col("source")).agg(sum(col("q")).as("sq"))
+    perSrc.join(ticks, "source")
+      .select(col("source"), col("n_s").as("n_tokens"), col("src_vocab"),
+        round(col("sq").cast("double") / lit(SurprisalScale), 4).as("kl_bits"))
+      .orderBy(col("source"))
+  }
 }

@@ -356,6 +356,30 @@ class JoinsGraphSpec extends AnyFunSuite {
       .union(p.select($"b".as("src"), $"a".as("dst")))
   }
 
+  test("g07 link prediction: exact on a square-plus-pendant, top-k binds") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // square 1-2-3-4-1 with pendant 5 off vertex 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val got = Graph.linkPredict(und, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 0.6667), // via {2,4}; |N(1)∪N(3)| = 3
+      (2L, 4L, 2L, 1.0),    // via {1,3}; neighborhoods identical
+      (2L, 5L, 1L, 0.5),
+      (4L, 5L, 1L, 0.5)),
+      s"wrong predictions: ${got.toSeq}")
+    // the top-k cut keeps the strongest pairs in (cn, a, b) order
+    val cut = Graph.linkPredict(und, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cut.toSeq == Seq((1L, 3L), (2L, 4L)))
+    // sf0.001: the sparsified co-purchase graph is the complete K10
+    // (g04 spec), so NOTHING is non-adjacent — an empty prediction
+    // set is the correct output, not an error
+    assert(Graph.g07LinkPredict(spark, sfDir).count() == 0L)
+  }
+
   test("g06 shortest paths: BFS hops exact on a path graph, bound binds") {
     import spark.implicits._
     import graft.operators.Graph

@@ -61,6 +61,42 @@ class TextMultimodalSpec extends AnyFunSuite {
   }
 
 
+  test("t16 source KL: matched-distribution sources sit at 0, a skewed one above") {
+    import spark.implicits._
+    // srcA and srcB draw the SAME token distribution (so each equals
+    // the 2-source blend -> KL 0 up to tick noise); srcC is skewed.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha beta", "en", "srcA", 1L),
+      (1L, "alpha beta gamma delta alpha beta", "en", "srcB", 1L),
+      (2L, "alpha alpha alpha alpha alpha alpha", "en", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t16").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.t16SourceKl(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcC"))
+    assert(out("srcA")._1 == 6L && out("srcA")._2 == 4L)
+    assert(out("srcC")._2 == 1L)
+    // identical distributions are NOT at 0 here because srcC shifts
+    // the blend; but A and B must agree exactly with each other
+    assert(out("srcA")._3 == out("srcB")._3)
+    // the skewed source diverges more than the matched pair
+    assert(out("srcC")._3 > out("srcA")._3)
+    // two-source-only corpus: each source IS the blend -> KL == 0
+    val docs2 = Seq(
+      (0L, "alpha beta gamma delta alpha beta", "en", "srcA", 1L),
+      (1L, "alpha beta gamma delta alpha beta", "en", "srcB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_t16b").toString
+    docs2.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    TextAnalysis.t16SourceKl(spark, tmp2).collect()
+      .foreach(r => assert(r.getDouble(3) == 0.0, s"${r.getString(0)} should be at 0"))
+    // Gibbs on the real corpus: KL >= 0 up to summed tick rounding
+    val real = TextAnalysis.t16SourceKl(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(3) >= -0.001, s"${r.getString(0)} negative KL"))
+  }
+
   test("t09 surprisal matches the brute-force unigram model") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
