@@ -21,17 +21,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is nanosecond parquet, which Spark 4 rejects as a
-    * timestamp. Read it as a long (legacy conf) and floor-divide to
-    * microseconds — integer `div`, not `/`, because epoch-nanos
-    * exceed double's exact-integer range. Matches DuckDB's
-    * CAST(ts_ns AS TIMESTAMP) truncation used by the oracles.
+  /** events.ts has shipped in two testdata generations: nanosecond
+    * INT64 (Spark 4 rejects ns timestamps — surfaced as a long via the
+    * legacy conf, then floor-divided to microseconds with integer
+    * `div`, not `/`, because epoch-nanos exceed double's exact-integer
+    * range) and, since the round-8 refresh, timestamp[us] with no UTC
+    * adjustment (Spark reads TIMESTAMP_NTZ). [[normalizeEventTs]]
+    * collapses both to the same session-zone TimestampType values:
+    * every entry point pins the session zone to UTC, so the NTZ cast
+    * is value-preserving, and both generations match the oracles'
+    * `CAST(ts AS TIMESTAMP)` (a microsecond truncation on ns data, a
+    * no-op on us data) on the DuckDB side.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** Generation-adaptive ts normalization (see [[events]]): long
+    * nanos → floor-divide to micros; TIMESTAMP_NTZ → session-zone
+    * (UTC) timestamp; already-zoned timestamps pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -41,10 +41,11 @@ object CatalogTables {
     "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_returnflag", "l_linestatus", "l_shipdate"),
-    // events stats live on the BACKING table (events_raw): the ns
-    // timestamp is a raw long there, so even `ts` gets min/max — the
-    // view's derived timestamp column inherits selectivity from the
-    // untyped key columns below, which is what event queries filter on
+    // events stats live on the BACKING table (events_raw): ts is
+    // stored as whatever the files carry (legacy ns long or
+    // TIMESTAMP_NTZ), and either form gets min/max — the view's
+    // derived timestamp column inherits selectivity from the
+    // key columns below, which is what event queries filter on
     "events_raw" -> Seq("event_id", "user_id", "event_type", "ts"),
     "documents" -> Seq("doc_id", "source", "lang"),
     "embeddings" -> Seq("vec_id", "label"))
@@ -54,17 +55,19 @@ object CatalogTables {
     * (the location may point at a different SF dir), data files are
     * never written or removed.
     *
-    * `events` registers in two layers, because its nanosecond
-    * timestamp needs read-side logic plain table DDL can't express
-    * (the [[Tables.events]] cast): the parquet registers as
-    * `$db.events_raw` (ts stays the raw ns long — ANALYZE-able like
-    * any column), and `$db.events` is a VIEW applying the same
-    * `timestamp_micros(ts div 1000)` cast the path read applies.
-    * Event queries against the view are stats-driven through the
-    * view's projection (CBO propagates the base table's column stats
-    * through aliases); reading either layer needs
-    * `spark.sql.legacy.parquet.nanosAsLong`, which this method sets
-    * on the session — the same conf [[Tables.events]] sets per call.
+    * `events` registers in two layers, because its timestamp needs
+    * read-side logic plain table DDL can't express (the
+    * [[Tables.events]] normalization): the parquet registers as
+    * `$db.events_raw` (ts stays whatever the files carry — raw ns
+    * long in the legacy testdata generation, TIMESTAMP_NTZ in the
+    * current one — ANALYZE-able like any column), and `$db.events` is
+    * a VIEW applying the generation-matched cast the path read
+    * applies. Event queries against the view are stats-driven through
+    * the view's projection (CBO propagates the base table's column
+    * stats through aliases); the legacy ns generation additionally
+    * needs `spark.sql.legacy.parquet.nanosAsLong`, which this method
+    * sets on the session — the same conf [[Tables.events]] sets per
+    * call.
     */
   def register(spark: SparkSession, sfDir: String, db: String = "graft"): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -81,9 +84,15 @@ object CatalogTables {
       spark.sql(s"DROP VIEW IF EXISTS $db.events")
       spark.sql(s"DROP TABLE IF EXISTS $db.events_raw")
       spark.sql(s"CREATE TABLE $db.events_raw USING parquet LOCATION '$eventsPath'")
+      // generation-matched cast, mirroring Tables.normalizeEventTs
+      val tsExpr =
+        spark.table(s"$db.events_raw").schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => "timestamp_micros(ts div 1000)"
+          case _ => "CAST(ts AS TIMESTAMP)"
+        }
       spark.sql(
         s"""CREATE VIEW $db.events AS
-           |SELECT event_id, timestamp_micros(ts div 1000) AS ts,
+           |SELECT event_id, $tsExpr AS ts,
            |       user_id, event_type, value, props
            |FROM $db.events_raw""".stripMargin)
     }

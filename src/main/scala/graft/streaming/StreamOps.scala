@@ -17,26 +17,27 @@ import java.time.Instant
   */
 object StreamOps {
 
-  /** On-disk schema: ts is nanosecond parquet, surfaced as a long via
-    * spark.sql.legacy.parquet.nanosAsLong (see [[graft.Tables.events]]).
+  /** On-disk schema of the current testdata generation: ts is
+    * microsecond parquet with no UTC adjustment (TIMESTAMP_NTZ — a
+    * file stream needs the schema declared up front, so unlike the
+    * batch loader this reader is pinned to one generation; see
+    * [[graft.Tables.events]] for the generation history).
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Open a file-based event stream over a directory of parquet, with
-    * ts converted to a microsecond timestamp exactly as the batch
-    * loader does.
+    * ts normalized to a session-zone microsecond timestamp exactly as
+    * the batch loader does.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(eventSchema).parquet(dir))
 
   /** Tumbling 1-hour window aggregation with a 2-hour watermark: the
     * streaming twin of q30. At scale the watermark bounds state; the

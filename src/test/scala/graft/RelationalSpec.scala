@@ -32,11 +32,18 @@ class RelationalSpec extends AnyFunSuite {
     finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  // g07's prediction set is PROVABLY empty at sf0.001: the top-k
+  // sparsified co-purchase graph over 10 suppliers is complete, so no
+  // non-adjacent candidate pair exists (JoinsGraphSpec pins exactly
+  // this). Every other key must return rows.
+  private val legitimatelyEmptyAtTinySf = Set("g07_linkpred")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
-      assert(df.count() > 0, s"$name returned no rows")
+      if (legitimatelyEmptyAtTinySf(name)) df.count() // must still run
+      else assert(df.count() > 0, s"$name returned no rows")
     }
   }
 

@@ -169,8 +169,9 @@ class StreamingSpec extends AnyFunSuite {
     val src = java.nio.file.Files.createTempDirectory("graft-resume-src")
     val out = java.nio.file.Files.createTempDirectory("graft-resume-out").toString
     val chk = java.nio.file.Files.createTempDirectory("graft-resume-chk").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts stays long
+    // ts stays in its on-disk form (TIMESTAMP_NTZ): staged rewrites
+    // keep the schema readEventStream declares
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
       val d = java.nio.file.Files.createTempDirectory(s"graft-stage-$name")
       raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
@@ -215,11 +216,10 @@ class StreamingSpec extends AnyFunSuite {
     // upsert). Splitting by anything but event time would make batch
     // 2 late against batch 1's watermark and be legitimately dropped.
     val src = java.nio.file.Files.createTempDirectory("graft-upd-src")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // ts is raw nanos here; cutoff = 2024-01-15 00:30 UTC mid-window
-    val cutoffNs = java.time.Instant.parse("2024-01-15T00:30:00Z")
-      .getEpochSecond * 1000000000L
+    // ts is TIMESTAMP_NTZ on disk; cutoff = 2024-01-15 00:30 UTC
+    // mid-window, as an NTZ literal so the pushed filter stays typed
+    val cutoffNtz = java.time.LocalDateTime.of(2024, 1, 15, 0, 30)
     def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
       val d = java.nio.file.Files.createTempDirectory(s"graft-upd-$name")
       raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
@@ -233,7 +233,7 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val state = scala.collection.mutable.Map[(java.sql.Timestamp, String), (Long, Double)]()
-    stage(col("ts") < cutoffNs, "first_half")
+    stage(col("ts") < lit(cutoffNtz), "first_half")
     val q = StreamOps.windowAgg(StreamOps.readEventStream(spark, src.toString))
       .writeStream.outputMode("update")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -246,7 +246,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      stage(col("ts") >= cutoffNs, "second_half")
+      stage(col("ts") >= lit(cutoffNtz), "second_half")
       q.processAllAvailable()
     } finally q.stop()
     val expected = operators.Events.q30EventWindowAgg(spark, sfDir).collect()
@@ -383,7 +383,12 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-late")
     val t0 = 1700000000L // epoch seconds
-    def stage(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    // NTZ rows so the staged files carry the schema readEventStream
+    // declares (the current testdata generation's timestamp[us])
+    def ldt(sec: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    def stage(name: String,
+              rows: Seq[(Long, java.time.LocalDateTime, Long, String, Double, String)]): Unit = {
       val d = java.nio.file.Files.createTempDirectory(s"graft-late-$name")
       rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(d.toString)
@@ -393,7 +398,6 @@ class StreamingSpec extends AnyFunSuite {
         src.resolve(s"$name.parquet"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    def ns(sec: Long): Long = sec * 1000000000L
     val q = StreamOps.windowAgg(
       StreamOps.readEventStream(spark, src.toString))
       .writeStream.outputMode("append")
@@ -401,11 +405,11 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // batch 1 advances the watermark to t0+6h-2h = t0+4h
       stage("b1", Seq(
-        (1L, ns(t0), 10L, "click", 1.0, "{}"),
-        (2L, ns(t0 + 6 * 3600), 11L, "click", 1.0, "{}")))
+        (1L, ldt(t0), 10L, "click", 1.0, "{}"),
+        (2L, ldt(t0 + 6 * 3600), 11L, "click", 1.0, "{}")))
       q.processAllAvailable()
       // batch 2: an event 3h BEFORE the watermark — its window closed
-      stage("b2", Seq((3L, ns(t0 + 3600), 12L, "click", 1.0, "{}")))
+      stage("b2", Seq((3L, ldt(t0 + 3600), 12L, "click", 1.0, "{}")))
       q.processAllAvailable()
       val dropped = q.recentProgress
         .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
