@@ -83,6 +83,7 @@ object SparkEntry {
     "j03_nearest_join" -> (Joins.j03NearestJoin _),
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s09_mmr_select" -> (Similarity.s09MmrSelect _),
+    "s10_ann_int8" -> (Similarity.s10AnnInt8 _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -1429,6 +1430,47 @@ object SparkEntry {
         |          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nv
         |      FROM embeddings CROSS JOIN q
         |      WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, dot / (nq * nv) AS cos_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY dot / (nq * nv) DESC, vec_id) AS rank
+        |      FROM p)
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+        |FROM r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // s10: replicate the int8 grid (per-dim min/max over the corpus),
+    // the quantize-dequantize mapping (floor(+0.5) round-half-up; the
+    // INT cast sees an already-integral double, so DuckDB's rounding
+    // cast and Spark's truncating cast agree), the double→float cast
+    // (round-to-nearest-even in both engines), then s01's ranking over
+    // the dequantized vectors. 64-dim like the other ANN oracles.
+    "s10_ann_int8" ->
+      """WITH dims AS (
+        |  SELECT ix.i AS i, min(CAST(e.embedding[ix.i] AS DOUBLE)) AS mn,
+        |         max(CAST(e.embedding[ix.i] AS DOUBLE)) AS mx
+        |  FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) ix
+        |  GROUP BY ix.i),
+        |mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims),
+        |dq AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(CASE WHEN mm.maxs[i] = mm.mins[i] THEN mm.mins[i]
+        |        ELSE mm.mins[i] + least(255, greatest(0,
+        |          CAST(floor((CAST(e.embedding[i] AS DOUBLE) - mm.mins[i]) * 255.0 /
+        |                     (mm.maxs[i] - mm.mins[i]) + 0.5) AS INTEGER)))
+        |          * (mm.maxs[i] - mm.mins[i]) / 255.0
+        |      END AS FLOAT)) AS dq
+        |  FROM embeddings e, mm),
+        |q AS (SELECT vec_id AS query_id, dq AS qv FROM dq WHERE vec_id < 5),
+        |p AS (SELECT q.query_id, d.vec_id,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(d.dq[i] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS nq,
+        |        sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(d.dq[i] AS DOUBLE) * CAST(d.dq[i] AS DOUBLE)))) AS nv
+        |      FROM dq d CROSS JOIN q
+        |      WHERE d.vec_id <> q.query_id),
         |r AS (SELECT query_id, vec_id, dot / (nq * nv) AS cos_raw,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY dot / (nq * nv) DESC, vec_id) AS rank

@@ -678,4 +678,71 @@ object Similarity {
         col("true_label"), col("correct"))
       .orderBy(col("vec_id"))
   }
+
+  /** Quantize-then-dequantize SQL lambda over an `embedding` column,
+    * given per-dimension `mins`/`maxs` array columns in scope: each
+    * element maps to its nearest point on the 256-level affine grid
+    * `mins[i] + k·(maxs[i]-mins[i])/255, k ∈ 0..255` (round-half-up
+    * via floor(+0.5) — the value fed to the INT cast is already
+    * integral, so Spark's truncating cast and DuckDB's rounding cast
+    * agree), degenerate dims (max = min) pin to min. The grid
+    * arithmetic is one fixed double expression tree evaluated
+    * identically by both engines; the final double→float cast is
+    * round-to-nearest-even in both. Package-private so the spec can
+    * drive it on synthetic frames.
+    */
+  private[graft] val int8DequantizeSql: String =
+    """transform(embedding, (x, i) ->
+      |  CAST(CASE WHEN maxs[i] = mins[i] THEN mins[i]
+      |    ELSE mins[i] + least(255, greatest(0,
+      |      CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 /
+      |                 (maxs[i] - mins[i]) + 0.5) AS INT)))
+      |      * (maxs[i] - mins[i]) / 255.0
+      |  END AS FLOAT))""".stripMargin
+
+  /** Corpus vectors quantized to the int8 grid and dequantized back
+    * to floats: one partial-agg'd scan of the exploded embedding
+    * derives the per-dimension min/max (a dim-sized frame collapsed
+    * to ONE row of grid arrays, eagerly checkpointed so both the
+    * probe and corpus sides reuse it), then the grid broadcast-joins
+    * onto the corpus and the mapping runs map-side. Package-private
+    * for the spec.
+    */
+  private[graft] def int8Dequantized(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val grid = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx")))).as("g"))
+      .select(expr("transform(g, s -> s.mn)").as("mins"),
+        expr("transform(g, s -> s.mx)").as("maxs"))
+      .localCheckpoint(true)
+    emb.crossJoin(broadcast(grid))
+      .select(col("vec_id"), expr(int8DequantizeSql).as("dq"))
+  }
+
+  /** s10: int8 scalar-quantized ANN — the memory/scan-shrink path for
+    * exhaustive search at 100 TB: production persists the codes as a
+    * 64 B/vector binary column (4× smaller than float32, the standard
+    * vector-store SQ8 layout), so the brute-force probe reads a
+    * quarter of the bytes and dequantizes on the fly inside the scan.
+    * Search is s01's shape — broadcast the (quantized) query block,
+    * scan the (quantized) corpus once, codegen cosine, bounded
+    * per-query top-k — on the dequantized vectors; distance is
+    * SYMMETRIC (query and corpus share one grid), so the DuckDB
+    * oracle replicates both sides bit-exactly. Quantized cosines
+    * differ from s01's exact ones — the recall cost of the 4×
+    * compression is pinned in the spec (s10∩s01 top-10 overlap), the
+    * standard accuracy/footprint trade every SQ8 deployment makes.
+    */
+  def s10AnnInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val dq = int8Dequantized(spark, sfDir)
+    val queries = dq.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("dq").as("qv"))
+    topKPerQuery(dq.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("dq"))))
+  }
 }

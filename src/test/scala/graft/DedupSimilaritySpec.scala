@@ -529,6 +529,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("s10 int8 grid maps extremes exactly and bounds per-dim error") {
+    import spark.implicits._
+    // per-row grid: dims [0,10], [-1,1], and a DEGENERATE [5,5]
+    val mins = Array(0.0, -1.0, 5.0)
+    val maxs = Array(10.0, 1.0, 5.0)
+    val df = Seq(
+      (Array(0f, -1f, 5f), mins, maxs),     // all-min corners
+      (Array(10f, 1f, 5f), mins, maxs),     // all-max corners
+      (Array(3.3f, 0.1f, 5f), mins, maxs))  // interior point
+      .toDF("embedding", "mins", "maxs")
+    val got = df.select(expr(Similarity.int8DequantizeSql).as("dq"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    // grid endpoints are representable exactly (code 0 → min,
+    // code 255 → min + 255·step = max); degenerate dims pin to min
+    assert(got(0).toSeq == Seq(0f, -1f, 5f))
+    assert(got(1).toSeq == Seq(10f, 1f, 5f))
+    // interior error is at most half a grid step per dimension
+    val x = Array(3.3, 0.1, 5.0)
+    got(2).zipWithIndex.foreach { case (dq, i) =>
+      val halfStep = (maxs(i) - mins(i)) / 255.0 / 2.0
+      assert(math.abs(dq - x(i)) <= halfStep + 1e-6,
+        s"dim $i: dq=$dq x=${x(i)} exceeds half-step $halfStep")
+    }
+  }
+
+  test("s10 int8 quantized search keeps high recall of the exact top-10") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.s01AnnBruteforce(spark, sfDir))
+    val quant = sets(Similarity.s10AnnInt8(spark, sfDir))
+    assert(exact.keySet == quant.keySet && exact.nonEmpty)
+    // the SQ8 accuracy floor: ≥8 of the exact 10 survive quantization
+    exact.foreach { case (q, ids) =>
+      val overlap = (ids & quant(q)).size
+      assert(overlap >= 8, s"query $q: recall $overlap/10 below the SQ8 floor")
+    }
+  }
+
   test("derived bits keep expected occupancy bounded as the corpus grows") {
     // the scale contract: expected band-bucket occupancy n/2^bits must
     // stay <= AnnTargetBucket at EVERY corpus size — the fixed 3-bit
