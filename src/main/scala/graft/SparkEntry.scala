@@ -122,6 +122,7 @@ object SparkEntry {
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
+    "m05_integrity" -> (Multimodal.m05Integrity _),
     "g01_pagerank" -> (Graph.g01PageRank _),
     "g02_hits" -> (Graph.g02Hits _),
     "t14_tfidf" -> (TextAnalysis.t14Tfidf _),
@@ -2387,6 +2388,34 @@ object SparkEntry {
         | CAST(4 + octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS content_hash
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // m05: the oracle recomputes the expected integrity verdicts
+    // arithmetically (the corruption pattern is a pure function of
+    // doc_id, the blob a pure function of text), so the engine's
+    // ACTUAL byte checks — magic sniff, blob length — are what the
+    // hash compare validates.
+    "m05_integrity" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |         WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+        |         ELSE 'audio/wav' END AS true_mime,
+        |    CAST(4 + octet_length(encode(text)) AS BIGINT) AS true_len
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'image/png' ELSE true_mime END AS declared_mime,
+        |    true_mime AS sniffed_mime,
+        |    true_len + CASE WHEN doc_id % 11 = 5 THEN 17 ELSE 0 END AS declared_len,
+        |    true_len AS actual_len
+        |  FROM b)
+        |SELECT doc_id, declared_mime, sniffed_mime,
+        |  CAST(declared_len AS BIGINT) AS declared_len, actual_len,
+        |  CASE WHEN declared_mime = sniffed_mime AND declared_len = actual_len THEN 'ok'
+        |       WHEN declared_mime <> sniffed_mime AND declared_len <> actual_len THEN 'mime+len'
+        |       WHEN declared_mime <> sniffed_mime THEN 'mime_mismatch'
+        |       ELSE 'len_mismatch' END AS status
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     "m04_sample_assembly" ->
       """WITH meta AS (

@@ -203,4 +203,52 @@ object Multimodal {
         col("n_tokens"), col("source"), col("embed_label"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** m05: blob-integrity quarantine — the validation gate every media
+    * pipeline runs BEFORE the expensive decode stage: sniff the real
+    * magic bytes, reconcile them and the actual byte length against
+    * the DECLARED metadata that arrived with the upload, and label
+    * each row ok / mime_mismatch / len_mismatch / mime+len.
+    * Downstream decode (m02) reads `status = 'ok'` only, so a
+    * mislabeled or truncated blob costs 4 sniffed bytes plus one
+    * length compare — never a codec call, the whole point at 100 TB.
+    *
+    * Declared metadata is synthesized deterministically from doc_id
+    * (% 7 == 3 mislabels the mime as png — a mismatch whenever the
+    * true modality isn't png; % 11 == 5 over-declares the length by
+    * 17 — a truncated upload), and INDEPENDENTLY of the blob checks:
+    * declared_len derives from the text column, actual_len from the
+    * blob bytes; declared_mime from doc_id arithmetic, sniffed_mime
+    * from the real head bytes. The oracle recomputes the expected
+    * verdicts arithmetically, so a broken sniffer or length check
+    * hash-fails the gate.
+    */
+  def m05Integrity(spark: SparkSession, sfDir: String): DataFrame = {
+    val head4 = substring(col("blob"), 1, 4)
+    val sniffed = when(head4 === lit(MagicPng), "image/png")
+      .when(head4 === lit(MagicJpeg), "image/jpeg")
+      .when(head4 === lit(MagicRiff), "audio/wav")
+      .otherwise("application/octet-stream")
+    val trueMime = element_at(
+      array(lit("image/png"), lit("image/jpeg"), lit("audio/wav")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    withBlob(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .withColumn("sniffed_mime", sniffed)
+      .withColumn("declared_mime",
+        when(col("doc_id") % 7 === 3, lit("image/png")).otherwise(trueMime))
+      .withColumn("actual_len", length(col("blob")).cast("long"))
+      .withColumn("declared_len",
+        (octet_length(col("text")) + 4).cast("long") +
+          when(col("doc_id") % 11 === 5, 17L).otherwise(0L))
+      .withColumn("status",
+        when(col("sniffed_mime") === col("declared_mime") &&
+          col("actual_len") === col("declared_len"), "ok")
+          .when(col("sniffed_mime") =!= col("declared_mime") &&
+            col("actual_len") =!= col("declared_len"), "mime+len")
+          .when(col("sniffed_mime") =!= col("declared_mime"), "mime_mismatch")
+          .otherwise("len_mismatch"))
+      .select(col("doc_id"), col("declared_mime"), col("sniffed_mime"),
+        col("declared_len"), col("actual_len"), col("status"))
+      .orderBy(col("doc_id"))
+  }
 }

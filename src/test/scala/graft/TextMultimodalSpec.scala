@@ -187,6 +187,29 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out.map(_.getString(3)).distinct.length == out.length)
   }
 
+  test("m05 integrity: statuses match the deterministic corruption pattern") {
+    val out = Multimodal.m05Integrity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // mime mismatch only when the png mislabel hits a non-png doc;
+      // length mismatch exactly on the over-declared uploads
+      val mimeBad = id % 7 == 3 && id % 3 != 0
+      val lenBad = id % 11 == 5
+      val expected =
+        if (mimeBad && lenBad) "mime+len"
+        else if (mimeBad) "mime_mismatch"
+        else if (lenBad) "len_mismatch"
+        else "ok"
+      assert(r.getString(5) == expected, s"doc $id")
+      assert(r.getLong(4) > 4, "actual_len must include payload beyond magic")
+    }
+    // every verdict class occurs in the corpus (the gate is exercised)
+    val classes = out.map(_.getString(5)).toSet
+    assert(classes == Set("ok", "mime_mismatch", "len_mismatch", "mime+len"),
+      s"missing verdict classes: $classes")
+  }
+
   test("m03 frame sample: media rows fan out to strided frames, deterministic") {
     val out = Multimodal.m03FrameSample(spark, sfDir).collect()
     assert(out.nonEmpty)
