@@ -101,6 +101,7 @@ object SparkEntry {
     "t09_surprisal" -> (TextAnalysis.t09Surprisal _),
     "t15_bigram_bits" -> (TextAnalysis.t15BigramBits _),
     "t16_source_kl" -> (TextAnalysis.t16SourceKl _),
+    "t17_keyphrases" -> (TextAnalysis.t17RakeKeyphrases _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -2251,6 +2252,43 @@ object SparkEntry {
         |  round(CAST(sq.sq AS DOUBLE) / 1048576.0, 4) AS kl_bits
         |FROM ps JOIN sq USING (source)
         |ORDER BY ps.source""".stripMargin,
+    // t17: same filtered tokenizer as t15/t16; positions via the
+    // zipped unnest(range)/unnest(list) pair; integer word scores
+    // (deg·2^20)//freq (positive, so DuckDB's flooring // equals
+    // Spark's truncating div) and CAST-guarded long sums (the g01
+    // HUGEINT lesson). grp differs by a constant 1 from Spark's
+    // 0-based positions — group identity, not value, carries.
+    "t17_keyphrases" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS token
+        |        FROM tk),
+        |ns AS (
+        |  SELECT doc_id, pos, token,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM tok
+        |  WHERE token NOT IN ('the','and','of','to','in','is','that','for','with','on','a')),
+        |pl AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+        |       FROM ns GROUP BY doc_id, grp),
+        |ws AS (
+        |  SELECT ns.token,
+        |    (CAST(sum(pl.plen) AS BIGINT) * 1048576) // CAST(count(*) AS BIGINT) AS w
+        |  FROM ns JOIN pl ON pl.doc_id = ns.doc_id AND pl.grp = ns.grp
+        |  GROUP BY ns.token),
+        |ph AS (
+        |  SELECT ns.doc_id, ns.grp,
+        |    string_agg(ns.token, ' ' ORDER BY ns.pos) AS phrase,
+        |    CAST(sum(ws.w) AS BIGINT) AS score
+        |  FROM ns JOIN ws ON ws.token = ns.token
+        |  GROUP BY ns.doc_id, ns.grp
+        |  HAVING count(*) <= 4)
+        |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, max(score) AS score_ticks
+        |FROM ph
+        |GROUP BY phrase
+        |ORDER BY score_ticks DESC, phrase
+        |LIMIT 30""".stripMargin,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

@@ -558,4 +558,73 @@ object TextAnalysis {
         round(col("sq").cast("double") / lit(SurprisalScale), 4).as("kl_bits"))
       .orderBy(col("source"))
   }
+
+  /** Delimiter inventory for [[t17RakeKeyphrases]]: the English
+    * closed-class profile ([[graft.functions.Kernels.LangProfiles]],
+    * the library's canonical stopword list) plus the bare article
+    * "a". The oracle inlines the same 11 words.
+    */
+  private[graft] val RakeStopwords: Seq[String] =
+    graft.functions.Kernels.LangProfiles.head._2 :+ "a"
+
+  /** Keyphrases [[t17RakeKeyphrases]] reports. */
+  private val RakeTopK = 30
+
+  /** Candidate length cap: only phrases this many tokens or fewer are
+    * RANKED (word statistics still cover the full inventory) — the
+    * standard RAKE-variant guard against delimiter-free documents
+    * surfacing their entire text as one "phrase".
+    */
+  private val RakeMaxPhraseLen = 4
+
+  /** t17: RAKE keyphrase extraction (Rose et al., "Automatic Keyword
+    * Extraction from Individual Documents", 2010) — the cheap
+    * unsupervised "what is this corpus about" signal: candidate
+    * phrases are maximal stopword-free token runs (the gaps-and-
+    * islands trick on token positions, per-doc windows so partitions
+    * stay document-bounded), each word scores deg/freq over the
+    * phrase inventory (deg = Σ length of phrases containing the
+    * word, freq = its phrase occurrences), a phrase scores the sum
+    * of its word scores, and identical phrase texts aggregate
+    * corpus-wide into a top-[[RakeTopK]].
+    *
+    * Determinism: word scores are integer ticks `(deg · 2²⁰) div
+    * freq` — positive floor-div agrees between Spark's truncating
+    * `div` and DuckDB's flooring `//` — and phrase scores are exact
+    * long sums of those ticks (the oracle CASTs its sums back from
+    * HUGEINT, the g01 lesson); the final cut orders by (score desc,
+    * phrase), a total order. Scale shape: two (doc, phrase-group)
+    * shuffles + one token-keyed partial agg; the word-score frame is
+    * vocabulary-sized. At extreme corpus sizes deg · 2²⁰ needs the
+    * headroom check every tick contract carries (long overflows past
+    * deg ≈ 8.8e12; production drops to 2¹⁰ ticks well before that).
+    */
+  def t17RakeKeyphrases(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(spark, sfDir).select(col("doc_id"),
+      expr("filter(split(lower(text), '[ \\n\\t\\r]+'), x -> x <> '')").as("t"))
+    val tok = tk.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "token")))
+    val ns = tok.filter(!col("token").isin(RakeStopwords: _*))
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val pl = ns.groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("plen"))
+    val ws = ns.join(pl, Seq("doc_id", "grp"))
+      .groupBy(col("token"))
+      .agg(expr("(sum(plen) * 1048576) div count(*)").as("w"))
+    ns.join(ws, "token")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("plen"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, token))), s -> s.token)"),
+          " ").as("phrase"))
+      // rank only phrases within the candidate length cap — word
+      // stats above still cover the FULL phrase inventory (canonical
+      // RAKE scoring); without the cap a delimiter-free document's
+      // whole text outranks every real keyphrase
+      .filter(col("plen") <= RakeMaxPhraseLen)
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("score")).as("score_ticks"))
+      .orderBy(col("score_ticks").desc, col("phrase"))
+      .limit(RakeTopK)
+  }
 }

@@ -171,6 +171,38 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(diff.exists(_ > 0.1), "bigram bits should not mirror unigram bits")
   }
 
+  test("t17 RAKE matches a brute-force plain-Scala reimplementation") {
+    val stop = TextAnalysis.RakeStopwords.toSet
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // phrases: maximal stopword-free runs of the filtered lowercase
+    // token stream, per doc
+    val phrases = docs.flatMap { case (_, text) =>
+      val toks = text.toLowerCase.split("[ \n\t\r]+").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.Buffer[List[String]]()
+      var cur = List.empty[String]
+      toks.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wScore = freq.keys.map(w => w -> (deg(w) * 1048576L) / freq(w)).toMap
+    val expected = phrases.filter(_.length <= 4)
+      .map(p => (p.mkString(" "), p.map(wScore).sum))
+      .groupBy(_._1).map { case (ph, occ) => (ph, occ.size.toLong, occ.head._2) }
+      .toSeq.sortBy { case (ph, _, s) => (-s, ph) }.take(30)
+    val got = TextAnalysis.t17RakeKeyphrases(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
   test("m01 binary meta: mime follows the magic bytes, hash is content-derived") {
     val out = Multimodal.m01BinaryMeta(spark, sfDir).collect()
     assert(out.nonEmpty)
