@@ -133,6 +133,7 @@ object SparkEntry {
     "g05_labelprop" -> (Graph.g05LabelProp _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
+    "g08_graph_profile" -> (Graph.g08GraphProfile _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -629,6 +630,62 @@ object SparkEntry {
        |FROM deg LEFT JOIN tc ON tc.v = deg.v
        |ORDER BY supp_key""".stripMargin
 
+  /** g08 oracle: the shared `und` prefix + g04's degree-ordered wedge
+    * join collapsed to a global triangle count, wedge total Σ C(d,2),
+    * degree aggregates, and Pearson assortativity over both edge
+    * orientations from exact integer moment sums (CAST back from
+    * HUGEINT) with one final double division — NULL-guarded on zero
+    * variance in both engines. HUGEINT only ever feeds double
+    * divisions or guarded casts, never output columns.
+    */
+  private def g08OracleSql(k: Int, rankBase: Long): String =
+    s"""WITH ${undCtes(k)},
+       |deg AS MATERIALIZED (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+       |rk AS MATERIALIZED (SELECT v, d * $rankBase + v AS r FROM deg),
+       |ore AS MATERIALIZED (
+       |  SELECT CASE WHEN ra.r < rb.r THEN und.a ELSE und.b END AS src,
+       |         CASE WHEN ra.r < rb.r THEN und.b ELSE und.a END AS dst,
+       |         greatest(ra.r, rb.r) AS rdst
+       |  FROM und JOIN rk ra ON ra.v = und.a JOIN rk rb ON rb.v = und.b),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM ore e1
+       |  JOIN ore e2 ON e1.src = e2.src AND e1.rdst < e2.rdst
+       |  JOIN ore e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |da AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       |         CAST(max(d) AS BIGINT) AS max_degree,
+       |         CAST(sum(d) AS BIGINT) AS sum_d,
+       |         sum(d * (d - 1) // 2) AS wedges FROM deg),
+       |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+       |nb AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |asr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS np,
+       |    CAST(sum(dga.d) AS BIGINT) AS sx, CAST(sum(dgb.d) AS BIGINT) AS sy,
+       |    CAST(sum(dga.d * dgb.d) AS BIGINT) AS sxy,
+       |    CAST(sum(dga.d * dga.d) AS BIGINT) AS sxx,
+       |    CAST(sum(dgb.d * dgb.d) AS BIGINT) AS syy
+       |  FROM nb JOIN deg dga ON dga.v = nb.a JOIN deg dgb ON dgb.v = nb.b),
+       |a2 AS (
+       |  SELECT np * sxy - sx * sy AS covn,
+       |         np * sxx - sx * sx AS vxn,
+       |         np * syy - sy * sy AS vyn
+       |  FROM asr)
+       |SELECT da.n_vertices, ea.n_edges, da.max_degree,
+       |  CASE WHEN da.n_vertices = 0 THEN NULL
+       |       ELSE round(CAST(da.sum_d AS DOUBLE) / da.n_vertices, 4)
+       |  END AS mean_degree,
+       |  CASE WHEN da.wedges = 0 THEN NULL
+       |       ELSE round(CAST(tri.n_triangles AS DOUBLE) * 3.0 /
+       |                  CAST(da.wedges AS DOUBLE), 4)
+       |  END AS global_cc,
+       |  CASE WHEN a2.vxn = 0 OR a2.vyn = 0 THEN NULL
+       |       ELSE round(CAST(a2.covn AS DOUBLE) /
+       |                  sqrt(CAST(a2.vxn AS DOUBLE) * CAST(a2.vyn AS DOUBLE)), 4)
+       |  END AS assortativity
+       |FROM da, ea, tri, a2""".stripMargin
+
   /** g07 oracle: the shared `und` prefix, then neighbor lists, the
     * wedge-join candidate count, the adjacency anti-join, and the
     * Jaccard projection — counts CAST to BIGINT (no HUGEINT sums),
@@ -756,6 +813,8 @@ object SparkEntry {
     "s09_mmr_select" -> s09OracleSql(
       graft.operators.Similarity.MmrK, graft.operators.Similarity.MmrPool),
     "g04_triangles" -> g04OracleSql(
+      graft.operators.Graph.TriTopK, graft.operators.Graph.RankBase),
+    "g08_graph_profile" -> g08OracleSql(
       graft.operators.Graph.TriTopK, graft.operators.Graph.RankBase),
     "g07_linkpred" -> g07OracleSql(
       graft.operators.Graph.TriTopK, graft.operators.Graph.LinkTopK),

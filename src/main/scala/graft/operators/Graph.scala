@@ -353,11 +353,22 @@ object Graph {
     }
   }
 
-  def g04TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = coPurchaseUnd(spark, sfDir)
-    val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+  /** Degree frame (v, d) of an undirected (a < b) edge frame,
+    * eagerly checkpointed — every consumer reads it at least twice.
+    */
+  private def degreeFrame(und: DataFrame): DataFrame =
+    und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // read by rank join and the final output
+      .localCheckpoint(true)
+
+  /** The degree-ordered wedge join shared by g04 and g08: orient
+    * every edge toward the higher (degree, id) rank, then each
+    * triangle materializes exactly once as a wedge at its
+    * lowest-rank vertex closed by the third edge — the standard
+    * O(E^1.5) bound that keeps hub vertices from exploding the join.
+    * Returns the (x, y, z) triangle triples.
+    */
+  private def wedgeTriangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val rk = deg.select(col("v"), (col("d") * RankBase + col("v")).as("r"))
     val ore = und
       .join(rk.select(col("v").as("a"), col("r").as("ra")), "a")
@@ -367,13 +378,19 @@ object Graph {
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("ra"), col("rb")).as("rdst"))
       .localCheckpoint(true) // read three times by the wedge self-join
-    val tri = ore.as("e1")
+    ore.as("e1")
       .join(ore.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
       .join(ore.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"),
         col("e2.dst").as("z"))
+  }
+
+  def g04TriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = degreeFrame(und)
+    val tri = wedgeTriangles(und, deg)
     val tc = tri.select(col("x").as("v"))
       .union(tri.select(col("y").as("v")))
       .union(tri.select(col("z").as("v")))
@@ -546,4 +563,73 @@ object Graph {
     */
   def g07LinkPredict(spark: SparkSession, sfDir: String): DataFrame =
     linkPredict(coPurchaseUnd(spark, sfDir), LinkTopK)
+
+  /** Graph-profile core over any undirected (a < b) edge frame: ONE
+    * summary row — vertex/edge counts, max/mean degree, global
+    * clustering coefficient 3·T/W (T = triangles via the shared
+    * [[wedgeTriangles]] join, W = Σ C(d,2) wedges — both exact
+    * integers, the ratio one double division), and degree
+    * assortativity (Pearson over endpoint degrees of both edge
+    * orientations, computed from exact integer moment sums with one
+    * final double division, 4dp; null on a regular graph, where it
+    * is undefined). Package-private for the spec.
+    */
+  private[graft] def graphProfileFrom(und: DataFrame): DataFrame = {
+    val deg = degreeFrame(und)
+    val degAgg = deg.agg(count(lit(1)).as("n_vertices"),
+      max(col("d")).as("max_degree"), sum(col("d")).as("sum_d"),
+      sum(expr("d * (d - 1) div 2")).as("wedges"))
+    val eAgg = und.agg(count(lit(1)).as("n_edges"))
+    val triAgg = wedgeTriangles(und, deg).agg(count(lit(1)).as("n_triangles"))
+    val nb = und.select(col("a"), col("b"))
+      .union(und.select(col("b"), col("a")))
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // Pearson from EXACT integer moment sums (degrees are longs, the
+    // sums are order-independent), one double division at the end —
+    // deterministic cross-engine where the engines' streaming corr
+    // implementations are not, and the zero-variance (regular-graph)
+    // case guards to null instead of ANSI-erroring. Long headroom:
+    // n·Σxy overflows past ~E²·d² ≈ 9e18; production recomputes the
+    // moments in double far below that.
+    val assort = nb.agg(count(lit(1)).as("np"),
+      sum(col("da")).as("sx"), sum(col("db")).as("sy"),
+      sum(col("da") * col("db")).as("sxy"),
+      sum(col("da") * col("da")).as("sxx"),
+      sum(col("db") * col("db")).as("syy"))
+      .select(
+        (col("np") * col("sxy") - col("sx") * col("sy")).as("covn"),
+        (col("np") * col("sxx") - col("sx") * col("sx")).as("vxn"),
+        (col("np") * col("syy") - col("sy") * col("sy")).as("vyn"))
+      .select(when(col("vxn") === 0 || col("vyn") === 0,
+        lit(null).cast("double"))
+        .otherwise(round(col("covn").cast("double") /
+          sqrt(col("vxn").cast("double") * col("vyn").cast("double")), 4))
+        .as("assortativity"))
+    degAgg.crossJoin(broadcast(eAgg)).crossJoin(broadcast(triAgg))
+      .crossJoin(broadcast(assort))
+      .select(col("n_vertices"), col("n_edges"), col("max_degree"),
+        // null-guarded ratios: ANSI Spark raises DIVIDE_BY_ZERO even
+        // for double division, and a wedge-free (or empty) graph has
+        // no defined clustering coefficient anyway
+        when(col("n_vertices") === 0, lit(null).cast("double"))
+          .otherwise(round(col("sum_d").cast("double") / col("n_vertices"), 4))
+          .as("mean_degree"),
+        when(col("wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_triangles") * lit(3.0) / col("wedges"), 4))
+          .as("global_cc"),
+        col("assortativity"))
+  }
+
+  /** g08: one-row health profile of the supplier co-purchase graph —
+    * the numbers watched when the graph itself is the product
+    * (density drift, hub growth, clustering collapse, degree mixing):
+    * the global twin of g04's per-vertex view, over the same memoized
+    * [[coPurchaseUnd]] projection. Everything is an aggregate of
+    * frames the g04/g07 machinery already derives; the four 1-row
+    * aggregate frames assemble by broadcast cross join (scalar
+    * control plane, no data-plane shuffle added).
+    */
+  def g08GraphProfile(spark: SparkSession, sfDir: String): DataFrame =
+    graphProfileFrom(coPurchaseUnd(spark, sfDir))
 }

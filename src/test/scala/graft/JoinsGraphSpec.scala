@@ -380,6 +380,32 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(Graph.g07LinkPredict(spark, sfDir).count() == 0L)
   }
 
+  test("g08 graph profile: exact on a triangle-plus-pendant graph") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // triangle 1-2-3 with pendant 4 off vertex 3: degrees (2,2,3,1),
+    // wedges 1+1+3+0 = 5, one triangle → global_cc = 3/5
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = Graph.graphProfileFrom(und).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 0.6)
+    // assortativity: plain-Scala Pearson over both edge orientations
+    val deg = Map(1L -> 2.0, 2L -> 2.0, 3L -> 3.0, 4L -> 1.0)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = pairs.size
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val vx = pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val vy = pairs.map(p => (p._2 - my) * (p._2 - my)).sum
+    val expected = math.rint(cov / math.sqrt(vx * vy) * 10000) / 10000
+    assert(math.abs(r.getDouble(5) - expected) < 1e-9,
+      s"assortativity ${r.getDouble(5)} != $expected")
+    // a regular graph has undefined assortativity → null, not NaN
+    val single = Seq((1L, 2L)).toDF("a", "b")
+    assert(Graph.graphProfileFrom(single).collect()(0).isNullAt(5))
+  }
+
   test("g06 shortest paths: BFS hops exact on a path graph, bound binds") {
     import spark.implicits._
     import graft.operators.Graph
