@@ -115,6 +115,7 @@ object SparkEntry {
     "p05_profile" -> (Pipeline.p05Profile _),
     "p06_stratified_sample" -> (Pipeline.p06StratifiedSample _),
     "p12_curriculum" -> (Pipeline.p12Curriculum _),
+    "p13_yield_report" -> (Pipeline.p13YieldReport _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -2486,11 +2487,83 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // p13: one flags CTE, the survivor-ranked dedup stage computed
+    // over stage-3 survivors only (a prefix group can span documents
+    // with different upstream flags), sums CAST back from HUGEINT.
+    "p13_yield_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |b2 AS (SELECT *, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         lang = 'en' AS s2, n_chars >= 100 AS s3 FROM base),
+        |surv AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY md5(substr(text, 1, 80))
+        |                       ORDER BY doc_id) = 1 AS s4,
+        |    10 * len(list_distinct(tk)) >= 3 * len(tk) AS s5
+        |  FROM b2 WHERE s2 AND s3),
+        |ab AS (SELECT CAST(count(*) AS BIGINT) AS d1, CAST(sum(n_tokens) AS BIGINT) AS t1,
+        |         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |         CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        |         CAST(sum(CASE WHEN s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |         CAST(sum(CASE WHEN s2 AND s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+        |       FROM b2),
+        |asv AS (SELECT CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |          CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+        |          CAST(sum(CASE WHEN s4 AND s5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+        |          CAST(sum(CASE WHEN s4 AND s5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
+        |        FROM surv),
+        |agg AS (SELECT * FROM ab, asv)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_id, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens,
+        |         round(CAST(d1 AS DOUBLE) * 100.0 / d1, 2) AS pct_docs FROM agg
+        |  UNION ALL SELECT 2, 'lang_en', d2, t2, round(CAST(d2 AS DOUBLE) * 100.0 / d1, 2) FROM agg
+        |  UNION ALL SELECT 3, 'min_length', d3, t3, round(CAST(d3 AS DOUBLE) * 100.0 / d1, 2) FROM agg
+        |  UNION ALL SELECT 4, 'prefix_dedup', d4, t4, round(CAST(d4 AS DOUBLE) * 100.0 / d1, 2) FROM agg
+        |  UNION ALL SELECT 5, 'diversity', d5, t5, round(CAST(d5 AS DOUBLE) * 100.0 / d1, 2) FROM agg)
+        |ORDER BY stage_id""".stripMargin,
     // m05: the oracle recomputes the expected integrity verdicts
     // arithmetically (the corruption pattern is a pure function of
     // doc_id, the blob a pure function of text), so the engine's
     // ACTUAL byte checks — magic sniff, blob length — are what the
     // hash compare validates.
+    // p13: one flags CTE, the survivor-ranked dedup stage computed
+    // over stage-3 survivors only (a prefix group can span documents
+    // with different upstream flags), sums CAST back from HUGEINT.
+    "p13_yield_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |b2 AS (SELECT *, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |         lang = 'en' AS s2, n_chars >= 100 AS s3 FROM base),
+        |surv AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY md5(substr(text, 1, 80))
+        |                       ORDER BY doc_id) = 1 AS s4,
+        |    10 * len(list_distinct(tk)) >= 3 * len(tk) AS s5
+        |  FROM b2 WHERE s2 AND s3),
+        |ab AS (SELECT CAST(count(*) AS BIGINT) AS d1, CAST(sum(n_tokens) AS BIGINT) AS t1,
+        |         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |         CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        |         CAST(sum(CASE WHEN s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |         CAST(sum(CASE WHEN s2 AND s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+        |       FROM b2),
+        |asv AS (SELECT CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        |          CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+        |          CAST(sum(CASE WHEN s4 AND s5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+        |          CAST(sum(CASE WHEN s4 AND s5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
+        |        FROM surv),
+        |agg AS (SELECT * FROM ab, asv)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_id, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens,
+        |         round(CAST(d1 AS DOUBLE) * 100.0 / d1, 2) AS pct_docs FROM agg
+        |  UNION ALL SELECT 2, 'lang_en', d2, t2, round(CAST(d2 AS DOUBLE) * 100.0 / d1, 2) FROM agg
+        |  UNION ALL SELECT 3, 'min_length', d3, t3, round(CAST(d3 AS DOUBLE) * 100.0 / d1, 2) FROM agg
+        |  UNION ALL SELECT 4, 'prefix_dedup', d4, t4, round(CAST(d4 AS DOUBLE) * 100.0 / d1, 2) FROM agg
+        |  UNION ALL SELECT 5, 'diversity', d5, t5, round(CAST(d5 AS DOUBLE) * 100.0 / d1, 2) FROM agg)
+        |ORDER BY stage_id""".stripMargin,
     "m05_integrity" ->
       """WITH b AS (
         |  SELECT doc_id,

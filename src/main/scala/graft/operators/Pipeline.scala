@@ -448,4 +448,61 @@ object Pipeline {
       .select(col("doc_id"), col("stratum"), col("source"), col("seq"))
       .orderBy(col("seq"))
   }
+
+  /** p13: pipeline yield report — the survivor funnel every curation
+    * run publishes (how many documents and tokens survive each gate,
+    * applied CUMULATIVELY in pipeline order): raw → language filter
+    * (en) → minimum length (n_chars ≥ 100) → head-prefix exact dedup
+    * (min-doc_id copy per md5 of the first 80 chars — the d15
+    * boilerplate signal as a gate) → lexical diversity (distinct
+    * tokens ≥ 30% of tokens, an integer-only predicate:
+    * 10·distinct ≥ 3·total). Output: one row per stage with
+    * (n_docs, n_tokens, pct_docs of raw).
+    *
+    * Shape: stages 1–3 are flags aggregated in ONE corpus scan; the
+    * dedup rank MUST be computed among stage-3 survivors only (a
+    * prefix group can span documents with different lang/length
+    * flags, so ranking over the raw corpus would crown a survivor
+    * that the funnel already dropped — unlike full-text dedup, where
+    * group members share all flags). Both aggregates are 1-row
+    * frames assembled by broadcast cross join and unpivoted with
+    * stack; counts and token sums are exact longs (the oracle CASTs
+    * its sums back from HUGEINT), the pct is one double division
+    * from integers.
+    */
+  def p13YieldReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .withColumn("tk",
+        expr("filter(split(lower(text), '[ \\n\\t\\r]+'), x -> x <> '')"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val s2 = col("lang") === "en"
+    val s3 = col("n_chars") >= 100
+    val aggB = base.agg(
+      count(lit(1)).as("d1"), sum(col("n_tokens")).as("t1"),
+      sum(when(s2, 1L).otherwise(0L)).as("d2"),
+      sum(when(s2, col("n_tokens")).otherwise(0L)).as("t2"),
+      sum(when(s2 && s3, 1L).otherwise(0L)).as("d3"),
+      sum(when(s2 && s3, col("n_tokens")).otherwise(0L)).as("t3"))
+    val surv = base.filter(s2 && s3)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(substring(col("text"), 1, 80)))
+          .orderBy(col("doc_id"))))
+    val s4 = col("rk") === 1
+    val s5 = expr("10 * size(array_distinct(tk)) >= 3 * size(tk)")
+    val aggS = surv.agg(
+      sum(when(s4, 1L).otherwise(0L)).as("d4"),
+      sum(when(s4, col("n_tokens")).otherwise(0L)).as("t4"),
+      sum(when(s4 && s5, 1L).otherwise(0L)).as("d5"),
+      sum(when(s4 && s5, col("n_tokens")).otherwise(0L)).as("t5"))
+    aggB.crossJoin(broadcast(aggS)).selectExpr(
+      """stack(5,
+        |  1, 'raw',          d1, t1, round(CAST(d1 AS DOUBLE) * 100.0D / d1, 2),
+        |  2, 'lang_en',      d2, t2, round(CAST(d2 AS DOUBLE) * 100.0D / d1, 2),
+        |  3, 'min_length',   d3, t3, round(CAST(d3 AS DOUBLE) * 100.0D / d1, 2),
+        |  4, 'prefix_dedup', d4, t4, round(CAST(d4 AS DOUBLE) * 100.0D / d1, 2),
+        |  5, 'diversity',    d5, t5, round(CAST(d5 AS DOUBLE) * 100.0D / d1, 2)
+        |) AS (stage_id, stage, n_docs, n_tokens, pct_docs)""".stripMargin)
+      .orderBy(col("stage_id"))
+  }
 }

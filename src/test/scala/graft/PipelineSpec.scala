@@ -224,4 +224,33 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
     assert(again.sameElements(rows))
   }
+
+  test("p13 yield funnel matches a brute-force plain-Scala recount") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    def toks(t: String) = t.toLowerCase.split("[ \n\t\r]+").filter(_.nonEmpty)
+    val withT = docs.map { case (id, lang, text, nc) => (id, lang, text, nc, toks(text)) }
+    val s2 = withT.filter(_._2 == "en")
+    val s3 = s2.filter(_._4 >= 100)
+    // prefix dedup among stage-3 survivors: min doc_id per 80-char head
+    val keep = s3.groupBy(d => md5hex(d._3.take(80))).values.map(_.map(_._1).min).toSet
+    val s4 = s3.filter(d => keep(d._1))
+    val s5 = s4.filter(d => 10 * d._5.distinct.length >= 3 * d._5.length)
+    val stages = Seq(docs.map(d => (d._1, toks(d._3))), s2.map(d => (d._1, d._5)),
+      s3.map(d => (d._1, d._5)), s4.map(d => (d._1, d._5)), s5.map(d => (d._1, d._5)))
+    val expected = stages.zipWithIndex.map { case (s, i) =>
+      (i + 1, s.length.toLong, s.map(_._2.length.toLong).sum,
+        math.rint(s.length.toDouble * 100.0 / docs.length * 100) / 100)
+    }
+    val got = Pipeline.p13YieldReport(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"funnel mismatch: $got vs $expected")
+    // the funnel is monotone non-increasing
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
