@@ -56,6 +56,7 @@ object SparkEntry {
     "q46_referential_audit" -> (Relational.q46ReferentialAudit _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
+    "j04_overlap_join" -> (Joins.j04OverlapJoin _),
     "q32_event_funnel" -> (Events.q32EventFunnel _),
     "q33_json_extract" -> (Events.q33JsonExtract _),
     "q41_retention_cohorts" -> (Events.q41RetentionCohorts _),
@@ -810,6 +811,21 @@ object SparkEntry {
        |FROM sel$k ORDER BY rank""".stripMargin
   }
 
+  /** q31's session-assembly replication (CTEs e → f → g: typed
+    * events, 30-min-gap flags, running session ids) — shared by the
+    * q31 oracle and j04's session side.
+    */
+  private val sessionizeOracleCtes: String =
+    """e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |f AS (SELECT *, CASE WHEN prev_us IS NULL
+      |                     OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM (SELECT *, lag(epoch_us(ts)) OVER
+      |              (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
+      |g AS (SELECT *, CAST(sum(new_sess) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |      FROM f)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s09_mmr_select" -> s09OracleSql(
       graft.operators.Similarity.MmrK, graft.operators.Similarity.MmrPool),
@@ -1298,20 +1314,33 @@ object SparkEntry {
         |SELECT relationship, n_child, n_orphan_child, n_parent, n_childless_parent
         |FROM rel ORDER BY relationship""".stripMargin,
     "q31_sessionize" ->
-      """WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL
-        |                     OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
-        |      FROM (SELECT *, lag(epoch_us(ts)) OVER
-        |              (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e)),
-        |g AS (SELECT *, CAST(sum(new_sess) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |      FROM f)
+      ("WITH " + sessionizeOracleCtes + """
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events, round(sum(value), 2) AS session_value
         |FROM g
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+        |ORDER BY user_id, session_id""".stripMargin),
+    // j04: q31's session CTEs, the hour histogram with the same
+    // integer 1.2×-mean predicate (no division, no HUGEINT — counts
+    // CAST early), then the direct overlap join — the oracle needs no
+    // banding, which is exactly what makes it a check OF the banding.
+    "j04_overlap_join" ->
+      ("WITH " + sessionizeOracleCtes + """,
+        |sess AS (SELECT user_id, session_id,
+        |           epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |         FROM g GROUP BY user_id, session_id),
+        |hrs AS (SELECT epoch_us(date_trunc('hour', ts)) AS ws_us,
+        |          CAST(count(*) AS BIGINT) AS n_ev
+        |        FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+        |          CAST(sum(n_ev) AS BIGINT) AS ne FROM hrs),
+        |hot AS (SELECT ws_us, n_ev FROM hrs, tot WHERE n_ev * 5 * nw >= ne * 6)
+        |SELECT s.user_id, s.session_id, h.ws_us AS win_start_us,
+        |  least(s.e_us, h.ws_us + 3600000000) - greatest(s.s_us, h.ws_us) AS overlap_us,
+        |  h.n_ev AS win_events
+        |FROM sess s JOIN hot h
+        |  ON h.ws_us <= s.e_us AND s.s_us < h.ws_us + 3600000000
+        |ORDER BY user_id, session_id, win_start_us""".stripMargin),
     "q32_event_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT user_id, min(ts) AS signup_ts FROM e

@@ -161,6 +161,66 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** Microseconds per hour — the j04 band width. */
+  private val HourUs = 3600L * 1000000L
+
+  /** j04: interval OVERLAP join — sessions (q31's assembly, reused as
+    * a frame) against the corpus's HOT activity windows (tumbling
+    * hours whose event count is ≥ 1.2× the mean, the data-derived
+    * integer predicate 5·n·W ≥ 6·E so the threshold scales with the
+    * corpus instead of hard-coding a count): which sessions ran
+    * through congested periods, and for how long. The third temporal
+    * join primitive after as-of (j01) and point-in-interval (j02) —
+    * both interval sets here have extent.
+    *
+    * Shape: the standard banded decomposition — sessions explode to
+    * the hour bands they touch (bounded by session length), windows
+    * carry their single aligned band, and the band EQUI-join is
+    * exactly the overlap predicate (window bands are hour-aligned,
+    * so band ∈ [s div H, e div H] ⇔ ws ≤ e ∧ s < ws+H — the residual
+    * filter is kept as a guard, not a correctness need, and no
+    * dedup is needed since each window owns one band). At 100 TB
+    * band population is per-hour activity — time-uniform by
+    * construction; a skewed band would salt exactly like q23.
+    * Overlap durations are integer microseconds end to end
+    * (session intervals closed, windows half-open; an
+    * instant-session overlap legitimately reports 0 µs).
+    */
+  def j04OverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Events.q31Sessionize(spark, sfDir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("n_ev"))
+    val tot = hours.agg(count(lit(1)).as("nw"), sum(col("n_ev")).as("ne"))
+    val hot = hours.crossJoin(broadcast(tot))
+      .filter(col("n_ev") * lit(5L) * col("nw") >= col("ne") * lit(6L))
+      .select(col("ws_us"), col("n_ev"))
+    bandedOverlap(sessions, hot)
+  }
+
+  /** The banded interval-overlap core (see [[j04OverlapJoin]]):
+    * `sessions` carries (user_id, session_id, s_us, e_us) closed
+    * intervals, `hot` carries (ws_us, n_ev) hour-aligned half-open
+    * windows. Package-private for the boundary-case spec.
+    */
+  private[graft] def bandedOverlap(sessions: DataFrame, hot: DataFrame): DataFrame = {
+    val sBands = sessions.withColumn("band",
+      explode(sequence(expr(s"s_us div $HourUs"), expr(s"e_us div $HourUs"))))
+    val hBands = hot.withColumn("band", expr(s"ws_us div $HourUs"))
+    sBands.join(hBands, "band")
+      .filter(col("ws_us") <= col("e_us") && col("s_us") < col("ws_us") + lit(HourUs))
+      .select(col("user_id"), col("session_id"),
+        col("ws_us").as("win_start_us"),
+        (least(col("e_us"), col("ws_us") + lit(HourUs)) -
+          greatest(col("s_us"), col("ws_us"))).as("overlap_us"),
+        col("n_ev").as("win_events"))
+      .orderBy(col("user_id"), col("session_id"), col("win_start_us"))
+  }
+
   /** Hot-key-only salted inner equi-join — q23's demonstration as a
     * reusable operator. Keys whose LEFT-side row count reaches
     * `hotThreshold` are split across `saltBuckets` sub-keys (the

@@ -380,6 +380,40 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(Graph.g07LinkPredict(spark, sfDir).count() == 0L)
   }
 
+  test("j04 banded overlap equals brute force, boundaries included") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val H = 3600L * 1000000L
+    // sessions (closed intervals): inside one window; spanning three;
+    // an instant session ON a window start; ending exactly AT a
+    // window start (included, 0-µs overlap is legitimate); starting
+    // exactly at a window END (excluded — windows are half-open)
+    val sessions = Seq(
+      (1L, 1L, H + 10L, H + 20L),          // inside window 1
+      (2L, 1L, H - 5L, 3 * H + 5L),        // spans windows 0,1,2,3
+      (3L, 1L, 2 * H, 2 * H),              // instant at window-2 start
+      (4L, 1L, H - 50L, H),                // ends exactly at window-1 start
+      (5L, 1L, 2 * H, 2 * H - 1 + H + 1L)  // = [2H, 3H] touches window 3
+    ).toDF("user_id", "session_id", "s_us", "e_us")
+    val hot = Seq((0L * H, 7L), (1L * H, 9L), (2L * H, 11L), (3L * H, 13L))
+      .toDF("ws_us", "n_ev")
+    val got = Joins.bandedOverlap(sessions, hot).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // brute force over the cross product
+    val s = sessions.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val h = hot.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (u, su, eu) <- s
+      (ws, n) <- h
+      if ws <= eu && su < ws + H
+    } yield (u, ws, math.min(eu, ws + H) - math.max(su, ws), n)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    // the named boundaries behave as documented
+    assert(got.contains((3L, 2 * H, 0L, 11L)), "instant session must appear with 0 overlap")
+    assert(got.contains((4L, 1 * H, 0L, 9L)), "end-at-start must appear (closed session)")
+    assert(got.count(_._1 == 2L) == 4, "spanning session must hit all four windows")
+  }
+
   test("g08 graph profile: exact on a triangle-plus-pendant graph") {
     import spark.implicits._
     import graft.operators.Graph
