@@ -345,4 +345,24 @@ class PlanRuleSpec extends AnyFunSuite {
       assert(exchangeBetween.nonEmpty, "final agg must sit above the shuffle")
     }
   }
+
+  test("every query key plans warning-free under PlanAudit") {
+    // the whole-suite scale contract, as ONE standing assertion: no
+    // cartesian products, no non-tiny nested-loop joins, no shuffle
+    // carrying raw rows where a partial aggregate belongs — for EVERY
+    // key in SparkEntry.queries, executed at sf0.001. A new operator
+    // that trips a warning fails here with its name; a deliberate
+    // exception must be argued into an allowlist, not slipped past a
+    // reviewer's eyeball pass (as of round 8 the allowlist is empty:
+    // all 122 keys audit clean — the broadcast(tiny) control-plane
+    // cross joins plan as small-build BroadcastNestedLoop, which the
+    // audit's size gate accepts by design).
+    val allowlisted: Map[String, String] = Map.empty
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val ws = graft.plans.PlanAudit.audit(fn(spark, sfDir)).warnings
+      if (ws.isEmpty || allowlisted.contains(name)) None
+      else Some(s"$name: ${ws.mkString(" | ")}")
+    }
+    assert(bad.isEmpty, s"plan warnings:\n${bad.mkString("\n")}")
+  }
 }
