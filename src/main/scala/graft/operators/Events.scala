@@ -32,7 +32,11 @@ object Events {
     * classic lag→flag→running-sum pattern; one shuffle on user_id,
     * sessions assigned with integer µs arithmetic for engine parity.
     */
-  def q31Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q31's session frame WITHOUT the final presentation sort —
+    * consumers that join or re-aggregate (j04's overlap join) read
+    * this so the plan doesn't pay a useless global range exchange.
+    */
+  private[graft] def sessionFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, sfDir)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
@@ -47,8 +51,10 @@ object Events {
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
+
+  def q31Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFrame(spark, sfDir).orderBy(col("user_id"), col("session_id"))
 
   /** q32: ordered funnel signup→click→purchase in ONE shuffle: all
     * three stage timestamps are whole-partition window minimums over

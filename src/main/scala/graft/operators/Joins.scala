@@ -187,7 +187,7 @@ object Joins {
     * instant-session overlap legitimately reports 0 µs).
     */
   def j04OverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val sessions = Events.q31Sessionize(spark, sfDir)
+    val sessions = Events.sessionFrame(spark, sfDir)
       .select(col("user_id"), col("session_id"),
         unix_micros(col("session_start")).as("s_us"),
         unix_micros(col("session_end")).as("e_us"))
