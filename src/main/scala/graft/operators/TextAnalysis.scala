@@ -45,7 +45,17 @@ object TextAnalysis {
     */
   def t02QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val docs = Tables.documents(spark, sfDir)
+    qualityScored(Tables.documents(spark, sfDir)).orderBy(col("doc_id"))
+  }
+
+  /** t02's scorer over any (doc_id, text) frame — a PURE PER-ROW map
+    * (no aggregate, no window), which is what lets the identical
+    * column expressions run on a batch frame or a stream
+    * ([[graft.streaming.StreamOps.qualityGate]]) with no watermark or
+    * state. Package-private for the streaming twin and specs.
+    */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
+    registerAll(docs.sparkSession)
     val nChars = length(col("text"))
     val toks = split(col("text"), " ")
     val nToks = size(toks)
@@ -67,7 +77,6 @@ object TextAnalysis {
         round(least(lit(1.0), col("n_tokens").cast("double") / lit(100.0)) * lit(0.4)
           + col("stopword_ratio") * lit(0.3)
           + col("distinct_ratio") * lit(0.3), 5))
-      .orderBy(col("doc_id"))
   }
 
   /** t03: token counting — whitespace tokens + a BPE-ish regex pass

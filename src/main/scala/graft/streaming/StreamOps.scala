@@ -147,6 +147,19 @@ object StreamOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Streaming quality gate: batch t02's scorer applied UNCHANGED to
+    * a document stream and thresholded — possible precisely because
+    * the scorer is a pure per-row map (no aggregate, no window, no
+    * watermark or state; [[graft.operators.TextAnalysis.qualityScored]]),
+    * so the live-ingest filter and the batch backfill are one code
+    * path, the lambda-architecture-free property the library's
+    * streaming twins exist to prove. Emits the scored columns so the
+    * sink can audit WHY a document passed.
+    */
+  def qualityGate(docs: DataFrame, floor: Double): DataFrame =
+    graft.operators.TextAnalysis.qualityScored(docs)
+      .filter(col("quality_score") >= floor)
+
   /** Streaming twin of d10 incremental dedup, candidate stage: new
     * documents arrive as a stream and probe the STATIC corpus band
     * index — the continuous form of the daily batch-vs-corpus probe.

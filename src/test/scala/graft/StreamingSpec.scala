@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${want -- got} extra=${got.toSet -- want}")
   }
 
+  test("stream_quality_gate drains to the batch t02-filtered result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val floor = 0.35
+    val stream = spark.readStream.schema(StreamOps.documentSchema)
+      .parquet(dir.toString)
+    val q = StreamOps.qualityGate(stream, floor)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qgate_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("qgate_out").orderBy(col("doc_id")).collect().toSeq
+    val expected = operators.TextAnalysis.t02QualityScore(spark, sfDir)
+      .filter(col("quality_score") >= floor)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got == expected)
+    // the gate is a real decision boundary on this corpus
+    val total = Tables.documents(spark, sfDir).count()
+    assert(got.size < total, "the floor must reject some documents")
+  }
+
   test("stream_window_agg drains to the batch q30 result") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val q = StreamOps.windowAgg(stream)
