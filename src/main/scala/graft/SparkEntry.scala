@@ -77,6 +77,7 @@ object SparkEntry {
     "d18_match_forensics" -> (Dedup.d18MatchForensics _),
     "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
+    "d20_soft_dedup" -> (Dedup.d20SoftDedup _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
@@ -2151,8 +2152,30 @@ object SparkEntry {
         |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
         |FROM lab l JOIN sz s USING (cluster_id)
         |ORDER BY l.doc_id""".stripMargin),
+    // d20: d07's closure + tick weights (2^20 // size, positive
+    // floor-div) + the 20-bit md5-prefix draw (5 hex chars = 2^20
+    // buckets exactly); singletons always kept by construction.
+    "d20_soft_dedup" ->
+      ("WITH RECURSIVE " + closureOracleCtes + """
+        |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(1048576 // s.cluster_size AS BIGINT) AS weight_ticks,
+        |  CAST(('0x' || substr(md5('softdedup:' || CAST(l.doc_id AS VARCHAR)), 1, 5))::UBIGINT AS BIGINT)
+        |    < 1048576 // s.cluster_size AS kept
+        |FROM lab l JOIN sz s USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin),
     // d08 oracle: d07's transitive closure, survivors only, joined
     // back for payload stats.
+    // d20: d07's closure + tick weights (2^20 // size, positive
+    // floor-div) + the 20-bit md5-prefix draw (5 hex chars = 2^20
+    // buckets exactly); singletons always kept by construction.
+    "d20_soft_dedup" ->
+      ("WITH RECURSIVE " + closureOracleCtes + """
+        |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(1048576 // s.cluster_size AS BIGINT) AS weight_ticks,
+        |  CAST(('0x' || substr(md5('softdedup:' || CAST(l.doc_id AS VARCHAR)), 1, 5))::UBIGINT AS BIGINT)
+        |    < 1048576 // s.cluster_size AS kept
+        |FROM lab l JOIN sz s USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin),
     "d08_dedup_apply" ->
       ("WITH RECURSIVE " + closureOracleCtes + """
         |SELECT d.doc_id, d.source,

@@ -1043,4 +1043,38 @@ object Dedup {
           round(col("n_dup_windows") / col("n_windows"), 4)).otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
   }
+
+  /** Tick scale for [[d20SoftDedup]] weights: 2^20 per unit. */
+  private val SoftDedupScale = 1048576L
+
+  /** d20: SOFT dedup — keep every duplicate but sample it down so a
+    * cluster of k near-copies contributes ~one document's worth of
+    * data in expectation: weight = 1/cluster_size over d07's
+    * transitive-closure clusters, materialized by a deterministic
+    * salted-md5 bucket draw (p01/p03's reproducibility pattern — the
+    * kept set is a pure function of doc_id, stable across runs,
+    * engines, and cluster sizes). The standard alternative to hard
+    * dedup when duplicates carry signal (popularity weighting) or
+    * deletion is too aggressive at the fuzzy-match boundary.
+    *
+    * Integer contract: weights are `2^20 div cluster_size` ticks
+    * (positive floor-div, engine-agreeing), the draw compares a
+    * 20-bit md5 prefix (first 5 hex chars — exactly 2^20 buckets)
+    * strictly below the tick weight, so singletons (weight = 2^20,
+    * bucket < 2^20 always) are ALWAYS kept — hard-dedup semantics
+    * degrade gracefully to the identity on unique documents.
+    * Shape: d07's labels (memoized) + one broadcast-joined size
+    * frame + a per-row hash — no new shuffle beyond d07's own.
+    */
+  def d20SoftDedup(spark: SparkSession, sfDir: String): DataFrame =
+    d07DedupClusters(spark, sfDir)
+      .withColumn("weight_ticks",
+        expr(s"$SoftDedupScale div cluster_size"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("softdedup:"),
+          col("doc_id").cast("string"))), 1, 5), 16, 10).cast("long"))
+      .withColumn("kept", col("bucket") < col("weight_ticks"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("weight_ticks"), col("kept"))
+      .orderBy(col("doc_id"))
 }

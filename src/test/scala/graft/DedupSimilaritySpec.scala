@@ -529,6 +529,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("d20 soft dedup: weights and draws recompute exactly; singletons always kept") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d07 = Dedup.d07DedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = Dedup.d20SoftDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty && rows.length == d07.size)
+    rows.foreach { case (doc, cid, size, w, kept) =>
+      assert((cid, size) == d07(doc), s"doc $doc disagrees with d07")
+      assert(w == 1048576L / size, s"doc $doc weight")
+      val bucket = java.lang.Long.parseLong(md5hex(s"softdedup:$doc").take(5), 16)
+      assert(kept == (bucket < w), s"doc $doc draw")
+      if (size == 1) assert(kept, s"singleton $doc must always be kept")
+    }
+    // soft dedup reduces a multi-copy cluster toward one-copy mass
+    val multi = rows.filter(_._3 > 1)
+    if (multi.nonEmpty)
+      assert(multi.count(_._5) < multi.length,
+        "some duplicate-cluster members must be sampled out")
+  }
+
   test("s10 int8 grid maps extremes exactly and bounds per-dim error") {
     import spark.implicits._
     // per-row grid: dims [0,10], [-1,1], and a DEGENERATE [5,5]
