@@ -86,6 +86,7 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.s01AnnBruteforce _),
     "s09_mmr_select" -> (Similarity.s09MmrSelect _),
     "s10_ann_int8" -> (Similarity.s10AnnInt8 _),
+    "s11_ann_rerank" -> (Similarity.s11AnnRerank _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -827,6 +828,41 @@ object SparkEntry {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |      FROM f)""".stripMargin
 
+  /** SQ8 oracle CTEs shared by s10/s11: the int8 grid (per-dim
+    * min/max over the corpus), the quantize-dequantize mapping
+    * (floor(+0.5) round-half-up — the INT cast sees an already-
+    * integral double, so DuckDB's rounding cast and Spark's
+    * truncating cast agree; double→float is round-to-nearest-even in
+    * both engines), and the quantized pairwise cosine `p`.
+    */
+  private val sq8OracleCtes: String =
+    """dims AS (
+      |  SELECT ix.i AS i, min(CAST(e.embedding[ix.i] AS DOUBLE)) AS mn,
+      |         max(CAST(e.embedding[ix.i] AS DOUBLE)) AS mx
+      |  FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) ix
+      |  GROUP BY ix.i),
+      |mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims),
+      |dqq AS (
+      |  SELECT e.vec_id,
+      |    list_transform(range(1, 65), i ->
+      |      CAST(CASE WHEN mm.maxs[i] = mm.mins[i] THEN mm.mins[i]
+      |        ELSE mm.mins[i] + least(255, greatest(0,
+      |          CAST(floor((CAST(e.embedding[i] AS DOUBLE) - mm.mins[i]) * 255.0 /
+      |                     (mm.maxs[i] - mm.mins[i]) + 0.5) AS INTEGER)))
+      |          * (mm.maxs[i] - mm.mins[i]) / 255.0
+      |      END AS FLOAT)) AS dq
+      |  FROM embeddings e, mm),
+      |q AS (SELECT vec_id AS query_id, dq AS qv FROM dqq WHERE vec_id < 5),
+      |p AS (SELECT q.query_id, d.vec_id,
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(d.dq[i] AS DOUBLE))) AS dot,
+      |        sqrt(list_sum(list_transform(range(1, 65),
+      |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS nq,
+      |        sqrt(list_sum(list_transform(range(1, 65),
+      |          i -> CAST(d.dq[i] AS DOUBLE) * CAST(d.dq[i] AS DOUBLE)))) AS nv
+      |      FROM dqq d CROSS JOIN q
+      |      WHERE d.vec_id <> q.query_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s09_mmr_select" -> s09OracleSql(
       graft.operators.Similarity.MmrK, graft.operators.Similarity.MmrPool),
@@ -1530,39 +1566,10 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
-    // s10: replicate the int8 grid (per-dim min/max over the corpus),
-    // the quantize-dequantize mapping (floor(+0.5) round-half-up; the
-    // INT cast sees an already-integral double, so DuckDB's rounding
-    // cast and Spark's truncating cast agree), the double→float cast
-    // (round-to-nearest-even in both engines), then s01's ranking over
-    // the dequantized vectors. 64-dim like the other ANN oracles.
+    // s10: the shared SQ8 CTEs, then s01's ranking over the
+    // dequantized vectors. 64-dim like the other ANN oracles.
     "s10_ann_int8" ->
-      """WITH dims AS (
-        |  SELECT ix.i AS i, min(CAST(e.embedding[ix.i] AS DOUBLE)) AS mn,
-        |         max(CAST(e.embedding[ix.i] AS DOUBLE)) AS mx
-        |  FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) ix
-        |  GROUP BY ix.i),
-        |mm AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims),
-        |dq AS (
-        |  SELECT e.vec_id,
-        |    list_transform(range(1, 65), i ->
-        |      CAST(CASE WHEN mm.maxs[i] = mm.mins[i] THEN mm.mins[i]
-        |        ELSE mm.mins[i] + least(255, greatest(0,
-        |          CAST(floor((CAST(e.embedding[i] AS DOUBLE) - mm.mins[i]) * 255.0 /
-        |                     (mm.maxs[i] - mm.mins[i]) + 0.5) AS INTEGER)))
-        |          * (mm.maxs[i] - mm.mins[i]) / 255.0
-        |      END AS FLOAT)) AS dq
-        |  FROM embeddings e, mm),
-        |q AS (SELECT vec_id AS query_id, dq AS qv FROM dq WHERE vec_id < 5),
-        |p AS (SELECT q.query_id, d.vec_id,
-        |        list_sum(list_transform(range(1, 65),
-        |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(d.dq[i] AS DOUBLE))) AS dot,
-        |        sqrt(list_sum(list_transform(range(1, 65),
-        |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) AS nq,
-        |        sqrt(list_sum(list_transform(range(1, 65),
-        |          i -> CAST(d.dq[i] AS DOUBLE) * CAST(d.dq[i] AS DOUBLE)))) AS nv
-        |      FROM dq d CROSS JOIN q
-        |      WHERE d.vec_id <> q.query_id),
+      ("WITH " + sq8OracleCtes + """,
         |r AS (SELECT query_id, vec_id, dot / (nq * nv) AS cos_raw,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY dot / (nq * nv) DESC, vec_id) AS rank
@@ -1570,7 +1577,38 @@ object SparkEntry {
         |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
         |FROM r
         |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
+    // s11: the same SQ8 CTEs rank a 50-candidate pool per query
+    // (quantized scores, the engine's top-k tie rule: score desc,
+    // id asc), then EXACT float cosine reranks pool members only.
+    "s11_ann_rerank" ->
+      ("WITH " + sq8OracleCtes + """,
+        |pool AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY dot / (nq * nv) DESC, vec_id) AS rk
+        |    FROM p)
+        |  WHERE rk <= 50),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |x AS (SELECT pool.query_id, pool.vec_id,
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> CAST(qe.qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))) AS dot2,
+        |        sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(qe.qv[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))) AS nq2,
+        |        sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))) AS nv2
+        |      FROM pool
+        |      JOIN embeddings v ON v.vec_id = pool.vec_id
+        |      JOIN qe ON qe.query_id = pool.query_id),
+        |r AS (SELECT query_id, vec_id, dot2 / (nq2 * nv2) AS cos_raw,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY dot2 / (nq2 * nv2) DESC, vec_id) AS rank
+        |      FROM x)
+        |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, rank
+        |FROM r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
     "s02_ann_lsh" ->
       ("WITH " + annProbeOracleCtes + """,
         |r AS (

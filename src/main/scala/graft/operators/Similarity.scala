@@ -745,4 +745,44 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("dq"))))
   }
+
+  /** Stage-1 pool size for [[s11AnnRerank]]: candidates the quantized
+    * scan hands to the exact rerank, per query.
+    */
+  private[graft] val RerankPool = 50
+
+  /** s11: two-stage ANN — the production vector-store shape that
+    * makes SQ8 (s10) pay off end to end: the CHEAP pass scans the
+    * int8-quantized corpus (4× smaller at 100 TB) and keeps a
+    * [[RerankPool]]-candidate pool per query via the bounded top-k
+    * aggregate; the EXPENSIVE pass computes exact float cosine only
+    * on pool members (a candidates-only join back to the full-
+    * precision vectors — 50 rows per query, not the corpus) and cuts
+    * to the final top-10. Output cosines are EXACT (unlike s10's
+    * quantized scores); with the pool 5× the answer size, the final
+    * list matches s01's brute force on this corpus — pinned in the
+    * spec, while the oracle replicates the two-stage pipeline itself
+    * (pool cut included), so a borderline pool membership difference
+    * can never hide.
+    */
+  def s11AnnRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val dq = int8Dequantized(spark, sfDir)
+    val qQuant = dq.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("dq").as("qv"))
+    val pool = dq.crossJoin(broadcast(qQuant))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qcos", call_function("cosine_sim", col("qv"), col("dq")))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by_score", col("qcos"), col("vec_id"),
+        lit(RerankPool)).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val exact = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val qExact = exact.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    topKPerQuery(pool
+      .join(exact, "vec_id")
+      .join(broadcast(qExact), "query_id")
+      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
+  }
 }

@@ -577,6 +577,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s11 quantized-prefilter rerank reproduces the exact s01 result") {
+    // the two-stage claim: a 50-candidate quantized pool + exact
+    // rerank must return BIT-IDENTICAL rows to brute force — exact
+    // cosines, same neighbors, same ranks
+    val exact = Similarity.s01AnnBruteforce(spark, sfDir).collect().map(_.toSeq).toSeq
+    val rerank = Similarity.s11AnnRerank(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && rerank == exact)
+  }
+
   test("s10 int8 quantized search keeps high recall of the exact top-10") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
