@@ -87,6 +87,7 @@ object SparkEntry {
     "s09_mmr_select" -> (Similarity.s09MmrSelect _),
     "s10_ann_int8" -> (Similarity.s10AnnInt8 _),
     "s11_ann_rerank" -> (Similarity.s11AnnRerank _),
+    "s12_ann_index_stats" -> (Similarity.s12AnnIndexStats _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -1566,6 +1567,18 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // s12: the shared banding CTEs (unreferenced probe CTEs are not
+    // evaluated by DuckDB), bucket sizes, then the size histogram —
+    // band_val's HUGEINT sum is a group key only, never an output.
+    "s12_ann_index_stats" ->
+      ("WITH " + annProbeOracleCtes + """,
+        |bk AS (SELECT band_id, band_val, CAST(count(*) AS BIGINT) AS sz
+        |       FROM bands GROUP BY 1, 2)
+        |SELECT sz AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sz * count(*) AS BIGINT) AS n_vectors
+        |FROM bk
+        |GROUP BY sz
+        |ORDER BY bucket_size""".stripMargin),
     // s10: the shared SQ8 CTEs, then s01's ranking over the
     // dequantized vectors. 64-dim like the other ANN oracles.
     "s10_ann_int8" ->

@@ -751,6 +751,34 @@ object Similarity {
     */
   private[graft] val RerankPool = 50
 
+  /** s12: LSH index health report — the bucket-occupancy histogram an
+    * operator watches before trusting (or re-tuning) the s02/s05
+    * index: how many (band, signature) buckets hold how many vectors.
+    * A healthy index concentrates mass near the expected occupancy
+    * n/2^bits ([[annBitsFor]]'s design point); a fat tail means
+    * correlated vectors are colliding (recall fine, probe cost
+    * blowing up), an all-singleton histogram means the bands carry
+    * more bits than the corpus needs (cost fine, recall at risk).
+    * One banding pass + two partial-agg'd aggregations — the
+    * monitoring query is strictly cheaper than the probe it guards.
+    * Output: (bucket_size, n_buckets, n_vectors), where Σ n_vectors
+    * = [[AnnBands]] · corpus size (every vector appears once per
+    * band — invariant spec'd).
+    */
+  def s12AnnIndexStats(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val bits = annBitsFor(emb.count())
+    annBanded(emb, "vec_id", "embedding", keepVec = false, bits = bits)
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("bucket_size"), col("n_buckets"),
+        (col("bucket_size") * col("n_buckets")).as("n_vectors"))
+      .orderBy(col("bucket_size"))
+  }
+
   /** s11: two-stage ANN — the production vector-store shape that
     * makes SQ8 (s10) pay off end to end: the CHEAP pass scans the
     * int8-quantized corpus (4× smaller at 100 TB) and keeps a

@@ -577,6 +577,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s12 index stats: mass conserves and occupancy sits near design point") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = Similarity.s12AnnIndexStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sz, nb, nv) => assert(nv == sz * nb) }
+    // every vector appears exactly once per band
+    assert(rows.map(_._3).sum == Similarity.AnnBands * n,
+      "histogram mass must equal bands x corpus size")
+    // occupancy within a sane multiple of the derived design point
+    val bits = Similarity.annBitsFor(n)
+    val expected = n.toDouble / (1L << bits)
+    val meanOcc = rows.map(_._3).sum.toDouble /
+      rows.map(_._2).sum.toDouble
+    assert(meanOcc <= 16 * math.max(expected, 1.0),
+      s"mean occupancy $meanOcc far above design point $expected")
+  }
+
   test("s11 quantized-prefilter rerank reproduces the exact s01 result") {
     // the two-stage claim: a 50-candidate quantized pool + exact
     // rerank must return BIT-IDENTICAL rows to brute force — exact
