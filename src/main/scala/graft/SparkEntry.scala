@@ -120,6 +120,7 @@ object SparkEntry {
     "p06_stratified_sample" -> (Pipeline.p06StratifiedSample _),
     "p12_curriculum" -> (Pipeline.p12Curriculum _),
     "p13_yield_report" -> (Pipeline.p13YieldReport _),
+    "p14_chunk_overlap" -> (Pipeline.p14ChunkOverlap _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -2590,6 +2591,34 @@ object SparkEntry {
         | md5(text) AS content_hash
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // p14: same filtered tokenizer, the integer chunk geometry
+    // (ceil via (n-s+st-1)//st on positives), regular starts zipped
+    // with their ordinal + the right-aligned final start appended.
+    "p14_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+        |         x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n > 128 THEN (n - 128 + 95) // 96 ELSE 0 END AS nf
+        |  FROM tk),
+        |st AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, nf), k -> k * 96) || [greatest(n - 128, 0)] AS starts
+        |  FROM g),
+        |ch AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, len(starts))) AS chunk_id,
+        |    unnest(starts) AS start_tok
+        |  FROM st)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(least(start_tok + 128, n) AS BIGINT) AS end_tok,
+        |  CAST(least(start_tok + 128, n) - start_tok AS BIGINT) AS n_tok
+        |FROM ch
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // p13: one flags CTE, the survivor-ranked dedup stage computed
     // over stage-3 survivors only (a prefix group can span documents
     // with different upstream flags), sums CAST back from HUGEINT.

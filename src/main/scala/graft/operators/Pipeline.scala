@@ -470,6 +470,61 @@ object Pipeline {
     * its sums back from HUGEINT), the pct is one double division
     * from integers.
     */
+  /** p14 chunk geometry: window size, overlap, and the derived
+    * stride. */
+  private val ChunkSize = 128
+  private val ChunkOverlap = 32
+  private val ChunkStride = ChunkSize - ChunkOverlap
+
+  /** p14: overlapping chunk addressing (the RAG / embedding-window
+    * chunker): each document becomes windows of [[ChunkSize]] tokens
+    * every [[ChunkStride]] tokens, plus one RIGHT-ALIGNED final
+    * window at max(n − size, 0) so the document tail is always
+    * covered by a full-width chunk (the convention retrieval
+    * pipelines use so no tail token lands only in a runt chunk) —
+    * p02 is the pretraining concat-and-pack; this is the retrieval
+    * sibling where windows deliberately overlap. Output is the
+    * ADDRESS table (doc_id, chunk_id, start_tok, end_tok, n_tok);
+    * slicing text is a trivial downstream map, and at 100 TB the
+    * address table is what gets joined, shuffled, and embedded
+    * against — not the text.
+    *
+    * All-integer geometry: n_full = ceil((n − size)/stride) regular
+    * starts (0 when n ≤ size), final start n − size, which is
+    * PROVABLY distinct from and greater than every regular start
+    * ((n_full−1)·stride < n−size by the ceil), so no dedup pass;
+    * per-row `sequence` bounded by the document's own length.
+    */
+  def p14ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    chunkAddressesFor(Tables.documents(spark, sfDir))
+
+  /** The p14 core over any (doc_id, text) frame — extracted so the
+    * spec can exercise the multi-chunk geometry on synthetic long
+    * documents (the test corpus's documents are all shorter than one
+    * window, so the corpus oracle only sees the single-chunk path).
+    */
+  private[graft] def chunkAddressesFor(docs: DataFrame): DataFrame = {
+    val (s, st) = (ChunkSize, ChunkStride)
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[ \\n\\t\\r]+'), x -> x <> '')").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"))
+      .withColumn("nf",
+        expr(s"CASE WHEN n > $s THEN (n - $s + ${st - 1}) div $st ELSE 0L END"))
+      .withColumn("starts",
+        expr(s"""concat(
+          |  CASE WHEN nf > 0 THEN transform(sequence(0L, nf - 1), k -> k * $st)
+          |       ELSE CAST(array() AS ARRAY<BIGINT>) END,
+          |  array(greatest(n - $s, 0L)))""".stripMargin))
+      .select(col("doc_id"), col("n"),
+        posexplode(col("starts")).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(col("start_tok") + s, col("n")).as("end_tok"))
+      .withColumn("n_tok", col("end_tok") - col("start_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def p13YieldReport(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))

@@ -225,6 +225,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.sameElements(rows))
   }
 
+  test("p14 chunk geometry: exact starts on boundary-length synthetic docs") {
+    import spark.implicits._
+    val (s, st) = (128, 96)
+    // lengths straddling every geometry boundary: sub-window, exact
+    // window, one-over, stride-aligned tail, one-over-stride, double
+    val lens = Seq(1, 127, 128, 129, 224, 225, 320)
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunkAddressesFor(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(c => (c._3, c._4)).toSeq).toMap
+    def expected(n: Int): Seq[(Long, Long)] = {
+      val nf = if (n > s) (n - s + st - 1) / st else 0
+      val starts = (0 until nf).map(_.toLong * st) :+ math.max(n - s, 0).toLong
+      starts.map(a => (a, math.min(a + s, n).toLong))
+    }
+    lens.zipWithIndex.foreach { case (n, i) =>
+      assert(got(i.toLong) == expected(n), s"doc of $n tokens: ${got(i.toLong)}")
+    }
+    // coverage + overlap invariants on the longest doc: every token
+    // covered, consecutive chunks overlap by exactly the configured
+    // overlap except possibly the right-aligned final
+    val chunks = got(lens.indexOf(320).toLong)
+    assert(chunks.head._1 == 0 && chunks.last._2 == 320)
+    chunks.sliding(2).foreach { case Seq((_, e1), (s2, _)) =>
+      assert(s2 < e1, "consecutive chunks must overlap")
+    }
+  }
+
   test("p13 yield funnel matches a brute-force plain-Scala recount") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
