@@ -165,7 +165,12 @@ object Dedup {
 
   /** d02: MinHash+LSH near-dup pairs, exact-verified with word-3gram
     * Jaccard ≥ 0.7. Banding 16×8: s-curve threshold (1/16)^(1/8) ≈
-    * 0.71, matched to the verify threshold.
+    * 0.71, matched to the verify threshold. The reference ships the
+    * transformer form (reference: /root/reference/mllib/src/main/
+    * scala/org/apache/spark/ml/feature/MinHashLSH.scala:1 —
+    * signatures as vector columns, pairs via approxSimilarityJoin);
+    * here the signature is one codegen'd kernel call and the banding
+    * is md5-derived so the DuckDB oracle rebuilds identical buckets.
     */
   def d02DedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(spark, sfDir)

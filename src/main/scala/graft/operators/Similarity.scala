@@ -19,6 +19,17 @@ import graft.functions.registerAll
   * carries ≤ k pairs per map partition — not every scored row into
   * one reducer task per query, which is what
   * `row_number().over(Window.partitionBy("query_id"))` would do.
+  *
+  * The reference's counterpart surface is MLlib's LSH transformer
+  * family (reference: /root/reference/mllib/src/main/scala/org/
+  * apache/spark/ml/feature/LSH.scala:1 and
+  * BucketedRandomProjectionLSH.scala:1 — random-projection
+  * signatures materialized as hash columns, candidates via
+  * approxSimilarityJoin's explode-and-join). The s02/s05/s07 banding
+  * re-expresses the same random-projection idea as codegen'd packed
+  * band signatures with md5-derived weights, so the DuckDB oracle
+  * can rebuild the exact same buckets — a transformer pipeline
+  * can't be replicated SQL-side, a deterministic expression can.
   */
 object Similarity {
 
