@@ -309,11 +309,14 @@ object Graph {
     * exactly once. Output: (supp_key, degree, tri_cnt) per vertex of
     * the sparsified graph.
     *
-    * Scale shape: the projection self-join explodes per-customer
-    * degree (C(d,2) pairs per customer) — at 100 TB the projection
-    * step caps per-customer fan-out first (keep each customer's
-    * top suppliers by line count, the d05 tiering pattern); the
-    * window, orientation, and wedge join are all partition-parallel.
+    * Scale shape: the projection self-join would explode per-customer
+    * degree (C(d,2) pairs per customer) on a power-law key, so the
+    * projection caps per-customer fan-out FIRST: each customer keeps
+    * its [[CustFanoutCap]] strongest suppliers (most shared lines,
+    * ties to the smaller suppkey) via a partitioned window before the
+    * self-join — a hub customer with 10^5 suppliers emits C(128,2) ≈
+    * 8.1e3 pairs instead of 5e9 ([[capCustFanout]]). The window,
+    * orientation, and wedge join are all partition-parallel.
     */
   /** Memo for the sparsified co-purchase graph — TWO operators read
     * it (g04's triangle count, g07's link prediction), and the
@@ -322,21 +325,56 @@ object Graph {
     */
   private val undMemo = new graft.FrameMemo
 
+  /** Per-customer fan-out cap for the co-purchase projection's
+    * self-join input. At the test SFs the cap must NOT bind (max
+    * observed fan-out: 67 suppliers/customer at sf0.01, 102 at
+    * sf0.1 — spec'd in JoinsGraphSpec), so the oracle needs no cap
+    * clause; at 100 TB it bounds the projection blow-up: one hub
+    * customer with degree d emits C(min(d, 128), 2) ≤ 8,128 pairs
+    * instead of C(d, 2). 128 is headroom 1.25× over the sf0.1 max —
+    * the j04 sessions-guard sizing pattern.
+    */
+  private[graft] val CustFanoutCap = 128
+
+  /** The projection's scale guard (see [[CustFanoutCap]]): from a
+    * (c, s, nl) customer→supplier frame with shared-line counts,
+    * keep each customer's [[CustFanoutCap]] strongest suppliers —
+    * most shared lines, ties to the smaller suppkey, a partitioned
+    * window (no global sort). Factored out so the hub-blow-up bound
+    * is testable on a synthetic power-law frame.
+    */
+  private[graft] def capCustFanout(cs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c"))
+      .orderBy(col("nl").desc, col("s").asc)
+    cs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= CustFanoutCap)
+      .select(col("c"), col("s"))
+  }
+
   /** The sparsified undirected supplier co-purchase graph (a < b):
     * suppliers linked by shared customers, each keeping its
     * [[TriTopK]] strongest partners (most shared customers, ties to
     * the smaller partner key), the union of kept directed edges taken
-    * undirected. Memoized + eagerly checkpointed; the upstream pairs
-    * frame is computed BEFORE entering the memo block (the
-    * [[graft.FrameMemo]] no-nested-compute lock-order invariant).
+    * undirected. The self-join input is fan-out-capped per customer
+    * ([[capCustFanout]]) — the projection's 100 TB guard. Memoized +
+    * eagerly checkpointed; reads the base tables directly (plain
+    * parquet loads, no nested memo — the [[graft.FrameMemo]]
+    * lock-order invariant holds).
     */
   private[graft] def coPurchaseUnd(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tpPairs = tradePairs(spark, sfDir)
     undMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "orders") + "|" +
         Tables.fingerprint(spark, sfDir, "lineitem") + "|copurchase") {
-      val tp = tpPairs.select(expr("a div 2").as("c"), expr("b div 2").as("s"))
+      val cs = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          "o_orderkey")
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("nl"))
+      val tp = capCustFanout(cs)
       val cc = tp.as("x").join(tp.as("y"),
           col("x.c") === col("y.c") && col("x.s") < col("y.s"))
         .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))

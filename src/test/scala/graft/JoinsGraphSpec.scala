@@ -313,6 +313,60 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(rows.forall(r => r._3 <= r._2 * (r._2 - 1) / 2))
   }
 
+  test("co-purchase fan-out cap does not bind at test SFs") {
+    import graft.operators.Graph
+    import org.apache.spark.sql.functions._
+    // The projection's oracle has no cap clause, so the cap must be
+    // invisible at the SFs the driver verifies (the j04 guard
+    // pattern): assert the max per-customer distinct-supplier count
+    // stays under CustFanoutCap at both spec SFs.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val maxFan = Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          "o_orderkey")
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      assert(maxFan < Graph.CustFanoutCap,
+        s"$d: fan-out $maxFan reaches cap ${Graph.CustFanoutCap} — " +
+          "the projection oracle needs a cap clause now")
+    }
+  }
+
+  test("capCustFanout bounds a hub customer's projection blow-up") {
+    import graft.operators.Graph
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // hub customer 1: 1000 suppliers with tied line counts (nl = s%7+1
+    // exercises the (nl desc, s asc) tie-break); customer 2: 5.
+    val cs = ((1L to 1000L).map(s => (1L, s, s % 7 + 1)) ++
+        (1L to 5L).map(s => (2L, s, 1L)))
+      .toDF("c", "s", "nl")
+    val kept = Graph.capCustFanout(cs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hub = kept.filter(_._1 == 1L).map(_._2).toSet
+    assert(hub.size == Graph.CustFanoutCap,
+      s"hub must keep exactly the cap, got ${hub.size}")
+    // exact expected set: rank by (nl desc, s asc)
+    val expected = (1L to 1000L).map(s => (s % 7 + 1, s))
+      .sortBy { case (nl, s) => (-nl, s) }
+      .take(Graph.CustFanoutCap).map(_._2).toSet
+    assert(hub == expected, "kept set must be the (nl desc, s asc) top-K")
+    assert(kept.count(_._1 == 2L) == 5, "non-hub customers keep everything")
+    // the downstream self-join can now emit at most C(cap, 2) pairs
+    // from the hub instead of C(1000, 2)
+    val pairs = Graph.capCustFanout(cs).as("x")
+      .join(Graph.capCustFanout(cs).as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .where(col("x.c") === 1L).count()
+    val cap = Graph.CustFanoutCap.toLong
+    assert(pairs == cap * (cap - 1) / 2,
+      s"hub pair count $pairs must be C($cap,2)")
+  }
+
   test("g05 label propagation: cliques converge, distinct labels shrink") {
     import spark.implicits._
     import graft.operators.Graph
