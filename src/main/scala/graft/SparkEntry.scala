@@ -2217,17 +2217,6 @@ object SparkEntry {
         |ORDER BY l.doc_id""".stripMargin),
     // d08 oracle: d07's transitive closure, survivors only, joined
     // back for payload stats.
-    // d20: d07's closure + tick weights (2^20 // size, positive
-    // floor-div) + the 20-bit md5-prefix draw (5 hex chars = 2^20
-    // buckets exactly); singletons always kept by construction.
-    "d20_soft_dedup" ->
-      ("WITH RECURSIVE " + closureOracleCtes + """
-        |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
-        |  CAST(1048576 // s.cluster_size AS BIGINT) AS weight_ticks,
-        |  CAST(('0x' || substr(md5('softdedup:' || CAST(l.doc_id AS VARCHAR)), 1, 5))::UBIGINT AS BIGINT)
-        |    < 1048576 // s.cluster_size AS kept
-        |FROM lab l JOIN sz s USING (cluster_id)
-        |ORDER BY l.doc_id""".stripMargin),
     "d08_dedup_apply" ->
       ("WITH RECURSIVE " + closureOracleCtes + """
         |SELECT d.doc_id, d.source,
@@ -2660,42 +2649,6 @@ object SparkEntry {
     // doc_id, the blob a pure function of text), so the engine's
     // ACTUAL byte checks — magic sniff, blob length — are what the
     // hash compare validates.
-    // p13: one flags CTE, the survivor-ranked dedup stage computed
-    // over stage-3 survivors only (a prefix group can span documents
-    // with different upstream flags), sums CAST back from HUGEINT.
-    "p13_yield_report" ->
-      """WITH base AS (
-        |  SELECT doc_id, lang, text, n_chars,
-        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |b2 AS (SELECT *, CAST(len(tk) AS BIGINT) AS n_tokens,
-        |         lang = 'en' AS s2, n_chars >= 100 AS s3 FROM base),
-        |surv AS (
-        |  SELECT *,
-        |    row_number() OVER (PARTITION BY md5(substr(text, 1, 80))
-        |                       ORDER BY doc_id) = 1 AS s4,
-        |    10 * len(list_distinct(tk)) >= 3 * len(tk) AS s5
-        |  FROM b2 WHERE s2 AND s3),
-        |ab AS (SELECT CAST(count(*) AS BIGINT) AS d1, CAST(sum(n_tokens) AS BIGINT) AS t1,
-        |         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
-        |         CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
-        |         CAST(sum(CASE WHEN s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
-        |         CAST(sum(CASE WHEN s2 AND s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
-        |       FROM b2),
-        |asv AS (SELECT CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
-        |          CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
-        |          CAST(sum(CASE WHEN s4 AND s5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
-        |          CAST(sum(CASE WHEN s4 AND s5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
-        |        FROM surv),
-        |agg AS (SELECT * FROM ab, asv)
-        |SELECT * FROM (
-        |  SELECT 1 AS stage_id, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens,
-        |         round(CAST(d1 AS DOUBLE) * 100.0 / d1, 2) AS pct_docs FROM agg
-        |  UNION ALL SELECT 2, 'lang_en', d2, t2, round(CAST(d2 AS DOUBLE) * 100.0 / d1, 2) FROM agg
-        |  UNION ALL SELECT 3, 'min_length', d3, t3, round(CAST(d3 AS DOUBLE) * 100.0 / d1, 2) FROM agg
-        |  UNION ALL SELECT 4, 'prefix_dedup', d4, t4, round(CAST(d4 AS DOUBLE) * 100.0 / d1, 2) FROM agg
-        |  UNION ALL SELECT 5, 'diversity', d5, t5, round(CAST(d5 AS DOUBLE) * 100.0 / d1, 2) FROM agg)
-        |ORDER BY stage_id""".stripMargin,
     "m05_integrity" ->
       """WITH b AS (
         |  SELECT doc_id,

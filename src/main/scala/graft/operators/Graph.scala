@@ -647,9 +647,11 @@ object Graph {
     degAgg.crossJoin(broadcast(eAgg)).crossJoin(broadcast(triAgg))
       .crossJoin(broadcast(assort))
       .select(col("n_vertices"), col("n_edges"), col("max_degree"),
-        // null-guarded ratios: ANSI Spark raises DIVIDE_BY_ZERO even
-        // for double division, and a wedge-free (or empty) graph has
-        // no defined clustering coefficient anyway
+        // null-guarded ratios: double x/0 is IEEE Infinity/NaN (ANSI
+        // only errors on integral/decimal division), which neither
+        // engine should emit — the guards pin NULL on both sides for
+        // oracle parity, and a wedge-free (or empty) graph has no
+        // defined clustering coefficient anyway
         when(col("n_vertices") === 0, lit(null).cast("double"))
           .otherwise(round(col("sum_d").cast("double") / col("n_vertices"), 4))
           .as("mean_degree"),

@@ -208,9 +208,15 @@ object Joins {
     * windows. Package-private for the boundary-case spec.
     */
   private[graft] def bandedOverlap(sessions: DataFrame, hot: DataFrame): DataFrame = {
+    // Band = FLOOR(us / hour), not `div`: `div` truncates toward zero,
+    // which for a pre-1970 (negative-epoch) instant would round the
+    // band UP and the equi-join would miss genuine overlaps that the
+    // oracle's banding-free direct join finds. `(x - pmod(x, w)) div w`
+    // floors for any sign in exact long arithmetic.
+    def bandOf(c: String) = expr(s"($c - pmod($c, ${HourUs}L)) div ${HourUs}L")
     val sBands = sessions.withColumn("band",
-      explode(sequence(expr(s"s_us div $HourUs"), expr(s"e_us div $HourUs"))))
-    val hBands = hot.withColumn("band", expr(s"ws_us div $HourUs"))
+      explode(sequence(bandOf("s_us"), bandOf("e_us"))))
+    val hBands = hot.withColumn("band", bandOf("ws_us"))
     sBands.join(hBands, "band")
       .filter(col("ws_us") <= col("e_us") && col("s_us") < col("ws_us") + lit(HourUs))
       .select(col("user_id"), col("session_id"),

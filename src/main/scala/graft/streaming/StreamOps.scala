@@ -17,11 +17,12 @@ import java.time.Instant
   */
 object StreamOps {
 
-  /** On-disk schema of the current testdata generation: ts is
-    * microsecond parquet with no UTC adjustment (TIMESTAMP_NTZ — a
-    * file stream needs the schema declared up front, so unlike the
-    * batch loader this reader is pinned to one generation; see
-    * [[graft.Tables.events]] for the generation history).
+  /** Declared schema for the current testdata generation: ts is
+    * microsecond parquet with no UTC adjustment (TIMESTAMP_NTZ). A
+    * file stream needs the schema declared up front; [[readEventStream]]
+    * probes the on-disk generation at open and swaps the ts type, so
+    * the streaming reader tracks [[graft.Tables.events]]'s generation
+    * adaptivity instead of being pinned to one generation.
     */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -33,11 +34,27 @@ object StreamOps {
 
   /** Open a file-based event stream over a directory of parquet, with
     * ts normalized to a session-zone microsecond timestamp exactly as
-    * the batch loader does.
+    * the batch loader does. One driver-side batch footer read at open
+    * selects the declared ts type matching the on-disk generation
+    * (ns-INT64 long vs TIMESTAMP_NTZ — the batch loader's
+    * normalizeEventTs then collapses both identically), so a testdata
+    * rollback degrades nothing.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // An empty (not-yet-written) stream directory has no footer to
+    // probe — default to the current generation's declared type.
+    val onDiskTs =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          eventSchema("ts").dataType
+      }
+    val declared = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDiskTs) else f))
     graft.Tables.normalizeEventTs(
-      spark.readStream.schema(eventSchema).parquet(dir))
+      spark.readStream.schema(declared).parquet(dir))
+  }
 
   /** Tumbling 1-hour window aggregation with a 2-hour watermark: the
     * streaming twin of q30. At scale the watermark bounds state; the
