@@ -494,6 +494,92 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(Graph.graphProfileFrom(single).collect()(0).isNullAt(5))
   }
 
+  test("g06 frontier-only BFS: equals full re-expansion, shuffles fewer records") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import graft.operators.Graph
+    // sf0.01 so the record-count gap is structural, not noise
+    val d = "/root/testdata/sf0.01"
+    val pairs = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().localCheckpoint(true)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 2 === 0).orderBy(col("id")).limit(Graph.SsspSeeds)
+      .localCheckpoint(true)
+    // stage-level shuffle-write records catch the per-round
+    // checkpoint jobs that no QueryExecution listener sees
+    class Recs extends SparkListener {
+      @volatile var n = 0L
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        n += s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+    }
+    def measured(body: => Array[(Long, Long)]): (Array[(Long, Long)], Long) = {
+      val l = new Recs
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        // listener events are async; wait until the count stabilizes
+        var last = -1L
+        while (l.n != last) { last = l.n; Thread.sleep(250) }
+        (r, l.n)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    // the pre-frontier reference: re-expand the FULL reached set
+    val (full, fullRecs) = measured {
+      var ref = seeds.select(col("id"), lit(0L).as("d")).localCheckpoint(true)
+      for (_ <- 1 to Graph.SsspIters) {
+        val next = edges.join(ref.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("d") + 1).as("d"))
+        ref = ref.union(next).groupBy(col("id")).agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
+      }
+      ref.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    val (frontier, frontierRecs) = measured {
+      Graph.boundedBfs(edges, seeds, Graph.SsspIters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(frontier.sameElements(full),
+      s"frontier BFS diverged: ${frontier.length} vs ${full.length} rows")
+    info(s"corpus shuffle records written: full=$fullRecs frontier=$frontierRecs")
+    assert(frontierRecs < fullRecs,
+      s"frontier rounds must shuffle fewer records ($frontierRecs vs $fullRecs)")
+    // On a HIGH-DIAMETER graph the gap is structural, not marginal:
+    // full re-expansion re-joins the whole reached prefix of the path
+    // every round (O(n·iters) candidates), the frontier walks one
+    // node per round (O(n)).
+    import spark.implicits._
+    val n = 512
+    val phalf = (0L until n.toLong - 1).map(i => (i, i + 1))
+    val pedges = (phalf ++ phalf.map(_.swap)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val pseeds = Seq(0L).toDF("id").localCheckpoint(true)
+    val iters = 16
+    val (pf, pfRecs) = measured {
+      var ref = pseeds.select(col("id"), lit(0L).as("d")).localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val next = pedges.join(ref.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), (col("d") + 1).as("d"))
+        ref = ref.union(next).groupBy(col("id")).agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
+      }
+      ref.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    val (pn, pnRecs) = measured {
+      Graph.boundedBfs(pedges, pseeds, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(pn.sameElements(pf), "path-graph frontier BFS diverged")
+    info(s"path-graph shuffle records written: full=$pfRecs frontier=$pnRecs")
+    assert(pnRecs < pfRecs)
+  }
+
   test("g06 shortest paths: BFS hops exact on a path graph, bound binds") {
     import spark.implicits._
     import graft.operators.Graph
