@@ -88,6 +88,7 @@ object SparkEntry {
     "s10_ann_int8" -> (Similarity.s10AnnInt8 _),
     "s11_ann_rerank" -> (Similarity.s11AnnRerank _),
     "s12_ann_index_stats" -> (Similarity.s12AnnIndexStats _),
+    "s13_als_recommend" -> (Recommend.s13AlsRecommend _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -1580,6 +1581,9 @@ object SparkEntry {
         |FROM bk
         |GROUP BY sz
         |ORDER BY bucket_size""".stripMargin),
+    // s13: generated in Recommend next to the solveSteps both engines
+    // share — the bit-parity contract lives in one file.
+    "s13_als_recommend" -> Recommend.alsOracleSql,
     // s10: the shared SQ8 CTEs, then s01's ranking over the
     // dequantized vectors. 64-dim like the other ANN oracles.
     "s10_ann_int8" ->

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** s13: ALS-style matrix factorization over the customer×supplier
+  * purchase matrix — the recommendation workload the reference ships
+  * as ALS (reference: /root/reference/mllib/src/main/scala/org/
+  * apache/spark/mllib/recommendation/ALS.scala:1), re-expressed as
+  * partial-agg'd Gram sums + an unrolled per-entity normal-equation
+  * solve instead of a block-to-block in-core solver.
+  *
+  * The model: implicit ratings r(c,s) = line count between customer c
+  * and supplier s; rank-[[AlsRank]] factors; [[AlsIters]] alternating
+  * rounds (solve users from item factors, then items from user
+  * factors), ridge term λ·n on the diagonal with λ = 1/4
+  * (weighted-λ ALS — the per-entity system is `(Σ v vᵀ + λ n I) x =
+  * Σ r v` over the entity's rated counterparts).
+  *
+  * Determinism contract — the novel part. ALS is float arithmetic end
+  * to end, yet s13 is hash-exact against the DuckDB oracle:
+  *
+  *  1. EXACT AGGREGATION. Factors live on a dyadic grid: after every
+  *     solve each coordinate is floor-quantized to [[AlsTicks]]ths
+  *     (2^-12) and clamped to ±16 ([[AlsClampLo]]/[[AlsClampHi]]
+  *     ticks). A product of two on-grid factors is an exact multiple
+  *     of 2^-24 with numerator ≤ 2^32; a line-count-weighted factor
+  *     has numerator ≤ 2^36. Summed over ≤ 2^17 counterpart rows,
+  *     every Gram/rhs numerator stays ≤ 2^49 < 2^53 — the sums never
+  *     round, so they are order-independent across partitionings,
+  *     engines, and retries. (At corpus scales where an entity can
+  *     have ≥ 2^21 counterparts the bound needs a coarser grid or a
+  *     two-level segmented sum — the documented retune.)
+  *  2. IDENTICAL SCALAR TREES. The 4×4 Cholesky solve is unrolled
+  *     into the named single-assignment steps of [[solveSteps]], and
+  *     BOTH engines evaluate those exact strings — Spark via
+  *     `expr(...)` column-by-column, DuckDB via the generated nested
+  *     SELECTs of [[alsOracleSql]]. IEEE-754 +,−,×,÷,sqrt are
+  *     correctly rounded and neither engine reassociates or
+  *     fma-contracts across expression nodes, so identical trees on
+  *     identical (exact) inputs give bit-identical doubles; the
+  *     positive ridge keeps every pivot ≥ √λ = 0.5, so no guard
+  *     division is needed.
+  *  3. The md5-seeded item init ([[initTick]]) is the d20/s04
+  *     cross-engine tick draw: 5 hex chars mod 4096.
+  *
+  * Output: one row per entity — (node_type 'c'|'s', entity_key,
+  * n_rated, f0_ticks..f3_ticks) with factors as integer ticks, so the
+  * driver's hash compare covers every learned value exactly.
+  *
+  * Scale shape: each half-round is one shuffle — ratings join the
+  * counterpart factor frame on its key (item factors are
+  * broadcast-size in production: #items × rank doubles; the user-side
+  * join shuffles on customer, which is ratings' natural partitioning
+  * — and the Gram products partial-agg before the exchange, so the
+  * shuffle carries rank²/2-wide combined state, not raw pairs). The
+  * solve itself is a per-row expression chain after the aggregate:
+  * embarrassingly parallel, no collect, no driver-side linear
+  * algebra. Factor frames are localCheckpoint'd per half-round (flat
+  * lineage, the g01 lesson).
+  */
+object Recommend {
+
+  /** Fixed factor rank — the [[solveSteps]] unrolling is
+    * rank-specific, so this is a structural constant, not a knob.
+    */
+  private[graft] val AlsRank = 4
+
+  /** Alternating rounds (user solve + item solve each). Fixed, not
+    * convergence-tested, so the result is a pure function of the
+    * corpus and the oracle unrolls exactly this many half-rounds.
+    */
+  private[graft] val AlsIters = 2
+
+  /** Dyadic factor grid: coordinates are multiples of 1/4096 (2^-12). */
+  private[graft] val AlsTicks = 4096L
+
+  /** Clamp bounds in ticks: |factor| ≤ 16. */
+  private[graft] val AlsClampLo = -65536L
+  private[graft] val AlsClampHi = 65535L
+
+  /** The unrolled (Σ v vᵀ + n/4·I) x = b rank-4 Cholesky solve as
+    * named single-assignment steps over columns
+    * n, g00,g10,g11,g20,g21,g22,g30,g31,g32,g33, b0..b3 — the SAME
+    * strings run in Spark (`expr`) and DuckDB (nested SELECT), which
+    * is what makes the float solve bit-reproducible cross-engine.
+    * Both dialects parse these identically: left-associative `-`,
+    * `*` over `+`, correctly-rounded sqrt.
+    */
+  private[graft] val solveSteps: Seq[(String, String)] = Seq(
+    "a00" -> "g00 + CAST(0.25 AS DOUBLE) * n",
+    "a11" -> "g11 + CAST(0.25 AS DOUBLE) * n",
+    "a22" -> "g22 + CAST(0.25 AS DOUBLE) * n",
+    "a33" -> "g33 + CAST(0.25 AS DOUBLE) * n",
+    "l00" -> "sqrt(a00)",
+    "l10" -> "g10 / l00",
+    "l20" -> "g20 / l00",
+    "l30" -> "g30 / l00",
+    "l11" -> "sqrt(a11 - l10 * l10)",
+    "l21" -> "(g21 - l20 * l10) / l11",
+    "l31" -> "(g31 - l30 * l10) / l11",
+    "l22" -> "sqrt(a22 - l20 * l20 - l21 * l21)",
+    "l32" -> "(g32 - l30 * l20 - l31 * l21) / l22",
+    "l33" -> "sqrt(a33 - l30 * l30 - l31 * l31 - l32 * l32)",
+    "y0" -> "b0 / l00",
+    "y1" -> "(b1 - l10 * y0) / l11",
+    "y2" -> "(b2 - l20 * y0 - l21 * y1) / l22",
+    "y3" -> "(b3 - l30 * y0 - l31 * y1 - l32 * y2) / l33",
+    "x3" -> "y3 / l33",
+    "x2" -> "(y2 - l32 * x3) / l22",
+    "x1" -> "(y1 - l21 * x2 - l31 * x3) / l11",
+    "x0" -> "(y0 - l10 * x1 - l20 * x2 - l30 * x3) / l00") ++
+    (0 until AlsRank).map(k =>
+      s"t$k" -> (s"least(greatest(CAST(floor(x$k * CAST(4096.0 AS DOUBLE)) AS BIGINT), " +
+        s"$AlsClampLo), $AlsClampHi)")) ++
+    (0 until AlsRank).map(k => s"f$k" -> s"t$k / CAST(4096.0 AS DOUBLE)")
+
+  /** Deterministic init tick for (entity expression, coordinate k):
+    * 5 md5 hex chars mod 4096 — engine side. The DuckDB twin is in
+    * [[alsOracleSql]]; parity is the proven d20 draw.
+    */
+  private def initTick(keyCol: Column, k: Int): Column =
+    conv(substring(md5(concat(lit("als:"), keyCol.cast("string"),
+      lit(s":$k"))), 1, 5), 16, 10).cast("long") % AlsTicks
+
+  /** One half-round: given (key, r, f0..f3) — ratings joined to the
+    * counterpart side's factors — aggregate the exact Gram/rhs sums
+    * per key and run [[solveSteps]]. Returns (key, n_rated,
+    * t0..t3, f0..f3), localCheckpoint'd.
+    */
+  private def solveSide(joined: DataFrame, key: String): DataFrame = {
+    val gramCols: Seq[Column] =
+      (for {
+        i <- 0 until AlsRank; j <- 0 to i
+      } yield sum(col(s"f$j") * col(s"f$i")).as(s"g$i$j")) ++
+        (0 until AlsRank).map(k => sum(col("r") * col(s"f$k")).as(s"b$k"))
+    val gram = joined.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), gramCols: _*)
+    solveSteps.foldLeft(gram) { case (df, (name, sql)) =>
+      df.withColumn(name, expr(sql))
+    }.select(Seq(col(key), col("n").as("n_rated")) ++
+        (0 until AlsRank).map(k => col(s"t$k")) ++
+        (0 until AlsRank).map(k => col(s"f$k")): _*)
+      .localCheckpoint(true)
+  }
+
+  /** The alternating-solve core over an arbitrary (c, s, r) ratings
+    * frame: md5-tick item init, [[AlsIters]] rounds of user/item
+    * solves, returning the final (users, items) factor frames —
+    * each (key, n_rated, t0..t3, f0..f3). Package-private so the
+    * planted-structure and determinism specs can drive it with
+    * synthetic matrices.
+    */
+  private[graft] def alsFactor(ratings: DataFrame): (DataFrame, DataFrame) = {
+    var items = ratings.select(col("s")).distinct()
+      .select(Seq(col("s")) ++
+        (0 until AlsRank).map(k => initTick(col("s"), k).as(s"t$k")) ++
+        (0 until AlsRank).map(k =>
+          (initTick(col("s"), k) / lit(4096.0)).as(s"f$k")): _*)
+      .localCheckpoint(true)
+    var users: DataFrame = null
+    for (_ <- 1 to AlsIters) {
+      users = solveSide(
+        ratings.join(items.select(Seq(col("s")) ++
+          (0 until AlsRank).map(k => col(s"f$k")): _*), "s"), "c")
+      items = solveSide(
+        ratings.join(users.select(Seq(col("c")) ++
+          (0 until AlsRank).map(k => col(s"f$k")): _*), "c"), "s")
+    }
+    (users, items)
+  }
+
+  def s13AlsRecommend(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).cast("double").as("r"))
+      .localCheckpoint(true)
+    val (users, items) = alsFactor(ratings)
+    def sideOut(df: DataFrame, tpe: String, key: String): DataFrame =
+      df.select(Seq(lit(tpe).as("node_type"), col(key).as("entity_key"),
+        col("n_rated")) ++
+        (0 until AlsRank).map(k => col(s"t$k").as(s"f${k}_ticks")): _*)
+    sideOut(users, "c", "c").unionByName(sideOut(items, "s", "s"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The DuckDB oracle: the SAME pipeline with the SAME
+    * [[solveSteps]] strings, assembled as nested SELECTs (one per
+    * single-assignment step) under plain CTEs — see the determinism
+    * contract in the object doc.
+    */
+  private[graft] def alsOracleSql: String = {
+    def solveSql(gramSql: String): String =
+      solveSteps.foldLeft(s"($gramSql)") { case (inner, (name, sql)) =>
+        s"(SELECT *, $sql AS $name FROM $inner)"
+      }
+    def initSql(k: Int): String =
+      s"(('0x' || substr(md5('als:' || CAST(s AS VARCHAR) || ':$k'), 1, 5))" +
+        s"::UBIGINT % 4096)"
+    val gramSel =
+      (for { i <- 0 until AlsRank; j <- 0 to i }
+        yield s"sum(f$j * f$i) AS g$i$j").mkString(", ") + ", " +
+        (0 until AlsRank).map(k => s"sum(r * f$k) AS b$k").mkString(", ")
+    def fCols = (0 until AlsRank).map(k => s"f$k").mkString(", ")
+    def userGram(itemRel: String) =
+      s"SELECT c AS k, count(*) AS n, $gramSel " +
+        s"FROM ratings JOIN $itemRel ON ratings.s = $itemRel.s GROUP BY c"
+    def itemGram(userRel: String) =
+      s"SELECT ratings.s AS k, count(*) AS n, $gramSel " +
+        s"FROM ratings JOIN $userRel ON ratings.c = $userRel.c GROUP BY ratings.s"
+    // each solved side keeps (key, n, ticks, on-grid factors)
+    def solved(gram: String) =
+      s"SELECT k, n, " +
+        (0 until AlsRank).map(k => s"t$k").mkString(", ") + ", " + fCols +
+        s" FROM ${solveSql(gram)}"
+    val v0 = "SELECT DISTINCT s, " +
+      (0 until AlsRank).map(k => s"${initSql(k)} / CAST(4096.0 AS DOUBLE) AS f$k")
+        .mkString(", ") + " FROM ratings"
+    // unroll the AlsIters alternating rounds as CTE pairs
+    val rounds = (1 to AlsIters).flatMap { i =>
+      val itemPrev = if (i == 1) "v0" else s"v${i - 1}"
+      Seq(
+        s"u$i AS (SELECT k AS c, n, " +
+          (0 until AlsRank).map(k => s"t$k").mkString(", ") + s", $fCols " +
+          s"FROM (${solved(userGram(itemPrev))}) u)",
+        s"v$i AS (SELECT k AS s, n, " +
+          (0 until AlsRank).map(k => s"t$k").mkString(", ") + s", $fCols " +
+          s"FROM (${solved(itemGram(s"u$i"))}) v)")
+    }
+    val tickOut = (0 until AlsRank)
+      .map(k => s"CAST(t$k AS BIGINT) AS f${k}_ticks").mkString(", ")
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS DOUBLE) AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |v0 AS ($v0),
+       |${rounds.mkString(",\n")}
+       |SELECT 'c' AS node_type, c AS entity_key, CAST(n AS BIGINT) AS n_rated, $tickOut
+       |FROM u$AlsIters
+       |UNION ALL
+       |SELECT 's', s, CAST(n AS BIGINT), $tickOut FROM v$AlsIters
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+}

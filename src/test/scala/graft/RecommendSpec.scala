@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Recommend
+
+/** Value-level checks for the s13 ALS factorization — the oracle
+  * pins cross-engine bit-parity of the ticks; these pin that the
+  * ticks MEAN something: a planted low-rank matrix is actually
+  * fitted, the solve is deterministic across runs, and the output
+  * respects its own clamp/shape contract.
+  */
+class RecommendSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  /** SSE of u·v against r over the rating cells, plus Σr² (the
+    * zero-model baseline).
+    */
+  private def sse(ratings: org.apache.spark.sql.DataFrame,
+      users: org.apache.spark.sql.DataFrame,
+      items: org.apache.spark.sql.DataFrame): (Double, Double) = {
+    val u = users.select(Seq(col("c")) ++
+      (0 until Recommend.AlsRank).map(k => col(s"f$k").as(s"u$k")): _*)
+    val v = items.select(Seq(col("s")) ++
+      (0 until Recommend.AlsRank).map(k => col(s"f$k").as(s"v$k")): _*)
+    val pred = (0 until Recommend.AlsRank)
+      .map(k => col(s"u$k") * col(s"v$k")).reduce(_ + _)
+    val row = ratings.join(u, "c").join(v, "s")
+      .agg(sum(pow(col("r") - pred, 2)).as("sse"),
+        sum(col("r") * col("r")).as("base"))
+      .head()
+    (row.getDouble(0), row.getDouble(1))
+  }
+
+  test("s13 ALS fits a planted low-rank matrix far below the zero baseline") {
+    val sess = spark
+    import sess.implicits._
+    // planted rank-1: r(c,s) = a_c * b_s with small integer profiles
+    val cells = for { c <- 1L to 40L; s <- 1L to 20L }
+      yield (c, s, ((c % 4 + 1) * (s % 3 + 1)).toDouble)
+    val ratings = cells.toDF("c", "s", "r").localCheckpoint(true)
+    val (users, items) = Recommend.alsFactor(ratings)
+    val (err, base) = sse(ratings, users, items)
+    info(f"planted matrix: sse=$err%.2f zero-baseline=$base%.2f")
+    assert(err < 0.05 * base,
+      f"rank-4 ALS must fit a planted rank-1 matrix: sse=$err%.2f vs base=$base%.2f")
+  }
+
+  test("s13 ALS on the corpus: beats the zero model, deterministic, clamped") {
+    val ratings = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).cast("double").as("r"))
+      .localCheckpoint(true)
+    val (users, items) = Recommend.alsFactor(ratings)
+    val (err, base) = sse(ratings, users, items)
+    info(f"corpus: sse=$err%.2f zero-baseline=$base%.2f")
+    assert(err < base, "the learned model must beat predicting zero")
+    // deterministic: a second full run yields bit-identical ticks
+    val out1 = Recommend.s13AlsRecommend(spark, sfDir).collect().toSeq
+    val out2 = Recommend.s13AlsRecommend(spark, sfDir).collect().toSeq
+    assert(out1 == out2, "two runs must be bit-identical")
+    // shape + clamp contract
+    val nC = ratings.select(col("c")).distinct().count()
+    val nS = ratings.select(col("s")).distinct().count()
+    assert(out1.size == nC + nS)
+    val ticks = out1.flatMap(r =>
+      (0 until Recommend.AlsRank).map(k => r.getLong(3 + k)))
+    assert(ticks.forall(t =>
+      t >= Recommend.AlsClampLo && t <= Recommend.AlsClampHi))
+    // the clamp must not BIND on real data (a bound tick means the
+    // model hit the saturation guard, not a fitted value)
+    assert(ticks.forall(t =>
+      t > Recommend.AlsClampLo && t < Recommend.AlsClampHi),
+      "clamp binds on corpus factors — widen the grid")
+  }
+}
