@@ -213,6 +213,30 @@ case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** int8_pack(array<tinyint>) → binary: one byte per element — the
+  * persisted SQ8 codes layout (dim bytes per vector, ¼ of float32).
+  */
+case class Int8Pack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.int8Pack(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.int8Pack($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** int8_unpack(binary) → array<tinyint>: inverse of [[Int8Pack]]. */
+case class Int8Unpack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.int8Unpack(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.int8Unpack($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hyperplane_bands(array<float>, bands, bits, seed) → array<long>:
   * per-band LSH bucket values over the same md5-derived plane family
   * as [[HyperplaneSig]] (band b, bit j = plane b*bits+j). Total plane

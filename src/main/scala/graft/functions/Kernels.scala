@@ -554,4 +554,15 @@ object Kernels {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** array<tinyint> → binary, one byte per element: the persisted SQ8
+    * codes layout (dim bytes per vector — parquet stores BINARY as
+    * raw bytes, where array<tinyint> would round-trip through the
+    * INT32 physical type).
+    */
+  def int8Pack(a: ArrayData): Array[Byte] = a.toByteArray()
+
+  /** binary → array<tinyint>: inverse of [[int8Pack]]. */
+  def int8Unpack(b: Array[Byte]): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(b)
 }

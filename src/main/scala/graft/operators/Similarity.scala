@@ -721,16 +721,78 @@ object Similarity {
     */
   private[graft] def int8Dequantized(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val grid = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx")))).as("g"))
-      .select(expr("transform(g, s -> s.mn)").as("mins"),
-        expr("transform(g, s -> s.mx)").as("maxs"))
-      .localCheckpoint(true)
-    emb.crossJoin(broadcast(grid))
+    emb.crossJoin(broadcast(int8Grid(emb)))
       .select(col("vec_id"), expr(int8DequantizeSql).as("dq"))
+  }
+
+  /** The ONE-row per-dimension min/max grid frame behind the SQ8
+    * family, eagerly checkpointed so every consumer reuses it.
+    */
+  private[graft] def int8Grid(emb: DataFrame): DataFrame = emb
+    .select(posexplode(col("embedding")).as(Seq("i", "x")))
+    .groupBy(col("i"))
+    .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx")))).as("g"))
+    .select(expr("transform(g, s -> s.mn)").as("mins"),
+      expr("transform(g, s -> s.mx)").as("maxs"))
+    .localCheckpoint(true)
+
+  /** SQL producing the persisted SQ8 `code` column: the grid index
+    * k ∈ 0..255 from [[int8DequantizeSql]]'s quantize half (identical
+    * expression tree), shifted by −128 into the signed tinyint range
+    * and packed one-byte-per-dim into a BINARY — dim bytes per
+    * vector, the 4×-smaller-than-float32 layout the s10/s11 scaladocs
+    * promise. Degenerate dims store code −128 (decode ignores it).
+    */
+  private[graft] val int8CodeSql: String =
+    """int8_pack(transform(embedding, (x, i) ->
+      |  CAST((CASE WHEN maxs[i] = mins[i] THEN 0
+      |    ELSE least(255, greatest(0,
+      |      CAST(floor((CAST(x AS DOUBLE) - mins[i]) * 255.0 /
+      |                 (maxs[i] - mins[i]) + 0.5) AS INT)))
+      |  END) - 128 AS TINYINT)))""".stripMargin
+
+  /** SQL mapping a persisted `code` BINARY back to the dequantized
+    * floats: unpack to signed bytes, shift back to k = c+128, then
+    * the EXACT dequantize tree of [[int8DequantizeSql]] — k is the
+    * same INT and the double arithmetic is the same expression, so
+    * the round trip is bit-identical to the in-memory path (spec'd).
+    */
+  private[graft] val int8DecodeSql: String =
+    """transform(int8_unpack(code), (c, i) ->
+      |  CAST(CASE WHEN maxs[i] = mins[i] THEN mins[i]
+      |    ELSE mins[i] + (CAST(c AS INT) + 128) * (maxs[i] - mins[i]) / 255.0
+      |  END AS FLOAT))""".stripMargin
+
+  /** Persist the SQ8 index: `outDir/codes` (vec_id, 64 B code) +
+    * `outDir/grid` (ONE row of per-dim mins/maxs — the dequantize
+    * dictionary). This is the production path s10/s11 describe: write
+    * once, then every ANN probe scans the codes table (¼ the bytes of
+    * the float corpus — footprint ratio spec'd) and dequantizes
+    * inside the scan.
+    */
+  private[graft] def writeInt8Codes(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val grid = int8Grid(emb)
+    grid.write.mode("overwrite").parquet(s"$outDir/grid")
+    emb.crossJoin(broadcast(grid))
+      .select(col("vec_id"), expr(int8CodeSql).as("code"))
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+  }
+
+  /** Dequantized corpus read FROM the persisted codes table — same
+    * (vec_id, dq) frame as [[int8Dequantized]], but the scan reads
+    * dim bytes per vector instead of 4·dim. Bit-identical output
+    * (spec'd): codes are the same k, the decode tree is the same
+    * arithmetic.
+    */
+  private[graft] def int8DequantizedFromCodes(spark: SparkSession, outDir: String): DataFrame = {
+    registerAll(spark)
+    val codes = spark.read.parquet(s"$outDir/codes")
+    val grid = spark.read.parquet(s"$outDir/grid")
+    codes.crossJoin(broadcast(grid))
+      .select(col("vec_id"), expr(int8DecodeSql).as("dq"))
   }
 
   /** s10: int8 scalar-quantized ANN — the memory/scan-shrink path for
@@ -804,9 +866,21 @@ object Similarity {
     * (pool cut included), so a borderline pool membership difference
     * can never hide.
     */
-  def s11AnnRerank(spark: SparkSession, sfDir: String): DataFrame = {
+  def s11AnnRerank(spark: SparkSession, sfDir: String): DataFrame =
+    s11Core(spark, sfDir, int8Dequantized(spark, sfDir))
+
+  /** [[s11AnnRerank]] with the cheap pass reading the PERSISTED codes
+    * table ([[writeInt8Codes]]) instead of quantizing in-flight — the
+    * actual production deployment: the pool scan touches ¼ the bytes;
+    * only the ≤50-row-per-query pool joins back to the full-precision
+    * parquet. Spec'd bit-identical to the in-memory s11.
+    */
+  private[graft] def s11RerankFromCodes(spark: SparkSession, sfDir: String,
+      codesDir: String): DataFrame =
+    s11Core(spark, sfDir, int8DequantizedFromCodes(spark, codesDir))
+
+  private def s11Core(spark: SparkSession, sfDir: String, dq: DataFrame): DataFrame = {
     registerAll(spark)
-    val dq = int8Dequantized(spark, sfDir)
     val qQuant = dq.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("dq").as("qv"))
     val pool = dq.crossJoin(broadcast(qQuant))

@@ -604,6 +604,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.nonEmpty && rerank == exact)
   }
 
+  test("SQ8 codes-column production path: bit-exact round trip, identical rerank, ~4x smaller") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.writeInt8Codes(spark, sfDir, dir)
+    // 1. dequantized vectors read from the persisted codes are
+    //    BIT-IDENTICAL to the in-flight quantize-dequantize path
+    def vecs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val mem = vecs(Similarity.int8Dequantized(spark, sfDir))
+    val disk = vecs(Similarity.int8DequantizedFromCodes(spark, dir))
+    assert(mem.nonEmpty && disk == mem)
+    // 2. the two-stage rerank run FROM the codes table returns the
+    //    same rows as the in-memory s11 (which is itself spec'd
+    //    bit-identical to s01 brute force)
+    val fromCodes = Similarity.s11RerankFromCodes(spark, sfDir, dir)
+      .collect().map(_.toSeq).toSeq
+    val inMem = Similarity.s11AnnRerank(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(fromCodes == inMem)
+    // 3. the footprint claim: codes table (vec_id + 64 B code) is
+    //    ~¼ of the float32 embeddings parquet
+    def parquetBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isFile) f.length
+      else f.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    }
+    val codesB = parquetBytes(s"$dir/codes")
+    val embB = parquetBytes(s"$sfDir/embeddings.parquet")
+    assert(codesB > 0 && codesB <= embB * 2 / 5,
+      s"codes $codesB bytes not ~4x smaller than embeddings $embB bytes")
+  }
+
   test("s10 int8 quantized search keeps high recall of the exact top-10") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
