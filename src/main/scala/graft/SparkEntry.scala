@@ -131,6 +131,7 @@ object SparkEntry {
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
     "m05_integrity" -> (Multimodal.m05Integrity _),
+    "m06_media_neardup" -> (Multimodal.m06MediaNearDup _),
     "g01_pagerank" -> (Graph.g01PageRank _),
     "g02_hits" -> (Graph.g02Hits _),
     "t14_tfidf" -> (TextAnalysis.t14Tfidf _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
+    "g09_kcore" -> (Graph.g09Kcore _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -726,6 +728,30 @@ object SparkEntry {
     * count (the same argmax the engine's struct-max computes). Labels
     * are node ids (longs); no sums, so no HUGEINT hazard.
     */
+  /** g09 oracle: the same bounded h-index iteration as
+    * [[graft.operators.Graph.corenessRounds]], unrolled — H-index per
+    * round via row_number over neighbor coreness descending +
+    * max(least(c, rn)), tie-order invariant, BIGINT end to end.
+    */
+  private def g09OracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { kk =>
+      val prev = if (kk == 1) "c0" else s"c${kk - 1}"
+      s"""r$kk AS MATERIALIZED (
+         |  SELECT e.src AS id, p.c AS c,
+         |    row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+         |  FROM e JOIN $prev p ON p.id = e.dst),
+         |c$kk AS MATERIALIZED (
+         |  SELECT id, max(least(c, rn)) AS c FROM r$kk GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gEdgeCtes,
+       |c0 AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS c FROM e GROUP BY src),
+       |$rounds
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key, c AS coreness
+       |FROM c$iters ORDER BY node_type, entity_key""".stripMargin
+  }
+
   private def g05OracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { kk =>
       val prev = if (kk == 1) "l0" else s"l${kk - 1}"
@@ -877,6 +903,8 @@ object SparkEntry {
       graft.operators.Graph.TriTopK, graft.operators.Graph.LinkTopK),
     "g05_labelprop" -> g05OracleSql(
       graft.operators.Graph.LabelPropIters),
+    "g09_kcore" -> g09OracleSql(
+      graft.operators.Graph.KcoreIters),
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(
@@ -2742,6 +2770,33 @@ object SparkEntry {
         |FROM v
         |GROUP BY doc_id, mime
         |ORDER BY doc_id""".stripMargin,
+    // m06: the oracle replicates the frame-set Jaccard pipeline from
+    // the m03 frame CTE with a direct digest self-join and the SAME
+    // integer threshold predicate; the engine's MediaBucketCap is
+    // deliberately absent (it must not bind at test SFs — spec'd).
+    "m06_media_neardup" ->
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 16),
+        |u AS (
+        |  SELECT doc_id, hx, unnest(range(n // 16)) AS f
+        |  FROM p),
+        |fr AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(hx, CAST(f * 32 + 1 AS BIGINT), 32)) AS d
+        |  FROM u),
+        |nf AS (SELECT doc_id, count(*) AS nf FROM fr GROUP BY doc_id),
+        |sh AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
+        |  FROM fr a JOIN fr b ON a.d = b.d AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, x.nf AS frames_a, y.nf AS frames_b, shared_frames,
+        |  round(CAST(shared_frames AS DOUBLE) /
+        |        (x.nf + y.nf - shared_frames), 4) AS jaccard
+        |FROM sh JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b
+        |WHERE 10 * shared_frames >= 3 * (x.nf + y.nf - shared_frames)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "m03_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n

@@ -223,6 +223,71 @@ object Multimodal {
     * verdicts arithmetically, so a broken sniffer or length check
     * hash-fails the gate.
     */
+  /** Per-digest fan-out cap for [[m06MediaNearDup]]: a frame digest
+    * held by more than this many media files is dropped before
+    * pairing (the [[Dedup.bucketPairs]] tier-2 recall trade — at
+    * 100 TB a constant black-frame or silence digest would otherwise
+    * emit C(n,2) pairs from one key). Must NOT bind at test SFs
+    * (spec'd; observed max is 3 docs per digest at sf0.01).
+    */
+  private[graft] val MediaBucketCap = 1024
+
+  /** m06 near-dup threshold as an integer predicate:
+    * 10·|shared| ≥ 3·|union| (frame-set Jaccard ≥ 0.3) — the cut
+    * compares exact longs, so cross-engine double rounding can never
+    * move a borderline pair; the rounded jaccard column is display
+    * only. 0.3 sits an order of magnitude above the chance
+    * single-window collision level (~0.03–0.08 observed) and well
+    * below true re-encodes (≥ 0.97 observed).
+    */
+  private[graft] val NearDupNum = 3
+  private[graft] val NearDupDen = 10
+
+  /** m06: media near-duplicate detection by shared sampled-frame
+    * fingerprints — the video/audio dedup step of a multimodal
+    * training pipeline (two files are near-dups when their keyframe
+    * fingerprint SETS overlap, the standard content-ID shape; the
+    * decode inside the frame sampler is [[m03FrameSample]]'s stub,
+    * the pipeline around it is real). Distinct (doc, digest) first —
+    * a digest repeated WITHIN one file counts once, so repetitive
+    * content can't inflate its own similarity. Output one row per
+    * qualifying pair: (doc_a, doc_b, frames_a, frames_b,
+    * shared_frames, jaccard), Jaccard over digest sets ≥ 0.3 via the
+    * integer predicate [[NearDupNum]]/[[NearDupDen]].
+    *
+    * Scale shape: the candidate generator is an equi-join on
+    * frame_digest (never all-pairs) — digests group map-side, buckets
+    * over [[MediaBucketCap]] are dropped before any pair explodes,
+    * and each surviving bucket emits its pairs from ONE sorted
+    * collect_set row (the bucketPairs small-bucket shape). Per-file
+    * frame counts come from the same distinct frame frame — one extra
+    * partial-agg'd pass, no second fan-out.
+    */
+  def m06MediaNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val frames = m03FrameSample(spark, sfDir)
+      .select(col("doc_id"), col("frame_digest")).distinct()
+      .localCheckpoint(true)
+    val nf = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val pairs = frames.groupBy(col("frame_digest"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= MediaBucketCap)
+      .select(explode(flatten(transform(col("docs"), (x, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+    pairs
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("frames_a")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("frames_b")), "doc_b")
+      .filter(lit(NearDupDen) * col("shared_frames") >=
+        lit(NearDupNum) * (col("frames_a") + col("frames_b") - col("shared_frames")))
+      .select(col("doc_a"), col("doc_b"), col("frames_a"), col("frames_b"),
+        col("shared_frames"),
+        round(col("shared_frames").cast("double") /
+          (col("frames_a") + col("frames_b") - col("shared_frames")), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def m05Integrity(spark: SparkSession, sfDir: String): DataFrame = {
     val head4 = substring(col("blob"), 1, 4)
     val sniffed = when(head4 === lit(MagicPng), "image/png")

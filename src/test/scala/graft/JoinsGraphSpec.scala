@@ -410,6 +410,47 @@ class JoinsGraphSpec extends AnyFunSuite {
       .union(p.select($"b".as("src"), $"a".as("dst")))
   }
 
+  test("g09 coreness: equals exact peeling on the trade graph, monotone in rounds") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // synthetic: K4 {1..4} with a pendant 5-1 (mirrored) — coreness
+    // must be 3 on the clique, 1 on the pendant
+    val half = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Graph.corenessRounds(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(got) == Set(3L) && got(5L) == 1L)
+    // trade graph: bounded h-index rounds equal EXACT peeling coreness
+    val trade = graftTestEdges().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = trade.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = scala.collection.mutable.Map(
+      adj.view.mapValues(_.length.toLong).toSeq: _*)
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+      Ordering.by[(Long, Long), (Long, Long)](identity).reverse)
+    deg.foreach { case (v, d) => pq.enqueue((d, v)) }
+    var k = 0L
+    while (pq.nonEmpty) {
+      val (dv, v) = pq.dequeue()
+      if (!core.contains(v) && dv == deg(v)) {
+        k = math.max(k, dv); core(v) = k
+        adj(v).foreach { u =>
+          if (!core.contains(u)) { deg(u) -= 1; pq.enqueue((deg(u), u)) }
+        }
+      }
+    }
+    val bounded = Graph.corenessRounds(graftTestEdges(), Graph.KcoreIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded.nonEmpty && bounded == core.toMap,
+      "bounded h-index rounds must reach exact peeling coreness at this SF")
+    // h-index iteration is pointwise non-increasing round over round
+    val r1 = Graph.corenessRounds(graftTestEdges(), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.forall { case (v, c) => bounded(v) <= c })
+  }
+
   test("g07 link prediction: exact on a square-plus-pendant, top-k binds") {
     import spark.implicits._
     import graft.operators.Graph

@@ -258,6 +258,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("m06 media near-dup: equals brute-force frame-set Jaccard, cap does not bind") {
+    // brute-force truth from the m03 frames themselves
+    val frames = Multimodal.m03FrameSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val sets = frames.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      a = docs(i); b = docs(j)
+      sh = (sets(a) & sets(b)).size.toLong
+      un = (sets(a) | sets(b)).size.toLong
+      if Multimodal.NearDupDen * sh >= Multimodal.NearDupNum * un
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, sh,
+      BigDecimal(sh.toDouble / un).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSeq
+    val got = Multimodal.m06MediaNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the fan-out cap must not bind at test SFs — the oracle has no cap
+    val maxDocsPerDigest = frames.distinct.groupBy(_._2).values.map(_.length).max
+    assert(maxDocsPerDigest <= Multimodal.MediaBucketCap,
+      s"digest fan-out $maxDocsPerDigest would bind the cap")
+  }
+
   test("m02 feature stub: batched, deterministic, bounded batch size") {
     val out = Multimodal.m02Features(spark, sfDir).collect()
     assert(out.nonEmpty)
