@@ -89,6 +89,7 @@ object SparkEntry {
     "s11_ann_rerank" -> (Similarity.s11AnnRerank _),
     "s12_ann_index_stats" -> (Similarity.s12AnnIndexStats _),
     "s13_als_recommend" -> (Recommend.s13AlsRecommend _),
+    "s14_pq_ann" -> (Similarity.s14PqAnn _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -206,6 +207,108 @@ object SparkEntry {
           meanCtes(s"_$r", s"c${r - 1}", s"c$r")
       } :+ assignCtes("_f", s"c$iters")
     s"WITH ${parts.mkString(",\n")}"
+  }
+
+  /** s14 oracle: the PQ pipeline replicated end to end — subvector
+    * split, md5-seeded codebook, [[graft.operators.Similarity.PqIters]]
+    * fixed-point Lloyd rounds per subspace (the kmeansOracle mean
+    * contract keyed by (m, code)), argmin-L2² encoding (d2 doubles
+    * from the identical sequential expression tree as the l2_sq
+    * kernel), tick-quantized ADC tables, and the integer-sum scoring.
+    */
+  private def s14OracleSql(iters: Int, pm: Int, subDim: Int, pk: Int,
+      tick: Double): String = {
+    def l2(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, $subDim + 1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |           (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+    def dotp(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, $subDim + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+    def assignCtes(tag: String, cents: String): String =
+      s"""sc$tag AS (
+         |  SELECT s.vec_id, s.m, s.sv, c.code, ${l2("s.sv", "c.cv")} AS d2
+         |  FROM subs s JOIN $cents c ON c.m = s.m),
+         |rk$tag AS (
+         |  SELECT vec_id, m, sv, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+         |  FROM sc$tag),
+         |asg$tag AS (SELECT vec_id, m, sv, code FROM rk$tag WHERE rn = 1)""".stripMargin
+    def meanCtes(tag: String, prevCents: String, outCents: String): String =
+      s"""lex$tag AS (
+         |  SELECT m, code, generate_subscripts(sv, 1) AS j, unnest(sv) AS x
+         |  FROM asg$tag),
+         |lsum$tag AS (
+         |  SELECT m, code, j,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |  FROM lex$tag GROUP BY m, code, j),
+         |lcnt$tag AS (SELECT m, code, count(*) AS n FROM asg$tag GROUP BY m, code),
+         |cm$tag AS (
+         |  SELECT m, code,
+         |    list(CAST(CAST(s AS DOUBLE) / (1024.0 * n) AS FLOAT) ORDER BY j) AS cv
+         |  FROM lsum$tag JOIN lcnt$tag USING (m, code) GROUP BY m, code, n),
+         |$outCents AS (
+         |  SELECT m, code, cv FROM cm$tag
+         |  UNION ALL
+         |  SELECT p.m, p.code, p.cv FROM $prevCents p
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM lcnt$tag l WHERE l.m = p.m AND l.code = p.code))""".stripMargin
+    val prefix =
+      s"""subs AS MATERIALIZED (
+         |  SELECT vec_id, mm.m,
+         |    embedding[mm.m * $subDim + 1 : (mm.m + 1) * $subDim] AS sv
+         |  FROM embeddings, (SELECT unnest(range($pm)) AS m) mm),
+         |sd AS (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pk),
+         |pc0 AS (SELECT s.m, d.code, s.sv AS cv FROM sd d JOIN subs s ON s.vec_id = d.vec_id)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      assignCtes(s"_$r", s"pc${r - 1}") + ",\n" +
+        meanCtes(s"_$r", s"pc${r - 1}", s"pc$r")
+    }.mkString(",\n")
+    s"""WITH $prefix,
+       |$rounds,
+       |${assignCtes("_f", s"pc$iters")},
+       |cn AS (
+       |  SELECT m, code,
+       |    CAST(floor(${dotp("cv", "cv")} * $tick + 0.5) AS BIGINT) AS ct
+       |  FROM pc$iters),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |nqt AS (
+       |  SELECT query_id,
+       |    sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+       |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) AS nq
+       |  FROM q),
+       |qs AS (
+       |  SELECT query_id, mm.m, qv[mm.m * $subDim + 1 : (mm.m + 1) * $subDim] AS qsv
+       |  FROM q, (SELECT unnest(range($pm)) AS m) mm),
+       |qt AS (
+       |  SELECT s.query_id, s.m, c.code,
+       |    CAST(floor(${dotp("s.qsv", "c.cv")} * $tick + 0.5) AS BIGINT) AS dt
+       |  FROM qs s JOIN pc$iters c ON c.m = s.m),
+       |ad AS (
+       |  SELECT t.query_id, a.vec_id,
+       |    CAST(sum(t.dt) AS BIGINT) AS dts, CAST(sum(n.ct) AS BIGINT) AS cts
+       |  FROM asg_f a
+       |  JOIN qt t ON t.m = a.m AND t.code = a.code
+       |  JOIN cn n ON n.m = a.m AND n.code = a.code
+       |  WHERE a.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |scq AS (
+       |  SELECT query_id, vec_id,
+       |    (CAST(dts AS DOUBLE) / $tick) /
+       |      (nq * sqrt(CAST(cts AS DOUBLE) / $tick)) AS adc_raw
+       |  FROM ad JOIN nqt USING (query_id)
+       |  WHERE cts > 0),
+       |rq AS (
+       |  SELECT query_id, vec_id, adc_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY adc_raw DESC, vec_id) AS rank
+       |  FROM scq)
+       |SELECT query_id, vec_id AS neighbor_id, round(adc_raw, 4) AS adc_cos, rank
+       |FROM rq WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   private def s04OracleSql(iters: Int): String =
@@ -961,6 +1064,10 @@ object SparkEntry {
         |SELECT doc_id, token, tf, tfidf, rank FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
+    "s14_pq_ann" -> s14OracleSql(
+      graft.operators.Similarity.PqIters, graft.operators.Similarity.PqM,
+      graft.operators.Similarity.PqSubDim, graft.operators.Similarity.PqK,
+      graft.operators.Similarity.PqTick),
     "d11_dedup_semantic" -> d11OracleSql(
       graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,
       graft.operators.Similarity.SemProbes),

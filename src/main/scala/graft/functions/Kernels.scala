@@ -555,6 +555,24 @@ object Kernels {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Squared L2 distance between two float vectors, accumulated in
+    * ascending index order in doubles — the cross-engine contract
+    * twin of `list_sum(list_transform(range, i -> (a[i]-b[i])^2))`
+    * (same order, same operations, identical doubles).
+    */
+  def l2SqF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"l2_sq: dim mismatch ${b.numElements()} vs $n")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** array<tinyint> → binary, one byte per element: the persisted SQ8
     * codes layout (dim bytes per vector — parquet stores BINARY as
     * raw bytes, where array<tinyint> would round-trip through the

@@ -44,6 +44,7 @@ package object functions {
     "stopword_hits" -> (es => StopwordHits(es(0))),
     "ngram_containment" -> (es => NgramContainment(es(0), es(1), intArg(es(2), "n"))),
     "char_entropy" -> (es => CharEntropy(es(0))),
+    "l2_sq" -> (es => L2Sq(es(0), es(1))),
     "int8_pack" -> (es => Int8Pack(es(0))),
     "int8_unpack" -> (es => Int8Unpack(es(0))),
     // Spark's own bloom-filter expressions (the machinery behind AQE

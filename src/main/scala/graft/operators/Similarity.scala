@@ -898,4 +898,155 @@ object Similarity {
       .join(broadcast(qExact), "query_id")
       .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding"))))
   }
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each
+    * (PqM · PqSubDim = [[EmbDim]]), [[PqK]] codebook entries per
+    * subspace refined by [[PqIters]] fixed Lloyd rounds. 4 subspaces
+    * × 8 entries = one 3-bit code per subspace — 12 bits ≈ 4 B per
+    * vector against 256 B float32, the 64× compression end of the
+    * vector-store spectrum (s10's SQ8 is the 4× end, s11 the rerank
+    * that makes either pay off).
+    */
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqK = 8
+  private[graft] val PqIters = 2
+
+  /** ADC tick scale: dot products and codebook norms quantize to
+    * 2⁻²⁰ ticks (the s08 contract) so the per-vector sums over
+    * subspaces are order-independent longs.
+    */
+  private[graft] val PqTick = 1048576.0
+
+  /** (vec_id, m, sv): the corpus split into [[PqM]] subvectors per
+    * row — one scan, no shuffle.
+    */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", "sv")))
+
+  /** One PQ Lloyd round: argmin-L2² assignment per (vector, subspace)
+    * (ties to the smaller code — min over a (d2, code, sv) struct),
+    * then fixed-point subvector means per (m, code) — the
+    * [[lloydRefine]] QuantScale contract, so the round is exact,
+    * order-independent, and bit-replicated by the DuckDB oracle.
+    * Codebook entries that captured no vectors keep their previous
+    * centroid. The codebook stays a broadcast [[PqM]]·[[PqK]]-row
+    * frame; assignment shuffles one row per (vector, subspace).
+    */
+  private def pqRefine(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = pqAssign(subs, cents)
+    val sumCols = (0 until PqSubDim).map(j =>
+      sum(floor(element_at(col("sv"), j + 1).cast("double") * QuantScale + 0.5)
+        .cast("long")).as(s"s$j"))
+    val refined = assigned.groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("m"), col("code"),
+        array((0 until PqSubDim).map(j =>
+          (col(s"s$j").cast("double") / (lit(QuantScale) * col("n"))).cast("float")): _*).as("cv"))
+    val empty = cents.join(refined.select(col("m").as("rm"), col("code").as("rc")),
+        col("m") === col("rm") && col("code") === col("rc"), "left_anti")
+      .select(col("m"), col("code"), col("cv"))
+    refined.union(empty).localCheckpoint(true)
+  }
+
+  /** Argmin-L2² code per (vector, subspace): (vec_id, m, code, sv). */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), "m")
+      .withColumn("d2", call_function("l2_sq", col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"), col("sv").as("v"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.code").as("code"), col("mn.v").as("sv"))
+
+  /** Trained PQ codebook: (m, code, cv) — md5-ordered seed sample
+    * (the [[seedCentroids]] rule; codes 0..PqK-1 in sample order,
+    * shared seed ids across subspaces — the sampled VECTORS seed
+    * every subspace with their subvectors) refined by [[PqIters]]
+    * rounds of [[pqRefine]]. Package-private for the spec.
+    */
+  private[graft] def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    pqCodebookFrom(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+
+  /** [[pqCodebook]] over any (vec_id, embedding) frame — the spec
+    * trains on synthetic corpora where PQ is lossless.
+    */
+  private[graft] def pqCodebookFrom(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    registerAll(spark)
+    val subs = pqSubvectors(emb)
+    val seedIds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(PqK)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(md5(col("vec_id").cast("string")),
+          col("vec_id"))) - 1).cast("long").as("code"))
+    val c0 = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("m"), col("code"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    (1 to PqIters).foldLeft(c0)((c, _) => pqRefine(pqSubvectors(emb), c))
+  }
+
+  /** s14: product-quantization ANN (asymmetric distance computation)
+    * — the third leg of the vector-store compression triad next to
+    * IVF (s03) and SQ8 (s10): each vector is stored as [[PqM]]
+    * 3-bit codebook indices (~64× smaller than float32), and search
+    * never touches the corpus floats — per query the [[PqM]]·[[PqK]]
+    * dot-product TABLE is precomputed against the codebook, and each
+    * candidate's approximate cosine is a table LOOKUP sum:
+    * adc ≈ Σ_m ⟨q_m, c_m(code_m)⟩ / (‖q‖ · √Σ_m ‖c_m(code_m)‖²)
+    * (the standard PQ-for-inner-product estimator with the
+    * codebook-reconstructed norm). Table entries and norms quantize
+    * to 2⁻²⁰-tick longs ([[PqTick]]) so per-candidate sums are
+    * order-independent and the DuckDB oracle replicates ranking and
+    * scores bit-exactly; ranking ties break on vec_id.
+    *
+    * Scale shape: the codebook (32 rows) and per-query tables
+    * (PqM·PqK·|Q| rows) broadcast; the corpus-side work is ONE
+    * encode pass (argmin over a broadcast codebook, partial-agg'd)
+    * and the ADC join carries [[PqM]] code rows per (vector, query)
+    * into a partial-agg'd long sum — no floats move. At 100 TB the
+    * codes table is the persisted index (the s10 write path applies
+    * verbatim) and recall is recovered the s11 way: PQ pool → exact
+    * rerank. Accuracy on THIS corpus is pinned in the spec at the
+    * level 12-bit codes honestly deliver on near-uniform vectors —
+    * the compression/recall trade every PQ deployment makes,
+    * documented not hidden.
+    */
+  def s14PqAnn(spark: SparkSession, sfDir: String): DataFrame =
+    s14From(spark,
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+
+  /** [[s14PqAnn]] over any (vec_id, embedding) frame — spec entry. */
+  private[graft] def s14From(spark: SparkSession, emb: DataFrame): DataFrame = {
+    registerAll(spark)
+    val codebook = pqCodebookFrom(spark, emb)
+    val codes = pqAssign(pqSubvectors(emb), codebook).select(col("vec_id"), col("m"), col("code"))
+    val cn = codebook.select(col("m"), col("code"),
+      floor(call_function("dot_product", col("cv"), col("cv")) * PqTick + 0.5)
+        .cast("long").as("ct"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nq = q.select(col("query_id"),
+      sqrt(call_function("dot_product", col("qv"), col("qv"))).as("nq"))
+    val qsub = q.select(col("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(qv, m * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", "qsv")))
+    val qtab = qsub.join(broadcast(codebook), "m")
+      .select(col("query_id"), col("m"), col("code"),
+        floor(call_function("dot_product", col("qsv"), col("cv")) * PqTick + 0.5)
+          .cast("long").as("dt"))
+    val adc = codes
+      .join(broadcast(qtab.join(cn, Seq("m", "code"))), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("dts"), sum(col("ct")).as("cts"))
+      .filter(col("cts") > 0)
+      .join(broadcast(nq), "query_id")
+      .withColumn("adc_raw",
+        (col("dts").cast("double") / lit(PqTick)) /
+          (col("nq") * sqrt(col("cts").cast("double") / lit(PqTick))))
+    topKPerQuery(adc.withColumn("cos_raw", col("adc_raw")))
+      .withColumnRenamed("cos", "adc_cos")
+  }
 }

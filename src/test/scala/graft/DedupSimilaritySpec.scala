@@ -634,6 +634,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"codes $codesB bytes not ~4x smaller than embeddings $embB bytes")
   }
 
+  test("s14 PQ: ADC equals exact cosine when codes are lossless, corpus path deterministic") {
+    import spark.implicits._
+    // 8 distinct deterministic 64-d vectors (ids 0..7): the md5 seed
+    // sample takes all 8, each becomes its own codebook entry per
+    // subspace, and PQ reconstruction is lossless up to the 1/1024
+    // fixed-point grid — so ADC must reproduce exact cosine ranking
+    def vec(p: Long): Array[Float] = Array.tabulate(64) { j =>
+      (((Kernels.mix64(p * 64 + j) >>> 11).toDouble / (1L << 52).toDouble)
+        * 2.0 - 1.0).toFloat
+    }
+    val emb = (0L until 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val got = Similarity.s14From(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 5 * 7, "5 queries x 7 neighbors")
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val exact = (0L until 8L).filter(_ != q)
+        .map(n => n -> cos(vec(q), vec(n))).sortBy(-_._2)
+      // ranking matches exact cosine; scores within the fixed-point
+      // reconstruction tolerance
+      assert(rows.sortBy(_._4).map(_._2).toSeq == exact.map(_._1),
+        s"query $q: ADC ranking diverged from exact cosine")
+      rows.foreach { case (_, n, adc, _) =>
+        val ex = exact.find(_._1 == n).get._2
+        assert(math.abs(adc - ex) <= 2e-3, s"query $q nbr $n: adc $adc vs exact $ex")
+      }
+    }
+    // corpus path: codebook shape, complete in-range codes, determinism
+    val cb = Similarity.pqCodebook(spark, sfDir).collect()
+      .map(r => ((r.getAs[Number](0).intValue, r.getAs[Number](1).longValue),
+        r.getSeq[Float](2)))
+    assert(cb.length == Similarity.PqM * Similarity.PqK)
+    assert(cb.map(_._1).toSet ==
+      (for (m <- 0 until Similarity.PqM; c <- 0 until Similarity.PqK)
+        yield (m, c.toLong)).toSet)
+    assert(cb.forall(_._2.length == Similarity.PqSubDim))
+    val a = Similarity.s14PqAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = Similarity.s14PqAnn(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+    assert(a.forall(r => math.abs(r(2).asInstanceOf[Double]) <= 1.001),
+      "ADC is a cosine of a reconstruction - must stay in [-1, 1]")
+  }
+
   test("s10 int8 quantized search keeps high recall of the exact top-10") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)))
