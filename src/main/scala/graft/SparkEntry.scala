@@ -144,6 +144,7 @@ object SparkEntry {
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
     "g09_kcore" -> (Graph.g09Kcore _),
+    "g10_random_walks" -> (Graph.g10RandomWalks _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -855,6 +856,37 @@ object SparkEntry {
        |FROM c$iters ORDER BY node_type, entity_key""".stripMargin
   }
 
+  /** g10 oracle: the walk unrolled hop by hop — ranked neighbor list
+    * (row_number over dst ascending), md5₄₈ draw mod degree per
+    * (walk, step), one join per hop.
+    */
+  private def g10OracleSql(len: Int): String = {
+    val hops = (1 to len).map { t =>
+      val prev = s"w${t - 1}"
+      s"""w$t AS MATERIALIZED (
+         |  SELECT p.walk_id, $t AS step, nb.dst AS node
+         |  FROM $prev p
+         |  JOIN dg ON dg.src = p.node
+         |  JOIN nb ON nb.src = p.node AND nb.r = CAST(
+         |    ('0x' || substr(md5('walk:' || CAST(p.walk_id AS VARCHAR) || ':$t'),
+         |       1, 12))::UBIGINT % dg.deg AS BIGINT))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to len).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    s"""WITH $gEdgeCtes,
+       |nb AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS r
+       |  FROM e),
+       |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |w0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM n),
+       |$hops,
+       |wa AS ($union)
+       |SELECT walk_id, CAST(step AS INTEGER) AS step,
+       |       CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       node // 2 AS entity_key
+       |FROM wa ORDER BY walk_id, step""".stripMargin
+  }
+
   private def g05OracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { kk =>
       val prev = if (kk == 1) "l0" else s"l${kk - 1}"
@@ -1008,6 +1040,7 @@ object SparkEntry {
       graft.operators.Graph.LabelPropIters),
     "g09_kcore" -> g09OracleSql(
       graft.operators.Graph.KcoreIters),
+    "g10_random_walks" -> g10OracleSql(graft.operators.Graph.WalkLen),
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(

@@ -625,6 +625,78 @@ object Graph {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** Steps per walk for [[g10RandomWalks]] — fixed so the output is
+    * a pure function of the corpus and the oracle unrolls exactly
+    * this many hop joins. Production DeepWalk runs ~10 walks of
+    * length ~40 per node; one length-4 walk keeps the test corpus
+    * honest while the machinery (ranked-neighbor hop join) is
+    * identical at any (walks, length).
+    */
+  private[graft] val WalkLen = 4
+
+  /** Deterministic random-walk core over a mirrored (src, dst) edge
+    * frame: one walk per node, next hop = the neighbor whose
+    * dst-ascending rank equals md5₄₈("walk:<walk>:<step>") mod
+    * degree — the md5-derived draw every sampling operator here uses
+    * (p03/p07/d20), so the DuckDB oracle replicates every hop
+    * exactly. Returns (walk_id, step, node) for step 0..len.
+    * Package-private for the spec.
+    *
+    * Scale shape: the ranked neighbor list (one row_number window
+    * over the edge frame, computed ONCE and checkpointed) is the
+    * random-access structure; each hop is one join of the
+    * walker frame against degrees (to reduce the draw mod degree)
+    * and one equi-join on (src, rank) — walker rows stay one per
+    * walk, so a hop shuffles O(walks), not O(edges). At 100 TB the
+    * neighbor list is the bucketed-by-src adjacency the rest of the
+    * g-family already assumes, and walks × length scales linearly.
+    */
+  private[graft] def randomWalks(edges: DataFrame, len: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = edges.select(col("src"), col("dst"))
+      .withColumn("r",
+        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+          .cast("long"))
+      .localCheckpoint(true)
+    val deg = nb.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var state = nb.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("node"))
+      .localCheckpoint(true)
+    var frontier = state
+    for (t <- 1 to len) {
+      val drawn = frontier.select(col("walk_id"), col("node").as("src"))
+        .join(deg, "src")
+        .withColumn("r",
+          conv(substring(md5(concat(lit("walk:"), col("walk_id").cast("string"),
+            lit(s":$t"))), 1, 12), 16, 10).cast("long") % col("deg"))
+      val next = drawn.join(nb, Seq("src", "r"))
+        .select(col("walk_id"), lit(t).as("step"), col("dst").as("node"))
+        .localCheckpoint(false)
+      state = state.union(next)
+      frontier = next
+    }
+    state
+  }
+
+  /** g10: deterministic random-walk corpus over the trading network —
+    * the DeepWalk/node2vec precursor: the walk sequences ARE the
+    * training corpus a graph-embedding pipeline feeds to a
+    * skip-gram model (walks play sentences, nodes play tokens).
+    * One walk of [[WalkLen]] hops per node, next hop drawn
+    * md5-uniformly from the ranked neighbor list ([[randomWalks]]).
+    * Output: (walk_id, step, node_type, entity_key) — every walk is
+    * a connected path in the graph (spec'd), bit-identical across
+    * engines.
+    */
+  def g10RandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    randomWalks(edges, WalkLen).select(
+        col("walk_id"), col("step"),
+        when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("node div 2").as("entity_key"))
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   /** Predicted links reported by [[g07LinkPredict]]. */
   private[graft] val LinkTopK = 20
 

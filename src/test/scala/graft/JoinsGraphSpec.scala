@@ -451,6 +451,40 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(r1.forall { case (v, c) => bounded(v) <= c })
   }
 
+  test("g10 random walks: valid connected paths, deterministic, full coverage") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // degree-1 nodes have no choice: on a mirrored pair the walk
+    // must alternate endpoints exactly
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val forced = Graph.randomWalks(pair, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(forced.filter(_._1 == 1L).map(_._3).toSeq == Seq(1L, 2L, 1L, 2L, 1L))
+    assert(forced.filter(_._1 == 2L).map(_._3).toSeq == Seq(2L, 1L, 2L, 1L, 2L))
+    // trade graph: every walk is a CONNECTED path of the right length
+    val edges = graftTestEdges()
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walks = Graph.randomWalks(edges, Graph.WalkLen).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byWalk = walks.groupBy(_._1)
+    assert(byWalk.nonEmpty)
+    byWalk.foreach { case (w, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(rows.map(_._2).sorted.toSeq == (0 to Graph.WalkLen),
+        s"walk $w: steps not dense")
+      assert(path.head == w, s"walk $w must start at its node")
+      path.zip(path.tail).foreach { case (a, b) =>
+        assert(edgeSet.contains((a, b)), s"walk $w: hop $a->$b is not an edge")
+      }
+    }
+    // one walk per node, deterministic across runs
+    val nodes = edgeSet.map(_._1)
+    assert(byWalk.keySet == nodes)
+    val again = Graph.randomWalks(edges, Graph.WalkLen).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(walks.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("g07 link prediction: exact on a square-plus-pendant, top-k binds") {
     import spark.implicits._
     import graft.operators.Graph
