@@ -54,6 +54,7 @@ object SparkEntry {
     "q44_histogram" -> (Relational.q44Histogram _),
     "q45_mode_per_group" -> (Relational.q45ModePerGroup _),
     "q46_referential_audit" -> (Relational.q46ReferentialAudit _),
+    "q47_zorder_key" -> (Relational.q47ZorderKey _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "j04_overlap_join" -> (Joins.j04OverlapJoin _),
@@ -310,6 +311,17 @@ object SparkEntry {
        |SELECT query_id, vec_id AS neighbor_id, round(adc_raw, 4) AS adc_cos, rank
        |FROM rq WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The q47 oracle's Morton spread ladder — the identical mask-shift
+    * tree [[graft.sources.Sources.zOrderKey]] builds as Columns.
+    */
+  private def zSpreadSql(x: String): String = {
+    val x0 = s"(CAST($x AS BIGINT) & 65535)"
+    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+    s"(($x3 | ($x3 << 1)) & 1431655765)"
   }
 
   private def s04OracleSql(iters: Int): String =
@@ -1478,6 +1490,12 @@ object SparkEntry {
         |  round(a.mode_n / CAST(a.n_orders AS DOUBLE), 4) AS mode_share
         |FROM a JOIN m ON a.c_mktsegment = m.c_mktsegment
         |ORDER BY a.c_mktsegment""".stripMargin,
+    "q47_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  (${zSpreadSql("l_partkey")} |
+         |   (${zSpreadSql("l_suppkey")} << 1)) AS z_key
+         |FROM lineitem
+         |ORDER BY z_key, l_orderkey, l_linenumber""".stripMargin,
     "q46_referential_audit" ->
       """WITH rel AS (
         |  SELECT 'lineitem->orders' AS relationship,

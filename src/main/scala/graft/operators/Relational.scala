@@ -975,4 +975,23 @@ object Relational {
         round(col("mode_n").cast("double") / col("n_orders").cast("double"), 4))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** q47: Z-order clustering key over (l_partkey, l_suppkey) — the
+    * data-layout primitive behind multi-dimensional data skipping
+    * ([[graft.sources.Sources.zOrderKey]]): the table ordered by the
+    * Morton interleave keeps parquet row-group min/max stats tight on
+    * BOTH key columns, so scans filtering on either prune row groups
+    * (a single-column sort prunes only its leading column — the
+    * measured file-stats comparison lives in SourcesSpec next to
+    * [[graft.sources.Sources.writeZOrdered]]). The query emits every
+    * lineitem row with its key in clustered order — integer bit
+    * ladder end to end, bit-identical in the oracle.
+    */
+  def q47ZorderKey(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        graft.sources.Sources.zOrderKey(col("l_partkey"), col("l_suppkey"))
+          .as("z_key"))
+      .orderBy(col("z_key"), col("l_orderkey"), col("l_linenumber"))
 }

@@ -377,4 +377,48 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton) interleave of two key columns into one
+    * clustering key: each key is clamped to its low 16 bits, spread
+    * to alternate bit positions with the standard mask-shift ladder,
+    * and interleaved (a takes the even bits, b the odd). Rows sorted
+    * by this key are clustered in BOTH dimensions at once, so
+    * parquet row-group min/max stats stay tight on both columns —
+    * the data-skipping layout for scans that filter sometimes on a,
+    * sometimes on b (a single-column sort gives pruning only on the
+    * leading column). Pure integer column expression, identical in
+    * DuckDB (the q47 oracle evaluates the same ladder).
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    def spread(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val x0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the Morton
+    * key of (colA, colB) into `nFiles` output files, sort within each
+    * partition by the key, drop the key column from the data. The
+    * reader's row-group pruning then skips files/row-groups on
+    * predicates over EITHER column — the maintenance/compaction pass
+    * a 100 TB table runs so that ad-hoc scans stop reading
+    * everything. The clustering win is measured in the spec: per-file
+    * (max-min) key ranges shrink vs an unclustered write of the same
+    * data.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zOrderKey(col(colA), col(colB)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -18,6 +18,44 @@ class SourcesSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("z-order write: bit ladder exact, per-file ranges shrink, rows survive") {
+    // known Morton values: spread(1)=1, spread(3)=5
+    import spark.implicits._
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Sources.zOrderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(1L, 2L, 15L, 4294967295L))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val zdir = tmp("graft-zorder")
+    val pdir = tmp("graft-zplain")
+    Sources.writeZOrdered(li, zdir, "l_partkey", "l_suppkey", 8)
+    li.repartition(8).write.mode("overwrite").parquet(pdir)
+    def spanSum(path: String, c: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .agg(sum(col("s")).cast("long")).collect()(0).getLong(0)
+    // the clustering claim: per-file partkey ranges shrink sharply vs
+    // a round-robin write (measured ~6x at this SF); suppkey has only
+    // 10 distinct values here, so with 8 files its spans can only be
+    // asserted no-worse — the second-dimension win needs cardinality
+    // above the file count
+    assert(spanSum(zdir, "l_partkey") * 2 <= spanSum(pdir, "l_partkey"),
+      "z-ordered files must cover much narrower l_partkey ranges")
+    assert(spanSum(zdir, "l_suppkey") <= spanSum(pdir, "l_suppkey"))
+    // no rows lost or duplicated, key column dropped
+    val back = spark.read.parquet(zdir)
+    assert(back.columns.sorted.toSeq ==
+      Seq("l_linenumber", "l_orderkey", "l_partkey", "l_suppkey"))
+    assert(back.count() == li.count())
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(rows(back) == rows(li))
+  }
+
   test("csv round-trips with explicit schema") {
     val nation = Tables.nation(spark, sfDir)
     val dir = tmp("graft-csv")
