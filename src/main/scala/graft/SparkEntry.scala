@@ -62,6 +62,7 @@ object SparkEntry {
     "q33_json_extract" -> (Events.q33JsonExtract _),
     "q41_retention_cohorts" -> (Events.q41RetentionCohorts _),
     "q43_gaps_islands" -> (Events.q43GapsIslands _),
+    "q48_incremental_agg" -> (Events.q48IncrementalAgg _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -1428,6 +1429,19 @@ object SparkEntry {
         |FROM w JOIN f ON w.user_id = f.user_id
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // q48: the oracle recomputes the view from the FULL table while
+    // the engine runs split-then-merge — a hash match IS the proof of
+    // the monoid merge contract (merge(state(base), state(delta)) ==
+    // state(full)).
+    "q48_incremental_agg" ->
+      """SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_ticks,
+        |  max(ts) AS last_ts
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q43_gaps_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -47,6 +47,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 incremental merge: real split, merged state equals full recompute") {
+    import graft.operators.{Events => Ev}
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        floor(col("value") * 1048576.0 + 0.5).cast("long").as("vt"))
+    val cut = ev.agg(max(to_date(col("ts"))).as("cut"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    val nBase = tagged.filter(to_date(col("ts")) < col("cut")).count()
+    val nDelta = tagged.filter(to_date(col("ts")) === col("cut")).count()
+    // the merge must be a REAL merge at this SF — both sides populated
+    assert(nBase > 0 && nDelta > 0, s"degenerate split: base $nBase delta $nDelta")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getAs[java.sql.Timestamp](4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val merged = rows(Ev.q48IncrementalAgg(spark, sfDir))
+    val full = rows(Ev.aggState(ev))
+    assert(merged.nonEmpty && merged == full,
+      "merge(state(base), state(delta)) must equal state(full) exactly")
+  }
+
   test("distributedNtile is bit-identical to the window ntile") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, sfDir)
