@@ -29,6 +29,29 @@ object Dedup {
 
   private val MinhashK = 128
 
+  /** Choose the (bands, rows) split of a k-hash MinHash signature for
+    * a target Jaccard threshold: over all exact divisors b·r = k, the
+    * split whose s-curve midpoint s* = (1/b)^(1/r) lands closest to
+    * the target (ties to more bands — recall over cost). This makes
+    * every banding constant in this file a COMPUTED decision, not a
+    * magic number: the shipped splits are exactly
+    * `minhashBandingFor(0.7, 128) = (16, 8)` (d02's near-dup bar) and
+    * `minhashBandingFor(0.5, 128) = (32, 4)` (d04's broader bar,
+    * s* ≈ 0.42 — the closest reachable midpoint below 0.5, chosen so
+    * ≥ 0.5 pairs sit on the high-recall side of the curve) — both
+    * pinned in the spec, so a retune is a one-line threshold edit
+    * whose consequences the s-curve makes explicit.
+    */
+  private[graft] def minhashBandingFor(threshold: Double, k: Int = MinhashK): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0 && k >= 2,
+      s"need 0 < threshold < 1 and k >= 2, got $threshold, $k")
+    val splits = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .filter { case (b, r) => b >= 2 && r >= 1 }
+    splits.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
   /** MinHash signatures + banded bucket ids for a document set.
     * `shingleN` is the word-n-gram order; `bands` × `rows` (≤
     * [[MinhashK]]) sets the LSH s-curve threshold ≈ (1/bands)^(1/rows).

@@ -64,6 +64,41 @@ object Graph {
     */
   private[graft] val PageRankIters = 5
 
+  /** Generic bounded-round synchronous vertex program — the Pregel
+    * shape the reference exposes as graphx's Pregel/aggregateMessages
+    * (reference: /root/reference/graphx/src/main/scala/org/apache/
+    * spark/graphx/Pregel.scala:1), re-expressed over DataFrames: the
+    * caller supplies the vertex state frame, a `send` that turns the
+    * current state into messages addressed by `id`, and an `apply`
+    * that folds the round's messages into the next state; the
+    * combinator owns what every iterative graph operator here had to
+    * get right individually — the FIXED round bound (determinism +
+    * oracle-unrollability contract), the eager initial checkpoint,
+    * and the per-round lazy `localCheckpoint` that keeps lineage flat
+    * (the exponential-plan lesson from connectedComponents).
+    *
+    * The shipped iterative operators are instances — label
+    * propagation is `send` = neighbor labels / `apply` = per-id mode,
+    * bounded BFS is `send` = frontier+1 / `apply` = min-merge with
+    * frontier bookkeeping in a state column — and the spec pins
+    * pregel-derived g05/g06 BIT-IDENTICAL to the shipped operators,
+    * so the combinator is proven general, not decorative. Message
+    * combining stays inside `apply`'s aggregation, where Catalyst
+    * makes it a map-side partial agg — the aggregateMessages
+    * optimization falls out of the plan rather than the runtime.
+    */
+  private[graft] def pregel(
+      init: DataFrame,
+      send: DataFrame => DataFrame,
+      apply: (DataFrame, DataFrame) => DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"pregel: iters must be >= 0, got $iters")
+    var state = init.localCheckpoint(true)
+    for (_ <- 1 to iters)
+      state = apply(state, send(state)).localCheckpoint(false)
+    state
+  }
+
   /** Materialize-once distinct (customer, supplier) pair frame
     * (a = 2·custkey, b = 2·suppkey+1) per (session, sfDir, input
     * fingerprints) — the whole g-family derives its edge frames from

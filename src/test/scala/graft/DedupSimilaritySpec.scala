@@ -634,6 +634,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"codes $codesB bytes not ~4x smaller than embeddings $embB bytes")
   }
 
+  test("minhash banding planner derives the shipped splits from their thresholds") {
+    // the shipped constants are computed decisions: d02's 0.7 bar and
+    // d04's 0.5 bar reproduce the 16x8 / 32x4 splits exactly
+    assert(Dedup.minhashBandingFor(0.7) == ((16, 8)))
+    assert(Dedup.minhashBandingFor(0.5) == ((32, 4)))
+    // midpoints track the target across the range
+    val (b1, r1) = Dedup.minhashBandingFor(0.9)
+    assert(math.pow(1.0 / b1, 1.0 / r1) > 0.8)
+    val (b2, _) = Dedup.minhashBandingFor(0.1)
+    assert(b2 >= 64)
+  }
+
   test("s14 PQ: ADC equals exact cosine when codes are lossless, corpus path deterministic") {
     import spark.implicits._
     // 8 distinct deterministic 64-d vectors (ids 0..7): the md5 seed

@@ -451,6 +451,51 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(r1.forall { case (v, c) => bounded(v) <= c })
   }
 
+  test("pregel combinator: shipped g05 and g06 are bit-identical instances") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    val edges = graftTestEdges().localCheckpoint(true)
+    // label propagation as a vertex program: send = neighbor labels,
+    // apply = per-id mode (count desc, label asc)
+    val lpInit = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    val lpPregel = Graph.pregel(
+      lpInit,
+      st => edges.join(st.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab")),
+      (_, msgs) => msgs.groupBy(col("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lab")),
+      Graph.LabelPropIters)
+    val lpShipped = Graph.labelPropRounds(edges, Graph.LabelPropIters)
+    assert(lpPregel.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      lpShipped.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // frontier BFS as a vertex program: frontier bookkeeping rides a
+    // state column; send = frontier+1, apply = disjoint min-merge
+    val seeds = edges.select(col("src").as("id")).distinct()
+      .filter(col("id") % 2 === 0).orderBy(col("id")).limit(Graph.SsspSeeds)
+    val bfsInit = seeds.distinct()
+      .select(col("id"), lit(0L).as("d"), lit(true).as("fresh"))
+    val bfsPregel = Graph.pregel(
+      bfsInit,
+      st => edges.join(
+          st.filter(col("fresh")).select(col("id").as("src"), col("d")), "src")
+        .select(col("dst").as("id"), (col("d") + 1).as("d")),
+      (st, msgs) => {
+        val newly = msgs.groupBy(col("id")).agg(min(col("d")).as("d"))
+          .join(st.select(col("id")), Seq("id"), "left_anti")
+        st.select(col("id"), col("d"), lit(false).as("fresh"))
+          .union(newly.select(col("id"), col("d"), lit(true).as("fresh")))
+      },
+      Graph.SsspIters)
+    val bfsShipped = Graph.boundedBfs(edges, seeds, Graph.SsspIters)
+    assert(bfsPregel.select("id", "d").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      bfsShipped.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("g10 random walks: valid connected paths, deterministic, full coverage") {
     import spark.implicits._
     import graft.operators.Graph
