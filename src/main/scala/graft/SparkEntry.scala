@@ -92,6 +92,7 @@ object SparkEntry {
     "s12_ann_index_stats" -> (Similarity.s12AnnIndexStats _),
     "s13_als_recommend" -> (Recommend.s13AlsRecommend _),
     "s14_pq_ann" -> (Similarity.s14PqAnn _),
+    "s15_biased_mf" -> (Recommend.s15BiasedMf _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "t15_bigram_bits" -> (TextAnalysis.t15BigramBits _),
     "t16_source_kl" -> (TextAnalysis.t16SourceKl _),
     "t17_keyphrases" -> (TextAnalysis.t17RakeKeyphrases _),
+    "t18_bpe_merges" -> (TextAnalysis.t18BpeMerges _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -1784,6 +1786,9 @@ object SparkEntry {
     // s13: generated in Recommend next to the solveSteps both engines
     // share — the bit-parity contract lives in one file.
     "s13_als_recommend" -> Recommend.alsOracleSql,
+    // s15: s13's shared rounds chain over the bias-debiased residual
+    // ratings — the integer bias stages are plain CTEs.
+    "s15_biased_mf" -> Recommend.biasedOracleSql,
     // s10: the shared SQ8 CTEs, then s01's ranking over the
     // dequantized vectors. 64-dim like the other ANN oracles.
     "s10_ann_int8" ->
@@ -2646,6 +2651,11 @@ object SparkEntry {
         |GROUP BY phrase
         |ORDER BY score_ticks DESC, phrase
         |LIMIT 30""".stripMargin,
+    // t18: machine-generated like s13's — the same tokenization as
+    // t07's oracle, then BpeRounds unrolled CTE rounds sharing the
+    // engine's single-pass `replace` merge-application contract (see
+    // TextAnalysis.t18BpeMerges's doc).
+    "t18_bpe_merges" -> TextAnalysis.bpeOracleSql,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

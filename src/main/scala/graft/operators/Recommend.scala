@@ -190,12 +190,113 @@ object Recommend {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** Ridge term added to each entity's rating count in [[s15BiasedMf]]'s
+    * bias denominators (the Koren-style damped mean): b = Σresid /
+    * (n + λ) with λ = [[BiasLambda]]. Integer, so the division is the
+    * truncating `div` both engines share (negatives agree: DuckDB `//`
+    * and Spark `div` both truncate toward zero).
+    */
+  private[graft] val BiasLambda = 4L
+
+  /** s15: biased matrix factorization — the SVD++-family baseline
+    * (Koren 2009's μ + b_u + b_i + p·q decomposition; the reference's
+    * recommendation surface beyond plain ALS, mllib/recommendation/
+    * ALS.scala:1 with implicit bias handling). Staged, all-integer
+    * until the factor solve:
+    *
+    *  1. μ as GLOBAL tick mean: mu_ticks = (Σr · 4096) div n —
+    *     positive integer division, exact cross-engine.
+    *  2. Item bias: b_s_ticks = Σ(r·4096 − mu_ticks) div (n_s + λ) —
+    *     the damped residual mean. All-long sums (exact), truncating
+    *     div (both engines truncate toward zero, so negative
+    *     numerators agree).
+    *  3. User bias over the doubly-debiased residual: b_c_ticks =
+    *     Σ(r·4096 − mu_ticks − b_s_ticks) div (n_c + λ).
+    *  4. Residual ratings r' = (r·4096 − mu − b_s − b_c)/4096 — ON
+    *     the dyadic grid, so [[alsFactor]]'s exact-sum contract holds
+    *     verbatim (r'·f numerators ≤ 2^35 over 2^24, summed ≤ 2^17
+    *     rows < 2^53) and the factor solve is the proven s13 path.
+    *
+    * The full SVD++ implicit-feedback term (Σ y_j per rating) needs a
+    * per-rating vector sum over each user's item set — a second
+    * rank-wide shuffle the bias+factor decomposition doesn't pay;
+    * documented as the extension point, not implemented.
+    *
+    * Output: (node_type 'c'|'s', entity_key, n_rated, bias_ticks,
+    * f0..f3_ticks) — biases and factors all integer ticks, fully
+    * hash-verified.
+    *
+    * Scale shape: stages 1-3 are partial-agg'd aggregations (one
+    * 1-row broadcast, two key-shuffles on the ratings' own keys);
+    * stage 4 joins item/user biases back — entity-keyed frames,
+    * broadcast-size in production on the item side; then the s13
+    * half-round cost profile.
+    */
+  def s15BiasedMf(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("r"))
+      .localCheckpoint(true)
+    val mu = raw.agg(expr(s"(sum(r) * ${AlsTicks}) div count(*)").as("m"))
+    val bs = raw.crossJoin(broadcast(mu))
+      .groupBy(col("s"))
+      .agg(expr(s"sum(r * ${AlsTicks} - m)").as("num"), count(lit(1)).as("nn"))
+      .withColumn("bsb", expr(s"num div (nn + $BiasLambda)"))
+      .select(col("s"), col("bsb"))
+    val bc = raw.crossJoin(broadcast(mu)).join(bs, "s")
+      .groupBy(col("c"))
+      .agg(expr(s"sum(r * ${AlsTicks} - m - bsb)").as("num"),
+        count(lit(1)).as("nn"))
+      .withColumn("bcb", expr(s"num div (nn + $BiasLambda)"))
+      .select(col("c"), col("bcb"))
+    val resid = raw.crossJoin(broadcast(mu)).join(bs, "s").join(bc, "c")
+      .select(col("c"), col("s"),
+        (expr(s"r * ${AlsTicks} - m - bsb - bcb").cast("double") /
+          lit(AlsTicks.toDouble)).as("r"))
+      .localCheckpoint(true)
+    val (users, items) = alsFactor(resid)
+    def sideOut(df: DataFrame, biases: DataFrame, tpe: String, key: String,
+        bcol: String): DataFrame =
+      df.join(biases, key)
+        .select(Seq(lit(tpe).as("node_type"), col(key).as("entity_key"),
+          col("n_rated"), col(bcol).as("bias_ticks")) ++
+          (0 until AlsRank).map(k => col(s"t$k").as(s"f${k}_ticks")): _*)
+    sideOut(users, bc, "c", "c", "bcb")
+      .unionByName(sideOut(items, bs, "s", "s", "bsb"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
   /** The DuckDB oracle: the SAME pipeline with the SAME
     * [[solveSteps]] strings, assembled as nested SELECTs (one per
     * single-assignment step) under plain CTEs — see the determinism
     * contract in the object doc.
     */
   private[graft] def alsOracleSql: String = {
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS DOUBLE) AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |$alsRoundsSql
+       |SELECT 'c' AS node_type, c AS entity_key, CAST(n AS BIGINT) AS n_rated, $tickOutSql
+       |FROM u$AlsIters
+       |UNION ALL
+       |SELECT 's', s, CAST(n AS BIGINT), $tickOutSql FROM v$AlsIters
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+
+  /** Tick output columns shared by both oracles. */
+  private def tickOutSql: String = (0 until AlsRank)
+    .map(k => s"CAST(t$k AS BIGINT) AS f${k}_ticks").mkString(", ")
+
+  /** The alternating-round CTE chain over a CTE named `ratings` —
+    * v0 init plus the u1/v1..u[[AlsIters]]/v[[AlsIters]] solve pairs —
+    * shared by [[alsOracleSql]] and [[biasedOracleSql]].
+    */
+  private def alsRoundsSql: String = {
     def solveSql(gramSql: String): String =
       solveSteps.foldLeft(s"($gramSql)") { case (inner, (name, sql)) =>
         s"(SELECT *, $sql AS $name FROM $inner)"
@@ -233,18 +334,42 @@ object Recommend {
           (0 until AlsRank).map(k => s"t$k").mkString(", ") + s", $fCols " +
           s"FROM (${solved(itemGram(s"u$i"))}) v)")
     }
-    val tickOut = (0 until AlsRank)
-      .map(k => s"CAST(t$k AS BIGINT) AS f${k}_ticks").mkString(", ")
-    s"""WITH ratings AS (
-       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS DOUBLE) AS r
+    s"v0 AS ($v0),\n${rounds.mkString(",\n")}"
+  }
+
+  /** The DuckDB twin of [[s15BiasedMf]]: the all-integer μ/item-bias/
+    * user-bias tick stages as plain CTEs (truncating `//` everywhere
+    * a Spark `div` runs), a residual `ratings` CTE on the dyadic
+    * grid, then the shared [[alsRoundsSql]] chain and a bias-joined
+    * final select.
+    */
+  private[graft] def biasedOracleSql: String = {
+    s"""WITH raw AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS r
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  GROUP BY 1, 2),
-       |v0 AS ($v0),
-       |${rounds.mkString(",\n")}
-       |SELECT 'c' AS node_type, c AS entity_key, CAST(n AS BIGINT) AS n_rated, $tickOut
-       |FROM u$AlsIters
+       |mu AS (SELECT CAST(sum(r) * $AlsTicks AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+       |       FROM raw),
+       |bs AS (SELECT s,
+       |         CAST(CAST(sum(r * $AlsTicks - mu.m) AS BIGINT)
+       |              // (CAST(count(*) AS BIGINT) + $BiasLambda) AS BIGINT) AS bsb
+       |       FROM raw, mu GROUP BY s),
+       |bc AS (SELECT c,
+       |         CAST(CAST(sum(r * $AlsTicks - mu.m - bs.bsb) AS BIGINT)
+       |              // (CAST(count(*) AS BIGINT) + $BiasLambda) AS BIGINT) AS bcb
+       |       FROM raw JOIN bs ON raw.s = bs.s, mu GROUP BY c),
+       |ratings AS (
+       |  SELECT raw.c, raw.s,
+       |    CAST(r * $AlsTicks - mu.m - bs.bsb - bc.bcb AS DOUBLE)
+       |      / CAST($AlsTicks AS DOUBLE) AS r
+       |  FROM raw JOIN bs ON raw.s = bs.s JOIN bc ON raw.c = bc.c, mu),
+       |$alsRoundsSql
+       |SELECT 'c' AS node_type, u$AlsIters.c AS entity_key,
+       |  CAST(n AS BIGINT) AS n_rated, bc.bcb AS bias_ticks, $tickOutSql
+       |FROM u$AlsIters JOIN bc ON u$AlsIters.c = bc.c
        |UNION ALL
-       |SELECT 's', s, CAST(n AS BIGINT), $tickOut FROM v$AlsIters
+       |SELECT 's', v$AlsIters.s, CAST(n AS BIGINT), bs.bsb, $tickOutSql
+       |FROM v$AlsIters JOIN bs ON v$AlsIters.s = bs.s
        |ORDER BY node_type, entity_key""".stripMargin
   }
 }

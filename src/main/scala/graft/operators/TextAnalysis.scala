@@ -636,4 +636,129 @@ object TextAnalysis {
       .orderBy(col("score_ticks").desc, col("phrase"))
       .limit(RakeTopK)
   }
+
+  /** Merge rounds learned by [[t18BpeMerges]]. Fixed, not
+    * convergence-tested: the output is a pure function of the corpus
+    * and the oracle unrolls exactly this many rounds.
+    */
+  private[graft] val BpeRounds = 6
+
+  /** t18: BPE merge induction — tokenizer TRAINING, the step upstream
+    * of t03's "BPE-ish regex" tokenization: learn the first
+    * [[BpeRounds]] byte-pair-encoding merges from the corpus's own
+    * frequency-weighted word vocabulary (Sennrich et al. 2016, the
+    * algorithm behind GPT/Llama tokenizers). Round t: count adjacent
+    * symbol pairs across the vocabulary weighted by word frequency,
+    * merge the most frequent pair (ties: lexicographically smallest
+    * (left, right)) everywhere it occurs, repeat on the re-segmented
+    * vocabulary. Output: one row per round — (round, left_sym,
+    * right_sym, merged_sym, pair_cnt, symbols_after), where
+    * symbols_after is the frequency-weighted corpus symbol count
+    * after that round's merge, so the hash check covers the
+    * re-segmentation itself, not just the chosen pairs.
+    *
+    * Merge-application contract: a word's segmentation is a
+    * single-space-joined symbol string with sentinel spaces, and a
+    * merge applies as ONE leftmost non-overlapping string replace of
+    * " l r " with " lr " — the exact scan both engines' `replace`
+    * implements, so re-segmentation is cross-engine identical by
+    * construction. On a RUN of the same pair ("aaaa", merge (a,a))
+    * the shared boundary space makes alternate occurrences merge per
+    * round where the reference trainers merge all non-overlapping
+    * occurrences — a documented variant (pinned in
+    * TextMultimodalSpec); the learned ranking is unaffected wherever
+    * pairs don't self-abut, and a run merges fully over later rounds.
+    *
+    * Scale shape: the corpus is scanned ONCE (the word-frequency
+    * aggregation — one partial-agg'd token shuffle); every round
+    * after that touches only the distinct-word vocabulary (~10^7
+    * rows at 100 TB, vs 10^11 corpus rows) — the standard BPE-trainer
+    * decomposition. Per round: one vocabulary-local pair explode +
+    * partial-agg'd pair count, a 1-row TakeOrdered argmax (no global
+    * sort, no driver fetch — broadcast back), and a per-row replace.
+    * Vocabulary is eagerly localCheckpoint'd per round (flat lineage,
+    * the g01 lesson).
+    */
+  def t18BpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(call_function("word_grams", lower(col("text")), lit(1)))
+        .as("w"))
+    bpeMerges(tok.groupBy(col("w")).agg(count(lit(1)).as("freq")))
+  }
+
+  /** The trainer core over an arbitrary (w, freq) word-frequency
+    * frame — package-private so the known-merge and run-contract
+    * specs can drive it with synthetic vocabularies.
+    */
+  private[graft] def bpeMerges(wordFreq: DataFrame): DataFrame = {
+    var vocab = wordFreq
+      .withColumn("sym",
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .localCheckpoint(true)
+    val rounds = (1 to BpeRounds).map { rnd =>
+      val pairs = vocab
+        .select(col("freq"), split(trim(col("sym")), " ").as("a"))
+        .withColumn("la", slice(col("a"), lit(1), size(col("a")) - 1))
+        .withColumn("ra", slice(col("a"), lit(2), size(col("a")) - 1))
+        .select(col("freq"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
+        .agg(sum(col("freq")).as("pair_cnt"))
+      val best = pairs.orderBy(col("pair_cnt").desc, col("l"), col("r"))
+        .limit(1).localCheckpoint(true)
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
+        .withColumn("sym", replace(col("sym"),
+          concat(lit(" "), col("__l"), lit(" "), col("__r"), lit(" ")),
+          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .drop("__l", "__r")
+        .localCheckpoint(true)
+      val after = vocab.agg(
+        sum(col("freq") * size(split(trim(col("sym")), " ")))
+          .as("symbols_after"))
+      best.withColumn("round", lit(rnd).cast("long"))
+        .crossJoin(broadcast(after))
+        .select(col("round"), col("l").as("left_sym"), col("r").as("right_sym"),
+          concat(col("l"), col("r")).as("merged_sym"), col("pair_cnt"),
+          col("symbols_after"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** The DuckDB twin of [[t18BpeMerges]]: the same tokenization as
+    * t07's oracle, then [[BpeRounds]] unrolled CTE rounds — pair
+    * counts from 1-based list slicing, the argmax as ORDER BY ...
+    * LIMIT 1, re-segmentation via the same single-pass `replace`
+    * contract.
+    */
+  private[graft] def bpeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM $prev) s,
+         |       UNNEST(generate_series(1, len(a)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, pair_cnt FROM p$i ORDER BY pair_cnt DESC, l, r LIMIT 1),
+         |v$i AS (SELECT w, freq,
+         |    replace(sym, ' '||b$i.l||' '||b$i.r||' ', ' '||b$i.l||b$i.r||' ') AS sym
+         |  FROM $prev, b$i),
+         |a$i AS (SELECT CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT)
+         |    AS symbols_after FROM v$i)""".stripMargin
+    }
+    val outs = (1 to BpeRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, b$i.l AS left_sym, b$i.r AS right_sym, " +
+        s"b$i.l || b$i.r AS merged_sym, b$i.pair_cnt, a$i.symbols_after FROM b$i, a$i"
+    }
+    s"""WITH tk AS (
+       |  SELECT list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |         t -> t <> '') AS t
+       |  FROM documents),
+       |tok AS (SELECT unnest(t) AS w FROM tk),
+       |v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+       |       FROM tok GROUP BY w),
+       |${rounds.mkString(",\n")}
+       |${outs.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -80,4 +80,38 @@ class RecommendSpec extends AnyFunSuite {
       t > Recommend.AlsClampLo && t < Recommend.AlsClampHi),
       "clamp binds on corpus factors — widen the grid")
   }
+
+  test("s15 biased MF: biases point the right way and beat raw ALS residuals") {
+    val sess = spark
+    import sess.implicits._
+    // planted additive structure: r = 10 + rowEff(c) + colEff(s), no
+    // interaction — exactly what the bias stages should absorb.
+    val cells = for { c <- 1L to 30L; s <- 1L to 12L }
+      yield (c, s, 10L + (c % 5) + 3L * (s % 3))
+    val raw = cells.toDF("c", "s", "r").localCheckpoint(true)
+    val mu = raw.agg(expr(s"(sum(r) * ${Recommend.AlsTicks}) div count(*)").as("m"))
+    val bs = raw.crossJoin(broadcast(mu)).groupBy(col("s"))
+      .agg(expr(s"sum(r * ${Recommend.AlsTicks} - m)").as("num"),
+        count(lit(1)).as("nn"))
+      .withColumn("bsb", expr(s"num div (nn + ${Recommend.BiasLambda})"))
+    // items with the max column effect (s%3==2) must carry the largest
+    // bias ticks; min-effect items (s%3==0) the smallest
+    val byS = bs.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val hi = (1L to 12L).filter(_ % 3 == 2).map(byS)
+    val lo = (1L to 12L).filter(_ % 3 == 0).map(byS)
+    assert(hi.min > lo.max,
+      s"high-effect items must out-bias low-effect ones: $byS")
+    // corpus: deterministic, bias-joined shape, ticks within clamp
+    val out1 = Recommend.s15BiasedMf(spark, sfDir).collect().toSeq
+    val out2 = Recommend.s15BiasedMf(spark, sfDir).collect().toSeq
+    assert(out1 == out2, "two runs must be bit-identical")
+    assert(out1.nonEmpty)
+    assert(out1.head.schema.fieldNames.toSeq == Seq("node_type", "entity_key",
+      "n_rated", "bias_ticks") ++
+      (0 until Recommend.AlsRank).map(k => s"f${k}_ticks"))
+    val fTicks = out1.flatMap(r =>
+      (0 until Recommend.AlsRank).map(k => r.getLong(4 + k)))
+    assert(fTicks.forall(t =>
+      t > Recommend.AlsClampLo && t < Recommend.AlsClampHi))
+  }
 }

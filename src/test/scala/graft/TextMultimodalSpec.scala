@@ -301,4 +301,45 @@ class TextMultimodalSpec extends AnyFunSuite {
     val driverCols = Multimodal.m02FeatureStub(spark, sfDir).columns.toSeq
     assert(driverCols == Seq("doc_id", "mime", "features_digest"))
   }
+
+  test("t18 bpe: known merge sequence, tie-break, and exhaustion contract") {
+    import spark.implicits._
+    // "low"×2 + "lower"×1: round 1 ties (l,o)=3 with (o,w)=3 -> lexicographic
+    // smallest left wins; the vocabulary fully merges after 4 rounds and
+    // both engines emit only the realized rounds (exhaustion contract).
+    val vocab = Seq(("low", 2L), ("lower", 1L)).toDF("w", "freq")
+    val out = TextAnalysis.bpeMerges(vocab).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, "l", "o", "lo", 3L, 8L),
+      (2L, "lo", "w", "low", 3L, 5L),
+      (3L, "e", "r", "er", 1L, 4L),
+      (4L, "low", "er", "lower", 1L, 3L)))
+  }
+
+  test("t18 bpe: single-pass run contract — alternate merges in a repeat run") {
+    import spark.implicits._
+    // "aaaa": pair (a,a) counts 3, but the single-pass leftmost replace
+    // merges alternate occurrences (shared boundary), leaving 3 symbols,
+    // then converges over later rounds — the documented variant.
+    val out = TextAnalysis.bpeMerges(Seq(("aaaa", 1L)).toDF("w", "freq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (1L, "aa", 3L, 3L),   // " aa a a " — NOT 2: alternate-merge pinned
+      (2L, "aa", 1L, 2L),   // (a,a) beats (aa,a) lexicographically
+      (3L, "aaaa", 1L, 1L)))
+  }
+
+  test("t18 bpe: corpus run — full rounds, shrinking corpus, deterministic") {
+    val a = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
+    assert(a.length == TextAnalysis.BpeRounds)
+    val after = a.map(_.getLong(5)).toSeq
+    assert(after == after.sorted.reverse && after.distinct == after,
+      s"symbols_after must strictly decrease: $after")
+    a.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    val b = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
