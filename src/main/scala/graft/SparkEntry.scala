@@ -80,6 +80,7 @@ object SparkEntry {
     "d14_dedup_report" -> (Dedup.d14DedupReport _),
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d20_soft_dedup" -> (Dedup.d20SoftDedup _),
+    "d21_dedup_tuned" -> (Dedup.d21DedupTuned _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
@@ -2424,6 +2425,15 @@ object SparkEntry {
         |    < 1048576 // s.cluster_size AS kept
         |FROM lab l JOIN sz s USING (cluster_id)
         |ORDER BY l.doc_id""".stripMargin),
+    // d21: the d02 all-pairs truth at the planner-tuned 0.35 bar; the
+    // hard-coded 32/4 columns pin minhashBandingFor(0.35)'s choice —
+    // a planner change that moves the split fails the hash gate.
+    "d21_dedup_tuned" ->
+      ("WITH " + minhashTruthOracleCtes + """
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard,
+        |  CAST(32 AS BIGINT) AS lsh_bands, CAST(4 AS BIGINT) AS lsh_rows
+        |FROM j WHERE jac >= 0.35
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // d08 oracle: d07's transitive closure, survivors only, joined
     // back for payload stats.
     "d08_dedup_apply" ->

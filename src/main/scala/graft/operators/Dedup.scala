@@ -1105,4 +1105,39 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("weight_ticks"), col("kept"))
       .orderBy(col("doc_id"))
+
+  /** d21's requested Jaccard bar — the ONLY knob; everything else is
+    * derived. 0.35 is the loose boilerplate tier below d04's 0.5.
+    */
+  private[graft] val TunedBar = 0.35
+
+  /** d21: threshold-tuned near-dup pairs — [[minhashBandingFor]] as a
+    * RUNTIME surface, not just a spec-pinned derivation: the operator
+    * takes [[TunedBar]] and computes its own (bands, rows) split
+    * (= (32, 4) at 0.35, s* ≈ 0.42), then runs the d02
+    * candidates-then-verify pipeline at that banding. The output
+    * carries the derived `bands`/`rows` as columns and the oracle
+    * hard-codes the expected split — so a planner change that moves
+    * the choice FAILS the hash gate instead of silently retuning
+    * recall. Recall contract: the corpus pair-similarity distribution
+    * is bimodal (nothing between ~0.1 and ~0.9 — measured, see
+    * d16's sweep), so every ≥ 0.35 pair sits far up the 0.42-midpoint
+    * s-curve where candidate probability is ~1; the all-pairs oracle
+    * proves it exactly at both gate SFs.
+    */
+  def d21DedupTuned(spark: SparkSession, sfDir: String): DataFrame = {
+    val (bands, rows) = minhashBandingFor(TunedBar)
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    lshCandidates(spark, sfDir, shingleN = 3, bands = bands, rows = rows)
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("jaccard",
+        call_function("ngram_jaccard", col("text_a"), col("text_b"), lit(3)))
+      .filter(col("jaccard") >= TunedBar)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"),
+        lit(bands.toLong).as("lsh_bands"), lit(rows.toLong).as("lsh_rows"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -646,6 +646,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b2 >= 64)
   }
 
+  test("d21 planner-tuned dedup equals brute-force truth at its bar") {
+    // the operator's runtime-derived banding must lose nothing against
+    // the exhaustive 3-gram Jaccard pair set at the 0.35 bar
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val toks = t.split("[ \n\t\r]+").filter(_.nonEmpty)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = docs.map(_._1).sorted
+    val expect = (for {
+      i <- ids.indices; jj <- (i + 1) until ids.length
+      a = ids(i); b = ids(jj)
+      sa = sh(a); sb = sh(b)
+      jac = if (sa.isEmpty && sb.isEmpty) 1.0
+        else if (sa.isEmpty || sb.isEmpty) 0.0
+        else (sa & sb).size.toDouble / (sa | sb).size
+      if jac >= Dedup.TunedBar
+    } yield (a, b)).toSeq
+    val got = Dedup.d21DedupTuned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    // planner columns carry the derived split
+    val head = Dedup.d21DedupTuned(spark, sfDir).head()
+    assert((head.getLong(3), head.getLong(4)) == ((32L, 4L)))
+  }
+
   test("s14 PQ: ADC equals exact cosine when codes are lossless, corpus path deterministic") {
     import spark.implicits._
     // 8 distinct deterministic 64-d vectors (ids 0..7): the md5 seed
