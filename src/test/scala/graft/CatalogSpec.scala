@@ -118,4 +118,25 @@ class CatalogSpec extends AnyFunSuite {
           "dimension and must drop under the broadcast threshold")
     }
   }
+
+  test("persistent metastore: saveAsTable + view survive a context restart") {
+    // spark.sql.catalogImplementation is a static conf — the shared
+    // in-memory-catalog test context can't flip to Hive, so the
+    // Derby-metastore round trip runs in its own JVM (MetastoreCheck):
+    // session 1 writes a table + view, stops its context; session 2
+    // must resolve both from the metastore alone.
+    val work = java.nio.file.Files.createTempDirectory("graft_metastore").toString
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.contains("=ALL-UNNAMED"))
+    val cmd = Seq("java") ++ addOpens ++ Seq("-Xmx2g",
+      "-Dderby.stream.error.file=" + s"$work/derby.log",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.sources.MetastoreCheck", work)
+    val out = new StringBuilder
+    val exit = scala.sys.process.Process(cmd)
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    assert(exit == 0 && out.toString.contains("METASTORE_OK"),
+      s"metastore round trip failed (exit $exit):\n${out.toString.takeRight(2000)}")
+  }
 }
