@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.CatalogTables
+
+/** The SQL front door: a reference user queries through SQL text as
+  * much as through the DataFrame API, so the catalog views + the
+  * extension-registered functions must expose the SAME surface.
+  * Each test runs a pipeline twice — once as `spark.sql` text over
+  * the registered catalog, once through the DataFrame operators —
+  * and pins row-for-row equality. (The DuckDB oracle gate already
+  * proves the DataFrame side against an independent engine; this
+  * proves the SQL text path reaches identical plans/results inside
+  * graft itself.)
+  */
+class SqlParitySpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private val db = "graftsql"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private lazy val registered: Unit = CatalogTables.register(spark, sfDir, db)
+
+  private def parity(sql: String, df: DataFrame): Unit = {
+    registered
+    val viaSql = spark.sql(sql)
+    assert(viaSql.columns.toSeq == df.columns.toSeq,
+      s"column drift: ${viaSql.columns.toSeq} vs ${df.columns.toSeq}")
+    val a = viaSql.collect().toSeq
+    val b = df.collect().toSeq
+    assert(a == b, s"sql row drift: ${a.take(3)} vs ${b.take(3)} (${a.size}/${b.size} rows)")
+    assert(a.nonEmpty, "parity on an empty result proves nothing")
+  }
+
+  test("q01 pricing summary: SQL text equals the DataFrame pipeline") {
+    parity(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  round(sum(l_extendedprice), 2) AS sum_base_price,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         |  round(avg(l_quantity), 4) AS avg_qty,
+         |  round(avg(l_extendedprice), 4) AS avg_price,
+         |  round(avg(l_discount), 4) AS avg_disc,
+         |  count(1) AS count_order
+         |FROM $db.lineitem
+         |WHERE l_shipdate <= TIMESTAMP'1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+  }
+
+  test("q03 join-agg-topk: SQL text equals the DataFrame pipeline") {
+    parity(
+      s"""SELECT /*+ BROADCAST(c) */ l_orderkey, o_orderdate,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         |FROM $db.lineitem l
+         |JOIN $db.orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN $db.customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP'1998-01-01 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP'1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+      SparkEntry.queries("q03_join_agg_topk")(spark, sfDir))
+  }
+
+  test("q08 window rank: SQL text equals the DataFrame pipeline") {
+    parity(
+      s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+         |  CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+         |       AS BIGINT) AS bal_rank
+         |FROM $db.supplier
+         |ORDER BY s_nationkey, bal_rank, s_suppkey""".stripMargin,
+      SparkEntry.queries("q08_window_rank")(spark, sfDir))
+  }
+
+  test("extension functions resolve from SQL text identically") {
+    graft.functions.registerAll(spark)
+    parity(
+      s"""SELECT doc_id, simhash64(text) AS sig,
+         |  round(char_entropy(text), 4) AS ent,
+         |  size(word_grams(lower(text), 2)) AS n_bigrams
+         |FROM $db.documents
+         |ORDER BY doc_id""".stripMargin,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          call_function("simhash64", col("text")).as("sig"),
+          round(call_function("char_entropy", col("text")), 4).as("ent"),
+          size(call_function("word_grams", lower(col("text")), lit(2)))
+            .as("n_bigrams"))
+        .orderBy(col("doc_id")))
+  }
+
+  test("events view: SQL text over the casting view equals the path loader") {
+    parity(
+      s"""SELECT event_type, count(1) AS n, min(ts) AS first_ts, max(ts) AS last_ts
+         |FROM $db.events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type")))
+  }
+}
