@@ -55,6 +55,7 @@ object SparkEntry {
     "q45_mode_per_group" -> (Relational.q45ModePerGroup _),
     "q46_referential_audit" -> (Relational.q46ReferentialAudit _),
     "q47_zorder_key" -> (Relational.q47ZorderKey _),
+    "q49_ridge_regression" -> (Relational.q49RidgeRegression _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "j04_overlap_join" -> (Joins.j04OverlapJoin _),
@@ -606,6 +607,33 @@ object SparkEntry {
     * [[g02OracleSql]] applies) so `rank_ticks` types as int64 and the
     * driver's type-sensitive hash matches Spark's LongType.
     */
+  /** q49's DuckDB twin: dyadic-grid features, one grouped Gram
+    * aggregation, then [[graft.operators.Recommend.solveSqlNested]] —
+    * the SAME scalar trees the engine runs.
+    */
+  private def q49OracleSql: String = {
+    val rank = graft.operators.Recommend.AlsRank
+    val gramSel =
+      (for { i <- 0 until rank; j <- 0 to i }
+        yield s"sum(f$j * f$i) AS g$i$j").mkString(", ") + ", " +
+        (0 until rank).map(k => s"sum(r * f$k) AS b$k").mkString(", ")
+    val solved = graft.operators.Recommend.solveSqlNested(
+      s"SELECT l_returnflag, count(*) AS n, $gramSel FROM b GROUP BY l_returnflag")
+    val coefOut = (0 until rank)
+      .map(k => s"CAST(t$k AS BIGINT) AS c${k}_ticks").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    floor(l_extendedprice + 0.5) / CAST(4096.0 AS DOUBLE) AS r,
+       |    CAST(1.0 AS DOUBLE) AS f0,
+       |    l_quantity AS f1,
+       |    floor(l_discount * 4096.0 + 0.5) / CAST(4096.0 AS DOUBLE) AS f2,
+       |    floor(l_tax * 4096.0 + 0.5) / CAST(4096.0 AS DOUBLE) AS f3
+       |  FROM lineitem)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n, $coefOut
+       |FROM $solved
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   private def g01OracleSql(iters: Int, scale: Long): String = {
     val rounds = (1 to iters).map { k =>
       val prev = if (k == 1) "r0" else s"i${k - 1}"
@@ -1513,6 +1541,10 @@ object SparkEntry {
          |   (${zSpreadSql("l_suppkey")} << 1)) AS z_key
          |FROM lineitem
          |ORDER BY z_key, l_orderkey, l_linenumber""".stripMargin,
+    // q49: the shared solveSteps chain (s13's bit-parity contract)
+    // over one grouped Gram aggregation; features/target put on
+    // dyadic grids first so the sums are exact and order-independent.
+    "q49_ridge_regression" -> q49OracleSql,
     "q46_referential_audit" ->
       """WITH rel AS (
         |  SELECT 'lineitem->orders' AS relationship,

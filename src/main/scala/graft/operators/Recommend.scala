@@ -128,9 +128,11 @@ object Recommend {
   /** One half-round: given (key, r, f0..f3) — ratings joined to the
     * counterpart side's factors — aggregate the exact Gram/rhs sums
     * per key and run [[solveSteps]]. Returns (key, n_rated,
-    * t0..t3, f0..f3), localCheckpoint'd.
+    * t0..t3, f0..f3), localCheckpoint'd. Package-private: q49's
+    * grouped ridge regression is the same Gram-solve over observed
+    * features instead of learned factors.
     */
-  private def solveSide(joined: DataFrame, key: String): DataFrame = {
+  private[graft] def solveSide(joined: DataFrame, key: String): DataFrame = {
     val gramCols: Seq[Column] =
       (for {
         i <- 0 until AlsRank; j <- 0 to i
@@ -292,15 +294,21 @@ object Recommend {
   private def tickOutSql: String = (0 until AlsRank)
     .map(k => s"CAST(t$k AS BIGINT) AS f${k}_ticks").mkString(", ")
 
+  /** The [[solveSteps]] chain as nested DuckDB SELECTs over a gram
+    * relation exposing (n, g00..g33, b0..b3) — shared by the ALS
+    * oracles here and q49's ridge-regression oracle.
+    */
+  private[graft] def solveSqlNested(gramSql: String): String =
+    solveSteps.foldLeft(s"($gramSql)") { case (inner, (name, sql)) =>
+      s"(SELECT *, $sql AS $name FROM $inner)"
+    }
+
   /** The alternating-round CTE chain over a CTE named `ratings` —
     * v0 init plus the u1/v1..u[[AlsIters]]/v[[AlsIters]] solve pairs —
     * shared by [[alsOracleSql]] and [[biasedOracleSql]].
     */
   private def alsRoundsSql: String = {
-    def solveSql(gramSql: String): String =
-      solveSteps.foldLeft(s"($gramSql)") { case (inner, (name, sql)) =>
-        s"(SELECT *, $sql AS $name FROM $inner)"
-      }
+    def solveSql(gramSql: String): String = solveSqlNested(gramSql)
     def initSql(k: Int): String =
       s"(('0x' || substr(md5('als:' || CAST(s AS VARCHAR) || ':$k'), 1, 5))" +
         s"::UBIGINT % 4096)"

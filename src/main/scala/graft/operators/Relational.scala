@@ -994,4 +994,44 @@ object Relational {
         graft.sources.Sources.zOrderKey(col("l_partkey"), col("l_suppkey"))
           .as("z_key"))
       .orderBy(col("z_key"), col("l_orderkey"), col("l_linenumber"))
+
+  /** q49: grouped multivariate ridge regression — the reference's
+    * mllib/regression surface (reference: /root/reference/mllib/src/
+    * main/scala/org/apache/spark/mllib/regression/RidgeRegression
+    * .scala:1) as ONE partial-agg'd Gram pass + the shared s13 solve:
+    * per l_returnflag, fit price ≈ β₀ + β₁·qty + β₂·disc + β₃·tax by
+    * weighted-λ ridge normal equations, reusing
+    * [[Recommend.solveSteps]] verbatim (identical scalar trees both
+    * engines ⇒ bit-identical coefficients; ridge λ·n = n/4 on the
+    * diagonal — negligible against Σqty² but deliberately strong
+    * against the small disc/tax moments, the s13 damping contract).
+    *
+    * Exactness: features are put on dyadic grids FIRST — qty is
+    * integer-valued, disc/tax quantize to 2⁻¹² ticks, and the target
+    * is price·2⁻¹² rounded to the same grid (so y ≤ 26) — making
+    * every Gram/rhs term a dyadic rational whose scaled sum stays
+    * < 2⁵³ at sf0.1 (finest grid 2⁻²⁴: Σdisc² ≈ 6·10³ → 10¹¹;
+    * Σy·disc ≈ 1.7·10⁶ → 3·10¹³). At 10¹² rows the 2⁻²⁴-grid sums
+    * need a two-level segmented sum — the documented s13 retune.
+    *
+    * Scale shape: one scan, map-side partial Gram aggregation (14
+    * running sums per group), 3-row result, per-row solve. Nothing
+    * else.
+    */
+  def q49RidgeRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    def tick12(c: Column): Column =
+      floor(c * lit(4096.0) + lit(0.5)).cast("double") / lit(4096.0)
+    val base = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag"),
+      (floor(col("l_extendedprice") + lit(0.5)).cast("double") /
+        lit(4096.0)).as("r"),
+      lit(1.0).as("f0"),
+      col("l_quantity").as("f1"),
+      tick12(col("l_discount")).as("f2"),
+      tick12(col("l_tax")).as("f3"))
+    Recommend.solveSide(base, "l_returnflag")
+      .select(Seq(col("l_returnflag"), col("n_rated").as("n")) ++
+        (0 until Recommend.AlsRank).map(k => col(s"t$k").as(s"c${k}_ticks")): _*)
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -110,4 +110,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_childless_parent") == 1L,
       "a NULL-keyed parent row is childless under join semantics")
   }
+
+  test("q49 ridge recovers a planted slope; corpus fit deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // r = 0.5 + 0.25*f1 exactly on the dyadic grid. The ridge term
+    // n/4 hits the INTERCEPT row too (a00 = 1.25n), so the solution
+    // of the augmented 2x2 system — [320, 8320; 8320, 357824] b =
+    // [2208, 93600] for these 256 rows — is b0 = 0.25007,
+    // b1 = 0.25577 (shrunk intercept, slope compensating): ticks
+    // 1024 / 1047 exactly, pinned within ±1 for float headroom.
+    val rows = for { x <- 1 to 64; _ <- 1 to 4 }
+      yield ("G", 0.5 + 0.25 * x, x.toDouble)
+    val base = rows.toDF("g", "r", "f1")
+      .select(col("g"), col("r"), lit(1.0).as("f0"), col("f1"),
+        lit(0.0).as("f2"), lit(0.0).as("f3"))
+    val s = graft.operators.Recommend.solveSide(base, "g").collect()(0)
+    val (t0, t1, t2, t3) = (s.getLong(2), s.getLong(3), s.getLong(4), s.getLong(5))
+    assert(t1 >= 1046 && t1 <= 1048, s"slope ticks $t1 should be 1047")
+    assert(t0 >= 1023 && t0 <= 1025, s"intercept ticks $t0 should be 1024")
+    assert(t2 == 0 && t3 == 0, "absent features must get zero weight")
+    // corpus: 3 groups, positive qty slope, bit-identical across runs
+    val a = Relational.q49RidgeRegression(spark, sfDir).collect().toSeq
+    val b = Relational.q49RidgeRegression(spark, sfDir).collect().toSeq
+    assert(a == b && a.size == 3)
+    a.foreach(r0 => assert(r0.getLong(3) > 0, "price-qty slope must be positive"))
+  }
 }
