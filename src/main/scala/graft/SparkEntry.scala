@@ -82,6 +82,8 @@ object SparkEntry {
     "d07_dedup_clusters" -> (Dedup.d07DedupClusters _),
     "d20_soft_dedup" -> (Dedup.d20SoftDedup _),
     "d21_dedup_tuned" -> (Dedup.d21DedupTuned _),
+    "f01_freq_itemsets" -> (Itemsets.f01FreqItemsets _),
+    "f02_assoc_rules" -> (Itemsets.f02AssocRules _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
@@ -1545,6 +1547,10 @@ object SparkEntry {
     // over one grouped Gram aggregation; features/target put on
     // dyadic grids first so the sums are exact and order-independent.
     "q49_ridge_regression" -> q49OracleSql,
+    // f01/f02: generated next to the derived-sigma basket CTEs both
+    // keys share — all-positive integer ticks, // where div runs.
+    "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,
+    "f02_assoc_rules" -> graft.operators.Itemsets.f02OracleSql,
     "q46_referential_audit" ->
       """WITH rel AS (
         |  SELECT 'lineitem->orders' AS relationship,

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** f01/f02: frequent-itemset mining + association rules over the
+  * order×brand market baskets — the reference's mllib/fpm surface
+  * (reference: /root/reference/mllib/src/main/scala/org/apache/spark/
+  * mllib/fpm/FPGrowth.scala:1 and AssociationRules.scala:1),
+  * re-expressed as Apriori-style relational passes instead of an
+  * FP-tree: at the 2-itemset level the FP-tree's conditional-base
+  * compression IS a partial-agg'd pair count, and the join-based form
+  * gets Catalyst's pruning/partial-agg machinery for free.
+  *
+  * Contract points:
+  *  - Baskets are (order, DISTINCT part brand) — the itemset universe
+  *    is the 25-brand vocabulary, so per-basket fan-out is inherently
+  *    bounded; the general-corpus guard ([[BasketCap]], the m06
+  *    bucket-cap pattern) still drops degenerate baskets BEFORE any
+  *    pair expansion, and must NOT bind at test SFs (spec'd).
+  *  - The support floor is DATA-DERIVED: σ = (nb + 49) div 50 —
+  *    ceil(2%) of the basket count in pure integer arithmetic (no
+  *    float ceil edge), computed as a 1-row broadcast, never a driver
+  *    fetch (the q48 split pattern).
+  *  - Apriori pruning is structural: pair candidates draw only from
+  *    L1-frequent items (semi-join), so the pair shuffle is bounded
+  *    by frequent-item baskets even on corpora where most items are
+  *    rare.
+  *
+  * Scale shape: one (order, item) distinct shuffle builds the basket
+  * frame (checkpointed, shared by all levels); L1 is one partial-agg'd
+  * count; L2 self-joins baskets on the order key — co-partitioned by
+  * the basket build, per-basket C(k≤cap, 2) expansion — then one
+  * partial-agg'd pair count. Rules (f02) join the TINY L2/L1 result
+  * frames only. At 10¹² baskets nothing changes shape: the frequent
+  * frames stay vocabulary-sized.
+  */
+object Itemsets {
+
+  /** Degenerate-basket guard: baskets with more distinct items than
+    * this are dropped before pair expansion (C(d,2) blow-up — the
+    * m06/g04 cap lesson). The brand vocabulary is 25, so the cap
+    * cannot bind on this corpus (spec'd); it exists for corpora with
+    * unbounded item vocabularies.
+    */
+  private[graft] val BasketCap = 64
+
+  /** The (o, it) distinct basket frame with the cap applied, plus the
+    * 1-row (nb, sigma) support frame — shared by f01 and f02.
+    */
+  private def basketsAndSupport(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("it")),
+        "l_partkey")
+      .select(col("o"), col("it")).distinct()
+      .localCheckpoint(true)
+    val keep = raw.groupBy(col("o")).agg(count(lit(1)).as("k"))
+      .filter(col("k") <= BasketCap).select(col("o"))
+    val baskets = raw.join(keep, "o").localCheckpoint(true)
+    val support = baskets.agg(countDistinct(col("o")).as("nb"))
+      .withColumn("sigma", expr("(nb + 49) div 50"))
+    (baskets, support)
+  }
+
+  /** Frequent 1- and 2-itemsets at the derived 2% floor
+    * (selective at sf0.01: 215 of the 300 possible pairs clear it). Output:
+    * (k, item_a, item_b NULL for k=1, support).
+    */
+  def f01FreqItemsets(spark: SparkSession, sfDir: String): DataFrame = {
+    val (baskets, support) = basketsAndSupport(spark, sfDir)
+    val l1 = baskets.groupBy(col("it")).agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(support))
+      .filter(col("support") >= col("sigma"))
+      .localCheckpoint(true)
+    // Apriori prune: only L1-frequent items enter the pair expansion
+    val fb = baskets.join(l1.select(col("it")), "it")
+    val l2 = fb.select(col("o"), col("it").as("ia"))
+      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(support))
+      .filter(col("support") >= col("sigma"))
+    l1.select(lit(1L).as("k"), col("it").as("item_a"),
+        lit(null).cast("string").as("item_b"), col("support"))
+      .unionByName(l2.select(lit(2L).as("k"), col("ia").as("item_a"),
+        col("ib").as("item_b"), col("support")))
+      .orderBy(col("k"), col("item_a"), col("item_b"))
+  }
+
+  /** Ticks per unit for f02's confidence/lift (2²⁰ — the t09 scale). */
+  private[graft] val RuleScale = 1048576L
+
+  /** f02: association rules from the frequent pairs — both directions
+    * of every L2 itemset, with integer-tick confidence and lift:
+    * conf(i→j) = sup(ij)·2²⁰ div sup(i); lift scales by nb over
+    * sup(i)·sup(j). All-positive integer division (engines agree);
+    * the largest tick product, sup·nb·2²⁰, is ~10⁵·1.5·10⁵·2²⁰ ≈
+    * 1.6·10¹⁶ < 2⁶³ at sf0.1 — at 10¹² baskets the numerator
+    * overflows and the documented retune drops RuleScale to 2¹⁰.
+    * Output: (antecedent, consequent, support, conf_ticks, lift_ticks).
+    */
+  def f02AssocRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val (baskets, support) = basketsAndSupport(spark, sfDir)
+    val l1 = baskets.groupBy(col("it")).agg(count(lit(1)).as("sup1"))
+      .crossJoin(broadcast(support))
+      .filter(col("sup1") >= col("sigma"))
+      .select(col("it"), col("sup1"))
+      .localCheckpoint(true)
+    val fb = baskets.join(l1.select(col("it")), "it")
+    val l2 = fb.select(col("o"), col("it").as("ia"))
+      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(support))
+      .filter(col("support") >= col("sigma"))
+    val both = l2.select(col("ia").as("antecedent"), col("ib").as("consequent"),
+        col("support"), col("nb"))
+      .unionByName(l2.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("support"), col("nb")))
+    both
+      .join(l1.select(col("it").as("antecedent"), col("sup1").as("sup_a")),
+        "antecedent")
+      .join(l1.select(col("it").as("consequent"), col("sup1").as("sup_c")),
+        "consequent")
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr(s"(support * $RuleScale) div sup_a").as("conf_ticks"),
+        expr(s"(support * nb * $RuleScale) div (sup_a * sup_c)")
+          .as("lift_ticks"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  /** DuckDB twins: the same derived-σ CTE chain with `//` where the
+    * engine runs `div` (all-positive operands).
+    */
+  private[graft] def basketsOracleCtes: String =
+    """bk AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS it
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |keep AS (SELECT o FROM bk GROUP BY o HAVING count(*) <= 64),
+      |b AS (SELECT bk.o, bk.it FROM bk JOIN keep ON bk.o = keep.o),
+      |n AS (SELECT count(DISTINCT o) AS nb,
+      |        (count(DISTINCT o) + 49) // 50 AS sigma FROM b),
+      |l1 AS (SELECT it, CAST(count(*) AS BIGINT) AS sup1
+      |       FROM b GROUP BY it HAVING count(*) >= (SELECT sigma FROM n)),
+      |fb AS (SELECT b.o, b.it FROM b JOIN l1 ON b.it = l1.it),
+      |l2 AS (SELECT x.it AS ia, y.it AS ib, CAST(count(*) AS BIGINT) AS support
+      |       FROM fb x JOIN fb y ON x.o = y.o AND x.it < y.it
+      |       GROUP BY 1, 2 HAVING count(*) >= (SELECT sigma FROM n))""".stripMargin
+
+  private[graft] def f01OracleSql: String =
+    s"""WITH $basketsOracleCtes
+       |SELECT CAST(1 AS BIGINT) AS k, it AS item_a,
+       |  CAST(NULL AS VARCHAR) AS item_b, sup1 AS support
+       |FROM l1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), ia, ib, support FROM l2
+       |ORDER BY k, item_a, item_b""".stripMargin
+
+  private[graft] def f02OracleSql: String =
+    s"""WITH $basketsOracleCtes,
+       |r AS (SELECT ia AS antecedent, ib AS consequent, support FROM l2
+       |      UNION ALL
+       |      SELECT ib, ia, support FROM l2)
+       |SELECT r.antecedent, r.consequent, r.support,
+       |  CAST((r.support * $RuleScale) // a.sup1 AS BIGINT) AS conf_ticks,
+       |  CAST((r.support * (SELECT nb FROM n) * $RuleScale)
+       |       // (a.sup1 * c.sup1) AS BIGINT) AS lift_ticks
+       |FROM r
+       |JOIN l1 a ON r.antecedent = a.it
+       |JOIN l1 c ON r.consequent = c.it
+       |ORDER BY r.antecedent, r.consequent""".stripMargin
+}

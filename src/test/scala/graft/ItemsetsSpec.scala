@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Itemsets
+
+/** Value-level checks for the f01/f02 itemset surface: brute-force
+  * parity on the small corpus, the basket-cap headroom contract, and
+  * the rule-metric identities the oracle's hash can't explain on its
+  * own.
+  */
+class ItemsetsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  /** In-test brute force: baskets, sigma, L1, L2 in plain Scala. */
+  private def truth(): (Long, Long, Map[String, Long], Map[(String, String), Long]) = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byBasket = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nb = byBasket.size.toLong
+    val sigma = (nb + 49) / 50
+    val l1 = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= sigma)
+    val l2 = byBasket.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= sigma)
+    (nb, sigma, l1, l2)
+  }
+
+  test("f01 equals brute-force Apriori at sf0.001; cap has headroom") {
+    val (nb, sigma, l1, l2) = truth()
+    assert(sigma >= 2, "derived floor should exceed a single basket")
+    val out = Itemsets.f01FreqItemsets(spark, sfDir).collect()
+    val gotL1 = out.filter(_.getLong(0) == 1L)
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val gotL2 = out.filter(_.getLong(0) == 2L)
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(gotL1 == l1, s"L1 drift: $gotL1 vs $l1")
+    assert(gotL2 == l2, s"L2 drift: ${gotL2.size} vs ${l2.size}")
+    assert(gotL2.nonEmpty, "no frequent pairs — floor miscalibrated")
+    // the degenerate-basket cap must not bind on this corpus
+    val maxBasket = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .groupBy(col("l_orderkey")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxBasket <= Itemsets.BasketCap,
+      s"basket fan-out $maxBasket would bind the cap")
+  }
+
+  test("f02 rule metrics: confidence/lift identities and symmetry") {
+    val (nb, _, l1, l2) = truth()
+    val rules = Itemsets.f02AssocRules(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rules.size == 2 * l2.size, "every frequent pair rules both ways")
+    rules.foreach { case ((a, c), (sup, conf, lift)) =>
+      val key = if (a < c) (a, c) else (c, a)
+      assert(l2(key) == sup)
+      assert(conf == sup * Itemsets.RuleScale / l1(a), s"conf identity for $a->$c")
+      assert(lift == sup * nb * Itemsets.RuleScale / (l1(a) * l1(c)))
+      assert(conf <= Itemsets.RuleScale, "confidence cannot exceed 1")
+    }
+    // lift is symmetric by construction: both directions carry it
+    rules.foreach { case ((a, c), (_, _, lift)) =>
+      assert(rules((c, a))._3 == lift, "lift must be direction-independent")
+    }
+  }
+}
