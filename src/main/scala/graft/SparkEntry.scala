@@ -116,6 +116,7 @@ object SparkEntry {
     "t16_source_kl" -> (TextAnalysis.t16SourceKl _),
     "t17_keyphrases" -> (TextAnalysis.t17RakeKeyphrases _),
     "t18_bpe_merges" -> (TextAnalysis.t18BpeMerges _),
+    "t19_naive_bayes" -> (TextAnalysis.t19NaiveBayes _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "p12_curriculum" -> (Pipeline.p12Curriculum _),
     "p13_yield_report" -> (Pipeline.p13YieldReport _),
     "p14_chunk_overlap" -> (Pipeline.p14ChunkOverlap _),
+    "p15_eval_report" -> (Pipeline.p15EvalReport _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -2704,6 +2706,12 @@ object SparkEntry {
     // engine's single-pass `replace` merge-application contract (see
     // TextAnalysis.t18BpeMerges's doc).
     "t18_bpe_merges" -> TextAnalysis.bpeOracleSql,
+    // t19: the t09 tick contract per (class, distinct token) — one
+    // log2 per model entry, long sums, argmin by (nll, class).
+    "t19_naive_bayes" -> TextAnalysis.nbOracleSql,
+    // p15: t19's oracle nested as the preds CTE, then three counts
+    // and single-division metrics.
+    "p15_eval_report" -> Pipeline.p15OracleSql(TextAnalysis.nbOracleSql),
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

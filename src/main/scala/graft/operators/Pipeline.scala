@@ -560,4 +560,78 @@ object Pipeline {
         |) AS (stage_id, stage, n_docs, n_tokens, pct_docs)""".stripMargin)
       .orderBy(col("stage_id"))
   }
+
+  /** p15: classifier evaluation report — the reference's
+    * mllib/evaluation surface (reference: /root/reference/mllib/src/
+    * main/scala/org/apache/spark/mllib/evaluation/MulticlassMetrics
+    * .scala:1) over t19's label/prediction pairs: per class,
+    * (n_actual, n_predicted, tp) from three partial-agg'd counts on
+    * the doc-level frame, then precision/recall/F1 as single double
+    * divisions of exact integers (F1 via the 2·tp/(pred+actual)
+    * identity — one division, no p·r chain for the oracle to
+    * re-round). NULL where a class was never predicted (precision
+    * undefined) — both engines agree on the guard. Output one row
+    * per class appearing as label or prediction.
+    *
+    * Scale shape: t19's scoring dominates; the report itself is three
+    * vocabulary-of-classes-sized aggregates + tiny outer joins.
+    */
+  def p15EvalReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val preds = TextAnalysis.t19NaiveBayes(spark, sfDir)
+      .select(col("lang"), col("predicted"))
+      .localCheckpoint(true)
+    val a = preds.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_actual"))
+    val p = preds.groupBy(col("predicted").as("cls"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val t = preds.filter(col("lang") === col("predicted"))
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+    a.join(p, Seq("cls"), "full_outer").join(t, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec",
+        when(col("n_predicted") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp") / col("n_predicted").cast("double"), 4)))
+      .withColumn("rec",
+        when(col("n_actual") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp") / col("n_actual").cast("double"), 4)))
+      .withColumn("f1",
+        round((col("tp") * 2) /
+          (col("n_predicted") + col("n_actual")).cast("double"), 4))
+      .orderBy(col("cls"))
+  }
+
+  /** The DuckDB twin of [[p15EvalReport]]: t19's oracle as a nested
+    * CTE, then the same three counts and single-division metrics.
+    */
+  private[graft] def p15OracleSql(nbSql: String): String =
+    s"""WITH preds AS (
+       |$nbSql
+       |),
+       |a AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_actual
+       |      FROM preds GROUP BY 1),
+       |p AS (SELECT predicted AS cls, CAST(count(*) AS BIGINT) AS n_predicted
+       |      FROM preds GROUP BY 1),
+       |t AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tp
+       |      FROM preds WHERE lang = predicted GROUP BY 1),
+       |c AS (SELECT cls FROM a UNION SELECT cls FROM p)
+       |SELECT c.cls,
+       |  coalesce(a.n_actual, 0) AS n_actual,
+       |  coalesce(p.n_predicted, 0) AS n_predicted,
+       |  coalesce(t.tp, 0) AS tp,
+       |  CASE WHEN coalesce(p.n_predicted, 0) = 0 THEN NULL
+       |       ELSE round(coalesce(t.tp, 0) / CAST(p.n_predicted AS DOUBLE), 4)
+       |  END AS prec,
+       |  CASE WHEN coalesce(a.n_actual, 0) = 0 THEN NULL
+       |       ELSE round(coalesce(t.tp, 0) / CAST(a.n_actual AS DOUBLE), 4)
+       |  END AS rec,
+       |  round((coalesce(t.tp, 0) * 2)
+       |        / CAST(coalesce(p.n_predicted, 0) + coalesce(a.n_actual, 0) AS DOUBLE),
+       |        4) AS f1
+       |FROM c
+       |LEFT JOIN a ON c.cls = a.cls
+       |LEFT JOIN p ON c.cls = p.cls
+       |LEFT JOIN t ON c.cls = t.cls
+       |ORDER BY c.cls""".stripMargin
 }

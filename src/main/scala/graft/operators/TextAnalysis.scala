@@ -725,6 +725,134 @@ object TextAnalysis {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** Ticks per bit for [[t19NaiveBayes]]'s quantized log-probs (2²⁰ —
+    * the t09 contract).
+    */
+  private[graft] val NbScale = 1048576.0
+
+  /** t19: multinomial naive Bayes language classification — the
+    * reference's mllib/classification surface (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * classification/NaiveBayes.scala:1) on the t09 determinism
+    * contract: add-1-smoothed per-(class, token) code lengths
+    * quantized to 2²⁰-tick longs — one log2 per (class, DISTINCT
+    * token), never per occurrence — plus prior ticks per class; a
+    * document's class score is an exact long sum, the prediction the
+    * argmin via min(struct(nll, class)) (ties to the
+    * lexicographically smallest class, deterministic across
+    * partitionings and engines).
+    *
+    * Trained and scored on the same corpus (resubstitution — the
+    * honest framing: this is the model-fit diagnostic and the
+    * labeling-quality check, not a held-out accuracy claim; p01's
+    * split machinery is the held-out path and p15 reports the
+    * resulting confusion surface). On THIS synthetic corpus the text
+    * carries little language signal (all langs draw from a shared
+    * vocabulary), so accuracy sits at ~0.47 vs the 0.44
+    * majority-class baseline — the verified property is the exact
+    * model mechanics; the spec plants a separable corpus and
+    * requires perfect recovery there.
+    *
+    * Model completeness: the model covers the FULL (class × corpus
+    * vocabulary) cross — an absent (class, token) pair contributes
+    * the smoothed floor 1/(T_c + V), so no document scores on
+    * missing rows. At 100 TB the model is (V·C) rows — broadcast
+    * when it fits, shuffle-join on token otherwise (the t09 regime);
+    * everything else is one token scan + partial-agg'd long sums.
+    *
+    * Output: (doc_id, lang, predicted, nll_ticks, correct).
+    */
+  def t19NaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+    // per-(class, token) counts and per-class token totals
+    val ct = toks.join(docs, "doc_id")
+      .groupBy(col("lang").as("cls"), col("token"))
+      .agg(count(lit(1)).as("n_ct"))
+      .localCheckpoint(true)
+    val totals = ct.groupBy(col("cls")).agg(sum(col("n_ct")).as("t_c"))
+    val vocab = toks.select(col("token")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    // full class x vocabulary cross with the smoothed floor
+    val model = vocab.crossJoin(broadcast(totals)).crossJoin(broadcast(vSize))
+      .join(ct, Seq("cls", "token"), "left")
+      .select(col("cls"), col("token"),
+        floor(-log2((coalesce(col("n_ct"), lit(0L)) + lit(1)).cast("double") /
+            (col("t_c") + col("v")).cast("double")) *
+          lit(NbScale) + lit(0.5)).cast("long").as("q"))
+      .localCheckpoint(true)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val priors = docs.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        floor(-log2(col("n_c").cast("double") / col("n_docs").cast("double")) *
+          lit(NbScale) + lit(0.5)).cast("long").as("prior_q"))
+    val scored = toks.join(model, "token")
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("q")).as("sq"))
+      .join(priors, "cls")
+      .select(col("doc_id"), col("cls"), (col("sq") + col("prior_q")).as("nll"))
+    val best = scored.groupBy(col("doc_id"))
+      .agg(min(struct(col("nll"), col("cls"))).as("b"))
+      .select(col("doc_id"), col("b.cls").as("predicted"),
+        col("b.nll").as("nll_ticks"))
+    docs.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("predicted"), lit("none")).as("predicted"),
+        coalesce(col("nll_ticks"), lit(0L)).as("nll_ticks"),
+        (col("lang") === coalesce(col("predicted"), lit("none"))).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB twin of [[t19NaiveBayes]] — the same tick model as
+    * CTEs; argmin via row_number over (nll, cls).
+    */
+  private[graft] def nbOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'), t -> t <> '') AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+      |ct AS (SELECT d.lang AS cls, tok.token, CAST(count(*) AS BIGINT) AS n_ct
+      |       FROM tok JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      |tot AS (SELECT cls, CAST(sum(n_ct) AS BIGINT) AS t_c FROM ct GROUP BY cls),
+      |vo AS (SELECT DISTINCT token FROM tok),
+      |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vo),
+      |model AS (
+      |  SELECT tot.cls, vo.token,
+      |    CAST(floor(-log2((coalesce(ct.n_ct, 0) + 1)
+      |                     / CAST(tot.t_c + vs.v AS DOUBLE))
+      |               * 1048576.0 + 0.5) AS BIGINT) AS q
+      |  FROM vo CROSS JOIN tot CROSS JOIN vs
+      |  LEFT JOIN ct ON ct.cls = tot.cls AND ct.token = vo.token),
+      |pr AS (
+      |  SELECT lang AS cls,
+      |    CAST(floor(-log2(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE))
+      |               * 1048576.0 + 0.5) AS BIGINT) AS prior_q
+      |  FROM documents GROUP BY lang),
+      |sc AS (
+      |  SELECT tok.doc_id, model.cls,
+      |    CAST(sum(model.q) AS BIGINT) + any_value(pr.prior_q) AS nll
+      |  FROM tok JOIN model ON tok.token = model.token
+      |  JOIN pr ON pr.cls = model.cls
+      |  GROUP BY tok.doc_id, model.cls),
+      |best AS (
+      |  SELECT doc_id, cls AS predicted, nll AS nll_ticks,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, cls) AS rn
+      |  FROM sc)
+      |SELECT d.doc_id, d.lang,
+      |  coalesce(b.predicted, 'none') AS predicted,
+      |  coalesce(b.nll_ticks, 0) AS nll_ticks,
+      |  d.lang = coalesce(b.predicted, 'none') AS correct
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** The DuckDB twin of [[t18BpeMerges]]: the same tokenization as
     * t07's oracle, then [[BpeRounds]] unrolled CTE rounds — pair
     * counts from 1-based list slicing, the argmax as ORDER BY ...

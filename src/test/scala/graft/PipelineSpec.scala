@@ -283,4 +283,25 @@ class PipelineSpec extends AnyFunSuite {
     // the funnel is monotone non-increasing
     assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("p15 eval report matches a hand count of t19's predictions") {
+    val preds = TextAnalysis.t19NaiveBayes(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r.getString(2))
+    val rep = Pipeline.p15EvalReport(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted
+    assert(rep.keySet == classes.toSet)
+    classes.foreach { c =>
+      val (na, np, tp) = rep(c)
+      assert(na == preds.count(_._1 == c), s"n_actual drift for $c")
+      assert(np == preds.count(_._2 == c), s"n_predicted drift for $c")
+      assert(tp == preds.count(p => p._1 == c && p._2 == c), s"tp drift for $c")
+    }
+    // micro identities: tp totals = corpus correct count; every doc
+    // is predicted exactly once, so n_predicted sums to the corpus
+    val correct = preds.count(p => p._1 == p._2).toLong
+    assert(rep.values.map(_._3).sum == correct)
+    assert(rep.values.map(_._2).sum == preds.length.toLong)
+  }
 }

@@ -332,6 +332,29 @@ class TextMultimodalSpec extends AnyFunSuite {
       (3L, "aaaa", 1L, 1L)))
   }
 
+  test("t19 naive bayes: perfect recovery on a separable corpus, deterministic") {
+    import spark.implicits._
+    // class-specific vocabularies — NB must recover every label
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma", "aa", "s", 22L),
+      (1L, "beta alpha alpha beta", "aa", "s", 21L),
+      (2L, "delta epsilon delta zeta", "bb", "s", 24L),
+      (3L, "epsilon zeta delta delta", "bb", "s", 24L),
+      (4L, "eta theta eta iota", "cc", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nb").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.t19NaiveBayes(spark, tmp).collect()
+    assert(out.forall(_.getBoolean(4)), s"separable corpus must classify perfectly: ${out.toSeq}")
+    assert(out.map(_.getString(2)).toSeq == Seq("aa", "aa", "bb", "bb", "cc"))
+    // corpus run: deterministic, every doc present, nll positive
+    val a = TextAnalysis.t19NaiveBayes(spark, sfDir).collect()
+    val b = TextAnalysis.t19NaiveBayes(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == Tables.documents(spark, sfDir).count())
+    a.foreach(r => assert(r.getLong(3) > 0L))
+  }
+
   test("t18 bpe: corpus run — full rounds, shrinking corpus, deterministic") {
     val a = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
     assert(a.length == TextAnalysis.BpeRounds)
