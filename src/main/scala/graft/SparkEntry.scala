@@ -117,6 +117,7 @@ object SparkEntry {
     "t17_keyphrases" -> (TextAnalysis.t17RakeKeyphrases _),
     "t18_bpe_merges" -> (TextAnalysis.t18BpeMerges _),
     "t19_naive_bayes" -> (TextAnalysis.t19NaiveBayes _),
+    "t20_decision_stump" -> (TextAnalysis.t20DecisionStump _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -2712,6 +2713,9 @@ object SparkEntry {
     // p15: t19's oracle nested as the preds CTE, then three counts
     // and single-division metrics.
     "p15_eval_report" -> Pipeline.p15OracleSql(TextAnalysis.nbOracleSql),
+    // t20: binned Gini split search — integer bins, tick Gini,
+    // (cost, feature, bin) argmin.
+    "t20_decision_stump" -> TextAnalysis.stumpOracleSql,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

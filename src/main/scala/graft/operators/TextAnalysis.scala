@@ -809,6 +809,157 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bins per feature for [[t20DecisionStump]]'s split search — the
+    * mllib maxBins idea: candidate thresholds are bin edges, so the
+    * search cost is (features × bins), independent of corpus size.
+    */
+  private[graft] val StumpBins = 16
+
+  /** t20: decision-stump induction — the reference's mllib/tree
+    * surface (reference: /root/reference/mllib/src/main/scala/org/
+    * apache/spark/mllib/tree/DecisionTree.scala:1) reduced to its
+    * load-bearing core, the BINNED split search: per integer feature
+    * (n_chars; token count; distinct-token-ratio ticks), fixed-width
+    * [[StumpBins]] bins over the data-derived [min, max] (1-row
+    * broadcast, q48 pattern), per-(feature, bin) label counts from
+    * ONE partial-agg'd pass, cumulative window over the ≤16-row bin
+    * frame, and the weighted-Gini argmin via the deterministic
+    * (cost, feature, bin) order. Gini per side quantizes to 2²⁰
+    * ticks (single double division of exact integer squares — pos ≤
+    * corpus ≤ 2²⁶ keeps pos² exact; beyond that the documented
+    * retune casts before squaring), and the weighted cost is an
+    * exact long sum.
+    *
+    * Label: lang = 'en' (the corpus's majority class) — like t19,
+    * the verified property is exact mechanics; the spec plants a
+    * separable feature and requires the stump to find it.
+    *
+    * Output: ONE row — (feature, split_bin, f_min, f_max,
+    * cost_ticks, n_left, pos_left, predict_left, n_right, pos_right,
+    * predict_right); a bin b splits as `bin ≤ b goes left`, so the
+    * raw threshold is reconstructible from (f_min, f_max, bin).
+    *
+    * Scale shape: one stacked scan (3 rows per doc), two tiny
+    * broadcast joins, one partial-agg'd (feature, bin) count, and
+    * everything after is a 48-row frame. The mllib deep-tree
+    * extension repeats this per node on filtered partitions — same
+    * primitive, documented.
+    */
+  def t20DecisionStump(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"),
+      col("n_chars").cast("long").as("v1"),
+      call_function("word_grams", lower(col("text")), lit(1)).as("toks"))
+      .select(col("doc_id"), col("y"), col("v1"),
+        size(col("toks")).cast("long").as("v2"),
+        when(size(col("toks")) > 0,
+          expr("(size(array_distinct(toks)) * 1048576L) div size(toks)"))
+          .otherwise(lit(0L)).as("v3"))
+    val lf = docs.select(col("y"),
+      expr("stack(3, 'n_chars', v1, 'n_tokens', v2, 'distinct_ratio', v3)")
+        .as(Seq("feature", "x")))
+    val stats = lf.groupBy(col("feature"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = lf.join(broadcast(stats), "feature")
+      .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
+    val perBin = binned.groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true)
+    val tot = perBin.groupBy(col("feature"))
+      .agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def giniTicks(pos: Column, n: Column): Column =
+      floor((lit(1.0) - (pos * pos + (n - pos) * (n - pos)) /
+          (n.cast("double") * n.cast("double"))) * lit(NbScale) + lit(0.5))
+        .cast("long")
+    val cand = perBin
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("posl", sum(col("pos")).over(w))
+      .join(tot, "feature")
+      .filter(col("nl") < col("nn"))
+      .withColumn("cost_ticks",
+        col("nl") * giniTicks(col("posl"), col("nl")) +
+          (col("nn") - col("nl")) *
+          giniTicks(col("npos") - col("posl"), col("nn") - col("nl")))
+    val best = cand
+      .orderBy(col("cost_ticks"), col("feature"), col("bin")).limit(1)
+      .select(col("feature"), col("bin").as("split_bin"), col("cost_ticks"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        (col("posl") * 2 >= col("nl")).as("predict_left"),
+        (col("nn") - col("nl")).as("n_right"),
+        (col("npos") - col("posl")).as("pos_right"),
+        ((col("npos") - col("posl")) * 2 >= col("nn") - col("nl"))
+          .as("predict_right"))
+    best.join(broadcast(stats), "feature")
+      .select(col("feature"), col("split_bin"),
+        col("mn").as("f_min"), col("mx").as("f_max"), col("cost_ticks"),
+        col("n_left"), col("pos_left"), col("predict_left"),
+        col("n_right"), col("pos_right"), col("predict_right"))
+  }
+
+  /** The DuckDB twin of [[t20DecisionStump]]: 3-way UNION ALL for the
+    * stacked feature frame, the same binning/Gini-tick/argmin chain.
+    */
+  private[graft] def stumpOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    CAST(n_chars AS BIGINT) AS v1,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+      |                         t -> t <> '')) AS BIGINT) AS v2,
+      |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+      |                t -> t <> '') AS tk
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT y, v1, v2,
+      |    CASE WHEN v2 > 0
+      |      THEN (CAST(len(list_distinct(tk)) AS BIGINT) * 1048576) // v2
+      |      ELSE 0 END AS v3
+      |  FROM d),
+      |lf AS (
+      |  SELECT y, 'n_chars' AS feature, v1 AS x FROM d2
+      |  UNION ALL SELECT y, 'n_tokens', v2 FROM d2
+      |  UNION ALL SELECT y, 'distinct_ratio', v3 FROM d2),
+      |st AS (SELECT feature, min(x) AS mn, max(x) AS mx FROM lf GROUP BY 1),
+      |bn AS (
+      |  SELECT lf.y, lf.feature,
+      |    ((lf.x - st.mn) * 16) // (st.mx - st.mn + 1) AS bin
+      |  FROM lf JOIN st ON lf.feature = st.feature),
+      |pb AS (
+      |  SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS pos
+      |  FROM bn GROUP BY 1, 2),
+      |tt AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+      |         CAST(sum(pos) AS BIGINT) AS npos FROM pb GROUP BY 1),
+      |cu AS (
+      |  SELECT feature, bin,
+      |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nl,
+      |    CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS posl
+      |  FROM pb),
+      |ca AS (
+      |  SELECT cu.feature, cu.bin, cu.nl, cu.posl, tt.nn, tt.npos,
+      |    cu.nl * CAST(floor((1.0 - (cu.posl * cu.posl
+      |                  + (cu.nl - cu.posl) * (cu.nl - cu.posl))
+      |                 / (CAST(cu.nl AS DOUBLE) * CAST(cu.nl AS DOUBLE)))
+      |               * 1048576.0 + 0.5) AS BIGINT)
+      |    + (tt.nn - cu.nl) * CAST(floor((1.0
+      |        - ((tt.npos - cu.posl) * (tt.npos - cu.posl)
+      |           + ((tt.nn - cu.nl) - (tt.npos - cu.posl))
+      |             * ((tt.nn - cu.nl) - (tt.npos - cu.posl)))
+      |          / (CAST(tt.nn - cu.nl AS DOUBLE) * CAST(tt.nn - cu.nl AS DOUBLE)))
+      |        * 1048576.0 + 0.5) AS BIGINT) AS cost_ticks
+      |  FROM cu JOIN tt ON cu.feature = tt.feature
+      |  WHERE cu.nl < tt.nn),
+      |b AS (SELECT * FROM ca ORDER BY cost_ticks, feature, bin LIMIT 1)
+      |SELECT b.feature, b.bin AS split_bin, st.mn AS f_min, st.mx AS f_max,
+      |  b.cost_ticks, b.nl AS n_left, b.posl AS pos_left,
+      |  b.posl * 2 >= b.nl AS predict_left,
+      |  b.nn - b.nl AS n_right, b.npos - b.posl AS pos_right,
+      |  (b.npos - b.posl) * 2 >= b.nn - b.nl AS predict_right
+      |FROM b JOIN st ON b.feature = st.feature""".stripMargin
+
   /** The DuckDB twin of [[t19NaiveBayes]] — the same tick model as
     * CTEs; argmin via row_number over (nll, cls).
     */

@@ -355,6 +355,33 @@ class TextMultimodalSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getLong(3) > 0L))
   }
 
+  test("t20 stump finds a perfectly separating feature with pure leaves") {
+    import spark.implicits._
+    // n_chars separates en from de exactly; text is identical so the
+    // token features offer no split — the Gini search must pick
+    // n_chars at the first populated bin with zero impurity
+    val docs = (0L to 3L).map(i => (i, "x y z", "en", "s", 5L)) ++
+      (4L to 7L).map(i => (i, "x y z", "de", "s", 500L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stump").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalysis.t20DecisionStump(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "n_chars", s"wrong feature: $row")
+    assert(row.getLong(4) == 0L, "separable data must reach zero Gini cost")
+    assert(row.getLong(5) == 4L && row.getLong(6) == 4L && row.getBoolean(7),
+      "left leaf must be the pure en side")
+    assert(row.getLong(8) == 4L && row.getLong(9) == 0L && !row.getBoolean(10),
+      "right leaf must be the pure de side")
+    // corpus: deterministic, leaf counts partition the corpus
+    val a = TextAnalysis.t20DecisionStump(spark, sfDir).collect()(0)
+    val b = TextAnalysis.t20DecisionStump(spark, sfDir).collect()(0)
+    assert(a == b)
+    assert(a.getLong(5) + a.getLong(8) ==
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("t18 bpe: corpus run — full rounds, shrinking corpus, deterministic") {
     val a = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
     assert(a.length == TextAnalysis.BpeRounds)
