@@ -762,7 +762,13 @@ object TextAnalysis {
     *
     * Output: (doc_id, lang, predicted, nll_ticks, correct).
     */
-  def t19NaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The trained NB model frames — (cls, token, q) over the FULL
+    * class × vocabulary cross, and (cls, prior_q) — shared by t19's
+    * batch scoring and the streaming serve path
+    * (StreamOps.nbScoreStream): train batch, score stream, one model.
+    */
+  private[graft] def nbModelFrames(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     registerAll(spark)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
     val toks = Tables.documents(spark, sfDir)
@@ -792,6 +798,18 @@ object TextAnalysis {
       .select(col("cls"),
         floor(-log2(col("n_c").cast("double") / col("n_docs").cast("double")) *
           lit(NbScale) + lit(0.5)).cast("long").as("prior_q"))
+      .localCheckpoint(true)
+    (model, priors)
+  }
+
+  def t19NaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+    val (model, priors) = nbModelFrames(spark, sfDir)
     val scored = toks.join(model, "token")
       .groupBy(col("doc_id"), col("cls"))
       .agg(sum(col("q")).as("sq"))

@@ -177,6 +177,46 @@ object StreamOps {
     graft.operators.TextAnalysis.qualityScored(docs)
       .filter(col("quality_score") >= floor)
 
+  /** Streaming naive-Bayes serve path, stream stage: incoming
+    * documents explode to tokens and probe the BATCH-trained model
+    * (TextAnalysis.nbModelFrames — train batch, score stream, one
+    * model, the standard serving decomposition) via a stateless
+    * stream-static broadcast join. Unseen tokens drop out of the
+    * join, which IS the model contract: the trained vocabulary is
+    * the feature space; out-of-vocabulary tokens carry no class
+    * evidence (every class would pay the same smoothed floor, so
+    * dropping them cannot change the argmin for docs with any
+    * in-vocabulary token).
+    *
+    * Emits (doc_id, cls, q); the per-micro-batch sink
+    * ([[nbClassifyBatch]]) does the per-doc aggregation — exact
+    * because a document's tokens all share its micro-batch (one
+    * source row explodes inside the batch; the annTopKBatch
+    * argument).
+    */
+  def nbScoreStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.registerAll(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .join(broadcast(model), "token")
+      .select(col("doc_id"), col("cls"), col("q"))
+  }
+
+  /** Sink-side per-micro-batch classification for [[nbScoreStream]]:
+    * exact long NLL sums per (doc, class), priors added, argmin via
+    * min(struct(nll, cls)) — the IDENTICAL tail batch t19 runs, so
+    * stream and batch predictions are bit-equal (spec'd).
+    */
+  def nbClassifyBatch(scored: DataFrame, priors: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"), col("cls")).agg(sum(col("q")).as("sq"))
+      .join(broadcast(priors), "cls")
+      .select(col("doc_id"), col("cls"), (col("sq") + col("prior_q")).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("nll"), col("cls"))).as("b"))
+      .select(col("doc_id"), col("b.cls").as("predicted"),
+        col("b.nll").as("nll_ticks"))
+
   /** Streaming twin of d10 incremental dedup, candidate stage: new
     * documents arrive as a stream and probe the STATIC corpus band
     * index — the continuous form of the daily batch-vs-corpus probe.

@@ -103,6 +103,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size < total, "the floor must reject some documents")
   }
 
+  test("stream_nb_classify drains to the batch t19 predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbserve")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    // train batch, score stream: ONE model, two ingestion paths
+    val (model, priors) = operators.TextAnalysis.nbModelFrames(spark, sfDir)
+    val stream = spark.readStream.schema(StreamOps.documentSchema)
+      .parquet(dir.toString)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = StreamOps.nbScoreStream(stream, model).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamOps.nbClassifyBatch(batch, priors).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = buf.sortBy(_._1).toSeq
+    // zero-token docs never reach the stream join; batch marks them 'none'
+    val expected = operators.TextAnalysis.t19NaiveBayes(spark, sfDir).collect()
+      .filter(_.getString(2) != "none")
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"stream/batch drift: ${got.size} vs ${expected.size}")
+  }
+
   test("stream_window_agg drains to the batch q30 result") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val q = StreamOps.windowAgg(stream)
