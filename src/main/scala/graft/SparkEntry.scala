@@ -156,6 +156,7 @@ object SparkEntry {
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
     "g09_kcore" -> (Graph.g09Kcore _),
     "g10_random_walks" -> (Graph.g10RandomWalks _),
+    "g11_walk_cooccurrence" -> (Graph.g11WalkCooccurrence _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -909,7 +910,10 @@ object SparkEntry {
     * (row_number over dst ascending), md5₄₈ draw mod degree per
     * (walk, step), one join per hop.
     */
-  private def g10OracleSql(len: Int): String = {
+  /** The g10 walk corpus as CTEs ending in `wa(walk_id, step, node)`
+    * — shared by the g10 and g11 oracles.
+    */
+  private def g10WalkCtes(len: Int): String = {
     val hops = (1 to len).map { t =>
       val prev = s"w${t - 1}"
       s"""w$t AS MATERIALIZED (
@@ -921,7 +925,7 @@ object SparkEntry {
          |       1, 12))::UBIGINT % dg.deg AS BIGINT))""".stripMargin
     }.mkString(",\n")
     val union = (0 to len).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
-    s"""WITH $gEdgeCtes,
+    s"""$gEdgeCtes,
        |nb AS MATERIALIZED (
        |  SELECT src, dst,
        |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS r
@@ -929,12 +933,42 @@ object SparkEntry {
        |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |w0 AS (SELECT id AS walk_id, 0 AS step, id AS node FROM n),
        |$hops,
-       |wa AS ($union)
+       |wa AS ($union)""".stripMargin
+  }
+
+  private def g10OracleSql(len: Int): String =
+    s"""WITH ${g10WalkCtes(len)}
        |SELECT walk_id, CAST(step AS INTEGER) AS step,
        |       CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
        |       node // 2 AS entity_key
        |FROM wa ORDER BY walk_id, step""".stripMargin
-  }
+
+  /** g11: skip-gram pairs within the window on the shared walk CTEs,
+    * partial-agg'd counts and marginals, one log2 per distinct pair.
+    */
+  private def g11OracleSql(len: Int, window: Int): String =
+    s"""WITH ${g10WalkCtes(len)},
+       |pr AS MATERIALIZED (
+       |  SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM wa x JOIN wa y ON x.walk_id = y.walk_id
+       |    AND x.step <> y.step AND abs(x.step - y.step) <= $window
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pr),
+       |ma AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ca FROM pr GROUP BY a),
+       |mb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM pr GROUP BY b),
+       |sc AS (
+       |  SELECT pr.a, pr.b, pr.cnt,
+       |    CAST(floor(greatest(CAST(0.0 AS DOUBLE),
+       |        log2((pr.cnt * tt.t) / CAST(ma.ca * mb.cb AS DOUBLE)))
+       |      * 1048576.0 + 0.5) AS BIGINT) AS ppmi_ticks
+       |  FROM pr JOIN ma ON pr.a = ma.a JOIN mb ON pr.b = mb.b, tt
+       |  WHERE pr.cnt >= 2)
+       |SELECT CASE WHEN a % 2 = 0 THEN 'c' ELSE 's' END AS a_type,
+       |       a // 2 AS a_key,
+       |       CASE WHEN b % 2 = 0 THEN 'c' ELSE 's' END AS b_type,
+       |       b // 2 AS b_key, cnt, ppmi_ticks
+       |FROM sc WHERE ppmi_ticks > 0
+       |ORDER BY a_type, a_key, b_type, b_key""".stripMargin
 
   private def g05OracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { kk =>
@@ -1090,6 +1124,8 @@ object SparkEntry {
     "g09_kcore" -> g09OracleSql(
       graft.operators.Graph.KcoreIters),
     "g10_random_walks" -> g10OracleSql(graft.operators.Graph.WalkLen),
+    "g11_walk_cooccurrence" -> g11OracleSql(graft.operators.Graph.WalkLen,
+      graft.operators.Graph.SkipWindow),
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(

@@ -732,6 +732,61 @@ object Graph {
       .orderBy(col("walk_id"), col("step"))
   }
 
+  /** Skip-gram window for [[g11WalkCooccurrence]] — context = nodes
+    * within this many steps on the same walk (word2vec's window).
+    */
+  private[graft] val SkipWindow = 2
+
+  /** g11: skip-gram co-occurrence + PPMI over the g10 walk corpus —
+    * the count statistics a graph-embedding pipeline trains on
+    * (DeepWalk's "walks play sentences" made literal: this is the
+    * word2vec co-occurrence pass with PPMI, the classic
+    * count-based embedding — Levy & Goldberg 2014 showed skip-gram
+    * with negative sampling implicitly factorizes exactly this
+    * matrix). Directed (center, context) pairs within
+    * [[SkipWindow]] steps on the same walk, partial-agg'd counts,
+    * then PPMI = max(0, log2(cnt·T / (cnt_a·cnt_b))) quantized to
+    * 2²⁰ ticks (ONE log2 per distinct pair — the t09 contract; all
+    * products exact longs, single double division). Pairs with
+    * cnt ≥ 2 and positive PPMI emit — the matrix a 100 TB corpus
+    * would hand to the factorizer (s13's machinery, the documented
+    * composition).
+    *
+    * Scale shape: the walk self-join is per-walk (walk_id key,
+    * ≤ (len+1)² rows per walk — O(walks·len·window) total, linear);
+    * counts and marginals are partial-agg'd; T is a 1-row broadcast.
+    */
+  def g11WalkCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    val walks = randomWalks(edges, WalkLen)
+      .select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint(true)
+    val pairs = walks.as("x").join(walks.as("y"), "walk_id")
+      .filter(col("x.step") =!= col("y.step") &&
+        abs(col("x.step") - col("y.step")) <= SkipWindow)
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val tot = pairs.agg(sum(col("cnt")).as("t"))
+    val ma = pairs.groupBy(col("a")).agg(sum(col("cnt")).as("ca"))
+    val mb = pairs.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
+    pairs.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .filter(col("cnt") >= 2)
+      .withColumn("ppmi_ticks",
+        floor(greatest(lit(0.0),
+          log2((col("cnt") * col("t")) /
+            (col("ca") * col("cb")).cast("double"))) *
+          lit(1048576.0) + lit(0.5)).cast("long"))
+      .filter(col("ppmi_ticks") > 0)
+      .select(
+        when(col("a") % 2 === 0, lit("c")).otherwise(lit("s")).as("a_type"),
+        expr("a div 2").as("a_key"),
+        when(col("b") % 2 === 0, lit("c")).otherwise(lit("s")).as("b_type"),
+        expr("b div 2").as("b_key"),
+        col("cnt"), col("ppmi_ticks"))
+      .orderBy(col("a_type"), col("a_key"), col("b_type"), col("b_key"))
+  }
+
   /** Predicted links reported by [[g07LinkPredict]]. */
   private[graft] val LinkTopK = 20
 

@@ -723,4 +723,42 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(rows.count(r => r._3 == 0L) == Graph.SsspSeeds)
     assert(rows.forall(r => r._3 >= 0L && r._3 <= Graph.SsspIters))
   }
+
+  test("g11 co-occurrence equals plain-Scala skip-gram counts over g10's walks") {
+    import graft.operators.Graph
+    // rebuild the pair statistics from the walk corpus brute-force
+    val walks = Graph.g10RandomWalks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        (r.getString(2), r.getLong(3))))
+    val pairs = walks.groupBy(_._1).values.flatMap { w =>
+      for {
+        x <- w.toSeq; y <- w.toSeq
+        if x._2 != y._2 && math.abs(x._2 - y._2) <= Graph.SkipWindow
+      } yield (x._3, y._3)
+    }.toSeq
+    val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = cnt.values.sum
+    val ca = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expect = cnt.filter(_._2 >= 2).flatMap { case ((a, b), c) =>
+      val ppmi = math.max(0.0,
+        math.log((c * t) / (ca(a) * cb(b)).toDouble) / math.log(2.0))
+      val ticks = math.floor(ppmi * 1048576.0 + 0.5).toLong
+      if (ticks > 0) Some((a, b) -> (c, ticks)) else None
+    }
+    val got = Graph.g11WalkCooccurrence(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getString(2), r.getLong(3))) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expect.keySet,
+      s"pair-set drift: ${got.size} vs ${expect.size}")
+    got.foreach { case (k, (c, ticks)) =>
+      assert(c == expect(k)._1, s"count drift at $k")
+      // libm log2 in-test vs Spark: allow one tick at the floor boundary
+      assert(math.abs(ticks - expect(k)._2) <= 1L, s"ppmi drift at $k")
+    }
+    // the window predicate is symmetric, so the matrix must be too
+    got.keys.foreach { case (a, b) =>
+      assert(got.contains((b, a)), s"asymmetric pair $a $b")
+    }
+  }
 }
