@@ -157,6 +157,7 @@ object SparkEntry {
     "g09_kcore" -> (Graph.g09Kcore _),
     "g10_random_walks" -> (Graph.g10RandomWalks _),
     "g11_walk_cooccurrence" -> (Graph.g11WalkCooccurrence _),
+    "s16_walk_embeddings" -> (Recommend.s16WalkEmbeddings _),
   )
 
   /** s04 oracle: unrolls EXACTLY `iters` fixed-point Lloyd rounds —
@@ -943,11 +944,11 @@ object SparkEntry {
        |       node // 2 AS entity_key
        |FROM wa ORDER BY walk_id, step""".stripMargin
 
-  /** g11: skip-gram pairs within the window on the shared walk CTEs,
-    * partial-agg'd counts and marginals, one log2 per distinct pair.
+  /** The g11 scored-pair CTE chain ending in
+    * `sc(a, b, cnt, ppmi_ticks)` — shared by the g11 and s16 oracles.
     */
-  private def g11OracleSql(len: Int, window: Int): String =
-    s"""WITH ${g10WalkCtes(len)},
+  private def g11PairCtes(len: Int, window: Int): String =
+    s"""${g10WalkCtes(len)},
        |pr AS MATERIALIZED (
        |  SELECT x.node AS a, y.node AS b, CAST(count(*) AS BIGINT) AS cnt
        |  FROM wa x JOIN wa y ON x.walk_id = y.walk_id
@@ -956,13 +957,19 @@ object SparkEntry {
        |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pr),
        |ma AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ca FROM pr GROUP BY a),
        |mb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM pr GROUP BY b),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT pr.a, pr.b, pr.cnt,
        |    CAST(floor(greatest(CAST(0.0 AS DOUBLE),
        |        log2((pr.cnt * tt.t) / CAST(ma.ca * mb.cb AS DOUBLE)))
        |      * 1048576.0 + 0.5) AS BIGINT) AS ppmi_ticks
        |  FROM pr JOIN ma ON pr.a = ma.a JOIN mb ON pr.b = mb.b, tt
-       |  WHERE pr.cnt >= 2)
+       |  WHERE pr.cnt >= 2)""".stripMargin
+
+  /** g11: skip-gram pairs within the window on the shared walk CTEs,
+    * partial-agg'd counts and marginals, one log2 per distinct pair.
+    */
+  private def g11OracleSql(len: Int, window: Int): String =
+    s"""WITH ${g11PairCtes(len, window)}
        |SELECT CASE WHEN a % 2 = 0 THEN 'c' ELSE 's' END AS a_type,
        |       a // 2 AS a_key,
        |       CASE WHEN b % 2 = 0 THEN 'c' ELSE 's' END AS b_type,
@@ -1126,6 +1133,11 @@ object SparkEntry {
     "g10_random_walks" -> g10OracleSql(graft.operators.Graph.WalkLen),
     "g11_walk_cooccurrence" -> g11OracleSql(graft.operators.Graph.WalkLen,
       graft.operators.Graph.SkipWindow),
+    // s16: g11's pair CTEs feeding the shared ALS rounds chain — the
+    // DeepWalk composition verified end-to-end in one statement.
+    "s16_walk_embeddings" -> Recommend.s16OracleSql(
+      g11PairCtes(graft.operators.Graph.WalkLen,
+        graft.operators.Graph.SkipWindow)),
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(

@@ -756,7 +756,11 @@ object Graph {
     * ≤ (len+1)² rows per walk — O(walks·len·window) total, linear);
     * counts and marginals are partial-agg'd; T is a 1-row broadcast.
     */
-  def g11WalkCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The raw scored PPMI pair frame (a, b, cnt, ppmi_ticks) behind
+    * g11 — package-private because s16 factorizes it (the
+    * g10 → g11 → s16 DeepWalk composition).
+    */
+  private[graft] def walkPpmi(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
     val walks = randomWalks(edges, WalkLen)
       .select(col("walk_id"), col("step"), col("node"))
@@ -778,14 +782,16 @@ object Graph {
             (col("ca") * col("cb")).cast("double"))) *
           lit(1048576.0) + lit(0.5)).cast("long"))
       .filter(col("ppmi_ticks") > 0)
-      .select(
+  }
+
+  def g11WalkCooccurrence(spark: SparkSession, sfDir: String): DataFrame =
+    walkPpmi(spark, sfDir).select(
         when(col("a") % 2 === 0, lit("c")).otherwise(lit("s")).as("a_type"),
         expr("a div 2").as("a_key"),
         when(col("b") % 2 === 0, lit("c")).otherwise(lit("s")).as("b_type"),
         expr("b div 2").as("b_key"),
         col("cnt"), col("ppmi_ticks"))
       .orderBy(col("a_type"), col("a_key"), col("b_type"), col("b_key"))
-  }
 
   /** Predicted links reported by [[g07LinkPredict]]. */
   private[graft] val LinkTopK = 20

@@ -272,6 +272,58 @@ object Recommend {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** s16: node embeddings by factorizing g11's PPMI matrix with the
+    * shared ALS core — the DeepWalk pipeline made literal
+    * (g10 walks → g11 skip-gram PPMI → s16 matrix factorization;
+    * Levy & Goldberg 2014 is the equivalence that makes this THE
+    * embedding this corpus supports deterministically). The only new
+    * contract point is the rating grid: PPMI ticks are 2⁻²⁰ but
+    * [[alsFactor]]'s exact-sum bound wants coarser ratings, so s16
+    * floor-coarsens to the 2⁻¹² grid (`ppmi_ticks div 256 / 4096`)
+    * — |r| ≤ ~21 → r·f Gram numerators ≤ 2³²·2¹⁴ counterparts
+    * < 2⁵³, the s13 bound restored. Output: one row per (side,
+    * node) — row-side and column-side factors both reported, the
+    * s13 shape with the composite node id decoded.
+    */
+  def s16WalkEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = Graph.walkPpmi(spark, sfDir)
+      .select(col("a").as("c"), col("b").as("s"),
+        (expr("(ppmi_ticks div 256)").cast("double") /
+          lit(AlsTicks.toDouble)).as("r"))
+      .localCheckpoint(true)
+    val (rows, cols) = alsFactor(ratings)
+    def sideOut(df: DataFrame, side: String, key: String): DataFrame =
+      df.select(Seq(lit(side).as("side"),
+        when(col(key) % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr(s"$key div 2").as("entity_key"), col("n_rated")) ++
+        (0 until AlsRank).map(k => col(s"t$k").as(s"f${k}_ticks")): _*)
+    sideOut(rows, "row", "c").unionByName(sideOut(cols, "col", "s"))
+      .orderBy(col("side"), col("node_type"), col("entity_key"))
+  }
+
+  /** The DuckDB twin of [[s16WalkEmbeddings]]: the g11 pair CTEs
+    * (passed in by SparkEntry, which owns the walk CTE text) feeding
+    * a coarsened `ratings` CTE, then the shared [[alsRoundsSql]]
+    * chain with a side-labelled final select.
+    */
+  private[graft] def s16OracleSql(pairCtes: String): String = {
+    s"""WITH $pairCtes,
+       |ratings AS (
+       |  SELECT a AS c, b AS s,
+       |    CAST(ppmi_ticks // 256 AS DOUBLE) / CAST($AlsTicks AS DOUBLE) AS r
+       |  FROM sc WHERE ppmi_ticks > 0),
+       |$alsRoundsSql
+       |SELECT 'row' AS side,
+       |  CASE WHEN c % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |  c // 2 AS entity_key, CAST(n AS BIGINT) AS n_rated, $tickOutSql
+       |FROM u$AlsIters
+       |UNION ALL
+       |SELECT 'col', CASE WHEN s % 2 = 0 THEN 'c' ELSE 's' END,
+       |  s // 2, CAST(n AS BIGINT), $tickOutSql
+       |FROM v$AlsIters
+       |ORDER BY side, node_type, entity_key""".stripMargin
+  }
+
   /** The DuckDB oracle: the SAME pipeline with the SAME
     * [[solveSteps]] strings, assembled as nested SELECTs (one per
     * single-assignment step) under plain CTEs — see the determinism

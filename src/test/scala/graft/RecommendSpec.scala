@@ -81,6 +81,27 @@ class RecommendSpec extends AnyFunSuite {
       "clamp binds on corpus factors — widen the grid")
   }
 
+  test("s16 walk embeddings: the PPMI factorization fits and stays in clamp") {
+    val ratings = graft.operators.Graph.walkPpmi(spark, sfDir)
+      .select(col("a").as("c"), col("b").as("s"),
+        (expr("(ppmi_ticks div 256)").cast("double") / 4096.0).as("r"))
+      .localCheckpoint(true)
+    val (rows, cols) = Recommend.alsFactor(ratings)
+    val (err, base) = sse(ratings, rows, cols)
+    info(f"ppmi matrix: sse=$err%.2f zero-baseline=$base%.2f")
+    assert(err < base, "the embedding must beat predicting zero PPMI")
+    val out1 = Recommend.s16WalkEmbeddings(spark, sfDir).collect().toSeq
+    val out2 = Recommend.s16WalkEmbeddings(spark, sfDir).collect().toSeq
+    assert(out1 == out2, "two runs must be bit-identical")
+    val ticks = out1.flatMap(r =>
+      (0 until Recommend.AlsRank).map(k => r.getLong(4 + k)))
+    assert(ticks.forall(t =>
+      t > Recommend.AlsClampLo && t < Recommend.AlsClampHi),
+      "clamp binds on embedding factors — widen the grid")
+    // both sides of every rated node report
+    assert(out1.map(_.getString(0)).distinct.sorted == Seq("col", "row"))
+  }
+
   test("s15 biased MF: biases point the right way and beat raw ALS residuals") {
     val sess = spark
     import sess.implicits._
