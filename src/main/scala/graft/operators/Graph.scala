@@ -134,11 +134,12 @@ object Graph {
     * [[graft.FrameMemo]] for the bench-harness cleanup contract.
     */
   private[graft] def memoRetainedIds: Set[Int] =
-    pairsMemo.retainedIds ++ edgesMemo.retainedIds ++ undMemo.retainedIds
+    pairsMemo.retainedIds ++ edgesMemo.retainedIds ++
+      undMemo.retainedIds ++ walkMemo.retainedIds
 
   /** Drop the graph memos and unpersist their blocks. */
   private[graft] def clearMemos(): Unit = {
-    pairsMemo.clear(); edgesMemo.clear(); undMemo.clear()
+    pairsMemo.clear(); edgesMemo.clear(); undMemo.clear(); walkMemo.clear()
   }
 
   /** Directed-both-ways bipartite edge set with out-degrees:
@@ -723,9 +724,29 @@ object Graph {
     * a connected path in the graph (spec'd), bit-identical across
     * engines.
     */
-  def g10RandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memo for the walk corpus — THREE operators consume it (g10's
+    * listing, g11's skip-gram pairs, s16's factorization input), and
+    * the per-hop join chain behind it is the family's most expensive
+    * derived frame after the projections (measured: s16 recomputing
+    * walks cost ~4 s of its 5.9 s sweep time).
+    */
+  private val walkMemo = new graft.FrameMemo
+
+  /** The memoized [[randomWalks]] corpus over the trade graph.
+    * `tradeEdges` resolves its own memo BEFORE this compute block —
+    * the [[graft.FrameMemo]] no-nested-compute lock-order invariant.
+    */
+  private[graft] def corpusWalks(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-    randomWalks(edges, WalkLen).select(
+    walkMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|walks") {
+      randomWalks(edges, WalkLen).localCheckpoint(true)
+    }
+  }
+
+  def g10RandomWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    corpusWalks(spark, sfDir).select(
         col("walk_id"), col("step"),
         when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
         expr("node div 2").as("entity_key"))
@@ -761,10 +782,8 @@ object Graph {
     * g10 → g11 → s16 DeepWalk composition).
     */
   private[graft] def walkPpmi(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-    val walks = randomWalks(edges, WalkLen)
+    val walks = corpusWalks(spark, sfDir)
       .select(col("walk_id"), col("step"), col("node"))
-      .localCheckpoint(true)
     val pairs = walks.as("x").join(walks.as("y"), "walk_id")
       .filter(col("x.step") =!= col("y.step") &&
         abs(col("x.step") - col("y.step")) <= SkipWindow)
