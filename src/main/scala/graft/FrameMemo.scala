@@ -106,7 +106,9 @@ private[graft] object FrameMemo {
   def releaseTransientBlocks(spark: SparkSession): Unit = {
     val retained = graft.operators.Dedup.memoRetainedIds ++
       graft.operators.Similarity.memoRetainedIds ++
-      graft.operators.Graph.memoRetainedIds
+      graft.operators.Graph.memoRetainedIds ++
+      graft.operators.Itemsets.memoRetainedIds ++
+      graft.operators.TextAnalysis.memoRetainedIds
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!retained.contains(id)) rdd.unpersist(blocking = false)
     }
@@ -119,5 +121,7 @@ private[graft] object FrameMemo {
     graft.operators.Dedup.clearMemos()
     graft.operators.Similarity.clearMemos()
     graft.operators.Graph.clearMemos()
+    graft.operators.Itemsets.clearMemos()
+    graft.operators.TextAnalysis.clearMemos()
   }
 }

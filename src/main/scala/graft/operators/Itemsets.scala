@@ -47,21 +47,40 @@ object Itemsets {
     */
   private[graft] val BasketCap = 64
 
-  /** The (o, it) distinct basket frame with the cap applied, plus the
-    * 1-row (nb, sigma) support frame — shared by f01 and f02.
+  /** Memo for the capped basket frame — f01 and f02 both consume it,
+    * and the lineitem⋈part distinct shuffle behind it dominates both
+    * keys' cost (measured ~3 s each in-sweep).
+    */
+  private val basketMemo = new graft.FrameMemo
+
+  /** Persistent-RDD ids backing the live basket memo — the
+    * [[graft.FrameMemo]] bench-harness cleanup contract.
+    */
+  private[graft] def memoRetainedIds: Set[Int] = basketMemo.retainedIds
+
+  /** Drop the basket memo and unpersist its blocks. */
+  private[graft] def clearMemos(): Unit = basketMemo.clear()
+
+  /** The (o, it) distinct basket frame with the cap applied
+    * (memoized), plus the 1-row (nb, sigma) support frame — shared
+    * by f01 and f02.
     */
   private def basketsAndSupport(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val raw = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey"))
-      .join(Tables.part(spark, sfDir)
-        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("it")),
-        "l_partkey")
-      .select(col("o"), col("it")).distinct()
-      .localCheckpoint(true)
-    val keep = raw.groupBy(col("o")).agg(count(lit(1)).as("k"))
-      .filter(col("k") <= BasketCap).select(col("o"))
-    val baskets = raw.join(keep, "o").localCheckpoint(true)
+    val baskets = basketMemo.getOrCompute(spark, sfDir,
+      graft.Tables.fingerprint(spark, sfDir, "lineitem") + "|" +
+        graft.Tables.fingerprint(spark, sfDir, "part") + "|baskets") {
+      val raw = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o"), col("l_partkey"))
+        .join(Tables.part(spark, sfDir)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand").as("it")),
+          "l_partkey")
+        .select(col("o"), col("it")).distinct()
+        .localCheckpoint(true)
+      val keep = raw.groupBy(col("o")).agg(count(lit(1)).as("k"))
+        .filter(col("k") <= BasketCap).select(col("o"))
+      raw.join(keep, "o").localCheckpoint(true)
+    }
     val support = baskets.agg(countDistinct(col("o")).as("nb"))
       .withColumn("sigma", expr("(nb + 49) div 50"))
     (baskets, support)

@@ -762,10 +762,27 @@ object TextAnalysis {
     *
     * Output: (doc_id, lang, predicted, nll_ticks, correct).
     */
+  /** Memo for the trained NB token model — THREE consumers (t19's
+    * batch scoring, p15's evaluation report, the streaming serve
+    * path), and the (class, token) count pass behind it is the
+    * expensive part. Priors recompute per call — one cheap doc-count
+    * aggregation, not worth a second memo.
+    */
+  private val nbModelMemo = new graft.FrameMemo
+
+  /** Persistent-RDD ids backing the live text memos — the
+    * [[graft.FrameMemo]] bench-harness cleanup contract.
+    */
+  private[graft] def memoRetainedIds: Set[Int] = nbModelMemo.retainedIds
+
+  /** Drop the text memos and unpersist their blocks. */
+  private[graft] def clearMemos(): Unit = nbModelMemo.clear()
+
   /** The trained NB model frames — (cls, token, q) over the FULL
-    * class × vocabulary cross, and (cls, prior_q) — shared by t19's
-    * batch scoring and the streaming serve path
-    * (StreamOps.nbScoreStream): train batch, score stream, one model.
+    * class × vocabulary cross (memoized), and (cls, prior_q) —
+    * shared by t19's batch scoring, p15, and the streaming serve
+    * path (StreamOps.nbScoreStream): train batch, score stream, one
+    * model.
     */
   private[graft] def nbModelFrames(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
@@ -775,22 +792,25 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(call_function("word_grams", lower(col("text")), lit(1)))
           .as("token"))
-    // per-(class, token) counts and per-class token totals
-    val ct = toks.join(docs, "doc_id")
-      .groupBy(col("lang").as("cls"), col("token"))
-      .agg(count(lit(1)).as("n_ct"))
-      .localCheckpoint(true)
-    val totals = ct.groupBy(col("cls")).agg(sum(col("n_ct")).as("t_c"))
-    val vocab = toks.select(col("token")).distinct()
-    val vSize = vocab.agg(count(lit(1)).as("v"))
-    // full class x vocabulary cross with the smoothed floor
-    val model = vocab.crossJoin(broadcast(totals)).crossJoin(broadcast(vSize))
-      .join(ct, Seq("cls", "token"), "left")
-      .select(col("cls"), col("token"),
-        floor(-log2((coalesce(col("n_ct"), lit(0L)) + lit(1)).cast("double") /
-            (col("t_c") + col("v")).cast("double")) *
-          lit(NbScale) + lit(0.5)).cast("long").as("q"))
-      .localCheckpoint(true)
+    val model = nbModelMemo.getOrCompute(spark, sfDir,
+      graft.Tables.fingerprint(spark, sfDir, "documents") + "|nbmodel") {
+      // per-(class, token) counts and per-class token totals
+      val ct = toks.join(docs, "doc_id")
+        .groupBy(col("lang").as("cls"), col("token"))
+        .agg(count(lit(1)).as("n_ct"))
+        .localCheckpoint(true)
+      val totals = ct.groupBy(col("cls")).agg(sum(col("n_ct")).as("t_c"))
+      val vocab = toks.select(col("token")).distinct()
+      val vSize = vocab.agg(count(lit(1)).as("v"))
+      // full class x vocabulary cross with the smoothed floor
+      vocab.crossJoin(broadcast(totals)).crossJoin(broadcast(vSize))
+        .join(ct, Seq("cls", "token"), "left")
+        .select(col("cls"), col("token"),
+          floor(-log2((coalesce(col("n_ct"), lit(0L)) + lit(1)).cast("double") /
+              (col("t_c") + col("v")).cast("double")) *
+            lit(NbScale) + lit(0.5)).cast("long").as("q"))
+        .localCheckpoint(true)
+    }
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val priors = docs.groupBy(col("lang").as("cls"))
       .agg(count(lit(1)).as("n_c"))
