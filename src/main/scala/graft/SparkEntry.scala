@@ -118,6 +118,7 @@ object SparkEntry {
     "t18_bpe_merges" -> (TextAnalysis.t18BpeMerges _),
     "t19_naive_bayes" -> (TextAnalysis.t19NaiveBayes _),
     "t20_decision_stump" -> (TextAnalysis.t20DecisionStump _),
+    "t21_bpe_encode" -> (TextAnalysis.t21BpeEncode _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -2764,6 +2765,8 @@ object SparkEntry {
     // t20: binned Gini split search — integer bins, tick Gini,
     // (cost, feature, bin) argmin.
     "t20_decision_stump" -> TextAnalysis.stumpOracleSql,
+    // t21: the shared trainer CTEs + encode join + per-source rollup.
+    "t21_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

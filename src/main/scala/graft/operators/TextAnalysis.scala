@@ -691,7 +691,13 @@ object TextAnalysis {
     * frame — package-private so the known-merge and run-contract
     * specs can drive it with synthetic vocabularies.
     */
-  private[graft] def bpeMerges(wordFreq: DataFrame): DataFrame = {
+  private[graft] def bpeMerges(wordFreq: DataFrame): DataFrame =
+    bpeTrain(wordFreq)._1
+
+  /** The trainer returning BOTH the merge rows and the final
+    * re-segmented vocabulary (w, freq, sym) — t21's encoder input.
+    */
+  private[graft] def bpeTrain(wordFreq: DataFrame): (DataFrame, DataFrame) = {
     var vocab = wordFreq
       .withColumn("sym",
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
@@ -706,11 +712,19 @@ object TextAnalysis {
         .agg(sum(col("freq")).as("pair_cnt"))
       val best = pairs.orderBy(col("pair_cnt").desc, col("l"), col("r"))
         .limit(1).localCheckpoint(true)
+      // LEFT join on true, not crossJoin: when the vocabulary fully
+      // merges before the round budget, `best` is EMPTY and a cross
+      // join would erase the vocabulary — the encoder (t21) must keep
+      // the last segmentation instead; the oracle mirrors with
+      // LEFT JOIN ... ON TRUE.
       vocab = vocab
-        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
-        .withColumn("sym", replace(col("sym"),
-          concat(lit(" "), col("__l"), lit(" "), col("__r"), lit(" ")),
-          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .join(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))),
+          lit(true), "left")
+        .withColumn("sym",
+          when(col("__l").isNotNull, replace(col("sym"),
+            concat(lit(" "), col("__l"), lit(" "), col("__r"), lit(" ")),
+            concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+          .otherwise(col("sym")))
         .drop("__l", "__r")
         .localCheckpoint(true)
       val after = vocab.agg(
@@ -722,7 +736,7 @@ object TextAnalysis {
           concat(col("l"), col("r")).as("merged_sym"), col("pair_cnt"),
           col("symbols_after"))
     }
-    rounds.reduce(_ unionByName _).orderBy(col("round"))
+    (rounds.reduce(_ unionByName _).orderBy(col("round")), vocab)
   }
 
   /** Ticks per bit for [[t19NaiveBayes]]'s quantized log-probs (2²⁰ —
@@ -1049,6 +1063,72 @@ object TextAnalysis {
     * contract.
     */
   private[graft] def bpeOracleSql: String = {
+    val outs = (1 to BpeRounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS round, b$i.l AS left_sym, b$i.r AS right_sym, " +
+        s"b$i.l || b$i.r AS merged_sym, b$i.pair_cnt, a$i.symbols_after FROM b$i, a$i"
+    }
+    s"""WITH $bpeOracleCtes
+       |${outs.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
+  /** t21: BPE encoding report — t18's learned merges APPLIED back to
+    * the corpus (trainer → encoder, the composition a tokenizer
+    * pipeline actually ships): the final re-segmented vocabulary
+    * from [[bpeTrain]] maps every word to its symbol count, and the
+    * per-source rollup reports words / symbols / characters plus the
+    * symbols-per-character compression as 2²⁰ ticks (positive
+    * integer div, engines agree) — the metric that tells a corpus
+    * owner which sources the tokenizer fits worst (high ticks =
+    * poorly merged = out-of-domain text). The encode join is
+    * vocabulary-sized (the trained vocab broadcast in production);
+    * the rollup is one partial-agg'd scan.
+    */
+  def t21BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val tokSrc = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("w"))
+    val (_, vocab) = bpeTrain(
+      tokSrc.groupBy(col("w")).agg(count(lit(1)).as("freq")))
+    val enc = vocab.select(col("w"),
+      size(split(trim(col("sym")), " ")).cast("long").as("nsym"))
+    tokSrc.join(enc, "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_symbols"),
+        sum(length(col("w"))).as("n_chars"))
+      .withColumn("compression_ticks",
+        expr("(n_symbols * 1048576) div n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB twin of [[t21BpeEncode]]: the shared trainer CTEs,
+    * then the encode join + per-source rollup.
+    */
+  private[graft] def bpeEncodeOracleSql: String =
+    s"""WITH $bpeOracleCtes,
+       |enc AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS nsym
+       |        FROM v$BpeRounds),
+       |ts AS (
+       |  SELECT source,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |           t -> t <> '')) AS w
+       |  FROM documents)
+       |SELECT ts.source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(enc.nsym) AS BIGINT) AS n_symbols,
+       |  CAST(sum(len(ts.w)) AS BIGINT) AS n_chars,
+       |  CAST((CAST(sum(enc.nsym) AS BIGINT) * 1048576)
+       |       // CAST(sum(len(ts.w)) AS BIGINT) AS BIGINT) AS compression_ticks
+       |FROM ts JOIN enc ON ts.w = enc.w
+       |GROUP BY ts.source
+       |ORDER BY ts.source""".stripMargin
+
+  /** The shared trainer CTE chain (tokenize, v0 init, all rounds) —
+    * ends with v[[BpeRounds]] holding the final vocabulary; used by
+    * the t18 and t21 oracles.
+    */
+  private[graft] def bpeOracleCtes: String = {
     val rounds = (1 to BpeRounds).map { i =>
       val prev = s"v${i - 1}"
       s"""p$i AS (SELECT a[i] AS l, a[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pair_cnt
@@ -1056,17 +1136,16 @@ object TextAnalysis {
          |       UNNEST(generate_series(1, len(a)-1)) AS u(i)
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, pair_cnt FROM p$i ORDER BY pair_cnt DESC, l, r LIMIT 1),
-         |v$i AS (SELECT w, freq,
-         |    replace(sym, ' '||b$i.l||' '||b$i.r||' ', ' '||b$i.l||b$i.r||' ') AS sym
-         |  FROM $prev, b$i),
+         |v$i AS (
+         |  SELECT p.w, p.freq,
+         |    CASE WHEN b.l IS NULL THEN p.sym
+         |         ELSE replace(p.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ')
+         |    END AS sym
+         |  FROM $prev p LEFT JOIN b$i b ON TRUE),
          |a$i AS (SELECT CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT)
          |    AS symbols_after FROM v$i)""".stripMargin
     }
-    val outs = (1 to BpeRounds).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS round, b$i.l AS left_sym, b$i.r AS right_sym, " +
-        s"b$i.l || b$i.r AS merged_sym, b$i.pair_cnt, a$i.symbols_after FROM b$i, a$i"
-    }
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
        |         t -> t <> '') AS t
        |  FROM documents),
@@ -1074,8 +1153,6 @@ object TextAnalysis {
        |v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
        |       FROM tok GROUP BY w),
-       |${rounds.mkString(",\n")}
-       |${outs.mkString("\nUNION ALL\n")}
-       |ORDER BY round""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 }

@@ -382,6 +382,31 @@ class TextMultimodalSpec extends AnyFunSuite {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("t21 bpe encode: trained segmentation applied back, totals reconcile with t18") {
+    import spark.implicits._
+    // fully merged vocabulary encodes each word as ONE symbol
+    val (_, vocab) = TextAnalysis.bpeTrain(
+      Seq(("low", 2L), ("lower", 1L)).toDF("w", "freq"))
+    val syms = vocab.collect()
+      .map(r => r.getString(0) -> r.getString(2).trim.split(" ").length).toMap
+    assert(syms == Map("low" -> 1, "lower" -> 1))
+    // corpus: per-source report with the structural bounds, and the
+    // cross-operator identity — t18's final symbols_after IS t21's
+    // corpus-wide symbol total
+    val rep = TextAnalysis.t21BpeEncode(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (w, s, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(s >= w, "a word is at least one symbol")
+      assert(s <= c, "a symbol spans at least one character")
+      assert(r.getLong(4) == s * 1048576L / c)
+    }
+    val t18Final = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
+      .maxBy(_.getLong(0)).getLong(5)
+    assert(rep.map(_.getLong(2)).sum == t18Final,
+      "encoder totals must reconcile with the trainer's last round")
+  }
+
   test("t18 bpe: corpus run — full rounds, shrinking corpus, deterministic") {
     val a = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
     assert(a.length == TextAnalysis.BpeRounds)
