@@ -607,35 +607,71 @@ object Graph {
     */
   private[graft] val KcoreIters = 8
 
+  /** One round's bounded neighbor-value histogram: (src, cv, cnt)
+    * where cv = min(c(dst-neighbor), cap(src)) and cap(src) =
+    * min(c(src), gcap). A plain partial-agg'd groupBy — a hub's
+    * adjacency collapses map-side (combiner) to at most its distinct
+    * clamped values per map task, and the reduce-side group carries
+    * ≤ min(c_t(src), gcap) rows. Package-private so the hub spec can
+    * assert the bound directly.
+    */
+  private[graft] def corenessHistogram(
+      edges: DataFrame, c: DataFrame, gcap: DataFrame): DataFrame = {
+    val caps = c.crossJoin(broadcast(gcap))
+      .select(col("id").as("src"), least(col("c"), col("gcap")).as("cap"))
+    edges.join(c.withColumnRenamed("id", "dst"), "dst")
+      .select(col("src"), col("c"))
+      .join(caps, "src")
+      .groupBy(col("src"), least(col("c"), col("cap")).as("cv"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Bounded coreness core: the h-index iteration (public result:
     * Lü, Zhou, Zhang & Stanley, "The H-index of a network node and
     * its relation to degree and coreness", Nat. Commun. 2016 —
     * c_0 = degree, c_{t+1}(v) = H-index of {c_t(u) : u ∈ N(v)},
     * monotonically non-increasing and convergent to the exact
-    * coreness). H-index per node via the order-statistic identity
-    * H = max_i min(c_(i), i) over neighbor values sorted descending —
-    * a row_number window + partial-agg'd max, tie-order invariant
-    * (equal c values give the same max regardless of which gets the
-    * smaller rank), so the fixed-round result is integer-exact and
-    * bit-reproducible cross-engine. Package-private for the spec.
+    * coreness).
+    *
+    * The per-node H-index is computed from the distinct-value
+    * HISTOGRAM, not the raw neighbor list: with f(x) = #{u ∈ N(v) :
+    * c_t(u) ≥ x}, H = max over distinct values x of min(x, f(x))
+    * (within a run of equal sorted values, min(c_(i), i) is maximal
+    * at the run's last rank, where i = f(c) — so the distinct-value
+    * max equals the classic max_i min(c_(i), i)). Neighbor values
+    * are clamped at cap(v) = min(c_t(v), ⌊√(2m)⌋+1) BEFORE the
+    * histogram: both bounds provably dominate the next h-index —
+    * c_{t+1}(v) ≤ c_t(v) is the Lü et al. monotonicity, and
+    * c_{t+1}(v) = k implies k neighbors of c_t ≥ k, which (values
+    * being degrees or below) implies k² ≤ Σdeg = 2m — and clamping
+    * at any B ≥ H leaves f(x) unchanged for every candidate x ≤ B,
+    * so the round result is bit-identical to the unclamped one.
+    * Integer-exact and bit-reproducible cross-engine.
     *
     * Scale shape per round: one shuffle joining edges to the current
-    * coreness on dst, one window shuffle on src (group size = degree,
-    * capped by the same top-k sparsification available to every
-    * consumer of the edge frame), one partial-agg'd max. Flat lineage
-    * via per-round localCheckpoint — the g01/g05 loop posture.
+    * coreness on dst, one partial-agg'd groupBy (src, clamped value)
+    * — the map-side combiner collapses a power-law hub's adjacency
+    * before any shuffle — then a window whose per-group input is the
+    * histogram, ≤ min(c_t(v), ⌊√(2m)⌋+1) rows, NOT the degree: a
+    * 10⁷-degree hub contributes at most its (rapidly shrinking)
+    * running h-index in rows from round 2 on. Flat lineage via
+    * per-round localCheckpoint — the g01/g05 loop posture.
     */
   private[graft] def corenessRounds(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var c = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    // global clamp: every round-≥1 h-index is ≤ ⌊√(2m)⌋+1 (mirrored
+    // edge count IS 2m); 1-row broadcast, never collected
+    val gcap = edges.agg(
+      (floor(sqrt(count(lit(1)).cast("double"))).cast("long") + lit(1L))
+        .as("gcap")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val nbr = edges.join(c.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src"), col("c"))
-      val w = Window.partitionBy(col("src")).orderBy(col("c").desc)
-      c = nbr.withColumn("rn", row_number().over(w).cast("long"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cv").desc)
+      c = corenessHistogram(edges, c, gcap)
+        .withColumn("f", sum(col("cnt")).over(w))
         .groupBy(col("src").as("id"))
-        .agg(max(least(col("c"), col("rn"))).as("c"))
+        .agg(max(least(col("cv"), col("f"))).as("c"))
         .localCheckpoint(false)
     }
     c

@@ -410,21 +410,11 @@ class JoinsGraphSpec extends AnyFunSuite {
       .union(p.select($"b".as("src"), $"a".as("dst")))
   }
 
-  test("g09 coreness: equals exact peeling on the trade graph, monotone in rounds") {
-    import spark.implicits._
-    import graft.operators.Graph
-    // synthetic: K4 {1..4} with a pendant 5-1 (mirrored) — coreness
-    // must be 3 on the clique, 1 on the pendant
-    val half = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
-      (3L, 4L), (1L, 5L))
-    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
-    val got = Graph.corenessRounds(edges, 4).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Set(1L, 2L, 3L, 4L).map(got) == Set(3L) && got(5L) == 1L)
-    // trade graph: bounded h-index rounds equal EXACT peeling coreness
-    val trade = graftTestEdges().collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val adj = trade.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  /** Exact peeling coreness over mirrored (src, dst) pairs — the
+    * in-test oracle for the bounded h-index rounds.
+    */
+  private def peelCoreness(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val deg = scala.collection.mutable.Map(
       adj.view.mapValues(_.length.toLong).toSeq: _*)
     val core = scala.collection.mutable.Map.empty[Long, Long]
@@ -441,14 +431,71 @@ class JoinsGraphSpec extends AnyFunSuite {
         }
       }
     }
+    core.toMap
+  }
+
+  test("g09 coreness: equals exact peeling on the trade graph, monotone in rounds") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // synthetic: K4 {1..4} with a pendant 5-1 (mirrored) — coreness
+    // must be 3 on the clique, 1 on the pendant
+    val half = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Graph.corenessRounds(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(got) == Set(3L) && got(5L) == 1L)
+    // trade graph: bounded h-index rounds equal EXACT peeling coreness
+    val core = peelCoreness(graftTestEdges().collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
     val bounded = Graph.corenessRounds(graftTestEdges(), Graph.KcoreIters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(bounded.nonEmpty && bounded == core.toMap,
+    assert(bounded.nonEmpty && bounded == core,
       "bounded h-index rounds must reach exact peeling coreness at this SF")
     // h-index iteration is pointwise non-increasing round over round
     val r1 = Graph.corenessRounds(graftTestEdges(), 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1.forall { case (v, c) => bounded(v) <= c })
+  }
+
+  test("g09 coreness histogram bounds a hub's per-group window input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    // hub 0 ↔ mids 1..100; mids form K100 among themselves; mid i
+    // additionally has i pendants (ids i*1000+1 .. i*1000+i). Degrees:
+    // hub 100, mid i 100+i (100 DISTINCT values 101..200), pendants 1.
+    val mids = (1L to 100L)
+    val half = mids.map(i => (0L, i)) ++
+      (for (i <- mids; j <- mids if i < j) yield (i, j)) ++
+      mids.flatMap(i => (1L to i).map(p => (i, i * 1000 + p)))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+      .localCheckpoint(true)
+    val c0 = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+    // mirrored edge count = 2m = 20200 → gcap = ⌊√20200⌋+1 = 143
+    val gcap = edges.agg(
+      (floor(sqrt(count(lit(1)).cast("double"))).cast("long") + lit(1L))
+        .as("gcap"))
+    assert(gcap.head().getLong(0) == 143L)
+    val hist = Graph.corenessHistogram(edges, c0, gcap)
+      .groupBy(col("src")).agg(count(lit(1)).as("rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the monotone cap: every node's histogram is ≤ min(c_t(v), gcap)
+    val cap = c0.collect().map(r => r.getLong(0) -> math.min(r.getLong(1), 143L)).toMap
+    assert(hist.forall { case (v, n) => n <= cap(v) },
+      "histogram rows must never exceed min(c_t(v), gcap)")
+    // the hub's 100 neighbors carry 100 DISTINCT raw values (101..200),
+    // but cap(hub)=deg=100 clamps them ALL to one bucket: the window
+    // group that used to sort the full adjacency sees exactly 1 row
+    assert(hist(0L) == 1L,
+      s"hub histogram must collapse to 1 clamped bucket, got ${hist(0L)}")
+    // and the clamp is invisible in the result: bounded rounds still
+    // equal exact peeling (pendants 1, hub+mids all coreness 100)
+    val got = Graph.corenessRounds(edges, Graph.KcoreIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = peelCoreness((half ++ half.map(_.swap)).toArray)
+    assert(got == core, "clamped histogram rounds must stay exact")
+    assert(got(0L) == 100L && got(1L) == 100L && got(1001L) == 1L)
   }
 
   test("pregel combinator: shipped g05 and g06 are bit-identical instances") {
