@@ -44,11 +44,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * upstream frame BEFORE entering `getOrCompute` and close over the
   * result.
   */
-private[graft] final class FrameMemo {
-  private var entry: Option[(SparkSession, String, String, DataFrame, Set[Int])] = None
+private[graft] final class FrameMemo[T] {
+  private var entry: Option[(SparkSession, String, String, T, Set[Int])] = None
 
   def getOrCompute(spark: SparkSession, dir: String, fp: String)(
-      compute: => DataFrame): DataFrame = synchronized {
+      compute: => T): T = synchronized {
     entry match {
       case Some((s, d, f, frame, _)) if (s eq spark) && d == dir && f == fp =>
         frame

@@ -770,7 +770,7 @@ object Dedup {
     * — an exotic same-size-same-mtime in-place rewrite would still hit
     * the memo; that is the documented contract.
     */
-  private val labelsMemo = new graft.FrameMemo
+  private val labelsMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   private def docsFingerprint(spark: SparkSession, sfDir: String): String =
     Tables.fingerprint(spark, sfDir, "documents")

@@ -107,7 +107,7 @@ object Graph {
     * sweep is pure waste. Same [[graft.FrameMemo]] lifecycle (and
     * staleness contract) as Dedup's cluster labels.
     */
-  private val pairsMemo = new graft.FrameMemo
+  private val pairsMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   private def tradePairs(spark: SparkSession, sfDir: String): DataFrame =
     pairsMemo.getOrCompute(spark, sfDir,
@@ -128,7 +128,7 @@ object Graph {
     * pairs), and re-deriving the mirror + degree shuffle + checkpoint
     * per operator is the same waste the pairs memo removed.
     */
-  private val edgesMemo = new graft.FrameMemo
+  private val edgesMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   /** Persistent-RDD ids backing the live graph memos — see
     * [[graft.FrameMemo]] for the bench-harness cleanup contract.
@@ -359,7 +359,7 @@ object Graph {
     * projection self-join behind it is the family's most expensive
     * derived frame after the trade pairs themselves.
     */
-  private val undMemo = new graft.FrameMemo
+  private val undMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   /** Per-customer fan-out cap for the co-purchase projection's
     * self-join input. At the test SFs the cap must NOT bind (max
@@ -766,7 +766,7 @@ object Graph {
     * derived frame after the projections (measured: s16 recomputing
     * walks cost ~4 s of its 5.9 s sweep time).
     */
-  private val walkMemo = new graft.FrameMemo
+  private val walkMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   /** The memoized [[randomWalks]] corpus over the trade graph.
     * `tradeEdges` resolves its own memo BEFORE this compute block —
@@ -803,8 +803,15 @@ object Graph {
     * matrix). Directed (center, context) pairs within
     * [[SkipWindow]] steps on the same walk, partial-agg'd counts,
     * then PPMI = max(0, log2(cnt·T / (cnt_a·cnt_b))) quantized to
-    * 2²⁰ ticks (ONE log2 per distinct pair — the t09 contract; all
-    * products exact longs, single double division). Pairs with
+    * 2²⁰ ticks (ONE log2 per distinct pair — the t09 contract; the
+    * products cnt·T and ca·cb are exact longs while T < 3·10⁹ pair
+    * tokens, which covers every test SF with 8 orders of margin).
+    * Beyond that — a 100 TB walk corpus can push T past 2⁶³/cnt —
+    * the documented retune (the f02 convention) is the log-domain
+    * form log2(cnt)+log2(T)−log2(ca)−log2(cb), applied to BOTH
+    * engines in lockstep: each factor is double-exact below 2⁵³, so
+    * the only behavior change is ≤1-ulp rounding at tick
+    * boundaries, and the overflow never materializes. Pairs with
     * cnt ≥ 2 and positive PPMI emit — the matrix a 100 TB corpus
     * would hand to the factorizer (s13's machinery, the documented
     * composition).

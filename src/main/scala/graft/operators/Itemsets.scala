@@ -51,7 +51,7 @@ object Itemsets {
     * and the lineitem⋈part distinct shuffle behind it dominates both
     * keys' cost (measured ~3 s each in-sweep).
     */
-  private val basketMemo = new graft.FrameMemo
+  private val basketMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   /** Persistent-RDD ids backing the live basket memo — the
     * [[graft.FrameMemo]] bench-harness cleanup contract.

@@ -601,7 +601,7 @@ object Similarity {
     * graph is small (k rows per vector), so the eager checkpoint is
     * cheap and the second consumer reads stored blocks.
     */
-  private val knnMemo = new graft.FrameMemo
+  private val knnMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
     knnMemo.getOrCompute(spark, sfDir,

@@ -679,13 +679,8 @@ object TextAnalysis {
     * Vocabulary is eagerly localCheckpoint'd per round (flat lineage,
     * the g01 lesson).
     */
-  def t18BpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
-    registerAll(spark)
-    val tok = Tables.documents(spark, sfDir)
-      .select(explode(call_function("word_grams", lower(col("text")), lit(1)))
-        .as("w"))
-    bpeMerges(tok.groupBy(col("w")).agg(count(lit(1)).as("freq")))
-  }
+  def t18BpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainedOnCorpus(spark, sfDir)._1
 
   /** The trainer core over an arbitrary (w, freq) word-frequency
     * frame — package-private so the known-merge and run-contract
@@ -782,15 +777,42 @@ object TextAnalysis {
     * expensive part. Priors recompute per call — one cheap doc-count
     * aggregation, not worth a second memo.
     */
-  private val nbModelMemo = new graft.FrameMemo
+  private val nbModelMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
+
+  /** Materialize-once BPE trainer result (merge rows, final
+    * re-segmented vocabulary) per (session, dir, documents
+    * fingerprint) — t18 reads the merges and t21 the vocabulary, and
+    * the [[BpeRounds]]-round trainer is the family's most expensive
+    * derived computation; re-running it per key in one sweep is the
+    * same waste the nb-model memo removed. Both frames come out of
+    * ONE compute, so they share a memo entry (and its block set).
+    */
+  private val bpeMemo =
+    new graft.FrameMemo[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
 
   /** Persistent-RDD ids backing the live text memos — the
     * [[graft.FrameMemo]] bench-harness cleanup contract.
     */
-  private[graft] def memoRetainedIds: Set[Int] = nbModelMemo.retainedIds
+  private[graft] def memoRetainedIds: Set[Int] =
+    nbModelMemo.retainedIds ++ bpeMemo.retainedIds
 
   /** Drop the text memos and unpersist their blocks. */
-  private[graft] def clearMemos(): Unit = nbModelMemo.clear()
+  private[graft] def clearMemos(): Unit = { nbModelMemo.clear(); bpeMemo.clear() }
+
+  /** The memoized trainer over the corpus word-frequency frame —
+    * the shared entry behind t18/t21.
+    */
+  private[graft] def bpeTrainedOnCorpus(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    registerAll(spark)
+    bpeMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "documents") + "|bpe") {
+      val tok = Tables.documents(spark, sfDir)
+        .select(explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("w"))
+      bpeTrain(tok.groupBy(col("w")).agg(count(lit(1)).as("freq")))
+    }
+  }
 
   /** The trained NB model frames — (cls, token, q) over the FULL
     * class × vocabulary cross (memoized), and (cls, prior_q) —
@@ -1080,9 +1102,14 @@ object TextAnalysis {
     * symbols-per-character compression as 2²⁰ ticks (positive
     * integer div, engines agree) — the metric that tells a corpus
     * owner which sources the tokenizer fits worst (high ticks =
-    * poorly merged = out-of-domain text). The encode join is
-    * vocabulary-sized (the trained vocab broadcast in production);
-    * the rollup is one partial-agg'd scan.
+    * poorly merged = out-of-domain text). The tick numerator
+    * n_symbols·2²⁰ overflows int64 once a single source exceeds
+    * ~8.8·10¹² symbols — plausible at corpus scale — and the
+    * documented retune is the f02 one: drop the tick scale to 2¹⁰
+    * (per-mille-grade resolution, numerator safe to ~9·10¹⁵
+    * symbols/source). The encode join is vocabulary-sized (the
+    * trained vocab broadcast in production); the rollup is one
+    * partial-agg'd scan.
     */
   def t21BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
@@ -1090,8 +1117,7 @@ object TextAnalysis {
       .select(col("source"),
         explode(call_function("word_grams", lower(col("text")), lit(1)))
           .as("w"))
-    val (_, vocab) = bpeTrain(
-      tokSrc.groupBy(col("w")).agg(count(lit(1)).as("freq")))
+    val (_, vocab) = bpeTrainedOnCorpus(spark, sfDir)
     val enc = vocab.select(col("w"),
       size(split(trim(col("sym")), " ")).cast("long").as("nsym"))
     tokSrc.join(enc, "w")

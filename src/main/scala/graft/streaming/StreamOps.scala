@@ -182,11 +182,13 @@ object StreamOps {
     * (TextAnalysis.nbModelFrames — train batch, score stream, one
     * model, the standard serving decomposition) via a stateless
     * stream-static broadcast join. Unseen tokens drop out of the
-    * join, which IS the model contract: the trained vocabulary is
-    * the feature space; out-of-vocabulary tokens carry no class
-    * evidence (every class would pay the same smoothed floor, so
-    * dropping them cannot change the argmin for docs with any
-    * in-vocabulary token).
+    * join, which IS the model contract: the trained vocabulary
+    * defines the feature space and out-of-vocabulary tokens are
+    * intentionally unscored (the sklearn CountVectorizer→NB
+    * convention). Note the smoothed floor log2(t_c + V) an OOV token
+    * WOULD pay is class-dependent (t_c varies per class), so this is
+    * a deliberate feature-space restriction — batch t19 scores the
+    * same restriction, which is why stream equals batch row-for-row.
     *
     * Emits (doc_id, cls, q); the per-micro-batch sink
     * ([[nbClassifyBatch]]) does the per-doc aggregation — exact
