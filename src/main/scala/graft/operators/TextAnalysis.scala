@@ -659,15 +659,18 @@ object TextAnalysis {
     *
     * Merge-application contract: a word's segmentation is a
     * single-space-joined symbol string with sentinel spaces, and a
-    * merge applies as ONE leftmost non-overlapping string replace of
-    * " l r " with " lr " — the exact scan both engines' `replace`
-    * implements, so re-segmentation is cross-engine identical by
-    * construction. On a RUN of the same pair ("aaaa", merge (a,a))
-    * the shared boundary space makes alternate occurrences merge per
-    * round where the reference trainers merge all non-overlapping
-    * occurrences — a documented variant (pinned in
-    * TextMultimodalSpec); the learned ranking is unaffected wherever
-    * pairs don't self-abut, and a run merges fully over later rounds.
+    * merge applies by DOUBLING every boundary space, one leftmost
+    * resume-after-replacement replace of " l  r " with " lr ", then
+    * collapsing the doubles back. The doubled boundary means a
+    * match's trailing space never consumes the next occurrence's
+    * leading space, so the single pass merges ALL non-overlapping
+    * occurrences left to right — exactly the reference trainers'
+    * greedy application ("a a a a a" → "aa aa a" in one round), with
+    * token-boundary integrity on both sides (an "ab" token can never
+    * half-match an "a" pattern). Both engines' `replace` implements
+    * the same leftmost resume-after-replacement scan, so
+    * re-segmentation is cross-engine identical by construction
+    * (greedy contract pinned in TextMultimodalSpec, runs included).
     *
     * Scale shape: the corpus is scanned ONCE (the word-frequency
     * aggregation — one partial-agg'd token shuffle); every round
@@ -716,9 +719,11 @@ object TextAnalysis {
         .join(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))),
           lit(true), "left")
         .withColumn("sym",
-          when(col("__l").isNotNull, replace(col("sym"),
-            concat(lit(" "), col("__l"), lit(" "), col("__r"), lit(" ")),
-            concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+          when(col("__l").isNotNull, replace(replace(replace(
+            col("sym"), lit(" "), lit("  ")),
+            concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+            concat(lit(" "), col("__l"), col("__r"), lit(" "))),
+            lit("  "), lit(" ")))
           .otherwise(col("sym")))
         .drop("__l", "__r")
         .localCheckpoint(true)
@@ -1165,7 +1170,9 @@ object TextAnalysis {
          |v$i AS (
          |  SELECT p.w, p.freq,
          |    CASE WHEN b.l IS NULL THEN p.sym
-         |         ELSE replace(p.sym, ' '||b.l||' '||b.r||' ', ' '||b.l||b.r||' ')
+         |         ELSE replace(replace(replace(p.sym, ' ', '  '),
+         |                ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' '),
+         |                '  ', ' ')
          |    END AS sym
          |  FROM $prev p LEFT JOIN b$i b ON TRUE),
          |a$i AS (SELECT CAST(sum(freq * len(string_split(trim(sym), ' '))) AS BIGINT)

@@ -318,18 +318,29 @@ class TextMultimodalSpec extends AnyFunSuite {
       (4L, "low", "er", "lower", 1L, 3L)))
   }
 
-  test("t18 bpe: single-pass run contract — alternate merges in a repeat run") {
+  test("t18 bpe: greedy run contract — all non-overlapping merges per round") {
     import spark.implicits._
-    // "aaaa": pair (a,a) counts 3, but the single-pass leftmost replace
-    // merges alternate occurrences (shared boundary), leaving 3 symbols,
-    // then converges over later rounds — the documented variant.
+    // "aaaa": pair (a,a) counts 3; the doubled-boundary replace merges
+    // ALL non-overlapping occurrences left to right in ONE round
+    // (" aa aa ", 2 symbols) — the reference trainers' greedy
+    // application — and the round budget exhausts after the full word
+    // assembles (no phantom rounds: exhaustion contract).
     val out = TextAnalysis.bpeMerges(Seq(("aaaa", 1L)).toDF("w", "freq"))
       .collect()
       .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5))).toSeq
     assert(out == Seq(
-      (1L, "aa", 3L, 3L),   // " aa a a " — NOT 2: alternate-merge pinned
-      (2L, "aa", 1L, 2L),   // (a,a) beats (aa,a) lexicographically
-      (3L, "aaaa", 1L, 1L)))
+      (1L, "aa", 3L, 2L),     // " aa aa " — all non-overlapping, one round
+      (2L, "aaaa", 1L, 1L)))  // then (aa,aa) completes; rounds 3+ empty
+    // odd run: the trailing singleton survives round 1 ("aa aa a"),
+    // and the (aa,a) / (aa,aa) tie breaks to the lexicographically
+    // smaller right symbol
+    val odd = TextAnalysis.bpeMerges(Seq(("aaaaa", 1L)).toDF("w", "freq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(odd == Seq(
+      (1L, "aa", 4L, 3L),     // " aa aa a "
+      (2L, "aaa", 1L, 2L),    // (aa,a) beats (aa,aa): "a" < "aa"
+      (3L, "aaaaa", 1L, 1L)))
   }
 
   test("t19 naive bayes: perfect recovery on a separable corpus, deterministic") {
