@@ -1049,4 +1049,200 @@ object Similarity {
     topKPerQuery(adc.withColumn("cos_raw", col("adc_raw")))
       .withColumnRenamed("cos", "adc_cos")
   }
+
+  /** Principal components reported by [[s17Pca]]. */
+  private[graft] val PcaComponents = 4
+
+  /** Fixed power-iteration rounds per component — fixed (not
+    * convergence-tested) so the result is a pure bounded function of
+    * the corpus and the oracle unrolls exactly this many rounds (the
+    * g01 contract).
+    */
+  private[graft] val PcaIters = 8
+
+  /** Eigenvector ticks: loadings are max-normalized to ±2¹². */
+  private[graft] val PcaGrid = 4096L
+
+  /** Deflated-Gram clamp (±2²¹): the shared hard bound that keeps
+    * every power-iteration product inside int64 regardless of
+    * worst-case deflation growth; never binds on a PSD covariance.
+    */
+  private[graft] val PcaClamp = 2097152L
+
+  /** s17: PCA over the embedding corpus — the linear
+    * dimensionality-reduction companion to the SQ8/PQ quantizers
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/feature/PCA.scala:1, which computes the covariance
+    * Gram and its top eigenvectors in-core on the driver): project
+    * onto the top [[PcaComponents]] covariance eigenvectors BEFORE
+    * quantizing and the same ANN bit budget buys more recall — the
+    * standard pre-ANN compression chain (PCA → SQ8/PQ).
+    *
+    * All-integer determinism contract (the s13 family posture, no
+    * shared float trees needed):
+    *
+    *  1. Coordinates quantize to the 2⁻¹⁰ grid (q = ⌊x·1024+0.5⌋ —
+    *     the lloydRefine scale). ONE corpus scan builds the raw
+    *     second-moment matrix P_ij = Σ q_i·q_j as a partial-agg'd
+    *     (i, j) group (the per-row 64×64 outer product explodes
+    *     map-side and combines immediately — the shuffle carries
+    *     ≤ 64² rows per map task, never the corpus); a second cheap
+    *     scan takes the first moments s_i. Production fuses the two
+    *     into one 2 144-column aggregate (the q40 moment pattern).
+    *  2. Centered Gram, exact: G_ij = n·P_ij − s_i·s_j (= n²·Cov).
+    *     For unit-norm embeddings |G| ≤ 2n²·2²⁰, int64-safe to
+    *     n ≈ 2·10⁶ vectors; beyond — the 100 TB corpus — the
+    *     documented retune coarsens the coordinate grid to 2⁻⁶ and
+    *     centers per partition before the global merge (the f02
+    *     overflow convention).
+    *  3. Rescale once to bounded ticks: Gs = G div max(gmax div 2²⁰,
+    *     1) with gmax = max|G| — |Gs| ≤ 2²¹ keeps every later
+    *     product under 2⁵⁷ with no further divisions.
+    *  4. Per component: start at e_k (k = argmax diagonal, ties to
+    *     the smaller dim), [[PcaIters]] rounds of w = Gs·v followed
+    *     by MAX-norm renormalization to the ±[[PcaGrid]] grid
+    *     (v = (w·4096) div max|w| — truncating toward zero, both
+    *     engines agree on negatives); eigenvalue = Rayleigh ticks
+    *     (vᵀGs·v) div (vᵀv); deflate Gs_ij −= (λ·v_i·v_j) div (vᵀv),
+    *     then clamp to ±2²¹ ([[PcaClamp]] — never binds on a PSD-ish
+    *     covariance, but turns the worst-case deflation growth bound
+    *     from 65× per component into a hard invariant both engines
+    *     share, keeping every product provably inside int64). Every
+    *     sum is an exact order-independent long sum; every division
+    *     a truncating integer div — bit-reproducible cross-engine
+    *     with zero floating point.
+    *
+    * Only steps 1–2 touch the corpus. The eigensolve itself runs on
+    * the DRIVER over the collected Gram — a FIXED 64×64 = 4 096-row
+    * control-plane read, corpus-size-independent (the d07/s09
+    * bounded-collect inventory) — exactly the reference PCA's
+    * decomposition: distributed Gram, in-core eigensolve
+    * (mllib/feature/PCA.scala computes Breeze eigs driver-side).
+    * Driving 32 one-row normalization barriers through frames would
+    * cost ~150 scheduler round-trips to move ≤ 64 longs each.
+    * Output: (component, dim, loading_ticks, eigval_ticks), 4×64
+    * rows.
+    */
+  def s17Pca(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qf = Tables.embeddings(spark, sfDir)
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+      .localCheckpoint(true)
+    val nf = qf.agg(count(lit(1)).as("n"))
+    val sums = qf.select(posexplode(col("q")).as(Seq("pi", "qi")))
+      .groupBy(col("pi").cast("long").as("i")).agg(sum(col("qi")).as("s"))
+    val pairs = qf.select(explode(expr(
+        """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+          |named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+          |             'p', qi * qj))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("p"))
+    val g0 = pairs
+      .join(sums.select(col("i"), col("s").as("si")), "i")
+      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
+      .crossJoin(broadcast(nf))
+      .select(col("i"), col("j"),
+        (col("n") * col("p") - col("si") * col("sj")).as("g"))
+    val gmax = g0.agg(greatest(max(abs(col("g"))), lit(1L)).as("gmax"))
+    // the bounded control-plane read: fixed 64x64 Gram ticks
+    val gsRows = g0.crossJoin(broadcast(gmax))
+      .select(col("i"), col("j"),
+        expr("g div greatest(gmax div 1048576, 1)").as("g"))
+      .collect()
+    val d = EmbDim
+    val G = Array.ofDim[Long](d, d)
+    gsRows.foreach(r => G(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    val out = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (comp <- 0 until PcaComponents) {
+      var k0 = 0
+      for (i <- 1 until d) if (G(i)(i) > G(k0)(k0)) k0 = i
+      var v = Array.tabulate(d)(i => if (i == k0) PcaGrid else 0L)
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(d) { i =>
+          var s = 0L; var j = 0
+          while (j < d) { s += G(i)(j) * v(j); j += 1 }; s
+        }
+        val wm = math.max(w.map(math.abs).max, 1L)
+        v = w.map(x => (x * PcaGrid) / wm)
+      }
+      // fully-deflated (zero) matrix => zero vector; guard the divisor
+      val vtv = math.max(v.map(x => x * x).sum, 1L)
+      var vgv = 0L
+      for (i <- 0 until d; j <- 0 until d) vgv += G(i)(j) * v(j) * v(i)
+      val lam = vgv / vtv
+      for (i <- 0 until d; j <- 0 until d) {
+        val g2 = G(i)(j) - lam * v(i) * v(j) / vtv
+        G(i)(j) = math.max(math.min(g2, PcaClamp), -PcaClamp)
+      }
+      for (i <- 0 until d) out += ((comp.toLong, i.toLong, v(i), lam))
+    }
+    out.result()
+      .toDF("component", "dim", "loading_ticks", "eigval_ticks")
+      .orderBy(col("component"), col("dim"))
+  }
+
+  /** The DuckDB twin of [[s17Pca]]: the same integer moment scan,
+    * Gram rescale, and unrolled power-iteration/deflation rounds.
+    */
+  private[graft] def pcaOracleSql: String = {
+    val comps = (0 until PcaComponents).map { c =>
+      val prevGs = if (c == 0) "gs0" else s"gsd${c - 1}"
+      val rounds = (1 to PcaIters).map { r =>
+        val prevV = if (r == 1) s"vv${c}_0" else s"vv${c}_${r - 1}"
+        s"""w${c}_$r AS MATERIALIZED (SELECT gs.i, CAST(sum(gs.g * v.vt) AS BIGINT) AS w
+           |  FROM $prevGs gs JOIN $prevV v ON gs.j = v.j GROUP BY gs.i),
+           |m${c}_$r AS MATERIALIZED (SELECT greatest(max(abs(w)), 1) AS wm FROM w${c}_$r),
+           |vv${c}_$r AS MATERIALIZED (SELECT i AS j, (w * $PcaGrid) // (SELECT wm FROM m${c}_$r) AS vt
+           |  FROM w${c}_$r WHERE (w * $PcaGrid) // (SELECT wm FROM m${c}_$r) <> 0)"""
+          .stripMargin
+      }
+      val vF = s"vv${c}_$PcaIters"
+      s"""k$c AS MATERIALIZED (SELECT i AS j, CAST($PcaGrid AS BIGINT) AS vt FROM $prevGs
+         |  WHERE i = j ORDER BY g DESC, i LIMIT 1),
+         |vv${c}_0 AS MATERIALIZED (SELECT j, vt FROM k$c),
+         |${rounds.mkString(",\n")},
+         |tv$c AS MATERIALIZED (
+         |  SELECT coalesce(CAST(sum(vt * vt) AS BIGINT), 1) AS vtv FROM $vF),
+         |lm$c AS MATERIALIZED (
+         |  SELECT coalesce(CAST(sum(gs.g * vj.vt * vi.vt) AS BIGINT), 0)
+         |    // (SELECT vtv FROM tv$c) AS lam
+         |  FROM $prevGs gs JOIN $vF vj ON gs.j = vj.j JOIN $vF vi ON gs.i = vi.j),
+         |gsd$c AS MATERIALIZED (SELECT gs.i, gs.j,
+         |    greatest(least(
+         |      gs.g - CASE WHEN vi.vt IS NOT NULL AND vj.vt IS NOT NULL
+         |        THEN ((SELECT lam FROM lm$c) * vi.vt * vj.vt) // (SELECT vtv FROM tv$c)
+         |        ELSE 0 END, $PcaClamp), -$PcaClamp) AS g
+         |  FROM $prevGs gs LEFT JOIN $vF vi ON gs.i = vi.j
+         |  LEFT JOIN $vF vj ON gs.j = vj.j),
+         |out$c AS MATERIALIZED (SELECT CAST($c AS BIGINT) AS component, d.i AS dim,
+         |    coalesce(v.vt, 0) AS loading_ticks,
+         |    (SELECT lam FROM lm$c) AS eigval_ticks
+         |  FROM sums d LEFT JOIN $vF v ON v.j = d.i)""".stripMargin
+    }
+    val union = (0 until PcaComponents).map(c => s"SELECT * FROM out$c")
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |sums AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(sum(q[a.i + 1]) AS BIGINT) AS s
+       |  FROM base, UNNEST(generate_series(0, 63)) AS a(i) GROUP BY 1),
+       |pr AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+       |    CAST(sum(q[a.i + 1] * q[b.j + 1]) AS BIGINT) AS p
+       |  FROM base, UNNEST(generate_series(0, 63)) AS a(i),
+       |       UNNEST(generate_series(0, 63)) AS b(j)
+       |  GROUP BY 1, 2),
+       |g0 AS MATERIALIZED (SELECT p.i, p.j, (SELECT n FROM nn) * p.p - si.s * sj.s AS g
+       |  FROM pr p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j),
+       |gm AS MATERIALIZED (SELECT greatest(max(abs(g)), 1) AS gmax FROM g0),
+       |gs0 AS MATERIALIZED (SELECT i, j, g // greatest((SELECT gmax FROM gm) // 1048576, 1) AS g
+       |  FROM g0),
+       |${comps.mkString(",\n")}
+       |SELECT component, dim, loading_ticks, eigval_ticks FROM (
+       |$union
+       |) ORDER BY component, dim""".stripMargin
+  }
 }

@@ -827,6 +827,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hasBloom, "executed plan must contain the bloom prefilter")
   }
 
+  test("s17 pca recovers a planted two-component spectrum exactly") {
+    import spark.implicits._
+    // 8 vectors with variance ONLY along u = (e0+e1) and w = (e2-e3):
+    // alpha in {±2, ±1} on u, beta = ±0.25 on w, sums and the cross
+    // moment all zero by construction — the covariance is exactly
+    // block-diagonal, so the integer power iteration must land on the
+    // planted axes with zero off-axis loadings and deflate to the
+    // zero matrix (components 2 and 3 empty).
+    val alphas = Seq(2f, -2f, 1f, -1f, 2f, -2f, 1f, -1f)
+    val betas = Seq(.25f, .25f, -.25f, -.25f, .25f, .25f, -.25f, -.25f)
+    val rows = alphas.zip(betas).zipWithIndex.map { case ((a, b), k) =>
+      val v = Array.fill(64)(0f)
+      v(0) = a; v(1) = a; v(2) = b; v(3) = -b
+      (k.toLong, v.toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.s17Pca(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == Similarity.PcaComponents * 64)
+    val byComp = out.groupBy(_._1)
+    // component 0: the u axis, equal ±4096 on dims 0/1, eigenvalue
+    // 2^21 ticks (hand-computed from the exact integer chain)
+    val c0 = byComp(0L).map(t => t._2 -> t._3).toMap
+    assert(c0(0L) == 4096L && c0(1L) == 4096L)
+    assert((2L until 64L).forall(c0(_) == 0L), "no off-axis loading on c0")
+    assert(byComp(0L).head._4 == 2097152L)
+    // component 1: the w axis with the sign split, eigenvalue 52428
+    val c1 = byComp(1L).map(t => t._2 -> t._3).toMap
+    assert(c1(2L) == 4096L && c1(3L) == -4096L)
+    assert((Seq(0L, 1L) ++ (4L until 64L)).forall(c1(_) == 0L))
+    assert(byComp(1L).head._4 == 52428L)
+    // deflation is exact: nothing left for components 2 and 3
+    for (c <- 2L until Similarity.PcaComponents.toLong) {
+      assert(byComp(c).forall(_._3 == 0L), s"component $c must be empty")
+      assert(byComp(c).head._4 == 0L)
+    }
+    // corpus run: deterministic; the embedding cloud is near-isotropic
+    // (unit vectors, no planted structure), so fixed-round power
+    // iteration can't ORDER the flat spectrum — assert the PSD
+    // invariant (all Rayleigh ticks positive) instead
+    val a = Similarity.s17Pca(spark, sfDir).collect().toSeq
+    assert(a == Similarity.s17Pca(spark, sfDir).collect().toSeq)
+    val eig = a.groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.head.getLong(3) }
+    assert(eig.values.forall(_ > 0L), s"PSD spectrum must be positive: $eig")
+  }
+
   test("s02 LSH ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
