@@ -921,12 +921,16 @@ object TextAnalysis {
     * Scale shape: one stacked scan (3 rows per doc), two tiny
     * broadcast joins, one partial-agg'd (feature, bin) count, and
     * everything after is a 48-row frame. The mllib deep-tree
-    * extension repeats this per node on filtered partitions — same
-    * primitive, documented.
+    * extension repeats this per node on filtered partitions — the
+    * same primitive, now executable as [[t22DecisionTree]].
     */
-  def t20DecisionStump(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The (y, v1, v2, v3) feature frame behind t20/t22 — label plus
+    * the three integer features (n_chars, token count,
+    * distinct-token-ratio ticks).
+    */
+  private[graft] def docFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+    Tables.documents(spark, sfDir).select(col("doc_id"),
       when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"),
       col("n_chars").cast("long").as("v1"),
       call_function("word_grams", lower(col("text")), lit(1)).as("toks"))
@@ -935,6 +939,15 @@ object TextAnalysis {
         when(size(col("toks")) > 0,
           expr("(size(array_distinct(toks)) * 1048576L) div size(toks)"))
           .otherwise(lit(0L)).as("v3"))
+  }
+
+  /** The binned split-search primitive over a (y, v1, v2, v3) node
+    * frame — ONE best-split row (empty when no feature has ≥ 2
+    * populated bins, i.e. the node is unsplittable). t20 is this on
+    * the full corpus; t22 re-runs it per child partition — the mllib
+    * per-node recursion made executable.
+    */
+  private[graft] def stumpCore(docs: DataFrame): DataFrame = {
     val lf = docs.select(col("y"),
       expr("stack(3, 'n_chars', v1, 'n_tokens', v2, 'distinct_ratio', v3)")
         .as(Seq("feature", "x")))
@@ -977,6 +990,48 @@ object TextAnalysis {
         col("mn").as("f_min"), col("mx").as("f_max"), col("cost_ticks"),
         col("n_left"), col("pos_left"), col("predict_left"),
         col("n_right"), col("pos_right"), col("predict_right"))
+  }
+
+  def t20DecisionStump(spark: SparkSession, sfDir: String): DataFrame =
+    stumpCore(docFeatures(spark, sfDir))
+
+  /** t22: depth-2 decision tree — t20's binned primitive recursed
+    * once per child, the mllib per-node loop made executable
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/tree/DecisionTree.scala:1 runs exactly this
+    * findBestSplits pass level by level over node-filtered rows):
+    * the root split partitions the corpus by the root feature's bin
+    * (same data-derived [min, max] grid), and each child re-runs the
+    * SAME bounded (feature, bin) search with CHILD-LOCAL bin ranges
+    * — candidate count stays (features × bins) per node, independent
+    * of corpus size, and each level is one partial-agg'd pass over
+    * the node's rows. An unsplittable child (every feature a single
+    * populated bin) emits no row — the leaf case. Output: t20's
+    * columns prefixed by node ∈ {root, left, right}, ordered by
+    * node.
+    */
+  def t22DecisionTree(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = docFeatures(spark, sfDir).localCheckpoint(true)
+    val root = stumpCore(f).localCheckpoint(true)
+    val withBin = f.crossJoin(broadcast(root.select(
+        col("feature").as("rf"), col("split_bin").as("rb"),
+        col("f_min").as("rmn"), col("f_max").as("rmx"))))
+      .withColumn("xr",
+        when(col("rf") === "n_chars", col("v1"))
+          .when(col("rf") === "n_tokens", col("v2"))
+          .otherwise(col("v3")))
+      .withColumn("rbin",
+        expr(s"((xr - rmn) * $StumpBins) div (rmx - rmn + 1)"))
+    val kids = Seq(
+      "left" -> withBin.filter(col("rbin") <= col("rb")),
+      "right" -> withBin.filter(col("rbin") > col("rb")))
+    val out = root.select(lit("root").as("node"), col("*")) +:
+      kids.map { case (name, part) =>
+        stumpCore(part.select(col("doc_id"), col("y"),
+            col("v1"), col("v2"), col("v3")))
+          .select(lit(name).as("node"), col("*"))
+      }
+    out.reduce(_ unionByName _).orderBy(col("node"))
   }
 
   /** The DuckDB twin of [[t20DecisionStump]]: 3-way UNION ALL for the
@@ -1038,6 +1093,105 @@ object TextAnalysis {
       |  b.nn - b.nl AS n_right, b.npos - b.posl AS pos_right,
       |  (b.npos - b.posl) * 2 >= b.nn - b.nl AS predict_right
       |FROM b JOIN st ON b.feature = st.feature""".stripMargin
+
+  /** One suffixed binned-split-search CTE chain over `src` (a
+    * (y, v1, v2, v3) frame) — the SQL twin of [[stumpCore]], reused
+    * per tree node by [[treeOracleSql]].
+    */
+  private def stumpChainCtes(sfx: String, src: String): String =
+    s"""lf$sfx AS (
+       |  SELECT y, 'n_chars' AS feature, v1 AS x FROM $src
+       |  UNION ALL SELECT y, 'n_tokens', v2 FROM $src
+       |  UNION ALL SELECT y, 'distinct_ratio', v3 FROM $src),
+       |st$sfx AS MATERIALIZED (
+       |  SELECT feature, min(x) AS mn, max(x) AS mx FROM lf$sfx GROUP BY 1),
+       |bn$sfx AS (
+       |  SELECT lf.y, lf.feature,
+       |    ((lf.x - st.mn) * $StumpBins) // (st.mx - st.mn + 1) AS bin
+       |  FROM lf$sfx lf JOIN st$sfx st ON lf.feature = st.feature),
+       |pb$sfx AS MATERIALIZED (
+       |  SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM bn$sfx GROUP BY 1, 2),
+       |tt$sfx AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(pos) AS BIGINT) AS npos FROM pb$sfx GROUP BY 1),
+       |cu$sfx AS (
+       |  SELECT feature, bin,
+       |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nl,
+       |    CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS posl
+       |  FROM pb$sfx),
+       |ca$sfx AS (
+       |  SELECT cu.feature, cu.bin, cu.nl, cu.posl, tt.nn, tt.npos,
+       |    cu.nl * CAST(floor((1.0 - (cu.posl * cu.posl
+       |                  + (cu.nl - cu.posl) * (cu.nl - cu.posl))
+       |                 / (CAST(cu.nl AS DOUBLE) * CAST(cu.nl AS DOUBLE)))
+       |               * 1048576.0 + 0.5) AS BIGINT)
+       |    + (tt.nn - cu.nl) * CAST(floor((1.0
+       |        - ((tt.npos - cu.posl) * (tt.npos - cu.posl)
+       |           + ((tt.nn - cu.nl) - (tt.npos - cu.posl))
+       |             * ((tt.nn - cu.nl) - (tt.npos - cu.posl)))
+       |          / (CAST(tt.nn - cu.nl AS DOUBLE) * CAST(tt.nn - cu.nl AS DOUBLE)))
+       |        * 1048576.0 + 0.5) AS BIGINT) AS cost_ticks
+       |  FROM cu$sfx cu JOIN tt$sfx tt ON cu.feature = tt.feature
+       |  WHERE cu.nl < tt.nn),
+       |b$sfx AS MATERIALIZED (
+       |  SELECT * FROM ca$sfx ORDER BY cost_ticks, feature, bin LIMIT 1)"""
+      .stripMargin
+
+  /** One node's output row from a suffixed chain. */
+  private def stumpNodeSelect(node: String, sfx: String): String =
+    s"""SELECT '$node' AS node, b.feature, b.bin AS split_bin,
+       |  st.mn AS f_min, st.mx AS f_max,
+       |  b.cost_ticks, b.nl AS n_left, b.posl AS pos_left,
+       |  b.posl * 2 >= b.nl AS predict_left,
+       |  b.nn - b.nl AS n_right, b.npos - b.posl AS pos_right,
+       |  (b.npos - b.posl) * 2 >= b.nn - b.nl AS predict_right
+       |FROM b$sfx b JOIN st$sfx st ON b.feature = st.feature""".stripMargin
+
+  /** The DuckDB twin of [[t22DecisionTree]]: the shared feature
+    * frame, the root chain, the two child partitions filtered by the
+    * root split, and a re-suffixed chain per child.
+    */
+  private[graft] def treeOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(n_chars AS BIGINT) AS v1,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |                         t -> t <> '')) AS BIGINT) AS v2,
+       |    list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |                t -> t <> '') AS tk
+       |  FROM documents),
+       |d2 AS MATERIALIZED (
+       |  SELECT y, v1, v2,
+       |    CASE WHEN v2 > 0
+       |      THEN (CAST(len(list_distinct(tk)) AS BIGINT) * 1048576) // v2
+       |      ELSE 0 END AS v3
+       |  FROM d),
+       |${stumpChainCtes("0", "d2")},
+       |broot AS MATERIALIZED (
+       |  SELECT b.feature, b.bin, st.mn, st.mx
+       |  FROM b0 b JOIN st0 st ON b.feature = st.feature),
+       |dl AS MATERIALIZED (
+       |  SELECT d2.y, d2.v1, d2.v2, d2.v3 FROM d2, broot
+       |  WHERE ((CASE broot.feature WHEN 'n_chars' THEN d2.v1
+       |            WHEN 'n_tokens' THEN d2.v2 ELSE d2.v3 END
+       |          - broot.mn) * $StumpBins) // (broot.mx - broot.mn + 1)
+       |        <= broot.bin),
+       |dr AS MATERIALIZED (
+       |  SELECT d2.y, d2.v1, d2.v2, d2.v3 FROM d2, broot
+       |  WHERE ((CASE broot.feature WHEN 'n_chars' THEN d2.v1
+       |            WHEN 'n_tokens' THEN d2.v2 ELSE d2.v3 END
+       |          - broot.mn) * $StumpBins) // (broot.mx - broot.mn + 1)
+       |        > broot.bin),
+       |${stumpChainCtes("1", "dl")},
+       |${stumpChainCtes("2", "dr")}
+       |SELECT * FROM (
+       |${stumpNodeSelect("root", "0")}
+       |UNION ALL
+       |${stumpNodeSelect("left", "1")}
+       |UNION ALL
+       |${stumpNodeSelect("right", "2")}
+       |) ORDER BY node""".stripMargin
 
   /** The DuckDB twin of [[t19NaiveBayes]] — the same tick model as
     * CTEs; argmin via row_number over (nll, cls).

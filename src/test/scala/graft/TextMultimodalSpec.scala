@@ -393,6 +393,51 @@ class TextMultimodalSpec extends AnyFunSuite {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("t22 tree recovers a planted two-level XOR structure") {
+    import spark.implicits._
+    // XOR plant: label = (short n_chars) XOR (many tokens) — NO single
+    // split separates (every stump costs 2·8·gini(0.5)), so the root
+    // falls to the (cost, feature, bin) tie-break ('n_chars' <
+    // 'n_tokens'), and each CHILD then splits PURELY on n_tokens with
+    // opposite leaf polarities. distinct_ratio is 1.0 for every doc
+    // (all-unique tokens) — a single populated bin, provably inert.
+    val few = "a b"
+    val many = "a b c d e f g h"
+    val docs =
+      (0L to 3L).map(i => (i, few, "en", "s", 10L)) ++
+      (4L to 7L).map(i => (i, many, "de", "s", 10L)) ++
+      (8L to 11L).map(i => (i, few, "de", "s", 1000L)) ++
+      (12L to 15L).map(i => (i, many, "en", "s", 1000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tree").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.t22DecisionTree(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("root", "left", "right"))
+    val root = rows("root")
+    assert(root.getString(1) == "n_chars" && root.getLong(2) == 0L)
+    // both root sides are 8 docs at gini 0.5: cost = 2·8·524288 ticks
+    assert(root.getLong(5) == 8388608L, s"root cost: $root")
+    for ((node, posLeft, predLeft) <- Seq(("left", 4L, true), ("right", 0L, false))) {
+      val r = rows(node)
+      assert(r.getString(1) == "n_tokens", s"$node must split on tokens: $r")
+      assert(r.getLong(5) == 0L, s"$node leaves must be pure: $r")
+      assert(r.getLong(6) == 4L && r.getLong(7) == posLeft &&
+        r.getBoolean(8) == predLeft, s"$node left leaf: $r")
+      assert(r.getLong(9) == 4L && r.getLong(10) == 4L - posLeft &&
+        r.getBoolean(11) == !predLeft, s"$node right leaf: $r")
+    }
+    // corpus: the root row IS t20's stump, children partition its sides
+    val tree = TextAnalysis.t22DecisionTree(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val stump = TextAnalysis.t20DecisionStump(spark, sfDir).collect()(0)
+    assert(tree("root").toSeq.drop(1) == stump.toSeq)
+    assert(tree("left").getLong(6) + tree("left").getLong(9) == stump.getLong(5),
+      "left child rows must equal the root's n_left")
+    assert(tree("right").getLong(6) + tree("right").getLong(9) == stump.getLong(8),
+      "right child rows must equal the root's n_right")
+  }
+
   test("t21 bpe encode: trained segmentation applied back, totals reconcile with t18") {
     import spark.implicits._
     // fully merged vocabulary encodes each word as ONE symbol
