@@ -108,7 +108,8 @@ private[graft] object FrameMemo {
       graft.operators.Similarity.memoRetainedIds ++
       graft.operators.Graph.memoRetainedIds ++
       graft.operators.Itemsets.memoRetainedIds ++
-      graft.operators.TextAnalysis.memoRetainedIds
+      graft.operators.TextAnalysis.memoRetainedIds ++
+      graft.operators.Recommend.memoRetainedIds
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!retained.contains(id)) rdd.unpersist(blocking = false)
     }
@@ -123,5 +124,6 @@ private[graft] object FrameMemo {
     graft.operators.Graph.clearMemos()
     graft.operators.Itemsets.clearMemos()
     graft.operators.TextAnalysis.clearMemos()
+    graft.operators.Recommend.clearMemos()
   }
 }

@@ -121,6 +121,8 @@ object SparkEntry {
     "t20_decision_stump" -> (TextAnalysis.t20DecisionStump _),
     "t21_bpe_encode" -> (TextAnalysis.t21BpeEncode _),
     "t22_decision_tree" -> (TextAnalysis.t22DecisionTree _),
+    "t23_topics" -> (Recommend.t23Topics _),
+    "t24_topic_terms" -> (Recommend.t24TopicTerms _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -2771,6 +2773,8 @@ object SparkEntry {
     // t21: the shared trainer CTEs + encode join + per-source rollup.
     "t21_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
     "t22_decision_tree" -> TextAnalysis.treeOracleSql,
+    "t23_topics" -> Recommend.topicsOracleSql,
+    "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

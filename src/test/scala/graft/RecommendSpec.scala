@@ -135,4 +135,60 @@ class RecommendSpec extends AnyFunSuite {
     assert(fTicks.forall(t =>
       t > Recommend.AlsClampLo && t < Recommend.AlsClampHi))
   }
+
+  test("t23/t24 topics recover a planted two-block corpus") {
+    import spark.implicits._
+    // two topics as COUNT PROFILES over a SHARED vocabulary (the LDA
+    // notion: a topic is a distribution over terms, and every cell
+    // is observed so the least-squares objective constrains the full
+    // matrix): topic-A docs use alpha terms 4x and beta terms 1x,
+    // topic-B docs the reverse. Recovery = reconstructed affinity
+    // doc·term tracks the planted profile (own-topic terms ~4,
+    // other-topic terms ~1).
+    val aV = (0 until 6).map(i => s"alpha$i")
+    val bV = (0 until 6).map(i => s"beta$i")
+    def text(hi: Seq[String], lo: Seq[String]) =
+      (hi.flatMap(t => Seq.fill(4)(t)) ++ lo).mkString(" ")
+    val docs = (0L until 10L).map(i => (i, text(aV, bV), "en", "s", 30L)) ++
+      (10L until 20L).map(i => (i, text(bV, aV), "de", "s", 30L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_topics").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (docF, termF) = Recommend.topicFactors(spark, tmp)
+    val dv = docF.collect().map(r => r.getLong(0) ->
+      (0 until Recommend.AlsRank).map(k =>
+        r.getDouble(r.fieldIndex(s"f$k")))).toMap
+    val tv = termF.collect().map(r => r.getString(0) ->
+      (0 until Recommend.AlsRank).map(k =>
+        r.getDouble(r.fieldIndex(s"f$k")))).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def meanAff(ds: Seq[Long], ts: Seq[String]) = {
+      val vs = for (d <- ds; t <- ts) yield dot(dv(d), tv(t))
+      vs.sum / vs.length
+    }
+    val aDocs = (0L until 10L).toSeq; val bDocs = (10L until 20L).toSeq
+    val inA = meanAff(aDocs, aV); val inB = meanAff(bDocs, bV)
+    val crossA = meanAff(aDocs, bV); val crossB = meanAff(bDocs, aV)
+    info(f"affinity inA=$inA%.3f inB=$inB%.3f crossA=$crossA%.3f crossB=$crossB%.3f")
+    // planted 4-vs-1 profile: require most of the contrast recovered
+    assert(inA > crossA + 1.5 && inB > crossB + 1.5,
+      "own-topic affinity must recover the planted 4x/1x contrast")
+    // t24 structure on the planted corpus: 4 topics × exactly K rows,
+    // contiguous ranks, per-topic non-increasing weights, vocab terms
+    val tt = Recommend.t24TopicTerms(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(tt.length == Recommend.AlsRank * Recommend.TopicTermsK)
+    val vocab = (aV ++ bV).toSet
+    for (topic <- 0L until Recommend.AlsRank.toLong) {
+      val rows = tt.filter(_._1 == topic).sortBy(_._2)
+      assert(rows.map(_._2).toSeq == (1L to Recommend.TopicTermsK.toLong).toSeq)
+      assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
+        s"topic $topic weights must be non-increasing")
+      assert(rows.forall(r => vocab.contains(r._3)))
+    }
+    // corpus: deterministic
+    val x = Recommend.t24TopicTerms(spark, sfDir).collect().toSeq
+    assert(x == Recommend.t24TopicTerms(spark, sfDir).collect().toSeq)
+  }
 }
