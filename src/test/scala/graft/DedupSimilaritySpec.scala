@@ -876,6 +876,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(eig.values.forall(_ > 0L), s"PSD spectrum must be positive: $eig")
   }
 
+  test("s18 projected ANN ranks exactly like the full dot on an in-span corpus") {
+    import spark.implicits._
+    // 16 vectors strictly inside the planted 2-plane span{e0+e1,
+    // e2-e3} with unequal axis variances — the s17 spec geometry, so
+    // the loadings land EXACTLY on the axes with equal norms, and the
+    // 4-tick projection preserves dot products up to a positive
+    // scale: s18's ranking must equal the full 64-dim dot ranking.
+    val alphas = Seq(2f, -2f, 1f, -1f, 1.5f, -1.5f, 0.5f, -0.5f)
+    val pat = Seq(1f, 1f, -1f, -1f, 1f, 1f, -1f, -1f)
+    val vecs = (alphas.zip(pat).map { case (a, p) => (a, 0.25f * p) } ++
+      alphas.zip(pat).map { case (a, p) => (a, 0.5f * p) }).zipWithIndex
+      .map { case ((a, b), k) =>
+        val v = Array.fill(64)(0f)
+        v(0) = a; v(1) = a; v(2) = b; v(3) = -b
+        (k.toLong, v.toSeq, 0)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-ann").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // exact integer dot oracle over the quarter-grid ticks
+    val ticks = vecs.map { case (k, v, _) =>
+      k -> (math.round(v(0) * 1024).toLong, math.round(v(2) * 1024).toLong)
+    }.toMap
+    def dot(a: Long, b: Long) = {
+      val (aa, ab) = ticks(a); val (ba, bb) = ticks(b)
+      2L * (aa * ba + ab * bb)
+    }
+    val got = Similarity.s18PcaAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._3).map(_._2).toSeq
+      }
+    assert(got.keySet == (0L until 5L).toSet)
+    for (q <- 0L until 5L) {
+      val expected = (0L until 16L).filter(_ != q)
+        .sortBy(c => (-dot(q, c), c)).take(10)
+      assert(got(q) == expected,
+        s"query $q: projected ranking ${got(q)} != exact ${expected}")
+    }
+    // corpus run: structural + deterministic
+    val a = Similarity.s18PcaAnn(spark, sfDir).collect()
+    assert(a.length == 50 &&
+      a.toSeq == Similarity.s18PcaAnn(spark, sfDir).collect().toSeq)
+  }
+
   test("s02 LSH ANN recall@10 vs s01 brute force") {
     val exact = Similarity.s01AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
