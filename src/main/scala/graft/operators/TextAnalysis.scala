@@ -1034,6 +1034,43 @@ object TextAnalysis {
     out.reduce(_ unionByName _).orderBy(col("node"))
   }
 
+  /** Trees in [[t25RandomForest]]. */
+  private[graft] val RfTrees = 6
+
+  /** t25: random forest of bagged stumps — the reference's ensemble
+    * surface (reference: /root/reference/mllib/src/main/scala/org/
+    * apache/spark/mllib/tree/RandomForest.scala:1) on the repo's
+    * determinism contract: each tree trains on a DETERMINISTIC
+    * bootstrap (row kept iff md5₁₆("rf:<tree>:<doc>") mod 4 < 3 —
+    * the p03/d20 draw, so the DuckDB twin rebuilds every subsample
+    * exactly) with per-tree feature dropout (tree t zeroes feature
+    * t mod 3; a constant feature has one populated bin and provably
+    * never produces a candidate — mllib's featureSubsetStrategy made
+    * deterministic). Each tree is one [[stumpCore]] pass; a tree
+    * whose surviving features are all constant emits no row (the
+    * leaf case, same contract as t22). Output: the forest MODEL —
+    * t20's columns per tree, fully hash-verified; majority-vote
+    * prediction is a per-row map over these rows (the planted spec
+    * exercises it).
+    *
+    * Scale shape: [[RfTrees]] independent bounded split searches over
+    * ~3/4 subsamples of ONE shared feature scan — embarrassingly
+    * parallel, candidate count per tree still (features × bins).
+    */
+  def t25RandomForest(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = docFeatures(spark, sfDir).localCheckpoint(true)
+    val trees = (0 until RfTrees).map { t =>
+      val keep = (k: Int, c: Column) => if (t % 3 == k) lit(0L) else c
+      val sampled = f.filter(expr(
+          s"CAST(conv(substring(md5(concat('rf:$t:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 4 < 3"))
+        .select(col("doc_id"), col("y"),
+          keep(0, col("v1")).as("v1"), keep(1, col("v2")).as("v2"),
+          keep(2, col("v3")).as("v3"))
+      stumpCore(sampled).select(lit(t.toLong).as("tree"), col("*"))
+    }
+    trees.reduce(_ unionByName _).orderBy(col("tree"))
+  }
+
   /** The DuckDB twin of [[t20DecisionStump]]: 3-way UNION ALL for the
     * stacked feature frame, the same binning/Gini-tick/argmin chain.
     */
@@ -1138,9 +1175,12 @@ object TextAnalysis {
        |  SELECT * FROM ca$sfx ORDER BY cost_ticks, feature, bin LIMIT 1)"""
       .stripMargin
 
-  /** One node's output row from a suffixed chain. */
-  private def stumpNodeSelect(node: String, sfx: String): String =
-    s"""SELECT '$node' AS node, b.feature, b.bin AS split_bin,
+  /** One labelled output row from a suffixed chain (`labelSql` is
+    * the leading projection, e.g. `'root' AS node` or
+    * `CAST(3 AS BIGINT) AS tree`).
+    */
+  private def stumpLabelledSelect(labelSql: String, sfx: String): String =
+    s"""SELECT $labelSql, b.feature, b.bin AS split_bin,
        |  st.mn AS f_min, st.mx AS f_max,
        |  b.cost_ticks, b.nl AS n_left, b.posl AS pos_left,
        |  b.posl * 2 >= b.nl AS predict_left,
@@ -1152,21 +1192,27 @@ object TextAnalysis {
     * frame, the root chain, the two child partitions filtered by the
     * root split, and a re-suffixed chain per child.
     */
+  /** Shared (doc_id, y, v1, v2, v3) feature CTEs — the SQL twin of
+    * [[docFeatures]], reused by the tree and forest oracles.
+    */
+  private def stumpBaseCtes: String =
+    """d AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    CAST(n_chars AS BIGINT) AS v1,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+      |                         t -> t <> '')) AS BIGINT) AS v2,
+      |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+      |                t -> t <> '') AS tk
+      |  FROM documents),
+      |d2 AS MATERIALIZED (
+      |  SELECT doc_id, y, v1, v2,
+      |    CASE WHEN v2 > 0
+      |      THEN (CAST(len(list_distinct(tk)) AS BIGINT) * 1048576) // v2
+      |      ELSE 0 END AS v3
+      |  FROM d)""".stripMargin
+
   private[graft] def treeOracleSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-       |    CAST(n_chars AS BIGINT) AS v1,
-       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
-       |                         t -> t <> '')) AS BIGINT) AS v2,
-       |    list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
-       |                t -> t <> '') AS tk
-       |  FROM documents),
-       |d2 AS MATERIALIZED (
-       |  SELECT y, v1, v2,
-       |    CASE WHEN v2 > 0
-       |      THEN (CAST(len(list_distinct(tk)) AS BIGINT) * 1048576) // v2
-       |      ELSE 0 END AS v3
-       |  FROM d),
+    s"""WITH $stumpBaseCtes,
        |${stumpChainCtes("0", "d2")},
        |broot AS MATERIALIZED (
        |  SELECT b.feature, b.bin, st.mn, st.mx
@@ -1186,12 +1232,36 @@ object TextAnalysis {
        |${stumpChainCtes("1", "dl")},
        |${stumpChainCtes("2", "dr")}
        |SELECT * FROM (
-       |${stumpNodeSelect("root", "0")}
+       |${stumpLabelledSelect("'root' AS node", "0")}
        |UNION ALL
-       |${stumpNodeSelect("left", "1")}
+       |${stumpLabelledSelect("'left' AS node", "1")}
        |UNION ALL
-       |${stumpNodeSelect("right", "2")}
+       |${stumpLabelledSelect("'right' AS node", "2")}
        |) ORDER BY node""".stripMargin
+
+  /** The DuckDB twin of [[t25RandomForest]]: the shared feature
+    * CTEs, one md5-bootstrap + feature-dropout source per tree, and
+    * a re-suffixed split-search chain each.
+    */
+  private[graft] def forestOracleSql: String = {
+    val trees = (0 until RfTrees).map { t =>
+      val v = (k: Int) => if (t % 3 == k) "CAST(0 AS BIGINT)" else s"v${k + 1}"
+      s"""df$t AS MATERIALIZED (
+         |  SELECT doc_id, y, ${v(0)} AS v1, ${v(1)} AS v2, ${v(2)} AS v3
+         |  FROM d2
+         |  WHERE ('0x' || substr(md5('rf:$t:' || CAST(doc_id AS VARCHAR)), 1, 4))
+         |          ::UBIGINT % 4 < 3),
+         |${stumpChainCtes(s"f$t", s"df$t")}""".stripMargin
+    }
+    val union = (0 until RfTrees)
+      .map(t => stumpLabelledSelect(s"CAST($t AS BIGINT) AS tree", s"f$t"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH $stumpBaseCtes,
+       |${trees.mkString(",\n")}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY tree""".stripMargin
+  }
 
   /** The DuckDB twin of [[t19NaiveBayes]] — the same tick model as
     * CTEs; argmin via row_number over (nll, cls).

@@ -393,6 +393,57 @@ class TextMultimodalSpec extends AnyFunSuite {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("t25 forest: deterministic bootstrap, feature dropout, correct majority vote") {
+    import spark.implicits._
+    // n_chars separates en/de exactly; text identical so the token
+    // features are constant — a tree that drops n_chars (t % 3 == 0)
+    // has only constant features and must emit NO row (leaf case),
+    // every other tree must find the n_chars split at zero cost on
+    // its own md5 bootstrap.
+    val docs = (0L to 7L).map(i => (i, "x y z", "en", "s", 5L)) ++
+      (8L to 15L).map(i => (i, "x y z", "de", "s", 500L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_forest").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // replicate the md5 draw to know each tree's exact subsample
+    def kept(t: Int, doc: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rf:$t:$doc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 4), 16) % 4 < 3
+    }
+    val rows = TextAnalysis.t25RandomForest(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (t <- 0 until TextAnalysis.RfTrees) {
+      val sample = docs.map(_._1).filter(kept(t, _))
+      val nEn = sample.count(_ <= 7L); val nDe = sample.size - nEn
+      if (t % 3 == 0 || nEn == 0 || nDe == 0) {
+        // dropped n_chars, or a single-class bootstrap: nothing to split
+        assert(!rows.contains(t.toLong) ||
+          (t % 3 != 0 && rows(t.toLong).getLong(5) == 0L))
+      } else {
+        val r = rows(t.toLong)
+        assert(r.getString(1) == "n_chars" && r.getLong(5) == 0L,
+          s"tree $t must split n_chars at zero cost: $r")
+        // majority-vote check: this stump classifies every CORPUS doc
+        // correctly (en below the split bin, de above)
+        val (mn, mx, bin) = (r.getLong(3), r.getLong(4), r.getLong(2))
+        def side(v: Long) = (v - mn) * TextAnalysis.StumpBins / (mx - mn + 1) <= bin
+        assert(docs.forall { case (_, _, lang, _, nc) =>
+          side(nc) == (lang == "en") })
+      }
+    }
+    // the voting trees are unanimous and correct => majority vote is 1.0
+    assert(rows.nonEmpty, "at least one tree must vote")
+    // corpus: all trees split, never on their dropped feature
+    val fr = TextAnalysis.t25RandomForest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(fr.map(_._1).toSeq == (0L until TextAnalysis.RfTrees.toLong).toSeq)
+    val fname = Seq("n_chars", "n_tokens", "distinct_ratio")
+    assert(fr.forall { case (t, f) => f != fname((t % 3).toInt) },
+      s"a tree split on its dropped feature: ${fr.toSeq}")
+  }
+
   test("t22 tree recovers a planted two-level XOR structure") {
     import spark.implicits._
     // XOR plant: label = (short n_chars) XOR (many tokens) — NO single
