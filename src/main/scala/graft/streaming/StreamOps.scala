@@ -219,6 +219,44 @@ object StreamOps {
       .select(col("doc_id"), col("b.cls").as("predicted"),
         col("b.nll").as("nll_ticks"))
 
+  /** Streaming topic serve path, stream stage: incoming documents
+    * explode to tokens and probe the BATCH-trained t23 topic model
+    * (Recommend.topicFactors' term side — train batch, score
+    * stream, one model: the nbScoreStream decomposition) via a
+    * stateless stream-static broadcast join. Out-of-vocabulary
+    * tokens drop out — the trained vocabulary defines the feature
+    * space, exactly the NB serve contract. Emits one (doc_id,
+    * f0..f3 ticks) row per in-vocabulary token occurrence.
+    */
+  def topicScoreStream(docs: DataFrame, termTicks: DataFrame): DataFrame = {
+    graft.functions.registerAll(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .join(broadcast(termTicks), "token")
+  }
+
+  /** Sink-side per-micro-batch topic fold-in for
+    * [[topicScoreStream]]: exact long component sums per doc (the
+    * standard cold-start fold-in — a new document's topic mixture is
+    * the sum of its terms' topic loadings), dominant topic by
+    * max(struct(sum, −k)) so ties take the smaller component —
+    * deterministic across partitionings. Exact because a document's
+    * tokens all share its micro-batch (the annTopKBatch argument).
+    * Emits (doc_id, topic, score_ticks).
+    */
+  def topicAssignBatch(scored: DataFrame): DataFrame = {
+    val n = graft.operators.Recommend.AlsRank
+    val summed = scored.groupBy(col("doc_id"))
+      .agg(sum(col("t0")).as("s0"),
+        (1 until n).map(k => sum(col(s"t$k")).as(s"s$k")): _*)
+    val best = greatest((0 until n).map(k =>
+      struct(col(s"s$k").as("s"), lit(-k).cast("long").as("nk"))): _*)
+    summed.select(col("doc_id"), best.as("b"))
+      .select(col("doc_id"), (-col("b.nk")).as("topic"),
+        col("b.s").as("score_ticks"))
+  }
+
   /** Streaming twin of d10 incremental dedup, candidate stage: new
     * documents arrive as a stream and probe the STATIC corpus band
     * index — the continuous form of the daily batch-vs-corpus probe.

@@ -132,6 +132,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch drift: ${got.size} vs ${expected.size}")
   }
 
+  test("stream_topic_classify drains to the batch fold-in assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topicserve")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    // train batch (t23 term factors), score stream: one model
+    val terms = operators.Recommend.topicFactors(spark, sfDir)._2
+    val ticks = terms.select(Seq(col("s").as("token")) ++
+      (0 until operators.Recommend.AlsRank).map(k => col(s"t$k")): _*)
+      .localCheckpoint(true)
+    val stream = spark.readStream.schema(StreamOps.documentSchema)
+      .parquet(dir.toString)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamOps.topicScoreStream(stream, ticks).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= StreamOps.topicAssignBatch(batch).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = buf.sortBy(_._1).toSeq
+    // batch twin: the same fold-in over batch-ingested documents
+    val batchDocs = Tables.documents(spark, sfDir)
+    val expected = StreamOps.topicAssignBatch(
+        StreamOps.topicScoreStream(batchDocs, ticks))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"stream/batch drift: ${got.size} vs ${expected.size}")
+    // the assignment is a real decision: more than one topic used
+    assert(got.map(_._2).distinct.size > 1,
+      "fold-in must distribute docs over topics")
+  }
+
   test("stream_window_agg drains to the batch q30 result") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val q = StreamOps.windowAgg(stream)
