@@ -123,6 +123,7 @@ object SparkEntry {
     "t21_bpe_encode" -> (TextAnalysis.t21BpeEncode _),
     "t22_decision_tree" -> (TextAnalysis.t22DecisionTree _),
     "t25_random_forest" -> (TextAnalysis.t25RandomForest _),
+    "t26_boosted_stumps" -> (TextAnalysis.t26BoostedStumps _),
     "t23_topics" -> (Recommend.t23Topics _),
     "t24_topic_terms" -> (Recommend.t24TopicTerms _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
@@ -2777,6 +2778,7 @@ object SparkEntry {
     "t21_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
     "t22_decision_tree" -> TextAnalysis.treeOracleSql,
     "t25_random_forest" -> TextAnalysis.forestOracleSql,
+    "t26_boosted_stumps" -> TextAnalysis.boostOracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     "q39_recursive_cal" ->

@@ -947,8 +947,22 @@ object TextAnalysis {
     * the full corpus; t22 re-runs it per child partition — the mllib
     * per-node recursion made executable.
     */
-  private[graft] def stumpCore(docs: DataFrame): DataFrame = {
-    val lf = docs.select(col("y"),
+  private[graft] def stumpCore(docs: DataFrame): DataFrame =
+    stumpCoreW(docs.withColumn("w", lit(1L)))
+
+  /** The WEIGHTED split-search primitive over a (y, w, v1, v2, v3)
+    * frame — stumpCore with per-row long weights (bin mass = Σw,
+    * positives = Σ w·y); [[stumpCore]] is the w ≡ 1 instance, and
+    * the boosted ensemble (t26) re-runs this with its re-weighted
+    * rows each round. Weighted Gini stays deterministic cross-engine:
+    * the tick numerators are exact longs and both engines run the
+    * identical long→double conversion and division. (With weights
+    * capped at 2¹² and ~10¹¹ rows the pos² term would overflow
+    * int64 — the documented retune coarsens the weight grid, the
+    * f02 convention.)
+    */
+  private[graft] def stumpCoreW(docs: DataFrame): DataFrame = {
+    val lf = docs.select(col("y"), col("w"),
       expr("stack(3, 'n_chars', v1, 'n_tokens', v2, 'distinct_ratio', v3)")
         .as(Seq("feature", "x")))
     val stats = lf.groupBy(col("feature"))
@@ -956,7 +970,7 @@ object TextAnalysis {
     val binned = lf.join(broadcast(stats), "feature")
       .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
     val perBin = binned.groupBy(col("feature"), col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("y")).as("pos"))
       .localCheckpoint(true)
     val tot = perBin.groupBy(col("feature"))
       .agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
@@ -1036,6 +1050,80 @@ object TextAnalysis {
 
   /** Trees in [[t25RandomForest]]. */
   private[graft] val RfTrees = 6
+
+  /** Boosting rounds in [[t26BoostedStumps]]. */
+  private[graft] val BoostRounds = 3
+
+  /** t26: boosted stumps — the reference's gradient-boosting surface
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/tree/GradientBoostedTrees.scala:1) as discrete
+    * AdaBoost over the weighted split primitive, on an ALL-INTEGER
+    * weight contract so the DuckDB twin replicates every round
+    * bit-exactly:
+    *
+    *  - weights start at the 2¹² grid; each round's stump is
+    *    [[stumpCoreW]] over the weighted rows;
+    *  - err/total are exact long sums E, W; the round's vote weight
+    *    is alpha_ticks = ⌊log2((W−E)/E)·2²⁰ + 0.5⌋ — ONE log2 per
+    *    round over exact integer operands (the t09 contract), with
+    *    max(·,1) guards shared by both engines so a perfect stump
+    *    (E = 0) stays finite;
+    *  - the multiplicative update w·(W−E) for misclassified vs w·E
+    *    for correct keeps relative weights exactly AdaBoost's
+    *    (W−E)/E ratio in integers, then max-norm renormalizes back
+    *    to the 2¹² grid ((w·4096) div max, floored at 1) — the
+    *    truncating div both engines share, the s17 normalization
+    *    posture.
+    *
+    * Output: one MODEL row per round — t20's stump columns plus
+    * (err_w, total_w, alpha_ticks); ensemble prediction is
+    * sign-weighted voting over these rows (the planted spec
+    * exercises it: a column no single stump can classify is
+    * separated by 2 boosted rounds).
+    *
+    * Scale shape: per round ONE weighted feature scan (the bounded
+    * (feature, bin) histogram), one classify pass against a 1-row
+    * broadcast stump, two 1-row aggregates, one weight map — all
+    * partial-agg'd, nothing grows with rounds.
+    */
+  def t26BoostedStumps(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = docFeatures(spark, sfDir).localCheckpoint(true)
+    var wts = f.select(col("doc_id"), lit(4096L).as("w")).localCheckpoint(true)
+    val rounds = (1 to BoostRounds).map { r =>
+      val fw = f.join(wts, "doc_id")
+      val best = stumpCoreW(fw).localCheckpoint(true)
+      val cls = fw.crossJoin(broadcast(best.select(
+          col("feature").as("rf"), col("split_bin").as("rb"),
+          col("f_min").as("rmn"), col("f_max").as("rmx"),
+          col("predict_left").as("pl"), col("predict_right").as("pr"))))
+        .withColumn("pred",
+          when(expr(s"(((CASE WHEN rf = 'n_chars' THEN v1 WHEN rf = 'n_tokens' THEN v2 ELSE v3 END) - rmn) * $StumpBins) div (rmx - rmn + 1)") <= col("rb"),
+            col("pl")).otherwise(col("pr")))
+        .withColumn("correct", col("pred") === (col("y") === 1))
+        .localCheckpoint(true)
+      val er = cls.agg(sum(col("w")).as("tw"),
+          sum(when(!col("correct"), col("w")).otherwise(lit(0L))).as("ewr"))
+        .select(col("tw"), col("ewr"),
+          greatest(col("ewr"), lit(1L)).as("e1"),
+          greatest(col("tw") - col("ewr"), lit(1L)).as("g1"))
+        .withColumn("alpha_ticks", expr(
+          "CAST(floor(log2(CAST(g1 AS DOUBLE) / CAST(e1 AS DOUBLE)) * 1048576.0D + 0.5D) AS BIGINT)"))
+        .localCheckpoint(true)
+      val raw = cls.crossJoin(broadcast(er.select(col("e1"), col("g1"))))
+        .select(col("doc_id"),
+          (col("w") * when(col("correct"), col("e1")).otherwise(col("g1")))
+            .as("wr"))
+      val wmax = raw.agg(greatest(max(col("wr")), lit(1L)).as("wm"))
+      wts = raw.crossJoin(broadcast(wmax))
+        .select(col("doc_id"),
+          greatest(expr("(wr * 4096) div wm"), lit(1L)).as("w"))
+        .localCheckpoint(true)
+      best.crossJoin(broadcast(er.select(col("ewr").as("err_w"),
+          col("tw").as("total_w"), col("alpha_ticks"))))
+        .select(lit(r.toLong).as("round"), col("*"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
 
   /** t25: random forest of bagged stumps — the reference's ensemble
     * surface (reference: /root/reference/mllib/src/main/scala/org/
@@ -1261,6 +1349,112 @@ object TextAnalysis {
        |SELECT * FROM (
        |$union
        |) ORDER BY tree""".stripMargin
+  }
+
+  /** WEIGHTED suffixed split-search chain over `src` (a (y, w, v1,
+    * v2, v3) frame) — the SQL twin of [[stumpCoreW]]: bin mass is
+    * Σw, positives Σ w·y.
+    */
+  private def stumpChainCtesW(sfx: String, src: String): String =
+    s"""lf$sfx AS (
+       |  SELECT y, w, 'n_chars' AS feature, v1 AS x FROM $src
+       |  UNION ALL SELECT y, w, 'n_tokens', v2 FROM $src
+       |  UNION ALL SELECT y, w, 'distinct_ratio', v3 FROM $src),
+       |st$sfx AS MATERIALIZED (
+       |  SELECT feature, min(x) AS mn, max(x) AS mx FROM lf$sfx GROUP BY 1),
+       |bn$sfx AS (
+       |  SELECT lf.y, lf.w, lf.feature,
+       |    ((lf.x - st.mn) * $StumpBins) // (st.mx - st.mn + 1) AS bin
+       |  FROM lf$sfx lf JOIN st$sfx st ON lf.feature = st.feature),
+       |pb$sfx AS MATERIALIZED (
+       |  SELECT feature, bin, CAST(sum(w) AS BIGINT) AS n,
+       |    CAST(sum(w * y) AS BIGINT) AS pos
+       |  FROM bn$sfx GROUP BY 1, 2),
+       |tt$sfx AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(pos) AS BIGINT) AS npos FROM pb$sfx GROUP BY 1),
+       |cu$sfx AS (
+       |  SELECT feature, bin,
+       |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nl,
+       |    CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS posl
+       |  FROM pb$sfx),
+       |ca$sfx AS (
+       |  SELECT cu.feature, cu.bin, cu.nl, cu.posl, tt.nn, tt.npos,
+       |    cu.nl * CAST(floor((1.0 - (cu.posl * cu.posl
+       |                  + (cu.nl - cu.posl) * (cu.nl - cu.posl))
+       |                 / (CAST(cu.nl AS DOUBLE) * CAST(cu.nl AS DOUBLE)))
+       |               * 1048576.0 + 0.5) AS BIGINT)
+       |    + (tt.nn - cu.nl) * CAST(floor((1.0
+       |        - ((tt.npos - cu.posl) * (tt.npos - cu.posl)
+       |           + ((tt.nn - cu.nl) - (tt.npos - cu.posl))
+       |             * ((tt.nn - cu.nl) - (tt.npos - cu.posl)))
+       |          / (CAST(tt.nn - cu.nl AS DOUBLE) * CAST(tt.nn - cu.nl AS DOUBLE)))
+       |        * 1048576.0 + 0.5) AS BIGINT) AS cost_ticks
+       |  FROM cu$sfx cu JOIN tt$sfx tt ON cu.feature = tt.feature
+       |  WHERE cu.nl < tt.nn),
+       |b$sfx AS MATERIALIZED (
+       |  SELECT * FROM ca$sfx ORDER BY cost_ticks, feature, bin LIMIT 1)"""
+      .stripMargin
+
+  /** The DuckDB twin of [[t26BoostedStumps]]: per round a weighted
+    * chain, a 1-row stump summary, the classify pass, exact E/W
+    * sums + the alpha tick, and the integer weight update.
+    */
+  private[graft] def boostOracleSql: String = {
+    val rounds = (1 to BoostRounds).map { r =>
+      val sfx = s"b$r"
+      s"""fw$r AS MATERIALIZED (
+         |  SELECT d2.doc_id, d2.y, d2.v1, d2.v2, d2.v3, w$r.w
+         |  FROM d2 JOIN w$r ON d2.doc_id = w$r.doc_id),
+         |${stumpChainCtesW(sfx, s"fw$r")},
+         |bs$r AS MATERIALIZED (
+         |  SELECT b.feature, b.bin, st.mn, st.mx,
+         |    b.posl * 2 >= b.nl AS pl,
+         |    (b.npos - b.posl) * 2 >= b.nn - b.nl AS pr
+         |  FROM b$sfx b JOIN st$sfx st ON b.feature = st.feature),
+         |cl$r AS MATERIALIZED (
+         |  SELECT fw.doc_id, fw.y, fw.w,
+         |    (CASE WHEN (((CASE WHEN bb.feature = 'n_chars' THEN fw.v1
+         |                WHEN bb.feature = 'n_tokens' THEN fw.v2
+         |                ELSE fw.v3 END) - bb.mn) * $StumpBins)
+         |              // (bb.mx - bb.mn + 1) <= bb.bin
+         |       THEN bb.pl ELSE bb.pr END) = (fw.y = 1) AS correct
+         |  FROM fw$r fw CROSS JOIN bs$r bb),
+         |er$r AS MATERIALIZED (
+         |  SELECT tw, ewr, greatest(ewr, 1) AS e1, greatest(tw - ewr, 1) AS g1,
+         |    CAST(floor(log2(CAST(greatest(tw - ewr, 1) AS DOUBLE)
+         |                    / CAST(greatest(ewr, 1) AS DOUBLE))
+         |               * 1048576.0 + 0.5) AS BIGINT) AS alpha_ticks
+         |  FROM (SELECT CAST(sum(w) AS BIGINT) AS tw,
+         |          CAST(coalesce(sum(CASE WHEN NOT correct THEN w ELSE 0 END), 0)
+         |               AS BIGINT) AS ewr
+         |        FROM cl$r) s),
+         |wr$r AS (
+         |  SELECT cl.doc_id,
+         |    cl.w * (CASE WHEN cl.correct THEN er.e1 ELSE er.g1 END) AS wr
+         |  FROM cl$r cl CROSS JOIN er$r er),
+         |wm$r AS (SELECT greatest(max(wr), 1) AS wm FROM wr$r),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT doc_id, greatest((wr * 4096) // (SELECT wm FROM wm$r), 1) AS w
+         |  FROM wr$r)""".stripMargin
+    }
+    val union = (1 to BoostRounds).map { r =>
+      val sfx = s"b$r"
+      s"""SELECT CAST($r AS BIGINT) AS round, b.feature, b.bin AS split_bin,
+         |  st.mn AS f_min, st.mx AS f_max,
+         |  b.cost_ticks, b.nl AS n_left, b.posl AS pos_left,
+         |  b.posl * 2 >= b.nl AS predict_left,
+         |  b.nn - b.nl AS n_right, b.npos - b.posl AS pos_right,
+         |  (b.npos - b.posl) * 2 >= b.nn - b.nl AS predict_right,
+         |  er.ewr AS err_w, er.tw AS total_w, er.alpha_ticks
+         |FROM b$sfx b JOIN st$sfx st ON b.feature = st.feature
+         |CROSS JOIN er$r er""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $stumpBaseCtes,
+       |w1 AS MATERIALIZED (SELECT doc_id, CAST(4096 AS BIGINT) AS w FROM d2),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY round""".stripMargin
   }
 
   /** The DuckDB twin of [[t19NaiveBayes]] — the same tick model as

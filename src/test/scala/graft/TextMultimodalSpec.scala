@@ -444,6 +444,50 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"a tree split on its dropped feature: ${fr.toSeq}")
   }
 
+  test("t26 boosting separates a band no single stump can") {
+    import spark.implicits._
+    // three n_chars bands: de(10) | en(100) | de(1000). Any single
+    // threshold mislabels one full band (>= 8 docs); the 3-round
+    // weighted vote must classify every doc correctly — boosting is
+    // load-bearing, not decorative.
+    val docs = (0L to 7L).map(i => (i, "x y z", "de", "s", 10L)) ++
+      (8L to 15L).map(i => (i, "x y z", "en", "s", 100L)) ++
+      (16L to 23L).map(i => (i, "x y z", "de", "s", 1000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_boost").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.t26BoostedStumps(spark, tmp).collect()
+    assert(rows.length == TextAnalysis.BoostRounds)
+    assert(rows.forall(_.getString(1) == "n_chars"),
+      "only n_chars varies — every round must split it")
+    // per-stump and ensemble predictions from the MODEL rows alone
+    def stumpPred(r: org.apache.spark.sql.Row, nc: Long): Boolean = {
+      val (bin, mn, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if ((nc - mn) * TextAnalysis.StumpBins / (mx - mn + 1) <= bin)
+        r.getBoolean(8) else r.getBoolean(11)
+    }
+    for (r <- rows) {
+      val wrong = docs.count { case (_, _, lang, _, nc) =>
+        stumpPred(r, nc) != (lang == "en") }
+      assert(wrong >= 8, s"round ${r.getLong(0)}: a single stump must " +
+        s"mislabel a full band, got $wrong wrong")
+    }
+    val correct = docs.count { case (_, _, lang, _, nc) =>
+      val vote = rows.map(r =>
+        if (stumpPred(r, nc)) r.getLong(14) else -r.getLong(14)).sum
+      (vote > 0L) == (lang == "en")
+    }
+    assert(correct == docs.size,
+      s"weighted vote must separate all bands: $correct/${docs.size}")
+    // alphas positive (every stump beats weighted chance) and err < half
+    assert(rows.forall(r => r.getLong(14) > 0L &&
+      2 * r.getLong(12) < r.getLong(13)))
+    // corpus: 3 rounds, deterministic
+    val a = TextAnalysis.t26BoostedStumps(spark, sfDir).collect().toSeq
+    assert(a.size == TextAnalysis.BoostRounds &&
+      a == TextAnalysis.t26BoostedStumps(spark, sfDir).collect().toSeq)
+  }
+
   test("t22 tree recovers a planted two-level XOR structure") {
     import spark.implicits._
     // XOR plant: label = (short n_chars) XOR (many tokens) — NO single
