@@ -165,6 +165,7 @@ object SparkEntry {
     "g09_kcore" -> (Graph.g09Kcore _),
     "g10_random_walks" -> (Graph.g10RandomWalks _),
     "g11_walk_cooccurrence" -> (Graph.g11WalkCooccurrence _),
+    "g12_power_iter_clustering" -> (Graph.g12PowerIterClustering _),
     "s16_walk_embeddings" -> (Recommend.s16WalkEmbeddings _),
   )
 
@@ -744,6 +745,53 @@ object SparkEntry {
   /** Shared oracle prelude for the trade-graph family: mirrored edge
     * set + node set, identical to g01's CTEs.
     */
+  /** g12 oracle: unrolls EXACTLY [[graft.operators.Graph.PicIters]]
+    * row-normalized tick matvec rounds (sums cast back to BIGINT —
+    * the HUGEINT guard) and [[graft.operators.Graph.PicKmeansIters]]
+    * 1-D 2-means rounds with the same empty-cluster fallback.
+    */
+  private def g12OracleSql(iters: Int, kIters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "pv0" else s"pv${k - 1}"
+      s"""ps$k AS MATERIALIZED (
+         |  SELECT e.src AS id, (CAST(sum(p.v) AS BIGINT) * 4096) // d.odeg AS u
+         |  FROM e JOIN $prev p ON p.id = e.dst JOIN pdeg d ON d.src = e.src
+         |  GROUP BY e.src, d.odeg),
+         |pv$k AS MATERIALIZED (
+         |  SELECT id, (u * 4096) // (SELECT greatest(max(u), 1) FROM ps$k) AS v
+         |  FROM ps$k)""".stripMargin
+    }.mkString(",\n")
+    val km = (1 to kIters).map { k =>
+      val prev = if (k == 1) "cs0" else s"cs${k - 1}"
+      s"""up$k AS MATERIALIZED (
+         |  SELECT CASE WHEN abs(v - (SELECT c0 FROM $prev))
+         |              <= abs(v - (SELECT c1 FROM $prev)) THEN 0 ELSE 1 END AS cl,
+         |    CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS n
+         |  FROM pv$iters GROUP BY 1),
+         |cs$k AS MATERIALIZED (
+         |  SELECT coalesce((SELECT sv // n FROM up$k WHERE cl = 0),
+         |                  (SELECT c0 FROM $prev)) AS c0,
+         |         coalesce((SELECT sv // n FROM up$k WHERE cl = 1),
+         |                  (SELECT c1 FROM $prev)) AS c1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gEdgeCtes,
+       |pdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS odeg
+       |  FROM e GROUP BY src),
+       |pv0 AS MATERIALIZED (
+       |  SELECT src AS id, (odeg * 4096) // (SELECT max(odeg) FROM pdeg) AS v
+       |  FROM pdeg),
+       |$rounds,
+       |cs0 AS MATERIALIZED (SELECT min(v) AS c0, max(v) AS c1 FROM pv$iters),
+       |$km
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |  id // 2 AS entity_key, v AS v_ticks,
+       |  CAST(CASE WHEN abs(v - (SELECT c0 FROM cs$kIters))
+       |            <= abs(v - (SELECT c1 FROM cs$kIters)) THEN 0 ELSE 1 END
+       |       AS BIGINT) AS cluster
+       |FROM pv$iters
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+
   private val gEdgeCtes =
     """e0 AS MATERIALIZED (
       |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
@@ -1141,6 +1189,8 @@ object SparkEntry {
     "g10_random_walks" -> g10OracleSql(graft.operators.Graph.WalkLen),
     "g11_walk_cooccurrence" -> g11OracleSql(graft.operators.Graph.WalkLen,
       graft.operators.Graph.SkipWindow),
+    "g12_power_iter_clustering" -> g12OracleSql(
+      graft.operators.Graph.PicIters, graft.operators.Graph.PicKmeansIters),
     // s16: g11's pair CTEs feeding the shared ALS rounds chain — the
     // DeepWalk composition verified end-to-end in one statement.
     "s16_walk_embeddings" -> Recommend.s16OracleSql(

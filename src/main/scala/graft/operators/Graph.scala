@@ -846,6 +846,84 @@ object Graph {
       .filter(col("ppmi_ticks") > 0)
   }
 
+  /** Power-iteration rounds for [[g12PowerIterClustering]] — fixed
+    * (the g01 bound contract) so the oracle unrolls exactly.
+    */
+  private[graft] val PicIters = 6
+
+  /** 1-D k-means rounds for the PIC embedding split. */
+  private[graft] val PicKmeansIters = 3
+
+  /** The PIC embedding core (public algorithm: Lin & Cohen, "Power
+    * Iteration Clustering", ICML 2010; the reference ships it as
+    * mllib/clustering/PowerIterationClustering.scala:1): repeated
+    * row-normalized affinity matvecs v ← norm(D⁻¹A·v) from a
+    * degree-proportional start — the truncated iteration's
+    * per-component mixing makes cluster structure separable in ONE
+    * dimension. Integer contract: v lives on the 2¹² tick grid; a
+    * round is one exact neighbor-sum shuffle (Σ ≤ deg·2¹², safe to
+    * deg ≈ 2³⁵), one truncating per-row D⁻¹ division, and one
+    * global max-norm — the g01/g02 posture, bit-reproducible
+    * cross-engine. Returns (id, v) ticks.
+    */
+  private[graft] def picVector(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val dmax = deg.agg(max(col("deg")).as("dm"))
+    var v = deg.crossJoin(broadcast(dmax))
+      .select(col("src").as("id"), expr("(deg * 4096) div dm").as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val s = edges.join(v.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("v")).as("s"))
+        .join(deg, "src")
+        .select(col("src").as("id"), expr("(s * 4096) div deg").as("u"))
+      val umax = s.agg(greatest(max(col("u")), lit(1L)).as("um"))
+      v = s.crossJoin(broadcast(umax))
+        .select(col("id"), expr("(u * 4096) div um").as("v"))
+        .localCheckpoint(false)
+    }
+    v
+  }
+
+  /** g12: power iteration clustering of the trading network — the
+    * reference's mllib PIC surface: [[picVector]]'s 1-D embedding
+    * split by a fixed-round 2-means (centers init = min/max ticks,
+    * [[PicKmeansIters]] Lloyd rounds of nearer-center assignment
+    * (ties to cluster 0) + truncating-mean updates, empty clusters
+    * keep their center — the s04 empty-cell contract). Everything is
+    * 1-row broadcasts and partial-agg'd sums; no global sort, no
+    * per-node window. Output: (node_type, entity_key, v_ticks,
+    * cluster), fully hash-verified.
+    */
+  def g12PowerIterClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    val v = picVector(edges, PicIters).localCheckpoint(true)
+    var cs = v.agg(min(col("v")).as("c0"), max(col("v")).as("c1"))
+      .localCheckpoint(true)
+    def assign(vv: DataFrame, centers: DataFrame): DataFrame =
+      vv.crossJoin(broadcast(centers))
+        .withColumn("cl",
+          when(abs(col("v") - col("c0")) <= abs(col("v") - col("c1")),
+            lit(0L)).otherwise(lit(1L)))
+    for (_ <- 1 to PicKmeansIters) {
+      val upd = assign(v, cs)
+        .groupBy(col("cl"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .agg(max(when(col("cl") === 0, expr("sv div n"))).as("n0"),
+          max(when(col("cl") === 1, expr("sv div n"))).as("n1"))
+      cs = upd.crossJoin(broadcast(cs))
+        .select(coalesce(col("n0"), col("c0")).as("c0"),
+          coalesce(col("n1"), col("c1")).as("c1"))
+        .localCheckpoint(false)
+    }
+    assign(v, cs).select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        col("v").as("v_ticks"), col("cl").as("cluster"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
   def g11WalkCooccurrence(spark: SparkSession, sfDir: String): DataFrame =
     walkPpmi(spark, sfDir).select(
         when(col("a") % 2 === 0, lit("c")).otherwise(lit("s")).as("a_type"),

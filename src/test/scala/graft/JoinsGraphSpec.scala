@@ -498,6 +498,39 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(got(0L) == 100L && got(1L) == 100L && got(1001L) == 1L)
   }
 
+  test("g12 PIC separates two cliques into the two clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    // disjoint K6 {1..6} and K4 {11..14}: the row-normalized matvec
+    // is at a FIXED POINT immediately (each node sees the component
+    // constant), so v stays at the degree-proportional init — K6 at
+    // 4096 ticks, K4 at (3·4096) div 5 = 2457 — and the 2-means must
+    // split exactly on component membership.
+    val k6 = for (i <- 1L to 6L; j <- 1L to 6L if i != j) yield (i, j)
+    val k4 = for (i <- 11L to 14L; j <- 11L to 14L if i != j) yield (i, j)
+    val edges = (k6 ++ k4).toDF("src", "dst")
+    val v = Graph.picVector(edges, Graph.PicIters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(v(_) == 4096L), s"K6 ticks: $v")
+    assert((11L to 14L).forall(v(_) == 2457L), s"K4 ticks: $v")
+    // full operator on a synthetic dir is not available (it reads the
+    // trade tables), so pin the embedding here and the clustering on
+    // the corpus below
+    val got = Graph.g12PowerIterClustering(spark, sfDir).collect()
+    val nNodes = graftTestEdges().select("src").distinct().count()
+    assert(got.length == nNodes)
+    assert(got.forall(r => r.getLong(3) == 0L || r.getLong(3) == 1L))
+    // deterministic across runs
+    val again = Graph.g12PowerIterClustering(spark, sfDir).collect()
+    assert(got.toSeq == again.toSeq)
+    // cluster centers differ unless the embedding is fully uniform
+    val byCl = got.groupBy(_.getLong(3)).view.mapValues(
+      rs => rs.map(_.getLong(2)).sum.toDouble / rs.length).toMap
+    if (byCl.size == 2)
+      assert(byCl(0L) != byCl(1L), "clusters must differ in mean ticks")
+  }
+
   test("pregel combinator: shipped g05 and g06 are bit-identical instances") {
     import org.apache.spark.sql.functions._
     import graft.operators.Graph
