@@ -99,6 +99,7 @@ object SparkEntry {
     "s15_biased_mf" -> (Recommend.s15BiasedMf _),
     "s17_pca" -> (Similarity.s17Pca _),
     "s18_pca_ann" -> (Similarity.s18PcaAnn _),
+    "s19_corr_matrix" -> (Similarity.s19CorrMatrix _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
@@ -1258,6 +1259,7 @@ object SparkEntry {
       graft.operators.Similarity.PqTick),
     "s17_pca" -> graft.operators.Similarity.pcaOracleSql,
     "s18_pca_ann" -> graft.operators.Similarity.s18OracleSql,
+    "s19_corr_matrix" -> graft.operators.Similarity.s19OracleSql,
     "d11_dedup_semantic" -> d11OracleSql(
       graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,
       graft.operators.Similarity.SemProbes),

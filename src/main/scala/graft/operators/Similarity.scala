@@ -1136,8 +1136,11 @@ object Similarity {
       pcaCompute(spark, sfDir).localCheckpoint(true)
     }
 
-  private def pcaCompute(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
+  /** The exact centered Gram ticks (i, j, g = n·P_ij − s_i·s_j) over
+    * the quantized embedding corpus — ONE partial-agg'd moment scan,
+    * shared by s17/s18's eigensolve and s19's correlation matrix.
+    */
+  private def gramFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = Tables.embeddings(spark, sfDir)
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
@@ -1152,12 +1155,17 @@ object Similarity {
           |             'p', qi * qj))))""".stripMargin)).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("p"))
-    val g0 = pairs
+    pairs
       .join(sums.select(col("i"), col("s").as("si")), "i")
       .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
       .crossJoin(broadcast(nf))
       .select(col("i"), col("j"),
         (col("n") * col("p") - col("si") * col("sj")).as("g"))
+  }
+
+  private def pcaCompute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val g0 = gramFrame(spark, sfDir)
     val gmax = g0.agg(greatest(max(abs(col("g"))), lit(1L)).as("gmax"))
     // the bounded control-plane read: fixed 64x64 Gram ticks
     val gsRows = g0.crossJoin(broadcast(gmax))
@@ -1238,21 +1246,27 @@ object Similarity {
     * vec_id), moment scan, Gram rescale, and every component's
     * blocks. Shared by the s17 and s18 oracles.
     */
+  /** The quantized-corpus + moment-scan + centered-Gram CTEs —
+    * shared by the PCA chain and the s19 correlation oracle.
+    */
+  private def pcaGramCtes: String =
+    """base AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      |sums AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(sum(q[a.i + 1]) AS BIGINT) AS s
+      |  FROM base, UNNEST(generate_series(0, 63)) AS a(i) GROUP BY 1),
+      |pr AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+      |    CAST(sum(q[a.i + 1] * q[b.j + 1]) AS BIGINT) AS p
+      |  FROM base, UNNEST(generate_series(0, 63)) AS a(i),
+      |       UNNEST(generate_series(0, 63)) AS b(j)
+      |  GROUP BY 1, 2),
+      |g0 AS MATERIALIZED (SELECT p.i, p.j, (SELECT n FROM nn) * p.p - si.s * sj.s AS g
+      |  FROM pr p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j)""".stripMargin
+
   private def pcaCtes: String =
-    s"""base AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
-       |sums AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(sum(q[a.i + 1]) AS BIGINT) AS s
-       |  FROM base, UNNEST(generate_series(0, 63)) AS a(i) GROUP BY 1),
-       |pr AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
-       |    CAST(sum(q[a.i + 1] * q[b.j + 1]) AS BIGINT) AS p
-       |  FROM base, UNNEST(generate_series(0, 63)) AS a(i),
-       |       UNNEST(generate_series(0, 63)) AS b(j)
-       |  GROUP BY 1, 2),
-       |g0 AS MATERIALIZED (SELECT p.i, p.j, (SELECT n FROM nn) * p.p - si.s * sj.s AS g
-       |  FROM pr p JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j),
+    s"""$pcaGramCtes,
        |gm AS MATERIALIZED (SELECT greatest(max(abs(g)), 1) AS gmax FROM g0),
        |gs0 AS MATERIALIZED (SELECT i, j, g // greatest((SELECT gmax FROM gm) // 1048576, 1) AS g
        |  FROM g0),
@@ -1353,4 +1367,52 @@ object Similarity {
        |FROM rk WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** s19: Pearson correlation matrix of the embedding dimensions —
+    * the reference's mllib/stat correlation surface (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * stat/Statistics.scala:1, corr(X, "pearson")), read off the SAME
+    * exact centered Gram one moment scan builds for s17:
+    * corr_ij = G_ij / √(G_ii·G_jj). The diagonal product can exceed
+    * int64 (G ≤ ~2⁴³ each at the documented corpus bound), so both
+    * engines compute it in double with the IDENTICAL expression tree
+    * — correctly-rounded ×, √, ÷ on exactly-converted operands —
+    * then floor-quantize to 2²⁰ ticks; a zero-variance dimension
+    * (G_ii = 0) emits 0 ticks by a shared CASE. Output:
+    * (dim_i, dim_j, corr_ticks), 64² rows; the matrix a feature
+    * pipeline reads before whitening/decorrelating (the PCA
+    * companion diagnostic).
+    *
+    * Scale shape: identical to s17 steps 1–2 — one partial-agg'd
+    * corpus scan; everything after is a 64²-row frame.
+    */
+  def s19CorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val g0 = gramFrame(spark, sfDir).localCheckpoint(true)
+    val diag = g0.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("g").as("gd"))
+    g0.join(broadcast(diag.select(col("d").as("i"), col("gd").as("gii"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("gd").as("gjj"))), "j")
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        expr("""CASE WHEN gii > 0 AND gjj > 0
+               |THEN CAST(floor(CAST(g AS DOUBLE)
+               |  / sqrt(CAST(gii AS DOUBLE) * CAST(gjj AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("corr_ticks"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  /** The DuckDB twin of [[s19CorrMatrix]]: the shared Gram CTEs and
+    * the identical double tree.
+    */
+  private[graft] def s19OracleSql: String =
+    s"""WITH $pcaGramCtes,
+       |dg AS MATERIALIZED (SELECT i AS d, g AS gd FROM g0 WHERE i = j)
+       |SELECT g0.i AS dim_i, g0.j AS dim_j,
+       |  CASE WHEN di.gd > 0 AND dj.gd > 0
+       |  THEN CAST(floor(CAST(g0.g AS DOUBLE)
+       |    / sqrt(CAST(di.gd AS DOUBLE) * CAST(dj.gd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS corr_ticks
+       |FROM g0 JOIN dg di ON di.d = g0.i JOIN dg dj ON dj.d = g0.j
+       |ORDER BY dim_i, dim_j""".stripMargin
 }

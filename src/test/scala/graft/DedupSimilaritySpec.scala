@@ -876,6 +876,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(eig.values.forall(_ > 0L), s"PSD spectrum must be positive: $eig")
   }
 
+  test("s19 correlation matrix: exact poles on planted dims, symmetric, bounded") {
+    import spark.implicits._
+    // dims 0≡1 (corr exactly +1), dim 2 ≡ −dim 3 (exactly −1),
+    // cross-block moments exactly 0 — the s17 planted geometry
+    val alphas = Seq(2f, -2f, 1f, -1f, 2f, -2f, 1f, -1f)
+    val betas = Seq(.25f, .25f, -.25f, -.25f, .25f, .25f, -.25f, -.25f)
+    val rows = alphas.zip(betas).zipWithIndex.map { case ((a, b), k) =>
+      val v = Array.fill(64)(0f)
+      v(0) = a; v(1) = a; v(2) = b; v(3) = -b
+      (k.toLong, v.toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val m = Similarity.s19CorrMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.size == 64 * 64)
+    assert(m((0L, 1L)) == 1048576L && m((1L, 0L)) == 1048576L)
+    assert(m((2L, 3L)) == -1048576L)
+    assert(m((0L, 2L)) == 0L && m((0L, 3L)) == 0L)
+    // zero-variance dims (4..63) emit 0 by the shared guard
+    assert(m((10L, 20L)) == 0L && m((10L, 10L)) == 0L)
+    // corpus: diagonal exactly 1, symmetric, Cauchy-Schwarz bounded
+    val c = Similarity.s19CorrMatrix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- 0L until 64L) assert(c((i, i)) == 1048576L)
+    assert(c.forall { case ((i, j), v) => c((j, i)) == v }, "symmetry")
+    assert(c.values.forall(v => math.abs(v) <= 1048577L), "bounded")
+  }
+
   test("s18 projected ANN ranks exactly like the full dot on an in-span corpus") {
     import spark.implicits._
     // 16 vectors strictly inside the planted 2-plane span{e0+e1,
