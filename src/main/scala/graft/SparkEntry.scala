@@ -125,6 +125,7 @@ object SparkEntry {
     "t22_decision_tree" -> (TextAnalysis.t22DecisionTree _),
     "t25_random_forest" -> (TextAnalysis.t25RandomForest _),
     "t26_boosted_stumps" -> (TextAnalysis.t26BoostedStumps _),
+    "t27_chi2_contingency" -> (TextAnalysis.t27Chi2 _),
     "t23_topics" -> (Recommend.t23Topics _),
     "t24_topic_terms" -> (Recommend.t24TopicTerms _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
@@ -2831,6 +2832,7 @@ object SparkEntry {
     "t22_decision_tree" -> TextAnalysis.treeOracleSql,
     "t25_random_forest" -> TextAnalysis.forestOracleSql,
     "t26_boosted_stumps" -> TextAnalysis.boostOracleSql,
+    "t27_chi2_contingency" -> TextAnalysis.chi2OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     "q39_recursive_cal" ->

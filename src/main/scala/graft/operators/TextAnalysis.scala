@@ -1606,4 +1606,73 @@ object TextAnalysis {
        |       FROM tok GROUP BY w),
        |${rounds.mkString(",\n")}""".stripMargin
   }
+
+  /** t27: χ² contingency analysis of lang × source — the reference's
+    * mllib/stat independence-test surface (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * stat/Statistics.scala:1, chiSqTest): is the language mix
+    * independent of the source? — the drift question a corpus owner
+    * asks before reweighting a mixture. Mechanics on the determinism
+    * contract: observed counts are one partial-agg'd scan; the cell
+    * grid is the DISTINCT langs × DISTINCT sources cross (two tiny
+    * broadcast frames, zero cells included — χ² needs them);
+    * expected_ticks = (R_l·C_s·2²⁰) div N is EXACT integer
+    * arithmetic (R·C·2²⁰ ≤ N²·2²⁰, int64-safe to N ≈ 2²¹ docs —
+    * beyond, the documented retune computes it in the shared double
+    * tree); the cell statistic (O·N − R·C)²/(N·R·C) quantizes to
+    * 2²⁰ ticks via the IDENTICAL double tree in both engines (the
+    * s19 convention — the squared numerator exceeds int64 first).
+    * The test statistic is the exact long sum of cell ticks and the
+    * dof (|langs|−1)(|sources|−1) — both derivable from the rows; a
+    * p-value needs the χ² CDF, which neither engine evaluates
+    * deterministically in SQL (documented residual — the spec pins
+    * the statistic's behavior on planted independent and dependent
+    * tables instead). Output: (lang, source, observed,
+    * expected_ticks, chi2_ticks), cells ordered.
+    */
+  def t27Chi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"))
+    val obs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o")).localCheckpoint(true)
+    val rl = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val cs = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val nn = obs.agg(sum(col("o")).as("n"))
+    rl.crossJoin(broadcast(cs))
+      .join(obs, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("observed"),
+        expr("(r * c * 1048576) div n").as("expected_ticks"),
+        expr("""CAST(floor(
+               |  CAST(observed * n - r * c AS DOUBLE)
+               |  * CAST(observed * n - r * c AS DOUBLE)
+               |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)""".stripMargin)
+          .as("chi2_ticks"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** The DuckDB twin of [[t27Chi2]]. */
+  private[graft] def chi2OracleSql: String =
+    """WITH obs AS MATERIALIZED (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+      |cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+      |grid AS (
+      |  SELECT rl.lang, cs.source, rl.r, cs.c,
+      |    coalesce(obs.o, 0) AS observed, (SELECT n FROM nn) AS n
+      |  FROM rl CROSS JOIN cs
+      |  LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source)
+      |SELECT lang, source, observed,
+      |  (r * c * 1048576) // n AS expected_ticks,
+      |  CAST(floor(
+      |    CAST(observed * n - r * c AS DOUBLE)
+      |    * CAST(observed * n - r * c AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |    * 1048576.0 + 0.5) AS BIGINT) AS chi2_ticks
+      |FROM grid
+      |ORDER BY lang, source""".stripMargin
 }

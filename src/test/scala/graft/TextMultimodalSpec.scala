@@ -444,6 +444,39 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"a tree split on its dropped feature: ${fr.toSeq}")
   }
 
+  test("t27 chi2: zero on an exactly independent table, N·phi2 on perfect association") {
+    import spark.implicits._
+    def corpus(rows: Seq[(String, String, Int)]): String = {
+      val docs = rows.zipWithIndex.flatMap { case ((l, s, n), g) =>
+        (0 until n).map(k => (g * 100L + k, "x", l, s, 1L))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chi2").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      tmp
+    }
+    // exactly independent: counts proportional (9·10/15 = 6, …) —
+    // every cell's chi2 is EXACTLY zero and expected == observed
+    val ind = corpus(Seq(("en", "a", 6), ("en", "b", 3),
+      ("de", "a", 4), ("de", "b", 2)))
+    val ri = TextAnalysis.t27Chi2(spark, ind).collect()
+    assert(ri.length == 4)
+    assert(ri.forall(_.getLong(4) == 0L), s"independent table: ${ri.toSeq}")
+    assert(ri.forall(r => r.getLong(3) == r.getLong(2) * 1048576L))
+    // perfect association (diagonal): chi2 = N (phi² = 1) — each of
+    // the 4 cells contributes exactly 2.5 → 10·2²⁰ total
+    val dep = corpus(Seq(("en", "a", 5), ("de", "b", 5)))
+    val rd = TextAnalysis.t27Chi2(spark, dep).collect()
+    assert(rd.length == 4, "zero cells must be present")
+    assert(rd.map(_.getLong(4)).sum == 10L * 1048576L, s"${rd.toSeq}")
+    // corpus: full grid, statistic non-negative, deterministic
+    val a = TextAnalysis.t27Chi2(spark, sfDir).collect()
+    val nl = a.map(_.getString(0)).distinct.length
+    val ns = a.map(_.getString(1)).distinct.length
+    assert(a.length == nl * ns && a.forall(_.getLong(4) >= 0L))
+    assert(a.toSeq == TextAnalysis.t27Chi2(spark, sfDir).collect().toSeq)
+  }
+
   test("t26 boosting separates a band no single stump can") {
     import spark.implicits._
     // three n_chars bands: de(10) | en(100) | de(1000). Any single
