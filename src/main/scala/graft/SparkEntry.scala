@@ -84,6 +84,7 @@ object SparkEntry {
     "d21_dedup_tuned" -> (Dedup.d21DedupTuned _),
     "f01_freq_itemsets" -> (Itemsets.f01FreqItemsets _),
     "f02_assoc_rules" -> (Itemsets.f02AssocRules _),
+    "f03_itemsets_l3" -> (Itemsets.f03FreqTriples _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
@@ -1665,6 +1666,7 @@ object SparkEntry {
     // keys share — all-positive integer ticks, // where div runs.
     "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,
     "f02_assoc_rules" -> graft.operators.Itemsets.f02OracleSql,
+    "f03_itemsets_l3" -> graft.operators.Itemsets.f03OracleSql,
     "q46_referential_audit" ->
       """WITH rel AS (
         |  SELECT 'lineitem->orders' AS relationship,

@@ -180,6 +180,83 @@ object Itemsets {
        |SELECT CAST(2 AS BIGINT), ia, ib, support FROM l2
        |ORDER BY k, item_a, item_b""".stripMargin
 
+  /** Triples reported by [[f03FreqTriples]]. */
+  private[graft] val TriplesTopK = 20
+
+  /** f03: top 3-itemsets — Apriori level 3 over the same basket
+    * frame, the claim f01's FP-tree-equivalence note makes at the
+    * next level, executable: triple candidates expand ONLY from
+    * in-basket frequent PAIRS (the L2 semi-join runs before the
+    * third-item join), and full Apriori pruning holds — a triple
+    * reaches the count only if all three of its sub-pairs are
+    * L2-frequent ((ia,ib) by construction; (ia,ic) and (ib,ic) by
+    * broadcast semi-joins against the tiny L2 frame). The expansion
+    * is bounded per basket by C(cap, 3) via [[BasketCap]] and in
+    * practice by the frequent-pair occurrences; the candidate
+    * universe is vocabulary-cubed at worst, broadcast-size.
+    *
+    * Reporting floor: the f01 2% σ prunes the CANDIDATES (the
+    * Apriori guarantee), but no triple reaches 2% on this corpus at
+    * any SF (measured: max 597 of 147k baskets at sf0.1) — the
+    * honest L3 surface is the bounded TOP-[[TriplesTopK]] by
+    * (support desc, items asc), a TakeOrdered global top-k (no full
+    * sort). Output: (item_a, item_b, item_c, support).
+    */
+  def f03FreqTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val (baskets, support) = basketsAndSupport(spark, sfDir)
+    val l1 = baskets.groupBy(col("it")).agg(count(lit(1)).as("sup1"))
+      .crossJoin(broadcast(support))
+      .filter(col("sup1") >= col("sigma"))
+      .select(col("it"))
+      .localCheckpoint(true)
+    val fb = baskets.join(broadcast(l1), "it").localCheckpoint(true)
+    val l2k = fb.select(col("o"), col("it").as("ia"))
+      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("s2"))
+      .crossJoin(broadcast(support))
+      .filter(col("s2") >= col("sigma"))
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(true)
+    val basketPairs = fb.select(col("o"), col("it").as("ia"))
+      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .filter(col("ia") < col("ib"))
+      .join(broadcast(l2k), Seq("ia", "ib"), "left_semi")
+    val tri = basketPairs
+      .join(fb.select(col("o"), col("it").as("ic")), "o")
+      .filter(col("ic") > col("ib"))
+      .join(broadcast(l2k.select(col("ia"), col("ib").as("ic"))),
+        Seq("ia", "ic"), "left_semi")
+      .join(broadcast(l2k.select(col("ia").as("ib"), col("ib").as("ic"))),
+        Seq("ib", "ic"), "left_semi")
+      .groupBy(col("ia"), col("ib"), col("ic"))
+      .agg(count(lit(1)).as("support"))
+    tri.select(col("ia").as("item_a"), col("ib").as("item_b"),
+        col("ic").as("item_c"), col("support"))
+      .orderBy(col("support").desc, col("item_a"), col("item_b"),
+        col("item_c"))
+      .limit(TriplesTopK)
+  }
+
+  /** The DuckDB twin of [[f03FreqTriples]]. */
+  private[graft] def f03OracleSql: String =
+    s"""WITH $basketsOracleCtes,
+       |l2k AS (SELECT ia, ib FROM l2),
+       |bp AS (
+       |  SELECT x.o, x.it AS ia, y.it AS ib
+       |  FROM fb x JOIN fb y ON x.o = y.o AND x.it < y.it
+       |  JOIN l2k k ON k.ia = x.it AND k.ib = y.it),
+       |tr AS (
+       |  SELECT bp.ia, bp.ib, z.it AS ic, CAST(count(*) AS BIGINT) AS support
+       |  FROM bp JOIN fb z ON bp.o = z.o AND z.it > bp.ib
+       |  JOIN l2k k2 ON k2.ia = bp.ia AND k2.ib = z.it
+       |  JOIN l2k k3 ON k3.ia = bp.ib AND k3.ib = z.it
+       |  GROUP BY 1, 2, 3)
+       |SELECT ia AS item_a, ib AS item_b, ic AS item_c, support
+       |FROM tr
+       |ORDER BY support DESC, item_a, item_b, item_c
+       |LIMIT $TriplesTopK""".stripMargin
+
   private[graft] def f02OracleSql: String =
     s"""WITH $basketsOracleCtes,
        |r AS (SELECT ia AS antecedent, ib AS consequent, support FROM l2

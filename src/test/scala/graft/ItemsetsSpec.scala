@@ -73,4 +73,36 @@ class ItemsetsSpec extends AnyFunSuite {
       assert(rules((c, a))._3 == lift, "lift must be direction-independent")
     }
   }
+  test("f03 top triples: brute-force parity and Apriori prune at sf0.001") {
+    // in-test brute force: all-pairs-frequent-pruned triples, ranked
+    val (_, sigma, _, l2) = truth()
+    val byBasket = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val l2k = l2.keySet
+    val triples = byBasket.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(3)
+        .map(t => (t(0), t(1), t(2)))
+        .filter { case (a, b, c) =>
+          l2k((a, b)) && l2k((a, c)) && l2k((b, c)) })
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((a, b, c), s) => (a, b, c, s) }
+      .sortBy { case (a, b, c, s) => (-s, a, b, c) }
+      .take(Itemsets.TriplesTopK)
+    val got = Itemsets.f03FreqTriples(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == triples, s"L3 drift: ${got.size} vs ${triples.size}")
+    assert(got.nonEmpty && got.map(_._4).sliding(2)
+      .forall(p => p.head >= p.last), "support must be non-increasing")
+    // Apriori prune is live: every reported triple's sub-pairs are
+    // L2-frequent (follows from the truth filter matching exactly)
+    assert(got.forall { case (a, b, c, _) =>
+      l2k((a, b)) && l2k((a, c)) && l2k((b, c)) })
+    assert(sigma >= 2)
+  }
+
 }
