@@ -56,6 +56,7 @@ object SparkEntry {
     "q46_referential_audit" -> (Relational.q46ReferentialAudit _),
     "q47_zorder_key" -> (Relational.q47ZorderKey _),
     "q49_ridge_regression" -> (Relational.q49RidgeRegression _),
+    "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "j04_overlap_join" -> (Joins.j04OverlapJoin _),
@@ -651,6 +652,58 @@ object SparkEntry {
        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, $coefOut
        |FROM $solved
        |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q50's DuckDB twin: [[graft.operators.Relational.logregRounds]]
+    * unrolled — per round k one aggregate CTE s{k} over feats × the
+    * 1-row weight CTE w{k} (margin, hard sigmoid, residual and
+    * gradient sums all exact longs), then w{k+1} as the clamped
+    * truncating-div update. Round-k output rows read straight off
+    * s{k} (the scan that evaluates model k also carries its
+    * weights).
+    */
+  private def q50OracleSql: String = {
+    val iters = graft.operators.Relational.LogregIters
+    val clamp = graft.operators.Relational.LogregClamp
+    val m24 = (0 to 3).map(j => s"w$j * f$j").mkString(" + ")
+    def scanCte(k: Int): String = {
+      val gs = (0 to 3).map(j => s"CAST(sum(r26 * f$j) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 to 3).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s$k AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN (CASE WHEN m24 >= 0 THEN 1 ELSE 0 END) = y
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |    $gs, $ws
+         |  FROM (
+         |    SELECT y, f0, f1, f2, f3, w0, w1, w2, w3, m24,
+         |      least(greatest(m24 + 33554432, 0), 67108864) - y * 67108864 AS r26
+         |    FROM (SELECT feats.*, w$k.*, $m24 AS m24 FROM feats, w$k) b) c)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val ws = (0 to 3).map(j =>
+        s"least(greatest(w$j - (g$j * 4) // (greatest(n, 1) * 67108864), " +
+          s"-$clamp), $clamp) AS w$j").mkString(", ")
+      s"w${k + 1} AS (SELECT $ws FROM s$k)"
+    }
+    val w0 = "w0 AS (SELECT " +
+      (0 to 3).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+    val ctes = (w0 +: (0 to iters).flatMap(k =>
+      scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = (0 to 3).map(j => s"w$j AS w${j}_ticks").mkString(", ")
+      s"SELECT CAST($k AS BIGINT) AS round, n, correct, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round""".stripMargin
   }
 
   private def g01OracleSql(iters: Int, scale: Long): String = {
@@ -1662,6 +1715,12 @@ object SparkEntry {
     // over one grouped Gram aggregation; features/target put on
     // dyadic grids first so the sums are exact and order-independent.
     "q49_ridge_regression" -> q49OracleSql,
+    // q50: the logregRounds scans unrolled as CTE pairs — all-long
+    // margins/hard-sigmoid/gradients (no transcendental), // where
+    // div runs (truncation toward zero agrees on negatives — the
+    // s15 contract), every aggregate CAST back to BIGINT (the
+    // HUGEINT hash guard).
+    "q50_logistic_regression" -> q50OracleSql,
     // f01/f02: generated next to the derived-sigma basket CTEs both
     // keys share — all-positive integer ticks, // where div runs.
     "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,

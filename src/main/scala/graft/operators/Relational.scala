@@ -1034,4 +1034,106 @@ object Relational {
         (0 until Recommend.AlsRank).map(k => col(s"t$k").as(s"c${k}_ticks")): _*)
       .orderBy(col("l_returnflag"))
   }
+
+  /** Gradient-descent rounds for [[q50LogisticRegression]] — fixed,
+    * not convergence-tested, so the model is a pure function of the
+    * corpus and the oracle unrolls exactly this many scans.
+    */
+  private[graft] val LogregIters = 4
+
+  /** Weight clamp in 2⁻¹² ticks: |w| ≤ 16 (the s13 bound). */
+  private[graft] val LogregClamp = 65536L
+
+  /** The fixed-round hard-sigmoid logistic-regression core over a
+    * (y, f0..f3) frame with y ∈ {0,1} and features as LONG 2⁻¹²
+    * ticks (|f| ≤ 2¹² for the documented exactness bound) — shared
+    * by q50 and the planted-recovery spec.
+    *
+    * Model and determinism contract: weights live on the 2⁻¹² grid
+    * (clamped ±[[LogregClamp]] ticks), so the margin m = w·x is an
+    * EXACT long in 2⁻²⁴ units (|terms| ≤ 2²⁸, rank 4 → |m24| ≤ 2³⁰).
+    * The link is the HARD sigmoid p = clamp(m/4 + 1/2, 0, 1) — the
+    * piecewise-linear surrogate quantized training uses — because it
+    * is closed under dyadic rationals: p is an exact multiple of
+    * 2⁻²⁶ (p26 = clamp(m24 + 2²⁵, 0, 2²⁶), pure integer ops, no
+    * transcendental whose libm could differ cross-engine). The
+    * per-row gradient term (p−y)·f_j is then an exact long in 2⁻³⁸
+    * units (|term| ≤ 2³⁸), so gradient sums are order-independent
+    * longs — exact to n ≤ 2²⁵ rows; beyond that the documented
+    * retune coarsens p to the 2⁻¹⁴ grid (term ≤ 2²⁶, safe to 2³⁷
+    * rows) or two-levels the sum (the s13 note). The update
+    * Δw_ticks = (4·g) div (n·2²⁶) — learning rate 4 cancelling the
+    * surrogate's 1/4 slope, mean gradient, truncating div (both
+    * engines truncate toward zero — the s15 agreement) — and init
+    * w = 0 needs no seed at all.
+    *
+    * Output: one row per round k ∈ 0..[[LogregIters]] —
+    * (round, n, correct, w0_ticks..w3_ticks) where the weights are
+    * the model AFTER k updates and `correct` is ITS training
+    * accuracy count (round 0 = the zero-weight baseline, predicting
+    * 1 everywhere since m ≥ 0). Fully integer, fully hash-verified.
+    *
+    * Scale shape: the feature frame is scanned [[LogregIters]]+1
+    * times (gradient of w_k and evaluation of w_k ride the SAME
+    * partial-agg'd scan; one extra scan evaluates the final model);
+    * the model state is a 1-row broadcast joined in — 4 longs, never
+    * collected — and each scan leaves one combined row per task.
+    * Nothing grows with rounds or corpus width.
+    */
+  private[graft] def logregRounds(feats: DataFrame): DataFrame = {
+    val zero = feats.sparkSession.range(1)
+      .select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
+    var weights = zero.localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    for (k <- 0 to LogregIters) {
+      val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+      val scan = feats.crossJoin(broadcast(weights))
+        .withColumn("m24", m24)
+        .withColumn("p26",
+          least(greatest(col("m24") + lit(33554432L), lit(0L)),
+            lit(67108864L)))
+        .withColumn("r26", col("p26") - col("y") * lit(67108864L))
+      val aggCols =
+        Seq(sum(when((col("m24") >= 0).cast("int") === col("y"), 1L)
+            .otherwise(0L)).as("correct")) ++
+          (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+      val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
+        col("correct")) ++
+        (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
+      if (k < LogregIters) {
+        weights = s.select((0 to 3).map(j =>
+            least(greatest(col(s"w$j") -
+              expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"),
+              lit(-LogregClamp)), lit(LogregClamp)).as(s"w$j")): _*)
+          .localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q50: binary logistic regression — the reference's
+    * mllib/classification surface (reference: /root/reference/mllib/
+    * src/main/scala/org/apache/spark/mllib/classification/
+    * LogisticRegression.scala:1) as fixed-round full-batch gradient
+    * descent with the hard-sigmoid link (see [[logregRounds]] for
+    * the all-integer determinism contract — the GLM counterpart of
+    * q49's closed-form ridge). Task: predict l_returnflag = 'R'
+    * from (1, qty/64, disc, tax) on the 2⁻¹² feature grid (qty ≤ 50
+    * → 64·qty ≤ 2¹²; disc/tax round-to-nearest ticks — the q49
+    * feature prep). Output: the model trajectory — per round,
+    * weights and training-accuracy count.
+    */
+  def q50LogisticRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L)).as("y"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    logregRounds(feats)
+  }
 }

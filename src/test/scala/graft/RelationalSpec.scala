@@ -136,4 +136,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(a == b && a.size == 3)
     a.foreach(r0 => assert(r0.getLong(3) > 0, "price-qty slope must be positive"))
   }
+
+  test("q50 logreg: hand-computed trajectory on a separable plant; corpus deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // 10 rows y=1 with f1=4096 (1.0), 10 rows y=0 with f1=0; intercept
+    // f0=4096. Every round's integers are hand-derivable: round-0 scan
+    // has p26 = 2^25 everywhere, so g0 = 0 and g1 = -10*2^37 →
+    // Δ1 = -4096 exactly; from round 2 the intercept walks negative
+    // (-2048, -3072, -4096) while the slope climbs (6144, 8192, 9728)
+    // and training accuracy hits 20/20 — the hard-sigmoid GD separating
+    // the plant with bit-pinned weights.
+    val plant = ((1 to 10).map(_ => (1L, 4096L, 4096L, 0L, 0L)) ++
+        (1 to 10).map(_ => (0L, 4096L, 0L, 0L, 0L)))
+      .toDF("y", "f0", "f1", "f2", "f3")
+    val rows = Relational.logregRounds(plant).collect()
+    assert(rows.length == Relational.LogregIters + 1)
+    def w(r: org.apache.spark.sql.Row) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val expected = Seq(
+      (0L, 10L, (0L, 0L, 0L, 0L)),
+      (1L, 10L, (0L, 4096L, 0L, 0L)), // zero margin on y=0 predicts 1
+      (2L, 20L, (-2048L, 6144L, 0L, 0L)),
+      (3L, 20L, (-3072L, 8192L, 0L, 0L)),
+      (4L, 20L, (-4096L, 9728L, 0L, 0L)))
+    rows.zip(expected).foreach { case (r, (round, correct, ws)) =>
+      assert(r.getLong(0) == round && r.getLong(2) == correct && w(r) == ws,
+        s"round $round: got (${r.getLong(2)}, ${w(r)}), want ($correct, $ws)")
+    }
+    // corpus: full trajectory bit-identical across runs, 5 rows
+    val a = Relational.q50LogisticRegression(spark, sfDir).collect().toSeq
+    val b = Relational.q50LogisticRegression(spark, sfDir).collect().toSeq
+    assert(a == b && a.size == Relational.LogregIters + 1)
+    val fin = a.last
+    assert(fin.getLong(2) > 0 && fin.getLong(2) <= fin.getLong(1))
+  }
 }
