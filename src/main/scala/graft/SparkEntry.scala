@@ -130,6 +130,7 @@ object SparkEntry {
     "t27_chi2_contingency" -> (TextAnalysis.t27Chi2 _),
     "t23_topics" -> (Recommend.t23Topics _),
     "t24_topic_terms" -> (Recommend.t24TopicTerms _),
+    "t28_word_vectors" -> (Recommend.t28WordVectors _),
     "t10_topk_sketch" -> (TextAnalysis.t10TopkSketch _),
     "t11_collocations" -> (TextAnalysis.t11Collocations _),
     "t12_zipf_fit" -> (TextAnalysis.t12ZipfFit _),
@@ -2896,6 +2897,9 @@ object SparkEntry {
     "t27_chi2_contingency" -> TextAnalysis.chi2OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
+    // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring
+    // text, the s16 coarsening, the shared alternating-solve chain.
+    "t28_word_vectors" -> Recommend.wordVectorsOracleSql,
     "q39_recursive_cal" ->
       """WITH RECURSIVE cal(month) AS (
         |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)

@@ -560,6 +560,145 @@ object Recommend {
        |ORDER BY topic, rank""".stripMargin
   }
 
+  /** Skip-gram window for [[t28WordVectors]] — context = tokens
+    * within this many positions in the same document (word2vec's
+    * window; [[graft.operators.Graph.SkipWindow]] is the same
+    * constant over walks).
+    */
+  private[graft] val WordWindow = 2
+
+  /** The scored word-PPMI pair frame (a, b, cnt, ppmi_ticks) behind
+    * [[t28WordVectors]] — g11's scoring applied to TEXT: directed
+    * within-window co-occurrence built by [[WordWindow]] positional
+    * EQUI-joins (left tokens keyed on (doc, pos+d) against right
+    * tokens on (doc, pos) — O(tokens·window) rows total, NEVER the
+    * per-document self-join, whose cost is quadratic in document
+    * length), symmetrized, partial-agg'd counts and marginals, one
+    * log2 per distinct pair quantized to 2²⁰ ticks. The cnt·T
+    * product shares g11's int64 bound and retune note (log-domain
+    * form at corpus scale, both engines in lockstep).
+    */
+  /** The symmetrized within-window co-occurrence counts (a, b, cnt)
+    * — the pair-build half of [[wordPpmi]], exposed so the spec can
+    * pin the window semantics and the equi-join-equals-self-join
+    * equivalence directly.
+    */
+  private[graft] def wordPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(
+        call_function("word_grams", lower(col("text")), lit(1))))
+      .toDF("doc_id", "pos", "tok")
+    val pd = (1 to WordWindow).map { d =>
+      toks.select(col("doc_id"), (col("pos") + lit(d)).as("jpos"),
+          col("tok").as("a"))
+        .join(toks.select(col("doc_id"), col("pos").as("jpos"),
+          col("tok").as("b")), Seq("doc_id", "jpos"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _)
+    val sym = pd.unionByName(pd.select(col("b").as("a"), col("a").as("b")))
+    sym.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  private[graft] def wordPpmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = wordPairs(spark, sfDir).localCheckpoint(true)
+    val tot = pairs.agg(sum(col("cnt")).as("t"))
+    val ma = pairs.groupBy(col("a")).agg(sum(col("cnt")).as("ca"))
+    val mb = pairs.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
+    pairs.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .filter(col("cnt") >= 2)
+      .withColumn("ppmi_ticks",
+        floor(greatest(lit(0.0),
+          log2((col("cnt") * col("t")) /
+            (col("ca") * col("cb")).cast("double"))) *
+          lit(1048576.0) + lit(0.5)).cast("long"))
+      .filter(col("ppmi_ticks") > 0)
+  }
+
+  /** t28: word vectors over the document corpus — the reference's
+    * Word2Vec surface (reference: /root/reference/mllib/src/main/
+    * scala/org/apache/spark/mllib/feature/Word2Vec.scala:1) as the
+    * count-based equivalent a hash-verified engine can offer:
+    * skip-gram co-occurrence within [[WordWindow]] positions →
+    * PPMI → the shared exact-ALS factorization (Levy & Goldberg
+    * 2014: skip-gram with negative sampling implicitly factorizes
+    * exactly this matrix — the same equivalence s16 uses for graph
+    * nodes, here applied to the text itself). Ratings ride the s16
+    * coarsening (ppmi_ticks div 256 onto the 2⁻¹² grid) so the s13
+    * exact-sum contract holds verbatim; token keys go through the
+    * md5 init draw (strings hash identically cross-engine — the
+    * t23 term-side precedent).
+    *
+    * Output: (side 'word'|'ctx', token, n_rated, f0..f3_ticks) —
+    * center- and context-side vectors, fully hash-verified.
+    *
+    * Scale shape: tokenization is one scan; the pair build is
+    * positional equi-joins (linear, see [[wordPpmi]]); the
+    * factorization is the s13 half-round cost profile with the
+    * vocabulary as both sides (vocabulary-sized factor frames —
+    * broadcast in production).
+    */
+  def t28WordVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = wordPpmi(spark, sfDir)
+      .select(col("a").as("c"), col("b").as("s"),
+        (expr("(ppmi_ticks div 256)").cast("double") /
+          lit(AlsTicks.toDouble)).as("r"))
+      .localCheckpoint(true)
+    val (rows, cols) = alsFactor(ratings)
+    def sideOut(df: DataFrame, side: String, key: String): DataFrame =
+      df.select(Seq(lit(side).as("side"), col(key).as("token"),
+        col("n_rated")) ++
+        (0 until AlsRank).map(k => col(s"t$k").as(s"f${k}_ticks")): _*)
+    sideOut(rows, "word", "c").unionByName(sideOut(cols, "ctx", "s"))
+      .orderBy(col("side"), col("token"))
+  }
+
+  /** The DuckDB twin of [[t28WordVectors]]: positional tokenization
+    * (1-based list indexes — only position DIFFERENCES matter, so
+    * the 0-based Spark posexplode needs no alignment), the offset
+    * joins, g11's scoring text, the s16 coarsening, then the shared
+    * [[alsRoundsSql]] chain.
+    */
+  private[graft] def wordVectorsOracleSql: String = {
+    val offs = (1 to WordWindow).map(d =>
+      s"""SELECT x.tok AS a, y.tok AS b
+         |  FROM tok x JOIN tok y
+         |    ON x.doc_id = y.doc_id AND y.pos = x.pos + $d""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |                  t -> t <> ''),
+       |      (x, i) -> struct_pack(tok := x, pos := i))) AS u
+       |    FROM documents) e),
+       |pd AS MATERIALIZED (
+       |$offs),
+       |sym AS (SELECT a, b FROM pd UNION ALL SELECT b AS a, a AS b FROM pd),
+       |pr AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM sym GROUP BY 1, 2),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pr),
+       |ma AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ca FROM pr GROUP BY a),
+       |mb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM pr GROUP BY b),
+       |sc AS MATERIALIZED (
+       |  SELECT pr.a, pr.b, pr.cnt,
+       |    CAST(floor(greatest(CAST(0.0 AS DOUBLE),
+       |        log2((pr.cnt * tt.t) / CAST(ma.ca * mb.cb AS DOUBLE)))
+       |      * 1048576.0 + 0.5) AS BIGINT) AS ppmi_ticks
+       |  FROM pr JOIN ma ON pr.a = ma.a JOIN mb ON pr.b = mb.b, tt
+       |  WHERE pr.cnt >= 2),
+       |ratings AS (
+       |  SELECT a AS c, b AS s,
+       |    CAST(ppmi_ticks // 256 AS DOUBLE) / CAST($AlsTicks AS DOUBLE) AS r
+       |  FROM sc WHERE ppmi_ticks > 0),
+       |$alsRoundsSql
+       |SELECT 'word' AS side, c AS token, CAST(n AS BIGINT) AS n_rated, $tickOutSql
+       |FROM u$AlsIters
+       |UNION ALL
+       |SELECT 'ctx', s, CAST(n AS BIGINT), $tickOutSql FROM v$AlsIters
+       |ORDER BY side, token""".stripMargin
+  }
+
   /** The DuckDB twin of [[s15BiasedMf]]: the all-integer μ/item-bias/
     * user-bias tick stages as plain CTEs (truncating `//` everywhere
     * a Spark `div` runs), a residual `ratings` CTE on the dyadic

@@ -191,4 +191,73 @@ class RecommendSpec extends AnyFunSuite {
     val x = Recommend.t24TopicTerms(spark, sfDir).collect().toSeq
     assert(x == Recommend.t24TopicTerms(spark, sfDir).collect().toSeq)
   }
+
+  test("t28 word vectors: window semantics pinned; planted clusters separate") {
+    import spark.implicits._
+    // window semantics on a planted 5-token doc (duplicated so counts
+    // clear the cnt>=2 scoring floor): |Δpos| <= 2 pairs exist, longer
+    // spans don't, and counts are symmetric — checked against a
+    // brute-force per-doc self-join, the quadratic construction the
+    // positional equi-joins replace.
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft_wv1").toString
+    Seq((0L, "a b c d e", "en", "s", 9L), (1L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp1/documents.parquet")
+    val pairs = Recommend.wordPairs(spark, tmp1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs(("a", "b")) == 2 && pairs(("a", "c")) == 2,
+      "distance-1 and distance-2 pairs must both count")
+    assert(!pairs.contains(("a", "d")) && !pairs.contains(("a", "e")),
+      "distance > 2 must not pair")
+    assert(pairs.forall { case ((x, y), c) => pairs((y, x)) == c },
+      "symmetrization must mirror every count")
+    // brute-force parity: the equi-join build equals the |Δpos|<=2
+    // self-join on this corpus
+    graft.functions.registerAll(spark)
+    val toks = graft.Tables.documents(spark, tmp1)
+      .select(col("doc_id"), posexplode(
+        call_function("word_grams", lower(col("text")), lit(1))))
+      .toDF("doc_id", "pos", "tok")
+    val brute = toks.as("x").join(toks.as("y"), "doc_id")
+      .filter(col("x.pos") =!= col("y.pos") &&
+        abs(col("x.pos") - col("y.pos")) <= Recommend.WordWindow)
+      .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs == brute, "equi-join pair build must equal the self-join")
+    // planted clusters: two disjoint 4-word vocabularies that never
+    // share a window — the PPMI MATRIX must stay block-diagonal
+    // (every scored pair within a cluster; the factorization only
+    // constrains observed cells, so the semantic claim lives in the
+    // matrix), and the factorization must fit those observed cells
+    val xs = (0 until 4).map(i => s"x$i"); val ys = (0 until 4).map(i => s"y$i")
+    def sent(v: Seq[String]) = Seq.fill(6)(v).flatten.mkString(" ")
+    val docs = (0L until 8L).map(i =>
+      (i, if (i < 4) sent(xs) else sent(ys), "en", "s", 50L))
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_wv2").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val scored = Recommend.wordPpmi(spark, tmp2)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(scored.nonEmpty)
+    assert(scored.forall { case (a, b) => a.head == b.head },
+      "disjoint vocabularies must never produce a scored cross pair")
+    assert(scored.exists(_._1.head == 'x') && scored.exists(_._1.head == 'y'),
+      "both clusters must contribute scored pairs")
+    // fit: the factorization beats the zero model on the observed cells
+    val ratings = Recommend.wordPpmi(spark, tmp2)
+      .select(col("a").as("c"), col("b").as("s"),
+        (expr("(ppmi_ticks div 256)").cast("double") / 4096.0).as("r"))
+      .localCheckpoint(true)
+    val (rows2, cols2) = Recommend.alsFactor(ratings)
+    val (err, base) = sse(ratings, rows2, cols2)
+    info(f"word ppmi matrix: sse=$err%.2f zero-baseline=$base%.2f")
+    assert(err < 0.5 * base,
+      "the factorization must fit the observed PPMI cells")
+    // corpus: both sides present, deterministic
+    val a = Recommend.t28WordVectors(spark, sfDir).collect().toSeq
+    assert(a == Recommend.t28WordVectors(spark, sfDir).collect().toSeq)
+    assert(a.exists(_.getString(0) == "word") && a.exists(_.getString(0) == "ctx"))
+  }
 }
