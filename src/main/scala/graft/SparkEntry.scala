@@ -57,6 +57,7 @@ object SparkEntry {
     "q47_zorder_key" -> (Relational.q47ZorderKey _),
     "q49_ridge_regression" -> (Relational.q49RidgeRegression _),
     "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
+    "q51_kde" -> (Relational.q51Kde _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
     "j04_overlap_join" -> (Joins.j04OverlapJoin _),
@@ -653,6 +654,30 @@ object SparkEntry {
        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, $coefOut
        |FROM $solved
        |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q51's DuckDB twin: same integer grid/bandwidth/kernel sums, the
+    * left join re-entering empty-support points, and
+    * [[graft.operators.Relational.KdeDensityExpr]] verbatim.
+    */
+  private def q51OracleSql: String = {
+    val pMax = graft.operators.Relational.KdePoints - 1
+    s"""WITH b AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem),
+       |st AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n FROM b),
+       |pts AS (SELECT CAST(g.i AS BIGINT) AS i,
+       |          lo + ((hi - lo) * g.i) // $pMax AS p,
+       |          greatest((hi - lo) // 8, 1) AS h, n
+       |        FROM st, generate_series(0, $pMax) AS g(i)),
+       |sums AS (SELECT i, CAST(count(*) AS BIGINT) AS n_in,
+       |           CAST(sum(h * h - (v - p) * (v - p)) AS BIGINT) AS s
+       |         FROM b, pts WHERE abs(v - p) < h GROUP BY i)
+       |SELECT i, point, h, n_in, s,
+       |  ${graft.operators.Relational.KdeDensityExpr} AS density_gticks
+       |FROM (
+       |  SELECT pts.i, pts.p AS point, pts.h, pts.n,
+       |    coalesce(n_in, 0) AS n_in, coalesce(s, 0) AS s
+       |  FROM pts LEFT JOIN sums ON pts.i = sums.i) f
+       |ORDER BY i""".stripMargin
   }
 
   /** q50's DuckDB twin: [[graft.operators.Relational.logregRounds]]
@@ -1722,6 +1747,10 @@ object SparkEntry {
     // s15 contract), every aggregate CAST back to BIGINT (the
     // HUGEINT hash guard).
     "q50_logistic_regression" -> q50OracleSql,
+    // q51: integer Epanechnikov kernel sums against the broadcast
+    // evaluation grid; the density normalizer is the ONE shared
+    // double tree (KdeDensityExpr interpolated verbatim).
+    "q51_kde" -> q51OracleSql,
     // f01/f02: generated next to the derived-sigma basket CTEs both
     // keys share — all-positive integer ticks, // where div runs.
     "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,

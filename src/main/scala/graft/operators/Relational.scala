@@ -1114,6 +1114,80 @@ object Relational {
     rows.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** Evaluation grid size for [[q51Kde]] — fixed, so the output is a
+    * pure 16-row function of the corpus.
+    */
+  private[graft] val KdePoints = 16
+
+  /** The normalization expression both engines evaluate verbatim —
+    * density·2³⁰ ticks from the exact integer kernel sum s, count n
+    * and bandwidth h: (3·s·2³⁰) / (4·n·h³), the Epanechnikov
+    * normalizer. Written ONCE and interpolated into both trees (the
+    * solveSteps convention): every factor is an exact-long-valued
+    * double (h ≤ 2¹⁷ keeps h³ ≤ 2⁵¹ exact), so identical trees give
+    * bit-identical doubles and the floor agrees.
+    */
+  private[graft] val KdeDensityExpr: String =
+    "CAST(floor((CAST(s AS DOUBLE) * CAST(3.0 AS DOUBLE) * " +
+      "CAST(1073741824.0 AS DOUBLE)) / ((CAST(4.0 AS DOUBLE) * " +
+      "CAST(n AS DOUBLE)) * (CAST(h AS DOUBLE) * CAST(h AS DOUBLE) * " +
+      "CAST(h AS DOUBLE))) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** q51: kernel density estimation over l_extendedprice — the
+    * reference's mllib/stat surface (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/mllib/stat/
+    * KernelDensity.scala:1), with the EPANECHNIKOV kernel instead of
+    * its Gaussian — the documented variant: K is the MSE-optimal
+    * compact-support kernel AND a polynomial, so the per-(row,
+    * point) contribution h² − d² is an exact integer (no
+    * transcendental whose libm could differ cross-engine — the q50
+    * hard-sigmoid instinct applied to density estimation).
+    *
+    * Contract: values floor to integer units; the [lo, hi] range,
+    * count n and bandwidth h = max((hi−lo) div 8, 1) are ONE 1-row
+    * aggregate broadcast (the q44 bounds pattern); the [[KdePoints]]
+    * evaluation grid p_i = lo + (hi−lo)·i div (P−1) is exact
+    * integers; per point the kernel sum S = Σ_{|d|<h} (h²−d²) is an
+    * exact long (h² ≤ 2³⁴ · n ≤ 2²⁵ rows < 2⁶³; at 10¹² rows the
+    * documented retune coarsens the value grid so h² shrinks, or
+    * two-levels the sum); only the final density·2³⁰ normalization
+    * runs in double, via [[KdeDensityExpr]] interpolated verbatim
+    * into both engines. Output: (i, point, h, n_in, s,
+    * density_gticks) — n_in the in-bandwidth row count.
+    *
+    * Scale shape: one stats scan, then one scan against the
+    * broadcast 16-row grid with map-side combine down to ≤16 rows
+    * per task (the row×grid fan-out is a fixed ×16 and never
+    * shuffles raw rows); empty-support points re-enter via a left
+    * join against the grid, density 0.
+    */
+  def q51Kde(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_extendedprice")).cast("long").as("v"))
+    val st = b.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n")).localCheckpoint(true)
+    val pts = st.select(
+        explode(sequence(lit(0L), lit((KdePoints - 1).toLong))).as("i"),
+        col("lo"), col("hi"), col("n"))
+      .withColumn("p", expr(s"lo + ((hi - lo) * i) div ${KdePoints - 1}"))
+      .withColumn("h", expr("greatest((hi - lo) div 8, 1L)"))
+      .select(col("i"), col("p"), col("h"), col("n"))
+    val sums = b.crossJoin(broadcast(pts))
+      .filter(abs(col("v") - col("p")) < col("h"))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(col("h") * col("h") - (col("v") - col("p")) * (col("v") - col("p")))
+          .as("s"))
+    pts.join(sums, Seq("i"), "left")
+      .select(col("i"), col("p").as("point"), col("h"), col("n"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("s"), lit(0L)).as("s"))
+      .withColumn("density_gticks", expr(KdeDensityExpr))
+      .select(col("i"), col("point"), col("h"), col("n_in"), col("s"),
+        col("density_gticks"))
+      .orderBy(col("i"))
+  }
+
   /** q50: binary logistic regression — the reference's
     * mllib/classification surface (reference: /root/reference/mllib/
     * src/main/scala/org/apache/spark/mllib/classification/

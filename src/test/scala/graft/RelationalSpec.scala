@@ -171,4 +171,43 @@ class RelationalSpec extends AnyFunSuite {
     val fin = a.last
     assert(fin.getLong(2) > 0 && fin.getLong(2) <= fin.getLong(1))
   }
+
+  test("q51 KDE: hand-computed kernel sums on a planted grid; corpus deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // 12 values: 0, 150, and ten at 40 → lo=0 hi=150 h=18, points 10·i.
+    // Every kernel sum is hand-derivable: p=40 sees the cluster at
+    // d=0 (10·324), p=30/50 at d=10 (10·224), p=0/150 their lone
+    // endpoint (324), p=20 NOTHING (both 0 and 40 sit exactly 20 ≥ h
+    // away) — the empty-support left-join path, density 0.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kde").toString
+    (Seq(0.0, 150.0) ++ Seq.fill(10)(40.0)).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val rows = Relational.q51Kde(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == Relational.KdePoints)
+    def check(i: Long, point: Long, nIn: Long, s: Long): Unit = {
+      val r = rows(i)
+      assert(r.getLong(1) == point && r.getLong(2) == 18L &&
+        r.getLong(3) == nIn && r.getLong(4) == s,
+        s"i=$i: got (${r.getLong(1)}, h=${r.getLong(2)}, ${r.getLong(3)}, " +
+          s"${r.getLong(4)}), want ($point, 18, $nIn, $s)")
+      val expect = math.floor(
+        s.toDouble * 3.0 * 1073741824.0 / ((4.0 * 12.0) * (18.0 * 18.0 * 18.0))
+          + 0.5).toLong
+      assert(r.getLong(5) == expect, s"i=$i density")
+    }
+    check(0L, 0L, 1L, 324L)
+    check(1L, 10L, 1L, 224L)
+    check(2L, 20L, 0L, 0L)
+    check(3L, 30L, 10L, 2240L)
+    check(4L, 40L, 10L, 3240L)
+    check(5L, 50L, 10L, 2240L)
+    check(15L, 150L, 1L, 324L)
+    // corpus: 16 rows, non-negative densities, bit-identical runs
+    val a = Relational.q51Kde(spark, sfDir).collect().toSeq
+    assert(a == Relational.q51Kde(spark, sfDir).collect().toSeq)
+    assert(a.size == Relational.KdePoints &&
+      a.forall(_.getLong(5) >= 0))
+  }
 }
