@@ -66,6 +66,7 @@ object SparkEntry {
     "q41_retention_cohorts" -> (Events.q41RetentionCohorts _),
     "q43_gaps_islands" -> (Events.q43GapsIslands _),
     "q48_incremental_agg" -> (Events.q48IncrementalAgg _),
+    "q52_rolling_anomaly" -> (Events.q52RollingAnomaly _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -1751,6 +1752,28 @@ object SparkEntry {
     // evaluation grid; the density normalizer is the ONE shared
     // double tree (KdeDensityExpr interpolated verbatim).
     "q51_kde" -> q51OracleSql,
+    // q52: the trailing ROWS frame's exact long moments and the
+    // denominator-cleared z² > 9 integer comparison — identical
+    // window framing both engines, ties broken by event_id.
+    "q52_rolling_anomaly" ->
+      s"""WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+         |           FROM events),
+         |b AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |        CAST(floor(value * 1024.0) AS BIGINT) AS v_ticks FROM e),
+         |w AS (SELECT *,
+         |        CAST(count(*) OVER win AS BIGINT) AS w_n,
+         |        CAST(coalesce(sum(v_ticks) OVER win, 0) AS BIGINT) AS w_sum,
+         |        CAST(coalesce(sum(v_ticks * v_ticks) OVER win, 0) AS BIGINT) AS w_sumsq
+         |      FROM b
+         |      WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |        ROWS BETWEEN ${graft.operators.Events.AnomWindow} PRECEDING
+         |          AND 1 PRECEDING))
+         |SELECT user_id, ts_us, event_id, v_ticks, w_n, w_sum, w_sumsq
+         |FROM w
+         |WHERE w_n >= ${graft.operators.Events.AnomMinN}
+         |  AND (w_n * v_ticks - w_sum) * (w_n * v_ticks - w_sum) >
+         |      9 * (w_n * w_sumsq - w_sum * w_sum)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     // f01/f02: generated next to the derived-sigma basket CTEs both
     // keys share — all-positive integer ticks, // where div runs.
     "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,

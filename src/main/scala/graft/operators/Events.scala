@@ -203,4 +203,59 @@ object Events {
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("value_ticks")).as("value_ticks"),
         max(col("last_ts")).as("last_ts"))
+
+  /** Trailing rows per user for [[q52RollingAnomaly]]'s baseline
+    * window (the event itself excluded — self-inclusion would dilute
+    * its own z-score).
+    */
+  private[graft] val AnomWindow = 20
+
+  /** Minimum baseline rows before an event can be judged. */
+  private[graft] val AnomMinN = 8
+
+  /** q52: rolling z-score anomaly detection over the event stream —
+    * the metric-quality gate a training pipeline runs on telemetry
+    * (flag events whose value sits > 3 trailing standard deviations
+    * from the user's own recent behavior; the reference's
+    * streaming-statistics surface, e.g. mllib/stat/test/
+    * StreamingTest.scala:1, as the batch window form). All-integer
+    * test: with v = value·2¹⁰ ticks and the trailing-[[AnomWindow]]
+    * frame's exact long (n, S = Σv, Q = Σv²), the z² > 9 comparison
+    * clears denominators to (n·v − S)² > 9·(n·Q − S²) — exact long
+    * arithmetic (n ≤ 20, so terms stay < 2⁶³ for v ≤ 2²⁶ ticks ≈
+    * value 65k; the documented retune is a coarser tick grid), no
+    * sqrt, no division, bit-identical cross-engine. A zero-variance
+    * baseline flags ANY departure (z = ∞) — the strict inequality
+    * makes the all-equal case unflagged. Output: the flagged events
+    * with their window state (user_id, ts_us, event_id, v_ticks,
+    * w_n, w_sum, w_sumsq), fully hash-verified.
+    *
+    * Scale shape: one shuffle on user_id; the ROWS-bounded frame is
+    * running state (21 longs) — linear per partition, never
+    * buffering a user's history (the q31 event-window posture); ties
+    * broken by event_id for a deterministic total order. The
+    * streaming twin is stream_anomaly's flatMapGroupsWithState
+    * ring buffer.
+    */
+  def q52RollingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-AnomWindow, -1)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * lit(1024.0)).cast("long").as("v_ticks"))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("w_sum", coalesce(sum(col("v_ticks")).over(w), lit(0L)))
+      .withColumn("w_sumsq",
+        coalesce(sum(col("v_ticks") * col("v_ticks")).over(w), lit(0L)))
+      .filter(col("w_n") >= AnomMinN &&
+        (col("w_n") * col("v_ticks") - col("w_sum")) *
+          (col("w_n") * col("v_ticks") - col("w_sum")) >
+          lit(9L) * (col("w_n") * col("w_sumsq") -
+            col("w_sum") * col("w_sum")))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("v_ticks"),
+        col("w_n"), col("w_sum"), col("w_sumsq"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
 }

@@ -210,4 +210,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.size == Relational.KdePoints &&
       a.forall(_.getLong(5) >= 0))
   }
+
+  test("q52 anomaly: exact z boundary on a planted baseline; min-n respected") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.{Events => Ev}
+    // users 1/2/3 each get the SAME 10-event baseline alternating
+    // 9.0/11.0 (ticks 9216/11264 → n=10, S=102400, nQ−S² = 1024²·10²
+    // exactly — trailing σ = 1024 ticks = 1.0) and ONE probe, so each
+    // probe's window is exactly the baseline: 13.25 (z=3.25, flagged),
+    // 13.0 (z=3.0 EXACTLY — strict inequality, NOT flagged), 12.75
+    // (z<3, not flagged). user 4: 9 identical events then a departure
+    // — the zero-variance baseline flags ANY departure, and events
+    // with fewer than AnomMinN predecessors are never judged.
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def baseline(u: Long) = (1 to 10).map(i =>
+      (u * 100L + i, ts(i * 60L), u, "m", if (i % 2 == 1) 9.0 else 11.0, "{}"))
+    val probes = Seq(
+      (111L, ts(700L), 1L, "m", 13.25, "{}"),
+      (211L, ts(700L), 2L, "m", 13.0, "{}"),
+      (311L, ts(700L), 3L, "m", 12.75, "{}"))
+    val u4 = (1 to 9).map(i =>
+      (400L + i, ts(i * 60L), 4L, "m", 5.0, "{}")) :+
+      (410L, ts(700L), 4L, "m", 5.5, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    (baseline(1L) ++ baseline(2L) ++ baseline(3L) ++ probes ++ u4)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Ev.q52RollingAnomaly(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.contains((1L, 111L)), "z=3.25 must be flagged")
+    assert(!out.contains((2L, 211L)), "z=3.0 exactly must NOT be flagged (strict)")
+    assert(!out.contains((3L, 311L)), "z<3 must not be flagged")
+    assert(out.contains((4L, 410L)),
+      "any departure from a zero-variance baseline must be flagged")
+    assert(out.toSet == Set((1L, 111L), (4L, 410L)),
+      s"exactly the two planted anomalies: ${out.toSeq}")
+    // corpus: deterministic, window state consistent (Q ≥ S²/n)
+    val a = Ev.q52RollingAnomaly(spark, sfDir).collect().toSeq
+    assert(a == Ev.q52RollingAnomaly(spark, sfDir).collect().toSeq)
+    assert(a.forall(r => r.getLong(4) * r.getLong(6) >=
+      r.getLong(5) * r.getLong(5)), "window variance must be non-negative")
+  }
 }
