@@ -483,6 +483,53 @@ object StreamOps {
     (Option(st), out.toSeq)
   }
 
+  /** Trailing ring buffer behind [[anomalyStream]] — at most
+    * [[graft.operators.Events.AnomWindow]] value ticks, oldest first.
+    */
+  case class AnomState(ring: Seq[Long])
+
+  /** One flagged anomaly — the q52 output row. */
+  case class AnomOut(user_id: Long, ts_us: Long, event_id: Long,
+      v_ticks: Long, w_n: Long, w_sum: Long, w_sumsq: Long)
+
+  /** Streaming twin of q52's rolling z-score gate: per user a ring
+    * buffer of the trailing [[graft.operators.Events.AnomWindow]]
+    * value ticks (≤ 20 longs of state — bounded, unlike a
+    * window-function buffer), each event judged against the SAME
+    * all-integer denominator-cleared z² > 9 test before it enters
+    * the ring, so stream output equals the batch window rows
+    * EXACTLY (spec'd row-for-row). Within a micro-batch events sort
+    * by (ts, event_id) — the foldGaps posture; across batches the
+    * per-key arrival order must be the event order (the file/Kafka
+    * per-partition ordering contract the sessionizer also rides).
+    */
+  def anomalyStream(events: Dataset[Ev]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    val w = graft.operators.Events.AnomWindow
+    val minN = graft.operators.Events.AnomMinN
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[AnomState]) =>
+          val sorted = evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var ring = state.getOption.map(_.ring.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[AnomOut]()
+          sorted.foreach { e =>
+            val v = math.floor(e.value * 1024.0).toLong
+            val n = ring.length.toLong
+            val s = ring.sum
+            val q = ring.map(x => x * x).sum
+            if (n >= minN &&
+                (n * v - s) * (n * v - s) > 9L * (n * q - s * s))
+              out += AnomOut(userId, usOf(e.ts), e.event_id, v, n, s, q)
+            ring = (ring :+ v).takeRight(w)
+          }
+          state.update(AnomState(ring))
+          out.iterator
+      }
+  }
+
   /** Stateful sessionization: emits a session when a 30-min gap
     * closes it. State per user is O(1): the open session only.
     * NoTimeout — idle sessions stay open until the next event or a

@@ -443,6 +443,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("stream_anomaly emits exactly the batch q52 rows") {
+    import spark.implicits._
+    val stream = StreamOps.readEventStream(spark, streamDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamOps.Ev]
+    val q = StreamOps.anomalyStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("anom_out")
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+      .collect().toSeq.map(_.toSeq)
+    val expected = operators.Events.q52RollingAnomaly(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    assert(got.nonEmpty && got == expected,
+      s"stream/batch drift: ${got.size} vs ${expected.size}")
+  }
+
   test("built-in session_window assembles the same sessions as q31") {
     // Spark's native session_window (usable batch AND streaming) must
     // agree with the hand-rolled gap logic (q31 / flatMapGroupsWithState
