@@ -109,6 +109,7 @@ object SparkEntry {
     "s08_diversity_stats" -> (Similarity.s08DiversityStats _),
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s05_knn_join" -> (Similarity.s05KnnJoin _),
+    "s20_nn_descent" -> (Similarity.s20NnDescent _),
     "s06_knn_classify" -> (Similarity.s06KnnClassify _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
@@ -587,6 +588,58 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY query_id
       |                       ORDER BY cos_raw DESC, vec_id) AS rank
       |  FROM sc)""".stripMargin
+
+  /** s20's DuckDB twin: [[knnGraphOracleCtes]]' ranked graph as the
+    * seed, then [[graft.operators.Similarity.NnDescentRounds]]
+    * unrolled refinement rounds — reverse edges capped at k by
+    * (rounded cos desc, id asc) row_number (the top_k_by_score
+    * total order), two-hop expansion, exact rescore with the same
+    * list-dot text, top-k re-rank on the RAW cosine.
+    */
+  private def s20OracleSql(k: Int, rounds: Int): String = {
+    def cosSql(q: String, v: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($q.embedding[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($v.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE)))))""".stripMargin
+    val roundCtes = (1 to rounds).map { kk =>
+      val prev = if (kk == 1) "g0" else s"g${kk - 1}"
+      s"""rv$kk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT vec_id AS query_id, query_id AS vec_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY cos DESC, query_id) AS rn
+         |    FROM $prev) x WHERE rn <= $k),
+         |un$kk AS (SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM $prev
+         |    UNION ALL SELECT query_id, vec_id FROM rv$kk) u),
+         |hp$kk AS (SELECT x.query_id AS query_id, y.vec_id AS vec_id
+         |  FROM un$kk x JOIN un$kk y ON x.vec_id = y.query_id),
+         |cd$kk AS (SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM un$kk
+         |    UNION ALL SELECT query_id, vec_id FROM hp$kk) c
+         |  WHERE query_id <> vec_id),
+         |sc$kk AS (
+         |  SELECT c.query_id, c.vec_id, ${cosSql("q", "v")} AS cos_raw
+         |  FROM cd$kk c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings v ON v.vec_id = c.vec_id),
+         |g$kk AS (
+         |  SELECT query_id, vec_id, round(cos_raw, 4) AS cos, rank FROM (
+         |    SELECT query_id, vec_id, cos_raw,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_raw DESC, vec_id) AS rank
+         |    FROM sc$kk) s WHERE rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + knnGraphOracleCtes + s""",
+       |g0 AS (SELECT query_id, vec_id, round(cos_raw, 4) AS cos
+       |       FROM r WHERE rank <= $k),
+       |$roundCtes
+       |SELECT query_id, vec_id AS neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+       |FROM g$rounds ORDER BY query_id, rank""".stripMargin
+  }
 
   /** The d02 all-pairs truth edge set + recursive-CTE transitive
     * closure up to `lab` (doc_id, cluster_id) and `sz` (cluster_id,
@@ -2147,6 +2200,10 @@ object SparkEntry {
         |FROM r
         |WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin),
+    // s20: the seed graph's CTEs + the unrolled NN-descent rounds —
+    // reverse cap, two-hop, exact rescore, bounded re-rank.
+    "s20_nn_descent" -> s20OracleSql(3,
+      graft.operators.Similarity.NnDescentRounds),
     // s06: cosine-weighted 3-NN vote over the s05 graph; weights are
     // integer 1/10000 ticks of the 4dp cosines so the per-label sums
     // are order-independent and bit-equal cross-engine

@@ -395,6 +395,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.7, s"knn-graph recall@3 $recall too low")
   }
 
+  test("s20 nn-descent: recall improves on the seed, structure holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val exact = emb.keys.flatMap { q =>
+      emb.toSeq.filter(_._1 != q)
+        .map { case (v, e) => (v, cos(emb(q), e)) }
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(v => (q, v._1))
+    }.toSet
+    def recallOf(pairs: Set[(Long, Long)]) =
+      (exact & pairs).size.toDouble / exact.size
+    val seed = Similarity.s05KnnJoin(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.s20NnDescent(spark, sfDir)
+      .select("query_id", "neighbor_id", "cos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val refinedPairs = refined.map(r => (r._1, r._2)).toSet
+    val (rSeed, rRef) = (recallOf(seed), recallOf(refinedPairs))
+    info(f"recall@3: seed $rSeed%.4f -> refined $rRef%.4f")
+    assert(rRef >= rSeed, "refinement must never lose recall")
+    assert(rRef > 0.95, s"refined recall@3 $rRef too low")
+    // structure: ≤ k dense ranks per node, true cosines, non-increasing
+    refined.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3 &&
+        rows.map(_._4).sorted.sameElements(1L to rows.length))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.sliding(2).forall(p => p.head >= p.last - 5e-4))
+    }
+    refined.foreach { case (q, n, c, _) =>
+      assert(math.abs(c - cos(emb(q), emb(n))) < 5e-4, s"cos($q,$n) off: $c")
+    }
+    // deterministic
+    val again = Similarity.s20NnDescent(spark, sfDir).collect().toSeq
+    assert(again == Similarity.s20NnDescent(spark, sfDir).collect().toSeq)
+  }
+
   test("s05 cap contract: degenerate buckets drop, graph stays bounded") {
     import spark.implicits._
     // adversarial corpus: N IDENTICAL vectors — every band collapses to
