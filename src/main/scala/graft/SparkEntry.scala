@@ -67,6 +67,8 @@ object SparkEntry {
     "q43_gaps_islands" -> (Events.q43GapsIslands _),
     "q48_incremental_agg" -> (Events.q48IncrementalAgg _),
     "q52_rolling_anomaly" -> (Events.q52RollingAnomaly _),
+    "q53_ks_test" -> (Events.q53KsTest _),
+    "q54_rank_sum" -> (Events.q54RankSum _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -88,6 +90,7 @@ object SparkEntry {
     "f01_freq_itemsets" -> (Itemsets.f01FreqItemsets _),
     "f02_assoc_rules" -> (Itemsets.f02AssocRules _),
     "f03_itemsets_l3" -> (Itemsets.f03FreqTriples _),
+    "f04_seq_patterns" -> (Itemsets.f04SeqPatterns _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
@@ -167,6 +170,7 @@ object SparkEntry {
     "g03_ppr" -> (Graph.g03PersonalizedPagerank _),
     "g04_triangles" -> (Graph.g04TriangleCount _),
     "g05_labelprop" -> (Graph.g05LabelProp _),
+    "g13_modularity" -> (Graph.g13Modularity _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
@@ -1169,7 +1173,11 @@ object SparkEntry {
        |FROM sc WHERE ppmi_ticks > 0
        |ORDER BY a_type, a_key, b_type, b_key""".stripMargin
 
-  private def g05OracleSql(iters: Int): String = {
+  /** The g05 label-propagation round chain as CTEs (l0 → l{iters}) —
+    * shared verbatim by the g05 and g13 oracles so both score the
+    * SAME partition.
+    */
+  private def g05LabelCtes(iters: Int): String = {
     val rounds = (1 to iters).map { kk =>
       val prev = if (kk == 1) "l0" else s"l${kk - 1}"
       s"""nb$kk AS MATERIALIZED (
@@ -1182,15 +1190,44 @@ object SparkEntry {
          |  FROM nb$kk nb JOIN mx$kk m ON m.id = nb.id AND nb.c = m.mc
          |  GROUP BY nb.id)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (SELECT id, id AS lab FROM n),
+       |$rounds""".stripMargin
+  }
+
+  private def g05OracleSql(iters: Int): String =
     s"""WITH $gEdgeCtes,
-       |l0 AS (SELECT id, id AS lab FROM n),
-       |$rounds
+       |${g05LabelCtes(iters)}
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
        |       id // 2 AS entity_key,
        |       CASE WHEN lab % 2 = 0 THEN 'c' ELSE 's' END AS label_type,
        |       lab // 2 AS label_key
        |FROM l$iters ORDER BY node_type, entity_key""".stripMargin
-  }
+
+  /** g13 oracle: the g05 label chain scored for modularity — exact
+    * BIGINT numerators (sums CAST back down; DuckDB sum() widens to
+    * HUGEINT, the round-7 g01 lesson).
+    */
+  private def g13OracleSql(iters: Int): String =
+    s"""WITH $gEdgeCtes,
+       |${g05LabelCtes(iters)},
+       |lb AS MATERIALIZED (SELECT id, lab FROM l$iters),
+       |ec AS (SELECT CAST(count(*) AS BIGINT) AS ee FROM e),
+       |intra AS (
+       |  SELECT a.lab AS lab, CAST(count(*) AS BIGINT) AS ie
+       |  FROM e JOIN lb a ON a.id = e.src JOIN lb b ON b.id = e.dst
+       |  WHERE a.lab = b.lab GROUP BY 1),
+       |dg AS (
+       |  SELECT lb.lab, CAST(count(*) AS BIGINT) AS nodes,
+       |         CAST(sum(dd.d) AS BIGINT) AS degree_sum
+       |  FROM (SELECT src AS id, count(*) AS d FROM e GROUP BY 1) dd
+       |  JOIN lb ON lb.id = dd.id GROUP BY 1)
+       |SELECT CASE WHEN dg.lab % 2 = 0 THEN 'c' ELSE 's' END AS label_type,
+       |       dg.lab // 2 AS label_key, dg.nodes, dg.degree_sum,
+       |       COALESCE(intra.ie, CAST(0 AS BIGINT)) AS intra_edges,
+       |       COALESCE(intra.ie, CAST(0 AS BIGINT)) * (SELECT ee FROM ec)
+       |         - dg.degree_sum * dg.degree_sum AS q_num
+       |FROM dg LEFT JOIN intra ON dg.lab = intra.lab
+       |ORDER BY label_type, label_key""".stripMargin
 
   /** g06 oracle: bounded BFS as a recursive CTE (edge CTEs
     * MATERIALIZED — the HITS multi-reference lesson); the `d < iters`
@@ -1259,6 +1296,27 @@ object SparkEntry {
        |FROM sel$k ORDER BY rank""".stripMargin
   }
 
+  /** The q53/q54 shared grid-CDF replication of
+    * [[graft.operators.Events.tickCdf]]: per-(type, tick) counts on
+    * the q52 1024-tick grid, completed to the common grid with
+    * per-type running cumulatives. count(*) is BIGINT; sum() is CAST
+    * back down (the HUGEINT lesson).
+    */
+  private val tickCdfOracleCtes: String =
+    """ct AS MATERIALIZED (
+      |  SELECT event_type AS t, CAST(floor(value * 1024.0) AS BIGINT) AS tick,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT tick FROM ct),
+      |ty AS (SELECT t, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY 1),
+      |cd AS MATERIALIZED (
+      |  SELECT g.tick, ty.t, ty.n,
+      |    COALESCE(ct.c, CAST(0 AS BIGINT)) AS c,
+      |    CAST(sum(COALESCE(ct.c, 0)) OVER (PARTITION BY ty.t ORDER BY g.tick
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM grid g CROSS JOIN ty
+      |  LEFT JOIN ct ON ct.t = ty.t AND ct.tick = g.tick)""".stripMargin
+
   /** q31's session-assembly replication (CTEs e → f → g: typed
     * events, 30-min-gap flags, running session ids) — shared by the
     * q31 oracle and j04's session side.
@@ -1319,6 +1377,8 @@ object SparkEntry {
     "g07_linkpred" -> g07OracleSql(
       graft.operators.Graph.TriTopK, graft.operators.Graph.LinkTopK),
     "g05_labelprop" -> g05OracleSql(
+      graft.operators.Graph.LabelPropIters),
+    "g13_modularity" -> g13OracleSql(
       graft.operators.Graph.LabelPropIters),
     "g09_kcore" -> g09OracleSql(
       graft.operators.Graph.KcoreIters),
@@ -1827,11 +1887,36 @@ object SparkEntry {
          |  AND (w_n * v_ticks - w_sum) * (w_n * v_ticks - w_sum) >
          |      9 * (w_n * w_sumsq - w_sum * w_sum)
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    // q53/q54: the shared tick-grid CDF CTEs (the q52 1024-tick
+    // quantization), then the exact-integer KS max / doubled
+    // rank-sum — sums CAST back from DuckDB's HUGEINT widening.
+    "q53_ks_test" ->
+      s"""WITH $tickCdfOracleCtes
+         |SELECT type_a, type_b, n_a, n_b, d_num,
+         |  (d_num * ${graft.operators.Events.KsScale}) // (n_a * n_b) AS d_ticks
+         |FROM (
+         |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+         |    max(abs(b.n * a.cum - a.n * b.cum)) AS d_num
+         |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
+         |  GROUP BY 1, 2, 3, 4)
+         |ORDER BY type_a, type_b""".stripMargin,
+    "q54_rank_sum" ->
+      s"""WITH $tickCdfOracleCtes
+         |SELECT type_a, type_b, n_a, n_b,
+         |  r2_a - n_a * (n_a + 1) AS u2_a
+         |FROM (
+         |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+         |    CAST(sum(a.c * (2 * ((a.cum - a.c) + (b.cum - b.c))
+         |                    + a.c + b.c + 1)) AS BIGINT) AS r2_a
+         |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
+         |  GROUP BY 1, 2, 3, 4)
+         |ORDER BY type_a, type_b""".stripMargin,
     // f01/f02: generated next to the derived-sigma basket CTEs both
     // keys share — all-positive integer ticks, // where div runs.
     "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,
     "f02_assoc_rules" -> graft.operators.Itemsets.f02OracleSql,
     "f03_itemsets_l3" -> graft.operators.Itemsets.f03OracleSql,
+    "f04_seq_patterns" -> graft.operators.Itemsets.f04OracleSql,
     "q46_referential_audit" ->
       """WITH rel AS (
         |  SELECT 'lineitem->orders' AS relationship,

@@ -258,4 +258,106 @@ object Events {
         col("w_n"), col("w_sum"), col("w_sumsq"))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
+
+  /** Per-type tick-grid CDF shared by [[q53KsTest]] and
+    * [[q54RankSum]]: one row per (event_type, distinct v_tick on the
+    * COMMON grid) with the type's count at that tick, its running
+    * cumulative, and the type total. The grid is the q52 tick
+    * quantization (v = floor(value·2¹⁰), all-positive on this
+    * corpus), so both tests are DEFINED on quantized values — a
+    * stated, reproducible contract (ties resolve identically in both
+    * engines) whose grid size is bounded by the VALUE RANGE × 2¹⁰,
+    * not the corpus: the cumulative window's per-type group stays
+    * range-bounded at any corpus size, and the raw events collapse
+    * map-side to (type, tick) partial counts before any shuffle.
+    */
+  private[graft] def tickCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ct = Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"),
+        floor(col("value") * lit(1024.0)).cast("long").as("tick"))
+      .groupBy(col("t"), col("tick")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val grid = ct.select(col("tick")).distinct()
+    val types = ct.groupBy(col("t")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("t")).orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(types))
+      .join(ct, Seq("t", "tick"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(w))
+  }
+
+  /** Ticks per unit for q53's D statistic (2²⁰, the t09 scale). */
+  private[graft] val KsScale = 1048576L
+
+  /** q53: two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of every event-type pair — the distribution-drift
+    * test a pipeline runs to decide whether two telemetry sources
+    * (or two time slices) draw from the same behavior (the
+    * reference's hypothesis-testing surface: /root/reference/mllib/
+    * src/main/scala/org/apache/spark/mllib/stat/test/
+    * KolmogorovSmirnovTest.scala:1, re-expressed as one grid frame
+    * instead of a per-element sort). On the shared [[tickCdf]] grid,
+    * D·n_a·n_b = max over grid points of |n_b·cum_a − n_a·cum_b| —
+    * an EXACT integer (d_num); d_ticks = d_num·2²⁰ div (n_a·n_b)
+    * reports the usual D ∈ [0,1]. Long headroom: n_a·n_b·2²⁰ < 2⁶³
+    * up to n ≈ 3·10⁶ per type; the documented retune at corpus scale
+    * reports d_num alone (exact at any n) or drops the tick scale.
+    *
+    * Scale shape: the pair frame is |grid|·C(|types|,2) rows — grid
+    * range-bounded, types vocabulary-bounded — and the max is one
+    * partial-agg'd groupBy. Nothing scales with event count except
+    * the initial (type, tick) partial count.
+    */
+  def q53KsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cdf = tickCdf(spark, sfDir)
+    val a = cdf.select(col("tick"), col("t").as("type_a"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cdf.select(col("tick"), col("t").as("type_b"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, "tick")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")))
+        .as("d_num"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("d_num"),
+        expr(s"(d_num * $KsScale) div (n_a * n_b)").as("d_ticks"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q54: Mann–Whitney rank-sum between the value distributions of
+    * every event-type pair — the nonparametric location test paired
+    * with q53's shape test (public statistic; the reference's
+    * mllib/stat testing surface carries the same role). Tie-aware
+    * midranks on the [[tickCdf]] grid, kept integer by DOUBLING:
+    * 2·R_a = Σ over grid ticks c_a·(2·before + c_a + c_b + 1) where
+    * `before` counts pooled values on strictly smaller ticks, and
+    * 2·U_a = 2·R_a − n_a·(n_a+1). The spec asserts the exact
+    * identity 2·U_a + 2·U_b = 2·n_a·n_b. All sums are exact longs
+    * (headroom to n ≈ 10⁹ per type; documented retune: report
+    * per-stratum U on bounded strata). Output: (type_a, type_b,
+    * n_a, n_b, u2_a) — u2_a is 2·U_a for sample a against b.
+    *
+    * Scale shape: identical to q53 — the per-pair frame is
+    * grid×pairs sized, everything else partial-agg'd.
+    */
+  def q54RankSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val cdf = tickCdf(spark, sfDir)
+    val a = cdf.select(col("tick"), col("t").as("type_a"),
+      col("c").as("c_a"), col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cdf.select(col("tick"), col("t").as("type_b"),
+      col("c").as("c_b"), col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, "tick")
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("before",
+        (col("cum_a") - col("c_a")) + (col("cum_b") - col("c_b")))
+      .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
+      .agg(sum(col("c_a") *
+        (lit(2L) * col("before") + col("c_a") + col("c_b") + lit(1L)))
+        .as("r2_a"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

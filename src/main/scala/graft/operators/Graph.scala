@@ -135,11 +135,13 @@ object Graph {
     */
   private[graft] def memoRetainedIds: Set[Int] =
     pairsMemo.retainedIds ++ edgesMemo.retainedIds ++
-      undMemo.retainedIds ++ walkMemo.retainedIds
+      undMemo.retainedIds ++ walkMemo.retainedIds ++
+      labelsMemo.retainedIds
 
   /** Drop the graph memos and unpersist their blocks. */
   private[graft] def clearMemos(): Unit = {
     pairsMemo.clear(); edgesMemo.clear(); undMemo.clear(); walkMemo.clear()
+    labelsMemo.clear()
   }
 
   /** Directed-both-ways bipartite edge set with out-degrees:
@@ -517,9 +519,27 @@ object Graph {
     labels
   }
 
-  def g05LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memo for the converged label frame — g05 reports it and g13
+    * scores its modularity; the 4-round propagation behind it is a
+    * per-round shuffle chain worth computing once per sweep.
+    */
+  private val labelsMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
+
+  /** The memoized [[labelPropRounds]] result over the trade graph.
+    * `tradeEdges` resolves its own memo BEFORE this compute block —
+    * the [[graft.FrameMemo]] no-nested-compute lock-order invariant.
+    */
+  private[graft] def tradeLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-    labelPropRounds(edges, LabelPropIters).select(
+    labelsMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|labels") {
+      labelPropRounds(edges, LabelPropIters).localCheckpoint(true)
+    }
+  }
+
+  def g05LabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    tradeLabels(spark, sfDir).select(
         when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
         expr("id div 2").as("entity_key"),
         when(col("lab") % 2 === 0, lit("c")).otherwise(lit("s"))
@@ -1060,4 +1080,65 @@ object Graph {
     */
   def g08GraphProfile(spark: SparkSession, sfDir: String): DataFrame =
     graphProfileFrom(coPurchaseUnd(spark, sfDir))
+
+  /** Modularity scoring core over a mirrored (src, dst) edge frame
+    * and a (id, lab) partition: one row per community with its node
+    * count, degree mass, intra-community mirrored-edge count, and the
+    * EXACT integer modularity numerator q_num = intra·E − d_c² where
+    * E is the mirrored edge count (= 2m). Newman's Q is
+    * Σ_c q_num_c / E² — the division is left to the reader so the
+    * contract stays integer-exact end to end (no ticks, no rounding).
+    * Package-private so the spec can score hand-built partitions.
+    */
+  private[graft] def modularityBy(
+      edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ecnt = edges.agg(count(lit(1)).as("ee"))
+    val intra = edges
+      .join(labels.select(col("id").as("src"), col("lab").as("lab_a")), "src")
+      .join(labels.select(col("id").as("dst"), col("lab").as("lab_b")), "dst")
+      .filter(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("lab")).agg(count(lit(1)).as("intra_edges"))
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .join(labels, "id")
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("nodes"), sum(col("d")).as("degree_sum"))
+      .join(intra, Seq("lab"), "left")
+      .crossJoin(broadcast(ecnt))
+      .select(col("lab"), col("nodes"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        (coalesce(col("intra_edges"), lit(0L)) * col("ee") -
+          col("degree_sum") * col("degree_sum")).as("q_num"))
+  }
+
+  /** g13: modularity report of the g05 label-propagation communities
+    * — the quality score that tells a pipeline whether its community
+    * structure is real or noise (Newman & Girvan, "Finding and
+    * evaluating community structure in networks", Phys. Rev. E 2004;
+    * the reference ships the partition side as graphx
+    * LabelPropagation — /root/reference/graphx/src/main/scala/org/
+    * apache/spark/graphx/lib/LabelPropagation.scala:1 — and leaves
+    * scoring to the caller). One row per community:
+    * (label_type, label_key, nodes, degree_sum, intra_edges, q_num),
+    * all exact longs; Q = Σ q_num / E².
+    *
+    * Scale shape: the label frame is the memoized g05 result (one
+    * propagation per sweep feeds both keys); intra counts need one
+    * edges⋈labels⋈labels chain — two hash joins shuffling O(E) with
+    * map-side partial counts — and the degree mass is the g01 degree
+    * frame re-grouped by label, vocabulary-of-communities sized.
+    * Long headroom: intra·E and d_c² overflow past E ≈ 3·10⁹
+    * mirrored edges; the documented retune at corpus scale computes
+    * q_num in double (the g08 assortativity posture) or reports the
+    * three exact counts alone.
+    */
+  def g13Modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    val labels = tradeLabels(spark, sfDir)
+    modularityBy(edges, labels).select(
+        when(col("lab") % 2 === 0, lit("c")).otherwise(lit("s"))
+          .as("label_type"),
+        expr("lab div 2").as("label_key"),
+        col("nodes"), col("degree_sum"), col("intra_edges"), col("q_num"))
+      .orderBy(col("label_type"), col("label_key"))
+  }
 }

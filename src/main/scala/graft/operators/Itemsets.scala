@@ -257,6 +257,127 @@ object Itemsets {
        |ORDER BY support DESC, item_a, item_b, item_c
        |LIMIT $TriplesTopK""".stripMargin
 
+  /** f04: sequential-pattern mining over per-user event streams —
+    * the reference's mllib/fpm sequence surface (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/fpm/
+    * PrefixSpan.scala:1), re-expressed as bounded first-occurrence
+    * joins instead of projected-database recursion: a user supports
+    * ⟨a,b⟩ iff an a-event precedes a b-event, and ⟨a,b,c⟩ iff a
+    * c-event follows the EARLIEST b after the EARLIEST a — the
+    * classic greedy-matching lemma (earliest prefix occurrences never
+    * exclude a continuation), so first-occurrence frames decide
+    * containment exactly.
+    *
+    * Contract points:
+    *  - Event order is (ts, event_id) — total, engine-agreed; the
+    *    per-user `pos` is a row_number over that order (the q31
+    *    sessionize window posture: bounded by per-user activity).
+    *  - Support floor σ = ceil(2% of users), data-derived as a 1-row
+    *    broadcast (the f01 posture); Apriori pruning is structural —
+    *    pairs draw only from frequent singletons, triples extend
+    *    only frequent pairs (semi-joins).
+    *
+    * Scale shape: first-occurrence frames are partial-agg'd mins of
+    * at most |users|·|vocab| (resp. ·|vocab|²) rows; the extension
+    * joins expand each event by at most |vocab| (resp. |vocab|²)
+    * first-occurrence rows of its own user — vocabulary-bounded
+    * fan-out, the f01/f03 budget. The pattern universe is |vocab|³
+    * at worst: the result frame is broadcast-sized at any corpus
+    * size. Output: (k, e1, e2, e3 — NULL-padded, support) with
+    * support = distinct supporting users.
+    */
+  def f04SeqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").as("u"), col("event_type").as("t"),
+        col("ts"), col("event_id"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("ts"), col("event_id"))))
+      .select(col("u"), col("t"), col("pos"))
+      .localCheckpoint(true)
+    val users = ev.agg(countDistinct(col("u")).as("nu"))
+      .withColumn("sigma", expr("(nu + 49) div 50"))
+    // L1: users containing each type at least once
+    val l1 = ev.groupBy(col("t")).agg(countDistinct(col("u")).as("support"))
+      .crossJoin(broadcast(users))
+      .filter(col("support") >= col("sigma"))
+      .select(col("t"), col("support"))
+      .localCheckpoint(true)
+    // first occurrence of each frequent type per user
+    val fa = ev.join(broadcast(l1.select(col("t"))), "t")
+      .groupBy(col("u"), col("t").as("e1")).agg(min(col("pos")).as("p1"))
+    // earliest b strictly after the earliest a → one row per (u,a,b)
+    val fab = ev.join(broadcast(l1.select(col("t"))), "t")
+      .join(fa, "u")
+      .filter(col("pos") > col("p1"))
+      .groupBy(col("u"), col("e1"), col("t").as("e2"))
+      .agg(min(col("pos")).as("p2"))
+      .localCheckpoint(true)
+    val l2 = fab.groupBy(col("e1"), col("e2"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(users))
+      .filter(col("support") >= col("sigma"))
+      .select(col("e1"), col("e2"), col("support"))
+      .localCheckpoint(true)
+    // Apriori prune: extend only σ-frequent pairs
+    val fabk = fab.join(broadcast(l2.select(col("e1"), col("e2"))),
+      Seq("e1", "e2"), "left_semi")
+    val l3 = ev.join(fabk, "u")
+      .filter(col("pos") > col("p2"))
+      .groupBy(col("e1"), col("e2"), col("t").as("e3"))
+      .agg(countDistinct(col("u")).as("support"))
+      .crossJoin(broadcast(users))
+      .filter(col("support") >= col("sigma"))
+    l1.select(lit(1L).as("k"), col("t").as("e1"),
+        lit(null).cast("string").as("e2"), lit(null).cast("string").as("e3"),
+        col("support"))
+      .unionByName(l2.select(lit(2L).as("k"), col("e1"), col("e2"),
+        lit(null).cast("string").as("e3"), col("support")))
+      .unionByName(l3.select(lit(3L).as("k"), col("e1"), col("e2"),
+        col("e3"), col("support")))
+      .orderBy(col("k"), col("e1"), col("e2"), col("e3"))
+  }
+
+  /** The DuckDB twin of [[f04SeqPatterns]]. */
+  private[graft] def f04OracleSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id AS u, event_type AS t,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS BIGINT) AS pos
+      |  FROM events),
+      |nu AS (SELECT count(DISTINCT u) AS nu,
+      |        (count(DISTINCT u) + 49) // 50 AS sigma FROM ev),
+      |l1 AS MATERIALIZED (
+      |  SELECT t, CAST(count(DISTINCT u) AS BIGINT) AS support
+      |  FROM ev GROUP BY t
+      |  HAVING count(DISTINCT u) >= (SELECT sigma FROM nu)),
+      |fa AS (SELECT ev.u, ev.t AS e1, min(ev.pos) AS p1
+      |       FROM ev JOIN l1 ON ev.t = l1.t GROUP BY 1, 2),
+      |fab AS MATERIALIZED (
+      |  SELECT ev.u, fa.e1, ev.t AS e2, min(ev.pos) AS p2
+      |  FROM ev JOIN l1 ON ev.t = l1.t
+      |  JOIN fa ON fa.u = ev.u AND ev.pos > fa.p1
+      |  GROUP BY 1, 2, 3),
+      |l2 AS MATERIALIZED (
+      |  SELECT e1, e2, CAST(count(*) AS BIGINT) AS support
+      |  FROM fab GROUP BY 1, 2
+      |  HAVING count(*) >= (SELECT sigma FROM nu)),
+      |l3 AS (
+      |  SELECT fab.e1, fab.e2, ev.t AS e3,
+      |    CAST(count(DISTINCT ev.u) AS BIGINT) AS support
+      |  FROM ev
+      |  JOIN fab ON fab.u = ev.u AND ev.pos > fab.p2
+      |  JOIN l2 ON l2.e1 = fab.e1 AND l2.e2 = fab.e2
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(DISTINCT ev.u) >= (SELECT sigma FROM nu))
+      |SELECT CAST(1 AS BIGINT) AS k, t AS e1, CAST(NULL AS VARCHAR) AS e2,
+      |  CAST(NULL AS VARCHAR) AS e3, support FROM l1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), e1, e2, CAST(NULL AS VARCHAR), support FROM l2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), e1, e2, e3, support FROM l3
+      |ORDER BY k, e1, e2, e3""".stripMargin
+
   private[graft] def f02OracleSql: String =
     s"""WITH $basketsOracleCtes,
        |r AS (SELECT ia AS antecedent, ib AS consequent, support FROM l2

@@ -105,4 +105,49 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(sigma >= 2)
   }
 
+  test("f04 sequential patterns equal brute-force subsequence truth") {
+    // in-test truth: per-user type sequences ordered by (ts, event_id),
+    // pattern support = users whose sequence CONTAINS the subsequence
+    // (any gaps) — checked by the standard greedy matcher, independent
+    // of the engine's first-occurrence formulation.
+    val seqs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime,
+        r.getLong(2)), r.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    @annotation.tailrec
+    def contains(seq: List[String], pat: List[String]): Boolean = pat match {
+      case Nil => true
+      case p :: pt => seq.dropWhile(_ != p) match {
+        case Nil => false
+        case _ :: st => contains(st, pt)
+      }
+    }
+    val nu = seqs.size.toLong
+    val sigma = (nu + 49) / 50
+    val types = seqs.values.flatten.toSet.toList.sorted
+    def support(pat: List[String]): Long =
+      seqs.values.count(contains(_, pat)).toLong
+    val t1 = types.map(a => List(a) -> support(List(a)))
+      .filter(_._2 >= sigma).toMap
+    val t2 = (for (a <- types; b <- types) yield List(a, b))
+      .map(p => p -> support(p)).filter(_._2 >= sigma).toMap
+    val t3 = (for (a <- types; b <- types; c <- types) yield List(a, b, c))
+      .filter(p => t2.contains(p.take(2)))
+      .map(p => p -> support(p)).filter(_._2 >= sigma).toMap
+    val out = Itemsets.f04SeqPatterns(spark, sfDir).collect()
+    def gotK(k: Long, w: Int) = out.filter(_.getLong(0) == k)
+      .map(r => (1 to w).map(i => r.getString(i)).toList -> r.getLong(4)).toMap
+    assert(gotK(1L, 1) == t1, "L1 drift")
+    assert(gotK(2L, 2) == t2, s"L2 drift: ${gotK(2L, 2).size} vs ${t2.size}")
+    assert(gotK(3L, 3) == t3, s"L3 drift: ${gotK(3L, 3).size} vs ${t3.size}")
+    // (sf0.001 has few distinct users, so the derived 2% floor can
+    // legitimately be 1 — the pattern universe stays |vocab|³-bounded)
+    assert(sigma >= 1 && t2.nonEmpty)
+    // greedy-matching lemma is load-bearing: a pattern's support can
+    // never exceed its prefix's (anti-monotonicity over sequences)
+    t3.foreach { case (p, s) => assert(s <= t2(p.take(2))) }
+  }
 }

@@ -841,4 +841,39 @@ class JoinsGraphSpec extends AnyFunSuite {
       assert(got.contains((b, a)), s"asymmetric pair $a $b")
     }
   }
+
+  test("g13 modularity: hand-scored partitions and corpus identities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    // two disjoint triangles, labeled by component: the textbook
+    // Q = 1/2 partition. Mirrored E = 12; each community has nodes=3,
+    // degree_sum=6, intra (mirrored) = 6, q_num = 6·12 − 36 = 36.
+    val half = Seq((0L, 2L), (2L, 4L), (0L, 4L), (1L, 3L), (3L, 5L), (1L, 5L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((0L, 0L), (2L, 0L), (4L, 0L), (1L, 1L), (3L, 1L),
+      (5L, 1L)).toDF("id", "lab")
+    val got = Graph.modularityBy(edges, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == Map(0L -> ((3L, 6L, 6L, 36L)), 1L -> ((3L, 6L, 6L, 36L))))
+    // Q = Σ q_num / E² = 72 / 144 = 1/2 exactly
+    assert(got.values.map(_._4).sum * 2 == 12L * 12L)
+    // the all-in-one-community partition scores Q = 0 exactly
+    val one = labels.select(col("id"), lit(7L).as("lab"))
+    val flat = Graph.modularityBy(edges, one).collect()
+    assert(flat.length == 1 && flat.head.getLong(4) == 0L,
+      "single-community modularity must be exactly zero")
+    // corpus: communities are exactly g05's label set, degree mass
+    // sweeps the whole graph, intra never exceeds E
+    val g13 = Graph.g13Modularity(spark, sfDir).collect()
+    val g05Labs = Graph.g05LabelProp(spark, sfDir).collect()
+      .map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(g13.map(r => (r.getString(0), r.getLong(1))).toSet == g05Labs,
+      "g13 must score exactly the g05 communities")
+    val e = graftTestEdges().count()
+    assert(g13.map(_.getLong(3)).sum == e, "degree mass must sum to E")
+    assert(g13.map(_.getLong(4)).sum <= e, "intra edges cannot exceed E")
+    assert(g13.toSeq == Graph.g13Modularity(spark, sfDir).collect().toSeq)
+  }
 }

@@ -252,4 +252,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.forall(r => r.getLong(4) * r.getLong(6) >=
       r.getLong(5) * r.getLong(5)), "window variance must be non-negative")
   }
+
+  test("q53/q54: hand-computed KS and rank-sum on planted samples") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.{Events => Ev}
+    // sample a = {1,2,3}, sample b = {2,3,4} (one event each, exact
+    // ticks 1024·v). KS: D = 1/3 (d_num = 3 of n_a·n_b = 9); MW with
+    // midranks: pooled ranks 1, 2.5, 2.5, 4.5, 4.5, 6 → R_a = 8,
+    // 2U_a = 16 − 3·4 = 4 (U_a = 2), and 2U_a + 2U_b = 2·n_a·n_b.
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 2.0), (5L, "b", 3.0), (6L, "b", 4.0))
+      .map { case (id, t, v) => (id, ts(id * 60L), id, t, v, "{}") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ks = Ev.q53KsTest(spark, tmp).collect()
+    assert(ks.length == 1)
+    assert((ks.head.getLong(2), ks.head.getLong(3), ks.head.getLong(4),
+      ks.head.getLong(5)) == ((3L, 3L, 3L, 3L * Ev.KsScale / 9L)))
+    val mw = Ev.q54RankSum(spark, tmp).collect()
+    assert(mw.length == 1 && mw.head.getLong(4) == 4L,
+      s"2·U_a must be 4, got ${mw.head.getLong(4)}")
+    // corpus: all C(5,2) pairs, D within [0, 2^20] ticks, U within
+    // [0, 2·n_a·n_b], and both deterministic across runs
+    val ksC = Ev.q53KsTest(spark, sfDir).collect()
+    val mwC = Ev.q54RankSum(spark, sfDir).collect()
+    assert(ksC.length == 10 && mwC.length == 10)
+    assert(ksC.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= Ev.KsScale))
+    assert(ksC.forall(r => r.getLong(4) <= r.getLong(2) * r.getLong(3)))
+    assert(mwC.forall(r => r.getLong(4) >= 0L &&
+      r.getLong(4) <= 2L * r.getLong(2) * r.getLong(3)))
+    assert(ksC.toSeq == Ev.q53KsTest(spark, sfDir).collect().toSeq)
+  }
 }
