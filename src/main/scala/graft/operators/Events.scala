@@ -271,12 +271,21 @@ object Events {
     * range-bounded at any corpus size, and the raw events collapse
     * map-side to (type, tick) partial counts before any shuffle.
     */
-  private[graft] def tickCdf(spark: SparkSession, sfDir: String): DataFrame = {
-    val ct = Tables.events(spark, sfDir)
-      .select(col("event_type").as("t"),
+  /** The (event_type, v_tick, count) partial-agg of an events frame
+    * — the monoid state both tests run on (and the state a streaming
+    * drift gate folds per micro-batch: counts merge by addition, so
+    * incremental state equals the batch frame exactly).
+    */
+  private[graft] def tickCountsOf(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("t"),
         floor(col("value") * lit(1024.0)).cast("long").as("tick"))
       .groupBy(col("t"), col("tick")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+
+  /** Grid completion + per-type running cumulative over a
+    * (t, tick, c) counts frame (see [[tickCdf]] for the contract).
+    */
+  private[graft] def cdfFromCounts(ct0: DataFrame): DataFrame = {
+    val ct = ct0.localCheckpoint(true)
     val grid = ct.select(col("tick")).distinct()
     val types = ct.groupBy(col("t")).agg(sum(col("c")).as("n"))
     val w = Window.partitionBy(col("t")).orderBy(col("tick"))
@@ -286,6 +295,9 @@ object Events {
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .withColumn("cum", sum(col("c")).over(w))
   }
+
+  private[graft] def tickCdf(spark: SparkSession, sfDir: String): DataFrame =
+    cdfFromCounts(tickCountsOf(Tables.events(spark, sfDir)))
 
   /** Ticks per unit for q53's D statistic (2²⁰, the t09 scale). */
   private[graft] val KsScale = 1048576L
@@ -309,8 +321,16 @@ object Events {
     * partial-agg'd groupBy. Nothing scales with event count except
     * the initial (type, tick) partial count.
     */
-  def q53KsTest(spark: SparkSession, sfDir: String): DataFrame = {
-    val cdf = tickCdf(spark, sfDir)
+  def q53KsTest(spark: SparkSession, sfDir: String): DataFrame =
+    ksReportFromCounts(tickCountsOf(Tables.events(spark, sfDir)))
+
+  /** The q53 pair-KS report over any (t, tick, c) counts frame —
+    * shared verbatim by the batch key and the streaming drift gate
+    * ([[graft.streaming.StreamOps.driftReport]]), so stream state
+    * folded to the same counts produces the IDENTICAL report.
+    */
+  private[graft] def ksReportFromCounts(ct: DataFrame): DataFrame = {
+    val cdf = cdfFromCounts(ct)
     val a = cdf.select(col("tick"), col("t").as("type_a"),
       col("cum").as("cum_a"), col("n").as("n_a"))
     val b = cdf.select(col("tick"), col("t").as("type_b"),

@@ -1675,4 +1675,97 @@ object TextAnalysis {
       |    * 1048576.0 + 0.5) AS BIGINT) AS chi2_ticks
       |FROM grid
       |ORDER BY lang, source""".stripMargin
+
+  /** Tokens reported by [[t29Chi2Select]]. */
+  private[graft] val Chi2SelTopK = 30
+
+  /** Document-frequency floor for selectable tokens (tiny expected
+    * cells make χ² meaningless; the t13 min-count posture).
+    */
+  private[graft] val Chi2SelMinDf = 5
+
+  /** t29: χ²-based feature selection — the top tokens whose document
+    * presence is most dependent on the language label, the feature-
+    * selection pass run before training a classifier like t19
+    * (reference surface: /root/reference/mllib/src/main/scala/org/
+    * apache/spark/mllib/feature/ChiSqSelector.scala:1). Per token w
+    * with document frequency n_w over N docs and per-class counts
+    * n_wl (docs of lang l containing w) / n_l (docs of lang l), the
+    * 2×C contingency χ² collapses algebraically to
+    * Σ_l (n_wl·N − n_w·n_l)² / (n_w·n_l·(N−n_w)) — and is computed
+    * as EXACT per-class integer ticks with a stated two-step floor:
+    * term = ((num² div (n_w·(N−n_w))) · 2²⁰) div n_l, summed as
+    * longs (order-independent; cross-engine identical by
+    * construction, unlike a float sum over classes). Tokens present
+    * in no doc or every doc are excluded (χ² degenerate/zero there),
+    * as are tokens below [[Chi2SelMinDf]]. Output: top-
+    * [[Chi2SelTopK]] by (chi2_ticks desc, token asc) —
+    * (token, doc_freq, chi2_ticks).
+    *
+    * Scale shape: presence is a distinct (doc, token, lang) frame
+    * collapsing map-side; all counts are vocabulary-(×classes-)sized
+    * partial aggs; the class grid completes via a broadcast cross
+    * join against the per-class totals; the final cut is a
+    * TakeOrdered, no global sort. Long headroom: num² div the
+    * positive denominator stays < N³/MinDf — the ·2²⁰ product
+    * overflows past N ≈ 2·10⁵ docs, where the documented retune
+    * drops the tick scale (the f02 posture).
+    */
+  def t29Chi2Select(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val pres = docs.select(col("doc_id"), col("lang"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .distinct()
+    val nl = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val nn = docs.agg(count(lit(1)).as("nn"))
+    val nwl = pres.groupBy(col("token"), col("lang"))
+      .agg(count(lit(1)).as("n_wl"))
+      .localCheckpoint(true)
+    val nw = nwl.groupBy(col("token")).agg(sum(col("n_wl")).as("n_w"))
+    nw.crossJoin(broadcast(nl))
+      .join(nwl, Seq("token", "lang"), "left")
+      .crossJoin(broadcast(nn))
+      .withColumn("n_wl", coalesce(col("n_wl"), lit(0L)))
+      .filter(col("n_w") >= Chi2SelMinDf && col("n_w") < col("nn"))
+      .withColumn("num", col("n_wl") * col("nn") - col("n_w") * col("n_l"))
+      .withColumn("term_ticks",
+        expr("(((num * num) div (n_w * (nn - n_w))) * 1048576) div n_l"))
+      .groupBy(col("token"), col("n_w").as("doc_freq"))
+      .agg(sum(col("term_ticks")).as("chi2_ticks"))
+      .orderBy(col("chi2_ticks").desc, col("token"))
+      .limit(Chi2SelTopK)
+      .select(col("token"), col("doc_freq"), col("chi2_ticks"))
+  }
+
+  /** The DuckDB twin of [[t29Chi2Select]]. */
+  private[graft] def t29OracleSql: String =
+    s"""WITH tk0 AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |           t -> t <> '')) AS token
+       |  FROM documents),
+       |tk AS MATERIALIZED (SELECT DISTINCT doc_id, lang, token FROM tk0),
+       |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+       |       FROM documents GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+       |nwl AS MATERIALIZED (
+       |  SELECT token, lang, CAST(count(*) AS BIGINT) AS n_wl
+       |  FROM tk GROUP BY 1, 2),
+       |nw AS (SELECT token, CAST(sum(n_wl) AS BIGINT) AS n_w
+       |       FROM nwl GROUP BY 1),
+       |g AS (
+       |  SELECT nw.token, nw.n_w, nl.lang, nl.n_l,
+       |    COALESCE(nwl.n_wl, CAST(0 AS BIGINT)) AS n_wl,
+       |    (SELECT nn FROM nn) AS nn
+       |  FROM nw CROSS JOIN nl
+       |  LEFT JOIN nwl ON nwl.token = nw.token AND nwl.lang = nl.lang
+       |  WHERE nw.n_w >= ${Chi2SelMinDf} AND nw.n_w < (SELECT nn FROM nn))
+       |SELECT token, n_w AS doc_freq,
+       |  CAST(sum((((n_wl * nn - n_w * n_l) * (n_wl * nn - n_w * n_l))
+       |    // (n_w * (nn - n_w)) * 1048576) // n_l) AS BIGINT) AS chi2_ticks
+       |FROM g GROUP BY 1, 2
+       |ORDER BY chi2_ticks DESC, token LIMIT ${Chi2SelTopK}""".stripMargin
 }

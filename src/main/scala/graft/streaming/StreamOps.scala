@@ -530,6 +530,37 @@ object StreamOps {
       }
   }
 
+  /** Per-micro-batch stage of the streaming distribution-drift gate
+    * (the q53 twin): the batch's (event_type, value-tick) partial
+    * counts — the monoid delta a sink folds into its running state.
+    * Stateless stream-side; the heavy lifting (grid CDF + pair KS)
+    * runs sink-side on the BOUNDED state frame.
+    */
+  def driftCountsBatch(batch: DataFrame): DataFrame =
+    graft.operators.Events.tickCountsOf(batch)
+
+  /** Monoid merge of drift-count state with a micro-batch delta —
+    * counts add, so the folded state equals the batch-computed counts
+    * of everything seen so far EXACTLY (spec'd). The state frame is
+    * bounded by the tick GRID (value range × 2¹⁰) × the type
+    * vocabulary, not the stream length; production persists it keyed
+    * (t, tick) partitioned by t (the cdcUpsert path), touching only
+    * the batch's ticks.
+    */
+  def driftMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("t"), col("tick")).agg(sum(col("c")).as("c"))
+
+  /** The drift report over the folded state: the SAME pair-KS
+    * computation as batch q53 ([[graft.operators.Events
+    * .ksReportFromCounts]]), so after any batch the stream's report
+    * equals q53 run over exactly the events folded so far — the
+    * continuous "has this telemetry slice drifted from that one"
+    * gate with no per-event state.
+    */
+  def driftReport(state: DataFrame): DataFrame =
+    graft.operators.Events.ksReportFromCounts(state)
+
   /** Stateful sessionization: emits a session when a 30-min gap
     * closes it. State per user is O(1): the open session only.
     * NoTimeout — idle sessions stay open until the next event or a

@@ -638,4 +638,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toMap == expected,
       s"stream report diverged: ${got.size} vs ${expected.size} docs")
   }
+
+  test("stream_drift: folded tick state reports exactly the batch q53 KS") {
+    // two staged halves split by event_id (value-tick counts carry no
+    // time semantics, so any split works); the sink folds each
+    // batch's (type, tick) counts by the monoid merge and the final
+    // report must equal batch q53 over the whole corpus row-for-row.
+    val src = java.nio.file.Files.createTempDirectory("graft-drift-src")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val mid = raw.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(event_id, 0.5)")).head().getLong(0)
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-drift-$name")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val tmp = java.nio.file.Paths.get(part).resolveSibling(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), tmp)
+      java.nio.file.Files.move(tmp, src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    stage(col("event_id") <= mid, "first_half")
+    val q = StreamOps.readEventStream(spark, src.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = StreamOps.driftCountsBatch(df)
+        this.synchronized {
+          val merged = state.map(s => StreamOps.driftMerge(s, delta))
+            .getOrElse(delta).localCheckpoint(true)
+          state.foreach(_.unpersist())
+          state = Some(merged)
+          batches += 1
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      stage(col("event_id") > mid, "second_half")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches >= 2, "the fold must have crossed a batch boundary")
+    val got = StreamOps.driftReport(state.get).collect().toSeq
+    val expected = operators.Events.q53KsTest(spark, sfDir).collect().toSeq
+    assert(got.nonEmpty && got == expected,
+      s"drift report diverged from batch q53: $got vs $expected")
+  }
 }

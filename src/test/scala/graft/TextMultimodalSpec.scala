@@ -601,4 +601,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     val b = TextAnalysis.t18BpeMerges(spark, sfDir).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("t29 chi2 select: perfect separation scores exactly N ticks") {
+    import spark.implicits._
+    // 5 'en' docs all containing "alpha", 5 'fr' docs all containing
+    // "beta", every doc containing "common". Perfect separation:
+    // χ²(alpha) = N = 10 exactly (per-class num = ±n_w·n_l = ±50 →
+    // term = (2500 div (5·5))·2²⁰ div 5 = 100·2²⁰/5 = 20·2²⁰ each).
+    // "common" has n_w = N → excluded; "rare" sits below the df floor.
+    val docs = (0L to 4L).map(i => (i, "alpha common", "en", "s", 12L)) ++
+      (5L to 9L).map(i => (i, "beta common" + (if (i == 9L) " rare" else ""),
+        "fr", "s", 12L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chi2sel").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.t29Chi2Select(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("alpha", "beta"),
+      s"exactly the two separating tokens: ${out.keySet}")
+    assert(out("alpha") == ((5L, 10L * 1048576L)),
+      s"perfect separation must score N ticks, got ${out("alpha")}")
+    assert(out("beta") == ((5L, 10L * 1048576L)))
+    // corpus: top-k bounded, scores non-increasing, deterministic
+    val c = TextAnalysis.t29Chi2Select(spark, sfDir).collect()
+    assert(c.length <= TextAnalysis.Chi2SelTopK && c.nonEmpty)
+    assert(c.map(_.getLong(2)).sliding(2).forall(p =>
+      p.length < 2 || p.head >= p.last), "chi2 must be non-increasing")
+    assert(c.toSeq == TextAnalysis.t29Chi2Select(spark, sfDir).collect().toSeq)
+  }
 }
