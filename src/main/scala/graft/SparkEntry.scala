@@ -157,6 +157,7 @@ object SparkEntry {
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
+    "s21_bisecting_kmeans" -> (Similarity.s21BisectingKmeans _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
@@ -243,6 +244,84 @@ object SparkEntry {
           meanCtes(s"_$r", s"c${r - 1}", s"c$r")
       } :+ assignCtes("_f", s"c$iters")
     s"WITH ${parts.mkString(",\n")}"
+  }
+
+  /** s21 oracle: the bisecting tree replicated split by split — each
+    * split picks the largest leaf (ties → smallest id), seeds its
+    * children from the first/last member by md5 order, runs the
+    * kmeansOracle assign/mean pattern restricted to that leaf's
+    * members, and folds the child assignment back by LEFT JOIN.
+    */
+  private def s21OracleSql(splits: Int, lloyd: Int): String = {
+    def lloydCtes(s: Int, r: Int): String =
+      s"""s${s}sc$r AS (
+         |  SELECT m.vec_id, m.embedding, c.cid,
+         |    ${cosSql("m.embedding", "c.cv")} AS cs
+         |  FROM mb$s m CROSS JOIN s${s}c${r - 1} c),
+         |s${s}rk$r AS (
+         |  SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM s${s}sc$r),
+         |s${s}asg$r AS (SELECT vec_id, embedding, cid AS cell
+         |  FROM s${s}rk$r WHERE rn = 1),
+         |s${s}lex$r AS (
+         |  SELECT cell, generate_subscripts(embedding, 1) AS j,
+         |    unnest(embedding) AS x
+         |  FROM s${s}asg$r),
+         |s${s}lsum$r AS (
+         |  SELECT cell, j,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS s
+         |  FROM s${s}lex$r GROUP BY cell, j),
+         |s${s}lcnt$r AS (SELECT cell, count(*) AS n FROM s${s}asg$r GROUP BY cell),
+         |s${s}cm$r AS (
+         |  SELECT cell AS cid,
+         |    list(CAST(CAST(s AS DOUBLE) / (1024.0 * n) AS FLOAT) ORDER BY j) AS cv
+         |  FROM s${s}lsum$r JOIN s${s}lcnt$r USING (cell) GROUP BY cell, n),
+         |s${s}c$r AS (
+         |  SELECT cid, cv FROM s${s}cm$r
+         |  UNION ALL
+         |  SELECT cid, cv FROM s${s}c${r - 1}
+         |  WHERE cid NOT IN (SELECT cell FROM s${s}lcnt$r))""".stripMargin
+    def splitCtes(s: Int): String = {
+      val rounds = (1 to lloyd).map(r => lloydCtes(s, r)).mkString(",\n")
+      s"""tg$s AS (SELECT cluster AS tcl FROM a${s - 1}
+         |  GROUP BY cluster ORDER BY count(*) DESC, cluster LIMIT 1),
+         |mb$s AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM a${s - 1}
+         |  WHERE cluster = (SELECT tcl FROM tg$s)),
+         |s${s}c0 AS (
+         |  SELECT (SELECT tcl FROM tg$s) * 2 + 1 AS cid, cv FROM
+         |    (SELECT embedding AS cv FROM mb$s
+         |     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)
+         |  UNION ALL
+         |  SELECT (SELECT tcl FROM tg$s) * 2 + 2, cv FROM
+         |    (SELECT embedding AS cv FROM mb$s
+         |     ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC LIMIT 1)),
+         |$rounds,
+         |s${s}fsc AS (
+         |  SELECT m.vec_id, c.cid, ${cosSql("m.embedding", "c.cv")} AS cs
+         |  FROM mb$s m CROSS JOIN s${s}c$lloyd c),
+         |s${s}frk AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+         |  FROM s${s}fsc),
+         |s${s}fa AS (SELECT vec_id, cid FROM s${s}frk WHERE rn = 1),
+         |a$s AS MATERIALIZED (
+         |  SELECT a.vec_id, a.embedding, COALESCE(f.cid, a.cluster) AS cluster
+         |  FROM a${s - 1} a LEFT JOIN s${s}fa f ON a.vec_id = f.vec_id)""".stripMargin
+    }
+    val parts =
+      """a0 AS MATERIALIZED (
+        |  SELECT vec_id, embedding, CAST(0 AS BIGINT) AS cluster
+        |  FROM embeddings)""".stripMargin +:
+        (1 to splits).map(splitCtes)
+    s"""WITH ${parts.mkString(",\n")},
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM a$splits GROUP BY 1)
+       |SELECT a.vec_id, a.cluster, sz.cluster_size
+       |FROM a$splits a JOIN sz USING (cluster)
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** s14 oracle: the PQ pipeline replicated end to end — subvector
@@ -1449,6 +1528,9 @@ object SparkEntry {
         |SELECT doc_id, token, tf, tfidf, rank FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
+    "s21_bisecting_kmeans" -> s21OracleSql(
+      graft.operators.Similarity.BisectSplits,
+      graft.operators.Similarity.BisectLloyd),
     "s14_pq_ann" -> s14OracleSql(
       graft.operators.Similarity.PqIters, graft.operators.Similarity.PqM,
       graft.operators.Similarity.PqSubDim, graft.operators.Similarity.PqK,

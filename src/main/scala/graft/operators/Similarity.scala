@@ -1500,4 +1500,77 @@ object Similarity {
        |  ELSE CAST(0 AS BIGINT) END AS corr_ticks
        |FROM g0 JOIN dg di ON di.d = g0.i JOIN dg dj ON dj.d = g0.j
        |ORDER BY dim_i, dim_j""".stripMargin
+
+  /** Splits run by [[s21BisectingKmeans]] — fixed so the tree is a
+    * pure function of the corpus ([[BisectSplits]] splits → up to
+    * 2^depth leaves along the largest-first path).
+    */
+  private[graft] val BisectSplits = 3
+
+  /** Lloyd rounds per split (the restricted 2-means refinement). */
+  private[graft] val BisectLloyd = 2
+
+  /** s21: bisecting k-means over the embedding corpus — the
+    * hierarchical clustering next to flat s04 (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * clustering/BisectingKMeans.scala:1), re-expressed as a fixed
+    * largest-first split sequence so the DuckDB oracle replicates
+    * the whole tree: each of [[BisectSplits]] rounds picks the
+    * LARGEST current leaf (ties → smallest cluster id; a 1-row
+    * TakeOrdered broadcast, never a driver fetch), seeds its two
+    * children with the first/last member by md5 order (the
+    * seedCentroids determinism), refines them with [[BisectLloyd]]
+    * restricted [[lloydRefine]] rounds (fixed-point means — exact,
+    * order-independent), and reassigns members to the nearer child
+    * (ties → smaller child id). Children of cluster c are 2c+1 /
+    * 2c+2 — the mllib binary-tree numbering. Output: (vec_id,
+    * cluster, cluster_size) for the final leaves.
+    *
+    * Scale shape: every split touches ONE leaf's members (a
+    * broadcast-semi-joined restriction), runs broadcast 2-centroid
+    * argmax + one partial-agg'd fixed-point mean per round, and
+    * updates assignments by a co-partitioned left join on vec_id;
+    * per-split work is O(leaf size), so the whole tree costs about
+    * depth × corpus — the mllib cost shape — with no window, no
+    * driver-side members, and 1-row control-plane frames throughout.
+    */
+  def s21BisectingKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    var assign = emb.withColumn("cluster", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to BisectSplits) {
+      val target = assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cluster")).limit(1)
+        .select(col("cluster").as("tcl"))
+      val members = assign.join(broadcast(target),
+          col("cluster") === col("tcl"))
+        .select(col("vec_id"), col("embedding"), col("tcl"))
+        .localCheckpoint(true)
+      val byMd5 = members
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+        .select((col("tcl") * 2 + 1).as("cid"), col("embedding").as("cv"))
+      val byMd5Last = members
+        .orderBy(md5(col("vec_id").cast("string")).desc, col("vec_id").desc)
+        .limit(1)
+        .select((col("tcl") * 2 + 2).as("cid"), col("embedding").as("cv"))
+      val seeds = byMd5.union(byMd5Last).localCheckpoint(true)
+      val cents = (1 to BisectLloyd).foldLeft(seeds)((c, _) =>
+        lloydRefine(members.select(col("vec_id"), col("embedding")), c))
+      val reassigned = members.crossJoin(broadcast(cents))
+        .withColumn("cs",
+          call_function("cosine_sim", col("embedding"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cs"), (-col("cid")).as("negc"))).as("m"))
+        .select(col("vec_id"), (-col("m.negc")).as("newc"))
+      assign = assign.join(reassigned, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("embedding"),
+          coalesce(col("newc"), col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+    }
+    val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    assign.join(sizes, "cluster")
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
 }

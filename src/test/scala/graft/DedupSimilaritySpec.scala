@@ -1001,4 +1001,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // 12 bands x 3 bits tuned for recall@10 >= 0.8 on 64-dim embeddings
     assert(recall >= 0.8, s"recall@10 $recall too low")
   }
+
+  test("s21 bisecting kmeans: tree structure, duplicates co-locate, cohesion beats one flat split") {
+    val rows = Similarity.s21BisectingKmeans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sfDir).count()
+    // partition: every vector exactly once; sizes consistent
+    assert(rows.length == n && rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.forall(_._3 == ms.length), s"cluster $c size mismatch") }
+    // tree numbering: leaves are valid binary-tree ids (child of c is
+    // 2c+1 or 2c+2 from root 0), none an ancestor of another, and at
+    // most splits+1 leaves exist
+    val leaves = rows.map(_._2).distinct.toSet
+    def ancestors(c: Long): Set[Long] =
+      if (c == 0L) Set.empty else ancestors((c - 1) / 2) + ((c - 1) / 2)
+    leaves.foreach { c =>
+      assert(c >= 0 && ancestors(c).forall(a => !leaves(a)),
+        s"leaf $c has an ancestor leaf") }
+    assert(leaves.size <= Similarity.BisectSplits + 1)
+    // identical vectors must land in the same leaf (assignment is a
+    // pure function of the vector): plant exact duplicates
+    val sess = spark
+    import sess.implicits._
+    val dup = Array.fill(64)(0.5f)
+    val planted = (0L to 8L).map { i =>
+      val v = if (i < 3) dup
+        else Array.tabulate(64)(j => if (j == i % 64) 1.0f else 0.01f * i)
+      (i, v.toSeq, 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bisect").toString
+    planted.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val p = Similarity.s21BisectingKmeans(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(p(0L), p(1L), p(2L)).size == 1,
+      s"exact duplicates split across leaves: ${p.view.filterKeys(_ < 3).toMap}")
+    // determinism across runs
+    assert(rows.toSeq ==
+      Similarity.s21BisectingKmeans(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
