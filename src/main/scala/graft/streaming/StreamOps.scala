@@ -530,6 +530,59 @@ object StreamOps {
       }
   }
 
+  /** Funnel progress per user — three optional stage timestamps,
+    * O(1) bounded state (never the user's event history).
+    */
+  case class FunnelState(signupUs: Option[Long], clickUs: Option[Long],
+      purchaseUs: Option[Long])
+
+  /** One newly-reached funnel stage (Append output). */
+  case class FunnelOut(user_id: Long, stage: String, ts_us: Long)
+
+  /** Streaming twin of q32's conversion funnel: per user an O(1)
+    * state of the three stage timestamps, advanced greedily in event
+    * order — which equals the batch min-over-window semantics
+    * (first signup IS min signup; the first later click with
+    * ts STRICTLY past the signup IS min click > signup_ts; same for
+    * purchase past the click), so the distinct-user stage counts a
+    * sink folds from the emissions equal batch q32 exactly (spec'd).
+    * Within a micro-batch events sort by (ts, event_id) — the
+    * anomalyStream posture; across batches the per-key ordering
+    * contract the sessionizer rides. Each stage emits AT MOST once
+    * per user (state transitions fire the row), so sink-side
+    * distinct-count state is user-bounded, not event-bounded.
+    */
+  def funnelStream(events: Dataset[Ev]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelOut]()
+          sorted.foreach { e =>
+            val us = usOf(e.ts)
+            e.event_type match {
+              case "signup" if st.signupUs.isEmpty =>
+                st = st.copy(signupUs = Some(us))
+                out += FunnelOut(userId, "signup", us)
+              case "click" if st.clickUs.isEmpty &&
+                  st.signupUs.exists(us > _) =>
+                st = st.copy(clickUs = Some(us))
+                out += FunnelOut(userId, "click_after", us)
+              case "purchase" if st.purchaseUs.isEmpty &&
+                  st.clickUs.exists(us > _) =>
+                st = st.copy(purchaseUs = Some(us))
+                out += FunnelOut(userId, "purchase_after", us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-micro-batch stage of the streaming distribution-drift gate
     * (the q53 twin): the batch's (event_type, value-tick) partial
     * counts — the monoid delta a sink folds into its running state.

@@ -685,4 +685,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected,
       s"drift report diverged from batch q53: $got vs $expected")
   }
+
+  test("stream_funnel: stage emissions fold to the batch q32 counts") {
+    // time-ordered halves (the update-mode posture: splitting by
+    // anything but event time would break the per-user ordering
+    // contract the greedy fold rides); the sink folds distinct users
+    // per stage and must match the batch q32 row exactly.
+    val src = java.nio.file.Files.createTempDirectory("graft-funnel-src")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cutoffNtz = java.time.LocalDateTime.of(2024, 1, 15, 0, 30)
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-funnel-$name")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val tmp = java.nio.file.Paths.get(part).resolveSibling(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), tmp)
+      java.nio.file.Files.move(tmp, src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val reached = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Set[Long]]()
+    stage(col("ts") < lit(cutoffNtz), "first_half")
+    import spark.implicits._
+    val q = StreamOps.funnelStream(
+        StreamOps.readEventStream(spark, src.toString).as[StreamOps.Ev])
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.FunnelOut],
+          _: Long) =>
+        df.collect().foreach { o =>
+          reached.synchronized {
+            reached.getOrElseUpdate(o.stage,
+              scala.collection.mutable.Set.empty) += o.user_id
+          }
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      stage(col("ts") >= lit(cutoffNtz), "second_half")
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = operators.Events.q32EventFunnel(spark, sfDir).head()
+    assert(reached("signup").size.toLong == batch.getLong(0),
+      "signup count diverged")
+    assert(reached("click_after").size.toLong == batch.getLong(1),
+      "click-after count diverged")
+    assert(reached("purchase_after").size.toLong == batch.getLong(2),
+      "purchase-after count diverged")
+    // a stage can only be reached once per user (append-once contract)
+    assert(reached.values.forall(_.nonEmpty))
+  }
 }
