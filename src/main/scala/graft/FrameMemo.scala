@@ -109,7 +109,8 @@ private[graft] object FrameMemo {
       graft.operators.Graph.memoRetainedIds ++
       graft.operators.Itemsets.memoRetainedIds ++
       graft.operators.TextAnalysis.memoRetainedIds ++
-      graft.operators.Recommend.memoRetainedIds
+      graft.operators.Recommend.memoRetainedIds ++
+      graft.operators.Events.memoRetainedIds
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!retained.contains(id)) rdd.unpersist(blocking = false)
     }
@@ -125,5 +126,6 @@ private[graft] object FrameMemo {
     graft.operators.Itemsets.clearMemos()
     graft.operators.TextAnalysis.clearMemos()
     graft.operators.Recommend.clearMemos()
+    graft.operators.Events.clearMemos()
   }
 }

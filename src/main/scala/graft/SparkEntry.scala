@@ -173,6 +173,7 @@ object SparkEntry {
     "g04_triangles" -> (Graph.g04TriangleCount _),
     "g05_labelprop" -> (Graph.g05LabelProp _),
     "g13_modularity" -> (Graph.g13Modularity _),
+    "g14_betweenness" -> (Graph.g14Betweenness _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
@@ -1326,6 +1327,49 @@ object SparkEntry {
        |       id // 2 AS entity_key, min(d) AS hops
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** g14 oracle: the seeded bounded-Brandes passes unrolled — forward
+    * levels with exact σ sums and anti-join distance filters, then
+    * the backward tick accumulation with the same `//` truncation.
+    */
+  private def g14OracleSql(seeds: Int, iters: Int, scale: Long): String = {
+    val fwd = (1 to iters).map { t =>
+      val prior = (0 until t).map(p =>
+        s"NOT EXISTS (SELECT 1 FROM f$p p WHERE p.seed = c.seed AND p.v = c.v)")
+        .mkString(" AND ")
+      s"""c$t AS (SELECT f.seed, e.dst AS v, CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM f${t - 1} f JOIN e ON e.src = f.v GROUP BY 1, 2),
+         |f$t AS MATERIALIZED (SELECT c.seed, c.v, c.sig FROM c$t c
+         |  WHERE $prior)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((iters - 1) to 1 by -1).map { t =>
+      s"""ct$t AS (
+         |  SELECT f.seed, f.v,
+         |    CAST(sum((f.sig * ($scale + d.del)) // w.sig) AS BIGINT) AS s
+         |  FROM f$t f JOIN e ON e.src = f.v
+         |  JOIN f${t + 1} w ON w.seed = f.seed AND w.v = e.dst
+         |  JOIN d${t + 1} d ON d.seed = w.seed AND d.v = w.v
+         |  GROUP BY 1, 2),
+         |d$t AS MATERIALIZED (
+         |  SELECT f.seed, f.v, COALESCE(ct$t.s, CAST(0 AS BIGINT)) AS del
+         |  FROM f$t f LEFT JOIN ct$t
+         |    ON ct$t.seed = f.seed AND ct$t.v = f.v)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iters).map(t => s"SELECT seed, v, del FROM d$t")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $gEdgeCtes,
+       |sd AS (SELECT id FROM n WHERE id % 2 = 0 ORDER BY id LIMIT $seeds),
+       |f0 AS MATERIALIZED (
+       |  SELECT id AS seed, id AS v, CAST(1 AS BIGINT) AS sig FROM sd),
+       |$fwd,
+       |d$iters AS (SELECT seed, v, CAST(0 AS BIGINT) AS del FROM f$iters),
+       |$bwd
+       |SELECT CASE WHEN v % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       v // 2 AS entity_key, CAST(sum(del) AS BIGINT) AS bc_ticks
+       |FROM ($unions)
+       |GROUP BY 1, 2
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+
   /** s09 oracle: unrolls EXACTLY [[graft.operators.Similarity.MmrK]]
     * greedy MMR selections over the top-`pool` pool. All-integer
     * score arithmetic (`7·rel_t − 3·max_sim_t`, λ = 0.7 scaled by
@@ -1460,6 +1504,9 @@ object SparkEntry {
       graft.operators.Graph.LabelPropIters),
     "g13_modularity" -> g13OracleSql(
       graft.operators.Graph.LabelPropIters),
+    "g14_betweenness" -> g14OracleSql(
+      graft.operators.Graph.SsspSeeds, graft.operators.Graph.BetwIters,
+      graft.operators.Graph.BetwScale),
     "g09_kcore" -> g09OracleSql(
       graft.operators.Graph.KcoreIters),
     "g10_random_walks" -> g10OracleSql(graft.operators.Graph.WalkLen),

@@ -281,6 +281,27 @@ object Events {
         floor(col("value") * lit(1024.0)).cast("long").as("tick"))
       .groupBy(col("t"), col("tick")).agg(count(lit(1)).as("c"))
 
+  /** Memo for the corpus tick-count frame — q53 and q54 both derive
+    * from it, and the events scan behind it dominates both keys'
+    * cost; the frame itself is grid×types sized (tiny).
+    */
+  private val countsMemo = new graft.FrameMemo[DataFrame]
+
+  /** Persistent-RDD ids backing the live counts memo — the
+    * [[graft.FrameMemo]] bench-harness cleanup contract.
+    */
+  private[graft] def memoRetainedIds: Set[Int] = countsMemo.retainedIds
+
+  /** Drop the counts memo and unpersist its blocks. */
+  private[graft] def clearMemos(): Unit = countsMemo.clear()
+
+  /** The memoized [[tickCountsOf]] over the corpus events table. */
+  private def corpusTickCounts(spark: SparkSession, sfDir: String): DataFrame =
+    countsMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "events") + "|tickcounts") {
+      tickCountsOf(Tables.events(spark, sfDir)).localCheckpoint(true)
+    }
+
   /** Grid completion + per-type running cumulative over a
     * (t, tick, c) counts frame (see [[tickCdf]] for the contract).
     */
@@ -322,7 +343,7 @@ object Events {
     * the initial (type, tick) partial count.
     */
   def q53KsTest(spark: SparkSession, sfDir: String): DataFrame =
-    ksReportFromCounts(tickCountsOf(Tables.events(spark, sfDir)))
+    ksReportFromCounts(corpusTickCounts(spark, sfDir))
 
   /** The q53 pair-KS report over any (t, tick, c) counts frame —
     * shared verbatim by the batch key and the streaming drift gate
@@ -363,7 +384,7 @@ object Events {
     * grid×pairs sized, everything else partial-agg'd.
     */
   def q54RankSum(spark: SparkSession, sfDir: String): DataFrame = {
-    val cdf = tickCdf(spark, sfDir)
+    val cdf = cdfFromCounts(corpusTickCounts(spark, sfDir))
     val a = cdf.select(col("tick"), col("t").as("type_a"),
       col("c").as("c_a"), col("cum").as("cum_a"), col("n").as("n_a"))
     val b = cdf.select(col("tick"), col("t").as("type_b"),

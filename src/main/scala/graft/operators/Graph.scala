@@ -1141,4 +1141,111 @@ object Graph {
         col("nodes"), col("degree_sum"), col("intra_edges"), col("q_num"))
       .orderBy(col("label_type"), col("label_key"))
   }
+
+  /** Hop bound for [[g14Betweenness]] — dependencies accumulate over
+    * shortest paths of at most this many hops (k-bounded betweenness,
+    * the standard truncation; see Borgatti & Everett's k-step
+    * variants). 2 keeps every backward product provably in int64:
+    * σ ≤ max-degree² and σ·(2²⁰ + δ) < 2⁶³ for degree ≤ ~10⁴ and
+    * reach ≤ 4·10⁹ — the documented retune at denser corpora drops
+    * the tick scale.
+    */
+  private[graft] val BetwIters = 2
+
+  /** Ticks per unit for the dependency accumulation (2⁻²⁰). */
+  private[graft] val BetwScale = 1048576L
+
+  /** Brandes forward pass from a per-seed frontier: returns one frame
+    * per level t = 0..iters of (seed, id, sig) — sig the EXACT
+    * shortest-path count from that seed (integer sums; on unit
+    * weights first touch is minimal, the boundedBfs argument, so a
+    * level's anti-join against visited is the distance filter).
+    * Package-private for the spec.
+    */
+  private[graft] def brandesLevels(
+      edges: DataFrame, seeds: DataFrame, iters: Int): Seq[DataFrame] = {
+    var level = seeds.select(col("id").as("seed"), col("id"),
+        lit(1L).as("sig")).localCheckpoint(true)
+    var visited = level.select(col("seed"), col("id"))
+    val out = scala.collection.mutable.ArrayBuffer(level)
+    for (_ <- 1 to iters) {
+      val cand = edges.join(level.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("seed"), col("dst").as("id"))
+        .agg(sum(col("sig")).as("sig"))
+      level = cand.join(visited, Seq("seed", "id"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited.union(level.select(col("seed"), col("id")))
+        .localCheckpoint(false)
+      out += level
+    }
+    out.toSeq
+  }
+
+  /** g14: seeded k-bounded betweenness centrality of the trading
+    * network — which nodes BROKER the flow between others (the
+    * classic bridge/bottleneck signal next to g01's popularity;
+    * Brandes, "A faster algorithm for betweenness centrality",
+    * J. Math. Soc. 2001, with the standard seed-sampling
+    * approximation — the reference ships the graph machinery as
+    * graphx aggregateMessages). From each g06-rule seed: a forward
+    * pass counting exact shortest-path σ per level, then the
+    * backward dependency accumulation δ(v) = Σ_{w succ}
+    * (σ(v)/σ(w))·(1+δ(w)) in integer 2⁻²⁰ ticks with truncating
+    * div (all operands non-negative — engines agree), levels
+    * [[BetwIters]]-bounded. Output one row per (level ≥ 1)-reached
+    * node: (node_type, entity_key, bc_ticks = Σ over seeds δ).
+    *
+    * Scale shape: per-seed state frames are (seeds × reachable)-
+    * bounded; each forward round is one frontier⋈edges shuffle with
+    * partial-agg'd σ sums (the g06 cost family), each backward level
+    * two hash joins and a partial-agg'd contribution sum. No window,
+    * no global sort; the final rollup is vocabulary-of-reached-nodes
+    * sized. Overflow bounds under [[BetwIters]] documented there.
+    */
+  def g14Betweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.filter(col("id") % 2 === 0)
+      .orderBy(col("id")).limit(SsspSeeds)
+    betweennessFrom(edges, seeds).select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"), col("bc_ticks"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** Bounded-Brandes core over a mirrored edge frame and a seed
+    * frame: (id, bc_ticks) for every node reached at level ≥ 1.
+    * Package-private so the spec can score hand-built graphs.
+    */
+  private[graft] def betweennessFrom(
+      edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val levels = brandesLevels(edges, seeds, BetwIters)
+    // backward: delta at the deepest level is zero; each shallower
+    // level sums (sig_v·(SCALE + delta_w)) div sig_w over its
+    // next-level successors
+    var delta = levels(BetwIters)
+      .select(col("seed"), col("id"), lit(0L).as("del"))
+      .localCheckpoint(false)
+    val perLevel = scala.collection.mutable.ArrayBuffer(delta)
+    for (t <- (BetwIters - 1) to 1 by -1) {
+      val next = levels(t + 1)
+        .join(delta, Seq("seed", "id"))
+        .select(col("seed"), col("id").as("dst"),
+          col("sig").as("sig_w"), col("del").as("del_w"))
+      val contrib = levels(t)
+        .join(edges.withColumnRenamed("src", "id"), "id")
+        .join(next, Seq("seed", "dst"))
+        .select(col("seed"), col("id"),
+          expr(s"(sig * ($BetwScale + del_w)) div sig_w").as("c"))
+        .groupBy(col("seed"), col("id")).agg(sum(col("c")).as("delsum"))
+      delta = levels(t).select(col("seed"), col("id"))
+        .join(contrib, Seq("seed", "id"), "left")
+        .select(col("seed"), col("id"),
+          coalesce(col("delsum"), lit(0L)).as("del"))
+        .localCheckpoint(false)
+      perLevel += delta
+    }
+    perLevel.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(sum(col("del")).as("bc_ticks"))
+  }
 }

@@ -876,4 +876,39 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(g13.map(_.getLong(4)).sum <= e, "intra edges cannot exceed E")
     assert(g13.toSeq == Graph.g13Modularity(spark, sfDir).collect().toSeq)
   }
+
+  test("g14 betweenness: hand-computed Brandes on path and diamond graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Graph
+    def bc(half: Seq[(Long, Long)], seeds: Seq[Long]): Map[Long, Long] = {
+      val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+      Graph.betweennessFrom(edges, seeds.toDF("id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // path 1—2—3 from seed 1: node 2 brokers the 1→3 pair exactly
+    // once (δ = 1.0 = 2²⁰ ticks); the endpoint 3 brokers nothing
+    assert(bc(Seq((1L, 2L), (2L, 3L)), Seq(1L)) ==
+      Map(2L -> 1048576L, 3L -> 0L))
+    // diamond 0—1—3, 0—2—3 from seed 0: two shortest paths to 3
+    // (σ = 2), each middle node carries half a dependency (2¹⁹)
+    assert(bc(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)), Seq(0L)) ==
+      Map(1L -> 524288L, 2L -> 524288L, 3L -> 0L))
+    // two seeds accumulate: path 1—2—3 from seeds {1, 3} doubles the
+    // middle node's dependency, and each endpoint is the OTHER
+    // seed's level-2 node (δ = 0 there)
+    assert(bc(Seq((1L, 2L), (2L, 3L)), Seq(1L, 3L)) ==
+      Map(2L -> 2097152L, 1L -> 0L, 3L -> 0L))
+    // σ counting is exact through multi-path fans: K2,2 core
+    // 0—{1,2}—4 plus a tail 4—5, seed 0: σ(4) = 2, and node 5 at
+    // level 3 is beyond the hop bound (absent)
+    val fan = bc(Seq((0L, 1L), (0L, 2L), (1L, 4L), (2L, 4L), (4L, 5L)), Seq(0L))
+    assert(!fan.contains(5L), "level-3 node must be outside the hop bound")
+    assert(fan == Map(1L -> 524288L, 2L -> 524288L, 4L -> 0L),
+      s"fan dependencies drift: $fan")
+    // corpus: deterministic and non-negative
+    val a = Graph.g14Betweenness(spark, sfDir).collect()
+    assert(a.nonEmpty && a.forall(_.getLong(2) >= 0L))
+    assert(a.toSeq == Graph.g14Betweenness(spark, sfDir).collect().toSeq)
+  }
 }
