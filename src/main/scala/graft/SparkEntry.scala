@@ -68,6 +68,7 @@ object SparkEntry {
     "q48_incremental_agg" -> (Events.q48IncrementalAgg _),
     "q52_rolling_anomaly" -> (Events.q52RollingAnomaly _),
     "q53_ks_test" -> (Events.q53KsTest _),
+    "q55_isotonic" -> (Relational.q55Isotonic _),
     "q54_rank_sum" -> (Events.q54RankSum _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
@@ -2041,6 +2042,39 @@ object SparkEntry {
          |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
          |  GROUP BY 1, 2, 3, 4)
          |ORDER BY type_a, type_b""".stripMargin,
+    // q55: the minimax closed form of isotonic regression on the
+    // bounded month grid — truncated segment means, then min/max.
+    "q55_isotonic" ->
+      s"""WITH bins AS MATERIALIZED (
+         |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS s
+         |  FROM orders GROUP BY 1),
+         |pre AS MATERIALIZED (
+         |  SELECT b, c, s,
+         |    CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS cc,
+         |    CAST(sum(s) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS cs
+         |  FROM bins),
+         |segs AS MATERIALIZED (
+         |  SELECT pj.b AS j, pk.b AS k,
+         |    ((pk.cs - (pj.cs - pj.s)) * ${graft.operators.Relational.IsoFitScale})
+         |      // (pk.cc - (pj.cc - pj.c)) AS m
+         |  FROM pre pj JOIN pre pk ON pj.b <= pk.b),
+         |inner_min AS (
+         |  SELECT i.b AS i, sg.j, min(sg.m) AS mn
+         |  FROM segs sg JOIN bins i ON sg.j <= i.b AND sg.k >= i.b
+         |  GROUP BY 1, 2),
+         |f AS (SELECT i, CAST(max(mn) AS BIGINT) AS fit_sticks
+         |      FROM inner_min GROUP BY 1)
+         |SELECT bins.b AS bin, bins.c AS n_orders,
+         |  (bins.s * ${graft.operators.Relational.IsoFitScale}) // bins.c
+         |    AS mean_sticks,
+         |  f.fit_sticks
+         |FROM bins JOIN f ON bins.b = f.i
+         |ORDER BY bin""".stripMargin,
     // f01/f02: generated next to the derived-sigma basket CTEs both
     // keys share — all-positive integer ticks, // where div runs.
     "f01_freq_itemsets" -> graft.operators.Itemsets.f01OracleSql,

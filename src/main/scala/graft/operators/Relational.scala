@@ -1210,4 +1210,77 @@ object Relational {
       .localCheckpoint(true)
     logregRounds(feats)
   }
+
+  /** y ticks per unit for [[q55Isotonic]] (cents — order totals are
+    * 2-dp currency, so cent ticks are lossless).
+    */
+  private[graft] val IsoYTick = 100.0
+
+  /** Fit resolution: segment means report in cent/2¹⁰ sub-ticks. */
+  private[graft] val IsoFitScale = 1024L
+
+  /** Isotonic (non-decreasing) core over a (b, c, s) per-bin frame:
+    * one row per bin with the minimax fit — f(i) = max_{j≤i}
+    * min_{k≥i} mean(y over bins j..k), the classic closed form of
+    * the PAVA solution — where segment means are EXACT integer
+    * sub-ticks ((ΔS·2¹⁰) div ΔC, all-positive). The fit is therefore
+    * the minimax of TRUNCATED means — a stated tick contract, within
+    * one sub-tick of the real-valued fit — and it is non-decreasing
+    * for ANY inner values by the minimax shape alone (f(i+1)
+    * maximizes over more j, each inner min over fewer k), so
+    * monotonicity survives the truncation. No iterative pooling,
+    * nothing order-dependent. Package-private for the spec.
+    */
+  private[graft] def isotonicFit(bins: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("b"), col("c"), col("s"),
+      sum(col("c")).over(w).as("cc"), sum(col("s")).over(w).as("cs"))
+      .localCheckpoint(true)
+    val segs = pre.select(col("b").as("j"),
+        (col("cc") - col("c")).as("cj"), (col("cs") - col("s")).as("sj"))
+      .crossJoin(broadcast(pre.select(col("b").as("k"),
+        col("cc").as("ck"), col("cs").as("sk"))))
+      .filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr(s"((sk - sj) * $IsoFitScale) div (ck - cj)").as("m"))
+    segs.crossJoin(broadcast(bins.select(col("b").as("i"))))
+      .filter(col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("m")).as("mn"))
+      .groupBy(col("i")).agg(max(col("mn")).as("fit_sticks"))
+  }
+
+  /** q55: isotonic regression of order value over time — the
+    * monotone-trend fit a calibration or drift review runs when the
+    * signal should only move one way (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * regression/IsotonicRegression.scala:1 — mllib pools per
+    * partition then merges on the driver; here the PAVA solution is
+    * computed by its MINIMAX closed form on a bounded bin grid, so
+    * there is no sequential pooling to distribute at all). x = order
+    * month (year·12+month), y = order total in cent ticks. Output
+    * per bin: (bin, n_orders, mean_sticks, fit_sticks), fit
+    * non-decreasing by construction.
+    *
+    * Scale shape: the corpus collapses map-side to per-bin
+    * (count, Σy-ticks) — the ONLY pass that touches orders; prefix
+    * sums ride a window over the GRID (bins ≈ months, corpus-size
+    * independent), and the O(B²) segment / O(B³) minimax frames are
+    * broadcast-sized at any corpus. Long headroom: ΔS·2¹⁰ < 2⁶³ up
+    * to ~9·10¹³ cent-ticks (≈ $9·10¹¹) per window; the documented
+    * retune drops [[IsoFitScale]].
+    */
+  def q55Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.orders(spark, sfDir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("b"),
+        floor(col("o_totalprice") * IsoYTick + lit(0.5)).cast("long").as("yt"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"), sum(col("yt")).as("s"))
+      .localCheckpoint(true)
+    bins.join(isotonicFit(bins), col("b") === col("i"))
+      .select(col("b").as("bin"), col("c").as("n_orders"),
+        expr(s"(s * $IsoFitScale) div c").as("mean_sticks"),
+        col("fit_sticks"))
+      .orderBy(col("bin"))
+  }
 }

@@ -286,4 +286,31 @@ class RelationalSpec extends AnyFunSuite {
       r.getLong(4) <= 2L * r.getLong(2) * r.getLong(3)))
     assert(ksC.toSeq == Ev.q53KsTest(spark, sfDir).collect().toSeq)
   }
+
+  test("q55 isotonic: minimax fit equals hand-run PAVA; monotone on the corpus") {
+    val sess = spark
+    import sess.implicits._
+    def fit(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long)] =
+      Relational.isotonicFit(rows.toDF("b", "c", "s")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // violator in the middle: y = [3, 1, 2] pools to [2, 2, 2]
+    assert(fit(Seq((1L, 1L, 3L), (2L, 1L, 1L), (3L, 1L, 2L))) ==
+      Seq((1L, 2048L), (2L, 2048L), (3L, 2048L)))
+    // already isotonic: the fit is the data itself
+    assert(fit(Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L))) ==
+      Seq((1L, 1024L), (2L, 2048L), (3L, 3072L)))
+    // fully decreasing: everything pools to the global mean
+    assert(fit(Seq((1L, 1L, 3L), (2L, 1L, 2L), (3L, 1L, 1L))) ==
+      Seq((1L, 2048L), (2L, 2048L), (3L, 2048L)))
+    // weights matter: bin means 4 and 1 with weights 1 and 2 pool to
+    // the weighted mean 2, not the unweighted 2.5
+    assert(fit(Seq((1L, 1L, 4L), (2L, 2L, 2L))) ==
+      Seq((1L, 2048L), (2L, 2048L)))
+    // corpus: non-decreasing by construction, deterministic
+    val c = Relational.q55Isotonic(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    assert(c.map(_.getLong(3)).sliding(2).forall(p =>
+      p.length < 2 || p.head <= p.last), "fit must be non-decreasing")
+    assert(c.toSeq == Relational.q55Isotonic(spark, sfDir).collect().toSeq)
+  }
 }
