@@ -57,6 +57,7 @@ object SparkEntry {
     "q47_zorder_key" -> (Relational.q47ZorderKey _),
     "q49_ridge_regression" -> (Relational.q49RidgeRegression _),
     "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
+    "q56_linear_svm" -> (Relational.q56LinearSvm _),
     "q51_kde" -> (Relational.q51Kde _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
     "q31_sessionize" -> (Events.q31Sessionize _),
@@ -862,6 +863,54 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n")
     s"""WITH feats AS (
        |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q56 oracle: the hinge-loss rounds unrolled — the q50 CTE shape
+    * with the violation indicator and the Pegasos-style update.
+    */
+  private def q56OracleSql: String = {
+    val iters = graft.operators.Relational.SvmIters
+    val clamp = graft.operators.Relational.SvmClamp
+    val m24 = (0 to 3).map(j => s"w$j * f$j").mkString(" + ")
+    def scanCte(k: Int): String = {
+      val hs = (0 to 3).map(j => s"CAST(sum(viol * ys * f$j) AS BIGINT) AS h$j")
+        .mkString(", ")
+      val ws = (0 to 3).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s$k AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN (CASE WHEN m24 >= 0 THEN 1 ELSE 0 END) = y
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |    CAST(sum(viol) AS BIGINT) AS violations, $hs, $ws
+         |  FROM (
+         |    SELECT y, ys, f0, f1, f2, f3, w0, w1, w2, w3, m24,
+         |      CASE WHEN ys * m24 < 16777216 THEN 1 ELSE 0 END AS viol
+         |    FROM (SELECT feats.*, w$k.*, $m24 AS m24 FROM feats, w$k) b) c)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val ws = (0 to 3).map(j =>
+        s"least(greatest(w$j + h$j // (4 * greatest(n, 1)) - w$j // 256, " +
+          s"-$clamp), $clamp) AS w$j").mkString(", ")
+      s"w${k + 1} AS (SELECT $ws FROM s$k)"
+    }
+    val w0 = "w0 AS (SELECT " +
+      (0 to 3).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+    val ctes = (w0 +: (0 to iters).flatMap(k =>
+      scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = (0 to 3).map(j => s"w$j AS w${j}_ticks").mkString(", ")
+      s"SELECT CAST($k AS BIGINT) AS round, n, correct, violations, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS BIGINT) AS ys,
        |    CAST(4096 AS BIGINT) AS f0,
        |    CAST(l_quantity AS BIGINT) * 64 AS f1,
        |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
@@ -1992,6 +2041,7 @@ object SparkEntry {
     // s15 contract), every aggregate CAST back to BIGINT (the
     // HUGEINT hash guard).
     "q50_logistic_regression" -> q50OracleSql,
+    "q56_linear_svm" -> q56OracleSql,
     // q51: integer Epanechnikov kernel sums against the broadcast
     // evaluation grid; the density normalizer is the ONE shared
     // double tree (KdeDensityExpr interpolated verbatim).

@@ -1270,6 +1270,85 @@ object Relational {
     * to ~9·10¹³ cent-ticks (≈ $9·10¹¹) per window; the documented
     * retune drops [[IsoFitScale]].
     */
+  /** Fixed subgradient rounds for [[q56LinearSvm]]. */
+  private[graft] val SvmIters = 4
+
+  /** Weight clamp in 2⁻¹² ticks (the q50 bound). */
+  private[graft] val SvmClamp = 65536L
+
+  /** The fixed-round linear-SVM core over a (y, f0..f3) frame —
+    * q50's exact-integer GD contract with the HINGE loss instead of
+    * the hard sigmoid (reference: /root/reference/mllib/src/main/
+    * scala/org/apache/spark/mllib/classification/SVM.scala:1,
+    * SVMWithSGD): with ys = 2y−1 ∈ {−1,+1} and the margin
+    * m24 = Σ wⱼfⱼ an exact long in 2⁻²⁴ units, a row VIOLATES when
+    * ys·m24 < 2²⁴ (functional margin < 1), and the batch
+    * subgradient is hⱼ = Σ_violators ys·fⱼ — exact longs
+    * (|term| ≤ 2¹², order-independent to 2⁵⁰ rows). The update
+    * wⱼ ← clamp(wⱼ + hⱼ div (4·n) − wⱼ div 256, ±[[SvmClamp]])
+    * is the Pegasos-style mean subgradient step (η = 1/4 in shared
+    * w/f tick units) plus an L2 shrink (λη = 1/256) — truncating
+    * div on either sign, the engine agreement q50 established.
+    * Output per round k ∈ 0..[[SvmIters]]: (round, n, correct,
+    * violations, w0..w3 ticks), round 0 the zero-weight baseline
+    * (everything violates, m = 0 predicts class 1).
+    *
+    * Scale shape: identical to q50 — one partial-agg'd scan per
+    * round carrying 6 running sums, the model a 1-row broadcast,
+    * nothing collected. Package-private for the planted-recurrence
+    * spec.
+    */
+  private[graft] def svmRounds(feats: DataFrame): DataFrame = {
+    val zero = feats.sparkSession.range(1)
+      .select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
+    var weights = zero.localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    for (k <- 0 to SvmIters) {
+      val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+      val ys = col("y") * 2 - 1
+      val scan = feats.crossJoin(broadcast(weights))
+        .withColumn("m24", m24)
+        .withColumn("viol", (ys * col("m24") < lit(16777216L)).cast("long"))
+      val aggCols =
+        Seq(sum(when((col("m24") >= 0).cast("int") === col("y"), 1L)
+            .otherwise(0L)).as("correct"),
+          sum(col("viol")).as("violations")) ++
+          (0 to 3).map(j =>
+            sum(col("viol") * ys * col(s"f$j")).as(s"h$j")) ++
+          (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+      val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
+        col("correct"), col("violations")) ++
+        (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
+      if (k < SvmIters) {
+        weights = s.select((0 to 3).map(j =>
+            least(greatest(col(s"w$j") +
+              expr(s"h$j div (4L * greatest(n, 1L))") -
+              expr(s"w$j div 256L"),
+              lit(-SvmClamp)), lit(SvmClamp)).as(s"w$j")): _*)
+          .localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q56: linear SVM on the q50 feature frame — the max-margin
+    * classifier completing the mllib linear-model family next to
+    * logistic (q50) and ridge (q49); see [[svmRounds]] for the
+    * exact-integer hinge contract.
+    */
+  def q56LinearSvm(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L)).as("y"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    svmRounds(feats)
+  }
+
   def q55Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
     val bins = Tables.orders(spark, sfDir)
       .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))

@@ -313,4 +313,51 @@ class RelationalSpec extends AnyFunSuite {
       p.length < 2 || p.head <= p.last), "fit must be non-decreasing")
     assert(c.toSeq == Relational.q55Isotonic(spark, sfDir).collect().toSeq)
   }
+
+  test("q56 SVM: engine rounds equal the exact integer recurrence; separable data separates") {
+    val sess = spark
+    import sess.implicits._
+    // planted: class 1 carries f1, class 0 carries f2 — linearly
+    // separable with opposite-sign weights the hinge reaches in one
+    // step. The in-test truth re-runs the EXACT integer recurrence
+    // (truncating /, same clamp), so every round's weights must
+    // match bit-for-bit.
+    val feats = (1 to 4).map(_ => (1L, 4096L, 4096L, 0L, 0L)) ++
+      (1 to 4).map(_ => (0L, 4096L, 0L, 4096L, 0L))
+    def truth(): Seq[(Long, Long, Long, Long, Seq[Long])] = {
+      var w = Array.fill(4)(0L)
+      val n = feats.length.toLong
+      (0 to Relational.SvmIters).map { k =>
+        val rows = feats.map { case (y, f0, f1, f2, f3) =>
+          val f = Array(f0, f1, f2, f3)
+          val m = (0 to 3).map(j => w(j) * f(j)).sum
+          val ys = 2 * y - 1
+          ((if (m >= 0L) 1L else 0L) == y, ys * m < 16777216L, ys, f)
+        }
+        val correct = rows.count(_._1).toLong
+        val viols = rows.count(_._2).toLong
+        val h = (0 to 3).map(j =>
+          rows.filter(_._2).map(r => r._3 * r._4(j)).sum)
+        val out = (k.toLong, n, correct, viols, w.toSeq)
+        if (k < Relational.SvmIters)
+          w = Array.tabulate(4)(j =>
+            math.max(-Relational.SvmClamp, math.min(Relational.SvmClamp,
+              w(j) + h(j) / (4L * n) - w(j) / 256L)))
+        out
+      }
+    }
+    val got = Relational.svmRounds(
+        feats.toDF("y", "f0", "f1", "f2", "f3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (4 to 7).map(r.getLong).toSeq)).toSeq
+    assert(got == truth(), s"recurrence drift:\n$got\nvs\n${truth()}")
+    // the hinge actually learns: final accuracy is perfect and
+    // beats the zero-weight baseline
+    assert(got.last._3 == feats.length.toLong,
+      s"separable data must separate, got ${got.last._3}/${feats.length}")
+    assert(got.last._3 > got.head._3)
+    // corpus determinism
+    val a = Relational.q56LinearSvm(spark, sfDir).collect().toSeq
+    assert(a == Relational.q56LinearSvm(spark, sfDir).collect().toSeq)
+  }
 }
