@@ -97,8 +97,8 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
-  private val SeqLen = 2048L
-  private val NShards = 8L
+  private[graft] val SeqLen = 2048L
+  private[graft] val NShards = 8L
 
   /** p02: sequence packing (concat-and-chunk): documents are laid
     * end-to-end in deterministic order and cut into fixed

@@ -530,6 +530,54 @@ object StreamOps {
       }
   }
 
+  /** Per-shard packing cursor — ONE long of state: the running token
+    * offset (never the documents themselves).
+    */
+  case class PackState(offset: Long)
+
+  /** One packed document — the p02 output row. */
+  case class PackOut(doc_id: Long, shard: Long, n_tokens: Long,
+      start_offset: Long, chunk_id: Long, spans_boundary: Boolean)
+
+  /** Streaming twin of p02's sequence packing — the CONTINUOUS
+    * corpus-writer: documents stream in, each shard's cursor (one
+    * long) assigns the running start offset, chunk id, and
+    * boundary-straddle flag with the SAME arithmetic as the batch
+    * window, so stream output equals batch p02 row-for-row when the
+    * per-shard arrival order is the batch's packing order (doc_id —
+    * spec'd across a batch boundary; within a micro-batch rows sort
+    * by doc_id, the anomalyStream posture). Token counts ride the
+    * same whitespace-split expression as p02. State is O(1) per
+    * shard and shards are the parallelism unit — the writer scales
+    * by adding shards, exactly like the batch layout.
+    */
+  def packStream(docs: DataFrame): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    val seqLen = graft.operators.Pipeline.SeqLen
+    val n = graft.operators.Pipeline.NShards
+    docs.select(col("doc_id").cast("long"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(n)).cast("long").as("shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[PackState]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = sorted.map { case (docId, nTokens, _) =>
+            val chunk = off / seqLen
+            val spans = nTokens > 0L && (off + nTokens - 1L) / seqLen != chunk
+            val r = PackOut(docId, shard, nTokens, off, chunk, spans)
+            off += nTokens
+            r
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   /** Funnel progress per user — three optional stage timestamps,
     * O(1) bounded state (never the user's event history).
     */

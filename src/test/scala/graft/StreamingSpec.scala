@@ -736,4 +736,53 @@ class StreamingSpec extends AnyFunSuite {
     // a stage can only be reached once per user (append-once contract)
     assert(reached.values.forall(_.nonEmpty))
   }
+
+  test("stream_pack: per-shard cursors reproduce batch p02 row-for-row") {
+    // halves split by doc_id — the batch packing order is doc_id
+    // within each shard, so a doc_id split preserves every shard's
+    // arrival-order contract while forcing the cursor state to
+    // carry across a batch boundary.
+    val src = java.nio.file.Files.createTempDirectory("graft-pack-src")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mid = raw.agg(org.apache.spark.sql.functions.expr(
+      "percentile_approx(doc_id, 0.5)")).head().getLong(0)
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-pack-$name")
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(d.toString)
+      val part = java.nio.file.Files.list(d).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val tmp = java.nio.file.Paths.get(part).resolveSibling(s"$name.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), tmp)
+      java.nio.file.Files.move(tmp, src.resolve(s"$name.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long, Long, Boolean)]()
+    stage(col("doc_id") <= mid, "first_half")
+    val stream = spark.readStream.schema(StreamOps.documentSchema)
+      .parquet(src.toString)
+    val q = StreamOps.packStream(stream)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.PackOut],
+          _: Long) =>
+        df.collect().foreach { o =>
+          got.synchronized {
+            got(o.doc_id) =
+              (o.shard, o.n_tokens, o.start_offset, o.chunk_id, o.spans_boundary)
+          }
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      stage(col("doc_id") > mid, "second_half")
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = operators.Pipeline.p02PackChunks(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))))
+      .toMap
+    assert(got.nonEmpty && got.toMap == expected,
+      s"stream packing diverged: ${got.size} vs ${expected.size} docs")
+  }
 }
