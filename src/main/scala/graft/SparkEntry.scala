@@ -137,6 +137,7 @@ object SparkEntry {
     "t26_boosted_stumps" -> (TextAnalysis.t26BoostedStumps _),
     "t27_chi2_contingency" -> (TextAnalysis.t27Chi2 _),
     "t29_chi2_select" -> (TextAnalysis.t29Chi2Select _),
+    "t30_hashing_tf" -> (TextAnalysis.t30HashingTf _),
     "t23_topics" -> (Recommend.t23Topics _),
     "t24_topic_terms" -> (Recommend.t24TopicTerms _),
     "t28_word_vectors" -> (Recommend.t28WordVectors _),
@@ -3304,6 +3305,7 @@ object SparkEntry {
     "t26_boosted_stumps" -> TextAnalysis.boostOracleSql,
     "t27_chi2_contingency" -> TextAnalysis.chi2OracleSql,
     "t29_chi2_select" -> TextAnalysis.t29OracleSql,
+    "t30_hashing_tf" -> TextAnalysis.t30OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

@@ -1676,6 +1676,83 @@ object TextAnalysis {
       |FROM grid
       |ORDER BY lang, source""".stripMargin
 
+  /** Hash-bucket count for [[t30HashingTf]] — the fixed feature
+    * dimensionality (64, matching the embeddings table's width so
+    * the hashed vectors drop straight into the ANN family).
+    */
+  private[graft] val HtfBuckets = 64L
+
+  /** IDF tick scale for t30 (2¹⁰). */
+  private[graft] val HtfScale = 1024.0
+
+  /** t30: feature hashing + IDF — the deterministic text→vector
+    * bridge (reference: /root/reference/mllib/src/main/scala/org/
+    * apache/spark/mllib/feature/HashingTF.scala:1 and IDF.scala:1):
+    * every token hashes to one of [[HtfBuckets]] buckets via the
+    * engine-portable md5 idiom (conv(substr(md5, 1, 4)) mod B — the
+    * p01/m04 salt convention, bit-identical in DuckDB), and the
+    * bucket weight is Σ_tokens tf · idf_ticks with idf_ticks =
+    * floor(log2((N+1)/(df+1))·2¹⁰ + 0.5) — the g11 log2-tick
+    * convention (exact-integer-valued double ratio, one libm call,
+    * floor agreed cross-engine in practice across all SFs). Output
+    * long-form: (doc_id, bucket, w_ticks) for occupied buckets —
+    * the sparse vector a downstream ANN or classifier consumes;
+    * smoothed IDF keeps every weight ≥ 0.
+    *
+    * Scale shape: tf is the t14 per-(doc, token) partial agg; df is
+    * vocabulary-sized; idf joins back vocabulary-sized; the bucket
+    * projection is a map-side expression and the final (doc, bucket)
+    * agg emits ≤ [[HtfBuckets]] rows per doc. No window, no sort
+    * except the presentation order. The fixed bucket count is the
+    * POINT of feature hashing: memory is corpus-independent, and
+    * collisions are the documented accuracy trade (Weinberger et
+    * al., ICML 2009).
+    */
+  def t30HashingTf(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_ticks",
+        floor(log2((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) *
+          lit(HtfScale) + lit(0.5)).cast("long"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(lit("htf:"), col("token"))), 1, 4),
+          16, 10).cast("long"), lit(HtfBuckets)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("tf") * col("idf_ticks")).as("w_ticks"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  /** The DuckDB twin of [[t30HashingTf]]. */
+  private[graft] def t30OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
+       |           t -> t <> '')) AS token
+       |  FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT tf.doc_id,
+       |  CAST((('0x' || substr(md5('htf:' || tf.token), 1, 4))::UBIGINT
+       |    % ${HtfBuckets}) AS BIGINT) AS bucket,
+       |  CAST(sum(tf.tf * CAST(floor(
+       |    log2((n.n_docs + 1.0) / (dfr.df + 1.0)) * ${HtfScale} + 0.5)
+       |    AS BIGINT)) AS BIGINT) AS w_ticks
+       |FROM tf JOIN dfr ON dfr.token = tf.token, n
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, bucket""".stripMargin
+
   /** Tokens reported by [[t29Chi2Select]]. */
   private[graft] val Chi2SelTopK = 30
 

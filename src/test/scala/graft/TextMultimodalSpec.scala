@@ -602,6 +602,41 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("t30 hashing TF: buckets and weights match an in-test reference") {
+    import spark.implicits._
+    // two docs, three tokens; truth computes the SAME md5-bucket and
+    // log2-tick arithmetic in plain JVM code
+    val docs = Seq((0L, "aa aa bb", "en", "s", 8L), (1L, "bb cc", "en", "s", 5L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_htf").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"htf:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % TextAnalysis.HtfBuckets
+    }
+    def idfT(df: Long, n: Long): Long =
+      math.floor(math.log((n + 1.0) / (df + 1.0)) / math.log(2.0) *
+        TextAnalysis.HtfScale + 0.5).toLong
+    // n=2; df: aa=1, bb=2, cc=1
+    val expect = Seq(
+      (0L, bucket("aa"), 2L * idfT(1, 2)), (0L, bucket("bb"), 1L * idfT(2, 2)),
+      (1L, bucket("bb"), 1L * idfT(2, 2)), (1L, bucket("cc"), 1L * idfT(1, 2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => k -> v.map(_._3).sum }
+    val got = TextAnalysis.t30HashingTf(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"hashed weights drift: $got vs $expect")
+    // smoothed IDF keeps bb (df = n) at exactly 0 ticks... unless the
+    // smoothing floor rounds below: log2(3/3) = 0 → 0 ticks, present
+    assert(got((0L, bucket("bb"))) == 0L)
+    // corpus: at most HtfBuckets buckets per doc, deterministic
+    val c = TextAnalysis.t30HashingTf(spark, sfDir).collect()
+    assert(c.groupBy(_.getLong(0)).values
+      .forall(_.length <= TextAnalysis.HtfBuckets))
+    assert(c.toSeq == TextAnalysis.t30HashingTf(spark, sfDir).collect().toSeq)
+  }
+
   test("t29 chi2 select: perfect separation scores exactly N ticks") {
     import spark.implicits._
     // 5 'en' docs all containing "alpha", 5 'fr' docs all containing
