@@ -161,6 +161,7 @@ object SparkEntry {
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
     "s21_bisecting_kmeans" -> (Similarity.s21BisectingKmeans _),
+    "s22_tfidf_search" -> (Similarity.s22TfidfSearch _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
@@ -1629,6 +1630,8 @@ object SparkEntry {
     "s21_bisecting_kmeans" -> s21OracleSql(
       graft.operators.Similarity.BisectSplits,
       graft.operators.Similarity.BisectLloyd),
+    "s22_tfidf_search" -> graft.operators.Similarity.s22OracleSql(
+      graft.operators.TextAnalysis.htfOracleCtes),
     "s14_pq_ann" -> s14OracleSql(
       graft.operators.Similarity.PqIters, graft.operators.Similarity.PqM,
       graft.operators.Similarity.PqSubDim, graft.operators.Similarity.PqK,

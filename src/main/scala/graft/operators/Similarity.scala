@@ -1501,6 +1501,95 @@ object Similarity {
        |FROM g0 JOIN dg di ON di.d = g0.i JOIN dg dj ON dj.d = g0.j
        |ORDER BY dim_i, dim_j""".stripMargin
 
+  /** Query documents for [[s22TfidfSearch]] (the s01 doc_id rule). */
+  private[graft] val TfidfQueryDocs = 3L
+
+  /** Results per query for s22. */
+  private[graft] val TfidfTopK = 5
+
+  /** s22: document similarity search over the t30 hashed-TF-IDF
+    * vectors — the end-to-end "search the corpus by text" path with
+    * NO pretrained embeddings: tokenize → hash → IDF-weight (the
+    * memoized [[graft.operators.TextAnalysis.hashedTfidf]] frame,
+    * shared with t30) → sparse cosine top-k. Dot products and
+    * squared norms are EXACT long sums over the ≤64 shared buckets;
+    * only the final cosine normalization runs in double, through one
+    * shared expression tree floored to 2²⁰ ticks (the s19
+    * convention), and ranking orders by that exact integer (ties →
+    * smaller doc, the top_k_by_score contract). Queries are the
+    * first [[TfidfQueryDocs]] documents (the s01 rule); self-matches
+    * drop.
+    *
+    * Scale shape: the query slice is a ≤64·Q-row broadcast; the dot
+    * join hits only rows sharing a bucket and partial-aggregates to
+    * (query, doc); norms are one partial-agg'd pass memoized into
+    * the plan; the cut is the bounded top-k aggregate — no window,
+    * no global sort. At corpus scale the bucket join IS the inverted
+    * index: production widens [[graft.operators.TextAnalysis
+    * .HtfBuckets]] and prunes by impact ordering (WAND-style), the
+    * documented path.
+    */
+  def s22TfidfSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val h = graft.operators.TextAnalysis.hashedTfidf(spark, sfDir)
+    val norms = h.groupBy(col("doc_id"))
+      .agg(sum(col("w_ticks") * col("w_ticks")).as("nrm"))
+    val queries = h.filter(col("doc_id") < TfidfQueryDocs)
+      .select(col("doc_id").as("query_id"), col("bucket"),
+        col("w_ticks").as("qw"))
+    val dots = h.join(broadcast(queries), "bucket")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qw") * col("w_ticks")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("nrm").as("nq")),
+        "query_id")
+      .join(norms, "doc_id")
+      .withColumn("cos_ticks", expr(
+        """CAST(floor(CAST(dot AS DOUBLE)
+          |  / sqrt(CAST(nq AS DOUBLE) * CAST(nrm AS DOUBLE))
+          |  * 1048576.0D + 0.5D) AS BIGINT)""".stripMargin))
+    scored.groupBy(col("query_id"))
+      .agg(call_function("top_k_by_score",
+        col("cos_ticks").cast("double"), col("doc_id"),
+        lit(TfidfTopK)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        col("t.score").cast("long").as("cos_ticks"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DuckDB twin of [[s22TfidfSearch]] — the t30 CTEs plus exact
+    * pairwise dot/norm sums and the same cosine double tree.
+    */
+  private[graft] def s22OracleSql(htfCtes: String): String =
+    s"""$htfCtes,
+       |nrm AS (SELECT doc_id, CAST(sum(w_ticks * w_ticks) AS BIGINT) AS nrm
+       |        FROM h GROUP BY 1),
+       |qs AS (SELECT doc_id AS query_id, bucket, w_ticks AS qw
+       |       FROM h WHERE doc_id < $TfidfQueryDocs),
+       |dots AS (
+       |  SELECT qs.query_id, h.doc_id, CAST(sum(qs.qw * h.w_ticks) AS BIGINT) AS dot
+       |  FROM h JOIN qs ON h.bucket = qs.bucket AND h.doc_id <> qs.query_id
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.query_id, d.doc_id,
+       |    CAST(floor(CAST(d.dot AS DOUBLE)
+       |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE))
+       |      * 1048576.0 + 0.5) AS BIGINT) AS cos_ticks
+       |  FROM dots d
+       |  JOIN nrm a ON a.doc_id = d.query_id
+       |  JOIN nrm b ON b.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT query_id, doc_id, cos_ticks,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_ticks DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, doc_id, cos_ticks, rank
+       |FROM rk WHERE rank <= $TfidfTopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Splits run by [[s21BisectingKmeans]] — fixed so the tree is a
     * pure function of the corpus ([[BisectSplits]] splits → up to
     * 2^depth leaves along the largest-first path).

@@ -799,10 +799,12 @@ object TextAnalysis {
     * [[graft.FrameMemo]] bench-harness cleanup contract.
     */
   private[graft] def memoRetainedIds: Set[Int] =
-    nbModelMemo.retainedIds ++ bpeMemo.retainedIds
+    nbModelMemo.retainedIds ++ bpeMemo.retainedIds ++ htfMemo.retainedIds
 
   /** Drop the text memos and unpersist their blocks. */
-  private[graft] def clearMemos(): Unit = { nbModelMemo.clear(); bpeMemo.clear() }
+  private[graft] def clearMemos(): Unit = {
+    nbModelMemo.clear(); bpeMemo.clear(); htfMemo.clear()
+  }
 
   /** The memoized trainer over the corpus word-frequency frame —
     * the shared entry behind t18/t21.
@@ -1708,31 +1710,49 @@ object TextAnalysis {
     * collisions are the documented accuracy trade (Weinberger et
     * al., ICML 2009).
     */
-  def t30HashingTf(spark: SparkSession, sfDir: String): DataFrame = {
-    registerAll(spark)
-    val tf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(call_function("word_grams", lower(col("text")), lit(1)))
-          .as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    tf.join(dfreq, "token")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("idf_ticks",
-        floor(log2((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) *
-          lit(HtfScale) + lit(0.5)).cast("long"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(concat(lit("htf:"), col("token"))), 1, 4),
-          16, 10).cast("long"), lit(HtfBuckets)))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(sum(col("tf") * col("idf_ticks")).as("w_ticks"))
-      .orderBy(col("doc_id"), col("bucket"))
-  }
+  /** Memo for the hashed-TF-IDF frame — t30 reports it and s22
+    * searches over it; the tokenize+count scan behind it runs once
+    * per sweep.
+    */
+  private val htfMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
-  /** The DuckDB twin of [[t30HashingTf]]. */
-  private[graft] def t30OracleSql: String =
+  /** The memoized (doc_id, bucket, w_ticks) hashed frame (see
+    * [[t30HashingTf]] for the contract). Package-private so the
+    * similarity family can search over it.
+    */
+  private[graft] def hashedTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    htfMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "documents") + "|htf") {
+      registerAll(spark)
+      val tf = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          explode(call_function("word_grams", lower(col("text")), lit(1)))
+            .as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf_ticks",
+          floor(log2((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) *
+            lit(HtfScale) + lit(0.5)).cast("long"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("htf:"), col("token"))), 1, 4),
+            16, 10).cast("long"), lit(HtfBuckets)))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("tf") * col("idf_ticks")).as("w_ticks"))
+        .localCheckpoint(true)
+    }
+
+  def t30HashingTf(spark: SparkSession, sfDir: String): DataFrame =
+    hashedTfidf(spark, sfDir).orderBy(col("doc_id"), col("bucket"))
+
+  /** The t30 hashed frame as a CTE chain ending in
+    * `h(doc_id, bucket, w_ticks)` — shared by the t30 and s22
+    * oracles.
+    */
+  private[graft] def htfOracleCtes: String =
     s"""WITH tok AS (
        |  SELECT doc_id,
        |    unnest(list_filter(regexp_split_to_array(lower(text), '[ \\n\\t\\r]+'),
@@ -1742,15 +1762,21 @@ object TextAnalysis {
        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
        |  FROM tok GROUP BY 1, 2),
        |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |n AS (SELECT count(*) AS n_docs FROM documents)
-       |SELECT tf.doc_id,
-       |  CAST((('0x' || substr(md5('htf:' || tf.token), 1, 4))::UBIGINT
-       |    % ${HtfBuckets}) AS BIGINT) AS bucket,
-       |  CAST(sum(tf.tf * CAST(floor(
-       |    log2((n.n_docs + 1.0) / (dfr.df + 1.0)) * ${HtfScale} + 0.5)
-       |    AS BIGINT)) AS BIGINT) AS w_ticks
-       |FROM tf JOIN dfr ON dfr.token = tf.token, n
-       |GROUP BY 1, 2
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |h AS MATERIALIZED (
+       |  SELECT tf.doc_id,
+       |    CAST((('0x' || substr(md5('htf:' || tf.token), 1, 4))::UBIGINT
+       |      % ${HtfBuckets}) AS BIGINT) AS bucket,
+       |    CAST(sum(tf.tf * CAST(floor(
+       |      log2((n.n_docs + 1.0) / (dfr.df + 1.0)) * ${HtfScale} + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS w_ticks
+       |  FROM tf JOIN dfr ON dfr.token = tf.token, n
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The DuckDB twin of [[t30HashingTf]]. */
+  private[graft] def t30OracleSql: String =
+    s"""$htfOracleCtes
+       |SELECT doc_id, bucket, w_ticks FROM h
        |ORDER BY doc_id, bucket""".stripMargin
 
   /** Tokens reported by [[t29Chi2Select]]. */

@@ -1002,6 +1002,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall@10 $recall too low")
   }
 
+  test("s22 tfidf search: identical text scores exactly 1.0; structure holds") {
+    val sess = spark
+    import sess.implicits._
+    // doc 5 duplicates query doc 0's text exactly → cosine exactly
+    // 1.0 (dot == both norms, integer-exact) → 2^20 ticks, rank 1
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (1L, "delta epsilon", "en", "s", 13L),
+      (2L, "zeta eta theta", "en", "s", 14L),
+      (3L, "iota kappa", "en", "s", 10L),
+      (4L, "alpha beta", "en", "s", 10L),
+      (5L, "alpha beta gamma", "en", "s", 16L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s22").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Similarity.s22TfidfSearch(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._4)
+    assert(q0.head._2 == 5L && q0.head._3 == 1048576L,
+      s"identical doc must rank 1 at exactly 2^20 ticks: ${q0.head}")
+    // no self matches anywhere; ranks dense from 1; scores non-increasing
+    assert(out.forall(r => r._1 != r._2))
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p.head >= p.last))
+    }
+    // corpus: 3 queries x top-5, deterministic
+    val c = Similarity.s22TfidfSearch(spark, sfDir).collect()
+    assert(c.length == 15)
+    assert(c.toSeq == Similarity.s22TfidfSearch(spark, sfDir).collect().toSeq)
+  }
+
   test("s21 bisecting kmeans: tree structure, duplicates co-locate, cohesion beats one flat split") {
     val rows = Similarity.s21BisectingKmeans(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
