@@ -107,4 +107,32 @@ class SqlParitySpec extends AnyFunSuite {
           max(col("ts")).as("last_ts"))
         .orderBy(col("event_type")))
   }
+
+  test("q53 KS test: SQL text equals the DataFrame pipeline") {
+    // the round-10 statistical-test family through the SQL front
+    // door: grid CDF, integer KS max, `div` ticks — all plain
+    // Spark SQL over the registered catalog
+    parity(
+      s"""WITH ct AS (
+         |  SELECT event_type AS t, CAST(floor(value * 1024.0) AS LONG) AS tick,
+         |    count(1) AS c
+         |  FROM $db.events GROUP BY 1, 2),
+         |grid AS (SELECT DISTINCT tick FROM ct),
+         |ty AS (SELECT t, sum(c) AS n FROM ct GROUP BY t),
+         |cd AS (
+         |  SELECT g.tick, ty.t, ty.n, coalesce(ct.c, 0L) AS c,
+         |    sum(coalesce(ct.c, 0L)) OVER (PARTITION BY ty.t ORDER BY g.tick
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM grid g CROSS JOIN ty
+         |  LEFT JOIN ct ON ct.t = ty.t AND ct.tick = g.tick)
+         |SELECT type_a, type_b, n_a, n_b, d_num,
+         |  (d_num * 1048576L) div (n_a * n_b) AS d_ticks
+         |FROM (
+         |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+         |    max(abs(b.n * a.cum - a.n * b.cum)) AS d_num
+         |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
+         |  GROUP BY 1, 2, 3, 4)
+         |ORDER BY type_a, type_b""".stripMargin,
+      SparkEntry.queries("q53_ks_test")(spark, sfDir))
+  }
 }
