@@ -178,6 +178,7 @@ object SparkEntry {
     "g05_labelprop" -> (Graph.g05LabelProp _),
     "g13_modularity" -> (Graph.g13Modularity _),
     "g14_betweenness" -> (Graph.g14Betweenness _),
+    "g15_components" -> (Graph.g15Components _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
@@ -1327,6 +1328,34 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** g15 oracle: the bounded min-label chain unrolled EXACTLY
+    * [[graft.operators.Graph.CcIters]] rounds (each round a min over
+    * self ∪ neighbor labels — BIGINT min, no widening), then the
+    * component sizes joined back.
+    */
+  private def g15OracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { kk =>
+      val prev = if (kk == 1) "c0" else s"c${kk - 1}"
+      s"""c$kk AS MATERIALIZED (
+         |  SELECT x.id, min(x.lab) AS lab FROM (
+         |    SELECT id, lab FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS id, l.lab FROM e JOIN $prev l ON l.id = e.src) x
+         |  GROUP BY x.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gEdgeCtes,
+       |c0 AS MATERIALIZED (SELECT id, id AS lab FROM n),
+       |$rounds,
+       |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS component_size
+       |       FROM c$iters GROUP BY lab)
+       |SELECT CASE WHEN c.id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       c.id // 2 AS entity_key,
+       |       CASE WHEN c.lab % 2 = 0 THEN 'c' ELSE 's' END AS comp_type,
+       |       c.lab // 2 AS comp_key, sz.component_size
+       |FROM c$iters c JOIN sz USING (lab)
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+
   private def g05OracleSql(iters: Int): String =
     s"""WITH $gEdgeCtes,
        |${g05LabelCtes(iters)}
@@ -1554,6 +1583,8 @@ object SparkEntry {
       graft.operators.Graph.TriTopK, graft.operators.Graph.LinkTopK),
     "g05_labelprop" -> g05OracleSql(
       graft.operators.Graph.LabelPropIters),
+    "g15_components" -> g15OracleSql(
+      graft.operators.Graph.CcIters),
     "g13_modularity" -> g13OracleSql(
       graft.operators.Graph.LabelPropIters),
     "g14_betweenness" -> g14OracleSql(

@@ -620,6 +620,78 @@ object Graph {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** Fixed min-label rounds for [[g15Components]]. The trade graph's
+    * diameter at test SFs is ≤ 4; 8 rounds give slack while keeping
+    * the result a pure bounded function of the corpus (the g06
+    * bound-with-slack contract), and the oracle unrolls the same 8
+    * rounds so both engines compute the same function even on a
+    * corpus where the bound binds.
+    */
+  private[graft] val CcIters = 8
+
+  /** Bounded synchronous min-label propagation as a [[pregel]]
+    * instance: every node starts labeled with its own id; each round
+    * relabels with the minimum over itself and its neighbors. After
+    * `iters` ≥ diameter rounds the labels ARE connected components
+    * (label = min node id in the component). Package-private so the
+    * spec can pin it equal to [[graft.operators.Dedup.connectedComponents]]'
+    * converged result.
+    */
+  private[graft] def minLabelRounds(edges: DataFrame, iters: Int): DataFrame =
+    pregel(
+      init = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab")),
+      send = st => edges.join(st.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab")),
+      apply = (st, msgs) => st.select(col("id"), col("lab")).union(msgs)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab")),
+      iters = iters)
+
+  /** Spec access to the memoized mirrored trade edge frame (src, dst)
+    * — the g15 spec re-derives components via the convergence-tested
+    * [[graft.operators.Dedup.connectedComponents]] on the SAME edges.
+    */
+  private[graft] def tradeEdgesForSpec(
+      spark: SparkSession, sfDir: String): DataFrame =
+    tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+
+  /** Spec access to the bounded min-label frame g15 reports. */
+  private[graft] def tradeMinLabelsForSpec(
+      spark: SparkSession, sfDir: String): DataFrame =
+    minLabelRounds(tradeEdgesForSpec(spark, sfDir), CcIters)
+
+  /** g15: connected components of the trading network — the
+    * reference's ConnectedComponents (reference: /root/reference/
+    * graphx/src/main/scala/org/apache/spark/graphx/lib/
+    * ConnectedComponents.scala:1), reported per node with the
+    * component's min-id label and size. This front door is the
+    * BOUNDED [[minLabelRounds]] ([[CcIters]] rounds, oracle-unrolled);
+    * the unbounded production path for adversarial long-chain graphs
+    * is [[graft.operators.Dedup.connectedComponents]] (convergence
+    * test + large-star/small-star fallback, polylog rounds regardless
+    * of diameter) — the spec pins the two bit-identical on the trade
+    * graph, so the bound-with-slack contract is verified, not assumed.
+    *
+    * Scale shape per round: one shuffle-join of the edge frame on the
+    * label frame plus one partial-agg'd min per node — two longs per
+    * node of state, map-side combining on both sides; the same
+    * per-round profile as g05 with min instead of mode.
+    */
+  def g15Components(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    val labels = minLabelRounds(edges, CcIters)
+    val sizes = labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "lab").select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        when(col("lab") % 2 === 0, lit("c")).otherwise(lit("s"))
+          .as("comp_type"),
+        expr("lab div 2").as("comp_key"),
+        col("component_size"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
   /** Fixed h-index iteration rounds for [[g09Kcore]] — the measured
     * fixpoint on the trade graph is 2/4/6 rounds at sf0.001/0.01/0.1;
     * 8 gives slack while keeping the result a pure bounded function

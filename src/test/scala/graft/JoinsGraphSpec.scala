@@ -911,4 +911,37 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.forall(_.getLong(2) >= 0L))
     assert(a.toSeq == Graph.g14Betweenness(spark, sfDir).collect().toSeq)
   }
+
+  test("g15: bounded min-label CC equals converged CC, sizes consistent") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // synthetic: path 0-1-2-3 (diameter 3 < CcIters), pair 8-9 — the
+    // bounded pregel instance lands on exact components
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val got = Graph.minLabelRounds(edges, Graph.CcIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 8L -> 8L, 9L -> 8L))
+    // corpus: the bounded front door is bit-identical to the
+    // convergence-tested production CC — the bound-with-slack
+    // contract verified, not assumed
+    val trade = Graph.g15Components(spark, sfDir)
+    val viaConverged = {
+      val te = trade // force the memoized edges first (lock order)
+      te.count()
+      val ed = graft.operators.Graph.tradeEdgesForSpec(spark, sfDir)
+      val nodes = ed.select(org.apache.spark.sql.functions.col("src").as("id")).distinct()
+      Dedup.connectedComponents(nodes, ed)
+    }
+    val bounded = Graph.tradeMinLabelsForSpec(spark, sfDir)
+    assert(bounded.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      viaConverged.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // size column sums back to the node count
+    val rows = trade.collect()
+    val byComp = rows.groupBy(r => (r.getString(2), r.getLong(3)))
+    byComp.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(4)).distinct.length == 1)
+      assert(rs.head.getLong(4) == rs.length.toLong)
+    }
+  }
 }
