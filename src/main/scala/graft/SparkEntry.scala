@@ -138,6 +138,7 @@ object SparkEntry {
     "t27_chi2_contingency" -> (TextAnalysis.t27Chi2 _),
     "t29_chi2_select" -> (TextAnalysis.t29Chi2Select _),
     "t30_hashing_tf" -> (TextAnalysis.t30HashingTf _),
+    "t31_gbt_stumps" -> (TextAnalysis.t31GbtStumps _),
     "t23_topics" -> (Recommend.t23Topics _),
     "t24_topic_terms" -> (Recommend.t24TopicTerms _),
     "t28_word_vectors" -> (Recommend.t28WordVectors _),
@@ -157,11 +158,13 @@ object SparkEntry {
     "p13_yield_report" -> (Pipeline.p13YieldReport _),
     "p14_chunk_overlap" -> (Pipeline.p14ChunkOverlap _),
     "p15_eval_report" -> (Pipeline.p15EvalReport _),
+    "p16_feature_encode" -> (Pipeline.p16FeatureEncode _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
     "s21_bisecting_kmeans" -> (Similarity.s21BisectingKmeans _),
     "s22_tfidf_search" -> (Similarity.s22TfidfSearch _),
+    "s23_silhouette" -> (Similarity.s23Silhouette _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
@@ -442,6 +445,33 @@ object SparkEntry {
     val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
     s"(($x3 | ($x3 << 1)) & 1431655765)"
   }
+
+  /** s23 oracle: the generated k-means prefix, then per-vector top-2
+    * centroid cosines off sc_f (rank window — fine in the oracle,
+    * the engine side uses the bounded top-2 aggregate) and the
+    * simplified-silhouette coefficient in 2^20 ticks; `//` and
+    * Spark's `div` agree on the non-negative tick sums.
+    */
+  private def s23OracleSql(iters: Int): String =
+    s"""${kmeansOracle(iters)},
+       |rk2 AS (SELECT vec_id, cid, cs,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+       |  FROM sc_f),
+       |t2 AS (SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cs END) AS cs1,
+       |    max(CASE WHEN rn = 2 THEN cs END) AS cs2,
+       |    max(CASE WHEN rn = 1 THEN cid END) AS cell
+       |  FROM rk2 WHERE rn <= 2 GROUP BY vec_id),
+       |sil AS (SELECT cell,
+       |    CASE WHEN 1.0 - cs2 > 0
+       |      THEN CAST(floor((cs1 - cs2) / (1.0 - cs2) * 1048576.0 + 0.5)
+       |        AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS st
+       |  FROM t2)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(sum(st) AS BIGINT) AS sum_sil_ticks,
+       |  CAST(sum(st) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sil_ticks
+       |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
 
   private def s04OracleSql(iters: Int): String =
     s"""${kmeansOracle(iters)},
@@ -1658,6 +1688,7 @@ object SparkEntry {
         |SELECT doc_id, token, tf, tfidf, rank FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
+    "s23_silhouette" -> s23OracleSql(graft.operators.Similarity.KmeansIters),
     "s21_bisecting_kmeans" -> s21OracleSql(
       graft.operators.Similarity.BisectSplits,
       graft.operators.Similarity.BisectLloyd),
@@ -3329,6 +3360,35 @@ object SparkEntry {
     // p15: t19's oracle nested as the preds CTE, then three counts
     // and single-division metrics.
     "p15_eval_report" -> Pipeline.p15OracleSql(TextAnalysis.nbOracleSql),
+    // p16: StringIndexer rank on the tiny distinct-source frame, the
+    // fixed Bucketizer splits, and the z-score from the same exact
+    // (n, S, Q) moments — DECIMAL(38,0) variance term, double only at
+    // the final sqrt/divide (identical exact-int inputs both engines).
+    "p16_feature_encode" ->
+      """WITH f AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |ix AS (SELECT source,
+        |         CAST(row_number() OVER (ORDER BY c DESC, source) - 1 AS BIGINT)
+        |           AS source_index
+        |       FROM f),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM f),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(n_chars) AS BIGINT) AS s,
+        |              CAST(sum(n_chars * n_chars) AS DECIMAL(38,0)) AS q
+        |       FROM documents)
+        |SELECT d.doc_id, d.source, ix.source_index, ns.n_sources,
+        |  CAST(CASE WHEN d.n_chars < 200 THEN 0
+        |            WHEN d.n_chars < 400 THEN 1
+        |            WHEN d.n_chars < 800 THEN 2
+        |            ELSE 3 END AS BIGINT) AS len_bucket,
+        |  CASE WHEN CAST(st.n AS DECIMAL(38,0)) * st.q
+        |            - CAST(st.s AS DECIMAL(38,0)) * st.s > 0 THEN
+        |    CAST(floor(CAST(d.n_chars * st.n - st.s AS DOUBLE) * 1024.0
+        |      / sqrt(CAST(CAST(st.n AS DECIMAL(38,0)) * st.q
+        |             - CAST(st.s AS DECIMAL(38,0)) * st.s AS DOUBLE)) + 0.5)
+        |      AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS len_z_ticks
+        |FROM documents d JOIN ix USING (source), ns, st
+        |ORDER BY d.doc_id""".stripMargin,
     // t20: binned Gini split search — integer bins, tick Gini,
     // (cost, feature, bin) argmin.
     "t20_decision_stump" -> TextAnalysis.stumpOracleSql,
@@ -3340,6 +3400,7 @@ object SparkEntry {
     "t27_chi2_contingency" -> TextAnalysis.chi2OracleSql,
     "t29_chi2_select" -> TextAnalysis.t29OracleSql,
     "t30_hashing_tf" -> TextAnalysis.t30OracleSql,
+    "t31_gbt_stumps" -> TextAnalysis.gbtOracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

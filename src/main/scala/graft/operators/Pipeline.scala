@@ -634,4 +634,67 @@ object Pipeline {
        |LEFT JOIN p ON c.cls = p.cls
        |LEFT JOIN t ON c.cls = t.cls
        |ORDER BY c.cls""".stripMargin
+
+  /** p16: the ml feature-transformer surface in one pass over the
+    * corpus — the encode step a training pipeline runs before
+    * assembling model inputs (reference: /root/reference/mllib/src/
+    * main/scala/org/apache/spark/ml/feature/StringIndexer.scala:1,
+    * OneHotEncoder.scala:1, Bucketizer.scala:1, StandardScaler.scala:1).
+    * Per document: `source_index` = StringIndexer with the default
+    * frequencyDesc order (ties toward the smaller string — exact
+    * integer rank on the DISTINCT-source frame, which is
+    * vocabulary-sized, so the window ranks a tiny broadcast frame,
+    * never the corpus); `n_sources` = the one-hot width the encoder
+    * would emit (index + width IS the sparse one-hot encoding);
+    * `len_bucket` = Bucketizer with fixed splits 200/400/800 on
+    * n_chars (a pure map, no quantile pass); `len_z_ticks` =
+    * StandardScaler in 2^10 ticks of the z-score, computed from ONE
+    * partial-agg'd (n, S, Q) moment scan — z = (x*n - S)/sqrt(n*Q - S^2),
+    * numerator exact int64, the variance term exact DECIMAL(38,0)
+    * (n*Q overflows int64 at corpus scale — the q40 moment contract),
+    * both engines convert the SAME exact integers to double before
+    * the sqrt/divide, so ties land identically. At extreme corpus
+    * scale (n ~ 1e12 docs) the int64 numerator x*n - S needs the
+    * documented f02-style retune (coarser tick scale or a
+    * DECIMAL(38,0) numerator); test SFs sit orders of magnitude
+    * inside the bound.
+    *
+    * Scale shape: one corpus scan for the moments (map-side partial
+    * agg to 3 numbers), one vocabulary-sized groupBy for the index
+    * frame, then a broadcast join + pure projection — no corpus
+    * shuffle, no window over data rows.
+    */
+  def p16FeatureEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val freq = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    // distinct-source frame is vocabulary-sized: the rank window runs
+    // over a broadcast-small input, not the corpus
+    val idx = freq.select(col("source"),
+        (row_number().over(Window.orderBy(col("c").desc, col("source")))
+          - lit(1)).cast("long").as("source_index"))
+      .localCheckpoint(true)
+    val nSrc = idx.count() // bounded control-plane read (distinct sources)
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars")).as("s"),
+      sum((col("n_chars") * col("n_chars")).cast("decimal(38,0)")).as("q"))
+    val num = col("n_chars") * col("n") - col("s")
+    val den2 = (col("n").cast("decimal(38,0)") * col("q")
+      - col("s").cast("decimal(38,0)") * col("s"))
+    docs.join(broadcast(idx), "source")
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"), col("source"), col("source_index"),
+        lit(nSrc).as("n_sources"),
+        when(col("n_chars") < 200, lit(0L))
+          .when(col("n_chars") < 400, lit(1L))
+          .when(col("n_chars") < 800, lit(2L))
+          .otherwise(lit(3L)).as("len_bucket"),
+        when(den2 > 0,
+            floor(num.cast("double") * lit(1024.0)
+              / sqrt(den2.cast("double")) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("len_z_ticks"))
+      .orderBy(col("doc_id"))
+  }
 }

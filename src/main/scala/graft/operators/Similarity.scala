@@ -1662,4 +1662,52 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("cluster_size"))
       .orderBy(col("vec_id"))
   }
+
+  /** Silhouette tick scale — 2^20 ticks of the [-1, 1] coefficient. */
+  private[graft] val SilScale = 1048576.0
+
+  /** s23: clustering-quality evaluation of the s04 partition — the
+    * reference's ClusteringEvaluator silhouette (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/
+    * evaluation/ClusteringEvaluator.scala:1), in its centroid-based
+    * "simplified silhouette" form: with cosine similarity cs1 to the
+    * OWN (nearest) centroid and cs2 to the runner-up, the coefficient
+    * is s = (cs1 - cs2) / (1 - cs2) in [0, 1] — 0 on the cell border,
+    * 1 at the centroid — reported per cell as exact tick sums and the
+    * truncating-div mean ([[SilScale]] ticks). The exact pairwise
+    * silhouette is O(N^2); the centroid form is the standard
+    * evaluator at scale (and what the reference's evaluator computes
+    * per point against cluster means).
+    *
+    * Scale shape: one broadcast cross join against the k-row centroid
+    * frame, then a BOUNDED top-2 per vector via the top_k_by_score
+    * partial aggregate — the shuffle carries 2-row state per vector,
+    * never the N x k scored rows and never a corpus window — then a
+    * k-row final aggregation. Doubles appear only in the per-row
+    * coefficient, computed from the same broadcast floats in index
+    * order by both engines.
+    */
+  def s23Silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
+    val top2 = emb.crossJoin(broadcast(centroids))
+      .withColumn("cs", call_function("cosine_sim", col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(call_function("top_k_by_score", col("cs"), col("cid"), lit(2)).as("top"))
+      .select(col("vec_id"),
+        col("top").getItem(0).getField("id").as("cell"),
+        col("top").getItem(0).getField("score").as("cs1"),
+        col("top").getItem(1).getField("score").as("cs2"))
+    val sil = top2.select(col("cell"),
+      when(lit(1.0) - col("cs2") > 0,
+          floor((col("cs1") - col("cs2")) / (lit(1.0) - col("cs2"))
+            * lit(SilScale) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L)).as("st"))
+    sil.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_points"), sum(col("st")).as("sum_sil_ticks"))
+      .select(col("cell"), col("n_points"), col("sum_sil_ticks"),
+        expr("sum_sil_ticks div n_points").as("mean_sil_ticks"))
+      .orderBy(col("cell"))
+  }
 }

@@ -1871,4 +1871,179 @@ object TextAnalysis {
        |    // (n_w * (nn - n_w)) * 1048576) // n_l) AS BIGINT) AS chi2_ticks
        |FROM g GROUP BY 1, 2
        |ORDER BY chi2_ticks DESC, token LIMIT ${Chi2SelTopK}""".stripMargin
+
+  /** Boosting rounds for [[t31GbtStumps]] — fixed so the model is a
+    * pure function of the corpus and the oracle can unroll the
+    * rounds exactly (the KmeansIters convention).
+    */
+  private[graft] val GbtRounds = 3
+
+  /** t31: gradient-boosted regression stumps — the reference's
+    * mllib GradientBoostedTrees surface (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/mllib/tree/
+    * GradientBoostedTrees.scala:1) with squared-error loss, depth-1
+    * trees, and shrinkage 1/2, on the exact-integer contract the
+    * tree family (t20/t22/t25/t26) already carries. Target: token
+    * count (v2); features: n_chars (v1) and distinct-token-ratio
+    * ticks (v3) on the SHARED [[docFeatures]] frame and the same
+    * [[StumpBins]] fixed-width grid (global per-feature [min, max] —
+    * computed once, constant across rounds, so every engine bins
+    * identically every round).
+    *
+    * Round m: residuals r = y - F_{m-1} (exact longs), one
+    * partial-agg'd (feature, bin) pass for (count, sum r), the
+    * variance-gain argmax over the <= 2x16-row candidate frame with
+    * score = sl^2/nl + sr^2/nr quantized by floor(.+0.5) (doubles of
+    * exact longs — sl^2 stays inside 2^53 for |sl| < 9.4e7; the
+    * corpus-scale retune coarsens the residual grid, the f02
+    * convention), leaf steps gl = floor(sl / (2*nl)) via DOUBLE
+    * floor — floor division in BOTH engines (Spark `div` truncates
+    * toward zero and residual sums go negative, the one place the
+    * family's truncating-div convention would diverge), and a
+    * broadcast 1-row model join updates F. SSE is reported per round
+    * as an exact long sum (corpus-scale retune: DECIMAL(38,0)).
+    *
+    * Output: one row per round — (round, feature, split_bin, f_min,
+    * f_max, gain_ticks, left_step, right_step, f0, sse_after); the
+    * spec asserts SSE is non-increasing round over round (the
+    * boosting invariant).
+    *
+    * Scale shape: per round one corpus scan to bin residuals
+    * (map-side partial agg to <= 32 rows), one 1-row broadcast join
+    * to update F, one partial-agg'd SSE scan — the textbook
+    * distributed GBT iteration; no window over data rows, no
+    * driver-side model state beyond the 1-row split.
+    */
+  def t31GbtStumps(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = docFeatures(spark, sfDir)
+      .select(col("doc_id"), col("v2").as("yr"), col("v1"), col("v3"))
+      .localCheckpoint(true)
+    val stats = f.select(
+        expr("stack(2, 'n_chars', v1, 'distinct_ratio', v3)")
+          .as(Seq("feature", "x")))
+      .groupBy(col("feature")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .localCheckpoint(true)
+    val ag0 = f.agg(sum(col("yr")).as("s"), count(lit(1)).as("n")).collect()(0)
+    // 1-row control-plane read (the g01 n pattern)
+    val f0 = math.floor(ag0.getLong(0).toDouble / ag0.getLong(1)).toLong
+    var cur = f.withColumn("fhat", lit(f0)).localCheckpoint(true)
+    val cumw = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out: DataFrame = null
+    for (m <- 1 to GbtRounds) {
+      val lf = cur.select((col("yr") - col("fhat")).as("r"),
+        expr("stack(2, 'n_chars', v1, 'distinct_ratio', v3)")
+          .as(Seq("feature", "x")))
+      val perBin = lf.join(broadcast(stats), "feature")
+        .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
+        .groupBy(col("feature"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+        .localCheckpoint(true)
+      val tot = perBin.groupBy(col("feature"))
+        .agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+      val cand = perBin
+        .withColumn("nl", sum(col("n")).over(cumw))
+        .withColumn("sl", sum(col("s")).over(cumw))
+        .join(tot, "feature")
+        .filter(col("nl") < col("nn"))
+        .withColumn("score_ticks",
+          floor(col("sl").cast("double") * col("sl") / col("nl")
+            + (col("ss") - col("sl")).cast("double") * (col("ss") - col("sl"))
+              / (col("nn") - col("nl")) + lit(0.5)).cast("long"))
+      val best = cand
+        .orderBy(col("score_ticks").desc, col("feature"), col("bin")).limit(1)
+        .join(broadcast(stats), "feature")
+        .select(col("feature").as("bf"), col("bin").as("bb"),
+          col("mn").as("bmn"), col("mx").as("bmx"), col("score_ticks"),
+          floor(col("sl").cast("double") / (lit(2.0) * col("nl")))
+            .cast("long").as("gl"),
+          floor((col("ss") - col("sl")).cast("double")
+              / (lit(2.0) * (col("nn") - col("nl"))))
+            .cast("long").as("gr"))
+        .localCheckpoint(true)
+      cur = cur.crossJoin(broadcast(best))
+        .withColumn("fhat", col("fhat") + when(
+          expr(s"(((CASE WHEN bf = 'n_chars' THEN v1 ELSE v3 END) - bmn)" +
+            s" * $StumpBins) div (bmx - bmn + 1)") <= col("bb"),
+          col("gl")).otherwise(col("gr")))
+        .select(col("doc_id"), col("yr"), col("v1"), col("v3"), col("fhat"))
+        .localCheckpoint(true)
+      val sse = cur.agg(
+        sum((col("yr") - col("fhat")) * (col("yr") - col("fhat"))).as("sse"))
+      val row = best.crossJoin(broadcast(sse)).select(
+        lit(m.toLong).as("round"), col("bf").as("feature"),
+        col("bb").as("split_bin"), col("bmn").as("f_min"),
+        col("bmx").as("f_max"), col("score_ticks").as("gain_ticks"),
+        col("gl").as("left_step"), col("gr").as("right_step"),
+        lit(f0).as("f0"), col("sse").as("sse_after"))
+      out = if (out == null) row else out.union(row)
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** t31 oracle: the boosting chain unrolled round by round — the
+    * SAME global bin grid, residual aggregation, gain argmax, and
+    * double-floor leaf steps as the engine, one CTE block per round.
+    */
+  private[graft] def gbtOracleSql: String = {
+    val rounds = (1 to GbtRounds).map { m =>
+      val prev = s"fr${m - 1}"
+      s"""lf$m AS (
+         |  SELECT yr - fhat AS r, 'n_chars' AS feature, v1 AS x FROM $prev
+         |  UNION ALL SELECT yr - fhat, 'distinct_ratio', v3 FROM $prev),
+         |pb$m AS MATERIALIZED (
+         |  SELECT lf.feature,
+         |    ((lf.x - g.mn) * $StumpBins) // (g.mx - g.mn + 1) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(lf.r) AS BIGINT) AS s
+         |  FROM lf$m lf JOIN gstats g USING (feature) GROUP BY 1, 2),
+         |tt$m AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+         |         CAST(sum(s) AS BIGINT) AS ss FROM pb$m GROUP BY 1),
+         |cu$m AS (
+         |  SELECT feature, bin,
+         |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nl,
+         |    CAST(sum(s) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS sl
+         |  FROM pb$m),
+         |b$m AS MATERIALIZED (
+         |  SELECT cu.feature, cu.bin, cu.nl, cu.sl, tt.nn, tt.ss, g.mn, g.mx,
+         |    CAST(floor(CAST(cu.sl AS DOUBLE) * cu.sl / cu.nl
+         |      + CAST(tt.ss - cu.sl AS DOUBLE) * (tt.ss - cu.sl)
+         |        / (tt.nn - cu.nl) + 0.5) AS BIGINT) AS score_ticks,
+         |    CAST(floor(CAST(cu.sl AS DOUBLE) / (2.0 * cu.nl)) AS BIGINT) AS gl,
+         |    CAST(floor(CAST(tt.ss - cu.sl AS DOUBLE)
+         |      / (2.0 * (tt.nn - cu.nl))) AS BIGINT) AS gr
+         |  FROM cu$m cu JOIN tt$m tt USING (feature)
+         |  JOIN gstats g USING (feature)
+         |  WHERE cu.nl < tt.nn
+         |  ORDER BY score_ticks DESC, cu.feature, cu.bin LIMIT 1),
+         |fr$m AS MATERIALIZED (
+         |  SELECT f.doc_id, f.yr, f.v1, f.v3,
+         |    f.fhat + CASE WHEN (((CASE WHEN b.feature = 'n_chars'
+         |          THEN f.v1 ELSE f.v3 END) - b.mn) * $StumpBins)
+         |        // (b.mx - b.mn + 1) <= b.bin
+         |      THEN b.gl ELSE b.gr END AS fhat
+         |  FROM $prev f CROSS JOIN b$m b),
+         |se$m AS (SELECT CAST(sum((yr - fhat) * (yr - fhat)) AS BIGINT) AS sse
+         |  FROM fr$m)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to GbtRounds).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS round, b.feature, b.bin AS split_bin,
+         |  b.mn AS f_min, b.mx AS f_max, b.score_ticks AS gain_ticks,
+         |  b.gl AS left_step, b.gr AS right_step,
+         |  (SELECT f0 FROM ag0) AS f0,
+         |  (SELECT sse FROM se$m) AS sse_after
+         |FROM b$m b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $stumpBaseCtes,
+       |gstats AS MATERIALIZED (
+       |  SELECT feature, min(x) AS mn, max(x) AS mx FROM (
+       |    SELECT 'n_chars' AS feature, v1 AS x FROM d2
+       |    UNION ALL SELECT 'distinct_ratio', v3 FROM d2) GROUP BY 1),
+       |ag0 AS (SELECT CAST(floor(CAST(sum(v2) AS DOUBLE) / count(*)) AS BIGINT)
+       |  AS f0 FROM d2),
+       |fr0 AS MATERIALIZED (
+       |  SELECT doc_id, v2 AS yr, v1, v3, (SELECT f0 FROM ag0) AS fhat FROM d2),
+       |$rounds
+       |SELECT * FROM ($selects) ORDER BY round""".stripMargin
+  }
 }

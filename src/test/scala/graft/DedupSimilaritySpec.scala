@@ -1077,4 +1077,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Similarity.s21BisectingKmeans(spark, sfDir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("s23: silhouette partition matches s04, ticks bounded, counts add up") {
+    import graft.operators.Similarity
+    val sil = Similarity.s23Silhouette(spark, sfDir).collect()
+    assert(sil.nonEmpty)
+    val s04 = Similarity.s04Kmeans(spark, sfDir).collect()
+    // the evaluated partition IS the s04 partition: same cells, same sizes
+    val sizes04 = s04.groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length.toLong }
+    assert(sil.map(r => r.getLong(0) -> r.getLong(1)).toMap == sizes04)
+    assert(sil.map(_.getLong(1)).sum == s04.length.toLong)
+    // coefficient contract: per-cell mean in [0, 2^20] ticks, and the
+    // truncating-div mean consistent with the exact sum
+    sil.foreach { r =>
+      val (n, sum, mean) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mean >= 0L && mean <= 1048576L)
+      assert(mean == sum / n)
+      assert(sum <= 1048576L * n)
+    }
+    // deterministic across runs
+    assert(sil.toSeq == Similarity.s23Silhouette(spark, sfDir).collect().toSeq)
+  }
 }

@@ -304,4 +304,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.values.map(_._3).sum == correct)
     assert(rep.values.map(_._2).sum == preds.length.toLong)
   }
+
+  test("p16: indexer rank order, bucketizer splits, z-score centering") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.p16FeatureEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nSrc = rows.head.getLong(3)
+    // StringIndexer contract: indices are exactly 0..n_sources-1, and
+    // a more frequent source never gets a larger index than a rarer one
+    val bySrc = rows.groupBy(_.getString(1))
+      .map { case (s, rs) => (s, rs.head.getLong(2), rs.length) }
+    assert(bySrc.map(_._2).toSeq.sorted == (0L until nSrc).toSeq)
+    for (a <- bySrc; b <- bySrc if a._3 > b._3)
+      assert(a._2 < b._2, s"freq order violated: $a vs $b")
+    // Bucketizer contract: fixed splits on n_chars
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val nc = docs(r.getLong(0))
+      val want = if (nc < 200) 0L else if (nc < 400) 1L else if (nc < 800) 2L else 3L
+      assert(r.getLong(4) == want)
+    }
+    // StandardScaler contract: tick z-scores center near 0 and their
+    // RMS sits near the 2^10 tick scale (unit variance)
+    val z = rows.map(_.getLong(5).toDouble)
+    assert(math.abs(z.sum / z.length) <= 1.0, s"mean ${z.sum / z.length}")
+    val rms = math.sqrt(z.map(v => v * v).sum / z.length)
+    assert(rms > 900 && rms < 1150, s"rms $rms off the 1024 tick scale")
+  }
 }

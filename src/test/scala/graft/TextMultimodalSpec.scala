@@ -664,4 +664,28 @@ class TextMultimodalSpec extends AnyFunSuite {
       p.length < 2 || p.head >= p.last), "chi2 must be non-increasing")
     assert(c.toSeq == TextAnalysis.t29Chi2Select(spark, sfDir).collect().toSeq)
   }
+
+  test("t31: boosting reduces SSE monotonically and beats the constant fit") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.t31GbtStumps(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // SSE non-increasing round over round (the L2 boosting invariant:
+    // every leaf step is a half-step toward the residual mean)
+    val sse = rows.map(_.getLong(9))
+    assert(sse.zip(sse.tail).forall { case (a, b) => b <= a }, sse.toSeq)
+    // round 1 must strictly beat the constant-f0 baseline SSE
+    val f = TextAnalysis.docFeatures(spark, sfDir)
+      .select("v2").collect().map(_.getLong(0))
+    val f0 = rows.head.getLong(8)
+    val base = f.map(y => (y - f0) * (y - f0)).sum
+    assert(sse.head < base, s"round-1 SSE ${sse.head} !< baseline $base")
+    // splits are well-formed: bins inside the grid, positive gain
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 16)
+      assert(r.getLong(5) > 0L)
+      assert(Set("n_chars", "distinct_ratio").contains(r.getString(1)))
+    }
+    // deterministic
+    assert(rows.toSeq == TextAnalysis.t31GbtStumps(spark, sfDir).collect().toSeq)
+  }
 }
