@@ -742,4 +742,74 @@ object StreamOps {
       .filter(!col("is_open"))
       .drop("is_open")
   }
+
+  /** Embedding dimensionality of the corpus vectors (the Similarity
+    * family's contract).
+    */
+  private val KmDim = 64
+
+  /** stream_kmeans: the reference's StreamingKMeans update (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * clustering/StreamingKMeans.scala:1) as a foreachBatch fold with
+    * decay 1/2 on the Similarity family's integer-tick grid. State is
+    * one row per cell — (cid, w, s: array<long>) with s_j the 2^10
+    * tick sum of member coordinates and the live centroid cv_j =
+    * s_j / (1024 * w) — so the fold is exact long arithmetic:
+    * order-independent within a micro-batch (long sums), sequential
+    * across batches exactly like the reference's model update.
+    *
+    * Per batch: assign every arriving vector to its argmax-cosine
+    * cell of the CURRENT centroids (broadcast k-row frame, partial-
+    * agg'd argmax — the s04 assignment shape), reduce the batch to
+    * per-cell (m, tick-sum array), then fold every cell by
+    * w' = w div 2 + m, s' = s div 2 + b elementwise — the mllib
+    * halflife update with decayFactor 1/2 on the integer grid (an
+    * untouched cell keeps its centroid up to div truncation while its
+    * weight decays, exactly the reference's forgetfulness semantics).
+    *
+    * Scale shape: state is k rows; each micro-batch costs one
+    * broadcast assignment pass + one partial agg to k rows — the
+    * streaming twin of one Lloyd round.
+    */
+  def kmeansInitState(centroids: DataFrame): DataFrame = {
+    graft.functions.registerAll(centroids.sparkSession)
+    centroids.select(col("cid"), lit(1L).as("w"),
+      array((0 until KmDim).map(j =>
+        floor(element_at(col("cv"), j + 1).cast("double") * 1024.0 + 0.5)
+          .cast("long")): _*).as("s"))
+  }
+
+  /** Live (cid, w, cv) centroids of a kmeans state frame. */
+  def kmeansCentroidsOf(state: DataFrame): DataFrame =
+    state.select(col("cid"), col("w"),
+      expr("transform(s, x -> CAST(CAST(x AS DOUBLE)" +
+        " / (1024.0 * greatest(w, 1L)) AS FLOAT))").as("cv"))
+
+  /** One micro-batch fold: pure state x batch -> state (the
+    * foreachBatch body and the spec's hand-fold are the same
+    * function, so stream == sequential batch folds by construction).
+    */
+  def kmeansFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = state.sparkSession
+    graft.functions.registerAll(spark)
+    val cents = kmeansCentroidsOf(state)
+    val assigned = batch.crossJoin(broadcast(cents))
+      .withColumn("cs", call_function("cosine_sim", col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), (-col("cid")).as("negc"),
+        col("embedding").as("e"))).as("m"))
+      .select((-col("m.negc")).as("cid"), col("m.e").as("embedding"))
+    val sumCols = (0 until KmDim).map(j =>
+      sum(floor(element_at(col("embedding"), j + 1).cast("double") * 1024.0 + 0.5)
+        .cast("long")).as(s"b$j"))
+    val perCell = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("m"), sumCols: _*)
+      .select(col("cid"), col("m"),
+        array((0 until KmDim).map(j => col(s"b$j")): _*).as("b"))
+    state.join(perCell, Seq("cid"), "left")
+      .select(col("cid"),
+        (expr("w div 2") + coalesce(col("m"), lit(0L))).as("w"),
+        expr("zip_with(s, coalesce(b, array_repeat(0L, " + KmDim + ")), " +
+          "(x, y) -> x div 2 + y)").as("s"))
+  }
 }

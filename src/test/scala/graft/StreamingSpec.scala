@@ -785,4 +785,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toMap == expected,
       s"stream packing diverged: ${got.size} vs ${expected.size} docs")
   }
+
+  test("stream_kmeans: streamed decay folds equal sequential batch folds") {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val init = StreamOps.kmeansInitState(
+      graft.operators.Similarity.kmeansCentroids(spark, sfDir, 1))
+      .localCheckpoint(true)
+    val h1 = emb.filter(col("vec_id") % 2 === 0).localCheckpoint(true)
+    val h2 = emb.filter(col("vec_id") % 2 === 1).localCheckpoint(true)
+    // drive two ordered micro-batches through the same fold the spec
+    // applies by hand: write file 1, drain, write file 2, drain
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-km-stream")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    var state = init
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.kmeansFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.kmeansFoldBatch(
+      StreamOps.kmeansFoldBatch(init, h1), h2)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toVector))).toMap
+    val (got, want) = (asMap(state), asMap(expected))
+    assert(got.nonEmpty && got == want,
+      s"streamed state diverged: ${got.size} vs ${want.size} cells")
+    // decay contract: batch-1 mass has halved (div-truncated), batch-2
+    // mass is whole — total weight sits in (n2, n1/2 + n2]
+    val (n1, n2) = (h1.count(), h2.count())
+    val w = got.values.map(_._1).sum
+    assert(w > n2 && w <= n1 / 2 + n2, s"total weight $w vs n1=$n1 n2=$n2")
+    assert(got.keySet == asMap(init).keySet, "cell set must be stable")
+  }
 }
