@@ -159,6 +159,7 @@ object SparkEntry {
     "p14_chunk_overlap" -> (Pipeline.p14ChunkOverlap _),
     "p15_eval_report" -> (Pipeline.p15EvalReport _),
     "p16_feature_encode" -> (Pipeline.p16FeatureEncode _),
+    "p17_roc_auc" -> (Pipeline.p17RocAuc _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -3401,6 +3402,8 @@ object SparkEntry {
     "t29_chi2_select" -> TextAnalysis.t29OracleSql,
     "t30_hashing_tf" -> TextAnalysis.t30OracleSql,
     "t31_gbt_stumps" -> TextAnalysis.gbtOracleSql,
+    "p17_roc_auc" -> Pipeline.p17OracleSql(
+      TextAnalysis.stumpBaseCtes, graft.operators.Pipeline.RocBins),
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

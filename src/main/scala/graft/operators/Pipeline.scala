@@ -697,4 +697,103 @@ object Pipeline {
           .otherwise(lit(0L)).as("len_z_ticks"))
       .orderBy(col("doc_id"))
   }
+
+  /** ROC curve bins for [[p17RocAuc]] — the reference evaluator's
+    * numBins downsampling knob.
+    */
+  private[graft] val RocBins = 32
+
+  /** p17: binned ROC curve + AUC for a score/label pair — the
+    * reference's binary-classification evaluation surface (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * evaluation/BinaryClassificationMetrics.scala:1, whose `numBins`
+    * parameter performs EXACTLY this curve downsampling at scale).
+    * Score: the distinct-token-ratio ticks (v3) of the shared
+    * [[TextAnalysis.docFeatures]] frame; label: lang = 'en' — the
+    * same (feature, label) pair whose separability the tree family
+    * already exercises. Scores land on the stump family's
+    * data-derived [[RocBins]] grid (1-row broadcast [min, max]);
+    * per-bin (positives, negatives) come from ONE partial-agg'd
+    * corpus pass, and every curve point and the AUC are EXACT
+    * integers on that binned curve: descending cumulative TP/FP per
+    * threshold, tpr/fpr in 2^20 ticks (non-negative, so `div` ≡
+    * `//`), and the trapezoid AUC as the tie-aware Mann-Whitney
+    * doubling 2U = Σ_b pos_b · (2·neg_below + neg_b) (the q54
+    * midrank identity on bins). Headroom: 2U ≤ 2·P·N and
+    * 2U·2^20 < 2^63 up to P·N ≈ 4·10^12 — the documented retune
+    * reports (2U, 2PN) alone at corpus scale.
+    *
+    * Output: one row per populated bin (ascending) with constant
+    * (auc2_num, auc_ticks) columns — the curve AND the scalar in one
+    * result, the evaluator's roc()/areaUnderROC() pair.
+    *
+    * Scale shape: one corpus scan to bin (map-side partial agg to
+    * ≤ [[RocBins]] rows); every window and join after runs on the
+    * bin frame. Nothing scales with corpus size.
+    */
+  def p17RocAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = TextAnalysis.docFeatures(spark, sfDir)
+      .select(col("y"), col("v3").as("x"))
+    val st = f.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val perBin = f.crossJoin(broadcast(st))
+      .withColumn("bin", expr(s"((x - mn) * $RocBins) div (mx - mn + 1)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
+      .localCheckpoint(true)
+    val tot = perBin.agg(sum(col("n_pos")).as("p"), sum(col("n_neg")).as("nn"))
+    val wDesc = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBelow = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cu = perBin
+      .withColumn("cum_tp", sum(col("n_pos")).over(wDesc))
+      .withColumn("cum_fp", sum(col("n_neg")).over(wDesc))
+      .withColumn("neg_below",
+        coalesce(sum(col("n_neg")).over(wBelow), lit(0L)))
+      .localCheckpoint(true)
+    val u2 = cu.agg(sum(col("n_pos")
+      * (lit(2L) * col("neg_below") + col("n_neg"))).as("auc2_num"))
+    cu.crossJoin(broadcast(tot)).crossJoin(broadcast(u2))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        col("cum_tp"), col("cum_fp"),
+        expr("(cum_tp * 1048576L) div p").as("tpr_ticks"),
+        expr("(cum_fp * 1048576L) div nn").as("fpr_ticks"),
+        col("auc2_num"),
+        expr("(auc2_num * 1048576L) div (2L * p * nn)").as("auc_ticks"))
+      .orderBy(col("bin"))
+  }
+
+  /** p17 oracle: the same grid/cumulative/midrank arithmetic over the
+    * shared stump base CTEs — every quantity a non-negative exact
+    * integer, so `//` replicates `div` bit for bit.
+    */
+  private[graft] def p17OracleSql(baseCtes: String, bins: Int): String =
+    s"""WITH $baseCtes,
+       |sc AS (SELECT y, v3 AS x FROM d2),
+       |stt AS (SELECT min(x) AS mn, max(x) AS mx FROM sc),
+       |bn AS (SELECT y,
+       |    ((x - (SELECT mn FROM stt)) * $bins)
+       |      // ((SELECT mx FROM stt) - (SELECT mn FROM stt) + 1) AS bin
+       |  FROM sc),
+       |pb AS MATERIALIZED (
+       |  SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+       |    CAST(sum(1 - y) AS BIGINT) AS n_neg
+       |  FROM bn GROUP BY bin),
+       |tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+       |  CAST(sum(n_neg) AS BIGINT) AS nn FROM pb),
+       |cu AS (SELECT bin, n_pos, n_neg,
+       |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_tp,
+       |    CAST(sum(n_neg) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_fp,
+       |    CAST(coalesce(sum(n_neg) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS neg_below
+       |  FROM pb),
+       |uu AS (SELECT CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT)
+       |  AS auc2_num FROM cu)
+       |SELECT cu.bin, cu.n_pos, cu.n_neg, cu.cum_tp, cu.cum_fp,
+       |  (cu.cum_tp * 1048576) // t.p AS tpr_ticks,
+       |  (cu.cum_fp * 1048576) // t.nn AS fpr_ticks,
+       |  uu.auc2_num,
+       |  (uu.auc2_num * 1048576) // (2 * t.p * t.nn) AS auc_ticks
+       |FROM cu, tot t, uu ORDER BY cu.bin""".stripMargin
 }

@@ -1285,7 +1285,7 @@ object TextAnalysis {
   /** Shared (doc_id, y, v1, v2, v3) feature CTEs — the SQL twin of
     * [[docFeatures]], reused by the tree and forest oracles.
     */
-  private def stumpBaseCtes: String =
+  private[graft] def stumpBaseCtes: String =
     """d AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
       |    CAST(n_chars AS BIGINT) AS v1,

@@ -333,4 +333,32 @@ class PipelineSpec extends AnyFunSuite {
     val rms = math.sqrt(z.map(v => v * v).sum / z.length)
     assert(rms > 900 && rms < 1150, s"rms $rms off the 1024 tick scale")
   }
+
+  test("p17: ROC endpoints, monotone curve, and brute-force midrank AUC") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val rows = Pipeline.p17RocAuc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val p = rows.map(_.getLong(1)).sum
+    val nn = rows.map(_.getLong(2)).sum
+    // endpoints: the lowest threshold predicts everything positive
+    assert(rows.head.getLong(3) == p && rows.head.getLong(4) == nn)
+    // cum tp/fp are non-increasing in bin (descending cumulative)
+    val tps = rows.map(_.getLong(3)); val fps = rows.map(_.getLong(4))
+    assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
+    assert(fps.zip(fps.tail).forall { case (a, b) => b <= a })
+    // AUC: brute-force midrank Mann-Whitney over the binned scores
+    val bins = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u2brute = bins.map { case (b, pos, _) =>
+      val negBelow = bins.filter(_._1 < b).map(_._3).sum
+      val negAt = bins.find(_._1 == b).get._3
+      pos * (2 * negBelow + negAt)
+    }.sum
+    assert(rows.head.getLong(7) == u2brute)
+    assert(rows.map(_.getLong(7)).distinct.length == 1)
+    val auc = rows.head.getLong(8)
+    assert(auc >= 0L && auc <= 1048576L)
+    assert(auc == (u2brute * 1048576L) / (2L * p * nn))
+    // deterministic
+    assert(rows.toSeq == Pipeline.p17RocAuc(spark, sfDir).collect().toSeq)
+  }
 }
