@@ -160,12 +160,16 @@ object SparkEntry {
     "p15_eval_report" -> (Pipeline.p15EvalReport _),
     "p16_feature_encode" -> (Pipeline.p16FeatureEncode _),
     "p17_roc_auc" -> (Pipeline.p17RocAuc _),
+    "p18_regression_eval" -> (Pipeline.p18RegressionEval _),
+    "p19_ranking_eval" -> (Pipeline.p19RankingEval _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
     "s21_bisecting_kmeans" -> (Similarity.s21BisectingKmeans _),
     "s22_tfidf_search" -> (Similarity.s22TfidfSearch _),
     "s23_silhouette" -> (Similarity.s23Silhouette _),
+    "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
+    "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
@@ -808,28 +812,76 @@ object SparkEntry {
     * aggregation, then [[graft.operators.Recommend.solveSqlNested]] —
     * the SAME scalar trees the engine runs.
     */
-  private def q49OracleSql: String = {
+  /** The q49 on-grid feature CTE body ([[graft.operators.Relational
+    * .ridgeBase]]'s DuckDB twin) — shared with p18's evaluation.
+    */
+  private def ridgeBaseSql: String =
+    """b AS (
+      |  SELECT l_returnflag,
+      |    floor(l_extendedprice + 0.5) / CAST(4096.0 AS DOUBLE) AS r,
+      |    CAST(1.0 AS DOUBLE) AS f0,
+      |    l_quantity AS f1,
+      |    floor(l_discount * 4096.0 + 0.5) / CAST(4096.0 AS DOUBLE) AS f2,
+      |    floor(l_tax * 4096.0 + 0.5) / CAST(4096.0 AS DOUBLE) AS f3
+      |  FROM lineitem)""".stripMargin
+
+  /** The solved per-group ridge model over the `b` CTE — the q49
+    * Gram + [[graft.operators.Recommend.solveSqlNested]] chain.
+    */
+  private def ridgeSolvedSql: String = {
     val rank = graft.operators.Recommend.AlsRank
     val gramSel =
       (for { i <- 0 until rank; j <- 0 to i }
         yield s"sum(f$j * f$i) AS g$i$j").mkString(", ") + ", " +
         (0 until rank).map(k => s"sum(r * f$k) AS b$k").mkString(", ")
-    val solved = graft.operators.Recommend.solveSqlNested(
+    graft.operators.Recommend.solveSqlNested(
       s"SELECT l_returnflag, count(*) AS n, $gramSel FROM b GROUP BY l_returnflag")
+  }
+
+  private def q49OracleSql: String = {
+    val rank = graft.operators.Recommend.AlsRank
     val coefOut = (0 until rank)
       .map(k => s"CAST(t$k AS BIGINT) AS c${k}_ticks").mkString(", ")
-    s"""WITH b AS (
-       |  SELECT l_returnflag,
-       |    floor(l_extendedprice + 0.5) / CAST(4096.0 AS DOUBLE) AS r,
-       |    CAST(1.0 AS DOUBLE) AS f0,
-       |    l_quantity AS f1,
-       |    floor(l_discount * 4096.0 + 0.5) / CAST(4096.0 AS DOUBLE) AS f2,
-       |    floor(l_tax * 4096.0 + 0.5) / CAST(4096.0 AS DOUBLE) AS f3
-       |  FROM lineitem)
+    s"""WITH $ridgeBaseSql
        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, $coefOut
-       |FROM $solved
+       |FROM $ridgeSolvedSql
        |ORDER BY l_returnflag""".stripMargin
   }
+
+  /** p18's DuckDB twin: the q49 model CTE scored back over `b` with
+    * the identical prediction tree, residual/target/prediction
+    * quantized to integer grids before squaring, and every ratio a
+    * truncating division of non-negative BIGINTs (`//` ≡ `div`).
+    * Sums CAST back to BIGINT (the HUGEINT→float64 driver-hash trap).
+    */
+  private def p18OracleSql: String =
+    s"""WITH $ridgeBaseSql,
+       |m AS (SELECT l_returnflag, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3
+       |  FROM $ridgeSolvedSql),
+       |pr AS (SELECT b.l_returnflag, b.r,
+       |    m.c0*b.f0 + m.c1*b.f1 + m.c2*b.f2 + m.c3*b.f3 AS pred
+       |  FROM b JOIN m ON b.l_returnflag = m.l_returnflag),
+       |rr AS (SELECT l_returnflag,
+       |    CAST(floor((r - pred) * 4096.0 + 0.5) AS BIGINT) AS r12,
+       |    CAST(floor((r - pred) * 64.0 + 0.5) AS BIGINT) AS r6,
+       |    CAST(floor(r * 64.0 + 0.5) AS BIGINT) AS y6,
+       |    CAST(floor(pred * 64.0 + 0.5) AS BIGINT) AS p6
+       |  FROM pr),
+       |ag AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(abs(r12)) AS BIGINT) AS sae12,
+       |    CAST(sum(r6 * r6) AS BIGINT) AS sse6,
+       |    CAST(sum(y6) AS BIGINT) AS sy6,
+       |    CAST(sum(y6 * y6) AS BIGINT) AS syy6,
+       |    CAST(sum(p6) AS BIGINT) AS sp6,
+       |    CAST(sum(p6 * p6) AS BIGINT) AS spp6
+       |  FROM rr GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  (sae12 * 256) // n AS mae_ticks,
+       |  (sse6 * 256) // n AS mse_ticks,
+       |  1048576 - (sse6 * 1048576) // ((n * syy6 - sy6 * sy6) // n)
+       |    AS r2_ticks,
+       |  (((n * spp6 - sp6 * sp6) // n) * 256) // n AS evar_ticks
+       |FROM ag ORDER BY l_returnflag""".stripMargin
 
   /** q51's DuckDB twin: same integer grid/bandwidth/kernel sums, the
     * left join re-entering empty-support points, and
@@ -2472,6 +2524,9 @@ object SparkEntry {
     // s13: generated in Recommend next to the solveSteps both engines
     // share — the bit-parity contract lives in one file.
     "s13_als_recommend" -> Recommend.alsOracleSql,
+    "s24_implicit_als" -> Recommend.implicitOracleSql,
+    // s25: the s13 rounds chain + per-customer ranked tick dots.
+    "s25_recommend_topk" -> Recommend.recTopkOracleSql,
     // s15: s13's shared rounds chain over the bias-debiased residual
     // ratings — the integer bias stages are plain CTEs.
     "s15_biased_mf" -> Recommend.biasedOracleSql,
@@ -3404,6 +3459,13 @@ object SparkEntry {
     "t31_gbt_stumps" -> TextAnalysis.gbtOracleSql,
     "p17_roc_auc" -> Pipeline.p17OracleSql(
       TextAnalysis.stumpBaseCtes, graft.operators.Pipeline.RocBins),
+    // p18: the q49 ridge model scored back over its own on-grid
+    // feature frame — exact dyadic predictions quantized to integer
+    // grids before squaring, all ratios truncating non-negative
+    // divisions (// ≡ div).
+    "p18_regression_eval" -> p18OracleSql,
+    // p19: the s25 rk chain + hit joins + literal NDCG tick tables.
+    "p19_ranking_eval" -> Pipeline.p19OracleSql(Recommend.recTopkCtes),
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

@@ -763,6 +763,194 @@ object Pipeline {
       .orderBy(col("bin"))
   }
 
+  /** p18: regression-evaluation metrics for the q49 ridge fit — the
+    * reference's regression scoring surface (reference: /root/
+    * reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * evaluation/RegressionMetrics.scala:1 — meanAbsoluteError,
+    * meanSquaredError, r2, explainedVariance), computed per model
+    * group over the SAME on-grid feature frame q49 trains on
+    * ([[Relational.ridgeBase]], the resubstitution framing t19/t20
+    * already state honestly).
+    *
+    * Exactness contract: the fitted coefficients live on the 2⁻¹²
+    * grid and every feature is integer or 2⁻¹²-grid, so the
+    * prediction c0·f0 + … + c3·f3 and the residual r − ŷ are EXACT
+    * dyadic doubles on the 2⁻²⁴ grid (each |term| < 2⁵³·2⁻²⁴ —
+    * order-independent). Residual/target/prediction quantize to
+    * integer grids BEFORE squaring (|r|·2¹² for the linear MAE sum,
+    * ·2⁶ for the squared sums) — the q49 overflow ladder: at sf0.1
+    * Σr6² < 2⁵⁷/1048576 and n·Σy6² < 2⁶⁰, with the documented
+    * corpus-scale retune being a coarser square grid (2⁴) plus the
+    * s13 two-level segmented sum. All ratio outputs are truncating
+    * integer divisions of non-negative longs (div ≡ //, the s15
+    * agreement): MAE and MSE in 2²⁰ ticks of y-units, R² ticks as
+    * 2²⁰ − SSE·2²⁰ div (SST div n·n-form), explained variance via
+    * the n·Σx²−(Σx)² centered form (non-negative by Cauchy-Schwarz).
+    *
+    * Scale shape: the 3-row model broadcasts back onto one corpus
+    * scan; per-group state is 7 running sums. Nothing else.
+    */
+  def p18RegressionEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Relational.ridgeBase(spark, sfDir)
+    val model = graft.operators.Recommend.solveSide(base, "l_returnflag")
+      .select(Seq(col("l_returnflag")) ++
+        (0 to 3).map(k => col(s"f$k").as(s"c$k")): _*)
+    regressionMetrics(base, model)
+  }
+
+  /** The p18 scoring tail over an arbitrary on-grid (group, r,
+    * f0..f3) frame and (group, c0..c3) model — package-private so the
+    * planted-exact-fit spec can pin the metric endpoints (residual 0
+    * ⇒ mae = mse = 0, r2 = 2²⁰).
+    */
+  private[graft] def regressionMetrics(base: DataFrame,
+      model: DataFrame): DataFrame =
+    base.join(broadcast(model), "l_returnflag")
+      .withColumn("pred", expr("c0*f0 + c1*f1 + c2*f2 + c3*f3"))
+      .withColumn("res", col("r") - col("pred"))
+      .select(col("l_returnflag"),
+        expr("CAST(floor(res * 4096.0 + 0.5) AS BIGINT)").as("r12"),
+        expr("CAST(floor(res * 64.0 + 0.5) AS BIGINT)").as("r6"),
+        expr("CAST(floor(r * 64.0 + 0.5) AS BIGINT)").as("y6"),
+        expr("CAST(floor(pred * 64.0 + 0.5) AS BIGINT)").as("p6"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("r12"))).as("sae12"),
+        sum(col("r6") * col("r6")).as("sse6"),
+        sum(col("y6")).as("sy6"),
+        sum(col("y6") * col("y6")).as("syy6"),
+        sum(col("p6")).as("sp6"),
+        sum(col("p6") * col("p6")).as("spp6"))
+      .select(col("l_returnflag"), col("n"),
+        expr("(sae12 * 256) div n").as("mae_ticks"),
+        expr("(sse6 * 256) div n").as("mse_ticks"),
+        expr("1048576 - (sse6 * 1048576) div ((n * syy6 - sy6 * sy6) div n)")
+          .as("r2_ticks"),
+        expr("(((n * spp6 - sp6 * sp6) div n) * 256) div n").as("evar_ticks"))
+      .orderBy(col("l_returnflag"))
+
+  /** Discount-weight tick table for p19's NDCG: w_i =
+    * floor(2²⁰ / log2(i + 1)) for rank i = 1..[[graft.operators
+    * .Recommend.RecTopK]]. Computed ONCE here and interpolated as
+    * LITERALS into both engines' texts (the solveSteps convention —
+    * no transcendental runs inside either engine), so a libm
+    * difference cannot split the hash.
+    */
+  private[graft] val NdcgWTicks: Seq[Long] =
+    (1 to graft.operators.Recommend.RecTopK)
+      .map(i => math.floor(1048576.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ideal-DCG prefix sums: idcg(m) = Σ_{i≤m} w_i, m = 1..k. */
+  private[graft] val NdcgIdcgTicks: Seq[Long] =
+    NdcgWTicks.scanLeft(0L)(_ + _).tail
+
+  /** p19: ranking-metrics evaluation of the s25 recommendation list —
+    * the reference's mllib/evaluation/RankingMetrics.scala:1 surface
+    * (precisionAt, meanAveragePrecisionAt, recallAt, ndcgAt) over the
+    * served top-k vs the customer's actually-purchased supplier set
+    * (reconstruction framing: the factors are trained on the same
+    * matrix — stated, the p15/p18 posture; what this measures is how
+    * well the rank-4 factorization reconstructs each customer's
+    * preference set).
+    *
+    * All-integer contract: per customer the hit flags come from ONE
+    * left join of the k-row serve list against the rated pairs
+    * (co-keyed on customer — the serve list is k rows/customer, the
+    * window partitions are k-bounded, never corpus-sized); cumulative
+    * hits ride a k-row window; AP terms are (cumhits·2²⁰ div rank)
+    * summed over hit ranks then div min(k, n_rel) (the @k form);
+    * NDCG uses the [[NdcgWTicks]] literal table and div idcg(min(k,
+    * n_rel)). Corpus means are exact long sums div n_users
+    * (non-negative throughout, div ≡ //). Headroom: per-user ticks
+    * ≤ 5·2⁴⁰, so the global sums are safe past 2²⁰ users — documented
+    * retune = mean via two-level segmented sums (the s13 note).
+    *
+    * Scale shape: serve list k·|users| rows co-partitioned by
+    * customer, rated pairs shuffle once on customer, k-bounded
+    * window, one final 1-row aggregate. Nothing corpus-wide buffers.
+    */
+  def p19RankingEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = graft.operators.Recommend.RecTopK
+    val rec = graft.operators.Recommend.s25RecommendTopk(spark, sfDir)
+    val rel = graft.operators.Recommend.purchaseRatings(spark, sfDir)
+      .select(col("c"), col("s"))
+    val nrel = rel.groupBy(col("c")).agg(count(lit(1)).as("nrel"))
+    val wCase = (1 to k).map(i =>
+      s"WHEN $i THEN ${NdcgWTicks(i - 1)}L").mkString(" ")
+    val idcgCase = (1 to k).map(m =>
+      s"WHEN $m THEN ${NdcgIdcgTicks(m - 1)}L").mkString(" ")
+    val hits = rec.join(rel.withColumn("hit_src", lit(1L)),
+        rec("o_custkey") === rel("c") && rec("l_suppkey") === rel("s"),
+        "left")
+      .select(col("o_custkey"), col("rank"),
+        coalesce(col("hit_src"), lit(0L)).as("hit"))
+      .withColumn("cumhits", sum(col("hit")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("rank"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val perUser = hits.groupBy(col("o_custkey"))
+      .agg(sum(col("hit")).as("hits_k"),
+        sum(expr("hit * ((cumhits * 1048576) div rank)")).as("ap_num"),
+        sum(expr(s"hit * (CASE rank $wCase END)")).as("dcg"))
+      .join(nrel.withColumnRenamed("c", "o_custkey"), "o_custkey")
+      .select(
+        expr(s"(hits_k * 1048576) div $k").as("p_ticks"),
+        expr(s"ap_num div least($k, nrel)").as("ap_ticks"),
+        expr("(hits_k * 1048576) div nrel").as("rec_ticks"),
+        expr(s"(dcg * 1048576) div (CASE least($k, nrel) $idcgCase END)")
+          .as("ndcg_ticks"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("p_ticks")).as("sp"), sum(col("ap_ticks")).as("sa"),
+        sum(col("rec_ticks")).as("sr"), sum(col("ndcg_ticks")).as("sn"))
+      .select(col("n_users"),
+        expr("sp div n_users").as("p_at_k_ticks"),
+        expr("sa div n_users").as("map_at_k_ticks"),
+        expr("sr div n_users").as("recall_at_k_ticks"),
+        expr("sn div n_users").as("ndcg_at_k_ticks"))
+  }
+
+  /** p19's DuckDB twin over the shared s25 `rk` CTE chain — identical
+    * literal tick tables, `//` for every (non-negative) div.
+    */
+  private[graft] def p19OracleSql(recCtes: String): String = {
+    val k = graft.operators.Recommend.RecTopK
+    val wCase = (1 to k).map(i =>
+      s"WHEN $i THEN ${NdcgWTicks(i - 1)}").mkString(" ")
+    val idcgCase = (1 to k).map(m =>
+      s"WHEN $m THEN ${NdcgIdcgTicks(m - 1)}").mkString(" ")
+    s"""WITH $recCtes,
+       |rel AS (SELECT DISTINCT c, s FROM ratings),
+       |nrel AS (SELECT c, CAST(count(*) AS BIGINT) AS nrel FROM rel GROUP BY c),
+       |h AS (
+       |  SELECT rk.c, rk.rank,
+       |    CASE WHEN rel.s IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM rk LEFT JOIN rel ON rk.c = rel.c AND rk.s = rel.s),
+       |ch AS (
+       |  SELECT c, rank, hit,
+       |    sum(hit) OVER (PARTITION BY c ORDER BY rank
+       |      ROWS UNBOUNDED PRECEDING) AS cumhits
+       |  FROM h),
+       |pu AS (
+       |  SELECT ch.c,
+       |    CAST(sum(hit) AS BIGINT) AS hits_k,
+       |    CAST(sum(hit * ((cumhits * 1048576) // rank)) AS BIGINT) AS ap_num,
+       |    CAST(sum(hit * (CASE rank $wCase END)) AS BIGINT) AS dcg
+       |  FROM ch GROUP BY ch.c),
+       |pm AS (
+       |  SELECT (pu.hits_k * 1048576) // $k AS p_ticks,
+       |    pu.ap_num // least($k, nrel.nrel) AS ap_ticks,
+       |    (pu.hits_k * 1048576) // nrel.nrel AS rec_ticks,
+       |    (pu.dcg * 1048576) //
+       |      (CASE least($k, nrel.nrel) $idcgCase END) AS ndcg_ticks
+       |  FROM pu JOIN nrel ON pu.c = nrel.c)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(CAST(sum(p_ticks) AS BIGINT) // count(*) AS BIGINT) AS p_at_k_ticks,
+       |  CAST(CAST(sum(ap_ticks) AS BIGINT) // count(*) AS BIGINT) AS map_at_k_ticks,
+       |  CAST(CAST(sum(rec_ticks) AS BIGINT) // count(*) AS BIGINT) AS recall_at_k_ticks,
+       |  CAST(CAST(sum(ndcg_ticks) AS BIGINT) // count(*) AS BIGINT) AS ndcg_at_k_ticks
+       |FROM pm""".stripMargin
+  }
+
   /** p17 oracle: the same grid/cumulative/midrank arithmetic over the
     * shared stump base CTEs — every quantity a non-negative exact
     * integer, so `//` replicates `div` bit for bit.

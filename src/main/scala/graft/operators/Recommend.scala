@@ -174,16 +174,49 @@ object Recommend {
     (users, items)
   }
 
+  /** Materialize-once customer×supplier purchase-count matrix per
+    * (session, dir, fingerprint) — the ratings frame all three
+    * factorization keys (s13/s15/s24) open with. Long counts;
+    * the float consumers cast (a map, not a recompute).
+    */
+  private val purchaseMemo = new graft.FrameMemo[DataFrame]
+
+  private[graft] def purchaseRatings(
+      spark: SparkSession, sfDir: String): DataFrame =
+    purchaseMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|purchase") {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+          "o_orderkey")
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("r"))
+        .localCheckpoint(true)
+    }
+
+  /** Materialize-once [[alsFactor]] run over the purchase matrix —
+    * s13 reports the factors, s25 serves top-k from them, p19 scores
+    * that serve list; one [[AlsIters]]-round solve backs all three
+    * (the topicsMemo rationale). The ratings memo is computed BEFORE
+    * entering this memo (the FrameMemo no-nested-compute contract).
+    */
+  private val factorsMemo = new graft.FrameMemo[(DataFrame, DataFrame)]
+
+  private[graft] def purchaseFactors(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val ratings = purchaseRatings(spark, sfDir)
+      .withColumn("r", col("r").cast("double"))
+    factorsMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|alsfactors") {
+      alsFactor(ratings)
+    }
+  }
+
   def s13AlsRecommend(spark: SparkSession, sfDir: String): DataFrame = {
-    val ratings = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).cast("double").as("r"))
-      .localCheckpoint(true)
-    val (users, items) = alsFactor(ratings)
+    val (users, items) = purchaseFactors(spark, sfDir)
     def sideOut(df: DataFrame, tpe: String, key: String): DataFrame =
       df.select(Seq(lit(tpe).as("node_type"), col(key).as("entity_key"),
         col("n_rated")) ++
@@ -235,14 +268,7 @@ object Recommend {
     * half-round cost profile.
     */
   def s15BiasedMf(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
-        "o_orderkey")
-      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .agg(count(lit(1)).as("r"))
-      .localCheckpoint(true)
+    val raw = purchaseRatings(spark, sfDir)
     val mu = raw.agg(expr(s"(sum(r) * ${AlsTicks}) div count(*)").as("m"))
     val bs = raw.crossJoin(broadcast(mu))
       .groupBy(col("s"))
@@ -412,10 +438,14 @@ object Recommend {
   /** Persistent-RDD ids backing the live factorization memo — the
     * [[graft.FrameMemo]] bench-harness cleanup contract.
     */
-  private[graft] def memoRetainedIds: Set[Int] = topicsMemo.retainedIds
+  private[graft] def memoRetainedIds: Set[Int] =
+    topicsMemo.retainedIds ++ purchaseMemo.retainedIds ++
+      factorsMemo.retainedIds
 
-  /** Drop the factorization memo and unpersist its blocks. */
-  private[graft] def clearMemos(): Unit = topicsMemo.clear()
+  /** Drop the factorization memos and unpersist their blocks. */
+  private[graft] def clearMemos(): Unit = {
+    topicsMemo.clear(); purchaseMemo.clear(); factorsMemo.clear()
+  }
 
   /** The memoized doc×term count factorization behind t23/t24:
     * ratings r(doc, token) = term frequency, factorized by
@@ -734,4 +764,236 @@ object Recommend {
        |FROM v$AlsIters JOIN bs ON v$AlsIters.s = bs.s
        |ORDER BY node_type, entity_key""".stripMargin
   }
+
+  /** s24: implicit-feedback ALS — the OTHER mode of the reference's
+    * recommender (reference: /root/reference/mllib/src/main/scala/
+    * org/apache/spark/mllib/recommendation/ALS.scala:1 with
+    * implicitPrefs = true, i.e. Hu/Koren/Volinsky 2008): observations
+    * are binary preferences p = 1 weighted by confidence c = 1 + α·r
+    * (α = 1, r the line count), and every entity solves
+    * (YᵀY + Yᵀ(C−I)Y + λ·n·I) x = Yᵀ C p over ALL items — not just
+    * the rated ones. The Hu-Koren decomposition is what makes that
+    * scale: YᵀY is ONE global rank²/2-wide partial-agg'd sum over the
+    * counterpart factor frame (a 1-row broadcast), and the per-entity
+    * correction Σ α·r·y yᵀ + rhs Σ (1+α·r)·y touch only the entity's
+    * rated rows — so the half-round costs exactly the s13 shuffle
+    * plus one tiny global aggregate.
+    *
+    * Determinism: the s13 contract extends verbatim — factors live on
+    * the same dyadic 2^-12 grid, so YᵀY entries are exact multiples
+    * of 2^-24 (numerator ≤ 2^32 per item, ≤ 2^49 summed over 2^17
+    * items), the correction terms r·f_i·f_j are exact while an
+    * entity's Σr stays under ~2^21 (the documented coarser-grid
+    * retune beyond), the per-entity gram is the SUM of two exact
+    * dyadic doubles, and the identical [[solveSteps]] scalar trees
+    * run in both engines. Init uses an independent md5 stream
+    * ('ials:' prefix) so the two ALS keys don't share a trajectory.
+    *
+    * Output: the s13 shape — (node_type 'c'|'s', entity_key, n_rated,
+    * f0..f3_ticks), every learned value hash-verified.
+    */
+  private def initTickI(keyCol: Column, k: Int): Column =
+    conv(substring(md5(concat(lit("ials:"), keyCol.cast("string"),
+      lit(s":$k"))), 1, 5), 16, 10).cast("long") % AlsTicks
+
+  /** One implicit half-round: entities keyed `key` solved against the
+    * counterpart frame `other` (keyed `okey`) — global Gram broadcast
+    * + rated-row corrections + the shared [[solveSteps]] chain.
+    */
+  private def implicitSolveSide(ratings: DataFrame, other: DataFrame,
+      key: String, okey: String): DataFrame = {
+    val fcols = (0 until AlsRank).map(k => col(s"f$k"))
+    val ggCols = (for { i <- 0 until AlsRank; j <- 0 to i }
+      yield sum(col(s"f$j") * col(s"f$i")).as(s"gg$i$j"))
+    val gg = other.agg(ggCols.head, ggCols.tail: _*)
+    val joined = ratings.join(
+      other.select(Seq(col(okey)) ++ fcols: _*), okey)
+    val corrCols = (for { i <- 0 until AlsRank; j <- 0 to i }
+      yield sum(col("r") * col(s"f$j") * col(s"f$i")).as(s"c$i$j")) ++
+      (0 until AlsRank).map(k =>
+        sum((lit(1.0) + col("r")) * col(s"f$k")).as(s"b$k"))
+    val corr = joined.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), corrCols: _*)
+    val gram = (for { i <- 0 until AlsRank; j <- 0 to i } yield (i, j))
+      .foldLeft(corr.crossJoin(broadcast(gg))) { case (df, (i, j)) =>
+        df.withColumn(s"g$i$j", col(s"gg$i$j") + col(s"c$i$j"))
+      }
+    solveSteps.foldLeft(gram) { case (df, (name, sql)) =>
+      df.withColumn(name, expr(sql))
+    }.select(Seq(col(key), col("n").as("n_rated")) ++
+        (0 until AlsRank).map(k => col(s"t$k")) ++
+        (0 until AlsRank).map(k => col(s"f$k")): _*)
+      .localCheckpoint(true)
+  }
+
+  /** The implicit alternating-solve core over a (c, s, r) frame —
+    * package-private for the planted-preference spec.
+    */
+  private[graft] def implicitFactor(ratings: DataFrame): (DataFrame, DataFrame) = {
+    var items = ratings.select(col("s")).distinct()
+      .select(Seq(col("s")) ++
+        (0 until AlsRank).map(k => initTickI(col("s"), k).as(s"t$k")) ++
+        (0 until AlsRank).map(k =>
+          (initTickI(col("s"), k) / lit(4096.0)).as(s"f$k")): _*)
+      .localCheckpoint(true)
+    var users: DataFrame = null
+    for (_ <- 1 to AlsIters) {
+      users = implicitSolveSide(ratings,
+        items.select(Seq(col("s")) ++
+          (0 until AlsRank).map(k => col(s"f$k")): _*), "c", "s")
+      items = implicitSolveSide(ratings,
+        users.select(Seq(col("c")) ++
+          (0 until AlsRank).map(k => col(s"f$k")): _*), "s", "c")
+    }
+    (users, items)
+  }
+
+  def s24ImplicitAls(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratings = purchaseRatings(spark, sfDir)
+      .withColumn("r", col("r").cast("double"))
+    val (users, items) = implicitFactor(ratings)
+    def sideOut(df: DataFrame, tpe: String, key: String): DataFrame =
+      df.select(Seq(lit(tpe).as("node_type"), col(key).as("entity_key"),
+        col("n_rated")) ++
+        (0 until AlsRank).map(k => col(s"t$k").as(s"f${k}_ticks")): _*)
+    sideOut(users, "c", "c").unionByName(sideOut(items, "s", "s"))
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The DuckDB twin of [[s24ImplicitAls]] — the implicit round chain
+    * (global-Gram CTE + rated-row corrections + the shared
+    * [[solveSqlNested]] scalar trees) unrolled [[AlsIters]] times.
+    */
+  private[graft] def implicitOracleSql: String = {
+    val ggSel = (for { i <- 0 until AlsRank; j <- 0 to i }
+      yield s"sum(f$j * f$i) AS gg$i$j").mkString(", ")
+    val corrSel = (for { i <- 0 until AlsRank; j <- 0 to i }
+      yield s"sum(r * f$j * f$i) AS c$i$j").mkString(", ") + ", " +
+      (0 until AlsRank).map(k => s"sum((1 + r) * f$k) AS b$k").mkString(", ")
+    val gSel = (for { i <- 0 until AlsRank; j <- 0 to i }
+      yield s"gg$i$j + c$i$j AS g$i$j").mkString(", ")
+    val bSel = (0 until AlsRank).map(k => s"b$k").mkString(", ")
+    val fCols = (0 until AlsRank).map(k => s"f$k").mkString(", ")
+    val tCols = (0 until AlsRank).map(k => s"t$k").mkString(", ")
+    def initSql(k: Int): String =
+      s"(('0x' || substr(md5('ials:' || CAST(s AS VARCHAR) || ':$k'), 1, 5))" +
+        s"::UBIGINT % 4096)"
+    def userCorr(itemRel: String) =
+      s"SELECT c AS k, count(*) AS n, $corrSel " +
+        s"FROM ratings JOIN $itemRel ON ratings.s = $itemRel.s GROUP BY c"
+    def itemCorr(userRel: String) =
+      s"SELECT ratings.s AS k, count(*) AS n, $corrSel " +
+        s"FROM ratings JOIN $userRel ON ratings.c = $userRel.c GROUP BY ratings.s"
+    def solved(corrSql: String, ggRel: String) =
+      s"SELECT k, n, $tCols, $fCols FROM ${solveSqlNested(
+        s"SELECT k, n, $gSel, $bSel FROM ($corrSql) corr CROSS JOIN $ggRel")}"
+    val v0 = "SELECT DISTINCT s, " +
+      (0 until AlsRank).map(k => s"${initSql(k)} / CAST(4096.0 AS DOUBLE) AS f$k")
+        .mkString(", ") + " FROM ratings"
+    val rounds = (1 to AlsIters).flatMap { i =>
+      val itemPrev = if (i == 1) "v0" else s"v${i - 1}"
+      Seq(
+        s"ggu$i AS (SELECT $ggSel FROM $itemPrev)",
+        s"u$i AS (SELECT k AS c, n, $tCols, $fCols " +
+          s"FROM (${solved(userCorr(itemPrev), s"ggu$i")}) u)",
+        s"ggv$i AS (SELECT $ggSel FROM u$i)",
+        s"v$i AS (SELECT k AS s, n, $tCols, $fCols " +
+          s"FROM (${solved(itemCorr(s"u$i"), s"ggv$i")}) v)")
+    }
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS DOUBLE) AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |v0 AS ($v0),
+       |${rounds.mkString(",\n")}
+       |SELECT 'c' AS node_type, c AS entity_key, CAST(n AS BIGINT) AS n_rated, $tickOutSql
+       |FROM u$AlsIters
+       |UNION ALL
+       |SELECT 's', s, CAST(n AS BIGINT), $tickOutSql FROM v$AlsIters
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
+
+  /** Recommendations served per customer by [[s25RecommendTopk]]. */
+  private[graft] val RecTopK = 5
+
+  /** s25: the recommender SERVE path — top-[[RecTopK]] suppliers per
+    * customer scored from the s13 factors (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/mllib/recommendation/
+    * MatrixFactorizationModel.scala:1, `recommendProducts` /
+    * `recommendProductsForUsers`, which likewise scores EVERY item
+    * for each user from the learned factors and keeps the top-k —
+    * no rated-item filtering, matching mllib's semantics).
+    *
+    * Exactness: scores are pure integer tick dot products — factor
+    * ticks are clamped to ±2¹⁶ ([[AlsClampLo]]/[[AlsClampHi]]), so
+    * each product ≤ 2³² and the rank-[[AlsRank]] sum < 2³⁴: exact as
+    * a long AND as the double handed to the bounded top-k aggregate
+    * (< 2⁵³). Ranking = (score desc, supplier asc), the top_k_by_score
+    * total order both engines replicate.
+    *
+    * Scale shape: the item side is the CATALOG — vocabulary-sized
+    * (suppliers), broadcast whole; the customer side streams through
+    * one scan with a map-side bounded k-heap (the top_k_by_score
+    * partial aggregate), so serve cost is one pass over users ×
+    * |catalog| with NO shuffle of scored pairs — the
+    * recommendForAllUsers blocked-BLAS shape re-expressed
+    * declaratively. At a 10⁸-item catalog the broadcast splits into
+    * item blocks (the mllib blockify knob) — documented, not needed
+    * at any test SF.
+    */
+  def s25RecommendTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    val (users, items) = purchaseFactors(spark, sfDir)
+    val u = users.select(Seq(col("c")) ++
+      (0 until AlsRank).map(k => col(s"t$k").as(s"ut$k")): _*)
+    val it = items.select(Seq(col("s")) ++
+      (0 until AlsRank).map(k => col(s"t$k").as(s"it$k")): _*)
+    val dot = (0 until AlsRank)
+      .map(k => col(s"ut$k").cast("long") * col(s"it$k").cast("long"))
+      .reduce(_ + _)
+    u.crossJoin(broadcast(it))
+      .withColumn("score", dot.cast("double"))
+      .groupBy(col("c"))
+      .agg(call_function("top_k_by_score",
+        col("score"), col("s"), lit(RecTopK)).as("top"))
+      .select(col("c"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("c").as("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("l_suppkey"), col("t.score").cast("long").as("score_ticks24"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** The DuckDB twin of [[s25RecommendTopk]]: the s13 rounds chain,
+    * then every (customer, supplier) tick dot product ranked
+    * (score desc, supplier asc) per customer and cut at [[RecTopK]].
+    */
+  /** The shared CTE chain ending in `rk` — every (customer, supplier)
+    * tick dot product ranked (score desc, supplier asc) per customer.
+    * Used by [[recTopkOracleSql]] and p19's ranking-metrics oracle.
+    */
+  private[graft] def recTopkCtes: String = {
+    val dot = (0 until AlsRank)
+      .map(k => s"CAST(u.t$k AS BIGINT) * CAST(v.t$k AS BIGINT)")
+      .mkString(" + ")
+    s"""ratings AS (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS DOUBLE) AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |$alsRoundsSql,
+       |sc AS (
+       |  SELECT u.c, v.s, $dot AS score
+       |  FROM u$AlsIters u CROSS JOIN v$AlsIters v),
+       |rk AS (
+       |  SELECT * FROM (
+       |    SELECT c, s, score,
+       |      row_number() OVER (PARTITION BY c ORDER BY score DESC, s) AS rank
+       |    FROM sc) ranked
+       |  WHERE rank <= $RecTopK)""".stripMargin
+  }
+
+  private[graft] def recTopkOracleSql: String =
+    s"""WITH $recTopkCtes
+       |SELECT c AS o_custkey, CAST(rank AS BIGINT) AS rank,
+       |  s AS l_suppkey, CAST(score AS BIGINT) AS score_ticks24
+       |FROM rk
+       |ORDER BY o_custkey, rank""".stripMargin
 }

@@ -1018,10 +1018,15 @@ object Relational {
     * running sums per group), 3-row result, per-row solve. Nothing
     * else.
     */
-  def q49RidgeRegression(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The on-grid (l_returnflag, r, f0..f3) regression frame behind
+    * q49 — package-private because [[Pipeline.p18RegressionEval]]
+    * scores the SAME frame against the fitted model (the train/eval
+    * pair sharing one feature definition, the p15 composition rule).
+    */
+  private[graft] def ridgeBase(spark: SparkSession, sfDir: String): DataFrame = {
     def tick12(c: Column): Column =
       floor(c * lit(4096.0) + lit(0.5)).cast("double") / lit(4096.0)
-    val base = Tables.lineitem(spark, sfDir).select(
+    Tables.lineitem(spark, sfDir).select(
       col("l_returnflag"),
       (floor(col("l_extendedprice") + lit(0.5)).cast("double") /
         lit(4096.0)).as("r"),
@@ -1029,6 +1034,10 @@ object Relational {
       col("l_quantity").as("f1"),
       tick12(col("l_discount")).as("f2"),
       tick12(col("l_tax")).as("f3"))
+  }
+
+  def q49RidgeRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ridgeBase(spark, sfDir)
     Recommend.solveSide(base, "l_returnflag")
       .select(Seq(col("l_returnflag"), col("n_rated").as("n")) ++
         (0 until Recommend.AlsRank).map(k => col(s"t$k").as(s"c${k}_ticks")): _*)

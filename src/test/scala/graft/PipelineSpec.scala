@@ -361,4 +361,118 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic
     assert(rows.toSeq == Pipeline.p17RocAuc(spark, sfDir).collect().toSeq)
   }
+
+  test("p18: regression metrics match a brute-force in-memory rescore") {
+    import graft.operators.Relational
+    val rows = Pipeline.p18RegressionEval(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // truth: collect the SAME on-grid frame and coefficients, redo
+    // the quantize-then-sum arithmetic exactly (identical IEEE ops)
+    val base = Relational.ridgeBase(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val model = graft.operators.Recommend
+      .solveSide(Relational.ridgeBase(spark, sfDir), "l_returnflag")
+      .collect().map { r =>
+        val n = r.schema.fieldNames.zipWithIndex.toMap
+        r.getString(n("l_returnflag")) ->
+          (0 to 3).map(k => r.getDouble(n(s"f$k"))).toArray
+      }.toMap
+    val truth = base.groupBy(_._1).map { case (g, rs) =>
+      val c = model(g)
+      val q = rs.map { case (_, r, f) =>
+        val pred = c(0) * f(0) + c(1) * f(1) + c(2) * f(2) + c(3) * f(3)
+        val res = r - pred
+        (math.floor(res * 4096.0 + 0.5).toLong,
+          math.floor(res * 64.0 + 0.5).toLong,
+          math.floor(r * 64.0 + 0.5).toLong,
+          math.floor(pred * 64.0 + 0.5).toLong)
+      }
+      val n = q.length.toLong
+      val sae12 = q.map(t => math.abs(t._1)).sum
+      val sse6 = q.map(t => t._2 * t._2).sum
+      val sy6 = q.map(_._3).sum; val syy6 = q.map(t => t._3 * t._3).sum
+      val sp6 = q.map(_._4).sum; val spp6 = q.map(t => t._4 * t._4).sum
+      g -> (n, (sae12 * 256) / n, (sse6 * 256) / n,
+        1048576L - (sse6 * 1048576L) / ((n * syy6 - sy6 * sy6) / n),
+        (((n * spp6 - sp6 * sp6) / n) * 256) / n)
+    }
+    rows.foreach { r =>
+      val (n, mae, mse, r2, evar) = truth(r.getString(0))
+      info(s"group ${r.getString(0)}: n=$n mae=$mae mse=$mse r2=$r2 evar=$evar")
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == mae, s"mae ${r.getLong(2)} != $mae")
+      assert(r.getLong(3) == mse, s"mse ${r.getLong(3)} != $mse")
+      assert(r.getLong(4) == r2, s"r2 ${r.getLong(4)} != $r2")
+      assert(r.getLong(5) == evar, s"evar ${r.getLong(5)} != $evar")
+      // R^2 <= 1 always; it CAN be negative here — this corpus's
+      // price is independent of the features (OLS R^2 ~ 4e-4), so
+      // the ridge-shrunk intercept predicts below the mean and SSE
+      // edges past SST (the standard out-of-model R^2 semantics)
+      assert(r.getLong(4) <= 1048576L, s"r2_ticks ${r.getLong(4)} > 2^20")
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L && r.getLong(5) >= 0L)
+    }
+    assert(rows.toSeq ==
+      Pipeline.p18RegressionEval(spark, sfDir).collect().toSeq)
+  }
+
+  test("p19: ranking metrics match a brute-force in-memory rescore") {
+    import graft.operators.Recommend
+    val k = Recommend.RecTopK
+    val out = Pipeline.p19RankingEval(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // truth: replay the integer arithmetic over the collected serve
+    // list and rated pairs
+    val rec = Recommend.s25RecommendTopk(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val rel = Recommend.purchaseRatings(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val nrel = rel.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val perUser = rec.groupBy(_._1).toSeq.map { case (c, g) =>
+      val hits = g.sortBy(_._2).map(t => if (rel((c, t._3))) 1L else 0L)
+      val cum = hits.scanLeft(0L)(_ + _).tail
+      val hitsK = hits.sum
+      val apNum = hits.zip(cum).zipWithIndex.collect {
+        case ((1L, ch), i) => (ch * 1048576L) / (i + 1L)
+      }.sum
+      val dcg = hits.zipWithIndex.collect {
+        case (1L, i) => Pipeline.NdcgWTicks(i)
+      }.sum
+      val m = math.min(k.toLong, nrel(c))
+      ((hitsK * 1048576L) / k, apNum / m, (hitsK * 1048576L) / nrel(c),
+        (dcg * 1048576L) / Pipeline.NdcgIdcgTicks(m.toInt - 1))
+    }
+    val n = perUser.size.toLong
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == perUser.map(_._1).sum / n, "p@k")
+    assert(r.getLong(2) == perUser.map(_._2).sum / n, "map@k")
+    assert(r.getLong(3) == perUser.map(_._3).sum / n, "recall@k")
+    assert(r.getLong(4) == perUser.map(_._4).sum / n, "ndcg@k")
+    // all means live on the [0, 2^20] tick interval
+    (1 to 4).foreach(i =>
+      assert(r.getLong(i) >= 0L && r.getLong(i) <= 1048576L))
+    assert(out.toSeq == Pipeline.p19RankingEval(spark, sfDir).collect().toSeq)
+  }
+
+  test("p18: planted exact fit pins the metric endpoints") {
+    val sess = spark
+    import sess.implicits._
+    // r = 2*f1 + 3 exactly, on-grid; the true model scores residual 0
+    val base = (1 to 8).map(i => ("g", 2.0 * i + 3.0, 1.0, i.toDouble, 0.0, 0.0))
+      .toDF("l_returnflag", "r", "f0", "f1", "f2", "f3")
+    val model = Seq(("g", 3.0, 2.0, 0.0, 0.0))
+      .toDF("l_returnflag", "c0", "c1", "c2", "c3")
+    val out = Pipeline.regressionMetrics(base, model).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 8L)
+    assert(r.getLong(2) == 0L, "exact fit must give MAE 0")
+    assert(r.getLong(3) == 0L, "exact fit must give MSE 0")
+    assert(r.getLong(4) == 1048576L, "exact fit must give R2 = 2^20")
+    // explained variance equals target variance when pred == target:
+    // p6 = 64*(2i+3), i=1..8 -> sp6 = 64*96 = 6144, spp6 = 4096*1320
+    assert(r.getLong(5) ==
+      (((8L * 4096L * 1320L - 6144L * 6144L) / 8L) * 256L) / 8L)
+  }
 }

@@ -260,4 +260,74 @@ class RecommendSpec extends AnyFunSuite {
     assert(a == Recommend.t28WordVectors(spark, sfDir).collect().toSeq)
     assert(a.exists(_.getString(0) == "word") && a.exists(_.getString(0) == "ctx"))
   }
+
+  test("s25 serve list equals a brute-force rescore of the factors") {
+    val rows = Recommend.s25RecommendTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // brute force: collect both factor sides, score every pair with
+    // the same exact tick dot, rank (score desc, supplier asc)
+    val (users, items) = Recommend.purchaseFactors(spark, sfDir)
+    def ticks(df: org.apache.spark.sql.DataFrame): Map[Long, Array[Long]] =
+      df.collect().map { r =>
+        val n = r.schema.fieldNames.zipWithIndex.toMap
+        r.getLong(n(df.columns.head)) ->
+          (0 until Recommend.AlsRank).map(k => r.getLong(n(s"t$k"))).toArray
+      }.toMap
+    val u = ticks(users); val v = ticks(items)
+    val truth = u.toSeq.flatMap { case (c, ut) =>
+      v.toSeq.map { case (s, vt) =>
+        (c, s, ut.zip(vt).map { case (a, b) => a * b }.sum)
+      }.sortBy { case (_, s, sc) => (-sc, s) }
+        .take(Recommend.RecTopK).zipWithIndex
+        .map { case ((_, s, sc), i) => (c, i + 1L, s, sc) }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == truth,
+      s"serve list diverges from brute force (first got ${rows.take(3).toSeq})")
+    // every customer serves exactly k dense ranks
+    rows.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.map(_._2).sorted.toSeq ==
+        (1L to Recommend.RecTopK.toLong), s"customer $c ranks ${g.toSeq}")
+    }
+  }
+
+  test("s24 implicit ALS separates planted preference blocks") {
+    val sess = spark
+    import sess.implicits._
+    // two disjoint preference blocks, ONLY positive cells observed
+    // (the implicit-feedback setting: absence is not a rating)
+    val cells =
+      (for { c <- 1L to 10L; s <- 1L to 5L } yield (c, s, 3.0)) ++
+      (for { c <- 11L to 20L; s <- 6L to 10L } yield (c, s, 3.0))
+    val ratings = cells.toDF("c", "s", "r").localCheckpoint(true)
+    val (users, items) = Recommend.implicitFactor(ratings)
+    val u = users.collect().map(r => r.getLong(0) ->
+      (2 until 2 + 2 * Recommend.AlsRank).drop(Recommend.AlsRank)
+        .map(i => r.getDouble(i)).toVector).toMap
+    val v = items.collect().map(r => r.getLong(0) ->
+      (2 until 2 + 2 * Recommend.AlsRank).drop(Recommend.AlsRank)
+        .map(i => r.getDouble(i)).toVector).toMap
+    def pred(c: Long, s: Long): Double =
+      u(c).zip(v(s)).map { case (a, b) => a * b }.sum
+    // in-block (observed-preference) predictions must dominate
+    // cross-block (unobserved) ones — the Hu-Koren objective pushes
+    // p-hat toward 1 on rated cells and 0 elsewhere
+    val inBlock = (for { c <- 1L to 10L; s <- 1L to 5L } yield pred(c, s)) ++
+      (for { c <- 11L to 20L; s <- 6L to 10L } yield pred(c, s))
+    val cross = (for { c <- 1L to 10L; s <- 6L to 10L } yield pred(c, s)) ++
+      (for { c <- 11L to 20L; s <- 1L to 5L } yield pred(c, s))
+    val (mIn, mX) = (inBlock.sum / inBlock.size, cross.sum / cross.size)
+    info(f"in-block mean $mIn%.3f cross-block mean $mX%.3f")
+    assert(mIn > mX + 0.3, f"blocks not separated: $mIn%.3f vs $mX%.3f")
+    // corpus: deterministic and clamped
+    val a = Recommend.s24ImplicitAls(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.toSeq == Recommend.s24ImplicitAls(spark, sfDir).collect().toSeq)
+    a.foreach { r =>
+      (3 until 3 + Recommend.AlsRank).foreach { i =>
+        assert(r.getLong(i) >= Recommend.AlsClampLo &&
+          r.getLong(i) <= Recommend.AlsClampHi)
+      }
+    }
+  }
 }
