@@ -57,6 +57,7 @@ object SparkEntry {
     "q47_zorder_key" -> (Relational.q47ZorderKey _),
     "q49_ridge_regression" -> (Relational.q49RidgeRegression _),
     "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
+    "q57_lasso" -> (Relational.q57Lasso _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
     "q51_kde" -> (Relational.q51Kde _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
@@ -949,6 +950,57 @@ object SparkEntry {
     }.mkString("\nUNION ALL\n")
     s"""WITH feats AS (
        |  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q57's DuckDB twin: [[graft.operators.Relational.lassoRounds]]
+    * unrolled — the q50 CTE shape with the squared-error residual
+    * and the integer soft-threshold prox update.
+    */
+  private def q57OracleSql: String = {
+    val iters = graft.operators.Relational.LassoIters
+    val clamp = graft.operators.Relational.LassoClamp
+    val t = graft.operators.Relational.LassoTTicks
+    val m24 = (0 to 3).map(j => s"w$j * f$j").mkString(" + ")
+    def scanCte(k: Int): String = {
+      val gs = (0 to 3).map(j => s"CAST(sum(r24 * f$j) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 to 3).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s$k AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum((r24 // 4096) * (r24 // 4096)) AS BIGINT) AS sse12,
+         |    $gs, $ws
+         |  FROM (SELECT feats.*, w$k.*, $m24 - y12 * 4096 AS r24
+         |        FROM feats, w$k) b)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val ws = (0 to 3).map { j =>
+        val z = s"(w$j - g$j // (4 * greatest(n, 1) * 16777216))"
+        s"least(greatest(CASE WHEN $z > $t THEN $z - $t " +
+          s"WHEN $z < -$t THEN $z + $t ELSE 0 END, -$clamp), $clamp) AS w$j"
+      }.mkString(", ")
+      s"w${k + 1} AS (SELECT $ws FROM s$k)"
+    }
+    val w0 = "w0 AS (SELECT " +
+      (0 to 3).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+    val ctes = (w0 +: (0 to iters).flatMap(k =>
+      scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = (0 to 3).map(j => s"w$j AS w${j}_ticks").mkString(", ")
+      val nnz = (0 to 3).map(j => s"CASE WHEN w$j <> 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT CAST($k AS BIGINT) AS round, n, " +
+        s"CAST($nnz AS BIGINT) AS nnz, sse12, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y12,
        |    CAST(4096 AS BIGINT) AS f0,
        |    CAST(l_quantity AS BIGINT) * 64 AS f1,
        |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
@@ -2160,6 +2212,7 @@ object SparkEntry {
     // s15 contract), every aggregate CAST back to BIGINT (the
     // HUGEINT hash guard).
     "q50_logistic_regression" -> q50OracleSql,
+    "q57_lasso" -> q57OracleSql,
     "q56_linear_svm" -> q56OracleSql,
     // q51: integer Epanechnikov kernel sums against the broadcast
     // evaluation grid; the density normalizer is the ONE shared

@@ -1358,6 +1358,99 @@ object Relational {
     svmRounds(feats)
   }
 
+  /** Proximal-gradient rounds for [[q57Lasso]] — fixed, unrolled by
+    * the oracle.
+    */
+  private[graft] val LassoIters = 4
+
+  /** L1 soft-threshold in 2⁻¹² weight ticks: λ·η = 64/4096 = 1/64. */
+  private[graft] val LassoTTicks = 64L
+
+  /** Weight clamp in 2⁻¹² ticks (the q50 bound). */
+  private[graft] val LassoClamp = 65536L
+
+  /** The fixed-round Lasso core over a (y12, f0..f3) frame — least
+    * squares with an L1 penalty by PROXIMAL gradient descent (ISTA;
+    * reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/regression/Lasso.scala:1, LassoWithSGD, whose
+    * L1Updater performs exactly this soft-threshold after each
+    * gradient step). The L1 prox is the reason Lasso fits the
+    * family's all-integer contract at all: soft-thresholding is
+    * PIECEWISE LINEAR — sign(z)·max(|z|−t, 0) — so unlike an
+    * exponential link there is no transcendental anywhere; every
+    * step is exact integer arithmetic.
+    *
+    * Contract: target y12 = integer 2⁻¹² ticks of the q49 target
+    * (floor(price + 0.5), ≤ 2¹⁷); features the q50 raw tick longs
+    * (|f| ≤ 2¹²); weights on the 2⁻¹² grid clamped
+    * ±[[LassoClamp]]. The residual r24 = Σwⱼfⱼ − y12·4096 is an
+    * exact long in 2⁻²⁴ units (|r24| ≤ 2³⁰); per-row gradient terms
+    * r24·fⱼ are exact longs in 2⁻³⁶ units (≤ 2⁴²) so sums are
+    * order-independent to ~2²⁰ rows — beyond that the documented
+    * retune quantizes r24 to the 2⁻¹² grid first (term ≤ 2³⁰, safe
+    * to 2³² rows) or two-levels the sum (the s13 note). Update:
+    * z = w − g div (4·n·2²⁴) (η = 1/4, truncating div — the s15
+    * negative agreement), then the prox w' = z−t / z+t / 0 by
+    * integer CASE with t = [[LassoTTicks]], then clamp. The sse12
+    * diagnostic sums (r24 div 4096)² — quantize-before-square, the
+    * p18 ladder. Init w = 0, no seed.
+    *
+    * Output per round k ∈ 0..[[LassoIters]]: (round, n, nnz, sse12,
+    * w0..w3 ticks) — nnz the L0 the penalty exists to shrink.
+    *
+    * Scale shape: the q50 shape — one partial-agg'd scan per round
+    * (6 running sums), model a 1-row broadcast, nothing collected.
+    */
+  private[graft] def lassoRounds(feats: DataFrame): DataFrame = {
+    val zero = feats.sparkSession.range(1)
+      .select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
+    var weights = zero.localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    for (k <- 0 to LassoIters) {
+      val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+      val scan = feats.crossJoin(broadcast(weights))
+        .withColumn("r24", m24 - col("y12") * lit(4096L))
+      val aggCols =
+        Seq(sum(expr("(r24 div 4096) * (r24 div 4096)")).as("sse12")) ++
+          (0 to 3).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+      val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      val nnz = (0 to 3).map(j =>
+        when(col(s"w$j") =!= 0L, 1L).otherwise(0L)).reduce(_ + _)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
+        nnz.as("nnz"), col("sse12")) ++
+        (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
+      if (k < LassoIters) {
+        weights = s.select((0 to 3).map { j =>
+          val z = col(s"w$j") -
+            expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)")
+          val prox = when(z > lit(LassoTTicks), z - lit(LassoTTicks))
+            .when(z < lit(-LassoTTicks), z + lit(LassoTTicks))
+            .otherwise(lit(0L))
+          least(greatest(prox, lit(-LassoClamp)), lit(LassoClamp)).as(s"w$j")
+        }: _*).localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q57: Lasso regression of the q49 target on the q50 features —
+    * the L1 member completing the reference's linear-regression
+    * family (ridge q49 closed-form, logistic q50, SVM q56, isotonic
+    * q55); see [[lassoRounds]] for the ISTA integer contract.
+    */
+  def q57Lasso(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y12"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    lassoRounds(feats)
+  }
+
   def q55Isotonic(spark: SparkSession, sfDir: String): DataFrame = {
     val bins = Tables.orders(spark, sfDir)
       .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))

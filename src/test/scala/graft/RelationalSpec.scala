@@ -360,4 +360,55 @@ class RelationalSpec extends AnyFunSuite {
     val a = Relational.q56LinearSvm(spark, sfDir).collect().toSeq
     assert(a == Relational.q56LinearSvm(spark, sfDir).collect().toSeq)
   }
+
+  test("q57 Lasso: engine rounds equal the recurrence; symmetric noise zeroes out") {
+    val sess = spark
+    import sess.implicits._
+    // planted: y = 2*x1 exactly; f2 is ±1 symmetric noise whose
+    // gradient cancels pair-wise, so the prox pins w2 at EXACTLY 0
+    // (the L1 sparsity signature); f3 is absent. The in-test truth
+    // re-runs the exact integer recurrence (truncating /, same prox
+    // and clamp), so every round must match bit-for-bit.
+    val feats = for {
+      f1 <- Seq(1024L, 2048L, 3072L, 4096L); s2 <- Seq(4096L, -4096L)
+    } yield (2L * f1, 4096L, f1, s2, 0L)
+    def truth(): Seq[(Long, Long, Long, Long, Seq[Long])] = {
+      var w = Array.fill(4)(0L)
+      val n = feats.length.toLong
+      (0 to Relational.LassoIters).map { k =>
+        val rows = feats.map { case (y12, f0, f1, f2, f3) =>
+          val f = Array(f0, f1, f2, f3)
+          ((0 to 3).map(j => w(j) * f(j)).sum - y12 * 4096L, f)
+        }
+        val sse12 = rows.map { case (r24, _) =>
+          (r24 / 4096L) * (r24 / 4096L) }.sum
+        val g = (0 to 3).map(j => rows.map { case (r24, f) => r24 * f(j) }.sum)
+        val nnz = w.count(_ != 0L).toLong
+        val out = (k.toLong, n, nnz, sse12, w.toSeq)
+        if (k < Relational.LassoIters)
+          w = Array.tabulate(4) { j =>
+            val z = w(j) - g(j) / (4L * n * 16777216L)
+            val t = Relational.LassoTTicks
+            val p = if (z > t) z - t else if (z < -t) z + t else 0L
+            math.max(-Relational.LassoClamp, math.min(Relational.LassoClamp, p))
+          }
+        out
+      }
+    }
+    val got = Relational.lassoRounds(
+        feats.toDF("y12", "f0", "f1", "f2", "f3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (4 to 7).map(r.getLong).toSeq)).toSeq
+    assert(got == truth(), s"recurrence drift:\n$got\nvs\n${truth()}")
+    // L1 behavior: the symmetric-noise and absent features are
+    // EXACTLY zero in every round; the real slope and intercept are
+    // live by the final round; squared error falls monotonically
+    got.foreach { r => assert(r._5(2) == 0L && r._5(3) == 0L) }
+    assert(got.last._5(1) > 0L && got.last._3 == 2L)
+    assert(got.map(_._4).zip(got.tail.map(_._4)).forall { case (a0, b0) => b0 < a0 },
+      s"sse must fall: ${got.map(_._4)}")
+    // corpus determinism
+    val a = Relational.q57Lasso(spark, sfDir).collect().toSeq
+    assert(a == Relational.q57Lasso(spark, sfDir).collect().toSeq)
+  }
 }
