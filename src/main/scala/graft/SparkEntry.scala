@@ -171,6 +171,7 @@ object SparkEntry {
     "s23_silhouette" -> (Similarity.s23Silhouette _),
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
+    "s26_spearman" -> (Similarity.s26Spearman _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
@@ -1806,6 +1807,8 @@ object SparkEntry {
     "s17_pca" -> graft.operators.Similarity.pcaOracleSql,
     "s18_pca_ann" -> graft.operators.Similarity.s18OracleSql,
     "s19_corr_matrix" -> graft.operators.Similarity.s19OracleSql,
+    // s26: grid-CDF midranks, centered rank Gram, the s19 tree.
+    "s26_spearman" -> graft.operators.Similarity.s26OracleSql,
     "d11_dedup_semantic" -> d11OracleSql(
       graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,
       graft.operators.Similarity.SemProbes),

@@ -1225,6 +1225,19 @@ object Similarity {
     * the quantized embedding corpus — ONE partial-agg'd moment scan,
     * shared by s17/s18's eigensolve and s19's correlation matrix.
     */
+  /** Map-side outer-product moment scan over a frame with a LONG
+    * array column `q`: P_ij = Σ q_i·q_j partial-aggregated to ≤ 64²
+    * rows per task before any shuffle. Shared by the PCA/correlation
+    * Gram and s26's centered-rank Gram.
+    */
+  private def pairMoments(qf: DataFrame): DataFrame =
+    qf.select(explode(expr(
+        """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+          |named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+          |             'p', qi * qj))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("p"))
+
   private def gramFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = Tables.embeddings(spark, sfDir)
       .select(expr(
@@ -1234,12 +1247,7 @@ object Similarity {
     val nf = qf.agg(count(lit(1)).as("n"))
     val sums = qf.select(posexplode(col("q")).as(Seq("pi", "qi")))
       .groupBy(col("pi").cast("long").as("i")).agg(sum(col("qi")).as("s"))
-    val pairs = qf.select(explode(expr(
-        """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
-          |named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-          |             'p', qi * qj))))""".stripMargin)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("p"))
+    val pairs = pairMoments(qf)
     pairs
       .join(sums.select(col("i"), col("s").as("si")), "i")
       .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
@@ -1500,6 +1508,113 @@ object Similarity {
        |  ELSE CAST(0 AS BIGINT) END AS corr_ticks
        |FROM g0 JOIN dg di ON di.d = g0.i JOIN dg dj ON dj.d = g0.j
        |ORDER BY dim_i, dim_j""".stripMargin
+
+  /** s26: SPEARMAN rank correlation of the embedding dimensions —
+    * the other half of the reference's correlation surface next to
+    * s19's Pearson (reference: /root/reference/mllib/src/main/scala/
+    * org/apache/spark/mllib/stat/correlation/
+    * SpearmanCorrelation.scala:1, which likewise ranks each column
+    * then runs Pearson on the ranks).
+    *
+    * Rank contract (the q54 midrank posture): values quantize to the
+    * shared 2¹⁰ tick grid (defined-on-quantized-values stated), and
+    * per dimension the DOUBLED tie-aware midrank comes off the
+    * grid's CDF — 2R = 2·before + c + 1, an exact integer, computed
+    * on a frame bounded by the VALUE RANGE × 64 dims, never the
+    * corpus. Ranks center by (n+1) (Σ2R = n(n+1) is the midrank
+    * invariant, so 2R − (n+1) is exactly mean-zero — the centered
+    * Gram needs no n·P − S·S clearing at all, and a CONSTANT
+    * dimension centers to exactly 0, making zero-variance fall out
+    * of the same CASE as s19). ρ_ij = P_ij/√(P_ii·P_jj) over
+    * P = Σ m_i·m_j — exact longs (|m| < 2n ⇒ |P| ≤ 4n³, safe to
+    * n ≈ 1.3·10⁶; documented retune = coarser rank grid — divide m
+    * by 2ᵏ — or the s13 two-level sum), with only the final
+    * normalization in double through the IDENTICAL s19 tree, floored
+    * to 2²⁰ ticks.
+    *
+    * Scale shape: one exploded scan builds the grid counts (map-side
+    * combine to grid size); the rank map broadcasts back; per-vector
+    * rank arrays reassemble on ONE vec-keyed shuffle; then the s17
+    * map-side outer-product scan partial-aggregates straight to the
+    * 64×64 result. No corpus window anywhere — the per-dim CDF
+    * window runs over grid-bounded partitions.
+    */
+  def s26Spearman(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanCore(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The Spearman core over any (vec_id, embedding float array)
+    * frame — package-private for the planted monotone/reverse/
+    * constant spec.
+    */
+  private[graft] def spearmanCore(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = vecs
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
+        .as(Seq("pi", "t")))
+      .select(col("vec_id"), col("pi").cast("long").as("i"), col("t"))
+      .localCheckpoint(true)
+    val nf = vecs.agg(count(lit(1)).as("n"))
+    val grid = exploded.groupBy(col("i"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("before", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("i")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(nf))
+      .select(col("i"), col("t"),
+        (lit(2L) * col("before") + col("c") + lit(1L) - (col("n") + lit(1L)))
+          .as("m"))
+    val ranks = exploded.join(broadcast(grid), Seq("i", "t"))
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("i"), col("m"))).as("im"))
+      .select(expr("transform(array_sort(im), s -> s.m)").as("q"))
+    val p0 = pairMoments(ranks).localCheckpoint(true)
+    val diag = p0.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("p").as("pd"))
+    p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("pd").as("pjj"))), "j")
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        expr("""CASE WHEN pii > 0 AND pjj > 0
+               |THEN CAST(floor(CAST(p AS DOUBLE)
+               |  / sqrt(CAST(pii AS DOUBLE) * CAST(pjj AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("rho_ticks"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  /** The DuckDB twin of [[s26Spearman]]: grid CDF midranks, centered
+    * rank Gram via a vec-keyed self-join, the identical double tree.
+    */
+  private[graft] def s26OracleSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, CAST(a.i AS BIGINT) AS i,
+      |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+      |      AS BIGINT) AS t
+      |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |grid AS MATERIALIZED (
+      |  SELECT i, t, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |mg AS MATERIALIZED (
+      |  SELECT i, t,
+      |    2 * coalesce(CAST(sum(c) OVER (PARTITION BY i ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      + c + 1 - ((SELECT n FROM nn) + 1) AS m
+      |  FROM grid),
+      |r AS MATERIALIZED (
+      |  SELECT e.vec_id, e.i, mg.m FROM e JOIN mg ON e.i = mg.i AND e.t = mg.t),
+      |p AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.m * b.m) AS BIGINT) AS p
+      |  FROM r a JOIN r b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |dg AS MATERIALIZED (SELECT i AS d, p AS pd FROM p WHERE i = j)
+      |SELECT p.i AS dim_i, p.j AS dim_j,
+      |  CASE WHEN di.pd > 0 AND dj.pd > 0
+      |  THEN CAST(floor(CAST(p.p AS DOUBLE)
+      |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+      |    * 1048576.0 + 0.5) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END AS rho_ticks
+      |FROM p JOIN dg di ON di.d = p.i JOIN dg dj ON dj.d = p.j
+      |ORDER BY dim_i, dim_j""".stripMargin
 
   /** Query documents for [[s22TfidfSearch]] (the s01 doc_id rule). */
   private[graft] val TfidfQueryDocs = 3L

@@ -1098,4 +1098,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // deterministic across runs
     assert(sil.toSeq == Similarity.s23Silhouette(spark, sfDir).collect().toSeq)
   }
+
+  test("s26 Spearman: monotone/reversed/constant poles are exact; corpus invariants") {
+    val sess = spark
+    import sess.implicits._
+    // dim0 = x; dim1 = a MONOTONE but non-linear transform of x
+    // (Spearman's signature: rho = +1 where Pearson is < 1);
+    // dim2 = reversed order; dim3 = constant
+    val xs = Seq(0.1f, 0.2f, 0.4f, 0.5f, 0.8f)
+    val vecs = xs.zipWithIndex.map { case (x, k) =>
+      (k.toLong, Array(x, x * x * x, 1.0f - x, 0.25f))
+    }.toDF("vec_id", "embedding")
+    val rho = Similarity.spearmanCore(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rho((0L, 1L)) == 1048576L, "monotone transform must give rho = +1")
+    assert(rho((0L, 2L)) == -1048576L, "reversal must give rho = -1")
+    assert(rho((0L, 3L)) == 0L && rho((3L, 3L)) == 0L,
+      "constant dim must report 0 (zero variance)")
+    assert(rho((0L, 0L)) == 1048576L)
+    // corpus: diagonal +1, symmetry, bounds, determinism
+    val c = Similarity.s26Spearman(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 64).foreach(i => assert(c((i.toLong, i.toLong)) == 1048576L))
+    c.foreach { case ((i, j), v) =>
+      assert(math.abs(v) <= 1048576L)
+      assert(c((j, i)) == v, s"asymmetry at ($i,$j)")
+    }
+    assert(Similarity.s26Spearman(spark, sfDir).collect().toSeq ==
+      Similarity.s26Spearman(spark, sfDir).collect().toSeq)
+  }
 }
