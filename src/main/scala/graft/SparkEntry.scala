@@ -172,6 +172,7 @@ object SparkEntry {
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
     "s26_spearman" -> (Similarity.s26Spearman _),
+    "s27_gmm" -> (Similarity.s27Gmm _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
@@ -1809,6 +1810,8 @@ object SparkEntry {
     "s19_corr_matrix" -> graft.operators.Similarity.s19OracleSql,
     // s26: grid-CDF midranks, centered rank Gram, the s19 tree.
     "s26_spearman" -> graft.operators.Similarity.s26OracleSql,
+    // s27: hard-EM rounds unrolled, model-entry log trees shared.
+    "s27_gmm" -> graft.operators.Similarity.s27OracleSql,
     "d11_dedup_semantic" -> d11OracleSql(
       graft.operators.Similarity.KmeansIters, graft.operators.Similarity.SemBar,
       graft.operators.Similarity.SemProbes),

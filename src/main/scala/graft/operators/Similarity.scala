@@ -195,6 +195,233 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Components fit by [[s27Gmm]]. */
+  private[graft] val GmmK = 4
+
+  /** Hard-EM rounds — fixed, unrolled by the oracle. */
+  private[graft] val GmmIters = 2
+
+  /** Variance floor in tick² (the mllib minCovariance analog): keeps
+    * the inverse-variance tick finite and the E-step products
+    * bounded; a component collapsing onto duplicates saturates here
+    * instead of blowing up.
+    */
+  private[graft] val GmmVarFloor = 64L
+
+  /** Initial per-dim variance in tick² (σ ≈ 0.25 on the unit grid). */
+  private[graft] val GmmVarInit = 65536L
+
+  /** s27: Gaussian mixture over the embedding corpus — the
+    * reference's mllib/clustering surface (reference: /root/
+    * reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * clustering/GaussianMixture.scala:1) in the HARD-assignment
+    * (classification-EM) diagonal form — the variant a hash-verified
+    * engine can offer, for the same reason q50 trades the sigmoid
+    * for its piecewise surrogate: soft responsibilities need exp(),
+    * whose cross-engine sum order is unfixable, while CEM's E-step
+    * is an ARGMIN over per-component scores that are exact integer
+    * sums.
+    *
+    * Score contract (2⁻²⁶ ticks of negative log2-density): for
+    * component k, score(v) = Σ_d (q_d−μ_kd)²·ivl_kd + Σ_d lvh_kd −
+    * pr_k, where per MODEL entry (k×64 values, never per row)
+    * ivl = floor(log2e/2 · 2²⁶ / var), lvh = floor(½·log2(var)·2²⁶)
+    * and pr = floor(log2(w/Σw)·2²⁶) are computed by identical
+    * expression trees on identical integers in both engines (the
+    * t09/t19 model-entry log contract; log2e/2 interpolated as one
+    * shared literal). Products (q−μ)²·ivl ≤ 2²²·2²⁰ summed over 64
+    * dims < 2⁴⁸ — exact, order-independent. Ties → smaller k.
+    * M-step: μ' = Σq div n, var' = max((n·Σq² − (Σq)²) div n²,
+    * [[GmmVarFloor]]) — exact integer stats (safe to n ≈ 3·10⁶ per
+    * component at the 2¹⁰ grid; documented retune = centered/
+    * two-level sums, the s13 note), empty components carry their
+    * model forward with n_members = 0 (the lloydRefine emptyCells
+    * rule; priors +1-smooth zero weights so log2 stays finite).
+    * Init: md5-ordered seed sample ('gmm:' stream), [[GmmVarInit]],
+    * uniform weights.
+    *
+    * Scale shape: per round ONE corpus scan against the broadcast
+    * 4-row model (partial-agg'd argmin — the s04 assignment shape)
+    * plus one (k, d)-grouped stat aggregation that map-combines to
+    * ≤ 256 rows per task. Model derivation is model-sized. Nothing
+    * corpus-wide buffers; rounds are fixed.
+    *
+    * Output: (component, dim, mu_ticks, var_ticks, n_members) — the
+    * full learned model, hash-verified.
+    */
+  def s27Gmm(spark: SparkSession, sfDir: String): DataFrame =
+    gmmCore(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The hard-EM core over any (vec_id, embedding float array) frame
+    * — package-private for the planted-cluster spec.
+    */
+  private[graft] def gmmCore(vecs: DataFrame): DataFrame = {
+    val qf = vecs
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+      .localCheckpoint(true)
+    val seeds = qf
+      .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(GmmK)
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
+            col("vec_id"))).cast("long") - 1L)
+    var stats = seeds
+      .select(col("k"), posexplode(col("q")).as(Seq("d", "mu")))
+      .select(col("k"), col("d").cast("long").as("d"), col("mu"),
+        lit(GmmVarInit).as("var"), lit(1L).as("w"))
+      .localCheckpoint(true)
+    for (_ <- 1 to GmmIters) {
+      val model = gmmDerive(stats)
+      val assigned = gmmAssign(qf, model)
+      stats = gmmMStep(assigned, stats)
+    }
+    stats.select(col("k").as("component"), col("d").as("dim"),
+        col("mu").as("mu_ticks"), col("var").as("var_ticks"),
+        col("w").as("n_members"))
+      .orderBy(col("component"), col("dim"))
+  }
+
+  /** Model derivation for [[s27Gmm]]: long-form stats → broadcast
+    * component rows with tick arrays and the log model entries.
+    */
+  private def gmmDerive(stats: DataFrame): DataFrame = {
+    // priors +1-smooth empty components (w = 0 after a memberless
+    // round): max(w, 1) keeps log2 finite and the component eligible
+    val wtot = stats.select(col("k"), col("w")).distinct()
+      .agg(sum(greatest(col("w"), lit(1L))).as("wtot"))
+    stats
+      .withColumn("ivl", expr(
+        "CAST(floor(CAST(0.7213475204444817 AS DOUBLE) / CAST(2.0 AS DOUBLE) " +
+          "* CAST(67108864.0 AS DOUBLE) / CAST(var AS DOUBLE)) AS BIGINT)"))
+      .withColumn("lvh", expr(
+        "CAST(floor(CAST(0.5 AS DOUBLE) * log2(CAST(var AS DOUBLE)) " +
+          "* CAST(67108864.0 AS DOUBLE)) AS BIGINT)"))
+      .groupBy(col("k"), col("w"))
+      .agg(collect_list(struct(col("d"), col("mu"), col("ivl"), col("lvh")))
+        .as("dm"))
+      .crossJoin(broadcast(wtot))
+      .select(col("k"),
+        expr("transform(array_sort(dm), s -> s.mu)").as("mu"),
+        expr("transform(array_sort(dm), s -> s.ivl)").as("ivl"),
+        expr("aggregate(transform(dm, s -> s.lvh), CAST(0 AS BIGINT), " +
+          "(a, x) -> a + x)").as("lvsum"),
+        expr("CAST(floor(log2(CAST(greatest(w, 1) AS DOUBLE) " +
+          "/ CAST(wtot AS DOUBLE)) " +
+          "* CAST(67108864.0 AS DOUBLE)) AS BIGINT)").as("pr"))
+      .localCheckpoint(true)
+  }
+
+  /** Hard E-step: per-vector argmin of the exact integer score
+    * against the broadcast model; ties → smaller component.
+    */
+  private def gmmAssign(qf: DataFrame, model: DataFrame): DataFrame =
+    qf.crossJoin(broadcast(model))
+      .withColumn("score", expr(
+        "aggregate(zip_with(zip_with(q, mu, (a, b) -> (a - b) * (a - b)), " +
+          "ivl, (d2, iv) -> d2 * iv), CAST(0 AS BIGINT), (acc, x) -> acc + x) " +
+          "+ lvsum - pr"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("k"), col("q"))).as("m"))
+      .select(col("vec_id"), col("m.k").as("k"), col("m.q").as("q"))
+
+  /** M-step: exact integer component stats; empty components carry
+    * their previous (k, d) model rows with w = 0 (so n_members is
+    * honest — the prior smoothing happens in [[gmmDerive]]).
+    */
+  private def gmmMStep(assigned: DataFrame, prevStats: DataFrame): DataFrame = {
+    val agg = assigned
+      .select(col("k"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy(col("k"), col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("qd")).as("s"),
+        sum(expr("qd * qd")).as("ss"))
+      .select(col("k"), col("d"), expr("s div n").as("mu"),
+        greatest(expr("(n * ss - s * s) div (n * n)"), lit(GmmVarFloor))
+          .as("var"),
+        col("n").as("w"))
+    val kept = prevStats.join(agg.select(col("k").as("ak")).distinct(),
+        col("k") === col("ak"), "left_anti")
+      .select(col("k"), col("d"), col("mu"), col("var"), lit(0L).as("w"))
+    agg.unionByName(kept).localCheckpoint(true)
+  }
+
+  /** The DuckDB twin of [[s27Gmm]]: the hard-EM rounds unrolled —
+    * identical model-entry log trees, exact integer E/M arithmetic.
+    */
+  private[graft] def s27OracleSql: String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"st${r - 1}"
+      s"""dv$r AS MATERIALIZED (
+         |  SELECT k, d, mu,
+         |    CAST(floor(CAST(0.7213475204444817 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+         |      * CAST(67108864.0 AS DOUBLE) / CAST(var AS DOUBLE)) AS BIGINT) AS ivl,
+         |    CAST(floor(CAST(0.5 AS DOUBLE) * log2(CAST(var AS DOUBLE))
+         |      * CAST(67108864.0 AS DOUBLE)) AS BIGINT) AS lvh
+         |  FROM $prev),
+         |wt$r AS MATERIALIZED (
+         |  SELECT CAST(sum(greatest(w, 1)) AS BIGINT) AS wtot
+         |  FROM (SELECT DISTINCT k, w FROM $prev)),
+         |pk$r AS MATERIALIZED (
+         |  SELECT k, CAST(floor(log2(CAST(greatest(w, 1) AS DOUBLE)
+         |      / CAST((SELECT wtot FROM wt$r) AS DOUBLE))
+         |    * CAST(67108864.0 AS DOUBLE)) AS BIGINT) AS pr,
+         |    CAST(0 AS BIGINT) AS z
+         |  FROM (SELECT DISTINCT k, w FROM $prev)),
+         |lv$r AS MATERIALIZED (
+         |  SELECT k, CAST(sum(lvh) AS BIGINT) AS lvsum FROM dv$r GROUP BY k),
+         |sc$r AS MATERIALIZED (
+         |  SELECT e.vec_id, dv$r.k,
+         |    CAST(sum((e.q - dv$r.mu) * (e.q - dv$r.mu) * dv$r.ivl) AS BIGINT) AS s2
+         |  FROM e JOIN dv$r ON e.d = dv$r.d GROUP BY 1, 2),
+         |asg$r AS MATERIALIZED (
+         |  SELECT vec_id, k FROM (
+         |    SELECT sc$r.vec_id, sc$r.k,
+         |      row_number() OVER (PARTITION BY sc$r.vec_id
+         |        ORDER BY sc$r.s2 + lv$r.lvsum - pk$r.pr, sc$r.k) AS rn
+         |    FROM sc$r JOIN lv$r ON sc$r.k = lv$r.k
+         |    JOIN pk$r ON sc$r.k = pk$r.k) t
+         |  WHERE rn = 1),
+         |ag$r AS MATERIALIZED (
+         |  SELECT a.k, e.d, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(e.q) AS BIGINT) AS s, CAST(sum(e.q * e.q) AS BIGINT) AS ss
+         |  FROM asg$r a JOIN e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+         |st$r AS MATERIALIZED (
+         |  SELECT k, d, s // n AS mu,
+         |    greatest((n * ss - s * s) // (n * n), $GmmVarFloor) AS var,
+         |    n AS w
+         |  FROM ag$r
+         |  UNION ALL
+         |  SELECT p.k, p.d, p.mu, p.var, CAST(0 AS BIGINT) AS w
+         |  FROM st${r - 1} p
+         |  WHERE p.k NOT IN (SELECT k FROM ag$r))""".stripMargin
+    }
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(a.i AS BIGINT) AS d,
+       |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+       |sd AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5('gmm:' || CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS k
+       |  FROM (SELECT vec_id FROM embeddings
+       |        ORDER BY md5('gmm:' || CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $GmmK) s),
+       |st0 AS MATERIALIZED (
+       |  SELECT sd.k, e.d, e.q AS mu, CAST($GmmVarInit AS BIGINT) AS var,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM sd JOIN e ON sd.vec_id = e.vec_id),
+       |${(1 to GmmIters).map(roundCtes).mkString(",\n")}
+       |SELECT k AS component, d AS dim, mu AS mu_ticks, var AS var_ticks,
+       |  w AS n_members
+       |FROM st$GmmIters
+       |ORDER BY component, dim""".stripMargin
+  }
+
   /** Cosine bar for [[d11DedupSemantic]] — matches d05's near-dup
     * threshold so the two operators' notions of "duplicate" align.
     */

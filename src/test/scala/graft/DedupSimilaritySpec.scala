@@ -1099,6 +1099,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sil.toSeq == Similarity.s23Silhouette(spark, sfDir).collect().toSeq)
   }
 
+  test("s27 GMM: planted duplicate clusters recovered exactly; corpus invariants") {
+    val sess = spark
+    import sess.implicits._
+    // two planted point-mass clusters (exact duplicates): hard-EM
+    // must put each mass in one component with the EXACT tick mean
+    // and the variance saturating at the floor
+    val a = Array.fill(4)(0.5f); val b = Array.fill(4)(-0.5f)
+    val vecs = ((1L to 6L).map(i => (i, a)) ++ (7L to 12L).map(i => (i, b)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.gmmCore(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val live = m.toSeq.filter(_._2._3 > 0L).groupBy(_._1._1)
+    // every live component's mean is exactly one of the two planted
+    // tick points and its variance sits at the floor
+    live.foreach { case (_, dims) =>
+      dims.foreach { case ((_, _), (mu, v, _)) =>
+        assert(mu == 512L || mu == -512L, s"mean $mu off the planted points")
+        assert(v == Similarity.GmmVarFloor, s"pure cell variance $v")
+      }
+    }
+    // both masses are represented and the member counts add up
+    assert(m.toSeq.filter(_._1._2 == 0L).map(_._2._3).sum == 12L,
+      "members must partition the corpus")
+    assert(live.exists(_._2.head._2._1 == 512L) &&
+      live.exists(_._2.head._2._1 == -512L), s"both masses live: $live")
+    // corpus: members partition, variances floored or above, determinism
+    val c = Similarity.s27Gmm(spark, sfDir).collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(4))).distinct.map(_._2).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    c.foreach(r => assert(r.getLong(3) >= Similarity.GmmVarFloor))
+    assert(c.toSeq == Similarity.s27Gmm(spark, sfDir).collect().toSeq)
+  }
+
   test("s26 Spearman: monotone/reversed/constant poles are exact; corpus invariants") {
     val sess = spark
     import sess.implicits._
