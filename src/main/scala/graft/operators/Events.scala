@@ -383,8 +383,16 @@ object Events {
     * Scale shape: identical to q53 — the per-pair frame is
     * grid×pairs sized, everything else partial-agg'd.
     */
-  def q54RankSum(spark: SparkSession, sfDir: String): DataFrame = {
-    val cdf = cdfFromCounts(corpusTickCounts(spark, sfDir))
+  def q54RankSum(spark: SparkSession, sfDir: String): DataFrame =
+    rankSumFromCounts(corpusTickCounts(spark, sfDir))
+
+  /** The q54 pair rank-sum report over any (t, tick, c) counts frame
+    * — shared verbatim by the batch key and the streaming A/B gate
+    * ([[graft.streaming.StreamOps.abTestReport]]), the
+    * ksReportFromCounts contract applied to the location test.
+    */
+  private[graft] def rankSumFromCounts(ct: DataFrame): DataFrame = {
+    val cdf = cdfFromCounts(ct)
     val a = cdf.select(col("tick"), col("t").as("type_a"),
       col("c").as("c_a"), col("cum").as("cum_a"), col("n").as("n_a"))
     val b = cdf.select(col("tick"), col("t").as("type_b"),

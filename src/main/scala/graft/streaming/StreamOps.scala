@@ -662,6 +662,71 @@ object StreamOps {
   def driftReport(state: DataFrame): DataFrame =
     graft.operators.Events.ksReportFromCounts(state)
 
+  /** stream_ab_test: the reference's streaming significance test
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/stat/test/StreamingTest.scala:1, which folds
+    * arriving (group, value) pairs into per-group summaries and
+    * re-tests after every batch) re-expressed on the drift-gate
+    * state machinery: events carry an ARM from the deterministic
+    * unit-hash assignment ([[abArm]] — user parity here, the
+    * assignment-by-unit rule), the stream folds (arm, value-tick)
+    * counts by the [[driftMerge]] monoid (stateless stream side,
+    * grid-bounded state), and the per-batch report is the SAME
+    * tie-aware Mann-Whitney the batch q54 runs
+    * ([[graft.operators.Events.rankSumFromCounts]]). The rank-sum is
+    * the engine's documented test variant where mllib offers
+    * Welch/Student t: those need sqrt and division per test, the
+    * midrank U statistic is exact integers end to end. After any
+    * batch the A/B report equals the batch rank-sum over exactly the
+    * events folded so far (spec'd).
+    */
+  def abArm(events: DataFrame): DataFrame =
+    events.select(
+      when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")).as("t"),
+      floor(col("value") * lit(1024.0)).cast("long").as("tick"))
+
+  /** Per-micro-batch (arm, tick) partial counts — the monoid delta. */
+  def abCountsBatch(batch: DataFrame): DataFrame =
+    abArm(batch).groupBy(col("t"), col("tick")).agg(count(lit(1)).as("c"))
+
+  /** The A/B report over folded arm-count state: batch q54's exact
+    * midrank machinery (2U_A for arm A vs arm B).
+    */
+  def abTestReport(state: DataFrame): DataFrame =
+    graft.operators.Events.rankSumFromCounts(state)
+
+  /** stream_linreg: the reference's streaming linear regression
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/regression/StreamingLinearRegressionWithSGD.scala:1
+    * — trainOn takes one SGD step per arriving batch; predictOn uses
+    * the current model) as a foreachBatch fold on the q57 integer
+    * contract: state is the 4 weight ticks (ONE row, never
+    * collected); each micro-batch runs one partial-agg'd gradient
+    * pass and the exact q50-family update
+    * w' = clamp(w − g div (4·n·2²⁴)) — squared loss, λ = 0 (the
+    * lasso prox composes where sparsity is wanted). Exact longs make
+    * the streamed model ≡ the same fold applied by hand to the
+    * ordered batches (the stream_kmeans posture, spec'd).
+    */
+  def linregInitState(spark: SparkSession): DataFrame =
+    spark.range(1).select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
+
+  /** One micro-batch fold: state × (y12, f0..f3) batch → state. */
+  def linregFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+    val clamp = graft.operators.Relational.LassoClamp
+    val aggCols =
+      (0 to 3).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
+        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+    batch.crossJoin(broadcast(state))
+      .withColumn("r24", m24 - col("y12") * lit(4096L))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .select((0 to 3).map(j =>
+        least(greatest(col(s"w$j") -
+          expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"),
+          lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
+  }
+
   /** Stateful sessionization: emits a session when a 30-min gap
     * closes it. State per user is O(1): the open session only.
     * NoTimeout — idle sessions stay open until the next event or a

@@ -786,6 +786,86 @@ class StreamingSpec extends AnyFunSuite {
       s"stream packing diverged: ${got.size} vs ${expected.size} docs")
   }
 
+  test("stream_ab_test: folded arm counts reproduce the batch rank-sum exactly") {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val h1 = ev.filter(col("event_id") % 2 === 0).localCheckpoint(true)
+    val h2 = ev.filter(col("event_id") % 2 === 1).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ab-stream")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          val delta = StreamOps.abCountsBatch(df)
+          state = (if (state == null) delta
+            else StreamOps.driftMerge(state, delta)).localCheckpoint(true)
+        }
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    // after both batches the stream report equals the batch rank-sum
+    // over ALL events, row for row
+    val got = StreamOps.abTestReport(state).collect().toSeq
+    val want = StreamOps.abTestReport(StreamOps.abCountsBatch(ev)).collect().toSeq
+    assert(got.nonEmpty && got == want, s"stream/batch divergence:\n$got\n$want")
+    // one (A, B) pair; sample sizes cover the corpus; U in range
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) + r.getLong(3) == ev.count())
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 2L * r.getLong(2) * r.getLong(3))
+  }
+
+  test("stream_linreg: streamed GD folds equal sequential batch folds and learn") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // planted stream: y = 2*x1 exactly, on-grid
+    val feats = (1 to 16).map { i =>
+      val f1 = (i % 4 + 1) * 1024L
+      (2L * f1, 4096L, f1, 0L, 0L)
+    }.toDF("y12", "f0", "f1", "f2", "f3")
+    val h1 = feats.filter(col("f1") <= 2048L).localCheckpoint(true)
+    val h2 = feats.filter(col("f1") > 2048L).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-lr-stream")
+    val schema = StructType(Seq("y12", "f0", "f1", "f2", "f3")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.linregInitState(spark).localCheckpoint(true)
+    val init = state
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.linregFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.linregFoldBatch(
+      StreamOps.linregFoldBatch(init, h1), h2)
+    val got = state.collect().head
+    val want = expected.collect().head
+    assert((0 to 3).forall(j => got.getLong(j) == want.getLong(j)),
+      s"streamed model diverged: $got vs $want")
+    // the model learns the right direction: positive slope and
+    // intercept after two steps on y = 2*x1 > 0 data
+    assert(got.getLong(1) > 0L, s"slope ${got.getLong(1)}")
+    assert(got.getLong(2) == 0L && got.getLong(3) == 0L,
+      "absent features must stay zero")
+  }
+
   test("stream_kmeans: streamed decay folds equal sequential batch folds") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
