@@ -163,6 +163,7 @@ object SparkEntry {
     "p17_roc_auc" -> (Pipeline.p17RocAuc _),
     "p18_regression_eval" -> (Pipeline.p18RegressionEval _),
     "p19_ranking_eval" -> (Pipeline.p19RankingEval _),
+    "p20_random_features" -> (Pipeline.p20RandomFeatures _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -3525,6 +3526,8 @@ object SparkEntry {
     "p18_regression_eval" -> p18OracleSql,
     // p19: the s25 rk chain + hit joins + literal NDCG tick tables.
     "p19_ranking_eval" -> Pipeline.p19OracleSql(Recommend.recTopkCtes),
+    // p20: pure md5 bit-slice arithmetic, identical both engines.
+    "p20_random_features" -> Pipeline.p20OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

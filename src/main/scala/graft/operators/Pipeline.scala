@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -828,6 +828,47 @@ object Pipeline {
           .as("r2_ticks"),
         expr("(((n * spp6 - sp6 * sp6) div n) * 256) div n").as("evar_ticks"))
       .orderBy(col("l_returnflag"))
+
+  /** p20: reproducible random feature attachment — the reference's
+    * synthetic-data surface (reference: /root/reference/mllib/src/
+    * main/scala/org/apache/spark/mllib/random/RandomRDDs.scala:1 —
+    * uniformRDD / normalRDD, seeded per-partition generators) and
+    * the deterministic replacement for `rand(seed)` (whose values
+    * depend on partition layout — NOT reproducible across
+    * repartitioning, while a pipeline's split/sample/noise steps
+    * must be): every row's draws are a pure function of its KEY
+    * through the md5 stream ('rnd:' prefix), so they survive any
+    * partitioning, retry, or engine (the p01 split-assign rule
+    * generalized to continuous draws).
+    *
+    * Draws: u_ticks = the first 20 md5 bits — exact uniform on
+    * [0, 2²⁰); z_ticks = Σ_{k=1..12} u_k − 6·2²⁰ — the Irwin-Hall
+    * sum, mean 0 and variance exactly 12·Var(u) ≈ 2⁴⁰ so
+    * z_ticks/2²⁰ approximates N(0,1) with all arithmetic exact
+    * integers (the q50 no-transcendental rule applied to sampling:
+    * no Box-Muller log/cos anywhere). Per-row map, no shuffle, no
+    * state — the generator scales like the scan itself.
+    */
+  def p20RandomFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    def u(tag: String): Column =
+      conv(substring(md5(concat(lit(s"rnd:$tag:"),
+        col("doc_id").cast("string"))), 1, 5), 16, 10).cast("long")
+    val z = (1 to 12).map(k => u(s"z$k")).reduce(_ + _) - lit(6L * 1048576L)
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("u_ticks", u("u"))
+      .withColumn("z_ticks", z)
+      .orderBy(col("doc_id"))
+  }
+
+  /** p20's DuckDB twin — the same md5 bit-slice arithmetic. */
+  private[graft] def p20OracleSql: String = {
+    def u(tag: String): String =
+      s"CAST(('0x' || substr(md5('rnd:$tag:' || CAST(doc_id AS VARCHAR)), " +
+        "1, 5))::UBIGINT AS BIGINT)"
+    val z = (1 to 12).map(k => u(s"z$k")).mkString(" + ") + " - 6 * 1048576"
+    s"""SELECT doc_id, ${u("u")} AS u_ticks, $z AS z_ticks
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** Discount-weight tick table for p19's NDCG: w_i =
     * floor(2²⁰ / log2(i + 1)) for rank i = 1..[[graft.operators

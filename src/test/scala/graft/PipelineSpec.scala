@@ -416,6 +416,33 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.p18RegressionEval(spark, sfDir).collect().toSeq)
   }
 
+  test("p20: draws are partition-invariant, in-range, and statistically sane") {
+    val rows = Pipeline.p20RandomFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(n > 0)
+    // uniform range is exactly the 20-bit slice
+    rows.foreach { case (_, u, _) => assert(u >= 0L && u < 1048576L) }
+    // Irwin-Hall range: |z| <= 6 * 2^20
+    rows.foreach { case (_, _, z) => assert(math.abs(z) <= 6L * 1048576L) }
+    // mean of u within 4 sigma of 2^19 (sigma = 2^20/sqrt(12n))
+    val uMean = rows.map(_._2.toDouble).sum / n
+    val uSig = 1048576.0 / math.sqrt(12.0 * n)
+    assert(math.abs(uMean - 524288.0) < 4 * uSig, s"u mean $uMean")
+    // z: mean near 0 (sigma_mean = 2^20/sqrt(n)), variance near 2^40
+    val zMean = rows.map(_._3.toDouble).sum / n
+    assert(math.abs(zMean) < 4 * 1048576.0 / math.sqrt(n), s"z mean $zMean")
+    val zVar = rows.map(t => t._3.toDouble * t._3.toDouble).sum / n
+    val v0 = 1048576.0 * 1048576.0
+    assert(zVar > 0.8 * v0 && zVar < 1.2 * v0, s"z var ratio ${zVar / v0}")
+    // the rand(seed) contrast: values survive repartitioning because
+    // they are a pure function of the key
+    val re = Pipeline.p20RandomFeatures(spark, sfDir).repartition(7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(re.toSeq == rows.sortBy(_._1).toSeq,
+      "draws must be partition-invariant")
+  }
+
   test("p19: ranking metrics match a brute-force in-memory rescore") {
     import graft.operators.Recommend
     val k = Recommend.RecTopK
