@@ -172,6 +172,7 @@ object SparkEntry {
     "s23_silhouette" -> (Similarity.s23Silhouette _),
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
+    "s28_svdpp" -> (Recommend.s28Svdpp _),
     "s26_spearman" -> (Similarity.s26Spearman _),
     "s27_gmm" -> (Similarity.s27Gmm _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
@@ -2587,6 +2588,8 @@ object SparkEntry {
     "s24_implicit_als" -> Recommend.implicitOracleSql,
     // s25: the s13 rounds chain + per-customer ranked tick dots.
     "s25_recommend_topk" -> Recommend.recTopkOracleSql,
+    // s28: the batch-GD SVD++ rounds unrolled, staged truncating divs.
+    "s28_svdpp" -> Recommend.svdppOracleSql,
     // s15: s13's shared rounds chain over the bias-debiased residual
     // ratings — the integer bias stages are plain CTEs.
     "s15_biased_mf" -> Recommend.biasedOracleSql,

@@ -255,7 +255,7 @@ object Recommend {
     * The full SVD++ implicit-feedback term (Σ y_j per rating) needs a
     * per-rating vector sum over each user's item set — a second
     * rank-wide shuffle the bias+factor decomposition doesn't pay;
-    * documented as the extension point, not implemented.
+    * [[s28Svdpp]] implements it (and pays that shuffle).
     *
     * Output: (node_type 'c'|'s', entity_key, n_rated, bias_ticks,
     * f0..f3_ticks) — biases and factors all integer ticks, fully
@@ -996,4 +996,272 @@ object Recommend {
        |  s AS l_suppkey, CAST(score AS BIGINT) AS score_ticks24
        |FROM rk
        |ORDER BY o_custkey, rank""".stripMargin
+
+  /** Batch-GD rounds for [[s28Svdpp]] — fixed, unrolled by the
+    * oracle.
+    */
+  private[graft] val SvdppIters = 2
+
+  /** Tick clamp for every learned SVD++ quantity (the s13 bound). */
+  private[graft] val SvdppClamp = 65536L
+
+  /** s28: SVD++ — the implicit-feedback factor model s15 documents
+    * as its extension point, and the reference's graph-library
+    * recommender (reference: /root/reference/graphx/src/main/scala/
+    * org/apache/spark/graphx/lib/SVDPlusPlus.scala:1, which runs
+    * iterative gradient rounds over the rating graph; model: Koren
+    * KDD'08 — r̂ = μ + b_c + b_s + q·(p + |N(c)|^-1/2 Σ_{j∈N(c)}
+    * y_j)). The y_j term is what distinguishes SVD++ from s15: every
+    * item a user TOUCHED contributes an implicit-feedback vector to
+    * the user's representation, which is why each round pays the
+    * documented SECOND rank-wide shuffle (y-sums per user forward,
+    * per-user gradients redistributed to items backward — both keyed
+    * by the ratings frame itself).
+    *
+    * Determinism contract (fully-quantized batch GD — the q50/q57
+    * posture at rank [[AlsRank]]): everything lives on the 2⁻¹² tick
+    * grid clamped ±[[SvdppClamp]]; per-rating quantities are exact
+    * integer products staged through truncating power-of-two divs
+    * BEFORE summation (gp = e24·q div 2²⁴ ≤ 2²⁶ — order-independent
+    * long sums to 2³⁷ ratings, the eager form of the q50 gradient
+    * retune); z = clamp(p + wu·ysum div 2¹²); e24 = r·2²⁴ − r̂24
+    * exact. The ONLY non-integer inputs are model-entity values both
+    * engines compute from identical integers by identical trees:
+    * wu = floor(2¹²/√n_c) (one sqrt per user — the s13 per-entity
+    * solve posture) and the 'svdpp:' md5 init ticks (p, q mod 2¹⁰;
+    * y mod 2⁸ so first-round ysums stay bounded). Updates are
+    * synchronous (one e-frame per round feeds ALL five gradient
+    * aggregates), rates γ = 1/16 and shrink λ = 1/64 as fixed
+    * power-of-two truncating divs; the y update normalizes by each
+    * item's rating count (our documented variant of graphx's
+    * per-edge accumulation — deterministic mean-gradient form).
+    *
+    * Scale shape per round: the e-frame is ratings-sized (built by
+    * entity-keyed joins on the ratings' own keys, checkpointed once,
+    * read by three partial-agg'd passes); the forward y-sum and
+    * backward y-gradient are each ONE ratings-keyed shuffle carrying
+    * rank-wide state — the second-shuffle price stated up front.
+    * Models are entity frames; nothing is collected.
+    *
+    * Output: (node_type, entity_key, n_rated, bias_ticks,
+    * f0..f3_ticks, y0..y3_ticks) — p for customers, q for suppliers,
+    * y on the supplier rows (zeros on customers), fully
+    * hash-verified.
+    */
+  private def svdppInit(tag: String, keyCol: Column, k: Int, mod: Long): Column =
+    conv(substring(md5(concat(lit(s"svdpp:$tag:"), keyCol.cast("string"),
+      lit(s":$k"))), 1, 5), 16, 10).cast("long") % mod
+
+  private def clampT(c: Column): Column =
+    least(greatest(c, lit(-SvdppClamp)), lit(SvdppClamp))
+
+  def s28Svdpp(spark: SparkSession, sfDir: String): DataFrame =
+    svdppCore(purchaseRatings(spark, sfDir))
+
+  /** The SVD++ rounds over any (c, s, r) long-count ratings frame —
+    * package-private for the planted-structure spec.
+    */
+  private[graft] def svdppCore(raw: DataFrame): DataFrame = {
+    val mu = raw.agg(expr("(sum(r) * 4096) div count(*)").as("m"))
+      .localCheckpoint(true)
+    val nc = raw.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
+      .withColumn("wu", expr(
+        "CAST(floor(CAST(4096.0 AS DOUBLE) / sqrt(CAST(n_c AS DOUBLE))) AS BIGINT)"))
+      .localCheckpoint(true)
+    val ns = raw.groupBy(col("s")).agg(count(lit(1)).as("n_s"))
+      .localCheckpoint(true)
+    var bc = nc.select(col("c"), lit(0L).as("bc")).localCheckpoint(true)
+    var bs = ns.select(col("s"), lit(0L).as("bs")).localCheckpoint(true)
+    var p = nc.select(Seq(col("c")) ++ (0 until AlsRank).map(k =>
+      svdppInit("p", col("c"), k, 1024L).as(s"p$k")): _*).localCheckpoint(true)
+    var q = ns.select(Seq(col("s")) ++ (0 until AlsRank).map(k =>
+      svdppInit("q", col("s"), k, 1024L).as(s"q$k")): _*).localCheckpoint(true)
+    var y = ns.select(Seq(col("s")) ++ (0 until AlsRank).map(k =>
+      svdppInit("y", col("s"), k, 256L).as(s"y$k")): _*).localCheckpoint(true)
+    for (_ <- 1 to SvdppIters) {
+      val ysum = raw.join(y, "s").groupBy(col("c"))
+        .agg((0 until AlsRank).map(k => sum(col(s"y$k")).as(s"ys$k")).head,
+          (0 until AlsRank).map(k => sum(col(s"y$k")).as(s"ys$k")).tail: _*)
+      val zCols = (0 until AlsRank).map(k =>
+        clampT(col(s"p$k") + expr(s"(wu * ys$k) div 4096")).as(s"z$k"))
+      val joined0 = raw.join(bc, "c").join(bs, "s").join(p, "c").join(q, "s")
+        .join(ysum, "c").join(nc.select(col("c"), col("wu")), "c")
+        .crossJoin(broadcast(mu))
+      val joined = (0 until AlsRank).foldLeft(joined0) { (df, k) =>
+          df.withColumn(s"z$k", zCols(k))
+        }
+        .withColumn("rhat24", (col("m") + col("bc") + col("bs")) * lit(4096L) +
+          (0 until AlsRank).map(k => col(s"q$k") * col(s"z$k")).reduce(_ + _))
+        .withColumn("e24", col("r") * lit(16777216L) - col("rhat24"))
+      val staged = (0 until AlsRank).foldLeft(joined) { (df, k) =>
+          df.withColumn(s"gp$k", expr(s"(e24 * q$k) div 16777216"))
+            .withColumn(s"gq$k", expr(s"(e24 * z$k) div 16777216"))
+            .withColumn(s"vy$k", expr(s"((e24 * q$k) div 16777216) * wu div 4096"))
+        }.localCheckpoint(true)
+      val uagg = staged.groupBy(col("c"))
+        .agg(sum(col("e24")).as("se"),
+          (0 until AlsRank).map(k => sum(col(s"gp$k")).as(s"sgp$k")) ++
+            (0 until AlsRank).map(k => sum(col(s"vy$k")).as(s"sy$k")): _*)
+        .localCheckpoint(true)
+      val iagg = staged.groupBy(col("s"))
+        .agg(sum(col("e24")).as("se"),
+          (0 until AlsRank).map(k => sum(col(s"gq$k")).as(s"sgq$k")): _*)
+      val yagg = raw.join(uagg.select(Seq(col("c")) ++
+          (0 until AlsRank).map(k => col(s"sy$k")): _*), "c")
+        .groupBy(col("s"))
+        .agg((0 until AlsRank).map(k => sum(col(s"sy$k")).as(s"gy$k")).head,
+          (0 until AlsRank).map(k => sum(col(s"sy$k")).as(s"gy$k")).tail: _*)
+      bc = bc.join(uagg.select(col("c"), col("se")), "c").join(nc, "c")
+        .select(col("c"),
+          clampT(col("bc") + expr("se div (16 * n_c * 4096)") -
+            expr("bc div 64")).as("bc"))
+        .localCheckpoint(true)
+      bs = bs.join(iagg.select(col("s"), col("se")), "s").join(ns, "s")
+        .select(col("s"),
+          clampT(col("bs") + expr("se div (16 * n_s * 4096)") -
+            expr("bs div 64")).as("bs"))
+        .localCheckpoint(true)
+      p = p.join(uagg, "c").join(nc, "c")
+        .select(Seq(col("c")) ++ (0 until AlsRank).map(k =>
+          clampT(col(s"p$k") + expr(s"sgp$k div (16 * n_c)") -
+            expr(s"p$k div 64")).as(s"p$k")): _*)
+        .localCheckpoint(true)
+      q = q.join(iagg, "s").join(ns, "s")
+        .select(Seq(col("s")) ++ (0 until AlsRank).map(k =>
+          clampT(col(s"q$k") + expr(s"sgq$k div (16 * n_s)") -
+            expr(s"q$k div 64")).as(s"q$k")): _*)
+        .localCheckpoint(true)
+      y = y.join(yagg, "s").join(ns, "s")
+        .select(Seq(col("s")) ++ (0 until AlsRank).map(k =>
+          clampT(col(s"y$k") + expr(s"gy$k div (16 * n_s)") -
+            expr(s"y$k div 64")).as(s"y$k")): _*)
+        .localCheckpoint(true)
+    }
+    val userOut = bc.join(p, "c").join(nc.select(col("c"), col("n_c")), "c")
+      .select(Seq(lit("c").as("node_type"), col("c").as("entity_key"),
+        col("n_c").as("n_rated"), col("bc").as("bias_ticks")) ++
+        (0 until AlsRank).map(k => col(s"p$k").as(s"f${k}_ticks")) ++
+        (0 until AlsRank).map(k => lit(0L).as(s"y${k}_ticks")): _*)
+    val itemOut = bs.join(q, "s").join(y, "s")
+      .join(ns.select(col("s"), col("n_s")), "s")
+      .select(Seq(lit("s").as("node_type"), col("s").as("entity_key"),
+        col("n_s").as("n_rated"), col("bs").as("bias_ticks")) ++
+        (0 until AlsRank).map(k => col(s"q$k").as(s"f${k}_ticks")) ++
+        (0 until AlsRank).map(k => col(s"y$k").as(s"y${k}_ticks")): _*)
+    userOut.unionByName(itemOut)
+      .orderBy(col("node_type"), col("entity_key"))
+  }
+
+  /** The DuckDB twin of [[s28Svdpp]]: the batch-GD rounds unrolled —
+    * identical md5 init, identical staged truncating-div arithmetic,
+    * the per-user sqrt through the same tree.
+    */
+  private[graft] def svdppOracleSql: String = {
+    val R = AlsRank
+    def ks(f: Int => String): String = (0 until R).map(f).mkString(", ")
+    def pin(tag: String, key: String, k: Int, mod: Long): String =
+      s"CAST(('0x' || substr(md5('svdpp:$tag:' || CAST($key AS VARCHAR) " +
+        s"|| ':$k'), 1, 5))::UBIGINT % $mod AS BIGINT)"
+    def cl(x: String) = s"least(greatest($x, -$SvdppClamp), $SvdppClamp)"
+    def roundCtes(r: Int): String = {
+      val pv = r - 1
+      s"""ys$r AS MATERIALIZED (
+         |  SELECT ratings.c, ${ks(k => s"CAST(sum(y$pv.y$k) AS BIGINT) AS ys$k")}
+         |  FROM ratings JOIN y$pv ON ratings.s = y$pv.s GROUP BY 1),
+         |j$r AS MATERIALIZED (
+         |  SELECT *, r * 16777216 - rhat24 AS e24 FROM (
+         |    SELECT *, (m + bc + bs) * 4096
+         |      + (${ks(k => s"q$k * z$k").replace(", ", " + ")}) AS rhat24
+         |    FROM (
+         |      SELECT base.*,
+         |        ${ks(k => cl(s"p$k + (wu * ys$k) // 4096") + s" AS z$k")}
+         |      FROM (
+         |        SELECT ratings.c, ratings.s, ratings.r, nc.n_c, nc.wu,
+         |          ns.n_s, bc$pv.bc, bs$pv.bs,
+         |          ${ks(k => s"p$pv.p$k")}, ${ks(k => s"q$pv.q$k")},
+         |          ${ks(k => s"ys$r.ys$k")}, (SELECT m FROM mu) AS m
+         |        FROM ratings
+         |        JOIN nc ON ratings.c = nc.c
+         |        JOIN ns ON ratings.s = ns.s
+         |        JOIN bc$pv ON ratings.c = bc$pv.c
+         |        JOIN bs$pv ON ratings.s = bs$pv.s
+         |        JOIN p$pv ON ratings.c = p$pv.c
+         |        JOIN q$pv ON ratings.s = q$pv.s
+         |        JOIN ys$r ON ratings.c = ys$r.c) base) z) rh),
+         |g$r AS MATERIALIZED (
+         |  SELECT *,
+         |    ${ks(k => s"(e24 * q$k) // 16777216 AS gp$k")},
+         |    ${ks(k => s"(e24 * z$k) // 16777216 AS gq$k")},
+         |    ${ks(k => s"(((e24 * q$k) // 16777216) * wu) // 4096 AS vy$k")}
+         |  FROM j$r),
+         |ua$r AS MATERIALIZED (
+         |  SELECT c, max(n_c) AS n_c, CAST(sum(e24) AS BIGINT) AS se,
+         |    ${ks(k => s"CAST(sum(gp$k) AS BIGINT) AS sgp$k")},
+         |    ${ks(k => s"CAST(sum(vy$k) AS BIGINT) AS sy$k")}
+         |  FROM g$r GROUP BY c),
+         |ia$r AS MATERIALIZED (
+         |  SELECT s, max(n_s) AS n_s, CAST(sum(e24) AS BIGINT) AS se,
+         |    ${ks(k => s"CAST(sum(gq$k) AS BIGINT) AS sgq$k")}
+         |  FROM g$r GROUP BY s),
+         |ya$r AS MATERIALIZED (
+         |  SELECT ratings.s, ${ks(k => s"CAST(sum(ua$r.sy$k) AS BIGINT) AS gy$k")}
+         |  FROM ratings JOIN ua$r ON ratings.c = ua$r.c GROUP BY 1),
+         |bc$r AS MATERIALIZED (
+         |  SELECT b.c, ${cl("b.bc + u.se // (16 * u.n_c * 4096) - b.bc // 64")} AS bc
+         |  FROM bc$pv b JOIN ua$r u ON b.c = u.c),
+         |bs$r AS MATERIALIZED (
+         |  SELECT b.s, ${cl("b.bs + i.se // (16 * i.n_s * 4096) - b.bs // 64")} AS bs
+         |  FROM bs$pv b JOIN ia$r i ON b.s = i.s),
+         |p$r AS MATERIALIZED (
+         |  SELECT pp.c,
+         |    ${ks(k => cl(s"pp.p$k + u.sgp$k // (16 * u.n_c) - pp.p$k // 64") +
+               s" AS p$k")}
+         |  FROM p$pv pp JOIN ua$r u ON pp.c = u.c),
+         |q$r AS MATERIALIZED (
+         |  SELECT qq.s,
+         |    ${ks(k => cl(s"qq.q$k + i.sgq$k // (16 * i.n_s) - qq.q$k // 64") +
+               s" AS q$k")}
+         |  FROM q$pv qq JOIN ia$r i ON qq.s = i.s),
+         |y$r AS MATERIALIZED (
+         |  SELECT yy.s,
+         |    ${ks(k => cl(s"yy.y$k + ya.gy$k // (16 * ns.n_s) - yy.y$k // 64") +
+               s" AS y$k")}
+         |  FROM y$pv yy JOIN ya$r ya ON yy.s = ya.s
+         |  JOIN ns ON yy.s = ns.s)""".stripMargin
+    }
+    val n = SvdppIters
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |mu AS MATERIALIZED (
+       |  SELECT CAST((sum(r) * 4096) // count(*) AS BIGINT) AS m FROM ratings),
+       |nc AS MATERIALIZED (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS n_c,
+       |    CAST(floor(CAST(4096.0 AS DOUBLE)
+       |      / sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS wu
+       |  FROM ratings GROUP BY c),
+       |ns AS MATERIALIZED (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_s FROM ratings GROUP BY s),
+       |bc0 AS MATERIALIZED (SELECT c, CAST(0 AS BIGINT) AS bc FROM nc),
+       |bs0 AS MATERIALIZED (SELECT s, CAST(0 AS BIGINT) AS bs FROM ns),
+       |p0 AS MATERIALIZED (
+       |  SELECT c, ${ks(k => pin("p", "c", k, 1024L) + s" AS p$k")} FROM nc),
+       |q0 AS MATERIALIZED (
+       |  SELECT s, ${ks(k => pin("q", "s", k, 1024L) + s" AS q$k")} FROM ns),
+       |y0 AS MATERIALIZED (
+       |  SELECT s, ${ks(k => pin("y", "s", k, 256L) + s" AS y$k")} FROM ns),
+       |${(1 to n).map(roundCtes).mkString(",\n")}
+       |SELECT 'c' AS node_type, bc$n.c AS entity_key,
+       |  nc.n_c AS n_rated, bc$n.bc AS bias_ticks,
+       |  ${ks(k => s"p$n.p$k AS f${k}_ticks")},
+       |  ${ks(k => s"CAST(0 AS BIGINT) AS y${k}_ticks")}
+       |FROM bc$n JOIN p$n ON bc$n.c = p$n.c JOIN nc ON bc$n.c = nc.c
+       |UNION ALL
+       |SELECT 's', bs$n.s, ns.n_s, bs$n.bs,
+       |  ${ks(k => s"q$n.q$k")}, ${ks(k => s"y$n.y$k")}
+       |FROM bs$n JOIN q$n ON bs$n.s = q$n.s JOIN y$n ON bs$n.s = y$n.s
+       |JOIN ns ON bs$n.s = ns.s
+       |ORDER BY node_type, entity_key""".stripMargin
+  }
 }

@@ -291,6 +291,55 @@ class RecommendSpec extends AnyFunSuite {
     }
   }
 
+  test("s28 SVD++ learns planted block structure and beats the mean baseline") {
+    val sess = spark
+    import sess.implicits._
+    // two user/item blocks with different rating levels: block 1
+    // rates high (8), block 2 rates low (2) — biases must separate
+    // and the fitted model must beat predicting the global mean
+    val cells =
+      (for { c <- 1L to 6L; s <- 1L to 4L } yield (c, s, 8L)) ++
+      (for { c <- 11L to 16L; s <- 11L to 14L } yield (c, s, 2L))
+    val raw = cells.toDF("c", "s", "r").localCheckpoint(true)
+    val out = Recommend.svdppCore(raw).collect()
+    val users = out.filter(_.getString(0) == "c")
+      .map(r => r.getLong(1) -> r).toMap
+    val items = out.filter(_.getString(0) == "s")
+      .map(r => r.getLong(1) -> r).toMap
+    // every learned tick obeys the clamp
+    out.foreach(r => (3 until r.length).foreach(i =>
+      assert(math.abs(r.getLong(i)) <= Recommend.SvdppClamp)))
+    // rebuild the predictor from the OUTPUT model alone: mu from the
+    // ratings, wu from n_rated, ysum from the item y rows
+    val muT = cells.map(_._3).sum * 4096L / cells.size
+    def predict(c: Long, s: Long): Double = {
+      val u = users(c); val i = items(s)
+      val nC = u.getLong(2)
+      val wu = math.floor(4096.0 / math.sqrt(nC.toDouble)).toLong
+      val rated = cells.filter(_._1 == c).map(_._2)
+      val ys = (0 until 4).map(k =>
+        rated.map(j => items(j).getLong(8 + k)).sum)
+      val z = (0 until 4).map(k => math.max(-65536L, math.min(65536L,
+        u.getLong(4 + k) + (wu * ys(k)) / 4096L)))
+      val qz = (0 until 4).map(k => i.getLong(4 + k) * z(k)).sum
+      ((muT + u.getLong(3) + i.getLong(3)) * 4096L + qz).toDouble / 16777216.0
+    }
+    val sseModel = cells.map { case (c, s, r) =>
+      val d = r.toDouble - predict(c, s); d * d }.sum
+    val sseMean = cells.map { case (c, s, r) =>
+      val d = r.toDouble - muT.toDouble / 4096.0; d * d }.sum
+    info(f"sse model $sseModel%.2f vs mean baseline $sseMean%.2f")
+    assert(sseModel < sseMean * 0.5,
+      f"model must explain the block structure: $sseModel%.1f vs $sseMean%.1f")
+    // bias separation: high-block biases above low-block ones
+    val bHigh = (1L to 6L).map(users(_).getLong(3)).min
+    val bLow = (11L to 16L).map(users(_).getLong(3)).max
+    assert(bHigh > bLow, s"user bias separation: $bHigh vs $bLow")
+    // corpus determinism
+    val a = Recommend.s28Svdpp(spark, sfDir).collect().toSeq
+    assert(a.nonEmpty && a == Recommend.s28Svdpp(spark, sfDir).collect().toSeq)
+  }
+
   test("s24 implicit ALS separates planted preference blocks") {
     val sess = spark
     import sess.implicits._
