@@ -164,6 +164,7 @@ object SparkEntry {
     "p18_regression_eval" -> (Pipeline.p18RegressionEval _),
     "p19_ranking_eval" -> (Pipeline.p19RankingEval _),
     "p20_random_features" -> (Pipeline.p20RandomFeatures _),
+    "p21_quantile_bins" -> (Pipeline.p21QuantileBins _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -3531,6 +3532,8 @@ object SparkEntry {
     "p19_ranking_eval" -> Pipeline.p19OracleSql(Recommend.recTopkCtes),
     // p20: pure md5 bit-slice arithmetic, identical both engines.
     "p20_random_features" -> Pipeline.p20OracleSql,
+    // p21: exact type-1 grid quantiles, integer split rule.
+    "p21_quantile_bins" -> Pipeline.p21OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

@@ -870,6 +870,100 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Buckets produced by [[p21QuantileBins]]. */
+  private[graft] val QuantBuckets = 4
+
+  /** p21: quantile discretization of document length — the
+    * reference's ml/feature/QuantileDiscretizer.scala:1 surface
+    * (data-derived splits + Bucketizer assignment; p16's Bucketizer
+    * used FIXED splits — this op derives them from the data, which
+    * is the part QuantileDiscretizer exists for). Where the
+    * reference computes splits by approxQuantile (sketch-based,
+    * seed/merge-order dependent), the engine uses the EXACT type-1
+    * (lower) quantile off the value-grid CDF: split_p = min{v :
+    * 4·cum(v) ≥ p·n} — pure integer comparisons, no division, no
+    * interpolation, deterministic at any partitioning; the grid is
+    * bounded by the VALUE RANGE (n_chars), never the corpus (the
+    * q53 posture). Documents bucket by how many splits they exceed,
+    * so buckets are left-closed and quantile-balanced up to value
+    * ties (ties all land in one bucket — stated; the approxQuantile
+    * behavior at relativeError 0 matches this lower-quantile rule).
+    *
+    * Output: per bucket (bucket, split_upper = its upper split or
+    * the corpus max for the last, n_docs, min/max chars) — the
+    * discretization report + the splits themselves, hash-verified.
+    *
+    * Scale shape: one map-side (value → count) partial agg to the
+    * grid, a grid-bounded window, a 1-row splits broadcast back onto
+    * one corpus scan, then a ≤4-group aggregate.
+    */
+  def p21QuantileBins(spark: SparkSession, sfDir: String): DataFrame =
+    quantileBinsCore(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("v")))
+
+  /** The discretizer core over any (doc_id, v long) frame —
+    * package-private for the planted exact-quartile spec.
+    */
+  private[graft] def quantileBinsCore(docs: DataFrame): DataFrame = {
+    val grid = docs.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val nf = docs.agg(count(lit(1)).as("n"))
+    val splits = grid.crossJoin(broadcast(nf))
+      .agg((1 until QuantBuckets).map(p =>
+        min(when(col("cum") * lit(QuantBuckets.toLong) >= col("n") * lit(p.toLong),
+          col("v"))).as(s"s$p")).head,
+        (1 until QuantBuckets).map(p =>
+          min(when(col("cum") * lit(QuantBuckets.toLong) >= col("n") * lit(p.toLong),
+            col("v"))).as(s"s$p")).tail: _*)
+      .localCheckpoint(true)
+    val bucket = (1 until QuantBuckets).map(p =>
+      (col("v") > col(s"s$p")).cast("long")).reduce(_ + _)
+    docs.crossJoin(broadcast(splits))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        Seq(min(col("v")).as("min_chars"), max(col("v")).as("max_chars")) ++
+          (1 until QuantBuckets).map(p => max(col(s"s$p")).as(s"s$p")): _*)
+      .select(col("bucket"),
+        expr((1 until QuantBuckets).map(p =>
+          s"WHEN bucket = ${p - 1} THEN s$p").mkString(
+          "CASE ", " ", " ELSE max_chars END")).as("split_upper"),
+        col("n_docs"), col("min_chars"), col("max_chars"))
+      .orderBy(col("bucket"))
+  }
+
+  /** p21's DuckDB twin — the same grid CDF and integer split rule. */
+  private[graft] def p21OracleSql: String = {
+    val b = QuantBuckets
+    val sCols = (1 until b).map(p =>
+      s"min(CASE WHEN cum * $b >= n * $p THEN v END) AS s$p").mkString(", ")
+    val bucketExpr = (1 until b).map(p =>
+      s"CASE WHEN d.n_chars > s$p THEN 1 ELSE 0 END").mkString(" + ")
+    val splitCase = "CASE " + (1 until b).map(p =>
+      s"WHEN bucket = ${p - 1} THEN s$p").mkString(" ") + " ELSE mx END"
+    s"""WITH grid AS (
+       |  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1),
+       |cg AS (
+       |  SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST((SELECT count(*) FROM documents) AS BIGINT) AS n
+       |  FROM grid),
+       |sp AS (SELECT $sCols FROM cg),
+       |bk AS (
+       |  SELECT CAST($bucketExpr AS BIGINT) AS bucket, d.n_chars AS v
+       |  FROM documents d, sp),
+       |ag AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |    min(v) AS min_chars, max(v) AS max_chars
+       |  FROM bk GROUP BY bucket)
+       |SELECT bucket, $splitCase AS split_upper, n_docs, min_chars, max_chars
+       |FROM ag, sp, (SELECT max(n_chars) AS mx FROM documents) m
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** Discount-weight tick table for p19's NDCG: w_i =
     * floor(2²⁰ / log2(i + 1)) for rank i = 1..[[graft.operators
     * .Recommend.RecTopK]]. Computed ONCE here and interpolated as

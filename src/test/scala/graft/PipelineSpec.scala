@@ -443,6 +443,34 @@ class PipelineSpec extends AnyFunSuite {
       "draws must be partition-invariant")
   }
 
+  test("p21: planted quartiles split exactly; corpus buckets balance") {
+    val sess = spark
+    import sess.implicits._
+    // values 1..8 once each: type-1 quartile splits are exactly
+    // 2/4/6 and the four buckets hold exactly two docs each
+    val docs = (1L to 8L).map(i => (i, i)).toDF("doc_id", "v")
+    val out = Pipeline.quantileBinsCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 1L, 2L), (1L, 4L, 2L, 3L, 4L),
+      (2L, 6L, 2L, 5L, 6L), (3L, 8L, 2L, 7L, 8L)), out.toSeq)
+    // corpus: buckets partition the table, are ordered and balanced
+    // within the tie tolerance
+    val c = Pipeline.p21QuantileBins(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(c.map(_._2).sum == total)
+    c.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 < b._3, s"buckets must be disjoint ordered: $a $b")
+    }
+    val ideal = total.toDouble / 4
+    c.foreach { case (bk, n, _, _) =>
+      assert(n > 0.5 * ideal && n < 1.5 * ideal, s"bucket $bk size $n") }
+    assert(c.toSeq == Pipeline.p21QuantileBins(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq)
+  }
+
   test("p19: ranking metrics match a brute-force in-memory rescore") {
     import graft.operators.Recommend
     val k = Recommend.RecTopK
