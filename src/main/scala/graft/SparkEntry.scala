@@ -165,6 +165,7 @@ object SparkEntry {
     "p19_ranking_eval" -> (Pipeline.p19RankingEval _),
     "p20_random_features" -> (Pipeline.p20RandomFeatures _),
     "p21_quantile_bins" -> (Pipeline.p21QuantileBins _),
+    "p22_cross_validation" -> (Pipeline.p22CrossValidation _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -824,6 +825,9 @@ object SparkEntry {
   private def ridgeBaseSql: String =
     """b AS (
       |  SELECT l_returnflag,
+      |    CAST(('0x' || substr(md5(concat('cv:', CAST(l_orderkey AS VARCHAR),
+      |      ':', CAST(l_linenumber AS VARCHAR))), 1, 5))::UBIGINT % 4
+      |      AS BIGINT) AS fold,
       |    floor(l_extendedprice + 0.5) / CAST(4096.0 AS DOUBLE) AS r,
       |    CAST(1.0 AS DOUBLE) AS f0,
       |    l_quantity AS f1,
@@ -834,14 +838,16 @@ object SparkEntry {
   /** The solved per-group ridge model over the `b` CTE — the q49
     * Gram + [[graft.operators.Recommend.solveSqlNested]] chain.
     */
-  private def ridgeSolvedSql: String = {
+  private def ridgeSolvedSql: String = ridgeSolvedSqlOver("b")
+
+  private def ridgeSolvedSqlOver(rel: String): String = {
     val rank = graft.operators.Recommend.AlsRank
     val gramSel =
       (for { i <- 0 until rank; j <- 0 to i }
         yield s"sum(f$j * f$i) AS g$i$j").mkString(", ") + ", " +
         (0 until rank).map(k => s"sum(r * f$k) AS b$k").mkString(", ")
     graft.operators.Recommend.solveSqlNested(
-      s"SELECT l_returnflag, count(*) AS n, $gramSel FROM b GROUP BY l_returnflag")
+      s"SELECT l_returnflag, count(*) AS n, $gramSel FROM $rel GROUP BY l_returnflag")
   }
 
   private def q49OracleSql: String = {
@@ -860,34 +866,66 @@ object SparkEntry {
     * truncating division of non-negative BIGINTs (`//` ≡ `div`).
     * Sums CAST back to BIGINT (the HUGEINT→float64 driver-hash trap).
     */
-  private def p18OracleSql: String =
-    s"""WITH $ridgeBaseSql,
-       |m AS (SELECT l_returnflag, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3
-       |  FROM $ridgeSolvedSql),
-       |pr AS (SELECT b.l_returnflag, b.r,
-       |    m.c0*b.f0 + m.c1*b.f1 + m.c2*b.f2 + m.c3*b.f3 AS pred
-       |  FROM b JOIN m ON b.l_returnflag = m.l_returnflag),
-       |rr AS (SELECT l_returnflag,
-       |    CAST(floor((r - pred) * 4096.0 + 0.5) AS BIGINT) AS r12,
-       |    CAST(floor((r - pred) * 64.0 + 0.5) AS BIGINT) AS r6,
-       |    CAST(floor(r * 64.0 + 0.5) AS BIGINT) AS y6,
-       |    CAST(floor(pred * 64.0 + 0.5) AS BIGINT) AS p6
-       |  FROM pr),
-       |ag AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  /** The p18 metric chain as one nested SELECT over a base relation
+    * and a model relation (columns c0..c3) — shared by the p18
+    * oracle and p22's per-fold held-out evaluations.
+    */
+  private def regressionMetricsSql(baseRel: String, modelRel: String): String =
+    s"""SELECT l_returnflag, n,
+       |  (sae12 * 256) // n AS mae_ticks,
+       |  (sse6 * 256) // n AS mse_ticks,
+       |  1048576 - (sse6 * 1048576) // ((n * syy6 - sy6 * sy6) // n)
+       |    AS r2_ticks,
+       |  (((n * spp6 - sp6 * sp6) // n) * 256) // n AS evar_ticks
+       |FROM (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(abs(r12)) AS BIGINT) AS sae12,
        |    CAST(sum(r6 * r6) AS BIGINT) AS sse6,
        |    CAST(sum(y6) AS BIGINT) AS sy6,
        |    CAST(sum(y6 * y6) AS BIGINT) AS syy6,
        |    CAST(sum(p6) AS BIGINT) AS sp6,
        |    CAST(sum(p6 * p6) AS BIGINT) AS spp6
-       |  FROM rr GROUP BY l_returnflag)
-       |SELECT l_returnflag, n,
-       |  (sae12 * 256) // n AS mae_ticks,
-       |  (sse6 * 256) // n AS mse_ticks,
-       |  1048576 - (sse6 * 1048576) // ((n * syy6 - sy6 * sy6) // n)
-       |    AS r2_ticks,
-       |  (((n * spp6 - sp6 * sp6) // n) * 256) // n AS evar_ticks
-       |FROM ag ORDER BY l_returnflag""".stripMargin
+       |  FROM (
+       |    SELECT l_returnflag,
+       |      CAST(floor((r - pred) * 4096.0 + 0.5) AS BIGINT) AS r12,
+       |      CAST(floor((r - pred) * 64.0 + 0.5) AS BIGINT) AS r6,
+       |      CAST(floor(r * 64.0 + 0.5) AS BIGINT) AS y6,
+       |      CAST(floor(pred * 64.0 + 0.5) AS BIGINT) AS p6
+       |    FROM (
+       |      SELECT tb.l_returnflag, tb.r,
+       |        tm.c0*tb.f0 + tm.c1*tb.f1 + tm.c2*tb.f2 + tm.c3*tb.f3 AS pred
+       |      FROM $baseRel tb
+       |      JOIN $modelRel tm ON tb.l_returnflag = tm.l_returnflag) pr
+       |    ) rr
+       |  GROUP BY l_returnflag) ag""".stripMargin
+
+  private def p18OracleSql: String =
+    s"""WITH $ridgeBaseSql,
+       |m AS (SELECT l_returnflag, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3
+       |  FROM $ridgeSolvedSql)
+       |${regressionMetricsSql("b", "m")}
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** p22's DuckDB twin: per fold, the ridge solve over the training
+    * complement and the p18 metric chain over the held-out fold.
+    */
+  private def p22OracleSql: String = {
+    val folds = graft.operators.Pipeline.CvFolds
+    val foldCtes = (0 until folds).map { f =>
+      s"""tr$f AS (SELECT * FROM b WHERE fold <> $f),
+         |te$f AS (SELECT * FROM b WHERE fold = $f),
+         |m$f AS (SELECT l_returnflag, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3
+         |  FROM ${ridgeSolvedSqlOver(s"tr$f")})""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until folds).map { f =>
+      s"SELECT CAST($f AS BIGINT) AS fold, * FROM (" +
+        s"${regressionMetricsSql(s"te$f", s"m$f")}) f$f"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ridgeBaseSql,
+       |$foldCtes
+       |$unions
+       |ORDER BY fold, l_returnflag""".stripMargin
+  }
 
   /** q51's DuckDB twin: same integer grid/bandwidth/kernel sums, the
     * left join re-entering empty-support points, and
@@ -3534,6 +3572,8 @@ object SparkEntry {
     "p20_random_features" -> Pipeline.p20OracleSql,
     // p21: exact type-1 grid quantiles, integer split rule.
     "p21_quantile_bins" -> Pipeline.p21OracleSql,
+    // p22: per-fold ridge solves + the shared p18 metric chain.
+    "p22_cross_validation" -> p22OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

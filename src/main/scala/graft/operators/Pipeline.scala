@@ -870,6 +870,46 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Folds used by [[p22CrossValidation]]. */
+  private[graft] val CvFolds = 4
+
+  /** p22: k-fold cross-validation of the q49 ridge model — the
+    * reference's model-selection surface (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/ml/tuning/
+    * CrossValidator.scala:1 — split into k folds, fit on each
+    * complement, evaluate on the held-out fold) and the engine's
+    * first HELD-OUT evaluation: p15/p18/p19 state the resubstitution
+    * framing honestly; this key is the answer — fold ids are a pure
+    * md5 function of the row key (the p20 partition-invariance
+    * rule, so folds survive any repartitioning — Spark's
+    * randomSplit does NOT), each fold's model trains on the other
+    * k−1 folds via the SAME solveSide chain as q49, and the
+    * held-out fold is scored by the SAME integer metric tail as p18.
+    * Held-out R² may sit below the resubstitution R² — that gap IS
+    * the generalization measurement.
+    *
+    * Scale shape: k passes over the feature scan (each one
+    * partial-agg'd Gram + a 3-row model broadcast back onto the
+    * held-out partition — the q49/p18 shapes verbatim); the base
+    * frame is checkpointed once and shared by all 2k reads.
+    *
+    * Output: per (fold, group) the p18 metric row, hash-verified.
+    */
+  def p22CrossValidation(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Relational.ridgeBase(spark, sfDir).localCheckpoint(true)
+    (0 until CvFolds).map { f =>
+      val model = graft.operators.Recommend
+        .solveSide(base.filter(col("fold") =!= f.toLong), "l_returnflag")
+        .select(Seq(col("l_returnflag")) ++
+          (0 to 3).map(k => col(s"f$k").as(s"c$k")): _*)
+      regressionMetrics(base.filter(col("fold") === f.toLong), model)
+        .withColumn("fold", lit(f.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("fold"), col("l_returnflag"), col("n"), col("mae_ticks"),
+        col("mse_ticks"), col("r2_ticks"), col("evar_ticks"))
+      .orderBy(col("fold"), col("l_returnflag"))
+  }
+
   /** Buckets produced by [[p21QuantileBins]]. */
   private[graft] val QuantBuckets = 4
 

@@ -1028,6 +1028,12 @@ object Relational {
       floor(c * lit(4096.0) + lit(0.5)).cast("double") / lit(4096.0)
     Tables.lineitem(spark, sfDir).select(
       col("l_returnflag"),
+      // row-key fold id for p22's cross-validation (pure function of
+      // the key — the p01/p20 partition-invariance rule); q49/p18
+      // never reference it, Catalyst prunes it from their scans
+      (conv(substring(md5(concat(lit("cv:"), col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string"))), 1, 5), 16, 10)
+        .cast("long") % lit(4L)).as("fold"),
       (floor(col("l_extendedprice") + lit(0.5)).cast("double") /
         lit(4096.0)).as("r"),
       lit(1.0).as("f0"),

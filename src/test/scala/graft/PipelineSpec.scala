@@ -443,6 +443,76 @@ class PipelineSpec extends AnyFunSuite {
       "draws must be partition-invariant")
   }
 
+  test("p22: held-out folds partition, models differ, fold-0 metrics replicate") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.col
+    val rows = Pipeline.p22CrossValidation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 4 * 3, s"4 folds x 3 groups, got ${rows.length}")
+    // held-out rows partition the table
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total)
+    // fold sizes balanced within 4-sigma of n/4
+    val perFold = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val sig = math.sqrt(total * 0.25 * 0.75)
+    perFold.foreach { case (f, n) =>
+      assert(math.abs(n - total / 4.0) < 4 * sig, s"fold $f size $n") }
+    // the fold models are NOT the full-data model (this is held-out,
+    // not resubstitution): at least one fold's coefficients differ
+    val full = graft.operators.Recommend
+      .solveSide(Relational.ridgeBase(spark, sfDir), "l_returnflag")
+      .collect().map { r =>
+        val n = r.schema.fieldNames.zipWithIndex.toMap
+        r.getString(n("l_returnflag")) ->
+          (0 to 3).map(k => r.getLong(n(s"t$k"))).toVector
+      }.toMap
+    val foldDiffers = (0 until Pipeline.CvFolds).exists { f =>
+      graft.operators.Recommend.solveSide(
+          Relational.ridgeBase(spark, sfDir).filter(col("fold") =!= f.toLong),
+          "l_returnflag")
+        .collect().exists { r =>
+          val n = r.schema.fieldNames.zipWithIndex.toMap
+          (0 to 3).map(k => r.getLong(n(s"t$k"))).toVector !=
+            full(r.getString(n("l_returnflag")))
+        }
+    }
+    assert(foldDiffers, "fold models must differ from the full-data model")
+    // fold-0 truth: rescore the held-out rows in memory with the
+    // fold-0 model (the p18 spec arithmetic, held-out edition)
+    val base = Relational.ridgeBase(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Array(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    val m0 = graft.operators.Recommend.solveSide(
+        Relational.ridgeBase(spark, sfDir).filter(col("fold") =!= 0L),
+        "l_returnflag")
+      .collect().map { r =>
+        val n = r.schema.fieldNames.zipWithIndex.toMap
+        r.getString(n("l_returnflag")) ->
+          (0 to 3).map(k => r.getDouble(n(s"f$k"))).toArray
+      }.toMap
+    val truth = base.filter(_._2 == 0L).groupBy(_._1).map { case (g, rs) =>
+      val c = m0(g)
+      val q = rs.map { case (_, _, r, fv) =>
+        val pred = c(0) * fv(0) + c(1) * fv(1) + c(2) * fv(2) + c(3) * fv(3)
+        (math.floor((r - pred) * 4096.0 + 0.5).toLong,
+          math.floor((r - pred) * 64.0 + 0.5).toLong,
+          math.floor(r * 64.0 + 0.5).toLong)
+      }
+      val n = q.length.toLong
+      g -> (n, (q.map(t => math.abs(t._1)).sum * 256) / n,
+        (q.map(t => t._2 * t._2).sum * 256) / n)
+    }
+    rows.filter(_._1 == 0L).foreach { case (_, g, n, mae, mse, _, _) =>
+      val (tn, tmae, tmse) = truth(g)
+      assert(n == tn && mae == tmae && mse == tmse,
+        s"fold-0 $g: ($n,$mae,$mse) != ($tn,$tmae,$tmse)")
+    }
+    assert(rows.toSeq == Pipeline.p22CrossValidation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq)
+  }
+
   test("p21: planted quartiles split exactly; corpus buckets balance") {
     val sess = spark
     import sess.implicits._
