@@ -942,8 +942,17 @@ object Recommend {
     * at any test SF.
     */
   def s25RecommendTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.registerAll(spark)
     val (users, items) = purchaseFactors(spark, sfDir)
+    serveTopk(users, items)
+  }
+
+  /** The serve scoring tail over arbitrary (c, t0..t3) user and
+    * (s, t0..t3) item factor frames — shared by batch s25 and the
+    * streaming serve twin (which passes the ARRIVING customers'
+    * factor slice; the model and ranking rule are ONE code path).
+    */
+  private[graft] def serveTopk(users: DataFrame, items: DataFrame): DataFrame = {
+    graft.functions.registerAll(users.sparkSession)
     val u = users.select(Seq(col("c")) ++
       (0 until AlsRank).map(k => col(s"t$k").as(s"ut$k")): _*)
     val it = items.select(Seq(col("s")) ++

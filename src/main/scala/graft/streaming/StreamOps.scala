@@ -695,6 +695,27 @@ object StreamOps {
   def abTestReport(state: DataFrame): DataFrame =
     graft.operators.Events.rankSumFromCounts(state)
 
+  /** stream_recommend: the recommender serve path on a stream — the
+    * streaming analog of the reference's
+    * `recommendProductsForUsers` batch serve (reference: /root/
+    * reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * recommendation/MatrixFactorizationModel.scala:1), the "train
+    * batch, score stream, ONE model" posture stream_nb_classify and
+    * stream_topic_classify established: the s13/s25 factor frames
+    * are the batch-trained model; each micro-batch of arriving
+    * customer ids joins its factor slice (stateless stream side —
+    * a keyed lookup against the factor table, broadcast-sized here)
+    * and runs the IDENTICAL [[graft.operators.Recommend.serveTopk]]
+    * scoring tail — exact integer tick dots, the same (score desc,
+    * supplier asc) total order — so streamed recommendations are
+    * bit-equal to the batch s25 rows for those customers (spec'd).
+    */
+  def recommendServeBatch(batch: DataFrame, users: DataFrame,
+      items: DataFrame): DataFrame =
+    graft.operators.Recommend.serveTopk(
+      batch.select(col("o_custkey").as("c")).distinct()
+        .join(users, "c"), items)
+
   /** stream_linreg: the reference's streaming linear regression
     * (reference: /root/reference/mllib/src/main/scala/org/apache/
     * spark/mllib/regression/StreamingLinearRegressionWithSGD.scala:1

@@ -824,6 +824,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(4) >= 0L && r.getLong(4) <= 2L * r.getLong(2) * r.getLong(3))
   }
 
+  test("stream_recommend: streamed serve rows are bit-equal to batch s25") {
+    import org.apache.spark.sql.types._
+    val (users, items) = graft.operators.Recommend.purchaseFactors(spark, sfDir)
+    val (u, it) = (users.localCheckpoint(true), items.localCheckpoint(true))
+    val custs = u.select(col("c").as("o_custkey")).localCheckpoint(true)
+    val h1 = custs.filter(col("o_custkey") % 2 === 0).localCheckpoint(true)
+    val h2 = custs.filter(col("o_custkey") % 2 === 1).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rec-stream")
+    val schema = StructType(Seq(StructField("o_custkey", LongType)))
+    val served = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          served ++= StreamOps.recommendServeBatch(df, u, it).collect()
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = served.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).sortBy(t => (t._1, t._2))
+    val want = graft.operators.Recommend.s25RecommendTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"streamed serve diverged: ${got.length} vs ${want.length} rows")
+  }
+
   test("stream_linreg: streamed GD folds equal sequential batch folds and learn") {
     import org.apache.spark.sql.types._
     val sess = spark
