@@ -135,4 +135,39 @@ class SqlParitySpec extends AnyFunSuite {
          |ORDER BY type_a, type_b""".stripMargin,
       SparkEntry.queries("q53_ks_test")(spark, sfDir))
   }
+
+  test("s26 Spearman: SQL text equals the DataFrame pipeline") {
+    // the rank-correlation pipeline is plain Spark SQL end to end:
+    // posexplode quantization, grid-CDF midranks, a vec-keyed
+    // self-join Gram (the declarative twin of the array outer
+    // product — same exact integer sums), and the identical final
+    // double tree
+    parity(
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(pos AS LONG) AS i,
+         |    CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS LONG) AS t
+         |  FROM $db.embeddings LATERAL VIEW posexplode(embedding) AS pos, x),
+         |nn AS (SELECT count(1) AS n FROM $db.embeddings),
+         |grid AS (SELECT i, t, count(1) AS c FROM e GROUP BY 1, 2),
+         |mg AS (
+         |  SELECT i, t,
+         |    2L * coalesce(sum(c) OVER (PARTITION BY i ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+         |      + c + 1L - ((SELECT n FROM nn) + 1L) AS m
+         |  FROM grid),
+         |r AS (SELECT e.vec_id, e.i, mg.m
+         |      FROM e JOIN mg ON e.i = mg.i AND e.t = mg.t),
+         |p AS (SELECT a.i AS i, b.i AS j, sum(a.m * b.m) AS p
+         |      FROM r a JOIN r b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |dg AS (SELECT i AS d, p AS pd FROM p WHERE i = j)
+         |SELECT p.i AS dim_i, p.j AS dim_j,
+         |  CASE WHEN di.pd > 0 AND dj.pd > 0
+         |  THEN CAST(floor(CAST(p.p AS DOUBLE)
+         |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+         |    * 1048576.0D + 0.5D) AS LONG)
+         |  ELSE 0L END AS rho_ticks
+         |FROM p JOIN dg di ON di.d = p.i JOIN dg dj ON dj.d = p.j
+         |ORDER BY dim_i, dim_j""".stripMargin,
+      SparkEntry.queries("s26_spearman")(spark, sfDir))
+  }
 }
