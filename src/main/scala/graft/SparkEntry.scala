@@ -166,6 +166,7 @@ object SparkEntry {
     "p20_random_features" -> (Pipeline.p20RandomFeatures _),
     "p21_quantile_bins" -> (Pipeline.p21QuantileBins _),
     "p22_cross_validation" -> (Pipeline.p22CrossValidation _),
+    "p23_vector_transforms" -> (Pipeline.p23VectorTransforms _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -3574,6 +3575,8 @@ object SparkEntry {
     "p21_quantile_bins" -> Pipeline.p21OracleSql,
     // p22: per-fold ridge solves + the shared p18 metric chain.
     "p22_cross_validation" -> p22OracleSql,
+    // p23: explode + sum-square join-back + the shared sqrt tree.
+    "p23_vector_transforms" -> Pipeline.p23OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring

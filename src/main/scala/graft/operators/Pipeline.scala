@@ -870,6 +870,63 @@ object Pipeline {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** p23: the remaining ml/feature vector transformers in one pass —
+    * Normalizer (L2), Binarizer, ElementwiseProduct (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * feature/Normalizer.scala:1, ml/feature/Binarizer.scala:1,
+    * mllib/feature/ElementwiseProduct.scala:1) applied to the
+    * embedding corpus in long form: per (vec_id, dim) the quantized
+    * 2¹⁰ tick, the L2-normalized component in 2²⁰ ticks (the ONLY
+    * double step — q/√(Σq²) through one shared tree on exact
+    * integers, the s19 convention; √ runs once per ROW-dim pair on
+    * the same integer pair both engines hold), the Binarizer bit
+    * (x > 0), and the elementwise product against the fixed literal
+    * weight vector w_d = d%4+1 (exact long). Zero vectors emit
+    * normalized 0 by a shared CASE.
+    *
+    * Scale shape: one exploded scan; Σq² partial-aggregates per
+    * vector on the explode's own key (no second corpus read — the
+    * grouped sums join back vec-keyed); everything else is a pure
+    * per-row map.
+    */
+  def p23VectorTransforms(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
+        .as(Seq("d", "q")))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("q"))
+      .localCheckpoint(true)
+    val n2 = e.groupBy(col("vec_id")).agg(sum(expr("q * q")).as("n2"))
+    e.join(n2, "vec_id")
+      .select(col("vec_id"), col("d"), col("q").as("q_ticks"),
+        expr("""CASE WHEN n2 > 0
+               |THEN CAST(floor(CAST(q AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("unit_ticks"),
+        (col("q") > 0L).cast("long").as("bin"),
+        (col("q") * (col("d") % 4L + 1L)).as("ewp_ticks"))
+      .orderBy(col("vec_id"), col("d"))
+  }
+
+  /** p23's DuckDB twin — the same explode, Σq² join-back, and tree. */
+  private[graft] def p23OracleSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(a.i AS BIGINT) AS d,
+      |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+      |      AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+      |n2 AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+      |       FROM e GROUP BY vec_id)
+      |SELECT e.vec_id, e.d, e.q AS q_ticks,
+      |  CASE WHEN n2.n2 > 0
+      |  THEN CAST(floor(CAST(e.q AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE))
+      |    * 1048576.0 + 0.5) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END AS unit_ticks,
+      |  CASE WHEN e.q > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bin,
+      |  e.q * (e.d % 4 + 1) AS ewp_ticks
+      |FROM e JOIN n2 ON e.vec_id = n2.vec_id
+      |ORDER BY e.vec_id, e.d""".stripMargin
+
   /** Folds used by [[p22CrossValidation]]. */
   private[graft] val CvFolds = 4
 

@@ -732,6 +732,32 @@ object StreamOps {
   def linregInitState(spark: SparkSession): DataFrame =
     spark.range(1).select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
 
+  /** stream_logreg: the classifier sibling (reference: /root/
+    * reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * classification/StreamingLogisticRegressionWithSGD.scala:1) —
+    * one hard-sigmoid gradient step per micro-batch on q50's exact
+    * integer contract (margin/residual/update arithmetic identical
+    * to one [[graft.operators.Relational.logregRounds]] round, so
+    * the streamed model after batches B1..Bn equals the hand fold).
+    */
+  def logregFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+    val clamp = graft.operators.Relational.LogregClamp
+    val aggCols =
+      (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")) ++
+        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+    batch.crossJoin(broadcast(state))
+      .withColumn("m24", m24)
+      .withColumn("p26",
+        least(greatest(col("m24") + lit(33554432L), lit(0L)), lit(67108864L)))
+      .withColumn("r26", col("p26") - col("y") * lit(67108864L))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .select((0 to 3).map(j =>
+        least(greatest(col(s"w$j") -
+          expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"),
+          lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
+  }
+
   /** One micro-batch fold: state × (y12, f0..f3) batch → state. */
   def linregFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)

@@ -443,6 +443,28 @@ class PipelineSpec extends AnyFunSuite {
       "draws must be partition-invariant")
   }
 
+  test("p23: normalized vectors have unit norm; bin/ewp are exact maps") {
+    val rows = Pipeline.p23VectorTransforms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length % 64 == 0)
+    rows.foreach { case (_, d, q, _, bin, ewp) =>
+      assert(bin == (if (q > 0) 1L else 0L))
+      assert(ewp == q * (d % 4 + 1))
+    }
+    // Normalizer contract: the unit vector's squared norm is 2^40
+    // within per-component half-tick rounding (64 dims -> the cross
+    // term bounds the drift well under 0.1%)
+    rows.groupBy(_._1).foreach { case (v, g) =>
+      val s = g.map(t => t._4.toDouble * t._4.toDouble).sum
+      val unit = 1048576.0 * 1048576.0
+      assert(math.abs(s - unit) / unit < 1e-3, s"vec $v norm^2 ratio ${s / unit}")
+    }
+    assert(rows.toSeq == Pipeline.p23VectorTransforms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq)
+  }
+
   test("p22: held-out folds partition, models differ, fold-0 metrics replicate") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions.col

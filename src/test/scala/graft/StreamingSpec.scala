@@ -898,6 +898,48 @@ class StreamingSpec extends AnyFunSuite {
       "absent features must stay zero")
   }
 
+  test("stream_logreg: streamed hard-sigmoid steps equal q50 rounds on the same data") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // separable plant: class 1 has f1, class 0 doesn't
+    val feats = ((1 to 8).map(_ => (1L, 4096L, 4096L, 0L, 0L)) ++
+      (1 to 8).map(_ => (0L, 4096L, 0L, 4096L, 0L)))
+      .toDF("y", "f0", "f1", "f2", "f3")
+    val h1 = feats.filter(col("f1") > 0).localCheckpoint(true)
+    val h2 = feats.filter(col("f1") === 0).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-lg-stream")
+    val schema = StructType(Seq("y", "f0", "f1", "f2", "f3")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.linregInitState(spark).localCheckpoint(true)
+    val init = state
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.logregFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.logregFoldBatch(
+      StreamOps.logregFoldBatch(init, h1), h2)
+    val (got, want) = (state.collect().head, expected.collect().head)
+    assert((0 to 3).forall(j => got.getLong(j) == want.getLong(j)),
+      s"streamed model diverged: $got vs $want")
+    // single-batch contract: one fold over the FULL frame equals
+    // q50's round-1 weights on the same frame (the shared arithmetic)
+    val oneStep = StreamOps.logregFoldBatch(init, feats).collect().head
+    val q50r1 = graft.operators.Relational.logregRounds(feats)
+      .filter(col("round") === 1L).collect().head
+    assert((0 to 3).forall(j => oneStep.getLong(j) == q50r1.getLong(j + 3)),
+      s"fold != q50 round 1: $oneStep vs $q50r1")
+  }
+
   test("stream_kmeans: streamed decay folds equal sequential batch folds") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
