@@ -875,8 +875,9 @@ object SparkEntry {
     s"""SELECT l_returnflag, n,
        |  (sae12 * 256) // n AS mae_ticks,
        |  (sse6 * 256) // n AS mse_ticks,
-       |  1048576 - (sse6 * 1048576) // ((n * syy6 - sy6 * sy6) // n)
-       |    AS r2_ticks,
+       |  CASE WHEN (n * syy6 - sy6 * sy6) // n > 0
+       |  THEN 1048576 - (sse6 * 1048576) // ((n * syy6 - sy6 * sy6) // n)
+       |  ELSE CAST(0 AS BIGINT) END AS r2_ticks,
        |  (((n * spp6 - sp6 * sp6) // n) * 256) // n AS evar_ticks
        |FROM (
        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

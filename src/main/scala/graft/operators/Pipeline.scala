@@ -824,8 +824,12 @@ object Pipeline {
       .select(col("l_returnflag"), col("n"),
         expr("(sae12 * 256) div n").as("mae_ticks"),
         expr("(sse6 * 256) div n").as("mse_ticks"),
-        expr("1048576 - (sse6 * 1048576) div ((n * syy6 - sy6 * sy6) div n)")
-          .as("r2_ticks"),
+        // zero-variance target -> R^2 reported 0 by a shared CASE
+        // (the s19 convention; DuckDB would error on the division)
+        expr("""CASE WHEN (n * syy6 - sy6 * sy6) div n > 0
+               |THEN 1048576 - (sse6 * 1048576)
+               |  div ((n * syy6 - sy6 * sy6) div n)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("r2_ticks"),
         expr("(((n * spp6 - sp6 * sp6) div n) * 256) div n").as("evar_ticks"))
       .orderBy(col("l_returnflag"))
 

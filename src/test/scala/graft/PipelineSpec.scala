@@ -369,8 +369,8 @@ class PipelineSpec extends AnyFunSuite {
     // truth: collect the SAME on-grid frame and coefficients, redo
     // the quantize-then-sum arithmetic exactly (identical IEEE ops)
     val base = Relational.ridgeBase(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getDouble(1),
-        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .map(r => (r.getString(0), r.getDouble(2),
+        Array(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
     val model = graft.operators.Recommend
       .solveSide(Relational.ridgeBase(spark, sfDir), "l_returnflag")
       .collect().map { r =>
