@@ -176,6 +176,7 @@ object SparkEntry {
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
     "s28_svdpp" -> (Recommend.s28Svdpp _),
+    "t32_topic_infer" -> (Recommend.t32TopicInfer _),
     "s26_spearman" -> (Similarity.s26Spearman _),
     "s27_gmm" -> (Similarity.s27Gmm _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
@@ -3580,6 +3581,8 @@ object SparkEntry {
     "p23_vector_transforms" -> Pipeline.p23OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
+    // t32: the shared topic chain + the SpGEMM fold-in join.
+    "t32_topic_infer" -> Recommend.topicInferOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring
     // text, the s16 coarsening, the shared alternating-solve chain.
     "t28_word_vectors" -> Recommend.wordVectorsOracleSql,

@@ -563,6 +563,79 @@ object Recommend {
        |SELECT 'term', s, CAST(n AS BIGINT), $tickOutSql FROM v$AlsIters
        |ORDER BY side, entity_key""".stripMargin
 
+  /** t32: batch topic inference for every document — the model-APPLY
+    * face of t23 (reference: /root/reference/mllib/src/main/scala/
+    * org/apache/spark/mllib/clustering/LDAModel.scala:1,
+    * `topicDistributions` — score documents against trained topics)
+    * executed as a distributed sparse matrix multiply (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * linalg/distributed/BlockMatrix.scala:1, `multiply`): C = A·B
+    * with A the doc×term count matrix and B the term×topic tick
+    * factors — the textbook SpGEMM plan: join on the INNER dimension
+    * (term), partial-aggregate on the outer key (doc), so the
+    * shuffle carries (doc, partial topic sums), never scored
+    * triples. This is the batch twin of stream_topic_classify's
+    * per-batch fold-in — same model, same OOV-drop contract, same
+    * ties-to-smaller dominant-topic rule.
+    *
+    * Exactness: tf (long count) × factor ticks (clamped ≤ 2¹⁶) ≤
+    * 2³¹ per term, summed over a document's terms — exact
+    * order-independent longs to ~2³² tokens/doc. Dominant topic by
+    * an explicit ≥-CASE (ties → smaller k), identical text both
+    * engines.
+    *
+    * Scale shape: B is vocabulary-sized (broadcast in production);
+    * ONE term-keyed join + one doc-keyed partial agg. At a 10⁹-term
+    * vocabulary the join shuffles on term — exactly BlockMatrix's
+    * inner-dimension co-partitioning.
+    */
+  def t32TopicInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    val (_, terms) = topicFactors(spark, sfDir)
+    val a = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val b = terms.select(Seq(col("s").as("token")) ++
+      (0 until AlsRank).map(k => col(s"t$k").cast("long").as(s"w$k")): _*)
+    val dom = expr(
+      """CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+        |WHEN s1 >= s2 AND s1 >= s3 THEN 1
+        |WHEN s2 >= s3 THEN 2 ELSE 3 END""".stripMargin).cast("long")
+    a.join(b, "token")
+      .groupBy(col("doc_id"))
+      .agg((0 until AlsRank).map(k =>
+          sum(col("tf") * col(s"w$k")).as(s"s$k")).head,
+        (0 until AlsRank).map(k =>
+          sum(col("tf") * col(s"w$k")).as(s"s$k")).tail: _*)
+      .select(Seq(col("doc_id"), dom.as("dominant_topic")) ++
+        (0 until AlsRank).map(k => col(s"s$k").as(s"s${k}_ticks")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB twin of [[t32TopicInfer]]: the shared topic chain,
+    * then the SpGEMM join-aggregate and the identical dominant CASE.
+    */
+  private[graft] def topicInferOracleSql: String = {
+    val sums = (0 until AlsRank).map(k =>
+      s"CAST(sum(a.tf * CAST(v.t$k AS BIGINT)) AS BIGINT) AS s$k").mkString(", ")
+    val outs = (0 until AlsRank).map(k => s"s$k AS s${k}_ticks").mkString(", ")
+    s"""WITH $topicRatingsCtes,
+       |$alsRoundsSql,
+       |a AS (SELECT c AS doc_id, s AS token, CAST(r AS BIGINT) AS tf
+       |      FROM ratings),
+       |g AS (SELECT a.doc_id, $sums
+       |      FROM a JOIN v$AlsIters v ON a.token = v.s GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+       |  WHEN s1 >= s2 AND s1 >= s3 THEN 1
+       |  WHEN s2 >= s3 THEN 2 ELSE 3 END AS BIGINT) AS dominant_topic,
+       |  $outs
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** The DuckDB twin of [[t24TopicTerms]]: the shared chain, then
     * the histogram-threshold top-k.
     */

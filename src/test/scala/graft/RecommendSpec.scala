@@ -291,6 +291,38 @@ class RecommendSpec extends AnyFunSuite {
     }
   }
 
+  test("t32 fold-in covers the corpus and matches the streaming serve model") {
+    val sess = spark
+    val rows = Recommend.t32TopicInfer(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (2 to 5).map(r.getLong).toVector))
+    assert(rows.length == Tables.documents(spark, sfDir).count(),
+      "resubstitution fold-in must cover every document")
+    // dominant = argmax with ties to the smaller topic, from the row
+    rows.foreach { case (d, dom, s) =>
+      val best = s.zipWithIndex.maxBy { case (v, k) => (v, -k) }._2
+      assert(dom == best, s"doc $d dominant $dom vs $best ($s)")
+    }
+    assert(rows.map(_._2).distinct.length > 1, "assignment must span topics")
+    // cross-implementation: the streaming serve path's batch fold-in
+    // (topicScoreStream + topicAssignBatch) assigns the same topics
+    val terms = Recommend.topicFactors(spark, sfDir)._2
+    val ticks = terms.select(Seq(org.apache.spark.sql.functions.col("s")
+        .as("token")) ++
+      (0 until Recommend.AlsRank).map(k =>
+        org.apache.spark.sql.functions.col(s"t$k")): _*)
+    val served = graft.streaming.StreamOps.topicAssignBatch(
+        graft.streaming.StreamOps.topicScoreStream(
+          Tables.documents(spark, sfDir), ticks))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, dom, _) =>
+      assert(served(d) == dom, s"doc $d: t32 $dom vs serve ${served(d)}")
+    }
+    assert(rows.toSeq == Recommend.t32TopicInfer(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (2 to 5).map(r.getLong).toVector)).toSeq)
+  }
+
   test("s28 SVD++ learns planted block structure and beats the mean baseline") {
     val sess = spark
     import sess.implicits._
