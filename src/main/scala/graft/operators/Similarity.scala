@@ -1843,6 +1843,73 @@ object Similarity {
       |FROM p JOIN dg di ON di.d = p.i JOIN dg dj ON dj.d = p.j
       |ORDER BY dim_i, dim_j""".stripMargin
 
+  /** s29: pairwise column cosine similarities of the embedding
+    * dimensions — the reference's distributed-matrix headline API
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/linalg/distributed/RowMatrix.scala:1,
+    * `columnSimilarities`, whose DIMSUM variant samples rows to
+    * bound shuffle at millions of columns — Zadeh & Carlsson 2013).
+    * At this 64-column width the EXACT computation is the right
+    * plan and the one a hash-verified engine ships: the UNCENTERED
+    * integer Gram P = Σ q_i·q_j off the shared map-side
+    * outer-product scan (one corpus pass, ≤ 64² rows per task —
+    * exactly the brute-force branch DIMSUM itself takes under its
+    * threshold), cos_ij = P_ij/√(P_ii·P_jj) through the identical
+    * s19 double tree, zero-norm columns emitting 0 by the shared
+    * CASE. Upper triangle only (i ≤ j), the RowMatrix contract. The
+    * DIMSUM sampling path is the documented 10⁶-column retune —
+    * sample rows with probability ∝ 1/(norm_i·norm_j), which THIS
+    * grid never needs.
+    */
+  def s29ColSimilarity(spark: SparkSession, sfDir: String): DataFrame =
+    colSimCore(Tables.embeddings(spark, sfDir).select(col("embedding")))
+
+  /** The column-similarity core over any (embedding float array)
+    * frame — package-private for the planted-poles spec.
+    */
+  private[graft] def colSimCore(vecs: DataFrame): DataFrame = {
+    val qf = vecs
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+      .localCheckpoint(true)
+    val p0 = pairMoments(qf).filter(col("i") <= col("j")).localCheckpoint(true)
+    val diag = p0.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("p").as("pd"))
+    p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("pd").as("pjj"))), "j")
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        expr("""CASE WHEN pii > 0 AND pjj > 0
+               |THEN CAST(floor(CAST(p AS DOUBLE)
+               |  / sqrt(CAST(pii AS DOUBLE) * CAST(pjj AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("cos_ticks"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  /** The DuckDB twin of [[s29ColSimilarity]]: the uncentered moment
+    * scan (upper triangle) + the identical double tree.
+    */
+  private[graft] def s29OracleSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT vec_id, CAST(a.i AS BIGINT) AS d,
+      |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+      |      AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+      |p AS MATERIALIZED (
+      |  SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS BIGINT) AS p
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  GROUP BY 1, 2),
+      |dg AS MATERIALIZED (SELECT i AS d, p AS pd FROM p WHERE i = j)
+      |SELECT p.i AS dim_i, p.j AS dim_j,
+      |  CASE WHEN di.pd > 0 AND dj.pd > 0
+      |  THEN CAST(floor(CAST(p.p AS DOUBLE)
+      |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+      |    * 1048576.0 + 0.5) AS BIGINT)
+      |  ELSE CAST(0 AS BIGINT) END AS cos_ticks
+      |FROM p JOIN dg di ON di.d = p.i JOIN dg dj ON dj.d = p.j
+      |ORDER BY dim_i, dim_j""".stripMargin
+
   /** Query documents for [[s22TfidfSearch]] (the s01 doc_id rule). */
   private[graft] val TfidfQueryDocs = 3L
 

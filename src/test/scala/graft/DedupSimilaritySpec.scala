@@ -1099,6 +1099,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sil.toSeq == Similarity.s23Silhouette(spark, sfDir).collect().toSeq)
   }
 
+  test("s29 column similarity: planted poles exact; corpus triangle invariants") {
+    val sess = spark
+    import sess.implicits._
+    // dim0 = x, dim1 = 2x (identical direction -> +1), dim2 = -x
+    // (opposite -> -1), dim3 alternates sign orthogonally -> ~0
+    val vecs = Seq(
+      Array(0.5f, 1.0f, -0.5f, 0.5f), Array(0.25f, 0.5f, -0.25f, -0.25f),
+      Array(0.5f, 1.0f, -0.5f, -0.5f), Array(0.25f, 0.5f, -0.25f, 0.25f))
+      .toDF("embedding")
+    val m = Similarity.colSimCore(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((0L, 1L)) == 1048576L, "parallel columns must give +1")
+    assert(m((0L, 2L)) == -1048576L, "opposite columns must give -1")
+    assert(m((0L, 3L)) == 0L, "orthogonal columns must give 0")
+    (0 to 3).foreach(d => assert(m((d.toLong, d.toLong)) == 1048576L))
+    // corpus: upper triangle only, diagonal +1, bounds, determinism
+    val c = Similarity.s29ColSimilarity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.length == 64 * 65 / 2)
+    c.foreach { case (i, j, v) =>
+      assert(i <= j, "upper triangle contract")
+      assert(math.abs(v) <= 1048576L)
+      if (i == j) assert(v == 1048576L)
+    }
+    assert(c.toSeq == Similarity.s29ColSimilarity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("s27 GMM: planted duplicate clusters recovered exactly; corpus invariants") {
     val sess = spark
     import sess.implicits._
