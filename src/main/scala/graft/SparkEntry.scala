@@ -70,6 +70,7 @@ object SparkEntry {
     "q48_incremental_agg" -> (Events.q48IncrementalAgg _),
     "q52_rolling_anomaly" -> (Events.q52RollingAnomaly _),
     "q53_ks_test" -> (Events.q53KsTest _),
+    "q58_ks_uniform" -> (Events.q58KsUniform _),
     "q55_isotonic" -> (Relational.q55Isotonic _),
     "q54_rank_sum" -> (Events.q54RankSum _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
@@ -2306,6 +2307,22 @@ object SparkEntry {
          |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
          |  GROUP BY 1, 2, 3, 4)
          |ORDER BY type_a, type_b""".stripMargin,
+    // q58: one-sample KS vs the discrete uniform — per grid tick the
+    // post-jump and segment-end deviations, max'd per type.
+    "q58_ks_uniform" ->
+      s"""WITH $tickCdfOracleCtes,
+         |bd AS (SELECT min(tick) AS lo, max(tick) AS hi FROM cd)
+         |SELECT t, n, lo, hi, d_num,
+         |  (d_num * ${graft.operators.Events.KsScale}) // (n * (hi - lo + 1))
+         |    AS d_ticks
+         |FROM (
+         |  SELECT cd.t, cd.n, bd.lo, bd.hi,
+         |    CAST(max(greatest(
+         |      abs(cd.cum * (bd.hi - bd.lo + 1) - (cd.tick - bd.lo + 1) * cd.n),
+         |      abs((cd.cum - cd.c) * (bd.hi - bd.lo + 1)
+         |        - (cd.tick - bd.lo) * cd.n))) AS BIGINT) AS d_num
+         |  FROM cd, bd GROUP BY 1, 2, 3, 4) x
+         |ORDER BY t""".stripMargin,
     "q54_rank_sum" ->
       s"""WITH $tickCdfOracleCtes
          |SELECT type_a, type_b, n_a, n_b,

@@ -386,6 +386,53 @@ object Events {
   def q54RankSum(spark: SparkSession, sfDir: String): DataFrame =
     rankSumFromCounts(corpusTickCounts(spark, sfDir))
 
+  /** q58: ONE-sample Kolmogorov–Smirnov test per event type against
+    * the discrete uniform on the pooled tick range — the actual
+    * shape of the reference's KS class (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/mllib/stat/test/
+    * KolmogorovSmirnovTest.scala:1 tests a SAMPLE against a
+    * THEORETICAL distribution — q53 is the two-sample sibling): with
+    * R = hi − lo + 1 and u(t) = t − lo + 1, the sup over the WHOLE
+    * integer support of |ECDF − F_uniform| is exact from the pooled
+    * grid alone because deviations are extremal only at jump points
+    * — per grid tick both the post-jump deviation
+    * |cum·R − u(t)·n| and the segment-end deviation
+    * |before·R − u(t−1)·n| (ECDF constant across a gap while F
+    * climbs — evaluated at the right end) are exact longs, and
+    * their max over the per-type completed grid IS the sup (left
+    * tail covered by the first row's before = 0, right tail by the
+    * global hi tick every type's grid completion carries).
+    * d_ticks = d_num·2²⁰ div (n·R); headroom n·R·2²⁰ < 2⁶³ to
+    * n ≈ 2²², documented retune = report exact d_num alone (the q53
+    * note). Defined on quantized values (the family contract).
+    *
+    * Scale shape: the q53 posture — everything after the (t, tick)
+    * partial count is grid×types sized.
+    */
+  def q58KsUniform(spark: SparkSession, sfDir: String): DataFrame =
+    ksUniformFromCounts(corpusTickCounts(spark, sfDir))
+
+  /** The one-sample-KS report over any (t, tick, c) counts frame —
+    * the ksReportFromCounts sibling, package-private for the planted
+    * gap-segment spec.
+    */
+  private[graft] def ksUniformFromCounts(ct: DataFrame): DataFrame = {
+    val cdf = cdfFromCounts(ct)
+    val bounds = cdf.agg(min(col("tick")).as("lo"), max(col("tick")).as("hi"))
+    cdf.crossJoin(broadcast(bounds))
+      .withColumn("r", col("hi") - col("lo") + lit(1L))
+      .withColumn("dev1",
+        abs(col("cum") * col("r") - (col("tick") - col("lo") + lit(1L)) * col("n")))
+      .withColumn("dev0",
+        abs((col("cum") - col("c")) * col("r") -
+          (col("tick") - col("lo")) * col("n")))
+      .groupBy(col("t"), col("n"), col("lo"), col("hi"))
+      .agg(max(greatest(col("dev1"), col("dev0"))).as("d_num"))
+      .select(col("t"), col("n"), col("lo"), col("hi"), col("d_num"),
+        expr(s"(d_num * $KsScale) div (n * (hi - lo + 1))").as("d_ticks"))
+      .orderBy(col("t"))
+  }
+
   /** The q54 pair rank-sum report over any (t, tick, c) counts frame
     * — shared verbatim by the batch key and the streaming A/B gate
     * ([[graft.streaming.StreamOps.abTestReport]]), the

@@ -287,6 +287,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(ksC.toSeq == Ev.q53KsTest(spark, sfDir).collect().toSeq)
   }
 
+  test("q58 one-sample KS: hand-computed sup including the gap segment") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.{Events => Ev}
+    // planted counts: one type with ticks {0, 4} (count 1 each) —
+    // R = 5, n = 2; the sup of |ECDF - F_uniform| over the WHOLE
+    // integer support is 3/10, attained INSIDE the gap at t = 3
+    // (ECDF 1/2 vs F 4/5) — exactly what the segment-end deviation
+    // evaluates; a jump-points-only scan would read 3/10 too here,
+    // so also pin the asymmetric case: ticks {0,1} n=2, R=2 -> D = 0
+    val ct = Seq(("x", 0L, 1L), ("x", 4L, 1L)).toDF("t", "tick", "c")
+    val out = Ev.ksUniformFromCounts(ct).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 0L, 4L, 3L)), s"planted KS: $r")
+    assert(r.getLong(5) == 3L * Ev.KsScale / 10L)
+    // a perfectly uniform sample on a dense grid has D... the
+    // discrete residual: ticks {0,1}: ECDF(0)=1/2=F(0)=1/2 exact,
+    // d_num = 0
+    val ct2 = Seq(("y", 0L, 1L), ("y", 1L, 1L)).toDF("t", "tick", "c")
+    assert(Ev.ksUniformFromCounts(ct2).collect().head.getLong(4) == 0L)
+    // corpus: one row per type, D in [0, 2^20], deterministic
+    val c = Ev.q58KsUniform(spark, sfDir).collect()
+    assert(c.length == 5)
+    c.foreach(x => assert(x.getLong(5) >= 0L && x.getLong(5) <= Ev.KsScale))
+    assert(c.toSeq == Ev.q58KsUniform(spark, sfDir).collect().toSeq)
+  }
+
   test("q55 isotonic: minimax fit equals hand-run PAVA; monotone on the corpus") {
     val sess = spark
     import sess.implicits._
