@@ -184,7 +184,15 @@ object Bench {
     def line(queryMap: String, metricsTail: String): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$queryMap,"errors":$errs,"sf":"$sfDir"$metricsTail}"""
     val full = line(qs, s""","exec_metrics":$ms,"recheck":$rechecks""")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // Evidence durability (r10 lesson: the driver sweep's artifact was
+    // overwritten by a later subset run and the round's perf
+    // adjudication lost its evidence): SUBSET runs (SPARK_GRAFT_ONLY)
+    // default to bench_subset.json so they can never clobber the full
+    // sweep's bench_full.json; bench_full.json itself is tracked in
+    // git (no longer ignored), so each round's full-sweep per-query +
+    // recheck evidence is preserved in history even across overwrites.
+    val defaultOut = if (only.isDefined) "bench_subset.json" else "bench_full.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line still carries the result

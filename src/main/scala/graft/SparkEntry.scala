@@ -73,6 +73,7 @@ object SparkEntry {
     "q58_ks_uniform" -> (Events.q58KsUniform _),
     "q55_isotonic" -> (Relational.q55Isotonic _),
     "q54_rank_sum" -> (Events.q54RankSum _),
+    "q59_t_test" -> (Events.q59TTest _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "t20_decision_stump" -> (TextAnalysis.t20DecisionStump _),
     "t21_bpe_encode" -> (TextAnalysis.t21BpeEncode _),
     "t22_decision_tree" -> (TextAnalysis.t22DecisionTree _),
+    "t33_deep_tree" -> (TextAnalysis.t33DeepTree _),
     "t25_random_forest" -> (TextAnalysis.t25RandomForest _),
     "t26_boosted_stumps" -> (TextAnalysis.t26BoostedStumps _),
     "t27_chi2_contingency" -> (TextAnalysis.t27Chi2 _),
@@ -174,6 +176,7 @@ object SparkEntry {
     "s21_bisecting_kmeans" -> (Similarity.s21BisectingKmeans _),
     "s22_tfidf_search" -> (Similarity.s22TfidfSearch _),
     "s23_silhouette" -> (Similarity.s23Silhouette _),
+    "s30_silhouette_exact" -> (Similarity.s30SilhouetteExact _),
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
     "s28_svdpp" -> (Recommend.s28Svdpp _),
@@ -475,7 +478,8 @@ object SparkEntry {
        |  FROM sc_f),
        |t2 AS (SELECT vec_id,
        |    max(CASE WHEN rn = 1 THEN cs END) AS cs1,
-       |    max(CASE WHEN rn = 2 THEN cs END) AS cs2,
+       |    COALESCE(max(CASE WHEN rn = 2 THEN cs END),
+       |             max(CASE WHEN rn = 1 THEN cs END)) AS cs2,
        |    max(CASE WHEN rn = 1 THEN cid END) AS cell
        |  FROM rk2 WHERE rn <= 2 GROUP BY vec_id),
        |sil AS (SELECT cell,
@@ -488,6 +492,52 @@ object SparkEntry {
        |  CAST(sum(st) AS BIGINT) AS sum_sil_ticks,
        |  CAST(sum(st) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sil_ticks
        |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** s30 oracle: the generated k-means prefix for the assignment,
+    * then the exact cosine silhouette replicated relationally —
+    * normalized ticks off the sequential list_sum norm (the s14 nq
+    * contract), per-(cell, dim) Ω long sums, P per (vector, cluster)
+    * via the dim join, and the reference's three-way a/b comparison
+    * on exactly-rounded integer-ratio doubles. The oracle's N·D·k
+    * join rows are fine at oracle scale; the engine side never
+    * materializes them (one-row broadcast + higher-order functions).
+    */
+  private def s30OracleSql(iters: Int): String =
+    s"""${kmeansOracle(iters)},
+       |xnrm AS MATERIALIZED (SELECT e.vec_id, a.cell, e.embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS nv
+       |  FROM embeddings e JOIN asg_f a ON a.vec_id = e.vec_id),
+       |xq AS MATERIALIZED (SELECT vec_id, cell, jj.j,
+       |    CAST(floor(CAST(embedding[jj.j] AS DOUBLE) / nv * 1024.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM xnrm, (SELECT unnest(range(1, 65)) AS j) jj),
+       |om AS (SELECT cell AS gcell, j, CAST(sum(q) AS BIGINT) AS o
+       |  FROM xq GROUP BY 1, 2),
+       |cnx AS (SELECT cell AS gcell, CAST(count(*) AS BIGINT) AS n
+       |  FROM asg_f GROUP BY 1),
+       |ppx AS (SELECT x.vec_id, x.cell, o.gcell,
+       |    CAST(sum(x.q * o.o) AS BIGINT) AS p
+       |  FROM xq x JOIN om o ON o.j = x.j GROUP BY 1, 2, 3),
+       |abx AS (SELECT p.vec_id, p.cell,
+       |    max(CASE WHEN p.gcell = p.cell THEN
+       |      CASE WHEN c.n = 1 THEN 0.0
+       |        ELSE CAST(1048576 * c.n - p.p AS DOUBLE) /
+       |             CAST(1048576 * (c.n - 1) AS DOUBLE) END
+       |      END) AS a,
+       |    min(CASE WHEN p.gcell <> p.cell THEN
+       |      CAST(1048576 * c.n - p.p AS DOUBLE) /
+       |      CAST(1048576 * c.n AS DOUBLE) END) AS b
+       |  FROM ppx p JOIN cnx c USING (gcell) GROUP BY 1, 2),
+       |silx AS (SELECT cell,
+       |    CAST(floor((CASE WHEN a < b AND b > 0 THEN 1.0 - a / b
+       |      WHEN a > b AND a > 0 THEN b / a - 1.0
+       |      ELSE 0.0 END) * 1048576.0 + 0.5) AS BIGINT) AS st
+       |  FROM abx)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(sum(st) AS BIGINT) AS sum_sil_ticks,
+       |  CAST(sum(st) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_sil_ticks
+       |FROM silx GROUP BY cell ORDER BY cell""".stripMargin
 
   private def s04OracleSql(iters: Int): String =
     s"""${kmeansOracle(iters)},
@@ -1842,6 +1892,7 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
     "s23_silhouette" -> s23OracleSql(graft.operators.Similarity.KmeansIters),
+    "s30_silhouette_exact" -> s30OracleSql(graft.operators.Similarity.KmeansIters),
     "s21_bisecting_kmeans" -> s21OracleSql(
       graft.operators.Similarity.BisectSplits,
       graft.operators.Similarity.BisectLloyd),
@@ -2334,6 +2385,54 @@ object SparkEntry {
          |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
          |  GROUP BY 1, 2, 3, 4)
          |ORDER BY type_a, type_b""".stripMargin,
+    // q59: Student + Welch t on exact integer tick moments — the
+    // division-cleared Student integers verbatim, the Welch ratios as
+    // single exactly-rounded IEEE divides of exact values.
+    "q59_t_test" ->
+      s"""WITH ct AS MATERIALIZED (
+         |  SELECT event_type AS t, CAST(floor(value * 1024.0) AS BIGINT) AS tick,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |mom AS (SELECT t, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(c * tick) AS BIGINT) AS s1,
+         |    CAST(sum(c * tick * tick) AS BIGINT) AS s2
+         |  FROM ct GROUP BY 1),
+         |pr AS (SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+         |    a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+         |  FROM mom a JOIN mom b ON a.t < b.t),
+         |z AS (SELECT type_a, type_b, n_a, n_b,
+         |    n_b * s1a - n_a * s1b AS dm_num,
+         |    CAST(n_a AS DECIMAL(38,0)) * s2a
+         |      - CAST(s1a AS DECIMAL(38,0)) * s1a AS ssd_a,
+         |    CAST(n_b AS DECIMAL(38,0)) * s2b
+         |      - CAST(s1b AS DECIMAL(38,0)) * s1b AS ssd_b
+         |  FROM pr),
+         |y AS (SELECT *,
+         |    CAST(dm_num AS DECIMAL(38,0)) * dm_num * (n_a + n_b - 2) AS t2s_num,
+         |    (n_b * ssd_a + n_a * ssd_b) * (n_a + n_b) AS t2s_den,
+         |    CASE WHEN n_a > 1 THEN CAST(ssd_a AS DOUBLE)
+         |      / CAST(n_a * n_a * (n_a - 1) AS DOUBLE) ELSE 0.0 END AS va,
+         |    CASE WHEN n_b > 1 THEN CAST(ssd_b AS DOUBLE)
+         |      / CAST(n_b * n_b * (n_b - 1) AS DOUBLE) ELSE 0.0 END AS vb,
+         |    CAST(dm_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS dm
+         |  FROM z),
+         |w AS (SELECT *,
+         |    CASE WHEN n_a > 1 THEN va * va / CAST(n_a - 1 AS DOUBLE)
+         |      ELSE 0.0 END AS wa,
+         |    CASE WHEN n_b > 1 THEN vb * vb / CAST(n_b - 1 AS DOUBLE)
+         |      ELSE 0.0 END AS wb
+         |  FROM y)
+         |SELECT type_a, type_b, n_a, n_b, dm_num, t2s_num, t2s_den,
+         |  CASE WHEN t2s_den > 0 THEN CAST(floor(CAST(t2s_num AS DOUBLE)
+         |    / CAST(t2s_den AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS t2s_ticks,
+         |  CASE WHEN va + vb > 0 THEN CAST(floor(dm * dm / (va + vb)
+         |    * 1048576.0 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS t2w_ticks,
+         |  CASE WHEN wa + wb > 0 THEN CAST(floor((va + vb) * (va + vb)
+         |    / (wa + wb) * 1048576.0 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS dof_ticks
+         |FROM w ORDER BY type_a, type_b""".stripMargin,
     // q55: the minimax closed form of isotonic regression on the
     // bounded month grid — truncated segment means, then min/max.
     "q55_isotonic" ->
@@ -3576,6 +3675,7 @@ object SparkEntry {
     // t21: the shared trainer CTEs + encode join + per-source rollup.
     "t21_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql,
     "t22_decision_tree" -> TextAnalysis.treeOracleSql,
+    "t33_deep_tree" -> TextAnalysis.deepTreeOracleSql,
     "t25_random_forest" -> TextAnalysis.forestOracleSql,
     "t26_boosted_stumps" -> TextAnalysis.boostOracleSql,
     "t27_chi2_contingency" -> TextAnalysis.chi2OracleSql,

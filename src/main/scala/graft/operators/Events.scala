@@ -433,6 +433,112 @@ object Events {
       .orderBy(col("t"))
   }
 
+  /** q59: Student + Welch two-sample t-tests between the value
+    * distributions of every event-type pair — the PARAMETRIC member
+    * beside q54's rank-sum (the reference's StreamingTest surface:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * stat/test/StreamingTest.scala:1, StudentTTest + WelchTTest),
+    * re-expressed on exact integer moments so both engines agree
+    * bit-for-bit. Per type the (n, Σv, Σv²) tick moments are one
+    * partial-agg'd pass over the shared [[tickCountsOf]] monoid
+    * frame; per pair, with ssd = n·S2 − S1² (the n²·variance
+    * integer) and dm_num = n_b·S1a − n_a·S1b (the n_a·n_b-cleared
+    * mean difference):
+    *
+    *   - STUDENT (pooled, the equal-variance test) is reported
+    *     DIVISION-CLEARED as exact integers (the q52 posture):
+    *     t² = t2s_num / t2s_den with
+    *     t2s_num = dm_num²·(n_a+n_b−2) and
+    *     t2s_den = (n_b·ssd_a + n_a·ssd_b)·(n_a+n_b), plus the
+    *     2²⁰-tick ratio from the exactly-rounded decimal→double
+    *     casts (deterministic: one IEEE divide of two exact values);
+    *   - WELCH (unequal-variance) in the same exactly-rounded-ratio
+    *     discipline: v_x = ssd_x/(n_x²(n_x−1)) each ONE divide of
+    *     exact integers, t²_w = dm²/(v_a+v_b) and the
+    *     Welch–Satterthwaite dof = (v_a+v_b)²/(v_a²/(n_a−1) +
+    *     v_b²/(n_b−1)) as fixed double trees over those, in 2²⁰
+    *     ticks. Zero denominators (a constant-valued type, n = 1)
+    *     report 0 by the family's shared CASE guard.
+    *
+    * The p-value is a DOCUMENTED RESIDUAL: it is the fixed monotone
+    * map p = 2·(1 − F_t(√t², dof)) the consumer applies to
+    * (t2_ticks, dof_ticks); computing F_t needs the incomplete beta,
+    * which no exact-integer contract can carry — the decision
+    * boolean t² > c²(dof, α) is available exactly from the reported
+    * columns.
+    *
+    * Overflow: ssd ≤ n²T² and t2s_num ≤ 2n⁵T² in DECIMAL(38,0) —
+    * exact to n ≈ 10⁵ per type at tick magnitude T ≤ 2²⁰ (this
+    * corpus: T < 2²⁰, n ≈ 2·10⁴ at sf0.1); the documented retune at
+    * corpus scale is centering ticks at the pooled mean first
+    * (shrinks T to the deviation scale — means cancel exactly in
+    * both dm_num and ssd) and/or coarser ticks.
+    *
+    * Scale shape: the q53 posture — one (type, tick) map-side
+    * partial count, then everything is types²-bounded; the pair
+    * build is a broadcast cross join of the types-row moment frame.
+    */
+  def q59TTest(spark: SparkSession, sfDir: String): DataFrame =
+    tTestFromCounts(corpusTickCounts(spark, sfDir))
+
+  /** The q59 pair t-test report over any (t, tick, c) counts frame —
+    * the ksReportFromCounts contract applied to the parametric test;
+    * package-private for the planted spec and the streaming twin.
+    */
+  private[graft] def tTestFromCounts(ct: DataFrame): DataFrame = {
+    val mom = ct.groupBy(col("t")).agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * col("tick")).as("s1"),
+      sum(col("c") * col("tick") * col("tick")).as("s2"))
+    val a = mom.select(col("t").as("type_a"), col("n").as("n_a"),
+      col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = mom.select(col("t").as("type_b"), col("n").as("n_b"),
+      col("s1").as("s1b"), col("s2").as("s2b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("dm_num", col("n_b") * col("s1a") - col("n_a") * col("s1b"))
+      .withColumn("ssd_a", col("n_a").cast("decimal(38,0)") * col("s2a")
+        - col("s1a").cast("decimal(38,0)") * col("s1a"))
+      .withColumn("ssd_b", col("n_b").cast("decimal(38,0)") * col("s2b")
+        - col("s1b").cast("decimal(38,0)") * col("s1b"))
+      .withColumn("t2s_num", col("dm_num").cast("decimal(38,0)") * col("dm_num")
+        * (col("n_a") + col("n_b") - 2))
+      .withColumn("t2s_den", (col("n_b") * col("ssd_a") + col("n_a") * col("ssd_b"))
+        * (col("n_a") + col("n_b")))
+      .withColumn("t2s_ticks", when(col("t2s_den") > 0,
+        floor(col("t2s_num").cast("double") / col("t2s_den").cast("double")
+          * lit(1048576.0) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+      .withColumn("va", when(col("n_a") > 1, col("ssd_a").cast("double") /
+        (col("n_a") * col("n_a") * (col("n_a") - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("vb", when(col("n_b") > 1, col("ssd_b").cast("double") /
+        (col("n_b") * col("n_b") * (col("n_b") - 1)).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("dm", col("dm_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+      .withColumn("t2w_ticks", when(col("va") + col("vb") > 0,
+        floor(col("dm") * col("dm") / (col("va") + col("vb"))
+          * lit(1048576.0) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+      // per-side dof terms guarded separately: va is 0 at n_a = 1, and
+      // 0/0 would be NaN (whose comparison semantics are the one place
+      // the two engines may disagree) — so each term is CASE-gated on
+      // its own n > 1, never formed as a 0/0
+      .withColumn("wa", when(col("n_a") > 1,
+        col("va") * col("va") / (col("n_a") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("wb", when(col("n_b") > 1,
+        col("vb") * col("vb") / (col("n_b") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("dof_ticks", when(col("wa") + col("wb") > 0,
+        floor((col("va") + col("vb")) * (col("va") + col("vb"))
+          / (col("wa") + col("wb"))
+          * lit(1048576.0) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("dm_num"), col("t2s_num"), col("t2s_den"), col("t2s_ticks"),
+        col("t2w_ticks"), col("dof_ticks"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** The q54 pair rank-sum report over any (t, tick, c) counts frame
     * — shared verbatim by the batch key and the streaming A/B gate
     * ([[graft.streaming.StreamOps.abTestReport]]), the

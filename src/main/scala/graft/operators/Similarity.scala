@@ -2075,18 +2075,25 @@ object Similarity {
   /** Silhouette tick scale — 2^20 ticks of the [-1, 1] coefficient. */
   private[graft] val SilScale = 1048576.0
 
-  /** s23: clustering-quality evaluation of the s04 partition — the
-    * reference's ClusteringEvaluator silhouette (reference:
-    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/
-    * evaluation/ClusteringEvaluator.scala:1), in its centroid-based
-    * "simplified silhouette" form: with cosine similarity cs1 to the
-    * OWN (nearest) centroid and cs2 to the runner-up, the coefficient
-    * is s = (cs1 - cs2) / (1 - cs2) in [0, 1] — 0 on the cell border,
-    * 1 at the centroid — reported per cell as exact tick sums and the
-    * truncating-div mean ([[SilScale]] ticks). The exact pairwise
-    * silhouette is O(N^2); the centroid form is the standard
-    * evaluator at scale (and what the reference's evaluator computes
-    * per point against cluster means).
+  /** s23: clustering-quality evaluation of the s04 partition in the
+    * SIMPLIFIED (centroid-based) silhouette form: with cosine
+    * similarity cs1 to the OWN (nearest) centroid and cs2 to the
+    * runner-up, the coefficient is s = (cs1 - cs2) / (1 - cs2) in
+    * [0, 1] — 0 on the cell border, 1 at the centroid — reported per
+    * cell as exact tick sums and the truncating-div mean
+    * ([[SilScale]] ticks).
+    *
+    * HONEST FRAMING: this is NOT the reference evaluator's metric.
+    * The reference's CosineSilhouette (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/ml/evaluation/
+    * ClusteringEvaluator.scala:556) computes the EXACT silhouette in
+    * O(C·D·N/W) via per-cluster sums of normalized features — not
+    * pairwise, and not this centroid approximation — so s23's values
+    * differ numerically from ml.ClusteringEvaluator. The exact
+    * expansion form ships as [[s30SilhouetteExact]]; s23 stays as the
+    * cheaper screening variant (one broadcast scoring pass, top-2
+    * state only, no Ω build) whose [0,1] score is the standard
+    * "simplified silhouette" of the clustering literature.
     *
     * Scale shape: one broadcast cross join against the k-row centroid
     * frame, then a BOUNDED top-2 per vector via the top_k_by_score
@@ -2094,7 +2101,10 @@ object Similarity {
     * never the N x k scored rows and never a corpus window — then a
     * k-row final aggregation. Doubles appear only in the per-row
     * coefficient, computed from the same broadcast floats in index
-    * order by both engines.
+    * order by both engines. Degenerate input (k < 2 centroid rows →
+    * no runner-up) defaults cs2 to cs1, giving coefficient 0 — the
+    * family's documented degenerate-input posture — rather than
+    * silently propagating null.
     */
   def s23Silhouette(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
@@ -2107,7 +2117,10 @@ object Similarity {
       .select(col("vec_id"),
         col("top").getItem(0).getField("id").as("cell"),
         col("top").getItem(0).getField("score").as("cs1"),
-        col("top").getItem(1).getField("score").as("cs2"))
+        // k < 2 centroid rows → no runner-up: default cs2 to cs1 so
+        // the coefficient is a defined 0, never a silent null
+        coalesce(col("top").getItem(1).getField("score"),
+          col("top").getItem(0).getField("score")).as("cs2"))
     val sil = top2.select(col("cell"),
       when(lit(1.0) - col("cs2") > 0,
           floor((col("cs1") - col("cs2")) / (lit(1.0) - col("cs2"))
@@ -2118,5 +2131,108 @@ object Similarity {
       .select(col("cell"), col("n_points"), col("sum_sil_ticks"),
         expr("sum_sil_ticks div n_points").as("mean_sil_ticks"))
       .orderBy(col("cell"))
+  }
+
+  /** The EXACT cosine-silhouette core over an arbitrary clustered
+    * frame `cells` (vec_id, cell, embedding) — the reference
+    * evaluator's expansion form (reference: /root/reference/mllib/
+    * src/main/scala/org/apache/spark/ml/evaluation/
+    * ClusteringEvaluator.scala:556, `CosineSilhouette`), made
+    * hash-verifiable on the integer tick grid:
+    *
+    *   - ξ = x/‖x‖ quantized to q_j = floor(ξ_j·1024 + 0.5) longs
+    *     (‖x‖ via the sequential dot_product fold — the s14 norm
+    *     contract — so both engines fold the array in index order);
+    *   - per cluster Γ: Ω_Γ[j] = Σ q_j (exact long sums) and N_Γ;
+    *   - avg distance of X to Γ: d(X,Γ) = 1 − (q_X·Ω_Γ)/(S²·N_Γ),
+    *     computed as the exactly-rounded double ratio of the two
+    *     exact integers (S²N_Γ − P) and S²N_Γ, P = q_X·Ω_Γ — the
+    *     sum-of-dots = dot-of-sum identity holds EXACTLY in integer
+    *     arithmetic, which is what makes the expansion form
+    *     bit-verifiable where a float pairwise sum never is;
+    *   - a(i) = d(X, own)·N/(N−1) (self-exclusion; 0 when N = 1),
+    *     i.e. the integer ratio (S²N − P)/(S²(N−1));
+    *   - b(i) = min over other clusters of d(X,Γ);
+    *   - s(i) = 1 − a/b, b/a − 1, or 0 by the reference's three-way
+    *     comparison, with the family's degenerate-input guard (a
+    *     branch whose denominator is ≤ 0 — possible only at the
+    *     quantization margin on self-identical clusters — reports 0).
+    *
+    * Scale shape — better than even the simplified form: the Ω build
+    * is one posexplode + (cell, dim) partial agg (k·D rows after
+    * map-side combine), the k-row (Ω, N) table collapses to a ONE-ROW
+    * broadcast array, and the scoring pass computes a(i), b(i) and
+    * the tick coefficient per row with higher-order functions over
+    * that broadcast — O(k·D) work per point, NO per-vector shuffle at
+    * all (s23 still shuffles 2-row top-k state per vector). The only
+    * shuffles are the k·D Ω agg and the final k-row rollup. Overflow:
+    * |q| ≤ 1025, |Ω_j| ≤ 1025·N, P ≤ D·1025²·N < 2²⁷·N — exact in
+    * int64 to N ≈ 10¹¹ per cluster; retune past that = split Ω sums
+    * into high/low halves (the s13 two-level-sum note).
+    */
+  private[graft] def exactCosineSilhouette(spark: SparkSession,
+      cells: DataFrame): DataFrame = {
+    registerAll(spark)
+    val qs = cells
+      .withColumn("nv",
+        sqrt(call_function("dot_product", col("embedding"), col("embedding"))))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / nv * 1024.0D + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), col("cell"), col("q"))
+      .localCheckpoint(true) // read by the Ω build AND the scoring pass
+    val omega = qs
+      .select(col("cell"), posexplode(col("q")).as(Seq("j", "qj")))
+      .groupBy(col("cell"), col("j"))
+      .agg(sum(col("qj")).as("o"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, o))), x -> x.o)")
+        .as("omega"))
+    val counts = qs.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // ONE broadcast row: the k (cell, N, Ω) stats sorted by cell id
+    val statsArr = omega.join(counts, "cell")
+      .select(col("cell").as("gcell"), col("n"), col("omega"))
+      .agg(sort_array(collect_list(struct(col("gcell"), col("n"), col("omega"))))
+        .as("cls"))
+    val dOther = "CAST(1048576 * c.n - aggregate(zip_with(q, c.omega, " +
+      "(u, v) -> u * v), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) " +
+      "/ CAST(1048576 * c.n AS DOUBLE)"
+    val scored = qs.crossJoin(broadcast(statsArr))
+      .withColumn("own", expr("filter(cls, c -> c.gcell = cell)[0]"))
+      .withColumn("pown", expr("aggregate(zip_with(q, own.omega, " +
+        "(u, v) -> u * v), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("a", expr("CASE WHEN own.n = 1 THEN 0.0D ELSE " +
+        "CAST(1048576 * own.n - pown AS DOUBLE) / " +
+        "CAST(1048576 * (own.n - 1) AS DOUBLE) END"))
+      .withColumn("b",
+        expr(s"array_min(transform(filter(cls, c -> c.gcell != cell), c -> $dOther))"))
+    val sil = scored.select(col("cell"),
+      floor((when(col("a") < col("b") && col("b") > 0,
+          lit(1.0) - col("a") / col("b"))
+        .when(col("a") > col("b") && col("a") > 0,
+          col("b") / col("a") - lit(1.0))
+        .otherwise(lit(0.0))) * lit(SilScale) + lit(0.5))
+        .cast("long").as("st"))
+    sil.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_points"), sum(col("st")).as("sum_sil_ticks"))
+      .select(col("cell"), col("n_points"), col("sum_sil_ticks"),
+        expr("sum_sil_ticks div n_points").as("mean_sil_ticks"))
+      .orderBy(col("cell"))
+  }
+
+  /** s30: the EXACT cosine silhouette of the s04 k-means partition —
+    * the reference ClusteringEvaluator's metric (see
+    * [[exactCosineSilhouette]] for the algebra, determinism and scale
+    * contract), evaluated on the same [[KmeansIters]]-round centroids
+    * and argmax-cosine assignment as s04/s23. Clears the round-10
+    * fidelity gap: s23's simplified (centroid) coefficient remains as
+    * the cheap screen; THIS key reports the evaluator-faithful value.
+    * Output: (cell, n_points, sum_sil_ticks, mean_sil_ticks) in
+    * [[SilScale]] ticks of [-1, 1].
+    */
+  def s30SilhouetteExact(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val centroids = kmeansCentroids(spark, sfDir, KmeansIters)
+    exactCosineSilhouette(spark,
+      ivfCells(spark, sfDir, centroids).select(col("vec_id"), col("cell"), col("embedding")))
   }
 }

@@ -1050,6 +1050,125 @@ object TextAnalysis {
     out.reduce(_ unionByName _).orderBy(col("node"))
   }
 
+  /** Split levels of [[t33DeepTree]] — the depth-D generalization;
+    * [[t22DecisionTree]] is the D = 2 instance of the same per-level
+    * recursion (kept as its own key for the named root/left/right
+    * report shape).
+    */
+  private[graft] val DeepTreeDepth = 3
+
+  /** The NODE-KEYED split-search primitive over a (node, y, v1, v2,
+    * v3) frame — [[stumpCore]] with the tree-node id carried through
+    * EVERY group key, so one bounded pass finds the best split of
+    * every live node simultaneously: the reference's level-by-level
+    * findBestSplits made literal (reference: /root/reference/mllib/
+    * src/main/scala/org/apache/spark/mllib/tree/DecisionTree.scala:1
+    * trains one level per pass over node-assigned rows, histogram
+    * keyed by (node, feature, bin) — exactly this plan). Every
+    * window group stays bounded: the cumulative runs over
+    * ≤ [[StumpBins]] rows per (node, feature), the best-per-node
+    * row_number over ≤ 3·StumpBins candidate rows per node — never
+    * corpus-sized. Returns one row per SPLITTABLE node; an
+    * unsplittable node (every feature one populated bin) emits
+    * nothing — the leaf case.
+    */
+  private[graft] def nodeStumpCore(docs: DataFrame): DataFrame = {
+    val lf = docs.select(col("node"), col("y"),
+      expr("stack(3, 'n_chars', v1, 'n_tokens', v2, 'distinct_ratio', v3)")
+        .as(Seq("feature", "x")))
+    // ≤ 2^D·3 rows; read by the binning pass AND the final join
+    val stats = lf.groupBy(col("node"), col("feature"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .localCheckpoint(true)
+    val binned = lf.join(broadcast(stats), Seq("node", "feature"))
+      .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
+    val perBin = binned.groupBy(col("node"), col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true)
+    val tot = perBin.groupBy(col("node"), col("feature"))
+      .agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("node"), col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def giniTicks(pos: Column, n: Column): Column =
+      floor((lit(1.0) - (pos * pos + (n - pos) * (n - pos)) /
+          (n.cast("double") * n.cast("double"))) * lit(NbScale) + lit(0.5))
+        .cast("long")
+    val cand = perBin
+      .withColumn("nl", sum(col("n")).over(w))
+      .withColumn("posl", sum(col("pos")).over(w))
+      .join(tot, Seq("node", "feature"))
+      .filter(col("nl") < col("nn"))
+      .withColumn("cost_ticks",
+        col("nl") * giniTicks(col("posl"), col("nl")) +
+          (col("nn") - col("nl")) *
+          giniTicks(col("npos") - col("posl"), col("nn") - col("nl")))
+    val wBest = Window.partitionBy(col("node"))
+      .orderBy(col("cost_ticks"), col("feature"), col("bin"))
+    val best = cand.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("feature"), col("bin").as("split_bin"),
+        col("cost_ticks"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        (col("posl") * 2 >= col("nl")).as("predict_left"),
+        (col("nn") - col("nl")).as("n_right"),
+        (col("npos") - col("posl")).as("pos_right"),
+        ((col("npos") - col("posl")) * 2 >= col("nn") - col("nl"))
+          .as("predict_right"))
+    best.join(broadcast(stats), Seq("node", "feature"))
+      .select(col("node"), col("feature"), col("split_bin"),
+        col("mn").as("f_min"), col("mx").as("f_max"), col("cost_ticks"),
+        col("n_left"), col("pos_left"), col("predict_left"),
+        col("n_right"), col("pos_right"), col("predict_right"))
+  }
+
+  /** The depth-D level loop over any (y, v1, v2, v3) feature frame —
+    * heap node ids (root 1, children 2n / 2n+1), one
+    * [[nodeStumpCore]] pass per level, split application a broadcast
+    * join against the ≤ 2^level-row split frame with CHILD-LOCAL bin
+    * grids recomputed next level. Rows of unsplittable (leaf) nodes
+    * drop out of the assignment frame (inner join), so deeper levels
+    * never re-split a settled leaf. Package-private for the planted
+    * parity spec; [[t33DeepTree]] is this over [[docFeatures]].
+    */
+  private[graft] def deepTreeFrom(features: DataFrame, depth: Int): DataFrame = {
+    var asg = features.select(col("y"), col("v1"), col("v2"), col("v3"))
+      .withColumn("node", lit(1L)).localCheckpoint(true)
+    val levels = (1 to depth).map { l =>
+      val best = nodeStumpCore(asg).localCheckpoint(true)
+      if (l < depth) {
+        val sel = best.select(col("node"), col("feature").as("rf"),
+          col("split_bin").as("rb"), col("f_min").as("rmn"),
+          col("f_max").as("rmx"))
+        asg = asg.join(broadcast(sel), Seq("node"))
+          .withColumn("xr", when(col("rf") === "n_chars", col("v1"))
+            .when(col("rf") === "n_tokens", col("v2")).otherwise(col("v3")))
+          .withColumn("cbin",
+            expr(s"((xr - rmn) * $StumpBins) div (rmx - rmn + 1)"))
+          .select(col("y"), col("v1"), col("v2"), col("v3"),
+            (col("node") * 2 + when(col("cbin") <= col("rb"), lit(0L))
+              .otherwise(lit(1L))).as("node"))
+          .localCheckpoint(true)
+      }
+      best
+    }
+    levels.reduce(_ unionByName _).orderBy(col("node"))
+  }
+
+  /** t33: depth-[[DeepTreeDepth]] decision tree over the document
+    * quality features — the reference's arbitrary-depth
+    * level-by-level training (reference: /root/reference/mllib/src/
+    * main/scala/org/apache/spark/mllib/tree/DecisionTree.scala:1)
+    * with the (node × feature × bin) histogram as the only
+    * data-plane pass per level. Cost: depth × one corpus scan, model
+    * state ≤ 2^depth broadcast rows, candidate sets independent of
+    * corpus size (the t22 contract, now parameterized). Output: one
+    * row per splittable node in heap order — (node, feature,
+    * split_bin, f_min, f_max, cost_ticks, n/pos/predict per side).
+    */
+  def t33DeepTree(spark: SparkSession, sfDir: String): DataFrame =
+    deepTreeFrom(docFeatures(spark, sfDir), DeepTreeDepth)
+
   /** Trees in [[t25RandomForest]]. */
   private[graft] val RfTrees = 6
 
@@ -1328,6 +1447,101 @@ object TextAnalysis {
        |UNION ALL
        |${stumpLabelledSelect("'right' AS node", "2")}
        |) ORDER BY node""".stripMargin
+
+  /** One NODE-KEYED suffixed split-search chain over `src` (a
+    * (node, y, v1, v2, v3) frame) — the SQL twin of
+    * [[nodeStumpCore]]: every group key and window partition carries
+    * the node id, best-per-node by the same (cost, feature, bin)
+    * row_number tie rule.
+    */
+  private def nodeChainCtes(sfx: String, src: String): String =
+    s"""lf$sfx AS (
+       |  SELECT node, y, 'n_chars' AS feature, v1 AS x FROM $src
+       |  UNION ALL SELECT node, y, 'n_tokens', v2 FROM $src
+       |  UNION ALL SELECT node, y, 'distinct_ratio', v3 FROM $src),
+       |st$sfx AS MATERIALIZED (
+       |  SELECT node, feature, min(x) AS mn, max(x) AS mx
+       |  FROM lf$sfx GROUP BY 1, 2),
+       |bn$sfx AS (
+       |  SELECT lf.node, lf.y, lf.feature,
+       |    ((lf.x - st.mn) * $StumpBins) // (st.mx - st.mn + 1) AS bin
+       |  FROM lf$sfx lf JOIN st$sfx st
+       |    ON lf.node = st.node AND lf.feature = st.feature),
+       |pb$sfx AS MATERIALIZED (
+       |  SELECT node, feature, bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS pos
+       |  FROM bn$sfx GROUP BY 1, 2, 3),
+       |tt$sfx AS (SELECT node, feature, CAST(sum(n) AS BIGINT) AS nn,
+       |         CAST(sum(pos) AS BIGINT) AS npos FROM pb$sfx GROUP BY 1, 2),
+       |cu$sfx AS (
+       |  SELECT node, feature, bin,
+       |    CAST(sum(n) OVER (PARTITION BY node, feature ORDER BY bin)
+       |      AS BIGINT) AS nl,
+       |    CAST(sum(pos) OVER (PARTITION BY node, feature ORDER BY bin)
+       |      AS BIGINT) AS posl
+       |  FROM pb$sfx),
+       |ca$sfx AS (
+       |  SELECT cu.node, cu.feature, cu.bin, cu.nl, cu.posl, tt.nn, tt.npos,
+       |    cu.nl * CAST(floor((1.0 - (cu.posl * cu.posl
+       |                  + (cu.nl - cu.posl) * (cu.nl - cu.posl))
+       |                 / (CAST(cu.nl AS DOUBLE) * CAST(cu.nl AS DOUBLE)))
+       |               * 1048576.0 + 0.5) AS BIGINT)
+       |    + (tt.nn - cu.nl) * CAST(floor((1.0
+       |        - ((tt.npos - cu.posl) * (tt.npos - cu.posl)
+       |           + ((tt.nn - cu.nl) - (tt.npos - cu.posl))
+       |             * ((tt.nn - cu.nl) - (tt.npos - cu.posl)))
+       |          / (CAST(tt.nn - cu.nl AS DOUBLE) * CAST(tt.nn - cu.nl AS DOUBLE)))
+       |        * 1048576.0 + 0.5) AS BIGINT) AS cost_ticks
+       |  FROM cu$sfx cu JOIN tt$sfx tt
+       |    ON cu.node = tt.node AND cu.feature = tt.feature
+       |  WHERE cu.nl < tt.nn),
+       |b$sfx AS MATERIALIZED (
+       |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY node
+       |      ORDER BY cost_ticks, feature, bin) AS rn FROM ca$sfx)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The split-application CTE: next level's (node, y, v1, v2, v3)
+    * rows from this level's per-node best splits (leaf nodes drop
+    * out — the inner-join posture of [[deepTreeFrom]]).
+    */
+  private def nodeApplyCte(next: String, src: String, sfx: String): String =
+    s"""$next AS MATERIALIZED (
+       |  SELECT s.y, s.v1, s.v2, s.v3,
+       |    s.node * 2 + CASE WHEN ((CASE b.feature WHEN 'n_chars' THEN s.v1
+       |        WHEN 'n_tokens' THEN s.v2 ELSE s.v3 END
+       |        - st.mn) * $StumpBins) // (st.mx - st.mn + 1) <= b.bin
+       |      THEN 0 ELSE 1 END AS node
+       |  FROM $src s JOIN b$sfx b ON b.node = s.node
+       |  JOIN st$sfx st ON st.node = s.node AND st.feature = b.feature)"""
+      .stripMargin
+
+  /** The DuckDB twin of [[t33DeepTree]]: the shared feature frame
+    * seeded at node 1, then per level one node-keyed chain + one
+    * split application, unrolled [[DeepTreeDepth]] times.
+    */
+  private[graft] def deepTreeOracleSql: String = {
+    def levelSel(l: Int): String =
+      s"""SELECT b.node, b.feature, b.bin AS split_bin, st.mn AS f_min,
+         |  st.mx AS f_max, b.cost_ticks, b.nl AS n_left, b.posl AS pos_left,
+         |  b.posl * 2 >= b.nl AS predict_left,
+         |  b.nn - b.nl AS n_right, b.npos - b.posl AS pos_right,
+         |  (b.npos - b.posl) * 2 >= b.nn - b.nl AS predict_right
+         |FROM bdt$l b JOIN stdt$l st
+         |  ON st.node = b.node AND st.feature = b.feature""".stripMargin
+    val lvls = (1 to DeepTreeDepth).map(levelSel).mkString("\nUNION ALL\n")
+    val chains = (1 to DeepTreeDepth).map { l =>
+      val apply = if (l < DeepTreeDepth)
+        ",\n" + nodeApplyCte(s"ndt${l + 1}", s"ndt$l", s"dt$l") else ""
+      nodeChainCtes(s"dt$l", s"ndt$l") + apply
+    }.mkString(",\n")
+    s"""WITH $stumpBaseCtes,
+       |ndt1 AS MATERIALIZED (
+       |  SELECT y, v1, v2, v3, CAST(1 AS BIGINT) AS node FROM d2),
+       |$chains
+       |SELECT * FROM (
+       |$lvls
+       |) ORDER BY node""".stripMargin
+  }
 
   /** The DuckDB twin of [[t25RandomForest]]: the shared feature
     * CTEs, one md5-bootstrap + feature-dropout source per tree, and

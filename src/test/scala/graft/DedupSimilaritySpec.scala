@@ -1099,6 +1099,99 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sil.toSeq == Similarity.s23Silhouette(spark, sfDir).collect().toSeq)
   }
 
+  test("s30 exact silhouette: planted geometry — matches brute-force " +
+    "pairwise where the simplified form provably does not; tick-exact " +
+    "vs an independent in-test replication") {
+    val sess = spark
+    import sess.implicits._
+    // Two clusters in orthogonal 2-D subspaces of R^4. Every vector is
+    // unit norm; cross-cluster cosines are exactly 0, so pairwise
+    // silhouettes are hand-computable: cluster 0 = {e1, (.8,.6),
+    // (.8,-.6)} has within-cosines {.8, .8, .28}; cluster 1 =
+    // {e3, (.6,.8) in dims 3-4} has within-cosine .6.
+    val planted: Seq[(Long, Long, Array[Float])] = Seq(
+      (0L, 0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (2L, 0L, Array(0.8f, -0.6f, 0.0f, 0.0f)),
+      (3L, 1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, 1L, Array(0.0f, 0.0f, 0.6f, 0.8f)))
+    val cells = planted.toDF("vec_id", "cell", "embedding")
+      .selectExpr("vec_id", "cell", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    val got = Similarity.exactCosineSilhouette(spark, cells).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // (1) independent replication of the tick algorithm — bit-exact
+    val vecs = planted.map { case (id, c, v) => (id, c, v) }
+    def qticks(v: Array[Float]): Array[Long] = {
+      var ss = 0.0
+      for (x <- v) ss += x.toDouble * x.toDouble
+      val nv = math.sqrt(ss)
+      v.map(x => math.floor(x.toDouble / nv * 1024.0 + 0.5).toLong)
+    }
+    val qs = vecs.map { case (id, c, v) => (id, c, qticks(v)) }
+    val byCell = qs.groupBy(_._2)
+    val omega = byCell.map { case (c, rs) =>
+      c -> rs.map(_._3).transpose.map(_.sum).toArray }
+    val nOf = byCell.map { case (c, rs) => c -> rs.size.toLong }
+    val s2 = 1048576L
+    val stByCell = qs.map { case (id, c, q) =>
+      def p(g: Long): Long = q.zip(omega(g)).map { case (u, v) => u * v }.sum
+      val n = nOf(c)
+      val a = if (n == 1) 0.0
+        else (s2 * n - p(c)).toDouble / (s2 * (n - 1)).toDouble
+      val b = omega.keys.filter(_ != c)
+        .map(g => (s2 * nOf(g) - p(g)).toDouble / (s2 * nOf(g)).toDouble).min
+      val s = if (a < b && b > 0) 1.0 - a / b
+        else if (a > b && a > 0) b / a - 1.0 else 0.0
+      c -> math.floor(s * 1048576.0 + 0.5).toLong
+    }
+    stByCell.groupBy(_._1).foreach { case (c, sts) =>
+      val (n, sum, mean) = got(c)
+      assert(n == sts.size.toLong)
+      assert(sum == sts.map(_._2).sum,
+        s"cell $c: operator ticks $sum != replication ${sts.map(_._2).sum}")
+      assert(mean == sum / n)
+    }
+
+    // (2) brute-force PAIRWISE silhouette in doubles (no quantization)
+    val fv = vecs.map { case (id, c, v) => (id, c, v) }
+    def pairS(i: (Long, Long, Array[Float])): Double = {
+      val own = fv.filter(o => o._2 == i._2 && o._1 != i._1)
+      val a = if (own.isEmpty) 0.0
+        else own.map(o => 1.0 - cos(i._3, o._3)).sum / own.size
+      val b = fv.filter(_._2 != i._2).groupBy(_._2).values
+        .map(g => g.map(o => 1.0 - cos(i._3, o._3)).sum / g.size).min
+      if (a < b) 1.0 - a / b else if (a > b) b / a - 1.0 else 0.0
+    }
+    val pairMean = fv.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.map(pairS).sum / rs.size }
+    // hand values: cluster 0 -> (0.8 + 0.54 + 0.54)/3, cluster 1 -> 0.6
+    assert(math.abs(pairMean(0L) - (0.8 + 0.54 + 0.54) / 3) < 1e-6)
+    assert(math.abs(pairMean(1L) - 0.6) < 1e-6)
+    // the operator's mean ticks match pairwise within the 2^-10
+    // quantization margin...
+    pairMean.foreach { case (c, pm) =>
+      val opMean = got(c)._2.toDouble / got(c)._1 / 1048576.0
+      assert(math.abs(opMean - pm) < 0.02,
+        s"cell $c: exact-form $opMean vs pairwise $pm")
+    }
+
+    // (3) ...while the SIMPLIFIED (centroid) form is off by > 0.1 on
+    // the same plant — the load-bearing difference that makes s30 the
+    // evaluator-faithful key and s23 only a screen.
+    val cent = fv.groupBy(_._2).map { case (c, rs) =>
+      c -> Array.tabulate(4)(j => (rs.map(_._3(j).toDouble).sum / rs.size).toFloat) }
+    val simpMean = fv.groupBy(_._2).map { case (c, rs) =>
+      c -> rs.map { v =>
+        val cs1 = cos(v._3, cent(c))
+        val cs2 = cent.keys.filter(_ != c).map(g => cos(v._3, cent(g))).max
+        if (1.0 - cs2 > 0) (cs1 - cs2) / (1.0 - cs2) else 0.0
+      }.sum / rs.size }
+    simpMean.foreach { case (c, sm) =>
+      assert(math.abs(sm - pairMean(c)) > 0.1,
+        s"plant failed to separate simplified from exact in cell $c") }
+  }
+
   test("s29 column similarity: planted poles exact; corpus triangle invariants") {
     val sess = spark
     import sess.implicits._

@@ -287,6 +287,54 @@ class RelationalSpec extends AnyFunSuite {
     assert(ksC.toSeq == Ev.q53KsTest(spark, sfDir).collect().toSeq)
   }
 
+  test("q59 t-test: hand-computed Student and Welch on planted moments, " +
+    "zero-variance and unequal-variance branches exercised") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.{Events => Ev}
+    // planted (t, tick, c) counts:
+    //   x: ticks {0, 2}  -> n=2, S1=2,  S2=4,   ssd = 2·4−4   = 4
+    //   y: ticks {10,10} -> n=2, S1=20, S2=200, ssd = 0 (constant)
+    //   z: ticks {0, 6}  -> n=2, S1=6,  S2=36,  ssd = 2·36−36 = 36
+    val ct = Seq(("x", 0L, 1L), ("x", 2L, 1L), ("y", 10L, 2L),
+      ("z", 0L, 1L), ("z", 6L, 1L)).toDF("t", "tick", "c")
+    val got = Ev.tTestFromCounts(ct).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(7), r.getLong(8), r.getLong(9))).toMap
+    assert(got.size == 3)
+    // (x, y): m_x=1, m_y=10, pooled s²=1 -> t² = 81 exactly; Welch
+    // va=1, vb=0 -> t²_w = 81, dof = 1 (all exact on the 2^20 grid)
+    assert(got(("x", "y")) ==
+      ((2L, 2L, 2L * 2L - 2L * 20L, 81L * 1048576L, 81L * 1048576L, 1048576L)))
+    // (x, z): dm = −2, Student den (2·4+2·36)·4 = 320, num 64·2 = 128
+    // -> t² = 0.4; Welch va=1, vb=9 -> t²_w = 4/10 = 0.4 (equal n ->
+    // Student ≡ Welch in t², NOT in dof: Welch–Satterthwaite
+    // dof = (1+9)²/(1+81) = 100/82)
+    val xzExp = math.floor(0.4 * 1048576.0 + 0.5).toLong
+    val xzDof = math.floor(
+      (1.0 + 9.0) * (1.0 + 9.0) / (1.0 * 1.0 / 1.0 + 9.0 * 9.0 / 1.0)
+        * 1048576.0 + 0.5).toLong
+    assert(got(("x", "z")) == ((2L, 2L, -8L, xzExp, xzExp, xzDof)))
+    // (y, z): constant y side — ssd_y = 0 exercises the one-sided
+    // zero-variance branch without NaN: t² = 49/9, dof = 1
+    val yzExp = math.floor(49.0 / 9.0 * 1048576.0 + 0.5).toLong
+    assert(got(("y", "z"))._4 == yzExp && got(("y", "z"))._5 == yzExp &&
+      got(("y", "z"))._6 == 1048576L)
+    // the division-cleared Student integers are exact: t2s_num/t2s_den
+    // reduce to 81 for (x,y)
+    val full = Ev.tTestFromCounts(ct).collect()
+    val xy = full.find(r => r.getString(0) == "x" && r.getString(1) == "y").get
+    assert(xy.getDecimal(5).longValueExact() == 2592L &&
+      xy.getDecimal(6).longValueExact() == 32L)
+    // corpus: all C(5,2) pairs, deterministic, ticks non-negative
+    val c1 = Ev.q59TTest(spark, sfDir).collect()
+    assert(c1.length == 10)
+    assert(c1.forall(r => r.getLong(7) >= 0L && r.getLong(8) >= 0L &&
+      r.getLong(9) >= 0L))
+    assert(c1.toSeq == Ev.q59TTest(spark, sfDir).collect().toSeq)
+  }
+
   test("q58 one-sample KS: hand-computed sup including the gap segment") {
     val sess = spark
     import sess.implicits._

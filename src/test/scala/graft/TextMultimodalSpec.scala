@@ -566,6 +566,67 @@ class TextMultimodalSpec extends AnyFunSuite {
       "right child rows must equal the root's n_right")
   }
 
+  test("t33 deep tree recovers a planted THREE-level parity structure " +
+    "that no stump or depth-2 tree can separate") {
+    import spark.implicits._
+    // 3-bit parity plant: y = b1 XOR b2 XOR b3 over v1 = 100·b1,
+    // v2 = 100·b2, v3 = 100·b3 (2 rows per cell, 16 rows). Every
+    // 1-feature split of a balanced parity leaves 50/50 on both
+    // sides, so EVERY level up to the last is decided purely by the
+    // (cost, feature, bin) tie rule — hand-predictable:
+    //   level 1: all three features tie at 16·gini(.5) ->
+    //            'distinct_ratio' (lexicographically least), bin 0
+    //   level 2: v3 constant per node (inert), v1/v2 tie ->
+    //            'n_chars' both nodes
+    //   level 3: v1, v3 constant -> ONLY 'n_tokens' has a candidate,
+    //            and it splits PURE (cost 0) with parity-polarized
+    //            leaves. Depth 3 fully separates what depth ≤ 2
+    //            provably cannot.
+    val cells = for (b1 <- 0 to 1; b2 <- 0 to 1; b3 <- 0 to 1; _ <- 1 to 2)
+      yield (((b1 ^ b2 ^ b3).toLong, 100L * b1, 100L * b2, 100L * b3))
+    val f = cells.toDF("y", "v1", "v2", "v3")
+    val got = TextAnalysis.deepTreeFrom(f, 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == (1L to 7L).toSet, s"nodes: ${got.keySet}")
+    // level 1: tie-broken to distinct_ratio, cost = 16·gini(.5) ticks
+    assert(got(1L).getString(1) == "distinct_ratio" &&
+      got(1L).getLong(2) == 0L && got(1L).getLong(5) == 16L * 524288L)
+    // level 2: v3 inert in both children, n_chars wins the tie
+    for (n <- Seq(2L, 3L)) {
+      assert(got(n).getString(1) == "n_chars", s"node $n: ${got(n)}")
+      assert(got(n).getLong(5) == 8L * 524288L, s"node $n cost: ${got(n)}")
+    }
+    // level 3: only n_tokens splittable, pure leaves, parity polarity
+    for ((n, predLeft) <- Seq(4L -> false, 5L -> true, 6L -> true, 7L -> false)) {
+      val r = got(n)
+      assert(r.getString(1) == "n_tokens" && r.getLong(5) == 0L,
+        s"node $n must split pure on n_tokens: $r")
+      assert(r.getLong(6) == 2L && r.getLong(9) == 2L, s"node $n sizes: $r")
+      assert(r.getBoolean(8) == predLeft && r.getBoolean(11) == !predLeft,
+        s"node $n polarity: $r")
+      assert(r.getLong(7) == (if (predLeft) 2L else 0L) &&
+        r.getLong(10) == (if (predLeft) 0L else 2L), s"node $n purity: $r")
+    }
+    // corpus: the level-1 row IS t20's stump; deterministic
+    val corpus = TextAnalysis.t33DeepTree(spark, sfDir).collect()
+    val stump = TextAnalysis.t20DecisionStump(spark, sfDir).collect()(0)
+    assert(corpus.head.getLong(0) == 1L &&
+      corpus.head.toSeq.drop(1) == stump.toSeq)
+    assert(corpus.toSeq == TextAnalysis.t33DeepTree(spark, sfDir).collect().toSeq)
+    // child row counts reconcile with each parent's side counts
+    val byNode = corpus.map(r => r.getLong(0) -> r).toMap
+    for ((n, r) <- byNode if byNode.contains(2 * n)) {
+      val kid = byNode(2 * n)
+      assert(kid.getLong(6) + kid.getLong(9) == r.getLong(6),
+        s"node ${2 * n} rows must equal node $n's n_left")
+    }
+    for ((n, r) <- byNode if byNode.contains(2 * n + 1)) {
+      val kid = byNode(2 * n + 1)
+      assert(kid.getLong(6) + kid.getLong(9) == r.getLong(9),
+        s"node ${2 * n + 1} rows must equal node $n's n_right")
+    }
+  }
+
   test("t21 bpe encode: trained segmentation applied back, totals reconcile with t18") {
     import spark.implicits._
     // fully merged vocabulary encodes each word as ONE symbol
