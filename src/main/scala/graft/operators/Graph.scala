@@ -806,21 +806,27 @@ object Graph {
     * exactly. Returns (walk_id, step, node) for step 0..len.
     * Package-private for the spec.
     *
-    * Scale shape: the ranked neighbor list (one row_number window
-    * over the edge frame, computed ONCE and checkpointed) is the
-    * random-access structure; each hop is one join of the
-    * walker frame against degrees (to reduce the draw mod degree)
-    * and one equi-join on (src, rank) — walker rows stay one per
-    * walk, so a hop shuffles O(walks), not O(edges). At 100 TB the
-    * neighbor list is the bucketed-by-src adjacency the rest of the
-    * g-family already assumes, and walks × length scales linearly.
+    * Scale shape: the ranked neighbor list (computed ONCE and
+    * checkpointed) is the random-access structure, and its build is
+    * [[Relational.distributedRank]]'s grouped form — range partition
+    * on (src, dst) + per-partition local ranks + broadcast offsets —
+    * so a 10⁷-degree hub NEVER sorts its whole adjacency in one
+    * window task (the last one-group-per-node window in the family,
+    * removed; rank values are provably identical to the old
+    * src-window row_number: rank is a pure function of the (src,
+    * dst) multiset, and tied dst rows carry equal values). Each hop
+    * is one join of the walker frame against degrees (to reduce the
+    * draw mod degree) and one equi-join on (src, rank) — walker rows
+    * stay one per walk, so a hop shuffles O(walks), not O(edges). At
+    * 100 TB the neighbor list is the bucketed-by-src adjacency the
+    * rest of the g-family already assumes, and walks × length scales
+    * linearly.
     */
   private[graft] def randomWalks(edges: DataFrame, len: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nb = edges.select(col("src"), col("dst"))
-      .withColumn("r",
-        (row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-          .cast("long"))
+    val nb = Relational.distributedRank(
+        edges.select(col("src"), col("dst")), Seq("src"), Seq("dst"), "__r1")
+      .withColumn("r", (col("__r1") - 1).cast("long"))
+      .select(col("src"), col("dst"), col("r"))
       .localCheckpoint(true)
     val deg = nb.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var state = nb.select(col("src").as("walk_id")).distinct()

@@ -674,7 +674,9 @@ object Pipeline {
         (row_number().over(Window.orderBy(col("c").desc, col("source")))
           - lit(1)).cast("long").as("source_index"))
       .localCheckpoint(true)
-    val nSrc = idx.count() // bounded control-plane read (distinct sources)
+    // vocabulary count as a 1-row broadcast (NOT an eager count() —
+    // the operator stays a pure declarative plan, the ADVICE r10 fix)
+    val nSrc = idx.agg(count(lit(1)).as("n_sources"))
     val stats = docs.agg(
       count(lit(1)).as("n"),
       sum(col("n_chars")).as("s"),
@@ -684,9 +686,10 @@ object Pipeline {
       - col("s").cast("decimal(38,0)") * col("s"))
     docs.join(broadcast(idx), "source")
       .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(nSrc))
       .select(
         col("doc_id"), col("source"), col("source_index"),
-        lit(nSrc).as("n_sources"),
+        col("n_sources"),
         when(col("n_chars") < 200, lit(0L))
           .when(col("n_chars") < 400, lit(1L))
           .when(col("n_chars") < 800, lit(2L))
@@ -753,13 +756,20 @@ object Pipeline {
       .localCheckpoint(true)
     val u2 = cu.agg(sum(col("n_pos")
       * (lit(2L) * col("neg_below") + col("n_neg"))).as("auc2_num"))
+    // single-class inputs (p = 0 or nn = 0) report 0 ticks by the
+    // family's shared CASE zero-denominator convention in BOTH
+    // engines (Spark div would NULL where DuckDB // errors)
     cu.crossJoin(broadcast(tot)).crossJoin(broadcast(u2))
       .select(col("bin"), col("n_pos"), col("n_neg"),
         col("cum_tp"), col("cum_fp"),
-        expr("(cum_tp * 1048576L) div p").as("tpr_ticks"),
-        expr("(cum_fp * 1048576L) div nn").as("fpr_ticks"),
+        expr("CASE WHEN p > 0 THEN (cum_tp * 1048576L) div p " +
+          "ELSE 0L END").as("tpr_ticks"),
+        expr("CASE WHEN nn > 0 THEN (cum_fp * 1048576L) div nn " +
+          "ELSE 0L END").as("fpr_ticks"),
         col("auc2_num"),
-        expr("(auc2_num * 1048576L) div (2L * p * nn)").as("auc_ticks"))
+        expr("CASE WHEN p > 0 AND nn > 0 THEN " +
+          "(auc2_num * 1048576L) div (2L * p * nn) ELSE 0L END")
+          .as("auc_ticks"))
       .orderBy(col("bin"))
   }
 
@@ -1215,9 +1225,13 @@ object Pipeline {
        |uu AS (SELECT CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT)
        |  AS auc2_num FROM cu)
        |SELECT cu.bin, cu.n_pos, cu.n_neg, cu.cum_tp, cu.cum_fp,
-       |  (cu.cum_tp * 1048576) // t.p AS tpr_ticks,
-       |  (cu.cum_fp * 1048576) // t.nn AS fpr_ticks,
+       |  CASE WHEN t.p > 0 THEN (cu.cum_tp * 1048576) // t.p
+       |    ELSE CAST(0 AS BIGINT) END AS tpr_ticks,
+       |  CASE WHEN t.nn > 0 THEN (cu.cum_fp * 1048576) // t.nn
+       |    ELSE CAST(0 AS BIGINT) END AS fpr_ticks,
        |  uu.auc2_num,
-       |  (uu.auc2_num * 1048576) // (2 * t.p * t.nn) AS auc_ticks
+       |  CASE WHEN t.p > 0 AND t.nn > 0
+       |    THEN (uu.auc2_num * 1048576) // (2 * t.p * t.nn)
+       |    ELSE CAST(0 AS BIGINT) END AS auc_ticks
        |FROM cu, tot t, uu ORDER BY cu.bin""".stripMargin
 }

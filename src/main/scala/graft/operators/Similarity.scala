@@ -233,7 +233,10 @@ object Similarity {
     * dims < 2⁴⁸ — exact, order-independent. Ties → smaller k.
     * M-step: μ' = Σq div n, var' = max((n·Σq² − (Σq)²) div n²,
     * [[GmmVarFloor]]) — exact integer stats (safe to n ≈ 3·10⁶ per
-    * component at the 2¹⁰ grid; documented retune = centered/
+    * component FOR |x| ≤ 1, i.e. |q| ≤ 2¹⁰ — the unit-normalized
+    * embedding contract this corpus satisfies; at the quantizer's
+    * full |x| ≤ 2 range ticks reach ±2¹¹ and n·Σq² − (Σq)² overflows
+    * int64 ~4× earlier, at n ≈ 8·10⁵; documented retune = centered/
     * two-level sums, the s13 note), empty components carry their
     * model forward with n_members = 0 (the lloydRefine emptyCells
     * rule; priors +1-smooth zero weights so log2 stays finite).

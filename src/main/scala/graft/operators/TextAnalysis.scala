@@ -2138,10 +2138,15 @@ object TextAnalysis {
           .as(Seq("feature", "x")))
       .groupBy(col("feature")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .localCheckpoint(true)
-    val ag0 = f.agg(sum(col("yr")).as("s"), count(lit(1)).as("n")).collect()(0)
-    // 1-row control-plane read (the g01 n pattern)
-    val f0 = math.floor(ag0.getLong(0).toDouble / ag0.getLong(1)).toLong
-    var cur = f.withColumn("fhat", lit(f0)).localCheckpoint(true)
+    // base prediction as a 1-row broadcast frame (NOT a driver-side
+    // collect — the operator stays a pure declarative plan, the
+    // ADVICE r10 fix; the identical floor(Σy/n) both engines compute)
+    val f0f = f.agg(sum(col("yr")).as("s"), count(lit(1)).as("n"))
+      .select(floor(col("s").cast("double") / col("n").cast("double"))
+        .cast("long").as("f0"))
+      .localCheckpoint(true)
+    var cur = f.crossJoin(broadcast(f0f))
+      .withColumn("fhat", col("f0")).drop("f0").localCheckpoint(true)
     val cumw = Window.partitionBy(col("feature")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var out: DataFrame = null
@@ -2185,12 +2190,13 @@ object TextAnalysis {
         .localCheckpoint(true)
       val sse = cur.agg(
         sum((col("yr") - col("fhat")) * (col("yr") - col("fhat"))).as("sse"))
-      val row = best.crossJoin(broadcast(sse)).select(
-        lit(m.toLong).as("round"), col("bf").as("feature"),
-        col("bb").as("split_bin"), col("bmn").as("f_min"),
-        col("bmx").as("f_max"), col("score_ticks").as("gain_ticks"),
-        col("gl").as("left_step"), col("gr").as("right_step"),
-        lit(f0).as("f0"), col("sse").as("sse_after"))
+      val row = best.crossJoin(broadcast(sse)).crossJoin(broadcast(f0f))
+        .select(
+          lit(m.toLong).as("round"), col("bf").as("feature"),
+          col("bb").as("split_bin"), col("bmn").as("f_min"),
+          col("bmx").as("f_max"), col("score_ticks").as("gain_ticks"),
+          col("gl").as("left_step"), col("gr").as("right_step"),
+          col("f0"), col("sse").as("sse_after"))
       out = if (out == null) row else out.union(row)
     }
     out.orderBy(col("round"))

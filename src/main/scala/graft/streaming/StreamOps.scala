@@ -673,12 +673,13 @@ object StreamOps {
     * counts by the [[driftMerge]] monoid (stateless stream side,
     * grid-bounded state), and the per-batch report is the SAME
     * tie-aware Mann-Whitney the batch q54 runs
-    * ([[graft.operators.Events.rankSumFromCounts]]). The rank-sum is
-    * the engine's documented test variant where mllib offers
-    * Welch/Student t: those need sqrt and division per test, the
-    * midrank U statistic is exact integers end to end. After any
-    * batch the A/B report equals the batch rank-sum over exactly the
-    * events folded so far (spec'd).
+    * ([[graft.operators.Events.rankSumFromCounts]]). The rank-sum
+    * was the engine's documented variant while mllib's
+    * Welch/Student t had no exact-integer form; q59's
+    * division-cleared posture closed that, so BOTH members now ride
+    * the same state — [[tTestReport]] is the parametric twin. After
+    * any batch the A/B report equals the batch rank-sum over exactly
+    * the events folded so far (spec'd).
     */
   def abArm(events: DataFrame): DataFrame =
     events.select(
@@ -694,6 +695,20 @@ object StreamOps {
     */
   def abTestReport(state: DataFrame): DataFrame =
     graft.operators.Events.rankSumFromCounts(state)
+
+  /** stream_t_test: the PARAMETRIC member beside [[abTestReport]] on
+    * the SAME folded arm-count state — batch q59's Student + Welch t
+    * on exact integer moments ([[graft.operators.Events
+    * .tTestFromCounts]]), completing the reference StreamingTest's
+    * StudentTTest/WelchTTest surface (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/mllib/stat/test/
+    * StreamingTest.scala:1) in streaming form: the state is the
+    * grid-bounded counts monoid (nothing per-event), and after any
+    * batch the report equals batch q59 over exactly the events
+    * folded so far (spec'd).
+    */
+  def tTestReport(state: DataFrame): DataFrame =
+    graft.operators.Events.tTestFromCounts(state)
 
   /** stream_recommend: the recommender serve path on a stream — the
     * streaming analog of the reference's

@@ -74,7 +74,7 @@ class AuditSpec extends AnyFunSuite {
   }
 
   test("control-plane fetch inventory: every driver-side collect/head " +
-    "site in main source is in SURVEY §4's twelve-entry list") {
+    "site in main source is in SURVEY §4's enumerated list") {
     // The falsifiable-contract pattern applied to the inventory
     // itself (VERDICT r10 task 3): SURVEY §4 claims a COMPLETE
     // enumeration of driver-side fetches. This test greps the main
@@ -89,7 +89,6 @@ class AuditSpec extends AnyFunSuite {
       "operators/Relational.scala" -> 1, // q39 calendar bounds
       "operators/Graph.scala" -> 1, // g03 seed
       "operators/Similarity.scala" -> 3, // s09 min-id + s09 steps + s17 Gram
-      "operators/TextAnalysis.scala" -> 1, // t31 f0 aggregate
       "operators/Dedup.scala" -> 3, // d12 sketch + d07 two digests
       "sources/Sources.scala" -> 2, // upsert guard count + partition list
       "sources/MetastoreCheck.scala" -> 1) // own-JVM verification read

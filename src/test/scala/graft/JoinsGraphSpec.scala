@@ -610,6 +610,50 @@ class JoinsGraphSpec extends AnyFunSuite {
     assert(walks.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("g10 ranked adjacency: hub neighbor lists rank WITHOUT a " +
+    "one-group-per-node window, hop draw unchanged") {
+    import spark.implicits._
+    import graft.operators.{Graph, Relational}
+    // hub graph: node 0 has 200 neighbors (1..200), each mirrored
+    val hub = ((1L to 200L).map(d => (0L, d)) ++
+      (1L to 200L).map(d => (d, 0L))).toDF("src", "dst")
+    // the hop from the hub picks EXACTLY the md5-ranked neighbor —
+    // replicate the draw in-test: r = md5_48("walk:0:1") mod 200,
+    // neighbor = dst-ascending rank r, i.e. dst = r + 1
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("walk:0:1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val expDst = java.lang.Long.parseLong(md5hex, 16) % 200L + 1L
+    val walks = Graph.randomWalks(hub, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(walks.find(w => w._1 == 0L && w._2 == 1).get._3 == expDst,
+      s"hub hop must draw the md5-ranked neighbor $expDst")
+    // leaf walks (degree 1) are forced back to the hub
+    assert(walks.filter(w => w._1 == 7L).sortBy(_._2).map(_._3).toSeq ==
+      Seq(7L, 0L))
+    // structural: the rank build is distributedRank's shape — every
+    // window in the ranking plan partitions by (__pid, src) range
+    // SLICES (the checkpoint hides the upstream repartitionByRange,
+    // so assert on the window spec itself): no window may group on
+    // src alone, which would be the one-task-per-hub shape
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ranked = Relational.distributedRank(hub, Seq("src"), Seq("dst"), "__r1")
+    ranked.collect()
+    val wins = ranked.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "local rank must still be a (bounded) window")
+    // the offsets window runs over the per-(pid, group) COUNTS frame
+    // (≤ #partitions rows per group — bounded); the DATA-path
+    // row_number windows are the ones that must be pid-sliced
+    val dataWins = wins.filter(
+      _.windowExpression.mkString(";").toLowerCase.contains("row_number"))
+    assert(dataWins.nonEmpty, "expected a row_number local-rank window")
+    dataWins.foreach { w =>
+      val spec = w.partitionSpec.map(_.toString.toLowerCase)
+      assert(spec.exists(_.contains("__pid")),
+        s"row_number window groups a whole hub into one task: partitionSpec=$spec")
+    }
+  }
+
   test("g07 link prediction: exact on a square-plus-pendant, top-k binds") {
     import spark.implicits._
     import graft.operators.Graph

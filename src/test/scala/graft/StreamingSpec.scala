@@ -824,6 +824,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(4) >= 0L && r.getLong(4) <= 2L * r.getLong(2) * r.getLong(3))
   }
 
+  test("stream_t_test: the parametric twin on the same folded state " +
+    "reproduces batch q59 exactly") {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val h1 = ev.filter(col("event_id") % 2 === 0).localCheckpoint(true)
+    val h2 = ev.filter(col("event_id") % 2 === 1).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tt-stream")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          val delta = StreamOps.abCountsBatch(df)
+          state = (if (state == null) delta
+            else StreamOps.driftMerge(state, delta)).localCheckpoint(true)
+        }
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    // after both batches the parametric report equals batch q59's
+    // machinery over ALL events, row for row (same fold as rank-sum —
+    // ONE state frame serves both members)
+    val got = StreamOps.tTestReport(state).collect().toSeq
+    val want = StreamOps.tTestReport(StreamOps.abCountsBatch(ev)).collect().toSeq
+    assert(got.nonEmpty && got == want, s"stream/batch divergence:\n$got\n$want")
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(2) + r.getLong(3) == ev.count())
+    // ticks non-negative; Welch dof within (min(n)-1, n_a+n_b-2]
+    assert(r.getLong(7) >= 0L && r.getLong(8) >= 0L)
+    val dof = r.getLong(9).toDouble / 1048576.0
+    assert(dof <= (r.getLong(2) + r.getLong(3) - 2).toDouble + 1e-9 &&
+      dof >= (math.min(r.getLong(2), r.getLong(3)) - 1).toDouble - 1e-9,
+      s"Welch dof out of range: $dof")
+  }
+
   test("stream_recommend: streamed serve rows are bit-equal to batch s25") {
     import org.apache.spark.sql.types._
     val (users, items) = graft.operators.Recommend.purchaseFactors(spark, sfDir)
