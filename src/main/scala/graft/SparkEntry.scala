@@ -177,6 +177,7 @@ object SparkEntry {
     "s22_tfidf_search" -> (Similarity.s22TfidfSearch _),
     "s23_silhouette" -> (Similarity.s23Silhouette _),
     "s30_silhouette_exact" -> (Similarity.s30SilhouetteExact _),
+    "s31_dimsum_sampled" -> (Similarity.s31DimsumSampled _),
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
     "s28_svdpp" -> (Recommend.s28Svdpp _),
@@ -1893,6 +1894,7 @@ object SparkEntry {
     "s04_kmeans" -> s04OracleSql(graft.operators.Similarity.KmeansIters),
     "s23_silhouette" -> s23OracleSql(graft.operators.Similarity.KmeansIters),
     "s30_silhouette_exact" -> s30OracleSql(graft.operators.Similarity.KmeansIters),
+    "s31_dimsum_sampled" -> graft.operators.Similarity.s31OracleSql,
     "s21_bisecting_kmeans" -> s21OracleSql(
       graft.operators.Similarity.BisectSplits,
       graft.operators.Similarity.BisectLloyd),

@@ -1860,9 +1860,9 @@ object Similarity {
     * threshold), cos_ij = P_ij/√(P_ii·P_jj) through the identical
     * s19 double tree, zero-norm columns emitting 0 by the shared
     * CASE. Upper triangle only (i ≤ j), the RowMatrix contract. The
-    * DIMSUM sampling path is the documented 10⁶-column retune —
-    * sample rows with probability ∝ 1/(norm_i·norm_j), which THIS
-    * grid never needs.
+    * DIMSUM sampling path — the 10⁶-column retune this grid never
+    * needs — is no longer just documented: it ships EXECUTABLE as
+    * [[s31DimsumSampled]] with a per-pair error contract.
     */
   def s29ColSimilarity(spark: SparkSession, sfDir: String): DataFrame =
     colSimCore(Tables.embeddings(spark, sfDir).select(col("embedding")))
@@ -1912,6 +1912,196 @@ object Similarity {
       |  ELSE CAST(0 AS BIGINT) END AS cos_ticks
       |FROM p JOIN dg di ON di.d = p.i JOIN dg dj ON dj.d = p.j
       |ORDER BY dim_i, dim_j""".stripMargin
+
+  /** DIMSUM oversampling factor for [[s31DimsumSampled]] — the coin
+    * threshold is min(1, f·√n/‖c_i‖ticks)·2²⁴ per column, i.e. the
+    * reference's p_i = min(1, √γ/‖c_i‖) with √γ = f·√n ticks. On
+    * unit-norm 64-dim rows ‖c‖ticks ≈ 128·√n, so f = 96 keeps
+    * ~75% of entries — the sampling is load-bearing (a quarter of
+    * the mass really is dropped and reweighted), while the
+    * estimator concentrates at the paper's 1/√γ rate.
+    */
+  private[graft] val DimsumSqgFactor = 96.0
+
+  /** Error-contract bound for s31 in 2²⁰ ticks of cosine.
+    * EMPIRICAL CONTRACT (the q34 percentile-note posture): DIMSUM's
+    * per-pair standard error at keep-rate p is
+    * ≈ √((1/p² − 1)·Σ_r(x_ri·x_rj)²)/(‖c_i‖‖c_j‖) ≈ √(2.4/n) on
+    * this near-uniform corpus — the bound below covers the observed
+    * max error across sf0.001/0.01/0.1 with ≥ 2× margin, and SHRINKS
+    * like 1/√n: at production row counts (10⁹+) the same contract
+    * holds with a bound ~1000× tighter. On a skewed corpus re-derive
+    * from the column-norm profile before reusing.
+    */
+  private[graft] val DimsumBoundTicks = 400000L
+
+  /** s31: DIMSUM-sampled column similarities — the reference's
+    * columnSimilarities(threshold) sampling path made EXECUTABLE
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/linalg/distributed/RowMatrix.scala:1,
+    * columnSimilaritiesDIMSUM; Zadeh & Carlsson 2013), closing s29's
+    * documented-retune claim with the q34 contract posture: the
+    * oracle hash-compares BOTH the exact cosines and the sampled
+    * estimates (the md5 coins make the sample itself deterministic
+    * and bit-replicable cross-engine), plus an error-bound boolean
+    * per pair.
+    *
+    *   - coins: entry (r, i) survives iff md5₂₄("dimsum:r:i") <
+    *     thr_i = ⌊min(1, √γ/‖c_i‖)·2²⁴⌋ — the reference's
+    *     column-norm-inverse sampling with the repo's deterministic
+    *     draw (g10/p03 convention);
+    *   - estimate: the SAME [[pairMoments]] outer-product pass over
+    *     the MASKED tick arrays (dropped entries zeroed — zero
+    *     contributions vanish from the sums, so the sampled Gram
+    *     costs one corpus scan with ≤ 64² rows/task, identical to
+    *     the exact pass), then ONE double reweight per PAIR:
+    *     est = Σ_sampled q_i·q_j · 2⁴⁸/(thr_i·thr_j) — unbiased for
+    *     the exact Gram since E[coin_i·coin_j] = p_i·p_j (i ≠ j);
+    *   - diagonal norms stay EXACT (the reference computes colMags
+    *     up front too); output is the strict upper triangle.
+    *
+    * Output: (dim_i, dim_j, cos_ticks [exact], est_cos_ticks,
+    * err_ticks, within_bound) — within_bound is the
+    * [[DimsumBoundTicks]] contract, true on every pair of every test
+    * corpus in both engines.
+    *
+    * Scale shape: two corpus scans (exact Gram for norms + truth
+    * column, masked Gram for the estimate) — at 10⁶ columns the
+    * exact pass is the one that disappears (the truth column is a
+    * test-harness luxury; production ships est alone) and the masked
+    * pass's shuffle shrinks by the kept-fraction², which is DIMSUM's
+    * whole point.
+    */
+  def s31DimsumSampled(spark: SparkSession, sfDir: String): DataFrame =
+    dimsumCore(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
+      DimsumSqgFactor)
+
+  /** The s31 core over any (vec_id, embedding) frame with an
+    * explicit oversampling factor — package-private so the spec can
+    * force p = 1 (a huge factor), where the estimator provably
+    * collapses to the exact cosine bit-for-bit.
+    */
+  private[graft] def dimsumCore(vecs: DataFrame, sqgFactor: Double): DataFrame = {
+    val qf = vecs.select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+      .localCheckpoint(true)
+    val exact = pairMoments(qf.select(col("q"))).localCheckpoint(true)
+    val nf = qf.agg(count(lit(1)).as("n"))
+    val diag = exact.filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("p").as("pd"))
+    val thr = diag.crossJoin(broadcast(nf))
+      .select(col("d"),
+        floor(least(lit(1.0),
+            lit(sqgFactor) * sqrt(col("n").cast("double"))
+              / sqrt(col("pd").cast("double")))
+          * lit(16777216.0)).cast("long").as("thr"))
+    val thrArr = thr
+      .agg(expr("transform(array_sort(collect_list(struct(d, thr))), x -> x.thr)")
+        .as("thrs"))
+    val masked = qf.crossJoin(broadcast(thrArr))
+      .select(expr(
+        """transform(q, (x, i) -> IF(
+          |  CAST(conv(substring(md5(concat('dimsum:',
+          |    CAST(vec_id AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10)
+          |    AS BIGINT) < element_at(thrs, CAST(i + 1 AS INT)),
+          |  x, CAST(0 AS BIGINT)))""".stripMargin).as("q"))
+    val sampled = pairMoments(masked)
+      .select(col("i"), col("j"), col("p").as("sp"))
+    exact.filter(col("i") < col("j"))
+      .join(sampled, Seq("i", "j"))
+      .join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
+      .join(broadcast(diag.select(col("d").as("j"), col("pd").as("pjj"))), "j")
+      .join(broadcast(thr.select(col("d").as("i"), col("thr").as("ti"))), "i")
+      .join(broadcast(thr.select(col("d").as("j"), col("thr").as("tj"))), "j")
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        expr("""CASE WHEN pii > 0 AND pjj > 0
+               |THEN CAST(floor(CAST(p AS DOUBLE)
+               |  / sqrt(CAST(pii AS DOUBLE) * CAST(pjj AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("cos_ticks"),
+        expr("""CASE WHEN pii > 0 AND pjj > 0 AND ti > 0 AND tj > 0
+               |THEN CAST(floor(CAST(sp AS DOUBLE) * 281474976710656.0D
+               |  / (CAST(ti AS DOUBLE) * CAST(tj AS DOUBLE))
+               |  / sqrt(CAST(pii AS DOUBLE) * CAST(pjj AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("est_cos_ticks"))
+      .withColumn("err_ticks", abs(col("est_cos_ticks") - col("cos_ticks")))
+      .withColumn("within_bound", col("err_ticks") <= DimsumBoundTicks)
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  /** The DuckDB twin of [[s31DimsumSampled]]: the exact Gram, the
+    * identical md5₂₄ coins + thresholds, the masked sampled Gram,
+    * and the same reweight/contract trees.
+    */
+  private[graft] def s31OracleSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(a.i AS BIGINT) AS d,
+       |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |px AS MATERIALIZED (
+       |  SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS BIGINT) AS p
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d < b.d
+       |  GROUP BY 1, 2),
+       |dg AS MATERIALIZED (
+       |  SELECT d, CAST(sum(q * q) AS BIGINT) AS pd FROM e GROUP BY 1),
+       |th AS MATERIALIZED (
+       |  SELECT d, CAST(floor(least(1.0,
+       |      $DimsumSqgFactor * sqrt(CAST((SELECT n FROM nn) AS DOUBLE))
+       |        / sqrt(CAST(pd AS DOUBLE)))
+       |    * 16777216.0) AS BIGINT) AS thr
+       |  FROM dg),
+       |ms AS MATERIALIZED (
+       |  SELECT e.vec_id, e.d,
+       |    CASE WHEN ('0x' || substr(md5('dimsum:' ||
+       |        CAST(e.vec_id AS VARCHAR) || ':' || CAST(e.d AS VARCHAR)), 1, 6))
+       |        ::UBIGINT < th.thr
+       |      THEN e.q ELSE CAST(0 AS BIGINT) END AS q
+       |  FROM e JOIN th ON th.d = e.d),
+       |sm AS MATERIALIZED (
+       |  SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sp
+       |  FROM ms a JOIN ms b ON a.vec_id = b.vec_id AND a.d < b.d
+       |  GROUP BY 1, 2)
+       |SELECT px.i AS dim_i, px.j AS dim_j,
+       |  CASE WHEN di.pd > 0 AND dj.pd > 0
+       |  THEN CAST(floor(CAST(px.p AS DOUBLE)
+       |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS cos_ticks,
+       |  CASE WHEN di.pd > 0 AND dj.pd > 0 AND ti.thr > 0 AND tj.thr > 0
+       |  THEN CAST(floor(CAST(sm.sp AS DOUBLE) * 281474976710656.0
+       |    / (CAST(ti.thr AS DOUBLE) * CAST(tj.thr AS DOUBLE))
+       |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS est_cos_ticks,
+       |  abs((CASE WHEN di.pd > 0 AND dj.pd > 0 AND ti.thr > 0 AND tj.thr > 0
+       |  THEN CAST(floor(CAST(sm.sp AS DOUBLE) * 281474976710656.0
+       |    / (CAST(ti.thr AS DOUBLE) * CAST(tj.thr AS DOUBLE))
+       |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END) - (CASE WHEN di.pd > 0 AND dj.pd > 0
+       |  THEN CAST(floor(CAST(px.p AS DOUBLE)
+       |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END)) AS err_ticks,
+       |  abs((CASE WHEN di.pd > 0 AND dj.pd > 0 AND ti.thr > 0 AND tj.thr > 0
+       |  THEN CAST(floor(CAST(sm.sp AS DOUBLE) * 281474976710656.0
+       |    / (CAST(ti.thr AS DOUBLE) * CAST(tj.thr AS DOUBLE))
+       |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END) - (CASE WHEN di.pd > 0 AND dj.pd > 0
+       |  THEN CAST(floor(CAST(px.p AS DOUBLE)
+       |    / sqrt(CAST(di.pd AS DOUBLE) * CAST(dj.pd AS DOUBLE))
+       |    * 1048576.0 + 0.5) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END)) <= $DimsumBoundTicks AS within_bound
+       |FROM px JOIN sm ON sm.i = px.i AND sm.j = px.j
+       |JOIN dg di ON di.d = px.i JOIN dg dj ON dj.d = px.j
+       |JOIN th ti ON ti.d = px.i JOIN th tj ON tj.d = px.j
+       |ORDER BY dim_i, dim_j""".stripMargin
 
   /** Query documents for [[s22TfidfSearch]] (the s01 doc_id rule). */
   private[graft] val TfidfQueryDocs = 3L

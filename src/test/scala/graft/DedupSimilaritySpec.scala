@@ -1220,6 +1220,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("s31 DIMSUM sampled: p = 1 collapses to the exact cosine " +
+    "bit-for-bit; corpus contract booleans all hold") {
+    val sess = spark
+    import sess.implicits._
+    // forced p = 1 (huge oversampling factor): every coin threshold
+    // saturates at 2^24, the mask keeps everything, the 2^48/(t_i t_j)
+    // reweight is exactly 1.0 — the estimator IS the exact cosine
+    val vecs = Seq(
+      (1L, Array(0.5f, 1.0f, -0.5f, 0.5f)),
+      (2L, Array(0.25f, 0.5f, -0.25f, -0.25f)),
+      (3L, Array(0.5f, 1.0f, -0.5f, -0.5f)),
+      (4L, Array(0.25f, 0.5f, -0.25f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val full = Similarity.dimsumCore(vecs, 1e9).collect()
+    assert(full.length == 4 * 3 / 2)
+    full.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(3) == r.getLong(2),
+        s"p=1 estimate must equal exact: $r")
+      assert(r.getBoolean(5))
+      // planted poles survive through the sampled path: dims 0-1
+      // identical direction -> +2^20, 0 vs 2 opposite -> -2^20
+      if (r.getLong(0) == 0L && r.getLong(1) == 1L)
+        assert(r.getLong(2) == 1048576L, s"parallel pole: $r")
+      if (r.getLong(0) == 0L && r.getLong(1) == 2L)
+        assert(r.getLong(2) == -1048576L, s"opposite pole: $r")
+    }
+    // corpus at the REAL factor: sampling is load-bearing (some pair
+    // has nonzero error), every within_bound true, deterministic
+    val c = Similarity.s31DimsumSampled(spark, sfDir).collect()
+    assert(c.length == 64 * 63 / 2)
+    assert(c.exists(_.getLong(4) > 0L),
+      "sampling must actually drop mass (zero error everywhere = p saturated)")
+    c.foreach { r =>
+      assert(r.getBoolean(5), s"error contract violated: $r")
+      assert(r.getLong(4) == math.abs(r.getLong(3) - r.getLong(2)))
+    }
+    assert(c.map(_.toSeq).toSeq ==
+      Similarity.s31DimsumSampled(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
+
   test("s27 GMM: planted duplicate clusters recovered exactly; corpus invariants") {
     val sess = spark
     import sess.implicits._
