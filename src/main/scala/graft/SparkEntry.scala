@@ -74,6 +74,7 @@ object SparkEntry {
     "q55_isotonic" -> (Relational.q55Isotonic _),
     "q54_rank_sum" -> (Events.q54RankSum _),
     "q59_t_test" -> (Events.q59TTest _),
+    "q60_skew_kurtosis" -> (Relational.q60SkewKurtosis _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -2435,6 +2436,24 @@ object SparkEntry {
          |    / (wa + wb) * 1048576.0 + 0.5) AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS dof_ticks
          |FROM w ORDER BY type_a, type_b""".stripMargin,
+    // q60: exact raw power sums + the shared moment->ticks tree
+    // (q60TreeSql interpolated verbatim — one definition, two engines)
+    "q60_skew_kurtosis" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s1,
+         |    CAST(sum(v * v) AS BIGINT) AS s2,
+         |    CAST(sum(CAST(v * v * v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s3,
+         |    CAST(sum(CAST(v * v AS DECIMAL(38,0)) * (v * v))
+         |      AS DECIMAL(38,0)) AS s4
+         |  FROM (SELECT l_returnflag,
+         |          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v
+         |        FROM lineitem)
+         |  GROUP BY 1)
+         |SELECT l_returnflag, n, s1, s2, s3, s4,
+         |  ${graft.operators.Relational.q60TreeSql("skew")} AS skew_ticks,
+         |  ${graft.operators.Relational.q60TreeSql("kurt")} AS kurt_ticks
+         |FROM m ORDER BY l_returnflag""".stripMargin,
     // q55: the minimax closed form of isotonic regression on the
     // bounded month grid — truncated segment means, then min/max.
     "q55_isotonic" ->

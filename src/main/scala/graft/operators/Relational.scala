@@ -836,6 +836,73 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q60: skewness + excess kurtosis per return flag on EXACT
+    * integer raw moments — the higher-moment members of the stats
+    * surface (the reference ships them as the sql `skewness` /
+    * `kurtosis` aggregates and in mllib's summary statistics;
+    * reference: /root/reference/sql/core/src/main/scala/org/apache/
+    * spark/sql/functions.scala:1). Spark's own implementations
+    * stream-merge CENTRAL moments, so their low bits depend on
+    * partition merge order — which is why q40 rounds to 4 decimals.
+    * This key is the engine's signature fix: whole-dollar ticks
+    * v = floor(price + 0.5), raw power sums S1..S4 as
+    * order-independent exact sums (S1, S2 long; S3, S4
+    * DECIMAL(38,0) — v³ ≈ 10¹⁵ still a long per row, v⁴ formed as
+    * the decimal product (v²)ᵈᵉᶜ·v²), then ONE fixed double tree
+    * both engines evaluate verbatim: mean = S1/n, m2 = S2/n − mean²,
+    * m3 = S3/n − 3·mean·S2/n + 2·mean³, m4 = S4/n − 4·mean·S3/n +
+    * 6·mean²·S2/n − 3·mean⁴, skew = m3/m2^1.5, ex.kurtosis =
+    * m4/m2² − 3, floored to 2²⁰ ticks. Constant groups (m2 ≤ 0)
+    * report 0 by the shared CASE. The raw sums are also reported
+    * division-cleared (the q52 posture), so a consumer can re-derive
+    * at any precision. Headroom: S2 exact to n·v² < 2⁶³ (n ≈ 8·10⁸
+    * at v ≤ 10⁵), S4 to n·v⁴ < 10³⁸ (n ≈ 8·10¹⁷); retune = center
+    * at a first-pass anchor (central sums are translation-invariant,
+    * shrinking v to the deviation scale — the q59 note).
+    *
+    * Scale shape: ONE partial-agg'd scan carrying 5 running sums per
+    * group; the moment→ticks projection runs on the groups-row
+    * frame. Nothing else.
+    */
+  def q60SkewKurtosis(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = floor(col("l_extendedprice") + lit(0.5)).cast("long")
+    val mom = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), v.as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum((col("v") * col("v") * col("v")).cast("decimal(38,0)")).as("s3"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")
+          * (col("v") * col("v"))).as("s4"))
+    mom.select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        expr(q60TreeSql("skew")).as("skew_ticks"),
+        expr(q60TreeSql("kurt")).as("kurt_ticks"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The q60 moment→ticks double tree — ONE definition interpolated
+    * verbatim into the DataFrame plan AND the DuckDB oracle, so the
+    * engines cannot drift (the t09 shared-literal contract).
+    */
+  private[graft] def q60TreeSql(which: String): String = {
+    val mean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m2 = s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $mean * $mean)"
+    val m3 = s"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) " +
+      s"- 3.0 * $mean * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) " +
+      s"+ 2.0 * $mean * $mean * $mean)"
+    val m4 = s"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) " +
+      s"- 4.0 * $mean * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) " +
+      s"+ 6.0 * $mean * $mean * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) " +
+      s"- 3.0 * $mean * $mean * $mean * $mean)"
+    val core = if (which == "skew") s"($m3 / sqrt($m2 * $m2 * $m2))"
+      else s"($m4 / ($m2 * $m2) - 3.0)"
+    s"""CASE WHEN $m2 > 0 THEN
+       |CAST(floor($core * 1048576.0 + 0.5) AS BIGINT)
+       |ELSE CAST(0 AS BIGINT) END""".stripMargin
+  }
+
   /** Bin count for [[q44Histogram]]. */
   private val HistBins = 20
 

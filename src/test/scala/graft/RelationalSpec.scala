@@ -335,6 +335,50 @@ class RelationalSpec extends AnyFunSuite {
     assert(c1.toSeq == Ev.q59TTest(spark, sfDir).collect().toSeq)
   }
 
+  test("q60 skew/kurtosis: hand-computed planted moments; corpus ticks " +
+    "match Spark's own aggregates on the identical grid") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Relational
+    // plant {0, 0, 0, 4}: mean 1, m2 = 3, m3 = 6, m4 = 21 ->
+    // skew = 6/sqrt(27) = 2/sqrt(3), excess kurtosis = 21/9 - 3 = -2/3
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+    Seq(("A", 0.0), ("A", 0.0), ("A", 0.0), ("A", 4.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = Relational.q60SkewKurtosis(spark, tmp).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3)) ==
+      ((4L, 4L, 16L)))
+    assert(r.head.getDecimal(4).longValueExact() == 64L &&
+      r.head.getDecimal(5).longValueExact() == 256L)
+    assert(r.head.getLong(6) ==
+      math.floor(6.0 / math.sqrt(27.0) * 1048576.0 + 0.5).toLong)
+    assert(r.head.getLong(7) ==
+      math.floor((21.0 / 9.0 - 3.0) * 1048576.0 + 0.5).toLong)
+    // corpus: our exact-sum ticks agree with Spark's own merge-order-
+    // dependent skewness/kurtosis on the SAME dollar grid to 1e-6 —
+    // same statistic, minus the nondeterministic low bits
+    val got = Relational.q60SkewKurtosis(spark, sfDir).collect()
+    val ref = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") + lit(0.5)).cast("long")
+          .cast("double").as("v"))
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("v")).as("sk"), kurtosis(col("v")).as("ku"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    got.foreach { row =>
+      val (sk, ku) = ref(row.getString(0))
+      assert(math.abs(row.getLong(6).toDouble / 1048576.0 - sk) < 1e-6,
+        s"skew drift: $row vs $sk")
+      assert(math.abs(row.getLong(7).toDouble / 1048576.0 - ku) < 1e-6,
+        s"kurtosis drift: $row vs $ku")
+    }
+    assert(got.map(_.toSeq).toSeq ==
+      Relational.q60SkewKurtosis(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
+
   test("q58 one-sample KS: hand-computed sup including the gap segment") {
     val sess = spark
     import sess.implicits._
