@@ -1468,6 +1468,23 @@ object Similarity {
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("p"))
 
+  /** [[pairMoments]] restricted to the UPPER TRIANGLE (i ≤ j) at
+    * generation time — the inner transform runs over slice(q, i+1, …)
+    * so only 64·65/2 structs per row are built, exploded, and
+    * aggregated (half the full pass). For symmetric consumers
+    * (s29's cosine matrix, s31's sampled Gram) the lower triangle is
+    * redundant by P_ij = P_ji; s17's eigensolve and s26's
+    * full-matrix report keep the square pass.
+    */
+  private def pairMomentsUpper(qf: DataFrame): DataFrame =
+    qf.select(explode(expr(
+        """flatten(transform(q, (qi, i) ->
+          |transform(slice(q, i + 1, size(q)), (qj, j2) ->
+          |named_struct('i', CAST(i AS BIGINT), 'j', CAST(i + j2 AS BIGINT),
+          |             'p', qi * qj))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("p"))
+
   private def gramFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val qf = Tables.embeddings(spark, sfDir)
       .select(expr(
@@ -1876,7 +1893,7 @@ object Similarity {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
       .localCheckpoint(true)
-    val p0 = pairMoments(qf).filter(col("i") <= col("j")).localCheckpoint(true)
+    val p0 = pairMomentsUpper(qf).localCheckpoint(true)
     val diag = p0.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
     p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
@@ -1987,7 +2004,7 @@ object Similarity {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
       .localCheckpoint(true)
-    val exact = pairMoments(qf.select(col("q"))).localCheckpoint(true)
+    val exact = pairMomentsUpper(qf.select(col("q"))).localCheckpoint(true)
     val nf = qf.agg(count(lit(1)).as("n"))
     val diag = exact.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
@@ -2007,7 +2024,7 @@ object Similarity {
           |    CAST(vec_id AS STRING), ':', CAST(i AS STRING))), 1, 6), 16, 10)
           |    AS BIGINT) < element_at(thrs, CAST(i + 1 AS INT)),
           |  x, CAST(0 AS BIGINT)))""".stripMargin).as("q"))
-    val sampled = pairMoments(masked)
+    val sampled = pairMomentsUpper(masked)
       .select(col("i"), col("j"), col("p").as("sp"))
     exact.filter(col("i") < col("j"))
       .join(sampled, Seq("i", "j"))
