@@ -75,6 +75,7 @@ object SparkEntry {
     "q54_rank_sum" -> (Events.q54RankSum _),
     "q59_t_test" -> (Events.q59TTest _),
     "q60_skew_kurtosis" -> (Relational.q60SkewKurtosis _),
+    "q61_hof_suite" -> (Relational.q61HofSuite _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
@@ -2454,6 +2455,32 @@ object SparkEntry {
          |  ${graft.operators.Relational.q60TreeSql("skew")} AS skew_ticks,
          |  ${graft.operators.Relational.q60TreeSql("kurt")} AS kurt_ticks
          |FROM m ORDER BY l_returnflag""".stripMargin,
+    // q61: every Spark HOF member twinned to its DuckDB list
+    // function; the indexed dot via the shared range-subscript form.
+    "q61_hof_suite" ->
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS q,
+         |    list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0) AS pos
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, embedding, q, pos,
+         |    list_reverse(list_sort(q)) AS srt
+         |  FROM b)
+         |SELECT vec_id,
+         |  CAST(len(pos) AS BIGINT) AS n_pos,
+         |  CASE WHEN len(pos) > 0 THEN
+         |    CAST(floor(list_sum(list_transform(pos, x -> CAST(x AS DOUBLE)))
+         |      * 1024.0 + 0.5) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS pos_ticks,
+         |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.3)) > 0
+         |    AS BOOLEAN) AS has_big,
+         |  srt[1] AS t1, srt[2] AS t2, srt[3] AS t3,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> q[i] * q[65 - i])) AS BIGINT) AS palin_dot,
+         |  CAST(list_sum(list_transform(range(1, 65),
+         |    i -> i * q[i])) AS BIGINT) AS idx_dot
+         |FROM c ORDER BY vec_id""".stripMargin,
     // q55: the minimax closed form of isotonic regression on the
     // bounded month grid — truncated segment means, then min/max.
     "q55_isotonic" ->

@@ -875,12 +875,21 @@ object Relational {
         sum((col("v") * col("v") * col("v")).cast("decimal(38,0)")).as("s3"),
         sum((col("v") * col("v")).cast("decimal(38,0)")
           * (col("v") * col("v"))).as("s4"))
-    mom.select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+    skewKurtReport(mom, "l_returnflag")
+  }
+
+  /** The q60 report over any grouped moment frame (gcol, n, s1, s2,
+    * s3, s4) — shared verbatim by the batch key and the streaming
+    * moments gate ([[graft.streaming.StreamOps.momentsReport]]): the
+    * sums are a perfect fold monoid, so stream state merged by
+    * addition reports IDENTICALLY to the batch over the same rows.
+    */
+  private[graft] def skewKurtReport(mom: DataFrame, gcol: String): DataFrame =
+    mom.select(col(gcol), col("n"), col("s1"), col("s2"),
         col("s3"), col("s4"),
         expr(q60TreeSql("skew")).as("skew_ticks"),
         expr(q60TreeSql("kurt")).as("kurt_ticks"))
-      .orderBy(col("l_returnflag"))
-  }
+      .orderBy(col(gcol))
 
   /** The q60 moment→ticks double tree — ONE definition interpolated
     * verbatim into the DataFrame plan AND the DuckDB oracle, so the
@@ -902,6 +911,58 @@ object Relational {
        |CAST(floor($core * 1048576.0 + 0.5) AS BIGINT)
        |ELSE CAST(0 AS BIGINT) END""".stripMargin
   }
+
+  /** q61: the higher-order array-function suite — the reference's
+    * headline Spark 2.4 SQL feature (SPARK-23899: transform, filter,
+    * aggregate, exists, zip_with, array_sort, sequence/element_at;
+    * reference: /root/reference/sql/core/src/main/scala/org/apache/
+    * spark/sql/functions.scala:1 and the catalyst
+    * higherOrderFunctions), exercised end-to-end over the embedding
+    * arrays with a DuckDB list-function twin per member:
+    *
+    *   - filter + size: positive-component count;
+    *   - filter + aggregate (sequential double fold, the s14
+    *     list_sum parity): positive mass in 2¹⁰ ticks, empty-filter
+    *     CASE-guarded (DuckDB list_sum(∅) is NULL where Spark's
+    *     fold start is 0);
+    *   - exists: any component above 0.3;
+    *   - transform + array_sort(DESC) + element_at: top-3 tick
+    *     values as scalars;
+    *   - zip_with(q, reverse(q)): the palindrome dot — exact longs;
+    *   - the indexed dot Σ(i+1-form) via the range-subscript
+    *     formulation both engines share (DuckDB lambdas carry no
+    *     index parameter — the s14 range(1, 65) convention).
+    *
+    * All outputs are scalars (ticks/longs/boolean) so the driver
+    * hash-compares values, not list encodings. One projection over
+    * one scan — HOFs run inside whole-stage codegen, no shuffle at
+    * all beyond the presentation sort.
+    */
+  def q61HofSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
+      .withColumn("pos", expr("filter(embedding, x -> CAST(x AS DOUBLE) > 0.0D)"))
+      .withColumn("srt", expr("reverse(array_sort(q))"))
+      .select(col("vec_id"),
+        expr("CAST(size(pos) AS BIGINT)").as("n_pos"),
+        expr("""CASE WHEN size(pos) > 0 THEN
+               |CAST(floor(aggregate(pos, CAST(0.0 AS DOUBLE),
+               |  (a, x) -> a + CAST(x AS DOUBLE)) * 1024.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("pos_ticks"),
+        expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.3D)").as("has_big"),
+        expr("element_at(srt, 1)").as("t1"),
+        expr("element_at(srt, 2)").as("t2"),
+        expr("element_at(srt, 3)").as("t3"),
+        expr("""aggregate(zip_with(q, reverse(q), (a, b) -> a * b),
+               |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("palin_dot"),
+        expr("""aggregate(transform(sequence(1, 64),
+               |  i -> CAST(i AS BIGINT) * element_at(q, i)),
+               |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+          .as("idx_dot"))
+      .orderBy(col("vec_id"))
 
   /** Bin count for [[q44Histogram]]. */
   private val HistBins = 20

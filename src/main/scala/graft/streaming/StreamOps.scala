@@ -710,6 +710,40 @@ object StreamOps {
   def tTestReport(state: DataFrame): DataFrame =
     graft.operators.Events.tTestFromCounts(state)
 
+  /** stream_moments: q60's higher-moment profile as a streaming fold
+    * — per event type the EXACT raw power sums (n, Σv, Σv², Σv³,
+    * Σv⁴) on the whole-dollar grid are a perfect addition monoid
+    * (the driftMerge posture: 5 numbers per type, nothing
+    * per-event), and the report is batch q60's shared tree
+    * ([[graft.operators.Relational.skewKurtReport]]) — so after any
+    * batch the stream's skewness/kurtosis equal the batch
+    * computation over exactly the events folded so far (spec'd).
+    * The continuous distribution-shape gate beside [[driftReport]]'s
+    * KS and [[tTestReport]]'s location tests.
+    */
+  def momentsBatch(batch: DataFrame): DataFrame =
+    batch.select(col("event_type").as("t"),
+        floor(col("value") + lit(0.5)).cast("long").as("v"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"),
+        sum((col("v") * col("v") * col("v")).cast("decimal(38,0)")).as("s3"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")
+          * (col("v") * col("v"))).as("s4"))
+
+  /** Monoid merge of moment state with a micro-batch delta. */
+  def momentsMerge(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("t"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"),
+        sum(col("s4")).as("s4"))
+
+  /** The skew/kurtosis report over folded moment state. */
+  def momentsReport(state: DataFrame): DataFrame =
+    graft.operators.Relational.skewKurtReport(state, "t")
+
   /** stream_recommend: the recommender serve path on a stream — the
     * streaming analog of the reference's
     * `recommendProductsForUsers` batch serve (reference: /root/

@@ -379,6 +379,46 @@ class RelationalSpec extends AnyFunSuite {
       Relational.q60SkewKurtosis(spark, sfDir).collect().map(_.toSeq).toSeq)
   }
 
+  test("q61 HOF suite: hand-computed members on a planted vector, " +
+    "empty-filter guard exercised") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Relational
+    // v: [0.5, -0.25, 0.375, 0...0, 0.5] -> ticks [512, -256, 384,
+    // 0..., 512]; w: all zeros (the empty-filter branch)
+    val v = Array.tabulate(64) {
+      case 0 => 0.5f; case 1 => -0.25f; case 2 => 0.375f
+      case 63 => 0.5f; case _ => 0.0f
+    }
+    val w = Array.fill(64)(0.0f)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q61").toString
+    Seq((1L, v), (2L, w)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Relational.q61HofSuite(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 3L)                       // n_pos
+    assert(r1.getLong(2) == 1408L, s"pos_ticks: $r1") // floor(1.375*1024+.5)
+    assert(r1.getBoolean(3))                          // has_big
+    assert((r1.getLong(4), r1.getLong(5), r1.getLong(6)) == ((512L, 512L, 384L)))
+    assert(r1.getLong(7) == 2L * 512L * 512L, s"palin_dot: $r1")
+    assert(r1.getLong(8) == 1L * 512L - 2L * 256L + 3L * 384L + 64L * 512L,
+      s"idx_dot: $r1")
+    val r2 = got(2L)
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L && !r2.getBoolean(3) &&
+      r2.getLong(4) == 0L && r2.getLong(7) == 0L && r2.getLong(8) == 0L,
+      s"zero vector must take every guard branch: $r2")
+    // corpus: deterministic, top-3 ordered, n_pos bounded by dims
+    val c = Relational.q61HofSuite(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 64L)
+      assert(r.getLong(4) >= r.getLong(5) && r.getLong(5) >= r.getLong(6))
+    }
+    assert(c.map(_.toSeq).toSeq ==
+      Relational.q61HofSuite(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
+
   test("q58 one-sample KS: hand-computed sup including the gap segment") {
     val sess = spark
     import sess.implicits._

@@ -868,6 +868,46 @@ class StreamingSpec extends AnyFunSuite {
       s"Welch dof out of range: $dof")
   }
 
+  test("stream_moments: folded power sums reproduce the batch " +
+    "skew/kurtosis report exactly") {
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+    val h1 = ev.filter(col("event_id") % 2 === 0).localCheckpoint(true)
+    val h2 = ev.filter(col("event_id") % 2 === 1).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mom-stream")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          val delta = StreamOps.momentsBatch(df)
+          state = (if (state == null) delta
+            else StreamOps.momentsMerge(state, delta)).localCheckpoint(true)
+        }
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.momentsReport(state).collect().toSeq
+    val want = StreamOps.momentsReport(StreamOps.momentsBatch(ev)).collect().toSeq
+    assert(got.nonEmpty && got == want, s"stream/batch divergence:\n$got\n$want")
+    // all five types, counts cover the corpus, m2 > 0 on real data
+    assert(got.length == 5)
+    assert(got.map(_.getLong(1)).sum == ev.count())
+    got.foreach { r =>
+      assert(r.getLong(1) * r.getLong(3) > r.getLong(2) * r.getLong(2),
+        s"n*s2 must exceed s1^2 on non-constant data: $r")
+    }
+  }
+
   test("stream_recommend: streamed serve rows are bit-equal to batch s25") {
     import org.apache.spark.sql.types._
     val (users, items) = graft.operators.Recommend.purchaseFactors(spark, sfDir)
