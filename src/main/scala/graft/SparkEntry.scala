@@ -78,6 +78,7 @@ object SparkEntry {
     "q61_hof_suite" -> (Relational.q61HofSuite _),
     "d01_dedup_exact" -> (Dedup.d01DedupExact _),
     "d02_dedup_minhash" -> (Dedup.d02DedupMinhash _),
+    "d22_minhash_estimate" -> (Dedup.d22MinhashEstimate _),
     "d03_dedup_simhash" -> (Dedup.d03DedupSimhash _),
     "d04_dedup_ngram" -> (Dedup.d04DedupNgram _),
     "d05_dedup_embedding" -> (Dedup.d05DedupEmbedding _),
@@ -2627,6 +2628,34 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard
         |FROM j WHERE jac >= 0.7
         |ORDER BY doc_a, doc_b""".stripMargin),
+    // d22: the same truth pairs; the affine-family signature rebuilt
+    // natively (one md5 base per shingle, k multiply-adds mod 2^48)
+    "d22_minhash_estimate" ->
+      ("WITH " + minhashTruthOracleCtes + s""",
+        |sg AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(range(0, ${graft.operators.Dedup.EstPerms}), i ->
+        |      coalesce(list_min(list_transform(s, g ->
+        |        (CAST(2 * i + 1 AS BIGINT)
+        |           * CAST(('0x' || substr(md5(g), 1, 12))::UBIGINT AS BIGINT)
+        |         + CAST(1099511628211 AS BIGINT) * CAST(i AS BIGINT))
+        |        % CAST(281474976710656 AS BIGINT))),
+        |      CAST(i AS BIGINT))) AS sig
+        |  FROM sh),
+        |sel AS (SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.7),
+        |est AS (
+        |  SELECT sel.doc_a, sel.doc_b,
+        |    CAST(floor(sel.jac * 1048576.0 + 0.5) AS BIGINT) AS exact_jac_ticks,
+        |    (CAST(len(list_filter(range(1, ${graft.operators.Dedup.EstPerms} + 1),
+        |        i -> a.sig[i] = b.sig[i])) AS BIGINT) * 1048576)
+        |      // ${graft.operators.Dedup.EstPerms} AS est_jac_ticks
+        |  FROM sel JOIN sg a ON a.doc_id = sel.doc_a
+        |  JOIN sg b ON b.doc_id = sel.doc_b)
+        |SELECT doc_a, doc_b, exact_jac_ticks, est_jac_ticks,
+        |  abs(est_jac_ticks - exact_jac_ticks) AS err_ticks,
+        |  abs(est_jac_ticks - exact_jac_ticks)
+        |    <= ${graft.operators.Dedup.EstBoundTicks} AS within_bound
+        |FROM est ORDER BY doc_a, doc_b""".stripMargin),
     // d18 = the d02 truth's shared shingles ranked by corpus rarity
     "d18_match_forensics" ->
       ("WITH " + minhashTruthOracleCtes + """,

@@ -480,6 +480,68 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"), col("rank"))
   }
 
+  /** Permutations in [[d22MinhashEstimate]]'s signature. */
+  private[graft] val EstPerms = 64
+
+  /** Error-contract bound for d22 in 2²⁰ ticks of Jaccard.
+    * EMPIRICAL CONTRACT (the q34/s31 posture): at k = 64 the
+    * per-pair standard error is √(j(1−j)/k) ≤ 0.0573 for j ≥ 0.7;
+    * the bound covers the observed max with ≥ 2× margin and shrinks
+    * as 1/√k — production doubles k, not the bound.
+    */
+  private[graft] val EstBoundTicks = 250000L
+
+  /** d22: the MinHash ESTIMATE-vs-EXACT contract — the sketch
+    * family's q34/s31 posture applied to dedup (reference: /root/
+    * reference/mllib/src/main/scala/org/apache/spark/ml/feature/
+    * MinHashLSH.scala:1, whose keyDistance IS this signature-
+    * agreement estimate of Jaccard distance): for every d02
+    * near-dup pair, the exact 3-gram Jaccard (ticked), the
+    * [[EstPerms]]-permutation signature-agreement estimate, the
+    * error, and the [[EstBoundTicks]] boolean. The signature here is
+    * an AFFINE (2-universal) family over one 48-bit md5 base per
+    * shingle — h_i(g) = ((2i+1)·H(g) + FNV·i) mod 2⁴⁸ — one md5 per
+    * (doc, shingle) then k integer multiply-adds, so BOTH the
+    * signature and the estimate are exact integers either engine
+    * rebuilds natively (d02's codegen'd kernel signature keeps
+    * serving the banding; this family serves the replicable
+    * contract — same MinHash mathematics, E[agreement] = J). Docs
+    * with no shingles fill component i with i (deterministic; two
+    * empty docs estimate 1.0 = their exact Jaccard).
+    *
+    * Scale shape: signatures are one projection over the shingle
+    * lists (k-bounded per row); the pair frame is d02's verified
+    * output joined to two broadcast-small signature columns. At
+    * corpus scale the estimate REPLACES the exact verify (that is
+    * its purpose — keyDistance without re-reading texts); the exact
+    * column here is the test-harness truth, the s31 framing.
+    */
+  def d22MinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    val sg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_distinct(call_function("word_grams", col("text"), lit(3))).as("s"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${EstPerms - 1}), i -> coalesce(
+           |array_min(transform(s, g ->
+           |  (CAST(2 * i + 1 AS BIGINT) * CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT)
+           |   + CAST(1099511628211 AS BIGINT) * CAST(i AS BIGINT))
+           |  % CAST(281474976710656 AS BIGINT))),
+           |CAST(i AS BIGINT)))""".stripMargin).as("sig"))
+      .localCheckpoint(true)
+    minhashPairs(spark, sfDir)
+      .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * lit(1048576.0) + lit(0.5)).cast("long")
+          .as("exact_jac_ticks"),
+        expr(s"(CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), " +
+          s"b -> b)) AS BIGINT) * 1048576) div $EstPerms").as("est_jac_ticks"))
+      .withColumn("err_ticks", abs(col("est_jac_ticks") - col("exact_jac_ticks")))
+      .withColumn("within_bound", col("err_ticks") <= EstBoundTicks)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** d16: dedup threshold-sweep report — the candidate pairs of
     * d04's 2-gram pipeline bucketed into Jaccard deciles [0.5, 1.0]:
     * the calibration curve an operator reads before PICKING a dedup

@@ -73,6 +73,31 @@ class AuditSpec extends AnyFunSuite {
     assert(q01.getAs[Long]("shuffle_bytes_written") > 0L)
   }
 
+  test("s30 exact silhouette core shuffles O(k·D), not O(N) — the " +
+    "no-per-vector-shuffle claim, measured") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Similarity
+    // 5000 planted vectors in 2 clusters: if the scoring pass
+    // shuffled per-vector state (the s23 top-k shape, or worse a
+    // scored-pairs shuffle), records written would be >= N; the
+    // expansion form's only shuffles are the (cell, dim) Ω partial
+    // agg, the cell counts, and the final k-row rollup — hundreds of
+    // records per task bound, independent of N.
+    val n = 5000
+    val cells = (0 until n).map { i =>
+      val c = i % 2
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 1.0f else 0.0f) + 0.001f * ((i + j) % 7))
+      (i.toLong, c.toLong, v)
+    }.toDF("vec_id", "cell", "embedding")
+    val m = Audit.executedMetrics(Similarity.exactCosineSilhouette(spark, cells))
+    assert(m.shuffleRecordsWritten > 0L, "expected the bounded Ω/rollup shuffles")
+    assert(m.shuffleRecordsWritten < n / 2,
+      s"silhouette core shuffled per-vector state: " +
+        s"${m.shuffleRecordsWritten} records for $n vectors")
+  }
+
   test("control-plane fetch inventory: every driver-side collect/head " +
     "site in main source is in SURVEY §4's enumerated list") {
     // The falsifiable-contract pattern applied to the inventory

@@ -1220,6 +1220,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("d22 minhash estimate: identical docs estimate exactly 1; " +
+    "near-dup estimate equals an independent in-test signature " +
+    "replication; corpus contract holds") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Dedup
+    val words = (1 to 12).map(i => s"w$i")
+    val t45a = words.mkString(" ")
+    val t45b = (words.init :+ "zz").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "s", 10L),
+      (2L, "a b c d e f g h i j", "en", "s", 10L),
+      (4L, t45a, "en", "s", 10L),
+      (5L, t45b, "en", "s", 10L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d22").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d22MinhashEstimate(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // identical pair: exact = est = 2^20, err = 0
+    val id = got((1L, 2L))
+    assert(id.getLong(2) == 1048576L && id.getLong(3) == 1048576L &&
+      id.getLong(4) == 0L && id.getBoolean(5), s"identical pair: $id")
+    // (4, 5): 9 of 11 distinct shingles shared -> jac = 9/11; the
+    // estimate must equal an INDEPENDENT Scala replication of the
+    // affine signature (md5 base, (2i+1)H + FNV*i mod 2^48, min, k
+    // agreement) — the planted-truth check of the whole chain
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    def sig(t: String): Array[Long] = {
+      val hs = shingles(t).map { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      Array.tabulate(Dedup.EstPerms) { i =>
+        if (hs.isEmpty) i.toLong
+        else hs.map(h => ((2L * i + 1L) * h + 1099511628211L * i)
+          % 281474976710656L).min
+      }
+    }
+    val exp45 = sig(t45a).zip(sig(t45b)).count { case (x, y) => x == y }
+      .toLong * 1048576L / Dedup.EstPerms
+    got.get((4L, 5L)) match {
+      case Some(r) =>
+        assert(r.getLong(2) ==
+          math.floor(9.0 / 11.0 * 1048576.0 + 0.5).toLong, s"exact: $r")
+        assert(r.getLong(3) == exp45,
+          s"estimate must equal the in-test replication $exp45: $r")
+      case None => fail("banding must emit the jac=9/11 candidate pair")
+    }
+    // corpus: every pair within the contract bound, deterministic
+    val c = Dedup.d22MinhashEstimate(spark, sfDir).collect()
+    assert(c.nonEmpty)
+    c.foreach(r => assert(r.getBoolean(5), s"contract violated: $r"))
+    assert(c.map(_.toSeq).toSeq ==
+      Dedup.d22MinhashEstimate(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
+
   test("s31 DIMSUM sampled: p = 1 collapses to the exact cosine " +
     "bit-for-bit; corpus contract booleans all hold") {
     val sess = spark
