@@ -206,6 +206,7 @@ object SparkEntry {
     "g14_betweenness" -> (Graph.g14Betweenness _),
     "g15_components" -> (Graph.g15Components _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
+    "g16_landmark_paths" -> (Graph.g16LandmarkPaths _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
     "g09_kcore" -> (Graph.g09Kcore _),
@@ -1645,6 +1646,23 @@ object SparkEntry {
        |       id // 2 AS entity_key, min(d) AS hops
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** g16 oracle: the g06 recursion with the landmark id carried
+    * through — per-(landmark, node) min instead of min over seeds.
+    */
+  private def g16OracleSql(seeds: Int, iters: Int): String =
+    s"""WITH RECURSIVE $gEdgeCtes,
+       |sd AS (SELECT id FROM n WHERE id % 2 = 0 ORDER BY id LIMIT $seeds),
+       |r(lm, id, d) AS (
+       |  SELECT id, id, CAST(0 AS BIGINT) FROM sd
+       |  UNION
+       |  SELECT r.lm, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+       |  WHERE r.d < $iters)
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key,
+       |       CASE WHEN lm % 2 = 0 THEN 'c' ELSE 's' END AS landmark_type,
+       |       lm // 2 AS landmark_key, min(d) AS hops
+       |FROM r GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+
   /** g14 oracle: the seeded bounded-Brandes passes unrolled — forward
     * levels with exact σ sums and anti-join distance filters, then
     * the backward tick accumulation with the same `//` truncation.
@@ -1839,6 +1857,8 @@ object SparkEntry {
     "s16_walk_embeddings" -> Recommend.s16OracleSql(
       g11PairCtes(graft.operators.Graph.WalkLen,
         graft.operators.Graph.SkipWindow)),
+    "g16_landmark_paths" -> g16OracleSql(
+      graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(

@@ -620,6 +620,61 @@ object Graph {
       .orderBy(col("node_type"), col("entity_key"))
   }
 
+  /** The per-LANDMARK bounded BFS — [[boundedBfs]] with the landmark
+    * id carried in every key, so each node learns its distance to
+    * EACH landmark separately (not the min over all of them): the
+    * reference's graphx ShortestPaths contract made literal
+    * (reference: /root/reference/graphx/src/main/scala/org/apache/
+    * spark/graphx/lib/ShortestPaths.scala:1 — vertex state is a
+    * landmark→distance MAP, messages merge per landmark). State is
+    * O(N·L) rows with L the landmark-set size — exactly the
+    * reference's cost, bounded because landmarks are a small chosen
+    * set; per hop one join + one (lm, id) partial-agg min + an
+    * anti-join (first touch is minimal on unit weights, the
+    * boundedBfs argument per landmark).
+    */
+  private[graft] def landmarkPaths(edges: DataFrame, landmarks: DataFrame,
+      iters: Int): DataFrame = {
+    var dist = landmarks.distinct()
+      .select(col("id").as("lm"), col("id"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to iters) {
+      val next = edges.join(
+          frontier.select(col("lm"), col("id").as("src"), col("d")), "src")
+        .select(col("lm"), col("dst").as("id"), (col("d") + 1).as("d"))
+      val newly = next.groupBy(col("lm"), col("id")).agg(min(col("d")).as("d"))
+        .join(dist.select(col("lm"), col("id")), Seq("lm", "id"), "left_anti")
+        .localCheckpoint(false)
+      dist = dist.union(newly).localCheckpoint(false)
+      frontier = newly
+    }
+    dist
+  }
+
+  /** g16: per-landmark shortest-path lengths over the trade graph —
+    * the graphx ShortestPaths surface g06 does NOT cover (g06
+    * reports the min over the whole seed set; the reference returns
+    * one distance PER landmark). Same seed rule and hop bound as
+    * g06, so the two keys reconcile: min over g16's landmarks ≡
+    * g06's distance (spec'd). Output: (node_type, entity_key,
+    * landmark_type, landmark_key, hops).
+    */
+  def g16LandmarkPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val seeds = nodes.filter(col("id") % 2 === 0)
+      .orderBy(col("id")).limit(SsspSeeds)
+    landmarkPaths(edges, seeds, SsspIters).select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        when(col("lm") % 2 === 0, lit("c")).otherwise(lit("s")).as("landmark_type"),
+        expr("lm div 2").as("landmark_key"),
+        col("d").as("hops"))
+      .orderBy(col("node_type"), col("entity_key"),
+        col("landmark_type"), col("landmark_key"))
+  }
+
   /** Fixed min-label rounds for [[g15Components]]. The trade graph's
     * diameter at test SFs is ≤ 4; 8 rounds give slack while keeping
     * the result a pure bounded function of the corpus (the g06

@@ -576,6 +576,37 @@ class JoinsGraphSpec extends AnyFunSuite {
       bfsShipped.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
   }
 
+  test("g16 landmark paths: per-landmark distances on a planted path; " +
+    "min over landmarks reconciles with g06") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 0-1-2-3-4 (mirrored): landmarks {0, 4}; per-landmark
+    // distances are the exact positions from each end
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lms = Seq(0L, 4L).toDF("id")
+    val got = Graph.landmarkPaths(edges, lms, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (v <- 0L to 4L) {
+      assert(got((0L, v)) == v, s"dist(0, $v)")
+      assert(got((4L, v)) == 4L - v, s"dist(4, $v)")
+    }
+    assert(got.size == 10)
+    // corpus: min over g16's per-landmark rows == g06's min-over-seeds
+    val g16 = SparkEntry.queries("g16_landmark_paths")(spark, sfDir).collect()
+    val byNode = g16.groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(4)).min }
+    val g06 = SparkEntry.queries("g06_sssp")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byNode == g06,
+      "min over landmarks must equal g06's min-over-seed distance")
+    // per-landmark rows are a superset (3 landmarks): node rows <= 3x
+    assert(g16.length >= g06.size && g16.length <= 3 * g06.size)
+    assert(g16.map(_.toSeq).toSeq ==
+      SparkEntry.queries("g16_landmark_paths")(spark, sfDir).collect()
+        .map(_.toSeq).toSeq)
+  }
+
   test("g10 random walks: valid connected paths, deterministic, full coverage") {
     import spark.implicits._
     import graft.operators.Graph
