@@ -2652,16 +2652,24 @@ object SparkEntry {
     // natively (one md5 base per shingle, k multiply-adds mod 2^48)
     "d22_minhash_estimate" ->
       ("WITH " + minhashTruthOracleCtes + s""",
+        |selx AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM j WHERE jac >= 0.7
+        |    UNION ALL SELECT doc_b FROM j WHERE jac >= 0.7)),
+        |hb AS MATERIALIZED (
+        |  SELECT sh.doc_id,
+        |    list_transform(s, g ->
+        |      CAST(('0x' || substr(md5(g), 1, 12))::UBIGINT AS BIGINT)) AS hs
+        |  FROM sh JOIN selx ON selx.doc_id = sh.doc_id),
         |sg AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_transform(range(0, ${graft.operators.Dedup.EstPerms}), i ->
-        |      coalesce(list_min(list_transform(s, g ->
-        |        (CAST(2 * i + 1 AS BIGINT)
-        |           * CAST(('0x' || substr(md5(g), 1, 12))::UBIGINT AS BIGINT)
+        |      coalesce(list_min(list_transform(hs, h ->
+        |        (CAST(2 * i + 1 AS BIGINT) * h
         |         + CAST(1099511628211 AS BIGINT) * CAST(i AS BIGINT))
         |        % CAST(281474976710656 AS BIGINT))),
         |      CAST(i AS BIGINT))) AS sig
-        |  FROM sh),
+        |  FROM hb),
         |sel AS (SELECT doc_a, doc_b, jac FROM j WHERE jac >= 0.7),
         |est AS (
         |  SELECT sel.doc_a, sel.doc_b,

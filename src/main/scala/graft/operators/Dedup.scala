@@ -518,18 +518,29 @@ object Dedup {
     */
   def d22MinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
+    val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
+    // signatures ONLY for docs appearing in a candidate pair — the
+    // k-permutation HOF runs interpreted (no codegen for lambda
+    // bodies), so building it corpus-wide cost 20+ s at sf0.1 where
+    // the pair-docs slice costs ~2 s; the md5 base is also hoisted
+    // out of the per-permutation lambda (it re-ran k times inside)
+    val inPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val sg = Tables.documents(spark, sfDir)
+      .join(inPairs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(call_function("word_grams", col("text"), lit(3))).as("s"))
+      .withColumn("hs", expr(
+        "transform(s, g -> CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT))"))
       .select(col("doc_id"), expr(
         s"""transform(sequence(0, ${EstPerms - 1}), i -> coalesce(
-           |array_min(transform(s, g ->
-           |  (CAST(2 * i + 1 AS BIGINT) * CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT)
+           |array_min(transform(hs, h ->
+           |  (CAST(2 * i + 1 AS BIGINT) * h
            |   + CAST(1099511628211 AS BIGINT) * CAST(i AS BIGINT))
            |  % CAST(281474976710656 AS BIGINT))),
            |CAST(i AS BIGINT)))""".stripMargin).as("sig"))
       .localCheckpoint(true)
-    minhashPairs(spark, sfDir)
+    pairs
       .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
