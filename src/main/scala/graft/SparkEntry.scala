@@ -58,6 +58,7 @@ object SparkEntry {
     "q49_ridge_regression" -> (Relational.q49RidgeRegression _),
     "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
     "q57_lasso" -> (Relational.q57Lasso _),
+    "q62_quantile_reg" -> (Relational.q62QuantileReg _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
     "q51_kde" -> (Relational.q51Kde _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "s22_tfidf_search" -> (Similarity.s22TfidfSearch _),
     "s23_silhouette" -> (Similarity.s23Silhouette _),
     "s30_silhouette_exact" -> (Similarity.s30SilhouetteExact _),
+    "s32_item_knn" -> (Recommend.s32ItemKnn _),
     "s31_dimsum_sampled" -> (Similarity.s31DimsumSampled _),
     "s24_implicit_als" -> (Recommend.s24ImplicitAls _),
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
@@ -207,6 +209,7 @@ object SparkEntry {
     "g15_components" -> (Graph.g15Components _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g16_landmark_paths" -> (Graph.g16LandmarkPaths _),
+    "g17_closeness" -> (Graph.g17Closeness _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
     "g09_kcore" -> (Graph.g09Kcore _),
@@ -1114,6 +1117,63 @@ object SparkEntry {
        |ORDER BY round""".stripMargin
   }
 
+  /** q62 oracle: the pinball-subgradient rounds unrolled — the q57
+    * CTE shape with the tau4 dimension carried through every frame
+    * (3-row model state cross-joined onto the feats scan, GROUP BY
+    * tau4), the integer pinball CASE, and the halved-step update.
+    */
+  private def q62OracleSql: String = {
+    val iters = graft.operators.Relational.QrIters
+    val clamp = graft.operators.Relational.QrClamp
+    val baseStep = graft.operators.Relational.QrStep
+    val m24 = (0 to 3).map(j => s"w$j * f$j").mkString(" + ")
+    def scanCte(k: Int): String = {
+      val gs = (0 to 3)
+        .map(j => s"CAST(sum((ind * 4 - tau4) * f$j) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 to 3).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s$k AS (
+         |  SELECT tau4, count(*) AS n,
+         |    CAST(sum(ind) AS BIGINT) AS n_over,
+         |    CAST(sum(CASE WHEN r24 >= 0 THEN (4 - tau4) * r24
+         |             ELSE tau4 * -r24 END) AS BIGINT) AS pin24,
+         |    $gs, $ws
+         |  FROM (SELECT b.*, CASE WHEN r24 >= 0 THEN 1 ELSE 0 END AS ind
+         |        FROM (SELECT feats.*, wr.*, $m24 - y12 * 4096 AS r24
+         |              FROM feats, w$k wr) b) c
+         |  GROUP BY tau4)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val step = math.max(baseStep >> k, 1L)
+      val ws = (0 to 3).map { j =>
+        s"least(greatest(w$j - (g$j * $step) // " +
+          s"(4 * greatest(n, 1) * 4096), -$clamp), $clamp) AS w$j"
+      }.mkString(", ")
+      s"w${k + 1} AS (SELECT tau4, $ws FROM s$k)"
+    }
+    val w0 = "w0 AS (SELECT CAST(t.tau4 AS BIGINT) AS tau4, " +
+      "(SELECT CAST(sum(y12) AS BIGINT) // count(*) FROM feats) AS w0, " +
+      (1 to 3).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") +
+      " FROM (VALUES (1), (2), (3)) t(tau4))"
+    val ctes = (w0 +: (0 to iters).flatMap(k =>
+      scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = (0 to 3).map(j => s"w$j AS w${j}_ticks").mkString(", ")
+      s"SELECT CAST($k AS BIGINT) AS round, tau4, n, n_over, " +
+        s"pin24 // (4 * 4096) AS pin12, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y12,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round, tau4""".stripMargin
+  }
+
   /** q56 oracle: the hinge-loss rounds unrolled — the q50 CTE shape
     * with the violation indicator and the Pegasos-style update.
     */
@@ -1649,19 +1709,43 @@ object SparkEntry {
   /** g16 oracle: the g06 recursion with the landmark id carried
     * through — per-(landmark, node) min instead of min over seeds.
     */
-  private def g16OracleSql(seeds: Int, iters: Int): String =
-    s"""WITH RECURSIVE $gEdgeCtes,
+  /** The shared per-landmark BFS CTE chain (ends in the recursive
+    * `r(lm, id, d)` reach set) — one definition backs g16's report
+    * and g17's closeness aggregation, mirroring the engine-side
+    * shared [[graft.operators.Graph.tradeLandmarkDists]] memo.
+    */
+  private def g16Ctes(seeds: Int, iters: Int): String =
+    s"""$gEdgeCtes,
        |sd AS (SELECT id FROM n WHERE id % 2 = 0 ORDER BY id LIMIT $seeds),
        |r(lm, id, d) AS (
        |  SELECT id, id, CAST(0 AS BIGINT) FROM sd
        |  UNION
        |  SELECT r.lm, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
-       |  WHERE r.d < $iters)
+       |  WHERE r.d < $iters)""".stripMargin
+
+  private def g16OracleSql(seeds: Int, iters: Int): String =
+    s"""WITH RECURSIVE ${g16Ctes(seeds, iters)}
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
        |       id // 2 AS entity_key,
        |       CASE WHEN lm % 2 = 0 THEN 'c' ELSE 's' END AS landmark_type,
        |       lm // 2 AS landmark_key, min(d) AS hops
        |FROM r GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** g17 oracle: the g16 chain's minimal distances aggregated into
+    * the closeness/harmonic estimates — d ≥ 1 filter, exact integer
+    * tick divisions (`//` ≡ Spark `div` on the all-positive terms).
+    */
+  private def g17OracleSql(seeds: Int, iters: Int): String =
+    s"""WITH RECURSIVE ${g16Ctes(seeds, iters)},
+       |m AS (SELECT lm, id, min(d) AS d FROM r GROUP BY 1, 2)
+       |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+       |       id // 2 AS entity_key,
+       |       count(*) AS n_landmarks,
+       |       CAST(sum(d) AS BIGINT) AS sum_hops,
+       |       (count(*) * 1048576) // CAST(sum(d) AS BIGINT) AS close_ticks,
+       |       CAST(sum(1048576 // d) AS BIGINT) AS harm_ticks
+       |FROM m WHERE d >= 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** g14 oracle: the seeded bounded-Brandes passes unrolled — forward
     * levels with exact σ sums and anti-join distance filters, then
@@ -1858,6 +1942,8 @@ object SparkEntry {
       g11PairCtes(graft.operators.Graph.WalkLen,
         graft.operators.Graph.SkipWindow)),
     "g16_landmark_paths" -> g16OracleSql(
+      graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
+    "g17_closeness" -> g17OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
@@ -2343,6 +2429,9 @@ object SparkEntry {
     // HUGEINT hash guard).
     "q50_logistic_regression" -> q50OracleSql,
     "q57_lasso" -> q57OracleSql,
+    // q62: the pinball-subgradient rounds unrolled with the tau4
+    // dimension — integer pinball CASE, halved steps, mean init.
+    "q62_quantile_reg" -> q62OracleSql,
     "q56_linear_svm" -> q56OracleSql,
     // q51: integer Epanechnikov kernel sums against the broadcast
     // evaluation grid; the density normalizer is the ONE shared
@@ -2856,6 +2945,9 @@ object SparkEntry {
     "s25_recommend_topk" -> Recommend.recTopkOracleSql,
     // s28: the batch-GD SVD++ rounds unrolled, staged truncating divs.
     "s28_svdpp" -> Recommend.svdppOracleSql,
+    // s32: exact integer dots/norms, the s19 cosine tree, bounded
+    // top-M/top-K total orders, NOT EXISTS seen filter.
+    "s32_item_knn" -> Recommend.itemKnnOracleSql,
     // s15: s13's shared rounds chain over the bias-debiased residual
     // ratings — the integer bias stages are plain CTEs.
     "s15_biased_mf" -> Recommend.biasedOracleSql,

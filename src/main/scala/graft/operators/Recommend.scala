@@ -1346,4 +1346,138 @@ object Recommend {
        |JOIN ns ON bs$n.s = ns.s
        |ORDER BY node_type, entity_key""".stripMargin
   }
+
+  /** Neighbor-list size for [[s32ItemKnn]] (top-M similar items per
+    * item) and serve cut (top-K recommendations per customer).
+    */
+  private[graft] val ItemKnnM = 10
+  private[graft] val ItemKnnK = 5
+
+  /** The item-kNN core over a (c, s, r) integer rating frame — the
+    * full neighborhood-CF pipeline (Sarwar et al. WWW'01):
+    * (1) item-item cosine over the customer dimension — dot products
+    * and squared norms are EXACT long sums (counts, not floats), only
+    * the final cosine normalization runs in double through the s19
+    * shared tree floored to 2²⁰ ticks; (2) per item the top-[[ItemKnnM]]
+    * neighbor list via the bounded top_k_by_score aggregate
+    * (simt desc, item asc — the total order both engines share);
+    * (3) serve: score(c, j) = Σ_{i rated by c} r(c,i)·sim(i,j) over
+    * the neighbor graph only, already-rated items excluded (the
+    * neighborhood-serve convention — recommend UNSEEN items), cut to
+    * top-[[ItemKnnK]] per customer by the same bounded aggregate.
+    *
+    * Scale shape: the dot-product self-join expands each customer's
+    * basket to its item pairs — Σ deg(c)² rows, the f01 basket-pair
+    * regime (documented retune at 100 TB: cap baskets the f01
+    * BasketCap way and/or DIMSUM-sample the pairs, s31); norms are
+    * an item-sized broadcast; the neighbor graph is ≤ M rows/item so
+    * the serve join fans ratings out ≤ M× with map-side partial aggs
+    * and a bounded k-heap per customer — no scored-pair shuffle ever
+    * materializes beyond the rated×M frame. Package-private for the
+    * spec's planted baskets.
+    */
+  private[graft] def itemKnnServe(ratings: DataFrame): DataFrame = {
+    graft.functions.registerAll(ratings.sparkSession)
+    val nrm = ratings.groupBy(col("s"))
+      .agg(sum(col("r") * col("r")).as("n2"))
+    val dots = ratings.select(col("c"), col("s").as("i"), col("r").as("ri"))
+      .join(ratings.select(col("c"), col("s").as("j"), col("r").as("rj")), "c")
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ri") * col("rj")).as("dot"))
+    val sims = dots
+      .join(broadcast(nrm.select(col("s").as("i"), col("n2").as("ni"))), "i")
+      .join(broadcast(nrm.select(col("s").as("j"), col("n2").as("nj"))), "j")
+      .select(col("i"), col("j"),
+        expr("""CASE WHEN ni > 0 AND nj > 0
+               |THEN CAST(floor(CAST(dot AS DOUBLE)
+               |  / sqrt(CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))
+               |  * 1048576.0D + 0.5D) AS BIGINT)
+               |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("simt"))
+    val sym = sims.union(
+      sims.select(col("j").as("i"), col("i").as("j"), col("simt")))
+    val nbr = sym.groupBy(col("i"))
+      .agg(call_function("top_k_by_score",
+        col("simt").cast("double"), col("j"), lit(ItemKnnM)).as("top"))
+      .select(col("i"), explode(col("top")).as("t"))
+      .select(col("i"), col("t.id").as("j"),
+        col("t.score").cast("long").as("simt"))
+    val cand = ratings.join(nbr, col("s") === col("i"))
+      .select(col("c"), col("j"), (col("r") * col("simt")).as("contr"))
+      .join(ratings.select(col("c"), col("s").as("j")), Seq("c", "j"),
+        "left_anti")
+      .groupBy(col("c"), col("j")).agg(sum(col("contr")).as("score"))
+    cand.groupBy(col("c"))
+      .agg(call_function("top_k_by_score",
+        col("score").cast("double"), col("j"), lit(ItemKnnK)).as("top"))
+      .select(col("c"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("c").as("o_custkey"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("l_suppkey"),
+        col("t.score").cast("long").as("score_ticks"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** s32: item-kNN collaborative filtering over the purchase matrix —
+    * the NEIGHBORHOOD method completing the recommender family next
+    * to its five factor-model keys (s13/s15/s24/s25/s28): the
+    * reference surface offers only matrix factorization
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/recommendation/ALS.scala:1) plus the
+    * columnSimilarities primitive item-kNN builds on (reference:
+    * mllib/linalg/distributed/RowMatrix.scala:1 — s29's DIMSUM is
+    * the documented scale path for exactly this item-item step);
+    * the classic production baseline (Sarwar et al. WWW'01, the
+    * Amazon-style item-to-item recommender) that needs NO training
+    * rounds and updates incrementally. Shares the memoized
+    * purchaseRatings frame with the factor family.
+    */
+  def s32ItemKnn(spark: SparkSession, sfDir: String): DataFrame =
+    itemKnnServe(purchaseRatings(spark, sfDir))
+
+  /** The DuckDB twin of [[s32ItemKnn]]: exact integer dots/norms,
+    * the s19 cosine tree, row_number with the (simt desc, j) /
+    * (score desc, j) total orders, NOT EXISTS for the seen filter.
+    */
+  private[graft] def itemKnnOracleSql: String =
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |nrm AS MATERIALIZED (
+       |  SELECT s, CAST(sum(r * r) AS BIGINT) AS n2 FROM ratings GROUP BY s),
+       |dots AS (
+       |  SELECT a.s AS i, b.s AS j, CAST(sum(a.r * b.r) AS BIGINT) AS dot
+       |  FROM ratings a JOIN ratings b ON a.c = b.c AND a.s < b.s
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT i, j,
+       |    CASE WHEN ni.n2 > 0 AND nj.n2 > 0
+       |    THEN CAST(floor(CAST(dot AS DOUBLE)
+       |      / sqrt(CAST(ni.n2 AS DOUBLE) * CAST(nj.n2 AS DOUBLE))
+       |      * 1048576.0 + 0.5) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS simt
+       |  FROM dots JOIN nrm ni ON ni.s = dots.i JOIN nrm nj ON nj.s = dots.j),
+       |sym AS (SELECT i, j, simt FROM sims
+       |  UNION ALL SELECT j, i, simt FROM sims),
+       |nbr AS (
+       |  SELECT i, j, simt FROM (
+       |    SELECT i, j, simt,
+       |      row_number() OVER (PARTITION BY i ORDER BY simt DESC, j) AS rn
+       |    FROM sym) x
+       |  WHERE rn <= $ItemKnnM),
+       |cand AS (
+       |  SELECT r.c, n.j, CAST(sum(r.r * n.simt) AS BIGINT) AS score
+       |  FROM ratings r JOIN nbr n ON n.i = r.s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ratings x WHERE x.c = r.c AND x.s = n.j)
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT c, j, score,
+       |    row_number() OVER (PARTITION BY c ORDER BY score DESC, j) AS rank
+       |  FROM cand)
+       |SELECT c AS o_custkey, CAST(rank AS BIGINT) AS rank,
+       |  j AS l_suppkey, score AS score_ticks
+       |FROM rk WHERE rank <= $ItemKnnK
+       |ORDER BY o_custkey, rank""".stripMargin
 }

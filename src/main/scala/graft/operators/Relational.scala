@@ -1598,4 +1598,110 @@ object Relational {
         col("fit_sticks"))
       .orderBy(col("bin"))
   }
+
+  /** Fixed subgradient rounds for [[q62QuantileReg]] — rounds 1..k
+    * use the HALVED step max([[QrStep]] >> (k−1), 1), the classic
+    * deterministic subgradient schedule (pinball has no curvature, so
+    * a fixed step oscillates; halving brackets the optimum
+    * geometrically). Unrolled by the oracle.
+    */
+  private[graft] val QrIters = 8
+
+  /** Base step in intercept y-units (round 1 moves the intercept at
+    * most ±3·[[QrStep]]/4).
+    */
+  private[graft] val QrStep = 2048L
+
+  /** Weight clamp in 2⁻¹² ticks (the q50/q57 bound; the intercept
+    * column is y-units directly, so this caps it at ±4·10⁶ — far
+    * above any sf's price range).
+    */
+  private[graft] val QrClamp = 4194304L
+
+  /** The fixed-round QUANTILE-regression core over a (y12, f0..f3)
+    * frame — the q50/q56/q57 exact-integer GD contract with the
+    * PINBALL loss L_τ(e) = max((1−τ)·e, −τ·e), e = ŷ − y: like the
+    * hard sigmoid, hinge and soft-threshold before it, the pinball
+    * loss is PIECEWISE LINEAR, so its subgradient is an integer CASE
+    * — with τ = tau4/4 (tau4 ∈ {1,2,3}) the per-row term is
+    * (4·1{e≥0} − tau4)·fⱼ, an exact long (|term| ≤ 4·max|fⱼ| ≈ 2¹⁴;
+    * order-independent sums safe past 2⁴⁸ rows). ALL THREE quantiles
+    * train in ONE scan per round: the model state is a 3-row
+    * (tau4, w0..w3) broadcast, the scan fans each row out ×3
+    * map-side and partial-aggregates per tau4 — never a second pass.
+    *
+    * Init: slopes 0, intercept = the exact truncated mean
+    * (Σy12 div n, one 1-row aggregate — deterministic and
+    * oracle-replicable), so round 1 starts at the L2 center and the
+    * trajectory shows each τ walking toward ITS quantile: n_over/n
+    * (the over-prediction fraction 1{e≥0}) moves toward τ — the
+    * quantile-calibration diagnostic — and pin12 (total pinball loss
+    * in y-units, exact integer (4−tau4)/tau4-weighted |r24| sums
+    * div 4·4096) is non-increasing-in-tendency. Update: wⱼ ←
+    * clamp(wⱼ − (gⱼ·step_k) div (4n·4096)) — truncating div, the
+    * s15 negative-agreement contract. Fixed-ROUND trajectory, not a
+    * converged LP solution (the q50 framing; exact quantile
+    * regression is a linear program — the subgradient rounds are the
+    * distributed-scale posture, one partial-agg'd scan per round).
+    */
+  private[graft] def quantileRounds(feats: DataFrame): DataFrame = {
+    val init = feats.agg(expr("sum(y12) div count(1)").as("w0i"))
+      .localCheckpoint(true)
+    var weights = init.select(
+        explode(array((1 to 3).map(q => lit(q.toLong)): _*)).as("tau4"),
+        col("w0i").as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
+        lit(0L).as("w3"))
+      .localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    for (k <- 0 to QrIters) {
+      val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+      val scan = feats.crossJoin(broadcast(weights))
+        .withColumn("r24", m24 - col("y12") * lit(4096L))
+        .withColumn("ind", (col("r24") >= 0L).cast("long"))
+        .withColumn("cq", col("ind") * lit(4L) - col("tau4"))
+      val aggCols =
+        Seq(sum(col("ind")).as("n_over"),
+          sum(when(col("r24") >= 0L, (lit(4L) - col("tau4")) * col("r24"))
+            .otherwise(col("tau4") * -col("r24"))).as("pin24")) ++
+          (0 to 3).map(j => sum(col("cq") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+      val s = scan.groupBy(col("tau4"))
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("tau4"),
+        col("n"), col("n_over"),
+        expr("pin24 div (4L * 4096L)").as("pin12")) ++
+        (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
+      if (k < QrIters) {
+        val step = math.max(QrStep >> k, 1L)
+        weights = s.select(Seq(col("tau4")) ++ (0 to 3).map(j =>
+            least(greatest(col(s"w$j") -
+              expr(s"(g$j * ${step}L) div (4L * greatest(n, 1L) * 4096L)"),
+              lit(-QrClamp)), lit(QrClamp)).as(s"w$j")): _*)
+          .localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"), col("tau4"))
+  }
+
+  /** q62: quantile regression of the q49 target on the q50 features
+    * at τ = 1/4, 1/2, 3/4 — the τ-quantile member completing the
+    * linear family (ridge q49, logistic q50, SVM q56, lasso q57,
+    * isotonic q55; reference surface anchor: /root/reference/mllib/
+    * src/main/scala/org/apache/spark/mllib/regression/ — the
+    * reference ships only mean regressions; pinball/quantile
+    * regression is Koenker & Bassett 1978, and its τ = 1/2 row IS
+    * least-absolute-deviations (LAD), the robust regression mllib
+    * lacks). See [[quantileRounds]] for the integer contract.
+    */
+  def q62QuantileReg(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y12"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    quantileRounds(feats)
+  }
 }

@@ -607,6 +607,47 @@ class JoinsGraphSpec extends AnyFunSuite {
         .map(_.toSeq).toSeq)
   }
 
+  test("g17 closeness: hand-pinned ticks on the planted path; " +
+    "corpus rows aggregate g16 exactly") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 0-1-2-3-4 (mirrored), landmarks {0, 4}: per node the
+    // landmark distances are the positions from each end, so every
+    // centrality value is hand-computable. Node 0: d(0)=self (out),
+    // d(4)=4 -> n=1, sum=4, close=2^20/4, harm=2^20/4; node 1:
+    // d={1,3} -> close=2*2^20 div 4, harm=2^20+349525; node 2:
+    // d={2,2} -> close=2^20 div 2, harm=2*524288.
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val lms = Seq(0L, 4L).toDF("id")
+    val got = Graph.closenessOf(Graph.landmarkPaths(edges, lms, 6))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(3))).toMap
+    assert(got(0L) == ((1L, 4L, 262144L, 262144L)), s"node0: ${got(0L)}")
+    assert(got(1L) == ((2L, 4L, 524288L, 1048576L + 349525L)))
+    assert(got(2L) == ((2L, 4L, 524288L, 1048576L)))
+    assert(got(3L) == ((2L, 4L, 524288L, 1048576L + 349525L)))
+    assert(got(4L) == ((1L, 4L, 262144L, 262144L)))
+    // corpus: g17's rows are EXACTLY the aggregation of g16's rows
+    // (same memoized BFS frame — shared-computation consistency)
+    val g16 = SparkEntry.queries("g16_landmark_paths")(spark, sfDir).collect()
+      .filter(_.getLong(4) >= 1L)
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) =>
+        val ds = rs.map(_.getLong(4))
+        k -> (ds.length.toLong, ds.sum,
+          (ds.length.toLong * 1048576L) / ds.sum,
+          ds.map(1048576L / _).sum)
+      }
+    val g17 = SparkEntry.queries("g17_closeness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(g17 == g16, "g17 must aggregate g16's distances exactly")
+    assert(g17 == SparkEntry.queries("g17_closeness")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap)
+  }
+
   test("g10 random walks: valid connected paths, deterministic, full coverage") {
     import spark.implicits._
     import graft.operators.Graph

@@ -411,4 +411,68 @@ class RecommendSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("s32 item-kNN: serve equals the in-memory pipeline replication; " +
+    "seen items excluded; co-purchase signal ranks first") {
+    val sess = spark
+    import sess.implicits._
+    // planted baskets: items 1/2 co-purchased by two customers (high
+    // similarity), 2/3 by one, 4 alone with 5 by one. Customer 40
+    // owns only item 1 -> its top recommendation must be item 2.
+    val planted = Seq(
+      (10L, 1L, 2L), (10L, 2L, 1L),
+      (20L, 1L, 1L), (20L, 2L, 2L),
+      (30L, 2L, 1L), (30L, 3L, 1L),
+      (40L, 1L, 1L),
+      (50L, 4L, 1L), (50L, 5L, 2L))
+    val got = Recommend.itemKnnServe(planted.toDF("c", "s", "r"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the full pipeline replicated in memory with the same integer
+    // contract: exact dots/norms, the same cosine->ticks floor, the
+    // same (desc, id) tie orders and the same seen filter
+    def truth(): Seq[(Long, Long, Long, Long)] = {
+      val items = planted.map(_._2).distinct
+      val n2 = items.map(i =>
+        i -> planted.filter(_._2 == i).map(x => x._3 * x._3).sum).toMap
+      val simt = (for {
+        i <- items; j <- items if i < j
+        dot = planted.groupBy(_._1).values.map { b =>
+          (for (x <- b.find(_._2 == i); y <- b.find(_._2 == j))
+            yield x._3 * y._3).getOrElse(0L)
+        }.sum
+        if dot > 0L
+      } yield {
+        val t = math.floor(dot.toDouble /
+          math.sqrt(n2(i).toDouble * n2(j).toDouble) * 1048576.0 + 0.5).toLong
+        Seq((i, j) -> t, (j, i) -> t)
+      }).flatten.toMap
+      val nbr = simt.groupBy(_._1._1).flatMap { case (i, m) =>
+        m.toSeq.map { case ((_, j), t) => (i, j, t) }
+          .sortBy { case (_, j, t) => (-t, j) }.take(Recommend.ItemKnnM)
+      }.toSeq
+      val seen = planted.map(x => (x._1, x._2)).toSet
+      val custs = planted.map(_._1).distinct
+      custs.flatMap { c =>
+        val scores = planted.filter(_._1 == c).flatMap { case (_, i, r) =>
+          nbr.filter(_._1 == i).map { case (_, j, t) => (j, r * t) }
+        }.filterNot { case (j, _) => seen((c, j)) }
+          .groupBy(_._1).map { case (j, xs) => (j, xs.map(_._2).sum) }.toSeq
+        scores.sortBy { case (j, sc) => (-sc, j) }.take(Recommend.ItemKnnK)
+          .zipWithIndex.map { case ((j, sc), k) => (c, k + 1L, j, sc) }
+      }.sortBy(x => (x._1, x._2))
+    }
+    assert(got == truth(), s"pipeline drift:\n$got\nvs\n${truth()}")
+    // the co-purchase signal: customer 40 (owns only item 1) gets
+    // item 2 first; nobody is recommended an item they already hold
+    assert(got.filter(_._1 == 40L).head._3 == 2L)
+    val seen = planted.map(x => (x._1, x._2)).toSet
+    got.foreach { case (c, _, j, _) => assert(!seen((c, j)), s"($c, $j) seen") }
+    // corpus: non-empty, bounded rank, deterministic
+    val a = Recommend.s32ItemKnn(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getLong(1) >= 1L &&
+      r.getLong(1) <= Recommend.ItemKnnK))
+    assert(a.toSeq == Recommend.s32ItemKnn(spark, sfDir).collect().toSeq)
+  }
 }

@@ -572,4 +572,70 @@ class RelationalSpec extends AnyFunSuite {
     val a = Relational.q57Lasso(spark, sfDir).collect().toSeq
     assert(a == Relational.q57Lasso(spark, sfDir).collect().toSeq)
   }
+
+  test("q62 quantile: engine rounds equal the recurrence; taus bracket and order") {
+    val sess = spark
+    import sess.implicits._
+    // planted: intercept-only (f1..f3 = 0), y = 0..99. Mean init
+    // puts w0 at 49 for every tau; the halved-step subgradient then
+    // walks each tau toward ITS quantile (true q25/q50/q75 =
+    // 24.75/49.5/74.25). The in-test truth re-runs the exact integer
+    // recurrence (truncating /, halved steps, same clamp), so every
+    // round must match bit-for-bit.
+    val feats = (0L until 100L).map(y => (y, 4096L, 0L, 0L, 0L))
+    def truth(): Seq[(Long, Long, Long, Long, Long, Seq[Long])] = {
+      val n = feats.length.toLong
+      var w = Map(1L -> Array(4950L / 100L, 0L, 0L, 0L),
+        2L -> Array(4950L / 100L, 0L, 0L, 0L),
+        3L -> Array(4950L / 100L, 0L, 0L, 0L))
+      (0 to Relational.QrIters).flatMap { k =>
+        val outs = Seq(1L, 2L, 3L).map { q =>
+          val rows = feats.map { case (y12, f0, f1, f2, f3) =>
+            val f = Array(f0, f1, f2, f3)
+            val r24 = (0 to 3).map(j => w(q)(j) * f(j)).sum - y12 * 4096L
+            (r24, if (r24 >= 0L) 1L else 0L, f)
+          }
+          val nOver = rows.map(_._2).sum
+          val pin24 = rows.map { case (r24, ind, _) =>
+            if (ind == 1L) (4L - q) * r24 else q * -r24 }.sum
+          val g = (0 to 3).map(j => rows.map { case (r24, ind, f) =>
+            (ind * 4L - q) * f(j) }.sum)
+          (q, nOver, pin24 / (4L * 4096L), g)
+        }
+        val res = outs.map { case (q, nOver, pin12, _) =>
+          (k.toLong, q, n, nOver, pin12, w(q).toSeq) }
+        if (k < Relational.QrIters) {
+          val step = math.max(Relational.QrStep >> k, 1L)
+          w = outs.map { case (q, _, _, g) =>
+            q -> Array.tabulate(4)(j =>
+              math.max(-Relational.QrClamp, math.min(Relational.QrClamp,
+                w(q)(j) - (g(j) * step) / (4L * n * 4096L))))
+          }.toMap
+        }
+        res
+      }
+    }
+    val got = Relational.quantileRounds(
+        feats.toDF("y12", "f0", "f1", "f2", "f3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), (5 to 8).map(r.getLong).toSeq)).toSeq
+    assert(got == truth(), s"recurrence drift:\n$got\nvs\n${truth()}")
+    // quantile behavior on the plant: the final intercepts ORDER
+    // (q25 < q50 < q75), each lands within the halved-step residual
+    // (±8 y-units after 8 halvings from 2048·3/4) of its true
+    // quantile, and the over-prediction fraction calibrates to tau
+    val fin = got.filter(_._1 == Relational.QrIters.toLong)
+      .map(r => r._2 -> r).toMap
+    val w25 = fin(1L)._6.head; val w50 = fin(2L)._6.head
+    val w75 = fin(3L)._6.head
+    assert(w25 < w50 && w50 < w75, s"tau order: $w25 $w50 $w75")
+    assert(math.abs(w25 - 25L) <= 8L && math.abs(w50 - 49L) <= 8L &&
+      math.abs(w75 - 74L) <= 8L, s"quantiles: $w25 $w50 $w75")
+    assert(math.abs(fin(1L)._4 - 25L) <= 8L &&
+      math.abs(fin(3L)._4 - 75L) <= 8L,
+      s"calibration: ${fin(1L)._4} ${fin(3L)._4}")
+    // corpus determinism
+    val a = Relational.q62QuantileReg(spark, sfDir).collect().toSeq
+    assert(a == Relational.q62QuantileReg(spark, sfDir).collect().toSeq)
+  }
 }
