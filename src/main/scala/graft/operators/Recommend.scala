@@ -1402,11 +1402,17 @@ object Recommend {
       .select(col("i"), explode(col("top")).as("t"))
       .select(col("i"), col("t.id").as("j"),
         col("t.score").cast("long").as("simt"))
+    // aggregate BEFORE the seen filter: the anti-join drops whole
+    // (c, j) groups, so sum-then-filter ≡ filter-then-sum — and the
+    // grouped frame both shrinks the anti-join's left side (M× fewer
+    // rows) and arrives already hash-partitioned on its key, so the
+    // anti-join reuses the exchange instead of shuffling the raw
+    // ratings×M fan-out
     val cand = ratings.join(nbr, col("s") === col("i"))
       .select(col("c"), col("j"), (col("r") * col("simt")).as("contr"))
+      .groupBy(col("c"), col("j")).agg(sum(col("contr")).as("score"))
       .join(ratings.select(col("c"), col("s").as("j")), Seq("c", "j"),
         "left_anti")
-      .groupBy(col("c"), col("j")).agg(sum(col("contr")).as("score"))
     cand.groupBy(col("c"))
       .agg(call_function("top_k_by_score",
         col("score").cast("double"), col("j"), lit(ItemKnnK)).as("top"))
