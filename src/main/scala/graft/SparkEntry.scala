@@ -173,6 +173,7 @@ object SparkEntry {
     "p20_random_features" -> (Pipeline.p20RandomFeatures _),
     "p21_quantile_bins" -> (Pipeline.p21QuantileBins _),
     "p22_cross_validation" -> (Pipeline.p22CrossValidation _),
+    "p24_data_scaling" -> (Pipeline.p24DataScaling _),
     "p23_vector_transforms" -> (Pipeline.p23VectorTransforms _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
@@ -988,6 +989,32 @@ object SparkEntry {
        |$foldCtes
        |$unions
        |ORDER BY fold, l_returnflag""".stripMargin
+  }
+
+  /** p24's DuckDB twin: per nested pool fold ≤ t, the ridge solve
+    * and the p18 metric chain over the fixed held-out fold, plus the
+    * pool's per-group count.
+    */
+  private def p24OracleSql: String = {
+    val evalFold = graft.operators.Pipeline.ScaleEvalFold
+    val pools = graft.operators.Pipeline.CvFolds - 1
+    val poolCtes = (0 until pools).map { t =>
+      s"""tr$t AS (SELECT * FROM b WHERE fold <= $t),
+         |nt$t AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_train
+         |  FROM tr$t GROUP BY 1),
+         |m$t AS (SELECT l_returnflag, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3
+         |  FROM ${ridgeSolvedSqlOver(s"tr$t")})""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until pools).map { t =>
+      s"SELECT CAST(${t + 1} AS BIGINT) AS train_folds, nt$t.n_train, f$t.* " +
+        s"FROM (${regressionMetricsSql("te", s"m$t")}) f$t " +
+        s"JOIN nt$t ON nt$t.l_returnflag = f$t.l_returnflag"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ridgeBaseSql,
+       |te AS (SELECT * FROM b WHERE fold = $evalFold),
+       |$poolCtes
+       |$unions
+       |ORDER BY train_folds, l_returnflag""".stripMargin
   }
 
   /** q51's DuckDB twin: same integer grid/bandwidth/kernel sums, the
@@ -3894,6 +3921,9 @@ object SparkEntry {
     "p21_quantile_bins" -> Pipeline.p21OracleSql,
     // p22: per-fold ridge solves + the shared p18 metric chain.
     "p22_cross_validation" -> p22OracleSql,
+    // p24: nested-pool ridge solves + the shared p18 metric chain
+    // over the fixed held-out fold.
+    "p24_data_scaling" -> p24OracleSql,
     // p23: explode + sum-square join-back + the shared sqrt tree.
     "p23_vector_transforms" -> Pipeline.p23OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,

@@ -1234,4 +1234,56 @@ object Pipeline {
        |    THEN (uu.auc2_num * 1048576) // (2 * t.p * t.nn)
        |    ELSE CAST(0 AS BIGINT) END AS auc_ticks
        |FROM cu, tot t, uu ORDER BY cu.bin""".stripMargin
+
+  /** The evaluation fold [[p24DataScaling]] holds out — the LAST
+    * p22 fold, so the three training pools nest inside the other
+    * three folds and never touch the eval rows.
+    */
+  private[graft] val ScaleEvalFold = 3L
+
+  /** The learning-curve core over a p22-shaped (l_returnflag, fold,
+    * r, f0..f3) frame: for t = 0, 1, 2 train the q49 ridge on the
+    * NESTED pools fold ≤ t (1/3, 2/3, all of the non-eval data —
+    * nesting is what makes a learning curve a curve rather than
+    * three unrelated samples), evaluate every model on the SAME
+    * held-out fold [[ScaleEvalFold]] through the p18 metric tail.
+    * n_train is solveSide's own per-group count (≡ count(*) of the
+    * pool). Package-private so the spec can drive hand-built folds.
+    */
+  private[graft] def dataScaling(base: DataFrame): DataFrame = {
+    val eval = base.filter(col("fold") === ScaleEvalFold)
+    (0 until CvFolds - 1).map { t =>
+      val model = graft.operators.Recommend
+        .solveSide(base.filter(col("fold") <= t.toLong), "l_returnflag")
+        .select(Seq(col("l_returnflag"), col("n_rated").as("n_train")) ++
+          (0 to 3).map(k => col(s"f$k").as(s"c$k")): _*)
+      regressionMetrics(eval, model.drop("n_train"))
+        .join(broadcast(model.select(col("l_returnflag"), col("n_train"))),
+          "l_returnflag")
+        .withColumn("train_folds", lit((t + 1).toLong))
+    }.reduce(_ unionByName _)
+      .select(col("train_folds"), col("l_returnflag"), col("n_train"),
+        col("n"), col("mae_ticks"), col("mse_ticks"), col("r2_ticks"),
+        col("evar_ticks"))
+      .orderBy(col("train_folds"), col("l_returnflag"))
+  }
+
+  /** p24: the data-scaling (learning-curve) report — held-out error
+    * of the q49 ridge model as a function of TRAINING-SET SIZE, the
+    * measurement behind every "do we need more data?" curation
+    * decision (the scaling-law instrument in miniature; reference
+    * surface anchor: ml/tuning/CrossValidator.scala:1 and
+    * TrainValidationSplit — the reference varies hyperparameters at
+    * fixed data, this key varies DATA at fixed hyperparameters,
+    * same split/fit/evaluate machinery): p22's md5 row-key folds
+    * give the nested pools (partition-invariant, so the curve is a
+    * pure corpus function), each pool trains via the SAME solveSide
+    * chain as q49, every model scores the SAME held-out fold via
+    * the p18 metric tail — three train scans + three broadcast-model
+    * eval scans over one checkpointed base, all Gram sums
+    * partial-agg'd (the q49 scale shape ×3).
+    */
+  def p24DataScaling(spark: SparkSession, sfDir: String): DataFrame =
+    dataScaling(graft.operators.Relational.ridgeBase(spark, sfDir)
+      .localCheckpoint(true))
 }

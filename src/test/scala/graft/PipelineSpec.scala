@@ -622,4 +622,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(5) ==
       (((8L * 4096L * 1320L - 6144L * 6144L) / 8L) * 256L) / 8L)
   }
+
+  test("p24 data scaling: identical folds give a flat curve; a noisy " +
+    "first fold learns out; the full pool replicates p22's last fold") {
+    val sess = spark
+    import sess.implicits._
+    def frame(rows: Seq[(String, Long, Double, Double, Double, Double, Double)]) =
+      rows.toDF("l_returnflag", "fold", "r", "f0", "f1", "f2", "f3")
+    // Plant A: every fold holds the SAME eight rows -> the three
+    // nested pools are the same distribution at 1x/2x/3x size, so
+    // all three models (and their held-out metrics) are IDENTICAL;
+    // only n_train moves. The flat curve is the no-signal baseline.
+    val rowsA = for (f <- 0L to 3L; i <- 1L to 8L)
+      yield ("A", f, 2.0 * i, 1.0, i.toDouble, 0.0, 0.0)
+    val a = Pipeline.dataScaling(frame(rowsA)).collect()
+      .map(r => (r.getLong(0), r.getLong(2), (4 to 7).map(r.getLong).toSeq))
+    assert(a.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(a.map(_._2).toSeq == Seq(8L, 16L, 24L), "nested pool sizes")
+    assert(a.map(_._3).distinct.length == 1,
+      s"identical pools must give identical metrics: ${a.toSeq}")
+    // Plant B: fold 0 carries the WRONG slope (y = x), folds 1-2 and
+    // the eval fold the true one (y = 3x) -> each extra fold dilutes
+    // the bad slope, so held-out MSE strictly falls and R2 strictly
+    // rises: the learning curve actually curves.
+    val rowsB = for (f <- 0L to 3L; i <- 1L to 8L)
+      yield ("B", f, (if (f == 0L) 1.0 else 3.0) * i, 1.0, i.toDouble, 0.0, 0.0)
+    val b = Pipeline.dataScaling(frame(rowsB)).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6)))
+    val mse = b.map(_._2).toSeq
+    val r2 = b.map(_._3).toSeq
+    assert(mse(0) > mse(1) && mse(1) > mse(2), s"mse must fall: $mse")
+    assert(r2(0) < r2(1) && r2(1) < r2(2), s"r2 must rise: $r2")
+    // corpus: the t = 3 pool IS p22's fold-3 training complement and
+    // the eval fold IS p22's fold-3 held-out set, so the last curve
+    // point must replicate p22's fold-3 row metric-for-metric
+    val p24 = Pipeline.p24DataScaling(spark, sfDir).collect()
+      .filter(_.getLong(0) == 3L)
+      .map(r => (r.getString(1), r.getLong(3), (4 to 7).map(r.getLong).toSeq))
+      .toSeq.sortBy(_._1)
+    val p22 = Pipeline.p22CrossValidation(spark, sfDir).collect()
+      .filter(_.getLong(0) == 3L)
+      .map(r => (r.getString(1), r.getLong(2), (3 to 6).map(r.getLong).toSeq))
+      .toSeq.sortBy(_._1)
+    assert(p24 == p22, s"p24 t=3 must equal p22 fold=3:\n$p24\nvs\n$p22")
+    assert(Pipeline.p24DataScaling(spark, sfDir).collect().toSeq ==
+      Pipeline.p24DataScaling(spark, sfDir).collect().toSeq)
+  }
 }
