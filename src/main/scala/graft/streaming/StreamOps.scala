@@ -823,6 +823,47 @@ object StreamOps {
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 
+  /** stream_quantile: the τ-quantile member of the streaming-GD
+    * family (the pinball sibling of [[linregFoldBatch]] — reference
+    * anchor: /root/reference/mllib/src/main/scala/org/apache/spark/
+    * mllib/regression/StreamingLinearRegressionWithSGD.scala:1 takes
+    * one SGD step per arriving batch; here the loss is q62's
+    * piecewise-linear pinball, so the step is an integer CASE): state
+    * is THREE rows (tau4, w0..w3) — one model per quantile, all
+    * folded by the same single partial-agg'd pass per micro-batch
+    * (×3 map-side fan-out, the q62 shape) with the CONSTANT
+    * [[graft.operators.Relational.QrStep]] step (the streaming-SGD
+    * convention — batch q62's halved schedule needs a round index a
+    * stateless fold does not carry; documented divergence). Exact
+    * longs make the streamed models ≡ the same folds applied by hand
+    * to the ordered batches (spec'd, including the hand-pinned
+    * first-fold intercepts tau4·step/4 on all-under-predicted data).
+    */
+  def quantileInitState(spark: SparkSession): DataFrame =
+    spark.range(1)
+      .select(explode(array((1 to 3).map(q => lit(q.toLong)): _*)).as("tau4"))
+      .select(Seq(col("tau4")) ++ (0 to 3).map(j => lit(0L).as(s"w$j")): _*)
+
+  /** One micro-batch fold: 3-row state × (y12, f0..f3) batch → state. */
+  def quantileFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+    val clamp = graft.operators.Relational.QrClamp
+    val step = graft.operators.Relational.QrStep
+    val aggCols =
+      (0 to 3).map(j => sum(col("cq") * col(s"f$j")).as(s"g$j")) ++
+        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+    batch.crossJoin(broadcast(state))
+      .withColumn("r24", m24 - col("y12") * lit(4096L))
+      .withColumn("cq",
+        (col("r24") >= 0L).cast("long") * lit(4L) - col("tau4"))
+      .groupBy(col("tau4"))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .select(Seq(col("tau4")) ++ (0 to 3).map(j =>
+        least(greatest(col(s"w$j") -
+          expr(s"(g$j * ${step}L) div (4L * greatest(n, 1L) * 4096L)"),
+          lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
+  }
+
   /** Stateful sessionization: emits a session when a 30-min gap
     * closes it. State per user is O(1): the open session only.
     * NoTimeout — idle sessions stay open until the next event or a

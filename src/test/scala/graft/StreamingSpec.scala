@@ -982,6 +982,55 @@ class StreamingSpec extends AnyFunSuite {
       "absent features must stay zero")
   }
 
+  test("stream_quantile: streamed pinball folds equal hand folds; " +
+    "first-fold intercepts pin at tau*step/4 and order") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // all-positive plant: y in {4..16}*256, intercept-only features
+    val feats = (1 to 16).map(i => ((i % 4 + 4) * 1024L, 4096L, 0L, 0L, 0L))
+      .toDF("y12", "f0", "f1", "f2", "f3")
+    val h1 = feats.filter(col("y12") <= 6144L).localCheckpoint(true)
+    val h2 = feats.filter(col("y12") > 6144L).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-qr-stream")
+    val schema = StructType(Seq("y12", "f0", "f1", "f2", "f3")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.quantileInitState(spark).localCheckpoint(true)
+    val init = state
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.quantileFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.quantileFoldBatch(
+      StreamOps.quantileFoldBatch(init, h1), h2)
+    val got = state.collect().map(r =>
+      r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    val want = expected.collect().map(r =>
+      r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    assert(got == want, s"streamed models diverged: $got vs $want")
+    // hand pin: zero init + all-positive y means every first-fold row
+    // under-predicts (ind = 0, cq = -tau4), so w0 after fold 1 is
+    // EXACTLY tau4*step/4 for each quantile; the constant further
+    // folds preserve the tau ordering
+    val afterH1 = StreamOps.quantileFoldBatch(init, h1).collect().map(r =>
+      r.getLong(0) -> r.getLong(1)).toMap
+    val step = graft.operators.Relational.QrStep
+    (1L to 3L).foreach { t =>
+      assert(afterH1(t) == t * step / 4L, s"fold-1 intercept tau=$t")
+    }
+    assert(got(1L).head < got(2L).head && got(2L).head < got(3L).head,
+      s"tau ordering after folds: $got")
+  }
+
   test("stream_logreg: streamed hard-sigmoid steps equal q50 rounds on the same data") {
     import org.apache.spark.sql.types._
     val sess = spark
