@@ -122,6 +122,7 @@ object SparkEntry {
     "s03_ann_ivf" -> (Similarity.s03AnnIvf _),
     "s05_knn_join" -> (Similarity.s05KnnJoin _),
     "s20_nn_descent" -> (Similarity.s20NnDescent _),
+    "s33_graph_ann" -> (Similarity.s33GraphAnn _),
     "s06_knn_classify" -> (Similarity.s06KnnClassify _),
     "t01_langid" -> (TextAnalysis.t01Langid _),
     "t02_quality_score" -> (TextAnalysis.t02QualityScore _),
@@ -834,6 +835,65 @@ object SparkEntry {
        |$roundCtes
        |SELECT query_id, vec_id AS neighbor_id, cos, CAST(rank AS BIGINT) AS rank
        |FROM g$rounds ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s33's DuckDB twin: the s20 refined-graph chain (shared CTE
+    * body, ending in g{rounds}) + the beam rounds unrolled — fixed
+    * smallest-id entry set, per hop the beam ∪ its graph neighbors
+    * rescored by the identical index-order cosine and cut by
+    * row_number over (cos desc, vec_id) — the top_k_by_score total
+    * order.
+    */
+  private def s33OracleSql(k: Int, rounds: Int, b: Int, hops: Int): String = {
+    def cosSql(q: String, v: String) =
+      s"""list_sum(list_transform(range(1, 65),
+         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($q.embedding[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, 65),
+         |      i -> CAST($v.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE)))))""".stripMargin
+    // s20OracleSql's graph chain minus its final SELECT: reuse the
+    // prefix up to g{rounds} verbatim so both oracles define the
+    // graph identically
+    val graphChain = {
+      val full = s20OracleSql(k, rounds)
+      full.substring(0, full.indexOf("\nSELECT query_id"))
+    }
+    // every bm is referenced twice by the next hop and gm three
+    // times — MATERIALIZED throughout, or DuckDB's CTE inlining
+    // re-expands the whole upstream graph chain 2^hops times (the
+    // observed 80 GB temp-spill failure at sf0.1)
+    def scoreCtes(t: Int, candRel: String): String =
+      s"""bs$t AS (
+         |  SELECT c.query_id, c.vec_id, ${cosSql("q", "v")} AS cos_raw
+         |  FROM $candRel c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings v ON v.vec_id = c.vec_id
+         |  WHERE c.vec_id <> c.query_id),
+         |bm$t AS MATERIALIZED (SELECT query_id, vec_id, cos_raw, rn AS rank
+         |  FROM (
+         |    SELECT query_id, vec_id, cos_raw,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_raw DESC, vec_id) AS rn
+         |    FROM bs$t) x WHERE rn <= $b)""".stripMargin
+    val hopCtes = (1 to hops).map { t =>
+      s"""bc$t AS (SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM bm${t - 1}
+         |    UNION ALL
+         |    SELECT bb.query_id, g.vec_id
+         |    FROM bm${t - 1} bb JOIN gm g ON g.query_id = bb.vec_id) u),
+         |${scoreCtes(t, s"bc$t")}""".stripMargin
+    }.mkString(",\n")
+    s"""$graphChain,
+       |gm AS MATERIALIZED (SELECT query_id, vec_id FROM g$rounds),
+       |bq AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+       |en AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $b),
+       |bc0 AS (SELECT b.query_id, e.vec_id FROM bq b CROSS JOIN en e),
+       |${scoreCtes(0, "bc0")},
+       |$hopCtes
+       |SELECT query_id, vec_id AS neighbor_id, round(cos_raw, 4) AS cos,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM bm$hops ORDER BY query_id, rank""".stripMargin
   }
 
   /** The d02 all-pairs truth edge set + recursive-CTE transitive
@@ -3073,6 +3133,13 @@ object SparkEntry {
     // reverse cap, two-hop, exact rescore, bounded re-rank.
     "s20_nn_descent" -> s20OracleSql(3,
       graft.operators.Similarity.NnDescentRounds),
+    // s33: the shared s20 graph chain + the beam-search hops
+    // unrolled — fixed entries, expand ∪ beam, exact rescore,
+    // bounded cut per hop.
+    "s33_graph_ann" -> s33OracleSql(3,
+      graft.operators.Similarity.NnDescentRounds,
+      graft.operators.Similarity.BeamWidth,
+      graft.operators.Similarity.BeamHops),
     // s06: cosine-weighted 3-NN vote over the s05 graph; weights are
     // integer 1/10000 ticks of the 4dp cosines so the per-label sums
     // are order-independent and bit-equal cross-engine

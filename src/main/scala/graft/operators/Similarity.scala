@@ -848,11 +848,19 @@ object Similarity {
   /** Persistent-RDD ids backing the live similarity memos — see
     * [[graft.FrameMemo]] for the bench-harness cleanup contract.
     */
+  /** Materialize-once NN-descent-refined graph — s20 reports it and
+    * s33 beam-searches over it; the refinement rounds are the
+    * expensive part (the knnMemo rationale, one level up).
+    */
+  private val refinedMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
+
   private[graft] def memoRetainedIds: Set[Int] =
-    knnMemo.retainedIds ++ pcaMemo.retainedIds
+    knnMemo.retainedIds ++ pcaMemo.retainedIds ++ refinedMemo.retainedIds
 
   /** Drop the similarity memos and unpersist their blocks. */
-  private[graft] def clearMemos(): Unit = { knnMemo.clear(); pcaMemo.clear() }
+  private[graft] def clearMemos(): Unit = {
+    knnMemo.clear(); pcaMemo.clear(); refinedMemo.clear()
+  }
 
   private def knnGraphCompute(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
@@ -965,12 +973,105 @@ object Similarity {
     * the same bounded aggregate every ANN path uses. No windows over
     * unbounded groups anywhere.
     */
-  def s20NnDescent(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The memoized NN-descent-refined graph (the s20 result frame) —
+    * the seed knnGraph memo is computed BEFORE entering this memo
+    * (the FrameMemo no-nested-compute contract).
+    */
+  private[graft] def refinedKnnGraph(
+      spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
+    val g0 = knnGraph(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    nnDescentFrom(emb, knnGraph(spark, sfDir), KnnK, NnDescentRounds)
+    refinedMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "embeddings") + "|nnd") {
+      nnDescentFrom(emb, g0, KnnK, NnDescentRounds).localCheckpoint(true)
+    }
+  }
+
+  def s20NnDescent(spark: SparkSession, sfDir: String): DataFrame =
+    refinedKnnGraph(spark, sfDir).orderBy(col("query_id"), col("rank"))
+
+  /** Beam width (and the served top-k) for [[s33GraphAnn]]. */
+  private[graft] val BeamWidth = 10
+
+  /** Fixed greedy hops for [[s33GraphAnn]] — bounded like every
+    * iterative key, unrolled by the oracle.
+    */
+  private[graft] val BeamHops = 3
+
+  /** The graph-ANN beam-search core over an arbitrary corpus,
+    * neighbor graph (query_id, neighbor_id edge list) and
+    * (query_id, qv) query block: start from the `b` smallest corpus
+    * ids (the deterministic flat-graph stand-in for HNSW's top-layer
+    * entry), then `hops` rounds of expand-rescore-cut — candidates =
+    * current beam ∪ its graph neighbors (beam inclusion makes the
+    * best-in-beam cosine PROVABLY non-decreasing per hop), exact
+    * cosine against the query, cut back to `b` by the bounded
+    * top_k_by_score total order (cos desc, id asc). Self matches
+    * excluded at scoring (the s01 convention).
+    *
+    * Scale shape per hop: the beam frame is queries×b rows; the
+    * expansion join touches only beam rows against the k-out-degree
+    * edge list (b·k candidates per query), rescoring is one keyed
+    * join against the corpus (the HNSW serve is memory-resident —
+    * the batch analog pays one keyed equi-join per hop), and the cut
+    * is the same bounded aggregate every ANN path uses. Nothing
+    * corpus-sized moves after the entry scan. Package-private for
+    * the spec's planted chain graph.
+    */
+  private[graft] def beamSearchFor(emb: DataFrame, graph: DataFrame,
+      queries: DataFrame, b: Int, hops: Int): DataFrame = {
+    registerAll(emb.sparkSession)
+    val entry = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(b)
+    def score(cand: DataFrame): DataFrame = cand
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(queries), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cos_raw",
+        call_function("cosine_sim", col("qv"), col("embedding")))
+      .groupBy(col("query_id"))
+      .agg(call_function("top_k_by_score",
+        col("cos_raw"), col("vec_id"), lit(b)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("vec_id"),
+        col("t.score").as("cos_raw"), (col("pos") + 1).cast("long").as("rank"))
+    var beam = score(
+      queries.select(col("query_id")).crossJoin(broadcast(entry)))
+    for (_ <- 1 to hops) {
+      val cand = beam.select(col("query_id"), col("vec_id"))
+        .union(beam.select(col("query_id"), col("vec_id"))
+          .join(graph.select(col("query_id").as("vec_id"),
+            col("neighbor_id")), "vec_id")
+          .select(col("query_id"), col("neighbor_id").as("vec_id")))
+        .distinct()
+      beam = score(cand)
+    }
+    beam.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s33: graph-based ANN serve — beam search over the s20 refined
+    * neighbor graph, the SEARCH half of the modern graph-ANN stack
+    * (HNSW/NSG: Malkov & Yashunin 2016 — a greedy walk over a
+    * neighbor graph; s20 builds the graph, this key serves queries
+    * from it; the reference's ANN surface stops at LSH bucketing,
+    * reference mllib/src/main/scala/org/apache/spark/ml/feature/
+    * LSH.scala:1, which is exactly why the graph triad is the
+    * engine's extension). Uses the SAME memoized refined graph as
+    * s20 — one build backs both keys per sweep. Fixed entry set +
+    * bounded hops keep the result a pure corpus function; recall on
+    * near-uniform corpora is honestly bounded by the k = 3 graph
+    * degree (documented — production raises degree and adds the
+    * HNSW layer hierarchy; the s11 pool→rerank recovery applies).
+    */
+  def s33GraphAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    beamSearchFor(emb,
+      refinedKnnGraph(spark, sfDir).select(col("query_id"), col("neighbor_id")),
+      queriesBlock(spark, sfDir), BeamWidth, BeamHops)
   }
 
   /** s06: k-NN classification over the [[s05KnnJoin]] graph — each

@@ -432,6 +432,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == Similarity.s20NnDescent(spark, sfDir).collect().toSeq)
   }
 
+  test("s33 beam search: the planted chain is walked to the far target; " +
+    "beam never degrades; corpus serve is deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // planted arc: 10 unit vectors at angles i·8° in a 2-D subspace —
+    // cosine to any query decays monotonically with angular distance,
+    // so a greedy walk moves along the chain. The graph is the
+    // FORWARD stride chain i -> {i+1, i+2, i+3}; the query sits at
+    // node 9's angle, entries are the smallest ids (0, 1), and the
+    // max reach per hop is a stride of 3 — so node 9 (8 past the
+    // best entry) is reachable in EXACTLY 3 hops and provably not
+    // in 2 (two hops top out at node 1 + 6 = 7).
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      (Array(math.cos(r).toFloat, math.sin(r).toFloat) ++
+        Array.fill(62)(0.0f))
+    }
+    val emb = (0 to 9).map(i => (i.toLong, vec(i * 8.0).toSeq))
+      .toDF("vec_id", "embedding")
+    val graph = (for {
+      i <- 0 to 9; d <- 1 to 3 if i + d <= 9
+    } yield (i.toLong, (i + d).toLong)).toDF("query_id", "neighbor_id")
+    val queries = Seq((99L, vec(72.0).toSeq)).toDF("query_id", "qv")
+    def run(hops: Int) = Similarity.beamSearchFor(
+        emb, graph, queries, b = 2, hops = hops)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val full = run(3)
+    assert(full.head == ((9L, 1L)), s"3 hops must reach node 9: $full")
+    assert(run(2).head._1 == 7L,
+      "2 hops must stall at node 7 — the third hop is load-bearing")
+    // beam inclusion: best-in-beam cosine never decreases hop to hop
+    val bests = (0 to 3).map(h => Similarity.beamSearchFor(
+      emb, graph, queries, b = 2, hops = h)
+      .collect().map(_.getDouble(2)).max)
+    assert(bests.sliding(2).forall(p => p.head <= p.last + 1e-9),
+      s"beam degraded: $bests")
+    // corpus: k dense ranks, true cosines, deterministic, and the
+    // served neighbors come from the corpus (never a query id)
+    val got = Similarity.s33GraphAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val embC = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length))
+      assert(rows.forall(r => r._2 != q))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.sliding(2).forall(p => p.head >= p.last - 5e-4))
+    }
+    got.foreach { case (q, n, c, _) =>
+      assert(math.abs(c - cos(embC(q), embC(n))) < 5e-4)
+    }
+    assert(got.toSeq == Similarity.s33GraphAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq)
+  }
+
   test("s05 cap contract: degenerate buckets drop, graph stays bounded") {
     import spark.implicits._
     // adversarial corpus: N IDENTICAL vectors — every band collapses to
