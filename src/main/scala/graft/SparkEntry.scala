@@ -212,6 +212,7 @@ object SparkEntry {
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g16_landmark_paths" -> (Graph.g16LandmarkPaths _),
     "g17_closeness" -> (Graph.g17Closeness _),
+    "g18_assortativity" -> (Graph.g18Assortativity _),
     "g07_linkpred" -> (Graph.g07LinkPredict _),
     "g08_graph_profile" -> (Graph.g08GraphProfile _),
     "g09_kcore" -> (Graph.g09Kcore _),
@@ -2032,6 +2033,23 @@ object SparkEntry {
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g17_closeness" -> g17OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
+    // g18: degree join over the shared edge CTEs, six exact long
+    // moments, the interpolated AssortTreeSql.
+    "g18_assortativity" ->
+      s"""WITH $gEdgeCtes,
+         |dg AS MATERIALIZED (
+         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+         |  FROM e GROUP BY src),
+         |pe AS (SELECT dx.d AS x, dy.d AS y
+         |  FROM e JOIN dg dx ON dx.id = e.src JOIN dg dy ON dy.id = e.dst),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM pe)
+         |SELECT m_edges, sx, sy, sxx, syy, sxy,
+         |  ${graft.operators.Graph.AssortTreeSql} AS r_ticks
+         |FROM ag""".stripMargin,
     "g06_sssp" -> g06OracleSql(
       graft.operators.Graph.SsspSeeds, graft.operators.Graph.SsspIters),
     "g03_ppr" -> g03OracleSql(

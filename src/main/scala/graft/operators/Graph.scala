@@ -733,6 +733,58 @@ object Graph {
         col("harm_ticks"))
       .orderBy(col("node_type"), col("entity_key"))
 
+  /** The assortativity moment→ticks double tree — ONE definition
+    * interpolated verbatim into the DataFrame plan AND the DuckDB
+    * oracle (the q60 shared-literal contract): Pearson r of the
+    * (deg(u), deg(v)) pairs over the mirrored edge list, division
+    * by m first so every factor is a plain double of exact longs;
+    * zero-variance (regular graph) → 0 by the shared CASE.
+    */
+  private[graft] val AssortTreeSql: String = {
+    val mx = "(CAST(sx AS DOUBLE) / CAST(m_edges AS DOUBLE))"
+    val my = "(CAST(sy AS DOUBLE) / CAST(m_edges AS DOUBLE))"
+    val vx = s"(CAST(sxx AS DOUBLE) / CAST(m_edges AS DOUBLE) - $mx * $mx)"
+    val vy = s"(CAST(syy AS DOUBLE) / CAST(m_edges AS DOUBLE) - $my * $my)"
+    val cv = s"(CAST(sxy AS DOUBLE) / CAST(m_edges AS DOUBLE) - $mx * $my)"
+    s"""CASE WHEN $vx > 0 AND $vy > 0
+       |THEN CAST(floor($cv / sqrt($vx * $vy) * 1048576.0 + 0.5) AS BIGINT)
+       |ELSE CAST(0 AS BIGINT) END""".stripMargin
+  }
+
+  /** The assortativity core over an (x, y) endpoint-degree pair
+    * frame: one partial-agg'd pass to six exact long moments, then
+    * [[AssortTreeSql]]. Long headroom: Σx·y ≤ m·deg² — safe past
+    * 10⁹ edges at deg ≤ 10⁴ (documented retune = the q60 DECIMAL
+    * widening). Package-private for the spec's planted geometries.
+    */
+  private[graft] def assortativityOf(pairs: DataFrame): DataFrame =
+    pairs.agg(count(lit(1)).as("m_edges"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m_edges"), col("sx"), col("sy"), col("sxx"),
+        col("syy"), col("sxy"), expr(AssortTreeSql).as("r_ticks"))
+
+  /** g18: degree assortativity of the trade graph — Newman's degree
+    * correlation (Newman 2002, "Assortative mixing in networks"),
+    * the one-number structural summary next to g08's profile the
+    * graphx surface computes pieces of but never assembles: Pearson
+    * r of (deg(u), deg(v)) over every directed edge of the mirrored
+    * list (the standard undirected convention — each edge counted
+    * both ways, making the x/y sums exactly symmetric). Bipartite
+    * trade graphs skew DISASSORTATIVE (hub customers connect to
+    * ordinary suppliers); r_ticks quantifies it. One degree join
+    * (edges re-keyed by dst) + one partial-agg'd moment pass —
+    * nothing beyond the memoized edge frame moves twice.
+    */
+  def g18Assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir)
+    val ddeg = e.select(col("src").as("dst"), col("odeg").as("y")).distinct()
+    assortativityOf(
+      e.select(col("src"), col("dst"), col("odeg").as("x")).join(ddeg, "dst"))
+  }
+
   /** Fixed min-label rounds for [[g15Components]]. The trade graph's
     * diameter at test SFs is ≤ 4; 8 rounds give slack while keeping
     * the result a pure bounded function of the corpus (the g06

@@ -648,6 +648,36 @@ class JoinsGraphSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap)
   }
 
+  test("g18 assortativity: exact poles on planted geometries; " +
+    "corpus moments symmetric and deterministic") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def rOf(pairs: Seq[(Long, Long)]): Long =
+      Graph.assortativityOf(pairs.toDF("x", "y")).collect().head.getLong(6)
+    // star K_{1,4}: every edge joins deg 4 to deg 1 — all points on
+    // a negative-slope line, r EXACTLY -2^20
+    val star = Seq.fill(4)((4L, 1L)) ++ Seq.fill(4)((1L, 4L))
+    assert(rOf(star) == -1048576L, s"star: ${rOf(star)}")
+    // two disjoint cliques (K_2 deg 1, K_3 deg 2): every edge joins
+    // equal degrees — points on y = x, r EXACTLY +2^20
+    val cliques = Seq.fill(2)((1L, 1L)) ++ Seq.fill(6)((2L, 2L))
+    assert(rOf(cliques) == 1048576L, s"cliques: ${rOf(cliques)}")
+    // regular graph (a cycle): zero degree variance -> the shared
+    // CASE reports 0, never NaN
+    assert(rOf(Seq.fill(6)((2L, 2L))) == 0L)
+    // corpus: the mirrored edge list makes the x/y moments EXACTLY
+    // symmetric; bipartite trade graphs skew disassortative
+    val row = SparkEntry.queries("g18_assortativity")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(1) == row.getLong(2), "sx must equal sy")
+    assert(row.getLong(3) == row.getLong(4), "sxx must equal syy")
+    assert(row.getLong(6) >= -1048576L && row.getLong(6) <= 1048576L)
+    assert(row.getLong(6) < 0L, s"trade graph should skew " +
+      s"disassortative, got ${row.getLong(6)}")
+    assert(SparkEntry.queries("g18_assortativity")(spark, sfDir)
+        .collect().head.toSeq == row.toSeq)
+  }
+
   test("g10 random walks: valid connected paths, deterministic, full coverage") {
     import spark.implicits._
     import graft.operators.Graph
