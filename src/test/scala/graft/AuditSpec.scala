@@ -98,6 +98,34 @@ class AuditSpec extends AnyFunSuite {
         s"${m.shuffleRecordsWritten} records for $n vectors")
   }
 
+  test("s33 beam search shuffles beam-sized frames, not the corpus — " +
+    "the nothing-corpus-sized-moves claim, measured") {
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Similarity
+    // 5000 planted vectors + a stride-3 chain graph: if any hop
+    // shuffled corpus-sized state (a global rescore, or the graph
+    // re-keyed corpus-wide), records written would be >= N; the
+    // shipped plan moves only the queries×beam frames and their
+    // bounded expansions through shuffles — the corpus and the edge
+    // list enter as broadcast/stream sides of the keyed joins.
+    val n = 5000
+    val emb = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j == i % 8) 1.0f else 0.001f * ((i + j) % 5)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val graph = (0 until n).flatMap(i => (1 to 3).filter(i + _ < n)
+      .map(d => (i.toLong, (i + d).toLong))).toDF("query_id", "neighbor_id")
+    val queries = Seq((n.toLong + 1L,
+      Array.tabulate(64)(j => if (j == 0) 1.0f else 0.0f).toSeq))
+      .toDF("query_id", "qv")
+    val m = Audit.executedMetrics(
+      Similarity.beamSearchFor(emb, graph, queries, 10, 3))
+    assert(m.shuffleRecordsWritten < n / 2,
+      s"beam search shuffled corpus-sized state: " +
+        s"${m.shuffleRecordsWritten} records for $n vectors")
+  }
+
   test("control-plane fetch inventory: every driver-side collect/head " +
     "site in main source is in SURVEY §4's enumerated list") {
     // The falsifiable-contract pattern applied to the inventory
