@@ -765,6 +765,24 @@ object StreamOps {
       batch.select(col("o_custkey").as("c")).distinct()
         .join(users, "c"), items)
 
+  /** stream_graph_ann: the graph-ANN serve path on a stream — the
+    * streaming analog of s33's batch serve, in the stream_recommend /
+    * stream_ann_probe "build the index batch-side, serve the stream"
+    * posture: the s20/s33 refined neighbor graph is the batch-built
+    * index; each micro-batch of (query_id, qv) rows runs the
+    * IDENTICAL [[graft.operators.Similarity.beamSearchFor]] tail —
+    * same entry set, hops and tie order — so streamed results are
+    * bit-equal to the batch s33 rows for those queries (spec'd).
+    * Stateless stream side: the graph and corpus are the batch index,
+    * per-batch work is queries×beam sized.
+    */
+  def graphAnnServeBatch(batch: DataFrame, emb: DataFrame,
+      graph: DataFrame): DataFrame =
+    graft.operators.Similarity.beamSearchFor(emb, graph,
+      batch.select(col("query_id"), col("qv")).dropDuplicates("query_id"),
+      graft.operators.Similarity.BeamWidth,
+      graft.operators.Similarity.BeamHops)
+
   /** stream_linreg: the reference's streaming linear regression
     * (reference: /root/reference/mllib/src/main/scala/org/apache/
     * spark/mllib/regression/StreamingLinearRegressionWithSGD.scala:1

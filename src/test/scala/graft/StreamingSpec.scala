@@ -940,6 +940,43 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed serve diverged: ${got.length} vs ${want.length} rows")
   }
 
+  test("stream_graph_ann: streamed beam-search serve is bit-equal to batch s33") {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val graph = graft.operators.Similarity.refinedKnnGraph(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint(true)
+    val h1 = queries.filter(col("query_id") % 2 === 0).localCheckpoint(true)
+    val h2 = queries.filter(col("query_id") % 2 === 1).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-gann-stream")
+    val schema = StructType(Seq(StructField("query_id", LongType),
+      StructField("qv", ArrayType(FloatType))))
+    val served = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          served ++= StreamOps.graphAnnServeBatch(df, emb, graph).collect()
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = served.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).sortBy(t => (t._1, t._4))
+    val want = graft.operators.Similarity.s33GraphAnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._4))
+    assert(got.nonEmpty && got.toSeq == want.toSeq,
+      s"streamed beam serve diverged: ${got.length} vs ${want.length} rows")
+  }
+
   test("stream_linreg: streamed GD folds equal sequential batch folds and learn") {
     import org.apache.spark.sql.types._
     val sess = spark
