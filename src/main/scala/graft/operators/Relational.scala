@@ -1637,7 +1637,11 @@ object Relational {
     * (the over-prediction fraction 1{e≥0}) moves toward τ — the
     * quantile-calibration diagnostic — and pin12 (total pinball loss
     * in y-units, exact integer (4−tau4)/tau4-weighted |r24| sums
-    * div 4·4096) is non-increasing-in-tendency. Update: wⱼ ←
+    * div 4·4096) is non-increasing-in-tendency. pin24 headroom:
+    * |r24| ≤ 2³¹ while weights stay at the price scale (3·2³¹ per
+    * row → exact past 2²⁹ rows; at the full ±2²² clamp the per-row
+    * bound is 2³⁸ → 2²⁴ rows; documented retune = report pin12
+    * per-group or two-level the sum). Update: wⱼ ←
     * clamp(wⱼ − (gⱼ·step_k) div (4n·4096)) — truncating div, the
     * s15 negative-agreement contract. Fixed-ROUND trajectory, not a
     * converged LP solution (the q50 framing; exact quantile
