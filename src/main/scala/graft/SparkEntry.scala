@@ -793,14 +793,27 @@ object SparkEntry {
     * total order), two-hop expansion, exact rescore with the same
     * list-dot text, top-k re-rank on the RAW cosine.
     */
-  private def s20OracleSql(k: Int, rounds: Int): String = {
-    def cosSql(q: String, v: String) =
-      s"""list_sum(list_transform(range(1, 65),
-         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE))) /
-         |    (sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($q.embedding[i] AS DOUBLE)))) *
-         |     sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST($v.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE)))))""".stripMargin
+  /** The table-aliased cosine fragment (q.embedding vs v.embedding —
+    * the two-relation form of [[cosSql]] above) — ONE definition
+    * shared by the s20 and s33 oracles so the tree cannot drift
+    * between the graph build and the beam serve.
+    */
+  private def cosSqlAliased(q: String, v: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($q.embedding[i] AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($v.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE)))))""".stripMargin
+
+  /** The s20 refined-graph chain as a CTE body ending in `g{rounds}`
+    * ("WITH " prepended by callers) — ONE definition backs the s20
+    * report and s33's beam serve, mirroring the engine-side shared
+    * refinedMemo (the g16Ctes pattern; replaces the substring cut
+    * that used to extract this from the finished s20 SQL).
+    */
+  private def s20GraphCtes(k: Int, rounds: Int): String = {
+    def cosSql(q: String, v: String) = cosSqlAliased(q, v)
     val roundCtes = (1 to rounds).map { kk =>
       val prev = if (kk == 1) "g0" else s"g${kk - 1}"
       s"""rv$kk AS (
@@ -830,13 +843,16 @@ object SparkEntry {
          |                         ORDER BY cos_raw DESC, vec_id) AS rank
          |    FROM sc$kk) s WHERE rank <= $k)""".stripMargin
     }.mkString(",\n")
-    "WITH " + knnGraphOracleCtes + s""",
+    knnGraphOracleCtes + s""",
        |g0 AS (SELECT query_id, vec_id, round(cos_raw, 4) AS cos
        |       FROM r WHERE rank <= $k),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def s20OracleSql(k: Int, rounds: Int): String =
+    "WITH " + s20GraphCtes(k, rounds) + s"""
        |SELECT query_id, vec_id AS neighbor_id, cos, CAST(rank AS BIGINT) AS rank
        |FROM g$rounds ORDER BY query_id, rank""".stripMargin
-  }
 
   /** s33's DuckDB twin: the s20 refined-graph chain (shared CTE
     * body, ending in g{rounds}) + the beam rounds unrolled — fixed
@@ -846,20 +862,7 @@ object SparkEntry {
     * order.
     */
   private def s33OracleSql(k: Int, rounds: Int, b: Int, hops: Int): String = {
-    def cosSql(q: String, v: String) =
-      s"""list_sum(list_transform(range(1, 65),
-         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE))) /
-         |    (sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST($q.embedding[i] AS DOUBLE) * CAST($q.embedding[i] AS DOUBLE)))) *
-         |     sqrt(list_sum(list_transform(range(1, 65),
-         |      i -> CAST($v.embedding[i] AS DOUBLE) * CAST($v.embedding[i] AS DOUBLE)))))""".stripMargin
-    // s20OracleSql's graph chain minus its final SELECT: reuse the
-    // prefix up to g{rounds} verbatim so both oracles define the
-    // graph identically
-    val graphChain = {
-      val full = s20OracleSql(k, rounds)
-      full.substring(0, full.indexOf("\nSELECT query_id"))
-    }
+    def cosSql(q: String, v: String) = cosSqlAliased(q, v)
     // every bm is referenced twice by the next hop and gm three
     // times — MATERIALIZED throughout, or DuckDB's CTE inlining
     // re-expands the whole upstream graph chain 2^hops times (the
@@ -885,7 +888,7 @@ object SparkEntry {
          |    FROM bm${t - 1} bb JOIN gm g ON g.query_id = bb.vec_id) u),
          |${scoreCtes(t, s"bc$t")}""".stripMargin
     }.mkString(",\n")
-    s"""$graphChain,
+    s"""WITH ${s20GraphCtes(k, rounds)},
        |gm AS MATERIALIZED (SELECT query_id, vec_id FROM g$rounds),
        |bq AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
        |en AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $b),
@@ -1794,9 +1797,6 @@ object SparkEntry {
        |       id // 2 AS entity_key, min(d) AS hops
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** g16 oracle: the g06 recursion with the landmark id carried
-    * through — per-(landmark, node) min instead of min over seeds.
-    */
   /** The shared per-landmark BFS CTE chain (ends in the recursive
     * `r(lm, id, d)` reach set) — one definition backs g16's report
     * and g17's closeness aggregation, mirroring the engine-side
@@ -1811,6 +1811,9 @@ object SparkEntry {
        |  SELECT r.lm, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
        |  WHERE r.d < $iters)""".stripMargin
 
+  /** g16 oracle: the g06 recursion with the landmark id carried
+    * through — per-(landmark, node) min instead of min over seeds.
+    */
   private def g16OracleSql(seeds: Int, iters: Int): String =
     s"""WITH RECURSIVE ${g16Ctes(seeds, iters)}
        |SELECT CASE WHEN id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,

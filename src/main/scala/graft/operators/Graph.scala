@@ -652,14 +652,6 @@ object Graph {
     dist
   }
 
-  /** g16: per-landmark shortest-path lengths over the trade graph —
-    * the graphx ShortestPaths surface g06 does NOT cover (g06
-    * reports the min over the whole seed set; the reference returns
-    * one distance PER landmark). Same seed rule and hop bound as
-    * g06, so the two keys reconcile: min over g16's landmarks ≡
-    * g06's distance (spec'd). Output: (node_type, entity_key,
-    * landmark_type, landmark_key, hops).
-    */
   /** Materialize-once landmark-distance frame (lm, id, d) over the
     * trade graph — ONE bounded BFS backs both g16 (which reports it)
     * and g17 (which aggregates it into centrality estimates): the
@@ -683,6 +675,14 @@ object Graph {
     }
   }
 
+  /** g16: per-landmark shortest-path lengths over the trade graph —
+    * the graphx ShortestPaths surface g06 does NOT cover (g06
+    * reports the min over the whole seed set; the reference returns
+    * one distance PER landmark). Same seed rule and hop bound as
+    * g06, so the two keys reconcile: min over g16's landmarks ≡
+    * g06's distance (spec'd). Output: (node_type, entity_key,
+    * landmark_type, landmark_key, hops).
+    */
   def g16LandmarkPaths(spark: SparkSession, sfDir: String): DataFrame =
     tradeLandmarkDists(spark, sfDir).select(
         when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),

@@ -845,15 +845,15 @@ object Similarity {
     */
   private val pcaMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
-  /** Persistent-RDD ids backing the live similarity memos — see
-    * [[graft.FrameMemo]] for the bench-harness cleanup contract.
-    */
   /** Materialize-once NN-descent-refined graph — s20 reports it and
     * s33 beam-searches over it; the refinement rounds are the
     * expensive part (the knnMemo rationale, one level up).
     */
   private val refinedMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
 
+  /** Persistent-RDD ids backing the live similarity memos — see
+    * [[graft.FrameMemo]] for the bench-harness cleanup contract.
+    */
   private[graft] def memoRetainedIds: Set[Int] =
     knnMemo.retainedIds ++ pcaMemo.retainedIds ++ refinedMemo.retainedIds
 
@@ -1045,7 +1045,10 @@ object Similarity {
             col("neighbor_id")), "vec_id")
           .select(col("query_id"), col("neighbor_id").as("vec_id")))
         .distinct()
-      beam = score(cand)
+      // truncate the lineage each hop (the nnDescentFrom pattern):
+      // cand references beam twice, so an unbroken plan doubles per
+      // hop — the engine-side analog of the oracle's MATERIALIZED
+      beam = score(cand).localCheckpoint(false)
     }
     beam.select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cos_raw"), 4).as("cos"), col("rank"))

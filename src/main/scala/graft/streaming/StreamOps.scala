@@ -862,23 +862,30 @@ object StreamOps {
       .select(explode(array((1 to 3).map(q => lit(q.toLong)): _*)).as("tau4"))
       .select(Seq(col("tau4")) ++ (0 to 3).map(j => lit(0L).as(s"w$j")): _*)
 
-  /** One micro-batch fold: 3-row state × (y12, f0..f3) batch → state. */
+  /** One micro-batch fold: 3-row state × (y12, f0..f3) batch → state.
+    * The gradient frame LEFT-joins back onto the state, so an EMPTY
+    * micro-batch (a trigger with no new files) folds to the identity
+    * instead of silently emptying the model — the no-op-trigger
+    * safety the per-row folds get from their caller-side isEmpty
+    * guard, built into the state-keyed fold itself.
+    */
   def quantileFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
     val clamp = graft.operators.Relational.QrClamp
     val step = graft.operators.Relational.QrStep
-    val aggCols =
-      (0 to 3).map(j => sum(col("cq") * col(s"f$j")).as(s"g$j")) ++
-        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
-    batch.crossJoin(broadcast(state))
+    val g = batch.crossJoin(broadcast(state))
       .withColumn("r24", m24 - col("y12") * lit(4096L))
       .withColumn("cq",
         (col("r24") >= 0L).cast("long") * lit(4L) - col("tau4"))
       .groupBy(col("tau4"))
-      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .agg(count(lit(1)).as("n"),
+        (0 to 3).map(j => sum(col("cq") * col(s"f$j")).as(s"g$j")): _*)
+    state.join(broadcast(g), Seq("tau4"), "left")
       .select(Seq(col("tau4")) ++ (0 to 3).map(j =>
         least(greatest(col(s"w$j") -
-          expr(s"(g$j * ${step}L) div (4L * greatest(n, 1L) * 4096L)"),
+          coalesce(
+            expr(s"(g$j * ${step}L) div (4L * greatest(n, 1L) * 4096L)"),
+            lit(0L)),
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 

@@ -1066,6 +1066,11 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(got(1L).head < got(2L).head && got(2L).head < got(3L).head,
       s"tau ordering after folds: $got")
+    // an EMPTY micro-batch folds to the identity — a no-op trigger
+    // must never destroy the 3-row model state
+    val empty = StreamOps.quantileFoldBatch(state, h1.limit(0)).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    assert(empty == got, s"empty fold must be the identity: $empty vs $got")
   }
 
   test("stream_logreg: streamed hard-sigmoid steps equal q50 rounds on the same data") {
