@@ -9,23 +9,40 @@ at larger SFs.
 
 Reads each <name>/ parquet dumped by graft.Verify plus oracle_sql.json,
 runs every oracle SQL in DuckDB against the sf parquet tables, and
-compares: column names (sorted), column TYPE CLASSES (sorted by name
-— the driver's hash is type-sensitive across classes but not widths:
-INTEGER-vs-BIGINT passes the driver gate, while a DuckDB sum()
-widening BIGINT to HUGEINT fails it because the pandas fetch turns
-HUGEINT into float64 — the round-7 g01/g03 lesson), row counts, and
-values (rows sorted, exact after the engine-side rounding). Prints
-PASS/FAIL per query.
+compares: column names (sorted), column TYPE CLASSES (sorted by name),
+row counts, and values (rows sorted, exact after the engine-side
+rounding). Prints PASS/FAIL per query.
+
+MIRRORS THE DRIVER'S ASYMMETRIC FETCH (the round-11 lesson): the
+driver reads the ENGINE parquet through pyarrow (decimal128 ->
+decimal.Decimal, exact) but the ORACLE through a pandas fetch
+(DECIMAL/HUGEINT -> float64) — so a DECIMAL(38,0) report column
+hash-fails the driver even when every value is numerically identical
+(q59/q60, round 11), exactly as HUGEINT did in round 7 (g01/g03).
+This script therefore (a) reads the engine side via pyarrow, NOT
+DuckDB — reading it through DuckDB collapses both sides to one
+representation and is blind to the whole failure class — and
+(b) hard-FAILS any DECIMAL or HUGEINT report column on either side:
+those types cannot hash consistently across the driver's two fetch
+paths, so they must never appear in a report schema (render as an
+exactly-rounded DOUBLE or a VARCHAR digit string instead).
 """
+import datetime as dt
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# Types the driver's two fetch paths represent differently — exact on
+# the pyarrow side, float64 on the pandas side. Never in a report.
+FORBIDDEN = ("DECIMAL", "HUGEINT")
 
 
 def _p(*a):
@@ -35,17 +52,47 @@ def _p(*a):
 def type_class(t):
     """Collapse a DuckDB type name to the equivalence class the
     driver's hash actually distinguishes. Exact-int widths hash the
-    same (pandas holds them all as exact ints); HUGEINT is NOT in
-    that class — the pandas fetch converts it to float64, which is
-    exactly how the round-7 g01/g03 oracle defect slipped past a
-    type-blind compare."""
+    same (pandas holds them all as exact ints); HUGEINT and DECIMAL
+    are NOT in that class — the pandas oracle fetch converts them to
+    float64 while the pyarrow engine fetch keeps them exact (rounds
+    7 and 11 respectively)."""
     t = str(t).upper()
+    if t.endswith("[]"):
+        return "LIST<" + type_class(t[:-2]) + ">"
     if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "int"
     if t in ("FLOAT", "DOUBLE"):
         return "float"
-    return t  # HUGEINT, DECIMAL(p,s), VARCHAR, DATE, ... stand alone
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return t  # HUGEINT, VARCHAR, DATE, BOOLEAN, ... stand alone
+
+
+def arrow_type_class(t):
+    """The same equivalence classes computed from a pyarrow type —
+    the engine side's native type system under the driver's fetch."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "DECIMAL"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "VARCHAR"
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_date(t):
+        return "DATE"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "LIST<" + arrow_type_class(t.value_type) + ">"
+    return str(t).upper()
 
 
 def norm(v):
@@ -54,7 +101,27 @@ def norm(v):
             return "NaN"
         # collapse -0.0 and represent with enough digits
         return f"{v + 0.0:.10g}"
+    if isinstance(v, dt.datetime):
+        # pyarrow surfaces Spark's isAdjustedToUTC timestamps as
+        # tz-aware UTC; DuckDB's fetch is naive wall-clock — align
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
     return str(v)
+
+
+def read_engine(qdir):
+    """Read an engine result the way the driver does: pyarrow over
+    the part files (exact decimals, arrow-native types)."""
+    files = sorted(qdir.glob("*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files]) if files \
+        else pq.read_table(qdir)
+    cols = tbl.column_names
+    types = [tbl.schema.field(c).type for c in cols]
+    data = tbl.to_pydict()
+    rows = list(zip(*[data[c] for c in cols])) if cols and tbl.num_rows \
+        else [() for _ in range(tbl.num_rows)]
+    return cols, types, rows
 
 
 def main():
@@ -83,9 +150,8 @@ def main():
     for name, sql in sorted(oracle.items()):
         qdir = out_dir / name
         try:
-            got = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-            got_cols = sorted(got.columns)
-            got_rows = got.fetchall()
+            raw_cols, raw_types, raw_rows = read_engine(qdir)
+            got_cols = sorted(raw_cols)
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
             exp_rows = exp.fetchall()
@@ -97,17 +163,25 @@ def main():
             _p(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
-        gidx = [got.columns.index(c) for c in got_cols]
+        gidx = [raw_cols.index(c) for c in got_cols]
         eidx = [exp.columns.index(c) for c in exp_cols]
-        got_types = [type_class(got.types[i]) for i in gidx]
+        got_types = [arrow_type_class(raw_types[i]) for i in gidx]
         exp_types = [type_class(exp.types[i]) for i in eidx]
+        flagged = [(c, a, b) for c, a, b in zip(got_cols, got_types, exp_types)
+                   if any(f in a or f in b for f in FORBIDDEN)]
+        if flagged:
+            _p(f"FAIL {name}: DECIMAL/HUGEINT report column(s) {flagged} — "
+               "the driver hashes these differently per fetch path "
+               "(pyarrow exact vs pandas float64); emit DOUBLE or VARCHAR")
+            n_fail += 1
+            continue
         if got_types != exp_types:
             bad = [(c, a, b) for c, a, b in
                    zip(got_cols, got_types, exp_types) if a != b]
             _p(f"FAIL {name}: column types differ (spark vs oracle): {bad}")
             n_fail += 1
             continue
-        g = sorted(tuple(norm(r[i]) for i in gidx) for r in got_rows)
+        g = sorted(tuple(norm(r[i]) for i in gidx) for r in raw_rows)
         e = sorted(tuple(norm(r[i]) for i in eidx) for r in exp_rows)
         if len(g) != len(e):
             _p(f"FAIL {name}: rows {len(g)} != {len(e)}")
@@ -124,7 +198,8 @@ def main():
         if qdir.is_dir() and qdir.name not in oracle and (
                 only is None or qdir.name in only):
             try:
-                n = con.sql(f"SELECT count(*) FROM read_parquet('{qdir}/*.parquet')").fetchone()[0]
+                n = sum(pq.read_table(f).num_rows
+                        for f in sorted(qdir.glob("*.parquet")))
                 status = "PASS" if n > 0 else "FAIL"
                 _p(f"{status} {qdir.name} (rows-only: {n} rows)")
                 if n > 0:
@@ -140,3 +215,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

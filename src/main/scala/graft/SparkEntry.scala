@@ -2643,8 +2643,8 @@ object SparkEntry {
          |      ELSE 0.0 END AS wa,
          |    CASE WHEN n_b > 1 THEN vb * vb / CAST(n_b - 1 AS DOUBLE)
          |      ELSE 0.0 END AS wb
-         |  FROM y)
-         |SELECT type_a, type_b, n_a, n_b, dm_num, t2s_num, t2s_den,
+         |  FROM y),
+         |r AS (SELECT type_a, type_b, n_a, n_b, dm_num, t2s_num, t2s_den,
          |  CASE WHEN t2s_den > 0 THEN CAST(floor(CAST(t2s_num AS DOUBLE)
          |    / CAST(t2s_den AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS t2s_ticks,
@@ -2654,7 +2654,12 @@ object SparkEntry {
          |  CASE WHEN wa + wb > 0 THEN CAST(floor((va + vb) * (va + vb)
          |    / (wa + wb) * 1048576.0 + 0.5) AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS dof_ticks
-         |FROM w ORDER BY type_a, type_b""".stripMargin,
+         |FROM w)
+         |SELECT type_a, type_b, n_a, n_b, dm_num,
+         |  CAST(t2s_num AS VARCHAR) AS t2s_num,
+         |  CAST(t2s_den AS VARCHAR) AS t2s_den,
+         |  t2s_ticks, t2w_ticks, dof_ticks
+         |FROM r ORDER BY type_a, type_b""".stripMargin,
     // q60: exact raw power sums + the shared moment->ticks tree
     // (q60TreeSql interpolated verbatim — one definition, two engines)
     "q60_skew_kurtosis" ->
@@ -2669,10 +2674,14 @@ object SparkEntry {
          |          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v
          |        FROM lineitem)
          |  GROUP BY 1)
-         |SELECT l_returnflag, n, s1, s2, s3, s4,
+         |, r AS (SELECT l_returnflag, n, s1, s2, s3, s4,
          |  ${graft.operators.Relational.q60TreeSql("skew")} AS skew_ticks,
          |  ${graft.operators.Relational.q60TreeSql("kurt")} AS kurt_ticks
-         |FROM m ORDER BY l_returnflag""".stripMargin,
+         |FROM m)
+         |SELECT l_returnflag, n, s1, s2,
+         |  CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+         |  skew_ticks, kurt_ticks
+         |FROM r ORDER BY l_returnflag""".stripMargin,
     // q61: every Spark HOF member twinned to its DuckDB list
     // function; the indexed dot via the shared range-subscript form.
     "q61_hof_suite" ->

@@ -533,8 +533,14 @@ object Events {
         floor((col("va") + col("vb")) * (col("va") + col("vb"))
           / (col("wa") + col("wb"))
           * lit(1048576.0) + lit(0.5)).cast("long")).otherwise(lit(0L)))
+      // the division-cleared integers render as exact digit strings:
+      // a DECIMAL(38,0) report column hashes differently across the
+      // driver's two fetch paths (engine parquet -> pyarrow
+      // decimal.Decimal, oracle -> pandas float64) even when every
+      // value is identical — strings are one representation on both
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-        col("dm_num"), col("t2s_num"), col("t2s_den"), col("t2s_ticks"),
+        col("dm_num"), col("t2s_num").cast("string").as("t2s_num"),
+        col("t2s_den").cast("string").as("t2s_den"), col("t2s_ticks"),
         col("t2w_ticks"), col("dof_ticks"))
       .orderBy(col("type_a"), col("type_b"))
   }

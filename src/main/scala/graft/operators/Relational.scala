@@ -885,8 +885,14 @@ object Relational {
     * addition reports IDENTICALLY to the batch over the same rows.
     */
   private[graft] def skewKurtReport(mom: DataFrame, gcol: String): DataFrame =
+    // s3/s4 render as exact digit strings: a DECIMAL(38,0) report
+    // column hashes differently across the driver's two fetch paths
+    // (engine parquet -> pyarrow decimal.Decimal, oracle -> pandas
+    // float64) even when every value matches; the ticks tree still
+    // reads the exact decimals from the input frame
     mom.select(col(gcol), col("n"), col("s1"), col("s2"),
-        col("s3"), col("s4"),
+        col("s3").cast("string").as("s3"),
+        col("s4").cast("string").as("s4"),
         expr(q60TreeSql("skew")).as("skew_ticks"),
         expr(q60TreeSql("kurt")).as("kurt_ticks"))
       .orderBy(col(gcol))

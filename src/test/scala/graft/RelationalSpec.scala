@@ -325,8 +325,8 @@ class RelationalSpec extends AnyFunSuite {
     // reduce to 81 for (x,y)
     val full = Ev.tTestFromCounts(ct).collect()
     val xy = full.find(r => r.getString(0) == "x" && r.getString(1) == "y").get
-    assert(xy.getDecimal(5).longValueExact() == 2592L &&
-      xy.getDecimal(6).longValueExact() == 32L)
+    assert(xy.getString(5).toLong == 2592L &&
+      xy.getString(6).toLong == 32L)
     // corpus: all C(5,2) pairs, deterministic, ticks non-negative
     val c1 = Ev.q59TTest(spark, sfDir).collect()
     assert(c1.length == 10)
@@ -350,8 +350,8 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3)) ==
       ((4L, 4L, 16L)))
-    assert(r.head.getDecimal(4).longValueExact() == 64L &&
-      r.head.getDecimal(5).longValueExact() == 256L)
+    assert(r.head.getString(4).toLong == 64L &&
+      r.head.getString(5).toLong == 256L)
     assert(r.head.getLong(6) ==
       math.floor(6.0 / math.sqrt(27.0) * 1048576.0 + 0.5).toLong)
     assert(r.head.getLong(7) ==
