@@ -1353,6 +1353,38 @@ object Recommend {
   private[graft] val ItemKnnM = 10
   private[graft] val ItemKnnK = 5
 
+  /** Hot-basket guard for the item-item pair build (the f01
+    * [[graft.operators.Itemsets.BasketCap]] pattern): customers with
+    * more than this many distinct items are EXCLUDED from the
+    * similarity model (dots AND norms — one consistent model), so the
+    * pair self-join is bounded by C(cap, 2) ≈ 32k rows per basket
+    * instead of the unbounded deg² blow-up (a single 10⁵-item hot
+    * basket on a power-law 100 TB corpus alone is 10¹⁰ pairs). The
+    * standard item-CF posture: a user who buys everything carries
+    * near-zero per-pair signal (their co-occurrences are noise), so
+    * dropping them from the MODEL loses nothing — they still receive
+    * recommendations, because serve reads the full ratings frame.
+    * This corpus's max basket is 102 at sf0.1 (10 / 67 / 102 across
+    * the three SFs), so the cap cannot bind at test SF and the
+    * uncapped DuckDB oracle is provably unchanged (the g10
+    * precedent; spec'd both ways — non-binding on the corpus,
+    * binding on a planted hot basket).
+    */
+  private[graft] val ItemBasketCap = 256
+
+  /** The ratings frame the similarity MODEL is built from: hot
+    * baskets (> [[ItemBasketCap]] distinct items) removed before any
+    * pair expansion. One partial-agg'd basket-size count + a
+    * broadcast-able semi-join (the keep-list is ≤ |customers| keys
+    * and shrinks only when the cap binds). Package-private for the
+    * planted-hot-basket spec.
+    */
+  private[graft] def cappedRatings(ratings: DataFrame): DataFrame =
+    ratings.join(
+      ratings.groupBy(col("c")).agg(count(lit(1)).as("bk"))
+        .filter(col("bk") <= ItemBasketCap).select(col("c")),
+      Seq("c"), "left_semi")
+
   /** The item-kNN core over a (c, s, r) integer rating frame — the
     * full neighborhood-CF pipeline (Sarwar et al. WWW'01):
     * (1) item-item cosine over the customer dimension — dot products
@@ -1367,21 +1399,32 @@ object Recommend {
     * top-[[ItemKnnK]] per customer by the same bounded aggregate.
     *
     * Scale shape: the dot-product self-join expands each customer's
-    * basket to its item pairs — Σ deg(c)² rows, the f01 basket-pair
-    * regime (documented retune at 100 TB: cap baskets the f01
-    * BasketCap way and/or DIMSUM-sample the pairs, s31); norms are
+    * basket to its item pairs — but the model build reads
+    * [[cappedRatings]], so the expansion is bounded by C(cap, 2) per
+    * basket (the f01 BasketCap pattern wired executable; the s31
+    * DIMSUM sampler remains the orthogonal second lever for when the
+    * ITEM count, not the basket size, is the problem); norms are
     * an item-sized broadcast; the neighbor graph is ≤ M rows/item so
     * the serve join fans ratings out ≤ M× with map-side partial aggs
     * and a bounded k-heap per customer — no scored-pair shuffle ever
     * materializes beyond the rated×M frame. Package-private for the
     * spec's planted baskets.
+    *
+    * Serve-score headroom: score(c, j) = Σ r·simt is summed as an
+    * exact long but ordered through top_k_by_score's double — exact
+    * ordering holds to 2⁵³, i.e. n_rated·r·2²⁰ < 2⁵³ (n_rated·r
+    * < 2³³ ≈ 8.6·10⁹ rating-mass per customer; this corpus:
+    * n_rated ≤ 102, r < 2⁷). The retune past that mass is the
+    * family's usual one: rescale simt ticks to 2¹⁰ for the serve
+    * sum (ordering is scale-invariant) or cap n_rated at serve.
     */
   private[graft] def itemKnnServe(ratings: DataFrame): DataFrame = {
     graft.functions.registerAll(ratings.sparkSession)
-    val nrm = ratings.groupBy(col("s"))
+    val model = cappedRatings(ratings)
+    val nrm = model.groupBy(col("s"))
       .agg(sum(col("r") * col("r")).as("n2"))
-    val dots = ratings.select(col("c"), col("s").as("i"), col("r").as("ri"))
-      .join(ratings.select(col("c"), col("s").as("j"), col("r").as("rj")), "c")
+    val dots = model.select(col("c"), col("s").as("i"), col("r").as("ri"))
+      .join(model.select(col("c"), col("s").as("j"), col("r").as("rj")), "c")
       .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("ri") * col("rj")).as("dot"))

@@ -475,4 +475,49 @@ class RecommendSpec extends AnyFunSuite {
       r.getLong(1) <= Recommend.ItemKnnK))
     assert(a.toSeq == Recommend.s32ItemKnn(spark, sfDir).collect().toSeq)
   }
+
+  test("s32 basket cap: a planted hot basket is excluded from the " +
+    "similarity model (bounded pair count) but still served; the cap " +
+    "does not bind on the corpus") {
+    val sess = spark
+    import sess.implicits._
+    val cap = Recommend.ItemBasketCap
+    // hot customer 99: items 1..cap+1 plus 500, 600, 601 -> basket
+    // cap+4, must be dropped from the MODEL. Normal customers: (1,2)
+    // co-purchased twice, (500,501) once; customer 4 owns 600 —
+    // items 600/601 co-occur ONLY inside the hot basket.
+    val hot = ((1L to (cap + 1L)) ++ Seq(500L, 600L, 601L))
+      .map(i => (99L, i, 1L))
+    val normal = Seq(
+      (1L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 1L, 1L), (2L, 2L, 1L),
+      (3L, 500L, 1L), (3L, 501L, 1L),
+      (4L, 600L, 1L))
+    val planted = hot ++ normal
+    val df = planted.toDF("c", "s", "r")
+    // the cap binds exactly on the hot basket
+    val capped = Recommend.cappedRatings(df)
+    assert(capped.filter(col("c") === 99L).count() == 0L)
+    assert(capped.count() == planted.count(_._1 != 99L))
+    // pair bound: the model's i<j co-occurrence frame is exactly the
+    // two normal pairs — the hot basket's C(cap+4, 2) ≈ 33k pairs
+    // never materialize
+    val pairs = capped.select(col("c"), col("s").as("i"))
+      .join(capped.select(col("c"), col("s").as("j")), "c")
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (500L, 501L)))
+    // serve reads the FULL ratings: the hot customer still receives
+    // a recommendation (501 via its rated 500), and customer 4 gets
+    // nothing (600's only co-occurrences lived in the dropped basket)
+    val got = Recommend.itemKnnServe(df).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.contains((99L, 501L)), s"hot customer unserved: $got")
+    assert(!got.exists(_._1 == 4L), s"hot-basket edge leaked: $got")
+    // the corpus never trips the cap at test SF, so the uncapped
+    // oracle is provably unchanged (the g10 precedent)
+    val ratings = Recommend.purchaseRatings(spark, sfDir)
+    assert(Recommend.cappedRatings(ratings).count() == ratings.count())
+  }
 }
