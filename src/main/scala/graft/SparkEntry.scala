@@ -59,6 +59,7 @@ object SparkEntry {
     "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
     "q57_lasso" -> (Relational.q57Lasso _),
     "q62_quantile_reg" -> (Relational.q62QuantileReg _),
+    "q63_one_vs_rest" -> (Relational.q63OneVsRest _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
     "q51_kde" -> (Relational.q51Kde _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
@@ -1155,6 +1156,67 @@ object SparkEntry {
        |$ctes
        |$rounds
        |ORDER BY round""".stripMargin
+  }
+
+  /** q63's DuckDB twin: the q50 GD unroll ONCE PER CLASS (suffixed
+    * CTE chains, per-class y derived inline from the shared flag
+    * column), the three final weight vectors cross-joined into one
+    * row, then the scoring scan with
+    * [[graft.operators.Relational.ovrArgmaxSql]] interpolated
+    * verbatim — one argmax definition, two engines.
+    */
+  private def q63OracleSql: String = {
+    val iters = graft.operators.Relational.LogregIters
+    val clamp = graft.operators.Relational.LogregClamp
+    val classes = graft.operators.Relational.OvrClasses
+    val m24 = (0 to 3).map(j => s"w$j * f$j").mkString(" + ")
+    def scanCte(c: String, k: Int): String = {
+      val gs = (0 to 3).map(j => s"CAST(sum(r26 * f$j) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 to 3).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s${k}_$c AS (
+         |  SELECT count(*) AS n, $gs, $ws
+         |  FROM (
+         |    SELECT f0, f1, f2, f3, w0, w1, w2, w3,
+         |      least(greatest(m24 + 33554432, 0), 67108864) - y * 67108864 AS r26
+         |    FROM (SELECT feats.*,
+         |            CAST(CASE WHEN flag = '$c' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |            w${k}_$c.*, $m24 AS m24
+         |          FROM feats, w${k}_$c) b) c2)""".stripMargin
+    }
+    def updCte(c: String, k: Int): String = {
+      val ws = (0 to 3).map(j =>
+        s"least(greatest(w$j - (g$j * 4) // (greatest(n, 1) * 67108864), " +
+          s"-$clamp), $clamp) AS w$j").mkString(", ")
+      s"w${k + 1}_$c AS (SELECT $ws FROM s${k}_$c)"
+    }
+    val chains = classes.flatMap { c =>
+      val w0 = s"w0_$c AS (SELECT " +
+        (0 to 3).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+      w0 +: (0 to iters).flatMap(k =>
+        scanCte(c, k) +: (if (k < iters) Seq(updCte(c, k)) else Nil))
+    }
+    val fw = "fw AS (SELECT " + classes.flatMap(c =>
+        (0 to 3).map(j => s"s${iters}_$c.w$j AS w_${c}_$j")).mkString(", ") +
+      " FROM " + classes.map(c => s"s${iters}_$c").mkString(", ") + ")"
+    val margins = classes.map(c =>
+      (0 to 3).map(j => s"w_${c}_$j * f$j").mkString(" + ") + s" AS m_$c")
+      .mkString(", ")
+    s"""WITH feats AS (
+       |  SELECT l_returnflag AS flag,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |${chains.mkString(",\n")},
+       |$fw,
+       |sc AS (SELECT flag, $margins FROM feats, fw)
+       |SELECT flag AS actual,
+       |  ${graft.operators.Relational.ovrArgmaxSql} AS predicted,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM sc GROUP BY 1, 2
+       |ORDER BY actual, predicted""".stripMargin
   }
 
   /** q57's DuckDB twin: [[graft.operators.Relational.lassoRounds]]
@@ -2540,6 +2602,7 @@ object SparkEntry {
     // q62: the pinball-subgradient rounds unrolled with the tau4
     // dimension — integer pinball CASE, halved steps, mean init.
     "q62_quantile_reg" -> q62OracleSql,
+    "q63_one_vs_rest" -> q63OracleSql,
     "q56_linear_svm" -> q56OracleSql,
     // q51: integer Epanechnikov kernel sums against the broadcast
     // evaluation grid; the density normalizer is the ONE shared

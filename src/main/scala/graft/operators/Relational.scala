@@ -1714,4 +1714,80 @@ object Relational {
       .localCheckpoint(true)
     quantileRounds(feats)
   }
+
+  /** Class vocabulary for [[q63OneVsRest]] — the TPC-H return-flag
+    * domain {A, N, R}, a schema constant of the corpus (the f01
+    * brand-vocabulary posture: a fixed small domain, not
+    * data-derived, so no driver fetch). The ORDER defines the argmax
+    * tie-break: ties go to the earlier class.
+    */
+  private[graft] val OvrClasses = Seq("A", "N", "R")
+
+  /** The argmax-of-margins CASE both engines evaluate verbatim (the
+    * t09 shared-literal contract): class i wins when its margin is
+    * >= every later class's margin, so ties break toward the EARLIER
+    * class in [[OvrClasses]] — the reference OneVsRest's
+    * first-maximum convention over raw scores.
+    */
+  private[graft] def ovrArgmaxSql: String =
+    OvrClasses.init.zipWithIndex.map { case (c, i) =>
+      val conds = OvrClasses.drop(i + 1)
+        .map(d => s"m_$c >= m_$d").mkString(" AND ")
+      s"WHEN $conds THEN '$c'"
+    }.mkString("CASE ", " ", s" ELSE '${OvrClasses.last}' END")
+
+  /** The one-vs-rest core over a (flag, f0..f3) frame: one
+    * [[logregRounds]] training per class (y = flag == c, the
+    * IDENTICAL fixed-round hard-sigmoid integer contract), the K
+    * final weight vectors assembled into ONE 1-row broadcast, then a
+    * single scoring scan — per row the K margins m24_c = Σ w_c·f are
+    * exact longs and the prediction is [[ovrArgmaxSql]]'s integer
+    * argmax. Output: the confusion matrix (actual, predicted, n) —
+    * ≤ K² rows, every model bit observable through the counts.
+    *
+    * Scale shape: K·([[LogregIters]]+1) + 1 partial-agg'd scans of
+    * the checkpointed feature frame; model state is K·4 longs in one
+    * broadcast row, never collected; the confusion frame is
+    * K²-bounded. Nothing grows with corpus width.
+    * Package-private for the planted separable/tie specs.
+    */
+  private[graft] def ovrConfusion(base: DataFrame): DataFrame = {
+    val wAll = OvrClasses.map { c =>
+        val feats = base.select(
+          (col("flag") === lit(c)).cast("long").as("y"),
+          col("f0"), col("f1"), col("f2"), col("f3"))
+        logregRounds(feats)
+          .filter(col("round") === lit(LogregIters.toLong))
+          .select((0 to 3).map(j => col(s"w${j}_ticks").as(s"w_${c}_$j")): _*)
+      }.reduce(_ crossJoin _).localCheckpoint(true)
+    val withM = OvrClasses.foldLeft(base.crossJoin(broadcast(wAll))) {
+      (df, c) => df.withColumn(s"m_$c",
+        (0 to 3).map(j => col(s"w_${c}_$j") * col(s"f$j")).reduce(_ + _))
+    }
+    withM.withColumn("predicted", expr(ovrArgmaxSql))
+      .groupBy(col("flag").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
+  /** q63: one-vs-rest multi-class classification of l_returnflag —
+    * the reference's multi-class reduction (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/
+    * classification/OneVsRest.scala:1 — K binary classifiers, argmax
+    * of raw scores) composed over q50's hard-sigmoid logistic
+    * machinery: three binary models on the shared q50 feature grid,
+    * exact-integer margins, first-maximum tie-break. Completes the
+    * classifier family (q50 binary logistic, q56 SVM, t19 NB,
+    * t20/t22/t25/t26/t31/t33 trees) with its multi-class member.
+    */
+  def q63OneVsRest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir).select(
+        col("l_returnflag").as("flag"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    ovrConfusion(base)
+  }
 }

@@ -172,6 +172,51 @@ class RelationalSpec extends AnyFunSuite {
     assert(fin.getLong(2) > 0 && fin.getLong(2) <= fin.getLong(1))
   }
 
+  test("q63 one-vs-rest: planted 3-class separation recovered; equal-" +
+    "margin ties break to the earlier class; corpus confusion is a " +
+    "partition of lineitem") {
+    val sess = spark
+    import sess.implicits._
+    // one-hot class geometry: class A fires f1, N fires f2, R fires
+    // f3 (10 rows each, intercept f0 = 4096) — every binary problem
+    // is then EXACTLY the q50 planted separable shape (positives own
+    // the feature, negatives at 0), so after LogregIters rounds each
+    // class's own margin dominates on its rows and the confusion
+    // matrix must be diagonal.
+    val plant = (
+      (1 to 10).map(_ => ("A", 4096L, 4096L, 0L, 0L)) ++
+      (1 to 10).map(_ => ("N", 4096L, 0L, 4096L, 0L)) ++
+      (1 to 10).map(_ => ("R", 4096L, 0L, 0L, 4096L))
+    ).toDF("flag", "f0", "f1", "f2", "f3")
+    val got = Relational.ovrConfusion(plant).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", "A", 10L), ("N", "N", 10L), ("R", "R", 10L)),
+      s"confusion not diagonal: $got")
+    // tie-break: identical class geometry (all features equal, equal
+    // class sizes) makes the three binary problems symmetric ->
+    // identical weights -> equal margins everywhere -> every row
+    // predicts the FIRST class in OvrClasses ('A')
+    val tie = (
+      (1 to 5).map(_ => ("A", 4096L, 1024L, 0L, 0L)) ++
+      (1 to 5).map(_ => ("N", 4096L, 1024L, 0L, 0L)) ++
+      (1 to 5).map(_ => ("R", 4096L, 1024L, 0L, 0L))
+    ).toDF("flag", "f0", "f1", "f2", "f3")
+    val tg = Relational.ovrConfusion(tie).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(tg == Seq(("A", "A", 5L), ("N", "A", 5L), ("R", "A", 5L)),
+      s"tie-break drift: $tg")
+    // corpus: counts partition lineitem, labels stay in the
+    // vocabulary, bit-identical across runs
+    val a = Relational.q63OneVsRest(spark, sfDir).collect().toSeq
+    val vocab = Relational.OvrClasses.toSet
+    assert(a.nonEmpty && a.forall(r =>
+      vocab(r.getString(0)) && vocab(r.getString(1))))
+    val total = spark.read
+      .parquet(s"$sfDir/lineitem.parquet").count()
+    assert(a.map(_.getLong(2)).sum == total)
+    assert(a == Relational.q63OneVsRest(spark, sfDir).collect().toSeq)
+  }
+
   test("q51 KDE: hand-computed kernel sums on a planted grid; corpus deterministic") {
     val sess = spark
     import sess.implicits._
