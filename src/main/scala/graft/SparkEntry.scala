@@ -60,6 +60,7 @@ object SparkEntry {
     "q57_lasso" -> (Relational.q57Lasso _),
     "q62_quantile_reg" -> (Relational.q62QuantileReg _),
     "q63_one_vs_rest" -> (Relational.q63OneVsRest _),
+    "q64_poisson_glm" -> (Relational.q64PoissonGlm _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
     "q51_kde" -> (Relational.q51Kde _),
     "q30_event_window_agg" -> (Events.q30EventWindowAgg _),
@@ -1217,6 +1218,63 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n
        |FROM sc GROUP BY 1, 2
        |ORDER BY actual, predicted""".stripMargin
+  }
+
+  /** q64's DuckDB twin: [[graft.operators.Relational.poissonRounds]]
+    * unrolled — the warm-start aggregate, then per round the
+    * [[graft.operators.Relational.poisStages]] link pipeline (the
+    * SAME stage strings rendered with `//`) nested as selects, and
+    * the trust-region update with the halving step ladder.
+    */
+  private def q64OracleSql: String = {
+    val R = graft.operators.Relational
+    val iters = R.PoisIters
+    val clamp = R.PoisClamp
+    val stages = R.poisStages("//")
+    def scanCte(k: Int): String = {
+      val inner = stages.foldLeft(
+        s"SELECT feats.*, pw$k.* FROM feats, pw$k") {
+        case (acc, (c, e)) => s"SELECT *, $e AS $c FROM ($acc) a_$c"
+      }
+      val gs = (0 to 2).map(j => s"CAST(sum(r24 * f$j) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 to 2).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s$k AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(r24) AS BIGINT) AS bias24,
+         |    CAST(sum(abs(r24)) AS BIGINT) AS sae24,
+         |    $gs, $ws
+         |  FROM ($inner) z)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val step = math.max(1024L >> k, 1L)
+      val ws = (0 to 2).map(j =>
+        s"least(greatest(w$j - least(greatest(" +
+          s"g$j // (greatest(n, 1) * 67108864), -$step), $step), " +
+          s"-$clamp), $clamp) AS w$j").mkString(", ")
+      s"pw${k + 1} AS (SELECT $ws FROM s$k)"
+    }
+    val ctes = (Seq(
+      "ini AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM feats)",
+      "ini2 AS (SELECT (sy * 16777216) // n AS ybar24 FROM ini)",
+      s"ini3 AS (SELECT ybar24, ${R.poisKbarCase} AS kb FROM ini2)",
+      s"pw0 AS (SELECT CAST(${R.poisInitW0("//")} AS BIGINT) AS w0, " +
+        "CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2 FROM ini3)") ++
+      (0 to iters).flatMap(k =>
+        scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = (0 to 2).map(j => s"w$j AS w${j}_ticks").mkString(", ")
+      s"SELECT CAST($k AS BIGINT) AS round, n, bias24, sae24, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS y,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f1,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f2
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round""".stripMargin
   }
 
   /** q57's DuckDB twin: [[graft.operators.Relational.lassoRounds]]
@@ -2603,6 +2661,7 @@ object SparkEntry {
     // dimension — integer pinball CASE, halved steps, mean init.
     "q62_quantile_reg" -> q62OracleSql,
     "q63_one_vs_rest" -> q63OracleSql,
+    "q64_poisson_glm" -> q64OracleSql,
     "q56_linear_svm" -> q56OracleSql,
     // q51: integer Epanechnikov kernel sums against the broadcast
     // evaluation grid; the density normalizer is the ONE shared

@@ -1715,6 +1715,144 @@ object Relational {
     quantileRounds(feats)
   }
 
+  /** Trust-region gradient rounds for [[q64PoissonGlm]]. */
+  private[graft] val PoisIters = 6
+
+  /** Weight clamp in 2⁻¹² ticks (the q50 bound). */
+  private[graft] val PoisClamp = 65536L
+
+  /** 2^k as a CASE over the bounded exponent domain [0, 22] — ONE
+    * string interpolated into both engines (no reliance on shift
+    * operators whose negative/width semantics could differ).
+    */
+  private[graft] def poisPow2Case(v: String): String =
+    (0 to 22).map(k => s"WHEN $k THEN ${1L << k}")
+      .mkString(s"CASE $v ", " ", " END")
+
+  /** The Poisson-link column pipeline over a (y, f0..f2, w0..w2) row
+    * — ONE definition rendered for both engines (`div` is Spark's
+    * `div` / DuckDB's `//`; their truncate-toward-zero agreement is
+    * the established q50/s15 contract):
+    *
+    *   m24  = w·f, the exact-long margin in 2⁻²⁴ units;
+    *   mo   = clamp(m24, −16, +6)·2²⁴ + 16·2²⁴ — the OFFSET margin,
+    *          non-negative so truncating div IS floor div;
+    *   k2   = ⌊mo⌋ ∈ [0, 22], fr = the 2⁻²⁴ fraction;
+    *   mu24 = (2²⁴ + fr)·2^k2 div 2¹⁶ — the PL-exp2 of (m − 16):
+    *          exact at dyadic integers, linear between (the
+    *          floating-point-format trick: exponent shift + mantissa
+    *          AS the interpolation), so μ = 2^m exactly when m lands
+    *          on the grid and within one mantissa step otherwise;
+    *   r24  = mu24 − y·2²⁴, the exact-long moment residual.
+    */
+  private[graft] def poisStages(div: String): Seq[(String, String)] = Seq(
+    "m24" -> "w0 * f0 + w1 * f1 + w2 * f2",
+    "mo" -> "least(greatest(m24, -268435456), 100663296) + 268435456",
+    "k2" -> s"mo $div 16777216",
+    "fr" -> "mo - k2 * 16777216",
+    "mu24" -> s"((16777216 + fr) * (${poisPow2Case("k2")})) $div 65536",
+    "r24" -> "mu24 - y * 16777216")
+
+  /** Integer ⌊log2⌋ of the 2⁻²⁴-tick mean over the corpus's bounded
+    * count domain (y ≤ 50 → kb ≤ 6) — the warm-start exponent.
+    */
+  private[graft] def poisKbarCase: String =
+    (6 to 1 by -1).map(k =>
+      s"WHEN ybar24 >= ${(1L << k) * 16777216L} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** The warm-start intercept: the EXACT PL-log2 of the mean —
+    * kb + (ȳ/2^kb − 1) in 2⁻¹² ticks, the inverse of [[poisStages]]'s
+    * PL-exp2, so the intercept-only model reproduces the mean
+    * exactly (up to the stated div truncations) at round 0: the
+    * moment-matching init the canonical-link GLM fixed point demands.
+    */
+  private[graft] def poisInitW0(div: String): String =
+    s"kb * 4096 + ((ybar24 $div (${poisPow2Case("kb")})) - 16777216) $div 4096"
+
+  /** The fixed-round Poisson-GLM core over a (y, f0..f2) frame with
+    * y a COUNT and features as LONG 2⁻¹² ticks — the log-link member
+    * completing the regression family (q49 ridge, q57 lasso, q55
+    * isotonic, q62 quantile; reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/
+    * regression/GeneralizedLinearRegression.scala:1, the Poisson
+    * family with link = log). The transcendental exp cannot carry a
+    * cross-engine exact contract (the q50 hard-sigmoid argument), so
+    * the link is the LOG2 family member with the PL-exp2 dyadic
+    * surrogate ([[poisStages]]) — documented as such: log and log2
+    * links differ only by the weight scale ln2, and the PL surrogate
+    * is exact on the dyadic grid.
+    *
+    * Training: the quasi-likelihood moment score g_j = Σ r24·f_j
+    * (exact longs — |r24| ≤ 2³⁰ · f ≤ 2¹² → exact to 2²¹ rows; the
+    * documented retune coarsens r to the 2⁻¹² grid, safe to 2³⁹
+    * terms), intercept warm-started at the PL-log2 of the mean
+    * ([[poisInitW0]] — one 1-row aggregate, the q44 bounds pattern),
+    * then [[PoisIters]] TRUST-REGION rounds: Δw_j = clamp(mean
+    * gradient g_j div (n·2²⁶), ±step_k) with the halving schedule
+    * step_k = max(1024 >> k, 1) (the q62 bracketing discipline — a
+    * fixed step ladder cannot diverge where raw GD on an
+    * exponential mean could).
+    *
+    * Output per round k ∈ 0..[[PoisIters]]: (round, n, bias24 =
+    * Σ r24 — the moment-calibration diagnostic, 0 when the mean is
+    * matched; sae24 = Σ|r24| — the L1 fit; w0..w2 ticks). Fully
+    * integer, fully hash-verified.
+    *
+    * Scale shape: [[PoisIters]]+2 partial-agg'd scans of the
+    * checkpointed feature frame (1 warm-start aggregate +
+    * rounds+1 scans); model state a 1-row broadcast, never
+    * collected. Package-private for the planted-recovery spec.
+    */
+  private[graft] def poissonRounds(feats: DataFrame): DataFrame = {
+    val d = "div"
+    val init = feats.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .withColumn("ybar24", expr(s"(sy * 16777216) $d n"))
+      .withColumn("kb", expr(poisKbarCase))
+      .select(expr(poisInitW0(d)).cast("long").as("w0"),
+        lit(0L).as("w1"), lit(0L).as("w2"))
+    var weights = init.localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    for (k <- 0 to PoisIters) {
+      var scan = feats.crossJoin(broadcast(weights))
+      poisStages(d).foreach { case (c, e) => scan = scan.withColumn(c, expr(e)) }
+      val aggCols =
+        Seq(sum(col("r24")).as("bias24"),
+          sum(abs(col("r24"))).as("sae24")) ++
+          (0 to 2).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 2).map(j => max(col(s"w$j")).as(s"w$j"))
+      val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
+        col("bias24"), col("sae24")) ++
+        (0 to 2).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
+      if (k < PoisIters) {
+        val step = math.max(1024L >> k, 1L)
+        weights = s.select((0 to 2).map(j =>
+            least(greatest(col(s"w$j") -
+              least(greatest(expr(s"g$j $d (greatest(n, 1) * 67108864)"),
+                lit(-step)), lit(step)),
+              lit(-PoisClamp)), lit(PoisClamp)).as(s"w$j")): _*)
+          .localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q64: Poisson GLM of l_quantity (a 1..50 count) on
+    * (1, discount, tax) — see [[poissonRounds]] for the PL-exp2
+    * log2-link contract and the reference anchor.
+    */
+  def q64PoissonGlm(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("long").as("y"),
+        lit(4096L).as("f0"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f1"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f2"))
+      .localCheckpoint(true)
+    poissonRounds(feats)
+  }
+
   /** Class vocabulary for [[q63OneVsRest]] — the TPC-H return-flag
     * domain {A, N, R}, a schema constant of the corpus (the f01
     * brand-vocabulary posture: a fixed small domain, not

@@ -217,6 +217,50 @@ class RelationalSpec extends AnyFunSuite {
     assert(a == Relational.q63OneVsRest(spark, sfDir).collect().toSeq)
   }
 
+  test("q64 poisson GLM: the PL-log2 warm start inverts the PL-exp2 " +
+    "exactly on constant plants (zero residual, stable weights); a " +
+    "feature plant improves directionally; corpus deterministic") {
+    val sess = spark
+    import sess.implicits._
+    def feats(rows: Seq[(Long, Long)]) = rows
+      .map { case (y, f1) => (y, 4096L, f1, 0L) }
+      .toDF("y", "f0", "f1", "f2")
+    // y = 8 everywhere: ybar24 = 8·2^24, kb = 3, fraction 0 ->
+    // w0 = 12288 exactly; mu24 = 2^27 = 8·2^24 -> r24 = 0 on every
+    // row, so bias/sae are 0 and the weights never move
+    val c8 = Relational.poissonRounds(feats((1 to 20).map(_ => (8L, 0L))))
+      .collect()
+    assert(c8.length == Relational.PoisIters + 1)
+    c8.foreach { r =>
+      assert((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)) ==
+        ((0L, 0L, 12288L, 0L, 0L)), s"y=8 drift at round ${r.getLong(0)}")
+    }
+    // y = 6 (not a power of two): kb = 2, fraction exactly 2^23 ->
+    // w0 = 8192 + 2048 = 10240; the PL-exp2 gives mu24 = 6·2^24
+    // exactly (mantissa interpolation IS the inverse) -> stable
+    val c6 = Relational.poissonRounds(feats((1 to 20).map(_ => (6L, 0L))))
+      .collect()
+    c6.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((0L, 0L, 10240L)), s"y=6 drift at round ${r.getLong(0)}")
+    }
+    // feature plant: y = 2 at f1 = 0, y = 32 at f1 = 4096 (true
+    // log2-link slope 4): warm start w0 = 16640 (ybar = 17), then
+    // the trust-region rounds push w1 up and the L1 fit improves
+    val fp = Relational.poissonRounds(feats(
+      (1 to 10).map(_ => (2L, 0L)) ++ (1 to 10).map(_ => (32L, 4096L))))
+      .collect().sortBy(_.getLong(0))
+    assert((fp.head.getLong(4), fp.head.getLong(5)) == ((16640L, 0L)))
+    assert(fp.last.getLong(5) > 0L, s"w1 never moved: ${fp.last}")
+    assert(fp.last.getLong(3) < fp.head.getLong(3),
+      s"sae did not improve: ${fp.head.getLong(3)} -> ${fp.last.getLong(3)}")
+    // corpus: 7 rounds, bit-identical across runs
+    val a = Relational.q64PoissonGlm(spark, sfDir).collect().toSeq
+    assert(a.size == Relational.PoisIters + 1)
+    assert(a == Relational.q64PoissonGlm(spark, sfDir).collect().toSeq)
+  }
+
   test("q51 KDE: hand-computed kernel sums on a planted grid; corpus deterministic") {
     val sess = spark
     import sess.implicits._
