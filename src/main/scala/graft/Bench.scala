@@ -124,19 +124,37 @@ object Bench {
     // recheck time is harness bookkeeping, outside the sweep total.
     FrameMemo.clearAllMemos()
     cleanup()
-    // Since round 10 the recheck covers TWO groups: the 5 most
-    // expensive sweep queries (absolute cost) AND the 3 worst
-    // anchor-RATIO keys against BENCH_r04's standing 63-key anchor
-    // map (recovered from that artifact's tail field — its `parsed`
-    // fell to the round-5 truncation), so cheap-key regime inflation
-    // (r09's q24/s01/q33 pattern) is adjudicated by evidence instead
-    // of a uniformity argument.
+    // Since round 10 the recheck covers the 5 most expensive sweep
+    // queries (absolute cost) AND the 3 worst anchor-RATIO keys
+    // against BENCH_r04's standing 63-key anchor map (recovered from
+    // that artifact's tail field — its `parsed` fell to the round-5
+    // truncation), so cheap-key regime inflation (r09's q24/s01/q33
+    // pattern) is adjudicated by evidence instead of a uniformity
+    // argument. Since round 12 a third group, `vs_committed`,
+    // rechecks EVERY key whose sweep time exceeds 3x its entry in
+    // the previously-committed bench_full.json (read before this run
+    // overwrites it) — the round-11 stall window inflated 15+ keys
+    // while the two fixed groups caught 5; self-comparison against
+    // the committed map scales the evidence to the stall, not to a
+    // fixed pick count.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_r04.json")
     val anchor: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(anchorPath)), "UTF-8")
       // the anchor map lives inside the artifact's escaped `tail`
       // string, so the key's closing quote may carry a backslash
+      """"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => SparkEntry.queries.contains(k) }.toMap
+    } catch { case _: Throwable => Map.empty }
+    // the previously-committed full-sweep map, read BEFORE this run
+    // overwrites bench_full.json; same escaped-tail-tolerant parse as
+    // the anchor (the map keys are query names, filtered to known ones)
+    val committedPath =
+      sys.env.getOrElse("SPARK_GRAFT_COMMITTED", "bench_full.json")
+    val committed: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(committedPath)), "UTF-8")
       """"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => SparkEntry.queries.contains(k) }.toMap
@@ -148,7 +166,15 @@ object Bench {
       .sortBy { case (n, dt, _) => -dt / anchor(n) }
       .filterNot(t => topCost.exists(_._1 == t._1))
       .take(3)
-    val picks = topCost.map((_, "top_cost")) ++ topRatio.map((_, "anchor_ratio"))
+    val vsCommitted = measured
+      .filter { case (n, dt, _) =>
+        committed.get(n).exists(c => dt > 3.0 * c) }
+      .filterNot(t => topCost.exists(_._1 == t._1) ||
+        topRatio.exists(_._1 == t._1))
+      .sortBy { case (n, dt, _) => -dt / committed(n) }
+    val picks = topCost.map((_, "top_cost")) ++
+      topRatio.map((_, "anchor_ratio")) ++
+      vsCommitted.map((_, "vs_committed"))
     val rechecks = picks
       .map { case ((name, dt, m), group) =>
         val t0 = System.nanoTime()
@@ -158,6 +184,8 @@ object Bench {
         cleanup()
         s"\"$name\":{\"group\":\"$group\"" +
           anchor.get(name).map(a => s",\"anchor_s\":${r3(a)}").getOrElse("") +
+          committed.get(name).map(c => s",\"committed_s\":${r3(c)}")
+            .getOrElse("") +
           s",\"sweep_s\":${r3(dt)},\"recheck_s\":${r3(rdt)}" +
           s",\"sweep_shuffle_bytes\":${m.shuffleBytesWritten}" +
           rm.map(x => s",\"recheck_shuffle_bytes\":${x.shuffleBytesWritten}")
