@@ -1236,10 +1236,12 @@ object Pipeline {
        |FROM cu, tot t, uu ORDER BY cu.bin""".stripMargin
 
   /** The evaluation fold [[p24DataScaling]] holds out — the LAST
-    * p22 fold, so the three training pools nest inside the other
-    * three folds and never touch the eval rows.
+    * p22 fold, DERIVED from [[CvFolds]] so the nesting-excludes-eval
+    * invariant is structural: the training pools (fold ≤ t,
+    * t < CvFolds − 1) can never include the eval fold however
+    * CvFolds is retuned.
     */
-  private[graft] val ScaleEvalFold = 3L
+  private[graft] val ScaleEvalFold: Long = CvFolds - 1L
 
   /** The learning-curve core over a p22-shaped (l_returnflag, fold,
     * r, f0..f3) frame: for t = 0, 1, 2 train the q49 ridge on the

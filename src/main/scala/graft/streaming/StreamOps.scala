@@ -778,8 +778,13 @@ object StreamOps {
     */
   def graphAnnServeBatch(batch: DataFrame, emb: DataFrame,
       graph: DataFrame): DataFrame =
+    // per-query dedup picks the lexicographic MIN vector, not an
+    // arbitrary row — a micro-batch carrying one query_id with two
+    // different qv vectors would otherwise serve a nondeterministic
+    // result and silently break the bit-equal-to-batch contract
     graft.operators.Similarity.beamSearchFor(emb, graph,
-      batch.select(col("query_id"), col("qv")).dropDuplicates("query_id"),
+      batch.select(col("query_id"), col("qv"))
+        .groupBy(col("query_id")).agg(min(col("qv")).as("qv")),
       graft.operators.Similarity.BeamWidth,
       graft.operators.Similarity.BeamHops)
 
