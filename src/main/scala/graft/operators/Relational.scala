@@ -1889,8 +1889,20 @@ object Relational {
     * K²-bounded. Nothing grows with corpus width.
     * Package-private for the planted separable/tie specs.
     */
-  private[graft] def ovrConfusion(base: DataFrame): DataFrame = {
-    val wAll = OvrClasses.map { c =>
+  private[graft] def ovrConfusion(base: DataFrame): DataFrame =
+    ovrPredict(base, ovrModel(base))
+      .groupBy(col("flag").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+
+  /** The K trained OvR weight vectors as ONE 1-row frame
+    * (w_&lt;class&gt;_&lt;j&gt; columns) — the model half of
+    * [[ovrConfusion]], exposed so the streaming serve path
+    * (stream_ovr) trains batch-side and scores micro-batches against
+    * the identical broadcast model.
+    */
+  private[graft] def ovrModel(base: DataFrame): DataFrame =
+    OvrClasses.map { c =>
         val feats = base.select(
           (col("flag") === lit(c)).cast("long").as("y"),
           col("f0"), col("f1"), col("f2"), col("f3"))
@@ -1898,15 +1910,17 @@ object Relational {
           .filter(col("round") === lit(LogregIters.toLong))
           .select((0 to 3).map(j => col(s"w${j}_ticks").as(s"w_${c}_$j")): _*)
       }.reduce(_ crossJoin _).localCheckpoint(true)
-    val withM = OvrClasses.foldLeft(base.crossJoin(broadcast(wAll))) {
+
+  /** The scoring half of [[ovrConfusion]]: any (f0..f3, ...) frame
+    * gains the K exact-long margins and the [[ovrArgmaxSql]]
+    * prediction — stateless against the broadcast 1-row model, so
+    * the stream twin is bit-equal to batch by construction.
+    */
+  private[graft] def ovrPredict(rows: DataFrame, model: DataFrame): DataFrame =
+    OvrClasses.foldLeft(rows.crossJoin(broadcast(model))) {
       (df, c) => df.withColumn(s"m_$c",
         (0 to 3).map(j => col(s"w_${c}_$j") * col(s"f$j")).reduce(_ + _))
-    }
-    withM.withColumn("predicted", expr(ovrArgmaxSql))
-      .groupBy(col("flag").as("actual"), col("predicted"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("actual"), col("predicted"))
-  }
+    }.withColumn("predicted", expr(ovrArgmaxSql))
 
   /** q63: one-vs-rest multi-class classification of l_returnflag —
     * the reference's multi-class reduction (reference:

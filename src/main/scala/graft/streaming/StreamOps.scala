@@ -830,6 +830,63 @@ object StreamOps {
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 
+  /** stream_ovr: multi-class serve on a stream — the q63 one-vs-rest
+    * models in the established "train batch, score stream, ONE
+    * model" posture (stream_nb/stream_topic/stream_recommend):
+    * arriving feature rows cross the broadcast 1-row K-model frame
+    * and run the IDENTICAL
+    * [[graft.operators.Relational.ovrPredict]] tail — exact-long
+    * margins, the shared argmax CASE, first-maximum tie-break — so
+    * streamed predictions are bit-equal to batch q63 for those rows
+    * (spec'd). Stateless stream side; per-batch work is rows×K.
+    */
+  def ovrServeBatch(batch: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.Relational.ovrPredict(batch, model)
+      .select(batch.columns.map(col) :+ col("predicted"): _*)
+
+  /** Constant trust-region step for [[poissonFoldBatch]] — batch
+    * q64's halving ladder needs a round index a stateless fold does
+    * not carry (the stream_quantile documented divergence), so the
+    * streaming member steps at the ladder's midpoint.
+    */
+  private[graft] val PoisStreamStep = 256L
+
+  /** stream_poisson state: the 3 weight ticks, zero-initialized
+    * (the streaming fold has no warm-start aggregate — the model
+    * climbs from zero at [[PoisStreamStep]] per batch).
+    */
+  def poissonInitState(spark: SparkSession): DataFrame =
+    spark.range(1).select((0 to 2).map(j => lit(0L).as(s"w$j")): _*)
+
+  /** stream_poisson: the GLM member of the streaming-GD family
+    * (reference posture: /root/reference/mllib/src/main/scala/org/
+    * apache/spark/mllib/regression/
+    * StreamingLinearRegressionWithSGD.scala:1 — one step per
+    * arriving batch) on q64's PL-exp2 log2-link integer contract:
+    * each micro-batch runs ONE partial-agg'd pass through the
+    * IDENTICAL [[graft.operators.Relational.poisStages]] link
+    * pipeline and applies the trust-region update with the constant
+    * [[PoisStreamStep]]. Exact longs make the streamed model ≡ the
+    * same fold applied by hand to the ordered batches (spec'd;
+    * caller-side isEmpty guard, the linreg/logreg convention).
+    */
+  def poissonFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val clamp = graft.operators.Relational.PoisClamp
+    var scan = batch.crossJoin(broadcast(state))
+    graft.operators.Relational.poisStages("div").foreach {
+      case (c, e) => scan = scan.withColumn(c, expr(e))
+    }
+    val aggCols =
+      (0 to 2).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
+        (0 to 2).map(j => max(col(s"w$j")).as(s"w$j"))
+    scan.agg(count(lit(1)).as("n"), aggCols: _*)
+      .select((0 to 2).map(j =>
+        least(greatest(col(s"w$j") -
+          least(greatest(expr(s"g$j div (greatest(n, 1L) * 67108864L)"),
+            lit(-PoisStreamStep)), lit(PoisStreamStep)),
+          lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
+  }
+
   /** One micro-batch fold: state × (y12, f0..f3) batch → state. */
   def linregFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)

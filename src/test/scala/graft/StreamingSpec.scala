@@ -977,6 +977,98 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed beam serve diverged: ${got.length} vs ${want.length} rows")
   }
 
+  test("stream_ovr: streamed multi-class serve is bit-equal to batch " +
+    "q63 predictions for the same rows") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    import graft.operators.Relational
+    // the q63 one-hot planted geometry trains a diagonal model
+    val train = (
+      (1 to 10).map(_ => ("A", 4096L, 4096L, 0L, 0L)) ++
+      (1 to 10).map(_ => ("N", 4096L, 0L, 4096L, 0L)) ++
+      (1 to 10).map(_ => ("R", 4096L, 0L, 0L, 4096L))
+    ).toDF("flag", "f0", "f1", "f2", "f3")
+    val model = Relational.ovrModel(train).localCheckpoint(true)
+    // serve rows: one per class geometry plus an all-zero tie row
+    val rows = Seq(
+      (1L, 4096L, 4096L, 0L, 0L), (2L, 4096L, 0L, 4096L, 0L),
+      (3L, 4096L, 0L, 0L, 4096L), (4L, 0L, 0L, 0L, 0L))
+      .toDF("row_id", "f0", "f1", "f2", "f3")
+    val h1 = rows.filter(col("row_id") <= 2L).localCheckpoint(true)
+    val h2 = rows.filter(col("row_id") > 2L).localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ovr-stream")
+    val schema = StructType(Seq("row_id", "f0", "f1", "f2", "f3")
+      .map(StructField(_, LongType)))
+    val served = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          served ++= StreamOps.ovrServeBatch(df, model)
+            .select(col("row_id"), col("predicted")).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = Relational.ovrPredict(rows, model)
+      .select(col("row_id"), col("predicted")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(served.toSeq.sorted == want,
+      s"stream/batch drift: ${served.toSeq.sorted} vs $want")
+    // the trained model separates the one-hot geometry; the zero row
+    // ties every margin at 0 and must break to the first class
+    assert(want == Seq((1L, "A"), (2L, "N"), (3L, "R"), (4L, "A")))
+  }
+
+  test("stream_poisson: streamed GLM folds equal sequential hand folds " +
+    "and climb toward the planted mean") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // constant plant y = 8: from w = 0 the PL-exp2 gives mu = 1, the
+    // mean gradient is -7*2^36/n per weight-tick of f0, and the
+    // trust region clamps each batch's intercept move to +256
+    val feats = (1 to 16).map(i => (8L, 4096L, 0L, 0L, i.toLong))
+      .toDF("y", "f0", "f1", "f2", "idx")
+    val h1 = feats.filter(col("idx") <= 8L).drop("idx").localCheckpoint(true)
+    val h2 = feats.filter(col("idx") > 8L).drop("idx").localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-pois-stream")
+    val schema = StructType(Seq("y", "f0", "f1", "f2")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.poissonInitState(spark).localCheckpoint(true)
+    val init = state
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.poissonFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.poissonFoldBatch(
+      StreamOps.poissonFoldBatch(init, h1), h2)
+    val got = state.collect().head
+    val want = expected.collect().head
+    assert((0 to 2).forall(j => got.getLong(j) == want.getLong(j)),
+      s"streamed model diverged: $got vs $want")
+    // two clamped +256 intercept steps toward log2(8) = 3 (12288)
+    assert(got.getLong(0) == 2L * StreamOps.PoisStreamStep,
+      s"intercept ${got.getLong(0)}")
+    assert(got.getLong(1) == 0L && got.getLong(2) == 0L,
+      "absent features must stay zero")
+  }
+
   test("stream_linreg: streamed GD folds equal sequential batch folds and learn") {
     import org.apache.spark.sql.types._
     val sess = spark
