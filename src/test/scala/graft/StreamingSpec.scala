@@ -24,7 +24,7 @@ class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSpark.spark
 
-  test("streaming incremental dedup probe converges to the batch d10 result") {
+  test("stream_incremental_dedup: probe converges to the batch d10 result") {
     import graft.operators.Dedup
     // static side: corpus docs + the materialized band index
     // (production pre-materializes it; localCheckpoint is the
@@ -182,7 +182,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("stream-stream join drains to the batch twin result") {
+  test("stream_join: stream-stream join drains to the batch twin result") {
     val stream = StreamOps.readEventStream(spark, streamDir)
     val q = StreamOps.clickPurchaseJoin(stream)
       .writeStream.outputMode("append")
@@ -196,7 +196,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
-  test("stream-static enrichment drains to the batch twin result") {
+  test("stream_enrich: stream-static enrichment drains to the batch twin result") {
     val dim = StreamOps.userDim(spark, sfDir)
     val stream = StreamOps.readEventStream(spark, streamDir)
     val q = StreamOps.enrichEvents(stream, dim)
@@ -210,7 +210,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == expected)
   }
 
-  test("streaming dedup eliminates duplicate delivery exactly") {
+  test("stream_dedup: duplicate delivery eliminated exactly") {
     // stage the SAME events file twice: an at-least-once source
     val dupDir = java.nio.file.Files.createTempDirectory("graft-events-dup")
     java.nio.file.Files.copy(
@@ -250,7 +250,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(batch), "file-sink rows must match batch windows")
   }
 
-  test("file-sink stream resumes from its checkpoint without reprocessing") {
+  test("stream_resume: file-sink stream resumes from its checkpoint without reprocessing") {
     // exactly-once across restarts: drain half the data, stop, add
     // the other half, restart with the SAME checkpoint + sink — the
     // output must be the full set with no re-emitted rows.
@@ -295,7 +295,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(allIds.sameElements(expected), "resume must process exactly the new file")
   }
 
-  test("update-mode aggregation via foreachBatch converges to the batch result") {
+  test("stream_update_upsert: update-mode aggregation via foreachBatch converges to the batch result") {
     // two micro-batches IN TIME ORDER (batch 2 split mid-window so
     // one window updates across batches): update mode re-emits only
     // changed windows; folding the per-batch updates last-write-wins
@@ -343,7 +343,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.nonEmpty && state.toMap == expected)
   }
 
-  test("stream-stream LEFT OUTER join nulls unmatched clicks after the watermark") {
+  test("stream_outer_join: LEFT OUTER join nulls unmatched clicks after the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -387,7 +387,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionizeWithTimeout closes an idle session via event-time timeout alone") {
+  test("stream_session_timeout: sessionizeWithTimeout closes an idle session via event-time timeout alone") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -524,7 +524,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("CDC stream upserts micro-batches into partitioned parquet, touching only their partitions") {
+  test("stream_cdc_upsert: micro-batches upsert into partitioned parquet, touching only their partitions") {
     import spark.implicits._
     import graft.sources.Sources
     val base = java.nio.file.Files.createTempDirectory("graft-cdc").toString
@@ -573,7 +573,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(p3Files == before, "untouched partition rewritten by CDC upsert")
   }
 
-  test("streaming ANN probe of the static band index equals batch s02") {
+  test("stream_ann_probe: probe of the static band index equals batch s02") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     // the bits contract: ONE corpus-derived value passed to BOTH the
@@ -605,7 +605,7 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming ANN diverged from batch s02: ${got.size} vs ${expected.size}")
   }
 
-  test("streaming bloom contamination equals the batch d06/d12 report") {
+  test("stream_contamination: bloom contamination equals the batch d06/d12 report") {
     import graft.operators.Dedup
     val (bench, _) = Dedup.contaminationFrames(spark, sfDir)
     val bloom = Dedup.benchmarkBloom(bench)
