@@ -155,7 +155,12 @@ object Bench {
     val committed: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(committedPath)), "UTF-8")
-      """"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+      // SF guard: a committed artifact from a DIFFERENT scale factor
+      // (a dev run at sf0.01 landing in bench_full.json) would make
+      // every key look 3x-inflated and recheck the whole suite —
+      // only a same-SF map is a valid self-comparison baseline
+      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else """"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => SparkEntry.queries.contains(k) }.toMap
     } catch { case _: Throwable => Map.empty }

@@ -1909,7 +1909,7 @@ object Relational {
         logregRounds(feats)
           .filter(col("round") === lit(LogregIters.toLong))
           .select((0 to 3).map(j => col(s"w${j}_ticks").as(s"w_${c}_$j")): _*)
-      }.reduce(_ crossJoin _).localCheckpoint(true)
+      }.reduce((a, b) => a.crossJoin(broadcast(b))).localCheckpoint(true)
 
   /** The scoring half of [[ovrConfusion]]: any (f0..f3, ...) frame
     * gains the K exact-long margins and the [[ovrArgmaxSql]]
