@@ -145,6 +145,7 @@ object SparkEntry {
     "t22_decision_tree" -> (TextAnalysis.t22DecisionTree _),
     "t33_deep_tree" -> (TextAnalysis.t33DeepTree _),
     "t25_random_forest" -> (TextAnalysis.t25RandomForest _),
+    "t34_rf_regression" -> (TextAnalysis.t34RfRegression _),
     "t26_boosted_stumps" -> (TextAnalysis.t26BoostedStumps _),
     "t27_chi2_contingency" -> (TextAnalysis.t27Chi2 _),
     "t29_chi2_select" -> (TextAnalysis.t29Chi2Select _),
@@ -4120,6 +4121,7 @@ object SparkEntry {
     "t22_decision_tree" -> TextAnalysis.treeOracleSql,
     "t33_deep_tree" -> TextAnalysis.deepTreeOracleSql,
     "t25_random_forest" -> TextAnalysis.forestOracleSql,
+    "t34_rf_regression" -> TextAnalysis.regForestOracleSql,
     "t26_boosted_stumps" -> TextAnalysis.boostOracleSql,
     "t27_chi2_contingency" -> TextAnalysis.chi2OracleSql,
     "t29_chi2_select" -> TextAnalysis.t29OracleSql,

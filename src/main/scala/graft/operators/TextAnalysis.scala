@@ -1280,6 +1280,107 @@ object TextAnalysis {
     trees.reduce(_ unionByName _).orderBy(col("tree"))
   }
 
+  /** The (yr, v1, v3, v4) regression frame behind [[t34RfRegression]]:
+    * target yr = token count (the t31 target), features n_chars,
+    * distinct-ratio ticks, distinct-token count.
+    */
+  private[graft] def regForestFeatures(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    registerAll(spark)
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+        col("n_chars").cast("long").as("v1"),
+        call_function("word_grams", lower(col("text")), lit(1)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("yr"),
+        col("v1"),
+        when(size(col("toks")) > 0,
+          expr("(size(array_distinct(toks)) * 1048576L) div size(toks)"))
+          .otherwise(lit(0L)).as("v3"),
+        size(array_distinct(col("toks"))).cast("long").as("v4"))
+  }
+
+  /** Variance-reduction split search over an (r, v1, v3, v4) frame —
+    * the REGRESSION stump core: mean leaves instead of majority
+    * votes, and the split maximizes the SSE complement
+    * S_L²/n_L + S_R²/n_R (minimizing SSE_L + SSE_R is equivalent
+    * since ΣS² is split-invariant — so the per-candidate score needs
+    * only the CUMULATIVE (n, Σr), never Σr²). Same bounded machinery
+    * as [[stumpCore]]: per-frame [min, max] bin grids (so bagged
+    * trees derive grids from their own sample), one partial-agg'd
+    * (feature, bin) pass, the rest on a ≤ 3×[[StumpBins]]-row frame.
+    * gain_ticks = floor(S_L²/n_L + S_R²/n_R + 0.5) — one fixed
+    * double tree over exact longs (sums exact as doubles to 2⁵³,
+    * i.e. Σ|r| < 9·10¹⁵; the documented retune coarsens the target
+    * grid); leaf means report as exact (S·2¹⁰) div n sub-ticks.
+    * Argmax by the deterministic (gain desc, feature, bin) order.
+    * ONE best-split row; empty when no feature has ≥ 2 populated
+    * bins. Package-private for the planted spec and the forest.
+    */
+  private[graft] def regStumpCore(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lf = rows.select(col("r"),
+      expr("stack(3, 'n_chars', v1, 'distinct_ratio', v3, 'n_distinct', v4)")
+        .as(Seq("feature", "x")))
+    val stats = lf.groupBy(col("feature"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .localCheckpoint(true)
+    val perBin = lf.join(broadcast(stats), "feature")
+      .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
+      .groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
+      .localCheckpoint(true)
+    val tot = perBin.groupBy(col("feature"))
+      .agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
+    val cumw = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = perBin
+      .withColumn("nl", sum(col("n")).over(cumw))
+      .withColumn("sl", sum(col("s")).over(cumw))
+      .join(tot, "feature").filter(col("nl") < col("nn"))
+      .withColumn("gain_ticks",
+        floor(col("sl").cast("double") * col("sl") / col("nl")
+          + (col("ss") - col("sl")).cast("double") * (col("ss") - col("sl"))
+            / (col("nn") - col("nl")) + lit(0.5)).cast("long"))
+    cand.orderBy(col("gain_ticks").desc, col("feature"), col("bin")).limit(1)
+      .join(broadcast(stats), "feature")
+      .select(col("feature"), col("bin").as("split_bin"),
+        col("mn").as("f_min"), col("mx").as("f_max"), col("gain_ticks"),
+        col("nl").as("n_left"),
+        expr("(sl * 1024) div nl").as("mean_left_sticks"),
+        (col("nn") - col("nl")).as("n_right"),
+        expr("((ss - sl) * 1024) div (nn - nl)").as("mean_right_sticks"))
+  }
+
+  /** t34: random-forest REGRESSION — the last reference tree-family
+    * member without a counterpart (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/
+    * regression/RandomForestRegressor.scala:1; the classification
+    * forest is t25, the boosted regression ensemble t31, and this is
+    * t25's bagging + feature-masking applied to [[regStumpCore]]'s
+    * variance splits): [[RfTrees]] trees, each on a deterministic
+    * md5 3/4 subsample with one feature masked (t mod 3 — the
+    * per-tree feature-subspace convention), each reporting its
+    * best variance split and mean leaves. The ensemble prediction is
+    * the mean of member leaf means — left to the consumer exactly as
+    * t25 leaves the vote, so the model rows ARE the output.
+    *
+    * Scale shape: [[RfTrees]] independent bounded split searches over
+    * ~3/4 subsamples of ONE shared feature scan — embarrassingly
+    * parallel, candidate count per tree still (features × bins).
+    */
+  def t34RfRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = regForestFeatures(spark, sfDir).localCheckpoint(true)
+    val trees = (0 until RfTrees).map { t =>
+      val keep = (k: Int, c: Column) => if (t % 3 == k) lit(0L) else c
+      val sampled = f.filter(expr(
+          s"CAST(conv(substring(md5(concat('rfr:$t:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 4 < 3"))
+        .select(col("doc_id"), col("yr").as("r"),
+          keep(0, col("v1")).as("v1"), keep(1, col("v3")).as("v3"),
+          keep(2, col("v4")).as("v4"))
+      regStumpCore(sampled).select(lit(t.toLong).as("tree"), col("*"))
+    }
+    trees.reduce(_ unionByName _).orderBy(col("tree"))
+  }
+
   /** The DuckDB twin of [[t20DecisionStump]]: 3-way UNION ALL for the
     * stacked feature frame, the same binning/Gini-tick/argmin chain.
     */
@@ -1561,6 +1662,79 @@ object TextAnalysis {
       .map(t => stumpLabelledSelect(s"CAST($t AS BIGINT) AS tree", s"f$t"))
       .mkString("\nUNION ALL\n")
     s"""WITH $stumpBaseCtes,
+       |${trees.mkString(",\n")}
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY tree""".stripMargin
+  }
+
+  /** t34 oracle: the t25 md5-bagging chains with the REGRESSION
+    * split search — cumulative (n, Σr), the same gain double tree,
+    * mean sub-tick leaves, one chain per tree.
+    */
+  private[graft] def regForestOracleSql: String = {
+    val base =
+      """dr AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v1,
+        |    list_filter(regexp_split_to_array(lower(text), '[ \n\t\r]+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents),
+        |dr2 AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS yr, v1,
+        |    CASE WHEN len(tk) > 0
+        |      THEN (CAST(len(list_distinct(tk)) AS BIGINT) * 1048576) // len(tk)
+        |      ELSE 0 END AS v3,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS v4
+        |  FROM dr)""".stripMargin
+    def chain(sfx: String, src: String): String =
+      s"""lf$sfx AS (
+         |  SELECT r, 'n_chars' AS feature, v1 AS x FROM $src
+         |  UNION ALL SELECT r, 'distinct_ratio', v3 FROM $src
+         |  UNION ALL SELECT r, 'n_distinct', v4 FROM $src),
+         |st$sfx AS MATERIALIZED (
+         |  SELECT feature, min(x) AS mn, max(x) AS mx FROM lf$sfx GROUP BY 1),
+         |pb$sfx AS MATERIALIZED (
+         |  SELECT lf.feature,
+         |    ((lf.x - st.mn) * $StumpBins) // (st.mx - st.mn + 1) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(lf.r) AS BIGINT) AS s
+         |  FROM lf$sfx lf JOIN st$sfx st ON lf.feature = st.feature
+         |  GROUP BY 1, 2),
+         |tt$sfx AS (SELECT feature, CAST(sum(n) AS BIGINT) AS nn,
+         |  CAST(sum(s) AS BIGINT) AS ss FROM pb$sfx GROUP BY 1),
+         |cu$sfx AS (
+         |  SELECT feature, bin,
+         |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS nl,
+         |    CAST(sum(s) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS sl
+         |  FROM pb$sfx),
+         |ca$sfx AS (
+         |  SELECT cu.feature, cu.bin, cu.nl, cu.sl, tt.nn, tt.ss,
+         |    CAST(floor(CAST(cu.sl AS DOUBLE) * cu.sl / cu.nl
+         |      + CAST(tt.ss - cu.sl AS DOUBLE) * (tt.ss - cu.sl)
+         |        / (tt.nn - cu.nl) + 0.5) AS BIGINT) AS gain_ticks
+         |  FROM cu$sfx cu JOIN tt$sfx tt ON cu.feature = tt.feature
+         |  WHERE cu.nl < tt.nn),
+         |b$sfx AS (SELECT * FROM ca$sfx
+         |  ORDER BY gain_ticks DESC, feature, bin LIMIT 1)""".stripMargin
+    val trees = (0 until RfTrees).map { t =>
+      val v = (k: Int, name: String) =>
+        if (t % 3 == k) "CAST(0 AS BIGINT)" else name
+      s"""dfr$t AS MATERIALIZED (
+         |  SELECT doc_id, yr AS r, ${v(0, "v1")} AS v1, ${v(1, "v3")} AS v3,
+         |    ${v(2, "v4")} AS v4
+         |  FROM dr2
+         |  WHERE ('0x' || substr(md5('rfr:$t:' || CAST(doc_id AS VARCHAR)), 1, 4))
+         |          ::UBIGINT % 4 < 3),
+         |${chain(s"r$t", s"dfr$t")}""".stripMargin
+    }
+    val union = (0 until RfTrees).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS tree, b.feature, b.bin AS split_bin,
+         |  st.mn AS f_min, st.mx AS f_max, b.gain_ticks,
+         |  b.nl AS n_left, (b.sl * 1024) // b.nl AS mean_left_sticks,
+         |  b.nn - b.nl AS n_right,
+         |  ((b.ss - b.sl) * 1024) // (b.nn - b.nl) AS mean_right_sticks
+         |FROM br$t b JOIN str$t st ON b.feature = st.feature""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $base,
        |${trees.mkString(",\n")}
        |SELECT * FROM (
        |$union

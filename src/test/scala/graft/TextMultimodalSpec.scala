@@ -393,6 +393,60 @@ class TextMultimodalSpec extends AnyFunSuite {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("t34 regression forest: planted two-mean split recovered with " +
+    "exact sub-tick leaf means; masked trees fall back to the next " +
+    "separating feature; corpus deterministic") {
+    import spark.implicits._
+    // yr = token count: group A "x" (1 token, 5 chars), group B
+    // "a b c d" (4 tokens, 500 chars). n_chars AND n_distinct both
+    // separate perfectly (equal gain) -> the (gain desc, feature,
+    // bin) order picks 'n_chars'; trees masking v1 (t % 3 == 0) must
+    // pick 'n_distinct' instead. distinct_ratio is constant (all
+    // tokens distinct) so it never has two populated bins.
+    val docs = (0L to 7L).map(i => (i, "x", "en", "s", 5L)) ++
+      (8L to 15L).map(i => (i, "a b c d", "en", "s", 500L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rfr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def kept(t: Int, doc: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rfr:$t:$doc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 4), 16) % 4 < 3
+    }
+    val rows = TextAnalysis.t34RfRegression(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (t <- 0 until TextAnalysis.RfTrees) {
+      val sample = docs.map(_._1).filter(kept(t, _))
+      val nA = sample.count(_ <= 7L); val nB = sample.size - nA
+      if (nA == 0 || nB == 0) {
+        assert(!rows.contains(t.toLong), s"tree $t split a one-group sample")
+      } else {
+        val r = rows(t.toLong)
+        val wantFeature = if (t % 3 == 0) "n_distinct" else "n_chars"
+        assert(r.getString(1) == wantFeature && r.getLong(2) == 0L,
+          s"tree $t: got (${r.getString(1)}, bin ${r.getLong(2)}), " +
+            s"want ($wantFeature, 0)")
+        // perfect split: gain = nA + 16*nB exactly, means 1024 / 4096
+        assert(r.getLong(5) == nA + 16L * nB, s"tree $t gain: $r")
+        assert(r.getLong(6) == nA && r.getLong(7) == 1024L &&
+          r.getLong(8) == nB && r.getLong(9) == 4096L,
+          s"tree $t leaves: $r")
+      }
+    }
+    // corpus: one row per tree, masked feature never chosen, stable
+    val a = TextAnalysis.t34RfRegression(spark, sfDir).collect()
+    assert(a.length == TextAnalysis.RfTrees)
+    a.foreach { r =>
+      val masked = Seq("n_chars", "distinct_ratio", "n_distinct")(
+        (r.getLong(0) % 3).toInt)
+      assert(r.getString(1) != masked,
+        s"tree ${r.getLong(0)} chose its masked feature")
+      assert(r.getLong(5) >= 0L)
+    }
+    assert(a.toSeq == TextAnalysis.t34RfRegression(spark, sfDir).collect().toSeq)
+  }
+
   test("t25 forest: deterministic bootstrap, feature dropout, correct majority vote") {
     import spark.implicits._
     // n_chars separates en/de exactly; text identical so the token
