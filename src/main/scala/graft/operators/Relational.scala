@@ -1883,10 +1883,11 @@ object Relational {
     * argmax. Output: the confusion matrix (actual, predicted, n) —
     * ≤ K² rows, every model bit observable through the counts.
     *
-    * Scale shape: K·([[LogregIters]]+1) + 1 partial-agg'd scans of
-    * the checkpointed feature frame; model state is K·4 longs in one
-    * broadcast row, never collected; the confusion frame is
-    * K²-bounded. Nothing grows with corpus width.
+    * Scale shape: [[LogregIters]] training scans (ALL K classes per
+    * scan — the q62 multi-model fan-out, see [[ovrModel]]) + 1
+    * scoring scan of the checkpointed feature frame; model state is
+    * K·4 longs in one broadcast frame, never collected; the
+    * confusion frame is K²-bounded. Nothing grows with corpus width.
     * Package-private for the planted separable/tie specs.
     */
   private[graft] def ovrConfusion(base: DataFrame): DataFrame =
@@ -1900,16 +1901,49 @@ object Relational {
     * [[ovrConfusion]], exposed so the streaming serve path
     * (stream_ovr) trains batch-side and scores micro-batches against
     * the identical broadcast model.
+    *
+    * ALL K classes train in ONE scan per round (the q62
+    * multi-model discipline): the model state is a K-row (cls,
+    * w0..w3) broadcast, each corpus row fans out ×K with its
+    * per-class label y = (flag == cls), and the partial agg groups
+    * by cls — so the training cost is [[LogregIters]]+1 scans total
+    * instead of K·([[LogregIters]]+1), while every per-class
+    * gradient sum is the long-for-long same as a solo q50 run
+    * (addition is reordered across classes, never within one).
     */
-  private[graft] def ovrModel(base: DataFrame): DataFrame =
+  private[graft] def ovrModel(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    var weights = spark.range(1)
+      .select(explode(array(OvrClasses.map(lit(_)): _*)).as("cls"))
+      .select(Seq(col("cls")) ++ (0 to 3).map(j => lit(0L).as(s"w$j")): _*)
+      .localCheckpoint(true)
+    val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+    for (_ <- 1 to LogregIters) {
+      val scan = base.crossJoin(broadcast(weights))
+        .withColumn("y", (col("flag") === col("cls")).cast("long"))
+        .withColumn("m24", m24)
+        .withColumn("p26",
+          least(greatest(col("m24") + lit(33554432L), lit(0L)),
+            lit(67108864L)))
+        .withColumn("r26", col("p26") - col("y") * lit(67108864L))
+      val aggCols =
+        (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+      weights = scan.groupBy(col("cls"))
+        .agg(count(lit(1)).as("n"), aggCols: _*)
+        .select(Seq(col("cls")) ++ (0 to 3).map(j =>
+          least(greatest(col(s"w$j") -
+            expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"),
+            lit(-LogregClamp)), lit(LogregClamp)).as(s"w$j")): _*)
+        .localCheckpoint(true)
+    }
+    // pivot the K-row model into the 1-row w_<cls>_<j> frame the
+    // scoring scan broadcasts
     OvrClasses.map { c =>
-        val feats = base.select(
-          (col("flag") === lit(c)).cast("long").as("y"),
-          col("f0"), col("f1"), col("f2"), col("f3"))
-        logregRounds(feats)
-          .filter(col("round") === lit(LogregIters.toLong))
-          .select((0 to 3).map(j => col(s"w${j}_ticks").as(s"w_${c}_$j")): _*)
+        weights.filter(col("cls") === lit(c))
+          .select((0 to 3).map(j => col(s"w$j").as(s"w_${c}_$j")): _*)
       }.reduce((a, b) => a.crossJoin(broadcast(b))).localCheckpoint(true)
+  }
 
   /** The scoring half of [[ovrConfusion]]: any (f0..f3, ...) frame
     * gains the K exact-long margins and the [[ovrArgmaxSql]]
