@@ -179,6 +179,7 @@ object SparkEntry {
     "p22_cross_validation" -> (Pipeline.p22CrossValidation _),
     "p24_data_scaling" -> (Pipeline.p24DataScaling _),
     "p23_vector_transforms" -> (Pipeline.p23VectorTransforms _),
+    "p25_feature_scalers" -> (Pipeline.p25FeatureScalers _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -4147,6 +4148,7 @@ object SparkEntry {
     "p24_data_scaling" -> p24OracleSql,
     // p23: explode + sum-square join-back + the shared sqrt tree.
     "p23_vector_transforms" -> Pipeline.p23OracleSql,
+    "p25_feature_scalers" -> Pipeline.p25OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t32: the shared topic chain + the SpGEMM fold-in join.

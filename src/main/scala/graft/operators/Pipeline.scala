@@ -941,6 +941,94 @@ object Pipeline {
       |FROM e JOIN n2 ON e.vec_id = n2.vec_id
       |ORDER BY e.vec_id, e.d""".stripMargin
 
+  /** The z-score tree both engines evaluate verbatim (the t09
+    * shared-literal contract): sample-std standardization
+    * z = (q·n − s1)·√(n−1) / √(n·(n·s2 − s1²)) in 2¹⁰ ticks —
+    * every input an exact long (q ≤ 2¹⁰ ticks, n·s2 − s1² exact to
+    * n·q² < 2⁶³), one fixed double tree, constant dimensions
+    * (n·s2 = s1², includes n = 1) CASE to 0.
+    */
+  private[graft] val ScalerZExpr: String =
+    """CASE WHEN n * s2 - s1 * s1 > 0
+      |THEN CAST(floor(CAST(q * n - s1 AS DOUBLE)
+      |  * sqrt(CAST(n - 1 AS DOUBLE))
+      |  / sqrt(CAST(n AS DOUBLE) * CAST(n * s2 - s1 * s1 AS DOUBLE))
+      |  * 1024.0 + 0.5) AS BIGINT)
+      |ELSE CAST(0 AS BIGINT) END""".stripMargin
+
+  /** The two FULLY-INTEGER scaler columns — min-max to [0, 2²⁰] and
+    * max-abs to [−2²⁰, 2²⁰] — rendered for either engine (`div` /
+    * `//`; truncating agreement is the established s15 contract,
+    * and max-abs is the one signed division).
+    */
+  private[graft] def scalerDivCols(div: String): Seq[(String, String)] = Seq(
+    "mm_ticks" -> (s"CAST(CASE WHEN mx > mn THEN ((q - mn) * 1048576) $div " +
+      "(mx - mn) ELSE 0 END AS BIGINT)"),
+    "ma_ticks" -> (s"CAST(CASE WHEN mabs > 0 THEN (q * 1048576) $div mabs " +
+      "ELSE 0 END AS BIGINT)"))
+
+  /** p25: the three ml/feature scalers in one exploded pass —
+    * StandardScaler (sample-std z-score, [[ScalerZExpr]]),
+    * MinMaxScaler and MaxAbsScaler (both exact integer maps,
+    * [[scalerDivCols]]) over the embedding corpus in long form
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/ml/feature/StandardScaler.scala:1, MinMaxScaler.scala:1,
+    * MaxAbsScaler.scala:1 — fit computes per-dimension summary
+    * stats, transform maps each component; here fit is ONE
+    * partial-agg'd pass to a 64-row (d, n, s1, s2, mn, mx, mabs)
+    * stats frame and transform is a broadcast join back — the p23
+    * posture completing the ml/feature scaler family).
+    *
+    * Scale shape: one exploded scan collapses map-side to 64 stat
+    * rows; the transform join is a 64-row broadcast; nothing
+    * shuffles but the presentation sort. At any corpus the stats
+    * frame stays dimension-sized.
+    */
+  def p25FeatureScalers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
+        .as(Seq("d", "q")))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("q"))
+      .localCheckpoint(true)
+    val st = e.groupBy(col("d")).agg(count(lit(1)).as("n"),
+      sum(col("q")).as("s1"), sum(col("q") * col("q")).as("s2"),
+      min(col("q")).as("mn"), max(col("q")).as("mx"),
+      max(abs(col("q"))).as("mabs"))
+    val joined = e.join(broadcast(st), "d")
+      .withColumn("z_kticks", expr(ScalerZExpr))
+    scalerDivCols("div").foldLeft(joined) {
+        case (df, (c, x)) => df.withColumn(c, expr(x))
+      }
+      .select(col("vec_id"), col("d"), col("q").as("q_ticks"),
+        col("z_kticks"), col("mm_ticks"), col("ma_ticks"))
+      .orderBy(col("vec_id"), col("d"))
+  }
+
+  /** p25's DuckDB twin — the same explode, 64-row stats frame, the
+    * shared z tree and the `//`-rendered integer scaler columns.
+    */
+  private[graft] def p25OracleSql: String = {
+    val divCols = scalerDivCols("//")
+      .map { case (c, x) => s"$x AS $c" }.mkString(",\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(a.i AS BIGINT) AS d,
+       |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+       |st AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q * q) AS BIGINT) AS s2,
+       |    CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx,
+       |    CAST(max(abs(q)) AS BIGINT) AS mabs
+       |  FROM e GROUP BY d)
+       |SELECT vec_id, d, q AS q_ticks,
+       |  $ScalerZExpr AS z_kticks,
+       |  $divCols
+       |FROM e JOIN st USING (d)
+       |ORDER BY vec_id, d""".stripMargin
+  }
+
   /** Folds used by [[p22CrossValidation]]. */
   private[graft] val CvFolds = 4
 

@@ -465,6 +465,43 @@ class PipelineSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq)
   }
 
+  test("p25 scalers: hand-pinned z/min-max/max-abs on a planted " +
+    "2-vector frame; corpus bounds and determinism") {
+    val sess = spark
+    import sess.implicits._
+    // planted: v1 = [0, 0.5], v2 = [1.0, -0.5] -> ticks d0: {0, 1024},
+    // d1: {512, -512}. Both dims have sample std ticks/sqrt(2) scaled,
+    // so every z is exactly ±1/sqrt(2) -> floor(724.077 + 0.5) = 724
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p25").toString
+    Seq((1L, Seq(0.0f, 0.5f)), (2L, Seq(1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Pipeline.p25FeatureScalers(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got((1L, 0L)) == ((0L, -724L, 0L, 0L)))
+    assert(got((2L, 0L)) == ((1024L, 724L, 1048576L, 1048576L)))
+    assert(got((1L, 1L)) == ((512L, 724L, 1048576L, 1048576L)))
+    assert(got((2L, 1L)) == ((-512L, -724L, 0L, -1048576L)))
+    // corpus: min-max lands in [0, 2^20], max-abs in [-2^20, 2^20],
+    // z means to ~0 per dimension; bit-identical across runs
+    val rows = Pipeline.p25FeatureScalers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length % 64 == 0)
+    rows.foreach { case (_, _, _, _, mm, ma) =>
+      assert(mm >= 0L && mm <= 1048576L, s"mm $mm")
+      assert(ma >= -1048576L && ma <= 1048576L, s"ma $ma")
+    }
+    rows.groupBy(_._2).foreach { case (d, g) =>
+      val zbar = g.map(_._4).sum.toDouble / g.size
+      assert(math.abs(zbar) < 2.0, s"dim $d z mean $zbar")
+    }
+    assert(rows.toSeq == Pipeline.p25FeatureScalers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq)
+  }
+
   test("p22: held-out folds partition, models differ, fold-0 metrics replicate") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions.col
