@@ -1029,6 +1029,91 @@ object Pipeline {
        |ORDER BY vec_id, d""".stripMargin
   }
 
+  /** DCT length for [[p26FeatureExpand]]. */
+  private[graft] val DctDims = 8
+
+  /** DCT-II tick table: w(k)(n) = floor(cos(π(n+1/2)k/8)·2²⁰ + 0.5),
+    * computed ONCE here and interpolated into BOTH engines as
+    * literal integers (the p19 NDCG-discount convention — no
+    * transcendental runs in either engine at query time; the
+    * orthogonal-basis identities survive the quantization exactly
+    * where the table is symmetric, spec'd).
+    */
+  private[graft] lazy val DctTicks: Seq[Seq[Long]] =
+    (0 until DctDims).map(k => (0 until DctDims).map(n =>
+      math.floor(math.cos(math.Pi * (n + 0.5) * k / DctDims)
+        * 1048576.0 + 0.5).toLong))
+
+  /** The 8 DCT output columns as shared expression strings over the
+    * tick columns q0..q7 — exact long dot products against the
+    * literal table (|term| ≤ 2¹⁰·2²⁰, 8 terms → ≤ 2³³).
+    */
+  private[graft] def dctExprs: Seq[(String, String)] =
+    (0 until DctDims).map { k =>
+      s"dct$k" -> (0 until DctDims).map(n => s"q$n * ${DctTicks(k)(n)}")
+        .mkString("(", " + ", ")")
+    }
+
+  /** The degree-2 PolynomialExpansion terms of the first 3
+    * components — exact tick products; the cross terms (i ≠ j) ARE
+    * the reference Interaction transformer's column products.
+    */
+  private[graft] def polyExprs: Seq[(String, String)] =
+    for { i <- 0 until 3; j <- i until 3 }
+      yield s"p$i$j" -> s"q$i * q$j"
+
+  /** p26: the remaining SUBSTANTIVE ml/feature transforms in one
+    * projection — DCT (reference ml/feature/DCT.scala — the one
+    * transform whose basis is transcendental, carried as the
+    * [[DctTicks]] literal table), degree-2 PolynomialExpansion
+    * (reference ml/feature/PolynomialExpansion.scala) and Interaction
+    * (reference ml/feature/Interaction.scala — the cross products)
+    * over the embedding head. Everything is exact long arithmetic in
+    * ONE codegen'd projection — no shuffle beyond the presentation
+    * sort. (The remaining ml/feature members are API plumbing with no
+    * computational content on this engine: VectorAssembler/Slicer/
+    * SizeHint/Indexer assemble or subset arrays the DataFrame API
+    * expresses directly, SQLTransformer IS the engine, RFormula is a
+    * parser over the same fits, Tokenizer/StopWordsRemover/NGram are
+    * the t03/t02/d04 text kernels, FeatureHasher is t30's hashing on
+    * mixed columns, and Imputer needs null data this corpus does not
+    * contain — each usable through existing keys, none omitted for
+    * difficulty.)
+    */
+  def p26FeatureExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select(
+      col("vec_id") +: (0 until DctDims).map(i =>
+        expr(s"CAST(floor(CAST(element_at(embedding, ${i + 1}) AS DOUBLE)" +
+          " * 1024.0D + 0.5D) AS BIGINT)").as(s"q$i")): _*)
+    val out = (polyExprs ++ dctExprs).foldLeft(base) {
+      case (df, (c, x)) => df.withColumn(c, expr(x))
+    }
+    out.select(col("vec_id") +:
+        ((0 until 3).map(i => col(s"q$i").as(s"q${i}_ticks")) ++
+          polyExprs.map { case (c, _) => col(c) } ++
+          dctExprs.map { case (c, _) => col(c) }): _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** p26's DuckDB twin — the same tick head, the SAME interpolated
+    * literal table and product strings.
+    */
+  private[graft] def p26OracleSql: String = {
+    val head = (0 until DctDims).map(i =>
+      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1024.0 + 0.5)" +
+        s" AS BIGINT) AS q$i").mkString(",\n    ")
+    val cols = ((0 until 3).map(i => s"q$i AS q${i}_ticks") ++
+      polyExprs.map { case (c, x) => s"$x AS $c" } ++
+      dctExprs.map { case (c, x) => s"$x AS $c" }).mkString(",\n  ")
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |    $head
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  $cols
+       |FROM b ORDER BY vec_id""".stripMargin
+  }
+
   /** Folds used by [[p22CrossValidation]]. */
   private[graft] val CvFolds = 4
 

@@ -502,6 +502,47 @@ class PipelineSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq)
   }
 
+  test("p26 feature expand: impulse and constant vectors pin the DCT " +
+    "table exactly; poly terms are exact products; corpus deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // the quantized table keeps the half-sample symmetries EXACTLY:
+    // w(4)(0) = floor(2^20/sqrt(2) + 0.5), and every k > 0 row sums
+    // to 0 (antisymmetric or cancelling pairs) — so an impulse reads
+    // the table column and a constant vector has zero AC energy
+    assert(Pipeline.DctTicks(4)(0) == 741455L &&
+      Pipeline.DctTicks(0)(0) == 1048576L)
+    (1 until Pipeline.DctDims).foreach(k =>
+      assert(Pipeline.DctTicks(k).sum == 0L, s"row $k sum"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p26").toString
+    Seq((1L, Seq(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+        (2L, Seq(1.0f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Pipeline.p26FeatureExpand(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // impulse: dct_k = 1024 * w(k)(0); poly: p00 = 1024^2, rest 0
+    val imp = got(1L)
+    (0 until Pipeline.DctDims).foreach { k =>
+      assert(imp.getLong(10 + k) == 1024L * Pipeline.DctTicks(k).head,
+        s"impulse dct$k")
+    }
+    assert(imp.getLong(4) == 1024L * 1024L && imp.getLong(5) == 0L)
+    // constant: dct0 = 1024 * 8 * 2^20, every other dct exactly 0
+    val const = got(2L)
+    assert(const.getLong(10) == 1024L * 8L * 1048576L)
+    (1 until Pipeline.DctDims).foreach(k =>
+      assert(const.getLong(10 + k) == 0L, s"constant dct$k"))
+    // corpus: deterministic, poly symmetric terms consistent
+    val a = Pipeline.p26FeatureExpand(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) * r.getLong(1)) // p00 = q0^2
+      assert(r.getLong(5) == r.getLong(1) * r.getLong(2)) // p01 = q0*q1
+    }
+    assert(a.toSeq == Pipeline.p26FeatureExpand(spark, sfDir).collect().toSeq)
+  }
+
   test("p22: held-out folds partition, models differ, fold-0 metrics replicate") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions.col
