@@ -198,7 +198,9 @@ def main():
         if qdir.is_dir() and qdir.name not in oracle and (
                 only is None or qdir.name in only):
             try:
-                n = sum(pq.read_table(f).num_rows
+                # footer metadata only — never materialize a possibly
+                # corpus-sized dump just to count its rows
+                n = sum(pq.ParquetFile(f).metadata.num_rows
                         for f in sorted(qdir.glob("*.parquet")))
                 status = "PASS" if n > 0 else "FAIL"
                 _p(f"{status} {qdir.name} (rows-only: {n} rows)")

@@ -158,8 +158,15 @@ object Bench {
       // SF guard: a committed artifact from a DIFFERENT scale factor
       // (a dev run at sf0.01 landing in bench_full.json) would make
       // every key look 3x-inflated and recheck the whole suite —
-      // only a same-SF map is a valid self-comparison baseline
-      if (!txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      // only a same-SF map is a valid self-comparison baseline.
+      // Compare NORMALIZED paths, not raw substrings: a relative or
+      // trailing-slash sfDir spelling must not silently disable the
+      // stall-recheck safety net.
+      val committedSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1))
+      def canon(p: String) = java.nio.file.Paths.get(p)
+        .toAbsolutePath.normalize.toString
+      if (!committedSf.exists(s => canon(s) == canon(sfDir))) Map.empty
       else """"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => SparkEntry.queries.contains(k) }.toMap

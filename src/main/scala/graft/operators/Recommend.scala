@@ -1380,8 +1380,13 @@ object Recommend {
     * planted-hot-basket spec.
     */
   private[graft] def cappedRatings(ratings: DataFrame): DataFrame =
+    // countDistinct, not count: the contract is DISTINCT items per
+    // basket, and it must hold structurally even for a caller whose
+    // frame is not pre-aggregated per (c, s) — on purchaseRatings
+    // (already one row per pair) the two agree, so the s32 plan's
+    // results are unchanged
     ratings.join(
-      ratings.groupBy(col("c")).agg(count(lit(1)).as("bk"))
+      ratings.groupBy(col("c")).agg(countDistinct(col("s")).as("bk"))
         .filter(col("bk") <= ItemBasketCap).select(col("c")),
       Seq("c"), "left_semi")
 

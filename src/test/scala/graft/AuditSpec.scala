@@ -175,8 +175,16 @@ class AuditSpec extends AnyFunSuite {
     // SparkEntry without a §2 row, a §2 row whose key was renamed or
     // dropped, or a stream_* row with no spec behind it all fail
     // here with the exact diff.
-    val survey = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    // scope the harvest to the §2 section itself (first "## §2"
+    // header to the next "## §"): a key's row in a changelog or
+    // retune table elsewhere must neither satisfy nor break the
+    // §2 contract
+    val all = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
       .getLines().toSeq
+    val start = all.indexWhere(_.startsWith("## §2"))
+    assert(start >= 0, "SURVEY.md has no '## §2' header")
+    val end = all.indexWhere(_.startsWith("## §"), start + 1)
+    val survey = all.slice(start, if (end < 0) all.length else end)
     val cell = "^\\|\\s*([a-z]\\d{2}_[a-z0-9_]+)\\s*\\|".r
     val streamCell = "^\\|\\s*(stream_[a-z0-9_]+)\\s*\\|".r
     val tableKeys = survey.flatMap(l =>
@@ -191,10 +199,15 @@ class AuditSpec extends AnyFunSuite {
     // every oracle belongs to a registered query
     assert(SparkEntry.oracleSql.keySet.subsetOf(queryKeys),
       s"orphan oracles: ${(SparkEntry.oracleSql.keySet -- queryKeys).toSeq.sorted}")
-    // every streaming row is backed by a StreamingSpec test naming it
+    // every streaming row is backed by a StreamingSpec TEST whose
+    // declared name leads with the key — a substring hit in a
+    // comment, or a prefix of a longer key's test, must not satisfy
+    // the contract
     val streamingSpec = scala.io.Source.fromFile(
       "src/test/scala/graft/StreamingSpec.scala", "UTF-8").mkString
-    val unspecced = streamRows.filterNot(streamingSpec.contains)
+    val testNames = "test\\(\"(stream_[a-z0-9_]+)[:\\s]".r
+      .findAllMatchIn(streamingSpec).map(_.group(1)).toSet
+    val unspecced = streamRows.filterNot(testNames.contains)
     assert(unspecced.isEmpty,
       s"SURVEY §2 stream rows with no StreamingSpec mention: " +
         s"${unspecced.toSeq.sorted}")
