@@ -178,12 +178,20 @@ object Bench {
       .sortBy { case (n, dt, _) => -dt / anchor(n) }
       .filterNot(t => topCost.exists(_._1 == t._1))
       .take(3)
-    val vsCommitted = measured
+    val vsCommittedAll = measured
       .filter { case (n, dt, _) =>
         committed.get(n).exists(c => dt > 3.0 * c) }
       .filterNot(t => topCost.exists(_._1 == t._1) ||
         topRatio.exists(_._1 == t._1))
       .sortBy { case (n, dt, _) => -dt / committed(n) }
+    // Bounded: a suite-wide slowdown (code change, slower host) would
+    // otherwise re-run nearly every key and double the sweep's wall
+    // time; 15 worst-inflated keys is enough evidence to adjudicate a
+    // stall, and the pick count on stderr makes a runaway visible.
+    val vsCommitted = vsCommittedAll.take(15)
+    if (vsCommittedAll.nonEmpty)
+      System.err.println(s"bench: vs_committed picked ${vsCommitted.size}" +
+        s" of ${vsCommittedAll.size} keys over 3x their committed time")
     val picks = topCost.map((_, "top_cost")) ++
       topRatio.map((_, "anchor_ratio")) ++
       vsCommitted.map((_, "vs_committed"))
@@ -221,8 +229,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Self-labeling regime stamp: the median per-key ratio of this
+    // sweep vs the previously-committed same-SF map. A throttled-host
+    // sweep reads ~1.3-1.5 here with byte-identical shuffle metrics;
+    // an idle sweep reads ~1.0 (same-day idle variance on this host is
+    // ±6%, so compare medians, not totals). Absent when no same-SF
+    // committed map exists.
+    val regimeRatio: Option[Double] = {
+      val ratios = measured
+        .flatMap { case (n, dt, _) => committed.get(n).map(dt / _) }.sorted
+      if (ratios.isEmpty) None
+      else Some(if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+    }
+    val regimeTag =
+      regimeRatio.map(r => s""","regime_ratio":${r3(r)}""").getOrElse("")
     def line(queryMap: String, metricsTail: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$queryMap,"errors":$errs,"sf":"$sfDir"$metricsTail}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$queryMap,"errors":$errs,"sf":"$sfDir"$regimeTag$metricsTail}"""
     val full = line(qs, s""","exec_metrics":$ms,"recheck":$rechecks""")
     // Evidence durability (r10 lesson: the driver sweep's artifact was
     // overwritten by a later subset run and the round's perf

@@ -1365,10 +1365,12 @@ object Recommend {
     * dropping them from the MODEL loses nothing — they still receive
     * recommendations, because serve reads the full ratings frame.
     * This corpus's max basket is 102 at sf0.1 (10 / 67 / 102 across
-    * the three SFs), so the cap cannot bind at test SF and the
-    * uncapped DuckDB oracle is provably unchanged (the g10
-    * precedent; spec'd both ways — non-binding on the corpus,
-    * binding on a planted hot basket).
+    * the three SFs), so the cap does not bind at test SF — and since
+    * round 13 the DuckDB oracle mirrors the cap (a HAVING
+    * count(DISTINCT s) semi-join in [[itemKnnOracleSql]]), so
+    * agreement is by construction at ANY basket size, not an
+    * empirical property of the current corpus (spec'd both ways —
+    * non-binding on the corpus, binding on a planted hot basket).
     */
   private[graft] val ItemBasketCap = 256
 
@@ -1492,17 +1494,26 @@ object Recommend {
   /** The DuckDB twin of [[s32ItemKnn]]: exact integer dots/norms,
     * the s19 cosine tree, row_number with the (simt desc, j) /
     * (score desc, j) total orders, NOT EXISTS for the seen filter.
+    * The [[ItemBasketCap]] hot-basket guard is mirrored (the `model`
+    * CTE) so the two engines agree BY CONSTRUCTION at any basket
+    * size, not just while the corpus stays under the cap — at a
+    * corpus/SF with a hotter basket the cap binds identically on
+    * both sides instead of failing the gate by design.
     */
   private[graft] def itemKnnOracleSql: String =
     s"""WITH ratings AS MATERIALIZED (
        |  SELECT o_custkey AS c, l_suppkey AS s, CAST(count(*) AS BIGINT) AS r
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  GROUP BY 1, 2),
+       |model AS MATERIALIZED (
+       |  SELECT r.c, r.s, r.r FROM ratings r
+       |  JOIN (SELECT c FROM ratings GROUP BY c
+       |        HAVING count(DISTINCT s) <= $ItemBasketCap) k ON k.c = r.c),
        |nrm AS MATERIALIZED (
-       |  SELECT s, CAST(sum(r * r) AS BIGINT) AS n2 FROM ratings GROUP BY s),
+       |  SELECT s, CAST(sum(r * r) AS BIGINT) AS n2 FROM model GROUP BY s),
        |dots AS (
        |  SELECT a.s AS i, b.s AS j, CAST(sum(a.r * b.r) AS BIGINT) AS dot
-       |  FROM ratings a JOIN ratings b ON a.c = b.c AND a.s < b.s
+       |  FROM model a JOIN model b ON a.c = b.c AND a.s < b.s
        |  GROUP BY 1, 2),
        |sims AS (
        |  SELECT i, j,

@@ -1784,9 +1784,11 @@ object Relational {
     * is exact on the dyadic grid.
     *
     * Training: the quasi-likelihood moment score g_j = Σ r24·f_j
-    * (exact longs — |r24| ≤ 2³⁰ · f ≤ 2¹² → exact to 2²¹ rows; the
-    * documented retune coarsens r to the 2⁻¹² grid, safe to 2³⁹
-    * terms), intercept warm-started at the PL-log2 of the mean
+    * (exact longs — at the mo clamp ceiling mu24 reaches
+    * (2²⁵−1)·2²²/2¹⁶ ≈ 2³¹, so |r24| ≤ 2³¹ · f ≤ 2¹² → per-row
+    * terms ≤ 2⁴³, exact to ~2²⁰ rows; the documented retune coarsens
+    * r to the 2⁻¹² grid, safe to 2³⁹ terms), intercept warm-started
+    * at the PL-log2 of the mean
     * ([[poisInitW0]] — one 1-row aggregate, the q44 bounds pattern),
     * then [[PoisIters]] TRUST-REGION rounds: Δw_j = clamp(mean
     * gradient g_j div (n·2²⁶), ±step_k) with the halving schedule
