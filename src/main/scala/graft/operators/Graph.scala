@@ -914,23 +914,78 @@ object Graph {
     * running h-index in rows from round 2 on. Flat lineage via
     * per-round localCheckpoint — the g01/g05 loop posture.
     */
-  private[graft] def corenessRounds(edges: DataFrame, iters: Int): DataFrame = {
+  /** One h-index round over the clamped histogram — shared by the
+    * bounded spec loop and the converged production loop.
+    */
+  private def corenessStep(
+      edges: DataFrame, c: DataFrame, gcap: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    var c = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cv").desc)
+    corenessHistogram(edges, c, gcap)
+      .withColumn("f", sum(col("cnt")).over(w))
+      .groupBy(col("src").as("id"))
+      .agg(max(least(col("cv"), col("f"))).as("c"))
+  }
+
+  /** Initial coreness state (degrees) + the ⌊√(2m)⌋+1 global clamp. */
+  private def corenessInit(edges: DataFrame): (DataFrame, DataFrame) = {
+    val c = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     // global clamp: every round-≥1 h-index is ≤ ⌊√(2m)⌋+1 (mirrored
     // edge count IS 2m); 1-row broadcast, never collected
     val gcap = edges.agg(
       (floor(sqrt(count(lit(1)).cast("double"))).cast("long") + lit(1L))
         .as("gcap")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("src")).orderBy(col("cv").desc)
-      c = corenessHistogram(edges, c, gcap)
-        .withColumn("f", sum(col("cnt")).over(w))
-        .groupBy(col("src").as("id"))
-        .agg(max(least(col("cv"), col("f"))).as("c"))
-        .localCheckpoint(false)
+    (c, gcap)
+  }
+
+  private[graft] def corenessRounds(edges: DataFrame, iters: Int): DataFrame = {
+    val (c0, gcap) = corenessInit(edges)
+    var c = c0
+    for (_ <- 1 to iters)
+      c = corenessStep(edges, c, gcap).localCheckpoint(false)
+    c
+  }
+
+  /** Runaway bound for [[corenessConverged]] — far above any measured
+    * fixpoint (2/4/6 rounds at the three test SFs; h-index rounds on
+    * adversarial long paths scale with path length, but the bound is
+    * LOUD, not a silent truth).
+    */
+  private[graft] val KcoreMaxRounds = 64
+
+  /** h-index rounds run to the DIGEST fixpoint: per-node coreness is
+    * monotone non-increasing (Lü et al.), so the coreness SUM — one
+    * partial-agg'd decimal scan, the d07 labelSum template — is
+    * strictly smaller iff any node changed, and an unchanged sum IS
+    * the fixpoint (exact peeling coreness). A graph that has not
+    * converged inside `maxRounds` fails LOUDLY instead of handing
+    * back plausible-looking non-converged values; the g09 gate is
+    * protected the same way from the oracle side — the DuckDB unroll
+    * is [[KcoreIters]] rounds, so a corpus whose fixpoint moved past
+    * that bound hash-fails the gate instead of silently matching a
+    * non-converged engine result (the round-12 verdict's g09 gap).
+    */
+  private[graft] def corenessConverged(
+      edges: DataFrame, maxRounds: Int = KcoreMaxRounds): DataFrame = {
+    val (c0, gcap) = corenessInit(edges)
+    def digest(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    var c = c0
+    var prev = digest(c)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      c = corenessStep(edges, c, gcap).localCheckpoint(true)
+      val d = digest(c)
+      converged = d == prev
+      prev = d
+      iter += 1
     }
+    require(converged,
+      s"corenessConverged did not reach the h-index fixpoint in " +
+        s"$maxRounds rounds (raise maxRounds)")
     c
   }
 
@@ -939,15 +994,19 @@ object Graph {
     * the dense trading core from peripheral one-off relationships
     * (reference ships the underlying graph machinery as graphx
     * aggregateMessages; coreness itself is the standard peeling
-    * metric). Computed as [[KcoreIters]] bounded h-index rounds
-    * ([[corenessRounds]]) — at every test SF the bound exceeds the
-    * measured fixpoint, so the output EQUALS exact peeling coreness
-    * (spec'd against an in-test peeling oracle at sf0.001). Output:
-    * (node_type, entity_key, coreness), integers end to end.
+    * metric). Computed by [[corenessConverged]] — h-index rounds run
+    * to the digest FIXPOINT (exact peeling coreness by the Lü et al.
+    * convergence theorem, spec'd against an in-test peeling oracle),
+    * with [[KcoreMaxRounds]] as a loud runaway bound; the DuckDB
+    * oracle unrolls [[KcoreIters]] rounds, which exceeds the measured
+    * fixpoint at every test SF, and a corpus whose fixpoint moves
+    * past that unroll hash-FAILS the gate rather than silently
+    * matching a truncated iteration. Output: (node_type, entity_key,
+    * coreness), integers end to end.
     */
   def g09Kcore(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-    corenessRounds(edges, KcoreIters).select(
+    corenessConverged(edges).select(
         when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
         expr("id div 2").as("entity_key"),
         col("c").as("coreness"))

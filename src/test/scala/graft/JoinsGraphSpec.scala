@@ -456,6 +456,39 @@ class JoinsGraphSpec extends AnyFunSuite {
     val r1 = Graph.corenessRounds(graftTestEdges(), 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r1.forall { case (v, c) => bounded(v) <= c })
+    // the production front door (digest-converged) equals the bounded
+    // result on the corpus — the fixpoint sits inside KcoreIters here
+    val conv = Graph.corenessConverged(graftTestEdges())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == bounded,
+      "digest-converged coreness must equal the bounded rounds at this SF")
+  }
+
+  test("g09 convergence guard: a >8-round graph converges or fails loud") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // a 30-node path: exact coreness is 1 everywhere, but the h-index
+    // iteration erodes the interior 2s from the ends one step per
+    // round — needs ~14 rounds, past the old silent KcoreIters=8 bound
+    val half = (1L until 30L).map(i => (i, i + 1))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val stale = Graph.corenessRounds(edges, Graph.KcoreIters)
+      .filter(org.apache.spark.sql.functions.col("c") =!= 1L).count()
+    assert(stale > 0,
+      "the planted path must NOT be converged at 8 rounds, or this " +
+        "spec no longer exercises the guard")
+    // digest convergence runs past the old bound and reaches exact
+    // peeling coreness (all 1s)
+    val conv = Graph.corenessConverged(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.size == 30 && conv.values.forall(_ == 1L),
+      s"converged coreness on a path must be all 1s, got $conv")
+    // an insufficient runaway bound fails LOUD, never hands back
+    // plausible-looking non-converged values
+    val e = intercept[IllegalArgumentException] {
+      Graph.corenessConverged(edges, maxRounds = 4)
+    }
+    assert(e.getMessage.contains("did not reach the h-index fixpoint"))
   }
 
   test("g09 coreness histogram bounds a hub's per-group window input") {
