@@ -59,6 +59,7 @@ object SparkEntry {
     "q50_logistic_regression" -> (Relational.q50LogisticRegression _),
     "q57_lasso" -> (Relational.q57Lasso _),
     "q62_quantile_reg" -> (Relational.q62QuantileReg _),
+    "q65_huber" -> (Relational.q65Huber _),
     "q63_one_vs_rest" -> (Relational.q63OneVsRest _),
     "q64_poisson_glm" -> (Relational.q64PoissonGlm _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
@@ -1388,6 +1389,63 @@ object SparkEntry {
        |ORDER BY round, tau4""".stripMargin
   }
 
+  /** q65 oracle: the clamped-gradient Huber rounds unrolled — the
+    * q57 CTE shape with the q62 moment warm start, the
+    * least/greatest residual clamp, and the exact integer Huber
+    * objective (quantize-before-square inside the threshold, the
+    * 2δ|r|−δ² linear arm outside).
+    */
+  private def q65OracleSql: String = {
+    val iters = graft.operators.Relational.HuberIters
+    val clamp = graft.operators.Relational.HuberClamp
+    val d24 = graft.operators.Relational.HuberDelta24
+    val d12 = d24 / 4096L
+    val m24 = (0 to 3).map(j => s"w$j * f$j").mkString(" + ")
+    def scanCte(k: Int): String = {
+      val gs = (0 to 3).map(j => s"CAST(sum(cr * f$j) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 to 3).map(j => s"max(w$j) AS w$j").mkString(", ")
+      s"""s$k AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN abs(r24) > $d24 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_outliers,
+         |    CAST(sum(CASE WHEN abs(r24) <= $d24
+         |             THEN (r24 // 4096) * (r24 // 4096)
+         |             ELSE ${2L * d12} * abs(r24 // 4096) - ${d12 * d12}
+         |             END) AS BIGINT) AS hub12,
+         |    $gs, $ws
+         |  FROM (SELECT b.*, least(greatest(r24, -$d24), $d24) AS cr
+         |        FROM (SELECT feats.*, wr.*, $m24 - y12 * 4096 AS r24
+         |              FROM feats, w$k wr) b) c)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val ws = (0 to 3).map { j =>
+        s"least(greatest(w$j - g$j // (4 * greatest(n, 1) * 16777216), " +
+          s"-$clamp), $clamp) AS w$j"
+      }.mkString(", ")
+      s"w${k + 1} AS (SELECT $ws FROM s$k)"
+    }
+    val w0 = "w0 AS (SELECT " +
+      "(SELECT CAST(sum(y12) AS BIGINT) // count(*) FROM feats) AS w0, " +
+      (1 to 3).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+    val ctes = (w0 +: (0 to iters).flatMap(k =>
+      scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = (0 to 3).map(j => s"w$j AS w${j}_ticks").mkString(", ")
+      s"SELECT CAST($k AS BIGINT) AS round, n, n_outliers, hub12, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y12,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
   /** q56 oracle: the hinge-loss rounds unrolled — the q50 CTE shape
     * with the violation indicator and the Pegasos-style update.
     */
@@ -2663,6 +2721,7 @@ object SparkEntry {
     // q62: the pinball-subgradient rounds unrolled with the tau4
     // dimension — integer pinball CASE, halved steps, mean init.
     "q62_quantile_reg" -> q62OracleSql,
+    "q65_huber" -> q65OracleSql,
     "q63_one_vs_rest" -> q63OracleSql,
     "q64_poisson_glm" -> q64OracleSql,
     "q56_linear_svm" -> q56OracleSql,

@@ -1715,6 +1715,108 @@ object Relational {
     quantileRounds(feats)
   }
 
+  /** Fixed gradient rounds for [[q65Huber]]. */
+  private[graft] val HuberIters = 4
+
+  /** Weight clamp in 2⁻¹² ticks (the q50 bound). */
+  private[graft] val HuberClamp = 65536L
+
+  /** Huber threshold δ on the 2⁻²⁴ residual grid: 2²⁵ ticks = 8192
+    * y-units — residuals beyond it get the LINEAR (clamped) gradient.
+    */
+  private[graft] val HuberDelta24 = 1L << 25
+
+  /** The fixed-round Huber-regression core over a (y12, f0..f3)
+    * frame — least squares made outlier-robust by CLAMPING the
+    * residual before the gradient (reference: /root/reference/ml/src/
+    * main/scala/org/apache/spark/ml/optim/aggregator/HuberAggregator
+    * .scala:1, whose gradient is exactly sign-preserving min(|r|, δ)
+    * times the feature). The clamp is why Huber fits the family's
+    * all-integer contract with no surrogate: clamp(r, ±δ) is
+    * PIECEWISE LINEAR — least(greatest(r, −δ), δ) — so unlike a
+    * transcendental link every step is exact integer arithmetic.
+    *
+    * Contract: the q57 frame (y12 the q49 target ≤ 2¹⁷, features the
+    * q50 raw tick longs |f| ≤ 2¹², weights on the 2⁻¹² grid clamped
+    * ±[[HuberClamp]]). Warm start w0 = Σy12 div n (the q62 moment
+    * init — one 1-row aggregate), so round 0 measures the centered
+    * residual field, not the zero model. r24 = Σwⱼfⱼ − y12·4096 is
+    * an exact long (|r24| ≤ 2³¹ at the clamp ceiling); the gradient
+    * gⱼ = Σ clamp(r24, ±δ)·fⱼ has per-row terms ≤ δ·2¹² = 2³⁷ —
+    * order-independent to ~2²⁶ rows, and the documented retune
+    * (coarsen the clamped residual to the 2⁻¹² grid first, terms
+    * ≤ 2²⁵) is safe past 2³⁷ rows. Update: wⱼ ← clamp(wⱼ −
+    * gⱼ div (4n·2²⁴), ±[[HuberClamp]]) — η = 1/4, truncating div
+    * (the s15 negative agreement). The hub12 diagnostic is the exact
+    * integer Huber objective on the 2⁻¹² residual grid: (r12)² inside
+    * the threshold, 2δ12·|r12| − δ12² outside (δ12 = δ div 4096) —
+    * quantize-before-square, the p18 ladder; n_outliers counts the
+    * rows the clamp actually bit, the robustness diagnostic.
+    *
+    * Output per round k ∈ 0..[[HuberIters]]: (round, n, n_outliers,
+    * hub12, w0..w3 ticks).
+    *
+    * Scale shape: the q50 shape — one partial-agg'd scan per round
+    * (7 running sums), model a 1-row broadcast, nothing collected.
+    * `delta24` is a parameter so the spec can contrast the robust
+    * trajectory with the effectively-unclamped (δ = 2⁶⁰) one on a
+    * planted outlier.
+    */
+  private[graft] def huberRounds(
+      feats: DataFrame, delta24: Long = HuberDelta24): DataFrame = {
+    require(delta24 > 0 && delta24 % 4096L == 0,
+      s"huberRounds: delta24 must be a positive 2^-12-grid multiple, got $delta24")
+    val d12 = delta24 / 4096L
+    val init = feats.agg(expr("sum(y12) div count(1)").as("w0"))
+      .select(col("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+    var weights = init.localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    for (k <- 0 to HuberIters) {
+      val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+      val scan = feats.crossJoin(broadcast(weights))
+        .withColumn("r24", m24 - col("y12") * lit(4096L))
+        .withColumn("cr", least(greatest(col("r24"), lit(-delta24)), lit(delta24)))
+      val hub = when(abs(col("r24")) <= lit(delta24),
+          expr("(r24 div 4096) * (r24 div 4096)"))
+        .otherwise(lit(2L * d12) * abs(expr("r24 div 4096")) - lit(d12 * d12))
+      val aggCols =
+        Seq(sum((abs(col("r24")) > lit(delta24)).cast("long")).as("n_outliers"),
+          sum(hub).as("hub12")) ++
+          (0 to 3).map(j => sum(col("cr") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+      val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
+        col("n_outliers"), col("hub12")) ++
+        (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
+      if (k < HuberIters) {
+        weights = s.select((0 to 3).map(j =>
+            least(greatest(col(s"w$j") -
+              expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"),
+              lit(-HuberClamp)), lit(HuberClamp)).as(s"w$j")): _*)
+          .localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q65: Huber (robust) regression of the q49 target on the q50
+    * features — the robust-loss member completing the linear family
+    * (ridge q49, logistic q50, isotonic q55, SVM q56, lasso q57,
+    * quantile q62, Poisson q64); see [[huberRounds]] for the
+    * clamped-gradient integer contract.
+    */
+  def q65Huber(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y12"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    huberRounds(feats)
+  }
+
   /** Trust-region gradient rounds for [[q64PoissonGlm]]. */
   private[graft] val PoisIters = 6
 

@@ -662,6 +662,70 @@ class RelationalSpec extends AnyFunSuite {
     assert(a == Relational.q57Lasso(spark, sfDir).collect().toSeq)
   }
 
+  test("q65 Huber: engine rounds equal the recurrence; the clamp shrugs off a planted outlier") {
+    val sess = spark
+    import sess.implicits._
+    // planted: intercept-only (f1..f3 = 0), nine rows at y = 100 and
+    // ONE outlier at y = 131000. The mean warm start (13190, exact)
+    // IS the least-squares optimum, so the effectively-unclamped run
+    // (δ = 2^60) has a zero gradient and never moves — while the
+    // clamped gradient caps the outlier's pull and walks the
+    // intercept down toward the inlier mass. The in-test truth
+    // re-runs the exact integer recurrence (truncating /, same clamp
+    // arms), so every round must match bit-for-bit.
+    val feats = (Seq.fill(9)(100L) :+ 131000L).map(y => (y, 4096L, 0L, 0L, 0L))
+    def truth(delta24: Long): Seq[(Long, Long, Long, Long, Seq[Long])] = {
+      val n = feats.length.toLong
+      val d12 = delta24 / 4096L
+      var w = Array(feats.map(_._1).sum / n, 0L, 0L, 0L)
+      (0 to Relational.HuberIters).map { k =>
+        val rows = feats.map { case (y12, f0, f1, f2, f3) =>
+          val f = Array(f0, f1, f2, f3)
+          ((0 to 3).map(j => w(j) * f(j)).sum - y12 * 4096L, f)
+        }
+        val nOut = rows.count { case (r24, _) => math.abs(r24) > delta24 }.toLong
+        val hub12 = rows.map { case (r24, _) =>
+          if (math.abs(r24) <= delta24) (r24 / 4096L) * (r24 / 4096L)
+          else 2L * d12 * math.abs(r24 / 4096L) - d12 * d12
+        }.sum
+        val g = (0 to 3).map(j => rows.map { case (r24, f) =>
+          math.max(-delta24, math.min(delta24, r24)) * f(j) }.sum)
+        val out = (k.toLong, n, nOut, hub12, w.toSeq)
+        if (k < Relational.HuberIters)
+          w = Array.tabulate(4)(j =>
+            math.max(-Relational.HuberClamp, math.min(Relational.HuberClamp,
+              w(j) - g(j) / (4L * n * 16777216L))))
+        out
+      }
+    }
+    def run(delta24: Long): Seq[(Long, Long, Long, Long, Seq[Long])] =
+      Relational.huberRounds(
+          feats.toDF("y12", "f0", "f1", "f2", "f3"), delta24).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          (4 to 7).map(r.getLong).toSeq)).toSeq
+    val robust = run(Relational.HuberDelta24)
+    assert(robust == truth(Relational.HuberDelta24),
+      s"recurrence drift:\n$robust\nvs\n${truth(Relational.HuberDelta24)}")
+    val unclamped = run(1L << 60)
+    assert(unclamped == truth(1L << 60))
+    // robustness: least squares is pinned to the outlier-dragged mean
+    // (zero gradient at the warm start); Huber walks away from it
+    val w0Robust = robust.last._5.head
+    val w0Ls = unclamped.last._5.head
+    assert(w0Ls == feats.map(_._1).sum / feats.length,
+      s"unclamped run must stay at the LS mean, got $w0Ls")
+    assert(w0Robust < w0Ls - 1000L,
+      s"Huber must escape the outlier pull: $w0Robust vs $w0Ls")
+    // by the final round only the planted outlier is past the
+    // threshold, and the exact Huber objective improved
+    assert(robust.last._3 == 1L, s"final n_outliers: ${robust.last._3}")
+    assert(robust.last._4 < robust.head._4,
+      s"hub12 must fall: ${robust.map(_._4)}")
+    // corpus determinism
+    val a = Relational.q65Huber(spark, sfDir).collect().toSeq
+    assert(a == Relational.q65Huber(spark, sfDir).collect().toSeq)
+  }
+
   test("q62 quantile: engine rounds equal the recurrence; taus bracket and order") {
     val sess = spark
     import sess.implicits._
