@@ -182,6 +182,7 @@ object SparkEntry {
     "p23_vector_transforms" -> (Pipeline.p23VectorTransforms _),
     "p25_feature_scalers" -> (Pipeline.p25FeatureScalers _),
     "p26_feature_expand" -> (Pipeline.p26FeatureExpand _),
+    "p27_multilabel" -> (Pipeline.p27Multilabel _),
     "p07_mix_temperature" -> (Pipeline.p07MixTemperature _),
     "p08_decontaminated_split" -> (Pipeline.p08DecontaminatedSplit _),
     "s04_kmeans" -> (Similarity.s04Kmeans _),
@@ -4210,6 +4211,7 @@ object SparkEntry {
     "p23_vector_transforms" -> Pipeline.p23OracleSql,
     "p25_feature_scalers" -> Pipeline.p25OracleSql,
     "p26_feature_expand" -> Pipeline.p26OracleSql,
+    "p27_multilabel" -> Pipeline.p27OracleSql,
     "t23_topics" -> Recommend.topicsOracleSql,
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t32: the shared topic chain + the SpGEMM fold-in join.

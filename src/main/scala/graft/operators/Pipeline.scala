@@ -635,6 +635,246 @@ object Pipeline {
        |LEFT JOIN t ON c.cls = t.cls
        |ORDER BY c.cls""".stripMargin
 
+  /** [[p27Multilabel]] thresholds: a user's ACTUAL label set is the
+    * event types it performed at least [[MlActualMinCount]] times; its
+    * PREDICTED set is the types whose value-cents sum reached
+    * [[MlPredictedMinCents]] (≈ the same engagement level via spend —
+    * correlated with count but not identical, so the sets overlap
+    * imperfectly and every metric is a real decision). Cents ticks
+    * (floor(value·100 + 0.5)) keep the threshold an EXACT long
+    * compare — a raw double sum would be order-dependent across
+    * engines at the cut.
+    */
+  private[graft] val MlActualMinCount = 15L
+  private[graft] val MlPredictedMinCents = 75000L
+
+  /** Jaccard/F1 tick scale for the doc-averaged multilabel metrics. */
+  private[graft] val MlTickScale = 4096L
+
+  /** p27: multilabel classifier evaluation — the label-SET member of
+    * the evaluation family (reference: /root/reference/mllib/src/main/
+    * scala/org/apache/spark/mllib/evaluation/MultilabelMetrics
+    * .scala:1) next to p15's multiclass, p17's ROC, p18's regression
+    * and p19's ranking metrics. Per user, the actual and predicted
+    * label sets come from the events table ([[MlActualMinCount]] /
+    * [[MlPredictedMinCents]]); the report is LONG format — one row
+    * per (metric, label) with the EXACT integer numerator/denominator
+    * and value = round(num/den, 4) (NULL when den = 0), so every
+    * number is a single division of exact longs:
+    *
+    *  - per-label precision/recall/f1 from (tp, fp, fn) counts, the
+    *    reference's label-indexed members;
+    *  - micro_* over the summed counts;
+    *  - subset_accuracy (exact set matches / users) and hamming_loss
+    *    (Σ symmetric difference / users·labels) — exact rationals;
+    *  - the reference's DOC-AVERAGED accuracy/precision/recall/f1 are
+    *    sums of per-doc rationals, which no single division can carry
+    *    exactly — so each per-doc term is quantized to the
+    *    [[MlTickScale]] grid first (num = Σ (x·4096 div y), den =
+    *    users·4096 — a stated tick contract, deterministic in both
+    *    engines), with the empty-set terms (|union| = 0 etc.)
+    *    CASE-defined as vacuously perfect (4096);
+    *  - macro_f1 as the same tick quantization over labels.
+    *
+    * Scale shape: ONE partial-agg'd (user, type) groupBy over events
+    * (the only corpus-sized shuffle; counts and cent-sums combine
+    * map-side), then every downstream frame is per-user (bounded by
+    * the user universe) or label-set-sized; the report assembles from
+    * 1-row and |labels|-row frames. Nothing collected.
+    */
+  def p27Multilabel(spark: SparkSession, sfDir: String): DataFrame =
+    multilabelReport(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("cents")))
+
+  /** The [[p27Multilabel]] core over a raw (user_id, event_type,
+    * cents) frame — package-private so the spec can hand-count a
+    * planted corpus.
+    */
+  private[graft] def multilabelReport(raw: DataFrame): DataFrame = {
+    val per = raw
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("cents")).as("sc"))
+      .localCheckpoint(true)
+    val act = per.filter(col("c") >= MlActualMinCount)
+      .select(col("user_id"), col("event_type"))
+    val pred = per.filter(col("sc") >= MlPredictedMinCents)
+      .select(col("user_id"), col("event_type"))
+    val both = act.join(pred, Seq("user_id", "event_type"))
+    // per-user set sizes (na, np, ni) over the full user universe
+    val users = per.select(col("user_id")).distinct()
+    val docs = users
+      .join(act.groupBy("user_id").agg(count(lit(1)).as("na")), Seq("user_id"), "left")
+      .join(pred.groupBy("user_id").agg(count(lit(1)).as("np")), Seq("user_id"), "left")
+      .join(both.groupBy("user_id").agg(count(lit(1)).as("ni")), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ni"), lit(0L)).as("ni"))
+    val t = MlTickScale
+    // doc-averaged tick terms: empty-set denominators are vacuously
+    // perfect (the CASE both engines share)
+    val docAgg = docs.agg(
+      count(lit(1)).as("n_users"),
+      sum((col("ni") === col("na") && col("ni") === col("np"))
+        .cast("long")).as("n_exact"),
+      sum(col("na") + col("np") - col("ni") * 2).as("symdiff"),
+      sum(when(col("na") + col("np") - col("ni") === 0L, lit(t))
+        .otherwise(expr(s"(ni * $t) div (na + np - ni)"))).as("acc_t"),
+      sum(when(col("np") === 0L, lit(t))
+        .otherwise(expr(s"(ni * $t) div np"))).as("prec_t"),
+      sum(when(col("na") === 0L, lit(t))
+        .otherwise(expr(s"(ni * $t) div na"))).as("rec_t"),
+      sum(when(col("na") + col("np") === 0L, lit(t))
+        .otherwise(expr(s"(ni * 2 * $t) div (na + np)"))).as("f1_t"))
+      .localCheckpoint(true)
+    // per-label counts over the corpus label universe
+    val labels = per.select(col("event_type")).distinct()
+    val byLabel = labels
+      .join(both.groupBy("event_type").agg(count(lit(1)).as("tp")),
+        Seq("event_type"), "left")
+      .join(act.groupBy("event_type").agg(count(lit(1)).as("n_act")),
+        Seq("event_type"), "left")
+      .join(pred.groupBy("event_type").agg(count(lit(1)).as("n_pred")),
+        Seq("event_type"), "left")
+      .select(col("event_type").as("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_act"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+      .localCheckpoint(true)
+    val labAgg = byLabel.agg(
+      count(lit(1)).as("n_labels"),
+      sum(col("tp")).as("s_tp"), sum(col("fp")).as("s_fp"),
+      sum(col("fn")).as("s_fn"),
+      sum(when(col("tp") * 2 + col("fp") + col("fn") === 0L, lit(t))
+        .otherwise(expr(s"(tp * 2 * $t) div (tp * 2 + fp + fn)")))
+        .as("macro_f1_t"))
+    def metricRow(metric: String, label: Column, num: Column, den: Column) =
+      struct(lit(metric).as("metric"), label.as("label"),
+        num.cast("long").as("num"), den.cast("long").as("den"))
+    val perLabelRows = byLabel.select(explode(array(
+        metricRow("precision", col("label"), col("tp"), col("tp") + col("fp")),
+        metricRow("recall", col("label"), col("tp"), col("tp") + col("fn")),
+        metricRow("f1", col("label"), col("tp") * 2,
+          col("tp") * 2 + col("fp") + col("fn")))).as("r"))
+      .select(col("r.*"))
+    val aggRows = labAgg.crossJoin(broadcast(docAgg))
+      .select(explode(array(
+        metricRow("micro_precision", lit("_all"), col("s_tp"),
+          col("s_tp") + col("s_fp")),
+        metricRow("micro_recall", lit("_all"), col("s_tp"),
+          col("s_tp") + col("s_fn")),
+        metricRow("micro_f1", lit("_all"), col("s_tp") * 2,
+          col("s_tp") * 2 + col("s_fp") + col("s_fn")),
+        metricRow("subset_accuracy", lit("_all"), col("n_exact"), col("n_users")),
+        metricRow("hamming_loss", lit("_all"), col("symdiff"),
+          col("n_users") * col("n_labels")),
+        metricRow("accuracy", lit("_all"), col("acc_t"), col("n_users") * t),
+        metricRow("doc_precision", lit("_all"), col("prec_t"),
+          col("n_users") * t),
+        metricRow("doc_recall", lit("_all"), col("rec_t"), col("n_users") * t),
+        metricRow("doc_f1", lit("_all"), col("f1_t"), col("n_users") * t),
+        metricRow("macro_f1", lit("_all"), col("macro_f1_t"),
+          col("n_labels") * t))).as("r"))
+      .select(col("r.*"))
+    perLabelRows.unionByName(aggRows)
+      .withColumn("value",
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("num") / col("den").cast("double"), 4)))
+      .orderBy(col("metric"), col("label"))
+  }
+
+  /** The DuckDB twin of [[p27Multilabel]]: the same (user, type)
+    * aggregate, set-count joins, tick CASEs, and single-division
+    * report — every num/den CAST back to BIGINT (DuckDB widens sums
+    * to HUGEINT, the g02 guard).
+    */
+  private[graft] def p27OracleSql: String = {
+    val t = MlTickScale
+    s"""WITH per AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+       |  FROM events GROUP BY 1, 2),
+       |act AS (SELECT user_id, event_type FROM per WHERE c >= $MlActualMinCount),
+       |pred AS (SELECT user_id, event_type FROM per
+       |         WHERE sc >= $MlPredictedMinCents),
+       |b_ AS (SELECT a.user_id, a.event_type
+       |       FROM act a JOIN pred p USING (user_id, event_type)),
+       |users AS (SELECT DISTINCT user_id FROM per),
+       |docs AS (
+       |  SELECT u.user_id, coalesce(xa.n, 0) AS na, coalesce(xp.n, 0) AS np,
+       |         coalesce(xi.n, 0) AS ni
+       |  FROM users u
+       |  LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |             FROM act GROUP BY 1) xa USING (user_id)
+       |  LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |             FROM pred GROUP BY 1) xp USING (user_id)
+       |  LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+       |             FROM b_ GROUP BY 1) xi USING (user_id)),
+       |docagg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(CASE WHEN ni = na AND ni = np THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_exact,
+       |    CAST(sum(na + np - ni * 2) AS BIGINT) AS symdiff,
+       |    CAST(sum(CASE WHEN na + np - ni = 0 THEN $t
+       |             ELSE (ni * $t) // (na + np - ni) END) AS BIGINT) AS acc_t,
+       |    CAST(sum(CASE WHEN np = 0 THEN $t
+       |             ELSE (ni * $t) // np END) AS BIGINT) AS prec_t,
+       |    CAST(sum(CASE WHEN na = 0 THEN $t
+       |             ELSE (ni * $t) // na END) AS BIGINT) AS rec_t,
+       |    CAST(sum(CASE WHEN na + np = 0 THEN $t
+       |             ELSE (ni * 2 * $t) // (na + np) END) AS BIGINT) AS f1_t
+       |  FROM docs),
+       |labels AS (SELECT DISTINCT event_type FROM per),
+       |bylabel AS (
+       |  SELECT l.event_type AS label, coalesce(xt.n, 0) AS tp,
+       |    coalesce(xp.n, 0) - coalesce(xt.n, 0) AS fp,
+       |    coalesce(xa.n, 0) - coalesce(xt.n, 0) AS fn
+       |  FROM labels l
+       |  LEFT JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |             FROM b_ GROUP BY 1) xt USING (event_type)
+       |  LEFT JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |             FROM act GROUP BY 1) xa USING (event_type)
+       |  LEFT JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |             FROM pred GROUP BY 1) xp USING (event_type)),
+       |labagg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+       |    CAST(sum(tp) AS BIGINT) AS s_tp, CAST(sum(fp) AS BIGINT) AS s_fp,
+       |    CAST(sum(fn) AS BIGINT) AS s_fn,
+       |    CAST(sum(CASE WHEN tp * 2 + fp + fn = 0 THEN $t
+       |             ELSE (tp * 2 * $t) // (tp * 2 + fp + fn) END) AS BIGINT)
+       |      AS macro_f1_t
+       |  FROM bylabel),
+       |rws AS (
+       |  SELECT 'precision' AS metric, label, tp AS num, tp + fp AS den
+       |  FROM bylabel
+       |  UNION ALL SELECT 'recall', label, tp, tp + fn FROM bylabel
+       |  UNION ALL SELECT 'f1', label, tp * 2, tp * 2 + fp + fn FROM bylabel
+       |  UNION ALL SELECT 'micro_precision', '_all', s_tp, s_tp + s_fp
+       |    FROM labagg
+       |  UNION ALL SELECT 'micro_recall', '_all', s_tp, s_tp + s_fn FROM labagg
+       |  UNION ALL SELECT 'micro_f1', '_all', s_tp * 2,
+       |    s_tp * 2 + s_fp + s_fn FROM labagg
+       |  UNION ALL SELECT 'subset_accuracy', '_all', n_exact, n_users
+       |    FROM docagg
+       |  UNION ALL SELECT 'hamming_loss', '_all', d.symdiff,
+       |    d.n_users * l.n_labels FROM docagg d, labagg l
+       |  UNION ALL SELECT 'accuracy', '_all', acc_t, n_users * $t FROM docagg
+       |  UNION ALL SELECT 'doc_precision', '_all', prec_t, n_users * $t
+       |    FROM docagg
+       |  UNION ALL SELECT 'doc_recall', '_all', rec_t, n_users * $t
+       |    FROM docagg
+       |  UNION ALL SELECT 'doc_f1', '_all', f1_t, n_users * $t FROM docagg
+       |  UNION ALL SELECT 'macro_f1', '_all', l.macro_f1_t,
+       |    l.n_labels * $t FROM labagg l)
+       |SELECT metric, label, CAST(num AS BIGINT) AS num,
+       |  CAST(den AS BIGINT) AS den,
+       |  CASE WHEN den = 0 THEN NULL
+       |       ELSE round(num / CAST(den AS DOUBLE), 4) END AS value
+       |FROM rws
+       |ORDER BY metric, label""".stripMargin
+  }
+
   /** p16: the ml feature-transformer surface in one pass over the
     * corpus — the encode step a training pipeline runs before
     * assembling model inputs (reference: /root/reference/mllib/src/

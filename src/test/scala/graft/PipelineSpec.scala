@@ -746,4 +746,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.p24DataScaling(spark, sfDir).collect().toSeq ==
       Pipeline.p24DataScaling(spark, sfDir).collect().toSeq)
   }
+
+  test("p27 multilabel: hand-counted parity on a planted corpus; empty-set guards") {
+    val sess = spark
+    import sess.implicits._
+    // planted sets: u1 actual {A,B} / predicted {A}; u2 actual {A} /
+    // predicted {A,C}; u3 both empty (the exact-match and
+    // division-guard case). Rows are generated to sit exactly at or
+    // under the count/cents thresholds.
+    def rowsFor(u: Long, t: String, act: Boolean, pred: Boolean) = {
+      val n = if (act) Pipeline.MlActualMinCount.toInt else 1
+      val per = if (pred) (Pipeline.MlPredictedMinCents + n - 1) / n else 1L
+      Seq.fill(n)((u, t, per))
+    }
+    val raw = (rowsFor(1L, "A", act = true, pred = true) ++
+      rowsFor(1L, "B", act = true, pred = false) ++
+      rowsFor(2L, "A", act = true, pred = true) ++
+      rowsFor(2L, "C", act = false, pred = true) ++
+      rowsFor(3L, "A", act = false, pred = false))
+      .toDF("user_id", "event_type", "cents")
+    val got = Pipeline.multilabelReport(raw).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    val T = Pipeline.MlTickScale
+    val expected = Map(
+      ("precision", "A") -> (2L, 2L, Some(1.0)),
+      ("precision", "B") -> (0L, 0L, None), // never predicted: NULL guard
+      ("precision", "C") -> (0L, 1L, Some(0.0)),
+      ("recall", "A") -> (2L, 2L, Some(1.0)),
+      ("recall", "B") -> (0L, 1L, Some(0.0)),
+      ("recall", "C") -> (0L, 0L, None), // never actual: NULL guard
+      ("f1", "A") -> (4L, 4L, Some(1.0)),
+      ("f1", "B") -> (0L, 1L, Some(0.0)),
+      ("f1", "C") -> (0L, 1L, Some(0.0)),
+      ("micro_precision", "_all") -> (2L, 3L, Some(0.6667)),
+      ("micro_recall", "_all") -> (2L, 3L, Some(0.6667)),
+      ("micro_f1", "_all") -> (4L, 6L, Some(0.6667)),
+      ("subset_accuracy", "_all") -> (1L, 3L, Some(0.3333)),
+      ("hamming_loss", "_all") -> (2L, 9L, Some(0.2222)),
+      // doc-averaged ticks: u1 |i|/|u| = 1/2, u2 1/2, u3 vacuous 1
+      ("accuracy", "_all") -> (2L * (T / 2) + T, 3L * T, Some(0.6667)),
+      ("doc_precision", "_all") -> (T + T / 2 + T, 3L * T, Some(0.8333)),
+      ("doc_recall", "_all") -> (T / 2 + T + T, 3L * T, Some(0.8333)),
+      ("doc_f1", "_all") -> (2L * (2 * T / 3) + T, 3L * T, Some(0.7777)),
+      ("macro_f1", "_all") -> (T, 3L * T, Some(0.3333)))
+    assert(got.size == expected.size, s"row count: ${got.size} vs ${expected.size}")
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"$k: got ${got(k)}, expected $v")
+    }
+    // corpus determinism
+    val a = Pipeline.p27Multilabel(spark, sfDir).collect().toSeq
+    assert(a == Pipeline.p27Multilabel(spark, sfDir).collect().toSeq)
+    assert(a.nonEmpty)
+  }
 }
