@@ -201,7 +201,7 @@ object SparkEntry {
     "s29_col_similarity" -> (Similarity.s29ColSimilarity _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
-    "m02_feature_stub" -> (Multimodal.m02FeatureStub _),
+    "m02_image_decode" -> (Multimodal.m02ImageDecode _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
     "m05_integrity" -> (Multimodal.m05Integrity _),
@@ -4470,50 +4470,35 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM b
         |ORDER BY doc_id""".stripMargin,
-    // m02 oracle replicates the stub feature derivation EXACTLY: tag =
-    // first 8 md5 bytes of mime, h_j = splitmix64(doc_id ^ tag<<17 ^ j)
-    // in UHUGEINT wrap arithmetic (same chain as the t04 oracle), and
-    // the digest is md5 over the comma-joined SIGNED decimal h values
-    // (the float features are a pure function of the h's).
-    "m02_feature_stub" ->
-      """WITH d AS (
+    // m02 oracle: the engine encodes planted pixels into REAL PNG/BMP
+    // containers and decodes them with ImageIO; the oracle recomputes
+    // the decoded statistics ARITHMETICALLY (dims and per-channel
+    // pixel values are a pure function of doc_id and both formats are
+    // lossless), so a broken encoder, decoder, or channel-order bug
+    // hash-fails the gate. DuckDB cannot (and should not) run a codec.
+    "m02_image_decode" ->
+      """WITH img AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-        |         WHEN doc_id % 3 = 1 THEN 'image/jpeg'
-        |         ELSE 'audio/wav' END AS mime
-        |  FROM documents),
-        |t AS (
-        |  SELECT doc_id, mime,
-        |    ('0x' || substr(md5(mime), 1, 16))::UBIGINT AS tag
-        |  FROM d),
-        |x AS (
-        |  SELECT doc_id, mime, j,
-        |    xor(xor(CAST(doc_id AS UBIGINT),
-        |            CAST((CAST(tag AS UHUGEINT) * 131072) % 18446744073709551616 AS UBIGINT)),
-        |        CAST(j AS UBIGINT)) AS z0
-        |  FROM t, range(0, 8) r(j)),
-        |s1 AS (
-        |  SELECT doc_id, mime, j,
-        |    CAST((CAST(z0 AS UHUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z1
-        |  FROM x),
-        |s2 AS (
-        |  SELECT doc_id, mime, j,
-        |    CAST((CAST(xor(z1, z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS z2
-        |  FROM s1),
-        |s3 AS (
-        |  SELECT doc_id, mime, j,
-        |    CAST((CAST(xor(z2, z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS z3
-        |  FROM s2),
-        |v AS (
-        |  SELECT doc_id, mime, j,
-        |    CAST(CASE WHEN xor(z3, z3 >> 31) >= 9223372036854775808
-        |         THEN CAST(xor(z3, z3 >> 31) AS HUGEINT) - 18446744073709551616
-        |         ELSE CAST(xor(z3, z3 >> 31) AS HUGEINT) END AS BIGINT) AS h
-        |  FROM s3)
-        |SELECT doc_id, mime,
-        |  md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY j)) AS features_digest
-        |FROM v
-        |GROUP BY doc_id, mime
+        |         ELSE 'image/bmp' END AS mime,
+        |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 4 ELSE 3 END AS nch,
+        |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 3 < 2),
+        |xs AS (SELECT doc_id, mime, nch, w, h, unnest(range(0, w)) AS x FROM img),
+        |px AS (SELECT doc_id, mime, nch, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |ag AS (
+        |  SELECT doc_id, any_value(mime) AS mime, any_value(nch) AS nch,
+        |    any_value(w) AS w, any_value(h) AS h,
+        |    CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sr,
+        |    CAST(sum((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS sg,
+        |    CAST(sum((doc_id * 13 + x * 3 + y * 19) % 256) AS BIGINT) AS sb
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, mime, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, CAST(nch AS BIGINT) AS n_channels,
+        |  (sr * 4096) // (w * h) AS mean_r_ticks,
+        |  (sg * 4096) // (w * h) AS mean_g_ticks,
+        |  (sb * 4096) // (w * h) AS mean_b_ticks
+        |FROM ag
         |ORDER BY doc_id""".stripMargin,
     // m06: the oracle replicates the frame-set Jaccard pipeline from
     // the m03 frame CTE with a direct digest self-join and the SAME

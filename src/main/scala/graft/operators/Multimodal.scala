@@ -7,10 +7,14 @@ import graft.Tables
 import graft.functions.Kernels
 
 /** Multimodal-column plumbing (SURVEY §2): media as opaque `binary`
-  * columns with typed metadata alongside. The container has no
-  * image/audio codecs, so the DECODE step is a deterministic stub —
-  * but the Spark-side shape (schema, magic-number sniffing, bounded
-  * per-partition batching, feature schema) is real and tested.
+  * columns with typed metadata alongside. The IMAGE decode (m02) is
+  * real — pure-JVM ImageIO over real PNG/BMP container bytes, hash-
+  * verified against an arithmetic oracle because the planted pixel
+  * content is a function of doc_id and both formats are lossless.
+  * The container has no audio/video codecs, so the frame-sampling
+  * decode (m03) remains a deterministic stub — the Spark-side shape
+  * (schema, magic-number sniffing, bounded per-partition batching)
+  * is real and tested throughout.
   *
   * At 100 TB the invariants that matter: binary payloads are never
   * parsed by Catalyst (opaque pass-through), per-partition memory is
@@ -55,69 +59,157 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  private val FeatureDim = 8
   private val BatchSize = 32
 
-  /** m02 core: decode / feature-extract plumbing. Batched per
-    * partition (`grouped(BatchSize)`) the way a real codec/model call
-    * would be — memory bounded by batch, not partition — with the
-    * decode kernel STUBBED as a deterministic hash-derived feature
-    * vector. `batch_n` in the output proves the batch shape to the
-    * spec; `features_digest` is a scalar md5 of the vector so
-    * downstream consumers that can't sort/compare array cells (the
-    * driver's pandas compare) still get a content-faithful column.
+  /** Planted image-modality content — dims and per-channel pixel
+    * values are an ARITHMETIC function of doc_id, so the DuckDB
+    * oracle recomputes the DECODED statistics without a codec while
+    * the engine path runs a real encode → container bytes → real
+    * ImageIO decode (PNG and BMP are lossless, so decoded pixels ARE
+    * the planted ones and m02 is hash-verified end to end).
+    * Modalities: doc_id % 3 == 0 → PNG (RGBA when doc_id % 2 == 0,
+    * RGB otherwise — so n_channels is a real decode output, not a
+    * constant), doc_id % 3 == 1 → 24-bit BMP; % 3 == 2 rows are the
+    * audio modality and stay with [[m03FrameSample]]'s stub.
     */
-  def m02Features(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = m01BinaryMeta(spark, sfDir).select("doc_id", "mime", "byte_len")
+  private[graft] def imgWidth(id: Long): Int = (8 + id % 9).toInt
+  private[graft] def imgHeight(id: Long): Int = (8 + id % 7).toInt
+  private[graft] def imgR(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private[graft] def imgG(id: Long, x: Int, y: Int): Int =
+    ((id * 17 + x * 11 + y * 5) % 256).toInt
+  private[graft] def imgB(id: Long, x: Int, y: Int): Int =
+    ((id * 13 + x * 3 + y * 19) % 256).toInt
+
+  /** Encode doc_id's planted image to real container bytes with the
+    * pure-JVM ImageIO writers (reference anchor for the schema:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/image/
+    * ImageSchema.scala:1, which decodes to (height, width, nChannels,
+    * data)). In a production pipeline these bytes arrive in the
+    * source parquet; the synthesis stands in for ingestion, the
+    * decode below is the operator.
+    */
+  private[graft] def encodeImage(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = imgWidth(id); val h = imgHeight(id)
+    val rgba = id % 3 == 0 && id % 2 == 0
+    val img = new BufferedImage(w, h,
+      if (rgba) BufferedImage.TYPE_INT_ARGB else BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (0xFF << 24) | (imgR(id, x, y) << 16) |
+          (imgG(id, x, y) << 8) | imgB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val fmt = if (id % 3 == 0) "png" else "bmp"
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"encodeImage: no JVM writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** The image-modality blob source: one (doc_id, blob) row per
+    * image-modality document, blob a REAL PNG/BMP container.
+    */
+  private[operators] def withImageBlob(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id")).filter(col("doc_id") % 3 < 2)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    src.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), encodeImage(r.getLong(0))))
+    }(encoder)
+  }
+
+  /** Decode real container bytes with pure-JVM ImageIO: sniffed mime
+    * (PNG/BMP magic), dimensions, raster band count, and exact
+    * per-channel pixel sums — the decode kernel [[m02ImageFeatures]]
+    * batches over. Package-private so the spec can pin exact dims and
+    * means on hand-planted images.
+    */
+  private[graft] def decodeImageStats(
+      blob: Array[Byte]): (String, Int, Int, Int, Long, Long, Long) = {
+    val mime =
+      if (blob.length >= 4 && (blob(0) & 0xFF) == 0x89 && blob(1) == 'P'.toByte)
+        "image/png"
+      else if (blob.length >= 2 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
+        "image/bmp"
+      else "application/octet-stream"
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    require(img != null, s"decodeImageStats: undecodable payload ($mime)")
+    val w = img.getWidth; val h = img.getHeight
+    val bands = img.getRaster.getNumBands
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (mime, w, h, bands, sr, sg, sb)
+  }
+
+  /** m02 core: REAL image decode over the binary column — container
+    * bytes in, (mime, width, height, n_channels, channel-mean ticks)
+    * out, via pure-JVM ImageIO inside bounded per-partition batches
+    * (`grouped(BatchSize)`, the way a codec/model call is batched —
+    * memory bounded by batch, not partition). Channel means are exact
+    * integer 2¹² ticks ((Σ channel) · 4096 div (w·h), all positive so
+    * truncation is floor in both engines). `batch_n` proves the batch
+    * shape to the spec and stays spec-only (physical partition
+    * boundaries are not oracle-reproducible).
+    *
+    * Scale shape: metadata-only upstream (the blob is built/read
+    * inside the same partition scan, never shuffled); the decode is
+    * embarrassingly parallel per partition; output is a narrow typed
+    * row per image. At 100 TB the payload column stays opaque to
+    * Catalyst and the only data movement is the final orderBy for the
+    * gate — a production consumer drops it.
+    */
+  def m02ImageFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = withImageBlob(
+      Tables.documents(spark, sfDir).select(col("doc_id")))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("mime", StringType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false),
-      StructField("features_digest", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_channels", LongType, nullable = false),
+      StructField("mean_r_ticks", LongType, nullable = false),
+      StructField("mean_g_ticks", LongType, nullable = false),
+      StructField("mean_b_ticks", LongType, nullable = false),
       StructField("batch_n", IntegerType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     src.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def md5Hex(s: String): String = {
-        md.reset()
-        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      }
       rows.grouped(BatchSize).flatMap { batch =>
-        // STUB: a real implementation decodes `blob` with a codec and
-        // runs a feature model over the batch. Deterministic fake:
-        // features_j = mix64(doc_id ^ tag<<17 ^ j) scaled to [-1, 1),
-        // where tag is the first 8 md5 bytes of the mime string (NOT
-        // JVM String.hashCode — md5 any engine can recompute, so the
-        // DuckDB oracle replicates the vector bit-exactly).
         batch.map { r =>
           val id = r.getLong(0)
-          val mime = r.getString(1)
-          val tag = java.lang.Long.parseUnsignedLong(md5Hex(mime).substring(0, 16), 16)
-          val hs = Array.tabulate(FeatureDim) { j =>
-            Kernels.mix64(id ^ (tag << 17) ^ j.toLong)
-          }
-          val feats = hs.map(h =>
-            ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat)
-          // Digest the underlying mix64 longs, not the floats: the
-          // floats are a pure function of them, and decimal long
-          // rendering is identical across engines where JVM
-          // float-to-string is not.
-          val digest = md5Hex(hs.mkString(","))
-          Row(id, mime, feats.toSeq, digest, batch.size)
+          val (mime, w, h, bands, sr, sg, sb) =
+            decodeImageStats(r.getAs[Array[Byte]](1))
+          val n = w.toLong * h
+          Row(id, mime, w.toLong, h.toLong, bands.toLong,
+            sr * 4096L / n, sg * 4096L / n, sb * 4096L / n, batch.size)
         }
       }
     }(encoder)
       .orderBy(col("doc_id"))
   }
 
-  /** m02 driver-facing output: the raw `array<float>` column stays in
-    * [[m02Features]] for typed consumers and the spec; the driver dump
-    * carries the scalar digest instead. `batch_n` also stays spec-only:
-    * it reflects Spark's physical partition boundaries, which no
-    * cross-engine oracle can (or should) reproduce.
+  /** m02 driver-facing output — [[m02ImageFeatures]] minus the
+    * spec-only batch column.
     */
-  def m02FeatureStub(spark: SparkSession, sfDir: String): DataFrame =
-    m02Features(spark, sfDir).drop("features", "batch_n")
+  def m02ImageDecode(spark: SparkSession, sfDir: String): DataFrame =
+    m02ImageFeatures(spark, sfDir).drop("batch_n")
 
   private val FrameStride = 16
 

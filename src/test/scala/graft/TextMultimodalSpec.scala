@@ -283,23 +283,43 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"digest fan-out $maxDocsPerDigest would bind the cap")
   }
 
-  test("m02 feature stub: batched, deterministic, bounded batch size") {
-    val out = Multimodal.m02Features(spark, sfDir).collect()
+  test("m02 image decode: exact dims/means on planted PNG/BMP, batched, deterministic") {
+    // hand-planted kernel pins: encode -> real container bytes ->
+    // real ImageIO decode must reproduce the arithmetic pixel plant
+    // exactly (PNG and BMP are lossless)
+    for (id <- Seq(0L, 3L, 4L, 7L)) {
+      val blob = Multimodal.encodeImage(id)
+      val (mime, w, h, bands, sr, sg, sb) = Multimodal.decodeImageStats(blob)
+      val expMime = if (id % 3 == 0) "image/png" else "image/bmp"
+      assert(mime == expMime, s"id $id sniffed $mime")
+      assert(w == Multimodal.imgWidth(id) && h == Multimodal.imgHeight(id),
+        s"id $id dims ${w}x$h")
+      val expBands = if (id % 3 == 0 && id % 2 == 0) 4 else 3
+      assert(bands == expBands, s"id $id bands $bands")
+      val px = for (y <- 0 until h; x <- 0 until w) yield
+        (Multimodal.imgR(id, x, y).toLong, Multimodal.imgG(id, x, y).toLong,
+          Multimodal.imgB(id, x, y).toLong)
+      assert((sr, sg, sb) == (px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum),
+        s"id $id channel sums drifted: ($sr, $sg, $sb)")
+    }
+    val out = Multimodal.m02ImageFeatures(spark, sfDir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getSeq[Float](2).length == 8)
-      assert(r.getString(3).length == 32, "features_digest must be md5 hex")
-      val bn = r.getInt(4)
+      val bn = r.getInt(8)
       assert(bn >= 1 && bn <= 32, s"batch_n $bn out of bounds")
+      assert(r.getLong(4) == 3L || r.getLong(4) == 4L)
+      (5 to 7).foreach { j =>
+        val t = r.getLong(j)
+        assert(t >= 0L && t < 256L * 4096L, s"mean ticks $t out of range")
+      }
     }
-    val again = Multimodal.m02Features(spark, sfDir).collect()
-    assert(out.map(_.getSeq[Float](2)).toSeq == again.map(_.getSeq[Float](2)).toSeq)
-    // distinct feature vectors → distinct digests (digest is content-faithful)
-    assert(out.map(_.getString(3)).distinct.length ==
-      out.map(_.getSeq[Float](2)).distinct.length)
-    // driver-facing output carries the digest, not the array
-    val driverCols = Multimodal.m02FeatureStub(spark, sfDir).columns.toSeq
-    assert(driverCols == Seq("doc_id", "mime", "features_digest"))
+    // corpus determinism: a second decode pass is bit-identical
+    val again = Multimodal.m02ImageFeatures(spark, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // driver-facing output drops only the physical batch column
+    val driverCols = Multimodal.m02ImageDecode(spark, sfDir).columns.toSeq
+    assert(driverCols == Seq("doc_id", "mime", "width", "height",
+      "n_channels", "mean_r_ticks", "mean_g_ticks", "mean_b_ticks"))
   }
 
   test("t18 bpe: known merge sequence, tie-break, and exhaustion contract") {
