@@ -216,6 +216,7 @@ object SparkEntry {
     "g13_modularity" -> (Graph.g13Modularity _),
     "g14_betweenness" -> (Graph.g14Betweenness _),
     "g15_components" -> (Graph.g15Components _),
+    "g19_scc" -> (Graph.g19Scc _),
     "g06_sssp" -> (Graph.g06ShortestPaths _),
     "g16_landmark_paths" -> (Graph.g16LandmarkPaths _),
     "g17_closeness" -> (Graph.g17Closeness _),
@@ -2197,6 +2198,44 @@ object SparkEntry {
       graft.operators.Graph.LabelPropIters),
     "g15_components" -> g15OracleSql(
       graft.operators.Graph.CcIters),
+    // g19 oracle: an INDEPENDENT formulation — recursive-CTE
+    // reachability closure + mutual-pair minimum (scc(v) = min of v
+    // and every u with v⇝u AND u⇝v) — so the gate cross-checks the
+    // engine's coloring algorithm, not a re-rendering of it. DuckDB
+    // quirk honored: under WITH RECURSIVE a plain UNION in ANY CTE
+    // loses its dedup, so the non-recursive CTEs dedup via
+    // DISTINCT-over-UNION-ALL subqueries only.
+    "g19_scc" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b,
+         |         count(*) AS cnt
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT a AS src, b AS dst FROM p
+         |  UNION ALL
+         |  SELECT b, a FROM p WHERE cnt >= ${graft.operators.Graph.SccBackMinCount}),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |reach(s, d) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.s, e2.dst FROM reach r JOIN e e2 ON r.d = e2.src),
+         |mut AS (
+         |  SELECT a.s AS v, min(a.d) AS mn
+         |  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+         |  GROUP BY a.s),
+         |lab AS (
+         |  SELECT n.id, least(n.id, coalesce(m.mn, n.id)) AS scc
+         |  FROM nodes n LEFT JOIN mut m ON m.v = n.id),
+         |sz AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size
+         |       FROM lab GROUP BY scc)
+         |SELECT CASE WHEN l.id % 2 = 0 THEN 'c' ELSE 's' END AS node_type,
+         |  l.id // 2 AS entity_key,
+         |  CASE WHEN l.scc % 2 = 0 THEN 'c' ELSE 's' END AS scc_type,
+         |  l.scc // 2 AS scc_key, sz.scc_size
+         |FROM lab l JOIN sz USING (scc)
+         |ORDER BY node_type, entity_key""".stripMargin,
     "g13_modularity" -> g13OracleSql(
       graft.operators.Graph.LabelPropIters),
     "g14_betweenness" -> g14OracleSql(

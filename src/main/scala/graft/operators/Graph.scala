@@ -42,16 +42,15 @@ import graft.Tables
   * Coverage vs the reference graph library: PageRank (g01/g03), HITS
   * (g02), TriangleCount (g04), LabelPropagation (g05), ShortestPaths
   * (g06), ConnectedComponents (Dedup.connectedComponents, shipped
-  * under d07). StronglyConnectedComponents is deliberately omitted:
-  * on a mirrored (undirected) edge set SCC coincides exactly with CC
-  * — every edge is bidirectional, so mutual reachability IS
-  * reachability — and the corpus's only natural directed relation
-  * (customer→supplier purchases) is bipartite one-way, where every
-  * SCC is a singleton. Neither graph gives SCC semantics distinct
-  * from what CC already computes; a synthetic direction assignment
-  * would test the machinery against an invented relation, not the
-  * data (reference: /root/reference/graphx/src/main/scala/org/
-  * apache/spark/graphx/lib/StronglyConnectedComponents.scala:1).
+  * under d07), and StronglyConnectedComponents ([[g19Scc]]) over the
+  * DIRECTED trade graph — the mirrored graph is symmetric (SCC ≡ CC
+  * there), so g19 derives direction from the data instead: every
+  * customer→supplier purchase is a forward edge, and the
+  * supplier→customer REVERSE edge exists only for relationships
+  * strong enough ([[SccBackMinCount]] lineitems) to read as a
+  * two-way dependency, giving SCC semantics genuinely distinct from
+  * CC (reference: /root/reference/graphx/src/main/scala/org/apache/
+  * spark/graphx/lib/StronglyConnectedComponents.scala:1).
   */
 object Graph {
 
@@ -1549,5 +1548,216 @@ object Graph {
     }
     perLevel.reduce(_ unionByName _)
       .groupBy(col("id")).agg(sum(col("del")).as("bc_ticks"))
+  }
+
+  /** Reverse-edge threshold for [[g19Scc]]'s directed trade graph: a
+    * supplier→customer edge exists only when the pair traded at least
+    * this many lineitems (measured: ~3% of pairs at the test SFs — a
+    * sparse "strong relationship" relation, so SCC ≠ CC non-trivially
+    * at every SF: one dense mutual-trade core plus singletons).
+    */
+  private[graft] val SccBackMinCount = 3L
+
+  /** Loud runaway bounds for [[sccLabels]]'s converged loops — far
+    * above the measured fixpoints (≤ 3 outer rounds, ≤ 20 inner
+    * rounds at every test SF); a graph that does not converge inside
+    * them FAILS instead of shipping partial labels.
+    */
+  private[graft] val SccMaxOuterRounds = 64
+  private[graft] val SccMaxInnerRounds = 512
+
+  /** The directed trade graph: (src, dst) with customer c ↦ 2c,
+    * supplier s ↦ 2s+1 — forward edges for every distinct trading
+    * pair, reverse edges only above [[SccBackMinCount]]. One
+    * partial-agg'd (pair, count) groupBy over orders⋈lineitem.
+    */
+  private[graft] def directedTradeEdges(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        "o_orderkey")
+      .groupBy((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.filter(col("cnt") >= SccBackMinCount)
+        .select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The ONE bounded control-plane read behind every g19 fixpoint
+    * test: a 1-row decimal digest (SURVEY §4 site 13, the d07/g09
+    * digest convention). Callers pass a pre-aggregated 1-row frame
+    * whose first column is DECIMAL(38,0).
+    */
+  private def sccDigest(oneRow: DataFrame): BigDecimal =
+    Option(oneRow.collect()(0).getDecimal(0))
+      .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+
+  private def sccCount(df: DataFrame): BigDecimal =
+    sccDigest(df.agg(count(lit(1)).cast("decimal(38,0)").as("d")))
+
+  /** Strongly connected components of a directed (src, dst) edge
+    * frame, run to EXACT convergence — the coloring algorithm the
+    * reference implements as a Pregel program (reference graphx/lib/
+    * StronglyConnectedComponents.scala:1), re-expressed as three
+    * digest-converged DataFrame fixpoints per outer round:
+    *
+    *  1. TRIM: peel nodes with no in-edge or no out-edge within the
+    *     remaining graph (each is its own singleton SCC — a member of
+    *     a non-trivial SCC has both, inside its SCC). Run to the
+    *     count fixpoint: iterated trimming dissolves the whole DAG
+    *     part of the graph in depth-many cheap rounds.
+    *  2. COLOR: forward min-label propagation to the label-sum
+    *     fixpoint — lab(v) = min({v} ∪ {ancestors of v in the
+    *     remaining graph}). Every color class c is rooted at c
+    *     (c's own min ancestor cannot be smaller, else it would also
+    *     be an ancestor of every v the class contains).
+    *  3. BACKWARD: mark nodes that can REACH their color root using
+    *     only same-color nodes (any v↝root path is mutual-reach
+    *     certified: the root reaches v by definition of the color, so
+    *     every node on the path is in SCC(root), and each such node's
+    *     min ancestor is then exactly the root — the path cannot
+    *     leave the class). Marked nodes ARE SCC(root), finalized with
+    *     scc = color and removed; unmarked class members recolor next
+    *     round.
+    *
+    * Every outer round finalizes at least every color root's SCC, so
+    * termination is structural; [[SccMaxOuterRounds]] /
+    * [[SccMaxInnerRounds]] are loud runaway bounds, not silent
+    * truths (the g09 lesson). Digests are 1-row decimal reads: trim
+    * and backward use monotone set counts, coloring the monotone
+    * non-increasing label sum — an unchanged digest IS the fixpoint.
+    *
+    * Scale shape per inner round: one edge⋈label shuffle join plus a
+    * partial-agg'd min (coloring), or a semi-join frontier expansion
+    * + distinct (backward) — two longs of state per node, the g15
+    * per-round profile. The backward phase's same-color edge frame is
+    * computed once per outer round. Eager per-round localCheckpoint
+    * keeps lineage flat across the nested loops. Output: (id, scc).
+    */
+  private[graft] def sccLabels(edges0: DataFrame): DataFrame = {
+    var er = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    var rem = er.select(col("src").as("id"))
+      .unionByName(er.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    // empty (id, scc) accumulator with the right schema
+    var fin = rem.filter(lit(false))
+      .select(col("id"), col("id").as("scc")).localCheckpoint(true)
+    var remCount = sccCount(rem)
+    var outer = 0
+    def restrictEdges(): Unit = {
+      er = er.join(rem.withColumnRenamed("id", "src"), Seq("src"), "semi")
+        .join(rem.withColumnRenamed("id", "dst"), Seq("dst"), "semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+    }
+    while (remCount > 0 && outer < SccMaxOuterRounds) {
+      // ---- 1. trim to the count fixpoint
+      var trimming = true
+      var inner = 0
+      while (trimming && remCount > 0) {
+        require(inner < SccMaxInnerRounds, "g19 trim did not converge")
+        // both-directions endpoint check in ONE partial-agg'd shuffle:
+        // keep = ids with at least one out-edge AND one in-edge (edge
+        // endpoints are ⊆ rem, so rem-only nodes peel as edgeless)
+        val keep = er.select(col("src").as("id"), lit(1L).as("o"), lit(0L).as("i"))
+          .unionByName(er.select(col("dst").as("id"), lit(0L).as("o"), lit(1L).as("i")))
+          .groupBy(col("id")).agg(max(col("o")).as("o"), max(col("i")).as("i"))
+          .filter(col("o") === 1L && col("i") === 1L)
+          .select(col("id"))
+          .localCheckpoint(true)
+        val kc = sccCount(keep)
+        if (kc == remCount) trimming = false
+        else {
+          val peeled = rem.join(keep, Seq("id"), "anti")
+            .select(col("id"), col("id").as("scc"))
+          fin = fin.unionByName(peeled).localCheckpoint(true)
+          rem = keep
+          restrictEdges()
+          remCount = kc
+        }
+        inner += 1
+      }
+      if (remCount > 0) {
+        // ---- 2. forward-min coloring to the label-sum fixpoint
+        var lab = rem.select(col("id"), col("id").as("lab"))
+          .localCheckpoint(true)
+        def labSum(l: DataFrame): BigDecimal =
+          sccDigest(l.agg(sum(col("lab").cast("decimal(38,0)")).as("d")))
+        var prev = labSum(lab)
+        var coloring = true
+        inner = 0
+        while (coloring) {
+          require(inner < SccMaxInnerRounds, "g19 coloring did not converge")
+          lab = lab.unionByName(
+              er.join(lab.withColumnRenamed("id", "src"), "src")
+                .select(col("dst").as("id"), col("lab")))
+            .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+            .localCheckpoint(true)
+          val d = labSum(lab)
+          coloring = d != prev
+          prev = d
+          inner += 1
+        }
+        // ---- 3. backward mark within the color class
+        val le = er
+          .join(lab.select(col("id").as("src"), col("lab").as("lab_s")), "src")
+          .join(lab.select(col("id").as("dst"), col("lab").as("lab_d")), "dst")
+          .filter(col("lab_s") === col("lab_d"))
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        var mark = lab.filter(col("id") === col("lab")).select(col("id"))
+          .localCheckpoint(true)
+        var mc = sccCount(mark)
+        var marking = true
+        inner = 0
+        while (marking) {
+          require(inner < SccMaxInnerRounds, "g19 backward did not converge")
+          mark = mark.unionByName(
+              le.join(mark.withColumnRenamed("id", "dst"), "dst")
+                .select(col("src").as("id")))
+            .distinct().localCheckpoint(true)
+          val d = sccCount(mark)
+          marking = d != mc
+          mc = d
+          inner += 1
+        }
+        val done = lab.join(mark, Seq("id"), "semi")
+          .select(col("id"), col("lab").as("scc")).localCheckpoint(true)
+        fin = fin.unionByName(done).localCheckpoint(true)
+        rem = rem.join(done, Seq("id"), "anti").localCheckpoint(true)
+        restrictEdges()
+        remCount = sccCount(rem)
+      }
+      outer += 1
+    }
+    require(remCount == 0,
+      s"g19 did not finalize every node in $SccMaxOuterRounds outer rounds")
+    fin
+  }
+
+  /** g19: strongly connected components of the DIRECTED trade graph
+    * — the mutual-dependency core a supply-chain or exposure review
+    * asks for that CC (g15) cannot see: reachability there is
+    * symmetric by construction, while g19's reverse edges exist only
+    * for strong relationships ([[directedTradeEdges]]), so the SCCs
+    * separate the mutually-locked trading core from one-way
+    * periphery. Exact converged labels via [[sccLabels]]; the DuckDB
+    * oracle is an independent formulation (recursive-CTE reachability
+    * closure + mutual-pair minimum), so the gate cross-checks the
+    * ALGORITHM, not a re-rendering of it. Output one row per node:
+    * (node_type, entity_key, scc_type, scc_key, scc_size) — the g15
+    * report shape with the SCC's min-id label.
+    */
+  def g19Scc(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = sccLabels(directedTradeEdges(spark, sfDir))
+    val sizes = labels.groupBy(col("scc")).agg(count(lit(1)).as("scc_size"))
+    labels.join(sizes, "scc").select(
+        when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
+        expr("id div 2").as("entity_key"),
+        when(col("scc") % 2 === 0, lit("c")).otherwise(lit("s")).as("scc_type"),
+        expr("scc div 2").as("scc_key"),
+        col("scc_size"))
+      .orderBy(col("node_type"), col("entity_key"))
   }
 }

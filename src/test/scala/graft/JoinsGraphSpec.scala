@@ -1123,4 +1123,48 @@ class JoinsGraphSpec extends AnyFunSuite {
       assert(rs.head.getLong(4) == rs.length.toLong)
     }
   }
+
+  test("g19 scc: planted digraphs — cycles, bridge, nested-root rounds, DAG trim") {
+    import spark.implicits._
+    def labs(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Graph.sccLabels(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two cycles joined by a one-way bridge, plus a dangling tail:
+    // {1,2,3} and {4,5} are SCCs, 6 a singleton
+    assert(labs(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+        (4L, 5L), (5L, 4L), (5L, 6L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // nested color roots: {3,4}'s min ancestor is 1, so round 1 colors
+    // it under SCC {1,2}'s root and only the backward phase's
+    // mutual-reach check defers it to outer round 2
+    assert(labs(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // a pure DAG dissolves entirely in the trim phase: a long path and
+    // a diamond, every node its own SCC
+    val dag = (1L to 12L).sliding(2).map(p => (p.head, p(1))).toSeq ++
+      Seq((20L, 21L), (20L, 22L), (21L, 23L), (22L, 23L))
+    assert(labs(dag) == (1L to 12L).map(i => i -> i).toMap ++
+      Map(20L -> 20L, 21L -> 21L, 22L -> 22L, 23L -> 23L))
+    // an isolated 2-cycle plus a self-contained triangle — multiple
+    // nontrivial SCCs finalize in the SAME outer round
+    assert(labs(Seq((7L, 8L), (8L, 7L), (10L, 11L), (11L, 12L), (12L, 10L))) ==
+      Map(7L -> 7L, 8L -> 7L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("g19 scc: corpus — deterministic, sizes self-consistent, SCC ≠ CC") {
+    val a = graft.operators.Graph.g19Scc(spark, sfDir).collect()
+    val b = graft.operators.Graph.g19Scc(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq && a.nonEmpty)
+    // scc_size is the actual row count of its label
+    val byScc = a.groupBy(r => (r.getString(2), r.getLong(3)))
+    byScc.foreach { case (k, rows) =>
+      assert(rows.forall(_.getLong(4) == rows.length.toLong),
+        s"scc $k size column drifted")
+    }
+    // the directed derivation is non-trivial: at least one mutual-trade
+    // core SCC, and more than one SCC overall (CC on this connected
+    // corpus would be a single component)
+    assert(a.map(_.getLong(4)).max > 1L, "no nontrivial SCC at sf0.001")
+    assert(byScc.size > 1, "SCC collapsed to one component — CC semantics")
+  }
 }
