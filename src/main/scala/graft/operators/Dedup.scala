@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -133,7 +134,7 @@ object Dedup {
     // scan below it is not re-run per tier filter.
     val counts = banded.groupBy(keys: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val overStream = counts.filter(col("bucket_n") > pairStream)
     val streamKeys = overStream.filter(col("bucket_n") <= maxBucket).select(keys: _*)
     val sorted = array_sort(collect_set(item))
@@ -518,7 +519,7 @@ object Dedup {
     */
   def d22MinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     registerAll(spark)
-    val pairs = minhashPairs(spark, sfDir).localCheckpoint(true)
+    val pairs = minhashPairs(spark, sfDir).ckpt(true)
     // signatures ONLY for docs appearing in a candidate pair — the
     // k-permutation HOF runs interpreted (no codegen for lambda
     // bodies), so building it corpus-wide cost 20+ s at sf0.1 where
@@ -539,7 +540,7 @@ object Dedup {
            |   + CAST(1099511628211 AS BIGINT) * CAST(i AS BIGINT))
            |  % CAST(281474976710656 AS BIGINT))),
            |CAST(i AS BIGINT)))""".stripMargin).as("sig"))
-      .localCheckpoint(true)
+      .ckpt(true)
     pairs
       .join(sg.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sg.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
@@ -618,7 +619,7 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(call_function("word_grams", col("text"), lit(3))).as("s"))
       .filter(size(col("s")) > 0)
-      .localCheckpoint(true)
+      .ckpt(true)
     // candidate generation runs on 64-bit shingle hashes (codegen'd
     // xxhash64 after the explode — NOT a per-element HOF lambda), so
     // every shuffle from here to the verify carries longs, never
@@ -691,7 +692,7 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // fixpoint test: per-node labels are monotonically non-increasing
     // (min over self ∪ neighbors), so the label SUM strictly decreases
     // iff any label changed — one partial-agg'd scan of the
@@ -710,7 +711,7 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
@@ -798,12 +799,12 @@ object Dedup {
       canon(attach.union(mins.select(col("u"), col("m").as("v"))))
     }
     var e = canon(edges.select(col("src").as("u"), col("dst").as("v")))
-      .localCheckpoint(true)
+      .ckpt(true)
     var prev = digest(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).ckpt(true)
       val d = digest(next)
       converged = d == prev
       prev = d
@@ -960,7 +961,7 @@ object Dedup {
     // checkpointed: the rare index is read by BOTH sides of the
     // self-join — without it each side re-runs the shingle explode
     // and df pass (df ≤ 20 bounds its size to a sliver of the corpus)
-    val rareInv = inv.join(rare, Seq("sh"), "left_semi").localCheckpoint(true)
+    val rareInv = inv.join(rare, Seq("sh"), "left_semi").ckpt(true)
     val cands = rareInv
       .join(rareInv.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
       .filter(col("doc_id") < col("doc_b"))
@@ -1126,7 +1127,7 @@ object Dedup {
         explode(call_function("window_hashes",
           call_function("word_grams", lower(col("text")), lit(1)),
           lit(SpanW))).as("wh"))
-      .localCheckpoint(true) // read by tot, dup, AND the repeat set
+      .ckpt(true) // read by tot, dup, AND the repeat set
     val rep = wins.select(col("wh"), col("doc_id")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("wh"))

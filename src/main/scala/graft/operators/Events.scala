@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -299,14 +300,14 @@ object Events {
   private def corpusTickCounts(spark: SparkSession, sfDir: String): DataFrame =
     countsMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "events") + "|tickcounts") {
-      tickCountsOf(Tables.events(spark, sfDir)).localCheckpoint(true)
+      tickCountsOf(Tables.events(spark, sfDir)).ckpt(true)
     }
 
   /** Grid completion + per-type running cumulative over a
     * (t, tick, c) counts frame (see [[tickCdf]] for the contract).
     */
   private[graft] def cdfFromCounts(ct0: DataFrame): DataFrame = {
-    val ct = ct0.localCheckpoint(true)
+    val ct = ct0.ckpt(true)
     val grid = ct.select(col("tick")).distinct()
     val types = ct.groupBy(col("t")).agg(sum(col("c")).as("n"))
     val w = Window.partitionBy(col("t")).orderBy(col("tick"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,9 +93,9 @@ object Graph {
       apply: (DataFrame, DataFrame) => DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 0, s"pregel: iters must be >= 0, got $iters")
-    var state = init.localCheckpoint(true)
+    var state = init.ckpt(true)
     for (_ <- 1 to iters)
-      state = apply(state, send(state)).localCheckpoint(false)
+      state = apply(state, send(state)).ckpt(false)
     state
   }
 
@@ -119,7 +120,7 @@ object Graph {
           "o_orderkey")
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
     }
 
   /** Materialize-once mirrored edge frame with out-degrees — FIVE
@@ -158,7 +159,7 @@ object Graph {
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-      edges.join(odeg, "src").localCheckpoint(true)
+      edges.join(odeg, "src").ckpt(true)
     }
   }
 
@@ -170,7 +171,7 @@ object Graph {
   def g01PageRank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir)
     val nodes = edges.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
+      .ckpt(true)
     val n = nodes.count()
     require(n > 0, "g01: empty trading graph")
     // r0 = SCALE/n; base = (r0*15)/100 — the SAME expression order the
@@ -193,7 +194,7 @@ object Graph {
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
-        .localCheckpoint(false)
+        .ckpt(false)
     }
     ranks
       .select(
@@ -218,7 +219,7 @@ object Graph {
   def g03PersonalizedPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir)
     val nodes = edges.select(col("src").as("id")).distinct()
-      .localCheckpoint(true)
+      .ckpt(true)
     // 1-row driver scalars, same bounded pattern as g01's node count.
     // min() over zero rows is a null aggregate — fail with a contract
     // message (g01's require(n > 0) analogue) instead of an NPE.
@@ -237,7 +238,7 @@ object Graph {
         .select(col("id"),
           (when(col("id") === seed, lit(teleport)).otherwise(lit(0L)) +
             coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
-        .localCheckpoint(false)
+        .ckpt(false)
     }
     ranks
       .select(
@@ -292,7 +293,7 @@ object Graph {
       // normalize join BOTH read the frame, and unmaterialized that
       // doubles the whole preceding chain per half-round —
       // exponential in rounds.
-      val r = raw.localCheckpoint(false)
+      val r = raw.ckpt(false)
       val m = r.agg(max(col(valueCol)).as("__m"))
       r.crossJoin(broadcast(m))
         .select(r.columns.filterNot(_ == valueCol).map(col) :+
@@ -424,7 +425,7 @@ object Graph {
         .select(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b"))
         .distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
     }
   }
 
@@ -434,7 +435,7 @@ object Graph {
   private def degreeFrame(und: DataFrame): DataFrame =
     und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .ckpt(true)
 
   /** The degree-ordered wedge join shared by g04 and g08: orient
     * every edge toward the higher (degree, id) rank, then each
@@ -452,7 +453,7 @@ object Graph {
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("src"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("dst"),
         greatest(col("ra"), col("rb")).as("rdst"))
-      .localCheckpoint(true) // read three times by the wedge self-join
+      .ckpt(true) // read three times by the wedge self-join
     ore.as("e1")
       .join(ore.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.rdst") < col("e2.rdst"))
@@ -505,7 +506,7 @@ object Graph {
   private[graft] def labelPropRounds(edges: DataFrame, iters: Int): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
-      .localCheckpoint(true)
+      .ckpt(true)
     for (_ <- 1 to iters) {
       labels = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("lab"))
@@ -513,7 +514,7 @@ object Graph {
         .groupBy(col("id"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("lab"))
-        .localCheckpoint(false)
+        .ckpt(false)
     }
     labels
   }
@@ -533,7 +534,7 @@ object Graph {
     labelsMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "orders") + "|" +
         Tables.fingerprint(spark, sfDir, "lineitem") + "|labels") {
-      labelPropRounds(edges, LabelPropIters).localCheckpoint(true)
+      labelPropRounds(edges, LabelPropIters).ckpt(true)
     }
   }
 
@@ -590,7 +591,7 @@ object Graph {
   private[graft] def boundedBfs(
       edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     var dist = seeds.distinct()
-      .select(col("id"), lit(0L).as("d")).localCheckpoint(true)
+      .select(col("id"), lit(0L).as("d")).ckpt(true)
     var frontier = dist
     for (_ <- 1 to iters) {
       val next = edges.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -600,8 +601,8 @@ object Graph {
       // needs re-aggregating and the union below stays disjoint
       val newly = next.groupBy(col("id")).agg(min(col("d")).as("d"))
         .join(dist.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint(false)
-      dist = dist.union(newly).localCheckpoint(false)
+        .ckpt(false)
+      dist = dist.union(newly).ckpt(false)
       frontier = newly
     }
     dist
@@ -636,7 +637,7 @@ object Graph {
       iters: Int): DataFrame = {
     var dist = landmarks.distinct()
       .select(col("id").as("lm"), col("id"), lit(0L).as("d"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var frontier = dist
     for (_ <- 1 to iters) {
       val next = edges.join(
@@ -644,8 +645,8 @@ object Graph {
         .select(col("lm"), col("dst").as("id"), (col("d") + 1).as("d"))
       val newly = next.groupBy(col("lm"), col("id")).agg(min(col("d")).as("d"))
         .join(dist.select(col("lm"), col("id")), Seq("lm", "id"), "left_anti")
-        .localCheckpoint(false)
-      dist = dist.union(newly).localCheckpoint(false)
+        .ckpt(false)
+      dist = dist.union(newly).ckpt(false)
       frontier = newly
     }
     dist
@@ -670,7 +671,7 @@ object Graph {
       val nodes = edges.select(col("src").as("id")).distinct()
       val seeds = nodes.filter(col("id") % 2 === 0)
         .orderBy(col("id")).limit(SsspSeeds)
-      landmarkPaths(edges, seeds, SsspIters).localCheckpoint(true)
+      landmarkPaths(edges, seeds, SsspIters).ckpt(true)
     }
   }
 
@@ -929,12 +930,12 @@ object Graph {
   /** Initial coreness state (degrees) + the ⌊√(2m)⌋+1 global clamp. */
   private def corenessInit(edges: DataFrame): (DataFrame, DataFrame) = {
     val c = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // global clamp: every round-≥1 h-index is ≤ ⌊√(2m)⌋+1 (mirrored
     // edge count IS 2m); 1-row broadcast, never collected
     val gcap = edges.agg(
       (floor(sqrt(count(lit(1)).cast("double"))).cast("long") + lit(1L))
-        .as("gcap")).localCheckpoint(true)
+        .as("gcap")).ckpt(true)
     (c, gcap)
   }
 
@@ -942,7 +943,7 @@ object Graph {
     val (c0, gcap) = corenessInit(edges)
     var c = c0
     for (_ <- 1 to iters)
-      c = corenessStep(edges, c, gcap).localCheckpoint(false)
+      c = corenessStep(edges, c, gcap).ckpt(false)
     c
   }
 
@@ -976,7 +977,7 @@ object Graph {
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
-      c = corenessStep(edges, c, gcap).localCheckpoint(true)
+      c = corenessStep(edges, c, gcap).ckpt(true)
       val d = digest(c)
       converged = d == prev
       prev = d
@@ -1050,11 +1051,11 @@ object Graph {
         edges.select(col("src"), col("dst")), Seq("src"), Seq("dst"), "__r1")
       .withColumn("r", (col("__r1") - 1).cast("long"))
       .select(col("src"), col("dst"), col("r"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val deg = nb.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var state = nb.select(col("src").as("walk_id")).distinct()
       .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("node"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var frontier = state
     for (t <- 1 to len) {
       val drawn = frontier.select(col("walk_id"), col("node").as("src"))
@@ -1064,7 +1065,7 @@ object Graph {
             lit(s":$t"))), 1, 12), 16, 10).cast("long") % col("deg"))
       val next = drawn.join(nb, Seq("src", "r"))
         .select(col("walk_id"), lit(t).as("step"), col("dst").as("node"))
-        .localCheckpoint(false)
+        .ckpt(false)
       state = state.union(next)
       frontier = next
     }
@@ -1098,7 +1099,7 @@ object Graph {
     walkMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "orders") + "|" +
         Tables.fingerprint(spark, sfDir, "lineitem") + "|walks") {
-      randomWalks(edges, WalkLen).localCheckpoint(true)
+      randomWalks(edges, WalkLen).ckpt(true)
     }
   }
 
@@ -1153,7 +1154,7 @@ object Graph {
         abs(col("x.step") - col("y.step")) <= SkipWindow)
       .groupBy(col("x.node").as("a"), col("y.node").as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val tot = pairs.agg(sum(col("cnt")).as("t"))
     val ma = pairs.groupBy(col("a")).agg(sum(col("cnt")).as("ca"))
     val mb = pairs.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
@@ -1189,11 +1190,11 @@ object Graph {
     */
   private[graft] def picVector(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val dmax = deg.agg(max(col("deg")).as("dm"))
     var v = deg.crossJoin(broadcast(dmax))
       .select(col("src").as("id"), expr("(deg * 4096) div dm").as("v"))
-      .localCheckpoint(true)
+      .ckpt(true)
     for (_ <- 1 to iters) {
       val s = edges.join(v.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("v")).as("s"))
@@ -1202,7 +1203,7 @@ object Graph {
       val umax = s.agg(greatest(max(col("u")), lit(1L)).as("um"))
       v = s.crossJoin(broadcast(umax))
         .select(col("id"), expr("(u * 4096) div um").as("v"))
-        .localCheckpoint(false)
+        .ckpt(false)
     }
     v
   }
@@ -1219,9 +1220,9 @@ object Graph {
     */
   def g12PowerIterClustering(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = tradeEdges(spark, sfDir).select(col("src"), col("dst"))
-    val v = picVector(edges, PicIters).localCheckpoint(true)
+    val v = picVector(edges, PicIters).ckpt(true)
     var cs = v.agg(min(col("v")).as("c0"), max(col("v")).as("c1"))
-      .localCheckpoint(true)
+      .ckpt(true)
     def assign(vv: DataFrame, centers: DataFrame): DataFrame =
       vv.crossJoin(broadcast(centers))
         .withColumn("cl",
@@ -1236,7 +1237,7 @@ object Graph {
       cs = upd.crossJoin(broadcast(cs))
         .select(coalesce(col("n0"), col("c0")).as("c0"),
           coalesce(col("n1"), col("c1")).as("c1"))
-        .localCheckpoint(false)
+        .ckpt(false)
     }
     assign(v, cs).select(
         when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
@@ -1466,7 +1467,7 @@ object Graph {
   private[graft] def brandesLevels(
       edges: DataFrame, seeds: DataFrame, iters: Int): Seq[DataFrame] = {
     var level = seeds.select(col("id").as("seed"), col("id"),
-        lit(1L).as("sig")).localCheckpoint(true)
+        lit(1L).as("sig")).ckpt(true)
     var visited = level.select(col("seed"), col("id"))
     val out = scala.collection.mutable.ArrayBuffer(level)
     for (_ <- 1 to iters) {
@@ -1474,9 +1475,9 @@ object Graph {
         .groupBy(col("seed"), col("dst").as("id"))
         .agg(sum(col("sig")).as("sig"))
       level = cand.join(visited, Seq("seed", "id"), "left_anti")
-        .localCheckpoint(false)
+        .ckpt(false)
       visited = visited.union(level.select(col("seed"), col("id")))
-        .localCheckpoint(false)
+        .ckpt(false)
       out += level
     }
     out.toSeq
@@ -1526,7 +1527,7 @@ object Graph {
     // next-level successors
     var delta = levels(BetwIters)
       .select(col("seed"), col("id"), lit(0L).as("del"))
-      .localCheckpoint(false)
+      .ckpt(false)
     val perLevel = scala.collection.mutable.ArrayBuffer(delta)
     for (t <- (BetwIters - 1) to 1 by -1) {
       val next = levels(t + 1)
@@ -1543,7 +1544,7 @@ object Graph {
         .join(contrib, Seq("seed", "id"), "left")
         .select(col("seed"), col("id"),
           coalesce(col("delsum"), lit(0L)).as("del"))
-        .localCheckpoint(false)
+        .ckpt(false)
       perLevel += delta
     }
     perLevel.reduce(_ unionByName _)
@@ -1638,19 +1639,19 @@ object Graph {
     * keeps lineage flat across the nested loops. Output: (id, scc).
     */
   private[graft] def sccLabels(edges0: DataFrame): DataFrame = {
-    var er = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    var er = edges0.select(col("src"), col("dst")).ckpt(true)
     var rem = er.select(col("src").as("id"))
       .unionByName(er.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().ckpt(true)
     // empty (id, scc) accumulator with the right schema
     var fin = rem.filter(lit(false))
-      .select(col("id"), col("id").as("scc")).localCheckpoint(true)
+      .select(col("id"), col("id").as("scc")).ckpt(true)
     var remCount = sccCount(rem)
     var outer = 0
     def restrictEdges(): Unit = {
       er = er.join(rem.withColumnRenamed("id", "src"), Seq("src"), "semi")
         .join(rem.withColumnRenamed("id", "dst"), Seq("dst"), "semi")
-        .select(col("src"), col("dst")).localCheckpoint(true)
+        .select(col("src"), col("dst")).ckpt(true)
     }
     while (remCount > 0 && outer < SccMaxOuterRounds) {
       // ---- 1. trim to the count fixpoint
@@ -1666,13 +1667,13 @@ object Graph {
           .groupBy(col("id")).agg(max(col("o")).as("o"), max(col("i")).as("i"))
           .filter(col("o") === 1L && col("i") === 1L)
           .select(col("id"))
-          .localCheckpoint(true)
+          .ckpt(true)
         val kc = sccCount(keep)
         if (kc == remCount) trimming = false
         else {
           val peeled = rem.join(keep, Seq("id"), "anti")
             .select(col("id"), col("id").as("scc"))
-          fin = fin.unionByName(peeled).localCheckpoint(true)
+          fin = fin.unionByName(peeled).ckpt(true)
           rem = keep
           restrictEdges()
           remCount = kc
@@ -1682,7 +1683,7 @@ object Graph {
       if (remCount > 0) {
         // ---- 2. forward-min coloring to the label-sum fixpoint
         var lab = rem.select(col("id"), col("id").as("lab"))
-          .localCheckpoint(true)
+          .ckpt(true)
         def labSum(l: DataFrame): BigDecimal =
           sccDigest(l.agg(sum(col("lab").cast("decimal(38,0)")).as("d")))
         var prev = labSum(lab)
@@ -1694,7 +1695,7 @@ object Graph {
               er.join(lab.withColumnRenamed("id", "src"), "src")
                 .select(col("dst").as("id"), col("lab")))
             .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-            .localCheckpoint(true)
+            .ckpt(true)
           val d = labSum(lab)
           coloring = d != prev
           prev = d
@@ -1705,9 +1706,9 @@ object Graph {
           .join(lab.select(col("id").as("src"), col("lab").as("lab_s")), "src")
           .join(lab.select(col("id").as("dst"), col("lab").as("lab_d")), "dst")
           .filter(col("lab_s") === col("lab_d"))
-          .select(col("src"), col("dst")).localCheckpoint(true)
+          .select(col("src"), col("dst")).ckpt(true)
         var mark = lab.filter(col("id") === col("lab")).select(col("id"))
-          .localCheckpoint(true)
+          .ckpt(true)
         var mc = sccCount(mark)
         var marking = true
         inner = 0
@@ -1716,16 +1717,16 @@ object Graph {
           mark = mark.unionByName(
               le.join(mark.withColumnRenamed("id", "dst"), "dst")
                 .select(col("src").as("id")))
-            .distinct().localCheckpoint(true)
+            .distinct().ckpt(true)
           val d = sccCount(mark)
           marking = d != mc
           mc = d
           inner += 1
         }
         val done = lab.join(mark, Seq("id"), "semi")
-          .select(col("id"), col("lab").as("scc")).localCheckpoint(true)
-        fin = fin.unionByName(done).localCheckpoint(true)
-        rem = rem.join(done, Seq("id"), "anti").localCheckpoint(true)
+          .select(col("id"), col("lab").as("scc")).ckpt(true)
+        fin = fin.unionByName(done).ckpt(true)
+        rem = rem.join(done, Seq("id"), "anti").ckpt(true)
         restrictEdges()
         remCount = sccCount(rem)
       }

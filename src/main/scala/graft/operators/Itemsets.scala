@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,10 +77,10 @@ object Itemsets {
           .select(col("p_partkey").as("l_partkey"), col("p_brand").as("it")),
           "l_partkey")
         .select(col("o"), col("it")).distinct()
-        .localCheckpoint(true)
+        .ckpt(true)
       val keep = raw.groupBy(col("o")).agg(count(lit(1)).as("k"))
         .filter(col("k") <= BasketCap).select(col("o"))
-      raw.join(keep, "o").localCheckpoint(true)
+      raw.join(keep, "o").ckpt(true)
     }
     val support = baskets.agg(countDistinct(col("o")).as("nb"))
       .withColumn("sigma", expr("(nb + 49) div 50"))
@@ -95,7 +96,7 @@ object Itemsets {
     val l1 = baskets.groupBy(col("it")).agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(support))
       .filter(col("support") >= col("sigma"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // Apriori prune: only L1-frequent items enter the pair expansion
     val fb = baskets.join(l1.select(col("it")), "it")
     val l2 = fb.select(col("o"), col("it").as("ia"))
@@ -129,7 +130,7 @@ object Itemsets {
       .crossJoin(broadcast(support))
       .filter(col("sup1") >= col("sigma"))
       .select(col("it"), col("sup1"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val fb = baskets.join(l1.select(col("it")), "it")
     val l2 = fb.select(col("o"), col("it").as("ia"))
       .join(fb.select(col("o"), col("it").as("ib")), "o")
@@ -208,8 +209,8 @@ object Itemsets {
       .crossJoin(broadcast(support))
       .filter(col("sup1") >= col("sigma"))
       .select(col("it"))
-      .localCheckpoint(true)
-    val fb = baskets.join(broadcast(l1), "it").localCheckpoint(true)
+      .ckpt(true)
+    val fb = baskets.join(broadcast(l1), "it").ckpt(true)
     val l2k = fb.select(col("o"), col("it").as("ia"))
       .join(fb.select(col("o"), col("it").as("ib")), "o")
       .filter(col("ia") < col("ib"))
@@ -217,7 +218,7 @@ object Itemsets {
       .crossJoin(broadcast(support))
       .filter(col("s2") >= col("sigma"))
       .select(col("ia"), col("ib"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val basketPairs = fb.select(col("o"), col("it").as("ia"))
       .join(fb.select(col("o"), col("it").as("ib")), "o")
       .filter(col("ia") < col("ib"))
@@ -294,7 +295,7 @@ object Itemsets {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("u")).orderBy(col("ts"), col("event_id"))))
       .select(col("u"), col("t"), col("pos"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val users = ev.agg(countDistinct(col("u")).as("nu"))
       .withColumn("sigma", expr("(nu + 49) div 50"))
     // L1: users containing each type at least once
@@ -302,7 +303,7 @@ object Itemsets {
       .crossJoin(broadcast(users))
       .filter(col("support") >= col("sigma"))
       .select(col("t"), col("support"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // first occurrence of each frequent type per user
     val fa = ev.join(broadcast(l1.select(col("t"))), "t")
       .groupBy(col("u"), col("t").as("e1")).agg(min(col("pos")).as("p1"))
@@ -312,13 +313,13 @@ object Itemsets {
       .filter(col("pos") > col("p1"))
       .groupBy(col("u"), col("e1"), col("t").as("e2"))
       .agg(min(col("pos")).as("p2"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val l2 = fab.groupBy(col("e1"), col("e2"))
       .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(users))
       .filter(col("support") >= col("sigma"))
       .select(col("e1"), col("e2"), col("support"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // Apriori prune: extend only σ-frequent pairs
     val fabk = fab.join(broadcast(l2.select(col("e1"), col("e2"))),
       Seq("e1", "e2"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -271,7 +272,7 @@ object Joins {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= hotThreshold)
       .select(col(leftKey).as("__graft_hot_key"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val saltSrc = saltBy.getOrElse(
       xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)))
     val hotSet = broadcast(hotKeys)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -358,7 +359,7 @@ object Multimodal {
   def m06MediaNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val frames = m03FrameSample(spark, sfDir)
       .select(col("doc_id"), col("frame_digest")).distinct()
-      .localCheckpoint(true)
+      .ckpt(true)
     val nf = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val pairs = frames.groupBy(col("frame_digest"))
       .agg(array_sort(collect_set(col("doc_id"))).as("docs"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -315,7 +316,7 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
         "doc_id")
-      .localCheckpoint(true)
+      .ckpt(true)
     val budgets = scored.groupBy(col("source"))
       .agg(floor(sum(col("n_tokens")) * lit(BudgetFrac)).cast("long").as("budget"))
     scored.join(broadcast(budgets), "source")
@@ -380,7 +381,7 @@ object Pipeline {
     // (the q23 lesson; the frame is two small columns per doc)
     val q = TextAnalysis.t02QualityScore(spark, sfDir)
       .select(col("doc_id"), col("quality_score"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val cuts = q.agg(expr(
       "percentile(quality_score, array(0.25, 0.5, 0.75))").as("c"))
       .select(col("c")(0).as("c1"), col("c")(1).as("c2"), col("c")(2).as("c3"))
@@ -426,7 +427,7 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val q = TextAnalysis.t02QualityScore(spark, sfDir)
       .select(col("doc_id"), col("quality_score"))
-      .localCheckpoint(true) // cuts + assignment both consume it
+      .ckpt(true) // cuts + assignment both consume it
     val cuts = q.agg(expr(
       "percentile(quality_score, array(0.25, 0.5, 0.75))").as("c"))
       .select(col("c")(0).as("c1"), col("c")(1).as("c2"), col("c")(2).as("c3"))
@@ -579,7 +580,7 @@ object Pipeline {
   def p15EvalReport(spark: SparkSession, sfDir: String): DataFrame = {
     val preds = TextAnalysis.t19NaiveBayes(spark, sfDir)
       .select(col("lang"), col("predicted"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val a = preds.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_actual"))
     val p = preds.groupBy(col("predicted").as("cls"))
       .agg(count(lit(1)).as("n_predicted"))
@@ -695,7 +696,7 @@ object Pipeline {
     val per = raw
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum(col("cents")).as("sc"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val act = per.filter(col("c") >= MlActualMinCount)
       .select(col("user_id"), col("event_type"))
     val pred = per.filter(col("sc") >= MlPredictedMinCents)
@@ -727,7 +728,7 @@ object Pipeline {
         .otherwise(expr(s"(ni * $t) div na"))).as("rec_t"),
       sum(when(col("na") + col("np") === 0L, lit(t))
         .otherwise(expr(s"(ni * 2 * $t) div (na + np)"))).as("f1_t"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // per-label counts over the corpus label universe
     val labels = per.select(col("event_type")).distinct()
     val byLabel = labels
@@ -741,7 +742,7 @@ object Pipeline {
         coalesce(col("tp"), lit(0L)).as("tp"),
         (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
         (coalesce(col("n_act"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val labAgg = byLabel.agg(
       count(lit(1)).as("n_labels"),
       sum(col("tp")).as("s_tp"), sum(col("fp")).as("s_fp"),
@@ -913,7 +914,7 @@ object Pipeline {
     val idx = freq.select(col("source"),
         (row_number().over(Window.orderBy(col("c").desc, col("source")))
           - lit(1)).cast("long").as("source_index"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // vocabulary count as a 1-row broadcast (NOT an eager count() —
     // the operator stays a pure declarative plan, the ADVICE r10 fix)
     val nSrc = idx.agg(count(lit(1)).as("n_sources"))
@@ -982,7 +983,7 @@ object Pipeline {
       .withColumn("bin", expr(s"((x - mn) * $RocBins) div (mx - mn + 1)"))
       .groupBy(col("bin"))
       .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val tot = perBin.agg(sum(col("n_pos")).as("p"), sum(col("n_neg")).as("nn"))
     val wDesc = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -993,7 +994,7 @@ object Pipeline {
       .withColumn("cum_fp", sum(col("n_neg")).over(wDesc))
       .withColumn("neg_below",
         coalesce(sum(col("n_neg")).over(wBelow), lit(0L)))
-      .localCheckpoint(true)
+      .ckpt(true)
     val u2 = cu.agg(sum(col("n_pos")
       * (lit(2L) * col("neg_below") + col("n_neg"))).as("auc2_num"))
     // single-class inputs (p = 0 or nn = 0) report 0 ticks by the
@@ -1149,7 +1150,7 @@ object Pipeline {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
         .as(Seq("d", "q")))
       .select(col("vec_id"), col("d").cast("long").as("d"), col("q"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val n2 = e.groupBy(col("vec_id")).agg(sum(expr("q * q")).as("n2"))
     e.join(n2, "vec_id")
       .select(col("vec_id"), col("d"), col("q").as("q_ticks"),
@@ -1230,7 +1231,7 @@ object Pipeline {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
         .as(Seq("d", "q")))
       .select(col("vec_id"), col("d").cast("long").as("d"), col("q"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val st = e.groupBy(col("d")).agg(count(lit(1)).as("n"),
       sum(col("q")).as("s1"), sum(col("q") * col("q")).as("s2"),
       min(col("q")).as("mn"), max(col("q")).as("mx"),
@@ -1380,7 +1381,7 @@ object Pipeline {
     * Output: per (fold, group) the p18 metric row, hash-verified.
     */
   def p22CrossValidation(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Relational.ridgeBase(spark, sfDir).localCheckpoint(true)
+    val base = Relational.ridgeBase(spark, sfDir).ckpt(true)
     (0 until CvFolds).map { f =>
       val model = graft.operators.Recommend
         .solveSide(base.filter(col("fold") =!= f.toLong), "l_returnflag")
@@ -1441,7 +1442,7 @@ object Pipeline {
         (1 until QuantBuckets).map(p =>
           min(when(col("cum") * lit(QuantBuckets.toLong) >= col("n") * lit(p.toLong),
             col("v"))).as(s"s$p")).tail: _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     val bucket = (1 until QuantBuckets).map(p =>
       (col("v") > col(s"s$p")).cast("long")).reduce(_ + _)
     docs.crossJoin(broadcast(splits))
@@ -1700,5 +1701,5 @@ object Pipeline {
     */
   def p24DataScaling(spark: SparkSession, sfDir: String): DataFrame =
     dataScaling(graft.operators.Relational.ridgeBase(spark, sfDir)
-      .localCheckpoint(true))
+      .ckpt(true))
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -145,7 +146,7 @@ object Recommend {
     }.select(Seq(col(key), col("n").as("n_rated")) ++
         (0 until AlsRank).map(k => col(s"t$k")) ++
         (0 until AlsRank).map(k => col(s"f$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
   }
 
   /** The alternating-solve core over an arbitrary (c, s, r) ratings
@@ -161,7 +162,7 @@ object Recommend {
         (0 until AlsRank).map(k => initTick(col("s"), k).as(s"t$k")) ++
         (0 until AlsRank).map(k =>
           (initTick(col("s"), k) / lit(4096.0)).as(s"f$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     var users: DataFrame = null
     for (_ <- 1 to AlsIters) {
       users = solveSide(
@@ -193,7 +194,7 @@ object Recommend {
           "o_orderkey")
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .agg(count(lit(1)).as("r"))
-        .localCheckpoint(true)
+        .ckpt(true)
     }
 
   /** Materialize-once [[alsFactor]] run over the purchase matrix —
@@ -285,7 +286,7 @@ object Recommend {
       .select(col("c"), col("s"),
         (expr(s"r * ${AlsTicks} - m - bsb - bcb").cast("double") /
           lit(AlsTicks.toDouble)).as("r"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val (users, items) = alsFactor(resid)
     def sideOut(df: DataFrame, biases: DataFrame, tpe: String, key: String,
         bcol: String): DataFrame =
@@ -316,7 +317,7 @@ object Recommend {
       .select(col("a").as("c"), col("b").as("s"),
         (expr("(ppmi_ticks div 256)").cast("double") /
           lit(AlsTicks.toDouble)).as("r"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val (rows, cols) = alsFactor(ratings)
     def sideOut(df: DataFrame, side: String, key: String): DataFrame =
       df.select(Seq(lit(side).as("side"),
@@ -462,7 +463,7 @@ object Recommend {
             .as("token"))
         .groupBy(col("doc_id").as("c"), col("token").as("s"))
         .agg(count(lit(1)).cast("double").as("r"))
-        .localCheckpoint(true)
+        .ckpt(true)
       alsFactor(ratings)
     }
   }
@@ -704,7 +705,7 @@ object Recommend {
   }
 
   private[graft] def wordPpmi(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = wordPairs(spark, sfDir).localCheckpoint(true)
+    val pairs = wordPairs(spark, sfDir).ckpt(true)
     val tot = pairs.agg(sum(col("cnt")).as("t"))
     val ma = pairs.groupBy(col("a")).agg(sum(col("cnt")).as("ca"))
     val mb = pairs.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
@@ -746,7 +747,7 @@ object Recommend {
       .select(col("a").as("c"), col("b").as("s"),
         (expr("(ppmi_ticks div 256)").cast("double") /
           lit(AlsTicks.toDouble)).as("r"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val (rows, cols) = alsFactor(ratings)
     def sideOut(df: DataFrame, side: String, key: String): DataFrame =
       df.select(Seq(lit(side).as("side"), col(key).as("token"),
@@ -896,7 +897,7 @@ object Recommend {
     }.select(Seq(col(key), col("n").as("n_rated")) ++
         (0 until AlsRank).map(k => col(s"t$k")) ++
         (0 until AlsRank).map(k => col(s"f$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
   }
 
   /** The implicit alternating-solve core over a (c, s, r) frame —
@@ -908,7 +909,7 @@ object Recommend {
         (0 until AlsRank).map(k => initTickI(col("s"), k).as(s"t$k")) ++
         (0 until AlsRank).map(k =>
           (initTickI(col("s"), k) / lit(4096.0)).as(s"f$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     var users: DataFrame = null
     for (_ <- 1 to AlsIters) {
       users = implicitSolveSide(ratings,
@@ -1145,13 +1146,13 @@ object Recommend {
     */
   private[graft] def svdppCore(raw: DataFrame): DataFrame = {
     val mu = raw.agg(expr("(sum(r) * 4096) div count(*)").as("m"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val nc = raw.groupBy(col("c")).agg(count(lit(1)).as("n_c"))
       .withColumn("wu", expr(
         "CAST(floor(CAST(4096.0 AS DOUBLE) / sqrt(CAST(n_c AS DOUBLE))) AS BIGINT)"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val ns = raw.groupBy(col("s")).agg(count(lit(1)).as("n_s"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // merged model frames — ONE user frame (c, n_c, wu, bc, p) and
     // ONE item frame (s, n_s, bs, q, y): the static stats ride along
     // so each round is 3 e-frame joins + 2 model-update joins instead
@@ -1159,13 +1160,13 @@ object Recommend {
     var userM = nc.select(Seq(col("c"), col("n_c"), col("wu"),
       lit(0L).as("bc")) ++ (0 until AlsRank).map(k =>
       svdppInit("p", col("c"), k, 1024L).as(s"p$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     var itemM = ns.select(Seq(col("s"), col("n_s"), lit(0L).as("bs")) ++
       (0 until AlsRank).map(k =>
         svdppInit("q", col("s"), k, 1024L).as(s"q$k")) ++
       (0 until AlsRank).map(k =>
         svdppInit("y", col("s"), k, 256L).as(s"y$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     for (_ <- 1 to SvdppIters) {
       val ysum = raw.join(itemM.select(Seq(col("s")) ++
           (0 until AlsRank).map(k => col(s"y$k")): _*), "s")
@@ -1186,12 +1187,12 @@ object Recommend {
           df.withColumn(s"gp$k", expr(s"(e24 * q$k) div 16777216"))
             .withColumn(s"gq$k", expr(s"(e24 * z$k) div 16777216"))
             .withColumn(s"vy$k", expr(s"((e24 * q$k) div 16777216) * wu div 4096"))
-        }.localCheckpoint(true)
+        }.ckpt(true)
       val uagg = staged.groupBy(col("c"))
         .agg(sum(col("e24")).as("se"),
           (0 until AlsRank).map(k => sum(col(s"gp$k")).as(s"sgp$k")) ++
             (0 until AlsRank).map(k => sum(col(s"vy$k")).as(s"sy$k")): _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       val iagg = staged.groupBy(col("s"))
         .agg(sum(col("e24")).as("se"),
           (0 until AlsRank).map(k => sum(col(s"gq$k")).as(s"sgq$k")): _*)
@@ -1207,7 +1208,7 @@ object Recommend {
           (0 until AlsRank).map(k =>
             clampT(col(s"p$k") + expr(s"sgp$k div (16 * n_c)") -
               expr(s"p$k div 64")).as(s"p$k")): _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       itemM = itemM.join(iagg, "s").join(yagg, "s")
         .select(Seq(col("s"), col("n_s"),
           clampT(col("bs") + expr("se div (16 * n_s * 4096)") -
@@ -1218,7 +1219,7 @@ object Recommend {
           (0 until AlsRank).map(k =>
             clampT(col(s"y$k") + expr(s"gy$k div (16 * n_s)") -
               expr(s"y$k div 64")).as(s"y$k")): _*)
-        .localCheckpoint(true)
+        .ckpt(true)
     }
     val userOut = userM
       .select(Seq(lit("c").as("node_type"), col("c").as("entity_key"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -629,7 +630,7 @@ object Relational {
     val tagged = df
       .repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .ckpt(true)
     val cnts = tagged.groupBy((col("__pid") +: gc): _*)
       .agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(gc: _*).orderBy(col("__pid"))
@@ -1232,7 +1233,7 @@ object Relational {
   private[graft] def logregRounds(feats: DataFrame): DataFrame = {
     val zero = feats.sparkSession.range(1)
       .select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
-    var weights = zero.localCheckpoint(true)
+    var weights = zero.ckpt(true)
     var rows: Seq[DataFrame] = Nil
     for (k <- 0 to LogregIters) {
       val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
@@ -1248,7 +1249,7 @@ object Relational {
           (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
         col("correct")) ++
         (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
@@ -1257,7 +1258,7 @@ object Relational {
             least(greatest(col(s"w$j") -
               expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"),
               lit(-LogregClamp)), lit(LogregClamp)).as(s"w$j")): _*)
-          .localCheckpoint(true)
+          .ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"))
@@ -1314,7 +1315,7 @@ object Relational {
     val b = Tables.lineitem(spark, sfDir)
       .select(floor(col("l_extendedprice")).cast("long").as("v"))
     val st = b.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-      count(lit(1)).as("n")).localCheckpoint(true)
+      count(lit(1)).as("n")).ckpt(true)
     val pts = st.select(
         explode(sequence(lit(0L), lit((KdePoints - 1).toLong))).as("i"),
         col("lo"), col("hi"), col("n"))
@@ -1356,7 +1357,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     logregRounds(feats)
   }
 
@@ -1385,7 +1386,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = bins.select(col("b"), col("c"), col("s"),
       sum(col("c")).over(w).as("cc"), sum(col("s")).over(w).as("cs"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val segs = pre.select(col("b").as("j"),
         (col("cc") - col("c")).as("cj"), (col("cs") - col("s")).as("sj"))
       .crossJoin(broadcast(pre.select(col("b").as("k"),
@@ -1450,7 +1451,7 @@ object Relational {
   private[graft] def svmRounds(feats: DataFrame): DataFrame = {
     val zero = feats.sparkSession.range(1)
       .select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
-    var weights = zero.localCheckpoint(true)
+    var weights = zero.ckpt(true)
     var rows: Seq[DataFrame] = Nil
     for (k <- 0 to SvmIters) {
       val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
@@ -1466,7 +1467,7 @@ object Relational {
             sum(col("viol") * ys * col(s"f$j")).as(s"h$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
         col("correct"), col("violations")) ++
         (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
@@ -1476,7 +1477,7 @@ object Relational {
               expr(s"h$j div (4L * greatest(n, 1L))") -
               expr(s"w$j div 256L"),
               lit(-SvmClamp)), lit(SvmClamp)).as(s"w$j")): _*)
-          .localCheckpoint(true)
+          .ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"))
@@ -1494,7 +1495,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     svmRounds(feats)
   }
 
@@ -1544,7 +1545,7 @@ object Relational {
   private[graft] def lassoRounds(feats: DataFrame): DataFrame = {
     val zero = feats.sparkSession.range(1)
       .select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
-    var weights = zero.localCheckpoint(true)
+    var weights = zero.ckpt(true)
     var rows: Seq[DataFrame] = Nil
     for (k <- 0 to LassoIters) {
       val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
@@ -1555,7 +1556,7 @@ object Relational {
           (0 to 3).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       val nnz = (0 to 3).map(j =>
         when(col(s"w$j") =!= 0L, 1L).otherwise(0L)).reduce(_ + _)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
@@ -1569,7 +1570,7 @@ object Relational {
             .when(z < lit(-LassoTTicks), z + lit(LassoTTicks))
             .otherwise(lit(0L))
           least(greatest(prox, lit(-LassoClamp)), lit(LassoClamp)).as(s"w$j")
-        }: _*).localCheckpoint(true)
+        }: _*).ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"))
@@ -1587,7 +1588,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     lassoRounds(feats)
   }
 
@@ -1597,7 +1598,7 @@ object Relational {
           .cast("long").as("b"),
         floor(col("o_totalprice") * IsoYTick + lit(0.5)).cast("long").as("yt"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"), sum(col("yt")).as("s"))
-      .localCheckpoint(true)
+      .ckpt(true)
     bins.join(isotonicFit(bins), col("b") === col("i"))
       .select(col("b").as("bin"), col("c").as("n_orders"),
         expr(s"(s * $IsoFitScale) div c").as("mean_sticks"),
@@ -1656,12 +1657,12 @@ object Relational {
     */
   private[graft] def quantileRounds(feats: DataFrame): DataFrame = {
     val init = feats.agg(expr("sum(y12) div count(1)").as("w0i"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var weights = init.select(
         explode(array((1 to 3).map(q => lit(q.toLong)): _*)).as("tau4"),
         col("w0i").as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
         lit(0L).as("w3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var rows: Seq[DataFrame] = Nil
     for (k <- 0 to QrIters) {
       val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
@@ -1677,7 +1678,7 @@ object Relational {
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.groupBy(col("tau4"))
         .agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("tau4"),
         col("n"), col("n_over"),
         expr("pin24 div (4L * 4096L)").as("pin12")) ++
@@ -1688,7 +1689,7 @@ object Relational {
             least(greatest(col(s"w$j") -
               expr(s"(g$j * ${step}L) div (4L * greatest(n, 1L) * 4096L)"),
               lit(-QrClamp)), lit(QrClamp)).as(s"w$j")): _*)
-          .localCheckpoint(true)
+          .ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"), col("tau4"))
@@ -1711,7 +1712,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     quantileRounds(feats)
   }
 
@@ -1769,7 +1770,7 @@ object Relational {
     val d12 = delta24 / 4096L
     val init = feats.agg(expr("sum(y12) div count(1)").as("w0"))
       .select(col("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
-    var weights = init.localCheckpoint(true)
+    var weights = init.ckpt(true)
     var rows: Seq[DataFrame] = Nil
     for (k <- 0 to HuberIters) {
       val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
@@ -1785,7 +1786,7 @@ object Relational {
           (0 to 3).map(j => sum(col("cr") * col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
         col("n_outliers"), col("hub12")) ++
         (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
@@ -1794,7 +1795,7 @@ object Relational {
             least(greatest(col(s"w$j") -
               expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"),
               lit(-HuberClamp)), lit(HuberClamp)).as(s"w$j")): _*)
-          .localCheckpoint(true)
+          .ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"))
@@ -1813,7 +1814,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     huberRounds(feats)
   }
 
@@ -1915,7 +1916,7 @@ object Relational {
       .withColumn("kb", expr(poisKbarCase))
       .select(expr(poisInitW0(d)).cast("long").as("w0"),
         lit(0L).as("w1"), lit(0L).as("w2"))
-    var weights = init.localCheckpoint(true)
+    var weights = init.ckpt(true)
     var rows: Seq[DataFrame] = Nil
     for (k <- 0 to PoisIters) {
       var scan = feats.crossJoin(broadcast(weights))
@@ -1926,7 +1927,7 @@ object Relational {
           (0 to 2).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
           (0 to 2).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
         col("bias24"), col("sae24")) ++
         (0 to 2).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
@@ -1937,7 +1938,7 @@ object Relational {
               least(greatest(expr(s"g$j $d (greatest(n, 1) * 67108864)"),
                 lit(-step)), lit(step)),
               lit(-PoisClamp)), lit(PoisClamp)).as(s"w$j")): _*)
-          .localCheckpoint(true)
+          .ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"))
@@ -1953,7 +1954,7 @@ object Relational {
         lit(4096L).as("f0"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f1"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f2"))
-      .localCheckpoint(true)
+      .ckpt(true)
     poissonRounds(feats)
   }
 
@@ -2020,7 +2021,7 @@ object Relational {
     var weights = spark.range(1)
       .select(explode(array(OvrClasses.map(lit(_)): _*)).as("cls"))
       .select(Seq(col("cls")) ++ (0 to 3).map(j => lit(0L).as(s"w$j")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
     for (_ <- 1 to LogregIters) {
       val scan = base.crossJoin(broadcast(weights))
@@ -2039,14 +2040,14 @@ object Relational {
           least(greatest(col(s"w$j") -
             expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"),
             lit(-LogregClamp)), lit(LogregClamp)).as(s"w$j")): _*)
-        .localCheckpoint(true)
+        .ckpt(true)
     }
     // pivot the K-row model into the 1-row w_<cls>_<j> frame the
     // scoring scan broadcasts
     OvrClasses.map { c =>
         weights.filter(col("cls") === lit(c))
           .select((0 to 3).map(j => col(s"w$j").as(s"w_${c}_$j")): _*)
-      }.reduce((a, b) => a.crossJoin(broadcast(b))).localCheckpoint(true)
+      }.reduce((a, b) => a.crossJoin(broadcast(b))).ckpt(true)
   }
 
   /** The scoring half of [[ovrConfusion]]: any (f0..f3, ...) frame
@@ -2077,7 +2078,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     ovrConfusion(base)
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -105,7 +106,7 @@ object Similarity {
     val emptyCells = seeds.join(refined.select(col("cid").as("rcid")),
         col("cid") === col("rcid"), "left_anti")
       .select(col("cid"), col("cv"))
-    refined.union(emptyCells).localCheckpoint(true)
+    refined.union(emptyCells).ckpt(true)
   }
 
   /** s03: IVF (inverted-file) ANN — the other standard scale path
@@ -188,7 +189,7 @@ object Similarity {
     // checkpointed: read by the size agg AND the final join — without
     // it each consumer re-runs the corpus argmax (lloydRefine pattern)
     val cells = ivfCells(spark, sfDir, centroids)
-      .select(col("vec_id"), col("cell")).localCheckpoint(true)
+      .select(col("vec_id"), col("cell")).ckpt(true)
     val sizes = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
     cells.join(sizes, "cell")
       .select(col("vec_id"), col("cell"), col("cell_size"))
@@ -264,7 +265,7 @@ object Similarity {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val seeds = qf
       .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
         col("vec_id"))
@@ -277,7 +278,7 @@ object Similarity {
       .select(col("k"), posexplode(col("q")).as(Seq("d", "mu")))
       .select(col("k"), col("d").cast("long").as("d"), col("mu"),
         lit(GmmVarInit).as("var"), lit(1L).as("w"))
-      .localCheckpoint(true)
+      .ckpt(true)
     for (_ <- 1 to GmmIters) {
       val model = gmmDerive(stats)
       val assigned = gmmAssign(qf, model)
@@ -316,7 +317,7 @@ object Similarity {
         expr("CAST(floor(log2(CAST(greatest(w, 1) AS DOUBLE) " +
           "/ CAST(wtot AS DOUBLE)) " +
           "* CAST(67108864.0 AS DOUBLE)) AS BIGINT)").as("pr"))
-      .localCheckpoint(true)
+      .ckpt(true)
   }
 
   /** Hard E-step: per-vector argmin of the exact integer score
@@ -349,7 +350,7 @@ object Similarity {
     val kept = prevStats.join(agg.select(col("k").as("ak")).distinct(),
         col("k") === col("ak"), "left_anti")
       .select(col("k"), col("d"), col("mu"), col("var"), lit(0L).as("w"))
-    agg.unionByName(kept).localCheckpoint(true)
+    agg.unionByName(kept).ckpt(true)
   }
 
   /** The DuckDB twin of [[s27Gmm]]: the hard-EM rounds unrolled —
@@ -481,7 +482,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(call_function("top_k_by_score", col("cs"), col("cid"), lit(probes)).as("top"),
         max(col("embedding")).as("embedding"))
-      .localCheckpoint(true)
+      .ckpt(true)
   }
 
   def d11DedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
@@ -749,7 +750,7 @@ object Similarity {
         col("rel_t").cast("double"), col("vec_id"), lit(MmrPool)).as("top"))
       .select(explode(col("top.id")).as("vec_id"))
       .join(rel, "vec_id")
-      .localCheckpoint(true) // read every greedy step
+      .ckpt(true) // read every greedy step
     // pairwise pool sims once (≤ Pool² rows), not per step
     val sims = pool.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .crossJoin(broadcast(
@@ -759,7 +760,7 @@ object Similarity {
         floor(call_function("cosine_sim", col("ea"), col("eb"))
           * lit(DiversityScale) + lit(0.5)).cast("long"))
       .select(col("a"), col("b"), col("sim_t"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var selected = Vector.empty[(Long, Long, Long, Long)] // rank,id,rel,mmr
     for (k <- 1 to MmrK) {
       val selIds = selected.map(_._2)
@@ -836,7 +837,7 @@ object Similarity {
   private def knnGraph(spark: SparkSession, sfDir: String): DataFrame =
     knnMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "embeddings")) {
-      knnGraphCompute(spark, sfDir).localCheckpoint(true)
+      knnGraphCompute(spark, sfDir).ckpt(true)
     }
 
   /** Materialize-once PCA loadings per (session, dir, embeddings
@@ -925,7 +926,7 @@ object Similarity {
   private[graft] def nnDescentFrom(emb: DataFrame, g0: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     var g = g0.select(col("query_id"), col("neighbor_id").as("vec_id"),
-        col("cos")).localCheckpoint(true)
+        col("cos")).ckpt(true)
     var out: DataFrame = null
     for (_ <- 1 to rounds) {
       val fwd = g.select(col("query_id"), col("vec_id"))
@@ -934,7 +935,7 @@ object Similarity {
           lit(k)).as("top"))
         .select(col("vec_id").as("query_id"), explode(col("top")).as("t"))
         .select(col("query_id"), col("t.id").as("vec_id"))
-      val und = fwd.unionByName(rev).distinct().localCheckpoint(true)
+      val und = fwd.unionByName(rev).distinct().ckpt(true)
       val hop = und.join(
           und.select(col("query_id").as("vec_id"), col("vec_id").as("w")),
           "vec_id")
@@ -947,7 +948,7 @@ object Similarity {
         .join(emb, "vec_id")
         .withColumn("cos_raw",
           call_function("cosine_sim", col("qv"), col("embedding")))
-      out = topKPerQuery(scored, k).localCheckpoint(true)
+      out = topKPerQuery(scored, k).ckpt(true)
       g = out.select(col("query_id"), col("neighbor_id").as("vec_id"),
         col("cos"))
     }
@@ -985,7 +986,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     refinedMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "embeddings") + "|nnd") {
-      nnDescentFrom(emb, g0, KnnK, NnDescentRounds).localCheckpoint(true)
+      nnDescentFrom(emb, g0, KnnK, NnDescentRounds).ckpt(true)
     }
   }
 
@@ -1048,7 +1049,7 @@ object Similarity {
       // truncate the lineage each hop (the nnDescentFrom pattern):
       // cand references beam twice, so an unbroken plan doubles per
       // hop — the engine-side analog of the oracle's MATERIALIZED
-      beam = score(cand).localCheckpoint(false)
+      beam = score(cand).ckpt(false)
     }
     beam.select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("cos_raw"), 4).as("cos"), col("rank"))
@@ -1161,7 +1162,7 @@ object Similarity {
     .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx")))).as("g"))
     .select(expr("transform(g, s -> s.mn)").as("mins"),
       expr("transform(g, s -> s.mx)").as("maxs"))
-    .localCheckpoint(true)
+    .ckpt(true)
 
   /** SQL producing the persisted SQ8 `code` column: the grid index
     * k ∈ 0..255 from [[int8DequantizeSql]]'s quantize half (identical
@@ -1374,7 +1375,7 @@ object Similarity {
     val empty = cents.join(refined.select(col("m").as("rm"), col("code").as("rc")),
         col("m") === col("rm") && col("code") === col("rc"), "left_anti")
       .select(col("m"), col("code"), col("cv"))
-    refined.union(empty).localCheckpoint(true)
+    refined.union(empty).ckpt(true)
   }
 
   /** Argmin-L2² code per (vector, subspace): (vec_id, m, code, sv). */
@@ -1409,7 +1410,7 @@ object Similarity {
           col("vec_id"))) - 1).cast("long").as("code"))
     val c0 = subs.join(broadcast(seedIds), "vec_id")
       .select(col("m"), col("code"), col("sv").as("cv"))
-      .localCheckpoint(true)
+      .ckpt(true)
     (1 to PqIters).foldLeft(c0)((c, _) => pqRefine(pqSubvectors(emb), c))
   }
 
@@ -1552,7 +1553,7 @@ object Similarity {
   def s17Pca(spark: SparkSession, sfDir: String): DataFrame =
     pcaMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "embeddings") + "|pca") {
-      pcaCompute(spark, sfDir).localCheckpoint(true)
+      pcaCompute(spark, sfDir).ckpt(true)
     }
 
   /** The exact centered Gram ticks (i, j, g = n·P_ij − s_i·s_j) over
@@ -1594,7 +1595,7 @@ object Similarity {
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val nf = qf.agg(count(lit(1)).as("n"))
     val sums = qf.select(posexplode(col("q")).as(Seq("pi", "qi")))
       .groupBy(col("pi").cast("long").as("i")).agg(sum(col("qi")).as("s"))
@@ -1767,7 +1768,7 @@ object Similarity {
         (1 until PcaComponents).map(k =>
           sum(when(col("component") === k, col("p")).otherwise(lit(0L)))
             .as(s"p$k")): _*)
-      .localCheckpoint(true)
+      .ckpt(true)
     val qp = proj.filter(col("vec_id") < 5)
       .select(Seq(col("vec_id").as("query_id")) ++
         (0 until PcaComponents).map(k => col(s"p$k").as(s"q$k")): _*)
@@ -1831,7 +1832,7 @@ object Similarity {
     * corpus scan; everything after is a 64²-row frame.
     */
   def s19CorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val g0 = gramFrame(spark, sfDir).localCheckpoint(true)
+    val g0 = gramFrame(spark, sfDir).ckpt(true)
     val diag = g0.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("g").as("gd"))
     g0.join(broadcast(diag.select(col("d").as("i"), col("gd").as("gii"))), "i")
@@ -1905,7 +1906,7 @@ object Similarity {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"))
         .as(Seq("pi", "t")))
       .select(col("vec_id"), col("pi").cast("long").as("i"), col("t"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val nf = vecs.agg(count(lit(1)).as("n"))
     val grid = exploded.groupBy(col("i"), col("t"))
       .agg(count(lit(1)).as("c"))
@@ -1920,7 +1921,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(collect_list(struct(col("i"), col("m"))).as("im"))
       .select(expr("transform(array_sort(im), s -> s.m)").as("q"))
-    val p0 = pairMoments(ranks).localCheckpoint(true)
+    val p0 = pairMoments(ranks).ckpt(true)
     val diag = p0.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
     p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
@@ -1996,8 +1997,8 @@ object Similarity {
       .select(expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
-      .localCheckpoint(true)
-    val p0 = pairMomentsUpper(qf).localCheckpoint(true)
+      .ckpt(true)
+    val p0 = pairMomentsUpper(qf).ckpt(true)
     val diag = p0.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
     p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
@@ -2107,8 +2108,8 @@ object Similarity {
     val qf = vecs.select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
-      .localCheckpoint(true)
-    val exact = pairMomentsUpper(qf.select(col("q"))).localCheckpoint(true)
+      .ckpt(true)
+    val exact = pairMomentsUpper(qf.select(col("q"))).ckpt(true)
     val nf = qf.agg(count(lit(1)).as("n"))
     val diag = exact.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
@@ -2350,7 +2351,7 @@ object Similarity {
     registerAll(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
-    var assign = emb.withColumn("cluster", lit(0L)).localCheckpoint(true)
+    var assign = emb.withColumn("cluster", lit(0L)).ckpt(true)
     for (_ <- 1 to BisectSplits) {
       val target = assign.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("cluster")).limit(1)
@@ -2358,7 +2359,7 @@ object Similarity {
       val members = assign.join(broadcast(target),
           col("cluster") === col("tcl"))
         .select(col("vec_id"), col("embedding"), col("tcl"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val byMd5 = members
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
         .select((col("tcl") * 2 + 1).as("cid"), col("embedding").as("cv"))
@@ -2366,7 +2367,7 @@ object Similarity {
         .orderBy(md5(col("vec_id").cast("string")).desc, col("vec_id").desc)
         .limit(1)
         .select((col("tcl") * 2 + 2).as("cid"), col("embedding").as("cv"))
-      val seeds = byMd5.union(byMd5Last).localCheckpoint(true)
+      val seeds = byMd5.union(byMd5Last).ckpt(true)
       val cents = (1 to BisectLloyd).foldLeft(seeds)((c, _) =>
         lloydRefine(members.select(col("vec_id"), col("embedding")), c))
       val reassigned = members.crossJoin(broadcast(cents))
@@ -2378,7 +2379,7 @@ object Similarity {
       assign = assign.join(reassigned, Seq("vec_id"), "left")
         .select(col("vec_id"), col("embedding"),
           coalesce(col("newc"), col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+        .ckpt(true)
     }
     val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
     assign.join(sizes, "cluster")
@@ -2493,7 +2494,7 @@ object Similarity {
       .withColumn("q", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / nv * 1024.0D + 0.5D) AS BIGINT))"))
       .select(col("vec_id"), col("cell"), col("q"))
-      .localCheckpoint(true) // read by the Ω build AND the scoring pass
+      .ckpt(true) // read by the Ω build AND the scoring pass
     val omega = qs
       .select(col("cell"), posexplode(col("q")).as(Seq("j", "qj")))
       .groupBy(col("cell"), col("j"))

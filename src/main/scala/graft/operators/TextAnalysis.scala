@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -417,7 +418,7 @@ object TextAnalysis {
     // 20-row frame — unmaterialized, each consumer re-runs the whole
     // exact token aggregation + global sort (no cross-branch reuse)
     val top20 = exact.orderBy(col("tf").desc, col("token")).limit(20)
-      .localCheckpoint(true)
+      .ckpt(true)
     val boundary = top20.agg(min(col("tf")).as("__b"))
     val sketch = toks
       .agg(expr("approx_top_k(token, 20, 65536)").as("tk"))
@@ -699,7 +700,7 @@ object TextAnalysis {
     var vocab = wordFreq
       .withColumn("sym",
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
-      .localCheckpoint(true)
+      .ckpt(true)
     val rounds = (1 to BpeRounds).map { rnd =>
       val pairs = vocab
         .select(col("freq"), split(trim(col("sym")), " ").as("a"))
@@ -709,7 +710,7 @@ object TextAnalysis {
         .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
         .agg(sum(col("freq")).as("pair_cnt"))
       val best = pairs.orderBy(col("pair_cnt").desc, col("l"), col("r"))
-        .limit(1).localCheckpoint(true)
+        .limit(1).ckpt(true)
       // LEFT join on true, not crossJoin: when the vocabulary fully
       // merges before the round budget, `best` is EMPTY and a cross
       // join would erase the vocabulary — the encoder (t21) must keep
@@ -726,7 +727,7 @@ object TextAnalysis {
             lit("  "), lit(" ")))
           .otherwise(col("sym")))
         .drop("__l", "__r")
-        .localCheckpoint(true)
+        .ckpt(true)
       val after = vocab.agg(
         sum(col("freq") * size(split(trim(col("sym")), " ")))
           .as("symbols_after"))
@@ -841,7 +842,7 @@ object TextAnalysis {
       val ct = toks.join(docs, "doc_id")
         .groupBy(col("lang").as("cls"), col("token"))
         .agg(count(lit(1)).as("n_ct"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val totals = ct.groupBy(col("cls")).agg(sum(col("n_ct")).as("t_c"))
       val vocab = toks.select(col("token")).distinct()
       val vSize = vocab.agg(count(lit(1)).as("v"))
@@ -852,7 +853,7 @@ object TextAnalysis {
           floor(-log2((coalesce(col("n_ct"), lit(0L)) + lit(1)).cast("double") /
               (col("t_c") + col("v")).cast("double")) *
             lit(NbScale) + lit(0.5)).cast("long").as("q"))
-        .localCheckpoint(true)
+        .ckpt(true)
     }
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val priors = docs.groupBy(col("lang").as("cls"))
@@ -861,7 +862,7 @@ object TextAnalysis {
       .select(col("cls"),
         floor(-log2(col("n_c").cast("double") / col("n_docs").cast("double")) *
           lit(NbScale) + lit(0.5)).cast("long").as("prior_q"))
-      .localCheckpoint(true)
+      .ckpt(true)
     (model, priors)
   }
 
@@ -973,7 +974,7 @@ object TextAnalysis {
       .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
     val perBin = binned.groupBy(col("feature"), col("bin"))
       .agg(sum(col("w")).as("n"), sum(col("w") * col("y")).as("pos"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val tot = perBin.groupBy(col("feature"))
       .agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
     import org.apache.spark.sql.expressions.Window
@@ -1027,8 +1028,8 @@ object TextAnalysis {
     * node.
     */
   def t22DecisionTree(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = docFeatures(spark, sfDir).localCheckpoint(true)
-    val root = stumpCore(f).localCheckpoint(true)
+    val f = docFeatures(spark, sfDir).ckpt(true)
+    val root = stumpCore(f).ckpt(true)
     val withBin = f.crossJoin(broadcast(root.select(
         col("feature").as("rf"), col("split_bin").as("rb"),
         col("f_min").as("rmn"), col("f_max").as("rmx"))))
@@ -1079,12 +1080,12 @@ object TextAnalysis {
     // ≤ 2^D·3 rows; read by the binning pass AND the final join
     val stats = lf.groupBy(col("node"), col("feature"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val binned = lf.join(broadcast(stats), Seq("node", "feature"))
       .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
     val perBin = binned.groupBy(col("node"), col("feature"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val tot = perBin.groupBy(col("node"), col("feature"))
       .agg(sum(col("n")).as("nn"), sum(col("pos")).as("npos"))
     import org.apache.spark.sql.expressions.Window
@@ -1133,9 +1134,9 @@ object TextAnalysis {
     */
   private[graft] def deepTreeFrom(features: DataFrame, depth: Int): DataFrame = {
     var asg = features.select(col("y"), col("v1"), col("v2"), col("v3"))
-      .withColumn("node", lit(1L)).localCheckpoint(true)
+      .withColumn("node", lit(1L)).ckpt(true)
     val levels = (1 to depth).map { l =>
-      val best = nodeStumpCore(asg).localCheckpoint(true)
+      val best = nodeStumpCore(asg).ckpt(true)
       if (l < depth) {
         val sel = best.select(col("node"), col("feature").as("rf"),
           col("split_bin").as("rb"), col("f_min").as("rmn"),
@@ -1148,7 +1149,7 @@ object TextAnalysis {
           .select(col("y"), col("v1"), col("v2"), col("v3"),
             (col("node") * 2 + when(col("cbin") <= col("rb"), lit(0L))
               .otherwise(lit(1L))).as("node"))
-          .localCheckpoint(true)
+          .ckpt(true)
       }
       best
     }
@@ -1208,11 +1209,11 @@ object TextAnalysis {
     * partial-agg'd, nothing grows with rounds.
     */
   def t26BoostedStumps(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = docFeatures(spark, sfDir).localCheckpoint(true)
-    var wts = f.select(col("doc_id"), lit(4096L).as("w")).localCheckpoint(true)
+    val f = docFeatures(spark, sfDir).ckpt(true)
+    var wts = f.select(col("doc_id"), lit(4096L).as("w")).ckpt(true)
     val rounds = (1 to BoostRounds).map { r =>
       val fw = f.join(wts, "doc_id")
-      val best = stumpCoreW(fw).localCheckpoint(true)
+      val best = stumpCoreW(fw).ckpt(true)
       val cls = fw.crossJoin(broadcast(best.select(
           col("feature").as("rf"), col("split_bin").as("rb"),
           col("f_min").as("rmn"), col("f_max").as("rmx"),
@@ -1221,7 +1222,7 @@ object TextAnalysis {
           when(expr(s"(((CASE WHEN rf = 'n_chars' THEN v1 WHEN rf = 'n_tokens' THEN v2 ELSE v3 END) - rmn) * $StumpBins) div (rmx - rmn + 1)") <= col("rb"),
             col("pl")).otherwise(col("pr")))
         .withColumn("correct", col("pred") === (col("y") === 1))
-        .localCheckpoint(true)
+        .ckpt(true)
       val er = cls.agg(sum(col("w")).as("tw"),
           sum(when(!col("correct"), col("w")).otherwise(lit(0L))).as("ewr"))
         .select(col("tw"), col("ewr"),
@@ -1229,7 +1230,7 @@ object TextAnalysis {
           greatest(col("tw") - col("ewr"), lit(1L)).as("g1"))
         .withColumn("alpha_ticks", expr(
           "CAST(floor(log2(CAST(g1 AS DOUBLE) / CAST(e1 AS DOUBLE)) * 1048576.0D + 0.5D) AS BIGINT)"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val raw = cls.crossJoin(broadcast(er.select(col("e1"), col("g1"))))
         .select(col("doc_id"),
           (col("w") * when(col("correct"), col("e1")).otherwise(col("g1")))
@@ -1238,7 +1239,7 @@ object TextAnalysis {
       wts = raw.crossJoin(broadcast(wmax))
         .select(col("doc_id"),
           greatest(expr("(wr * 4096) div wm"), lit(1L)).as("w"))
-        .localCheckpoint(true)
+        .ckpt(true)
       best.crossJoin(broadcast(er.select(col("ewr").as("err_w"),
           col("tw").as("total_w"), col("alpha_ticks"))))
         .select(lit(r.toLong).as("round"), col("*"))
@@ -1267,7 +1268,7 @@ object TextAnalysis {
     * parallel, candidate count per tree still (features × bins).
     */
   def t25RandomForest(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = docFeatures(spark, sfDir).localCheckpoint(true)
+    val f = docFeatures(spark, sfDir).ckpt(true)
     val trees = (0 until RfTrees).map { t =>
       val keep = (k: Int, c: Column) => if (t % 3 == k) lit(0L) else c
       val sampled = f.filter(expr(
@@ -1322,12 +1323,12 @@ object TextAnalysis {
         .as(Seq("feature", "x")))
     val stats = lf.groupBy(col("feature"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val perBin = lf.join(broadcast(stats), "feature")
       .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
       .groupBy(col("feature"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val tot = perBin.groupBy(col("feature"))
       .agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
     val cumw = Window.partitionBy(col("feature")).orderBy(col("bin"))
@@ -1368,7 +1369,7 @@ object TextAnalysis {
     * parallel, candidate count per tree still (features × bins).
     */
   def t34RfRegression(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = regForestFeatures(spark, sfDir).localCheckpoint(true)
+    val f = regForestFeatures(spark, sfDir).ckpt(true)
     val trees = (0 until RfTrees).map { t =>
       val keep = (k: Int, c: Column) => if (t % 3 == k) lit(0L) else c
       val sampled = f.filter(expr(
@@ -2024,7 +2025,7 @@ object TextAnalysis {
     val docs = Tables.documents(spark, sfDir)
       .select(col("lang"), col("source"))
     val obs = docs.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("o")).localCheckpoint(true)
+      .agg(count(lit(1)).as("o")).ckpt(true)
     val rl = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
     val cs = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
     val nn = obs.agg(sum(col("o")).as("n"))
@@ -2117,7 +2118,7 @@ object TextAnalysis {
           explode(call_function("word_grams", lower(col("text")), lit(1)))
             .as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "token")
@@ -2130,7 +2131,7 @@ object TextAnalysis {
             16, 10).cast("long"), lit(HtfBuckets)))
         .groupBy(col("doc_id"), col("bucket"))
         .agg(sum(col("tf") * col("idf_ticks")).as("w_ticks"))
-        .localCheckpoint(true)
+        .ckpt(true)
     }
 
   def t30HashingTf(spark: SparkSession, sfDir: String): DataFrame =
@@ -2214,7 +2215,7 @@ object TextAnalysis {
     val nn = docs.agg(count(lit(1)).as("nn"))
     val nwl = pres.groupBy(col("token"), col("lang"))
       .agg(count(lit(1)).as("n_wl"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val nw = nwl.groupBy(col("token")).agg(sum(col("n_wl")).as("n_w"))
     nw.crossJoin(broadcast(nl))
       .join(nwl, Seq("token", "lang"), "left")
@@ -2306,21 +2307,21 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val f = docFeatures(spark, sfDir)
       .select(col("doc_id"), col("v2").as("yr"), col("v1"), col("v3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     val stats = f.select(
         expr("stack(2, 'n_chars', v1, 'distinct_ratio', v3)")
           .as(Seq("feature", "x")))
       .groupBy(col("feature")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .localCheckpoint(true)
+      .ckpt(true)
     // base prediction as a 1-row broadcast frame (NOT a driver-side
     // collect — the operator stays a pure declarative plan, the
     // ADVICE r10 fix; the identical floor(Σy/n) both engines compute)
     val f0f = f.agg(sum(col("yr")).as("s"), count(lit(1)).as("n"))
       .select(floor(col("s").cast("double") / col("n").cast("double"))
         .cast("long").as("f0"))
-      .localCheckpoint(true)
+      .ckpt(true)
     var cur = f.crossJoin(broadcast(f0f))
-      .withColumn("fhat", col("f0")).drop("f0").localCheckpoint(true)
+      .withColumn("fhat", col("f0")).drop("f0").ckpt(true)
     val cumw = Window.partitionBy(col("feature")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var out: DataFrame = null
@@ -2332,7 +2333,7 @@ object TextAnalysis {
         .withColumn("bin", expr(s"((x - mn) * $StumpBins) div (mx - mn + 1)"))
         .groupBy(col("feature"), col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("r")).as("s"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val tot = perBin.groupBy(col("feature"))
         .agg(sum(col("n")).as("nn"), sum(col("s")).as("ss"))
       val cand = perBin
@@ -2354,14 +2355,14 @@ object TextAnalysis {
           floor((col("ss") - col("sl")).cast("double")
               / (lit(2.0) * (col("nn") - col("nl"))))
             .cast("long").as("gr"))
-        .localCheckpoint(true)
+        .ckpt(true)
       cur = cur.crossJoin(broadcast(best))
         .withColumn("fhat", col("fhat") + when(
           expr(s"(((CASE WHEN bf = 'n_chars' THEN v1 ELSE v3 END) - bmn)" +
             s" * $StumpBins) div (bmx - bmn + 1)") <= col("bb"),
           col("gl")).otherwise(col("gr")))
         .select(col("doc_id"), col("yr"), col("v1"), col("v3"), col("fhat"))
-        .localCheckpoint(true)
+        .ckpt(true)
       val sse = cur.agg(
         sum((col("yr") - col("fhat")) * (col("yr") - col("fhat"))).as("sse"))
       val row = best.crossJoin(broadcast(sse)).crossJoin(broadcast(f0f))

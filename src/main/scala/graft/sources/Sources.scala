@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -362,7 +363,7 @@ object Sources {
     // The checkpoint truncates lineage to materialized blocks, sized
     // to the TOUCHED partitions only — the incremental-batch regime
     // this operator is for.
-    val merged = survivors.unionByName(updates).localCheckpoint(true)
+    val merged = survivors.unionByName(updates).ckpt(true)
     overwritePartitions(merged, targetDir, Seq(partitionCol))
   }
 

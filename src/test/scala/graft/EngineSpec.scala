@@ -29,4 +29,33 @@ class EngineSpec extends AnyFunSuite {
     assert(Engine.dirBytes(d.toString) == 1234L)
     assert(Engine.dirBytes(d.resolve("nope").toString) == 0L)
   }
+
+  test("graft.checkpoint.dir swaps lineage truncation to reliable checkpoint, same results") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    // default path: localCheckpoint (conf unset)
+    assert(spark.conf.getOption(Ckpt.DirConf).isEmpty)
+    val local = graft.operators.Graph.minLabelRounds(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // opt-in path: reliable checkpoint into a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Ckpt.DirConf, dir)
+    try {
+      val reliable = graft.operators.Graph.minLabelRounds(edges, 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // identical labels: checkpointing changes WHERE frames
+      // materialize, never their rows
+      assert(reliable == local && local ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+      // and the reliable path actually wrote checkpoint data
+      def files(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles).map(_.toSeq).getOrElse(Nil)
+        kids ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(dir)).exists(_.isFile),
+        s"no checkpoint files under $dir")
+    } finally spark.conf.unset(Ckpt.DirConf)
+  }
 }
