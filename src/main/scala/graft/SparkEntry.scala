@@ -202,6 +202,7 @@ object SparkEntry {
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
     "m02_image_decode" -> (Multimodal.m02ImageDecode _),
+    "m07_audio_decode" -> (Multimodal.m07AudioDecode _),
     "m03_frame_sample" -> (Multimodal.m03FrameSample _),
     "m04_sample_assembly" -> (Multimodal.m04SampleAssembly _),
     "m05_integrity" -> (Multimodal.m05Integrity _),
@@ -4538,6 +4539,36 @@ object SparkEntry {
         |  (sg * 4096) // (w * h) AS mean_g_ticks,
         |  (sb * 4096) // (w * h) AS mean_b_ticks
         |FROM ag
+        |ORDER BY doc_id""".stripMargin,
+    // m07 oracle: the m02 recipe for the audio modality — the engine
+    // encodes planted 16-bit PCM into REAL WAV containers and decodes
+    // them with javax.sound; the oracle recomputes the decoded header
+    // fields and exact sample sums ARITHMETICALLY (WAV PCM is
+    // lossless). Sums, not means — no division enters the contract.
+    "m07_audio_decode" ->
+      """WITH au AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id % 9) // 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |         ELSE 16000 END AS sample_rate,
+        |    1 + doc_id % 2 AS channels,
+        |    64 + doc_id % 65 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, sample_rate, channels, n_frames,
+        |         unnest(range(0, n_frames)) AS i FROM au),
+        |sm AS (
+        |  SELECT doc_id, any_value(sample_rate) AS sample_rate,
+        |    any_value(channels) AS channels, any_value(n_frames) AS n_frames,
+        |    CAST(sum((doc_id * 7919 + i * 31) % 65536 - 32768) AS BIGINT)
+        |      AS sum_ch0,
+        |    CAST(sum(CASE WHEN channels = 2
+        |             THEN (doc_id * 7919 + 104729 + i * 31) % 65536 - 32768
+        |             ELSE 0 END) AS BIGINT) AS sum_ch1
+        |  FROM fr GROUP BY doc_id)
+        |SELECT doc_id, 'audio/wav' AS mime,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(n_frames AS BIGINT) AS n_frames, sum_ch0, sum_ch1
+        |FROM sm
         |ORDER BY doc_id""".stripMargin,
     // m06: the oracle replicates the frame-set Jaccard pipeline from
     // the m03 frame CTE with a direct digest self-join and the SAME

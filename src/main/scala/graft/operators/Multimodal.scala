@@ -212,6 +212,137 @@ object Multimodal {
   def m02ImageDecode(spark: SparkSession, sfDir: String): DataFrame =
     m02ImageFeatures(spark, sfDir).drop("batch_n")
 
+  /** Planted audio-modality content for [[m07AudioDecode]] — the m02
+    * recipe applied to the third modality (doc_id % 3 == 2): sample
+    * rate, channel count, frame count, and every 16-bit PCM sample
+    * are an arithmetic function of doc_id, encoded into a REAL WAV
+    * container with pure-JVM javax.sound.sampled and decoded back
+    * with the same — WAV PCM is lossless, so the decode is
+    * hash-verified end to end against an arithmetic oracle.
+    */
+  private[graft] def wavRate(id: Long): Int =
+    // audio ids are ≡ 2 (mod 3), so (id % 9) / 3 cycles 0,1,2 across them
+    Array(8000, 11025, 16000)(((id % 9) / 3).toInt)
+  private[graft] def wavChannels(id: Long): Int = (1 + id % 2).toInt
+  private[graft] def wavFrames(id: Long): Int = (64 + id % 65).toInt
+  private[graft] def wavSample(id: Long, c: Int, i: Int): Int =
+    (((id * 7919 + c * 104729 + i.toLong * 31) % 65536) - 32768).toInt
+
+  /** Encode doc_id's planted PCM signal to real WAV container bytes
+    * (16-bit signed little-endian, [[wavChannels]] interleaved).
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val ch = wavChannels(id); val n = wavFrames(id); val rate = wavRate(id)
+    val pcm = new Array[Byte](n * ch * 2)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val s = wavSample(id, c, i)
+        val off = (i * ch + c) * 2
+        pcm(off) = (s & 0xFF).toByte
+        pcm(off + 1) = ((s >> 8) & 0xFF).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode real WAV container bytes with pure-JVM javax.sound:
+    * sniffed mime (RIFF/WAVE magic), format header (rate, channels),
+    * frame count, and exact per-channel 16-bit sample sums (first
+    * two channels; channel 1 reads 0 for mono). No division anywhere
+    * — sums are the report, so sign-sensitive div semantics never
+    * enter the cross-engine contract.
+    */
+  private[graft] def decodeWavStats(
+      blob: Array[Byte]): (String, Long, Long, Long, Long, Long) = {
+    import javax.sound.sampled.AudioSystem
+    val mime =
+      if (blob.length >= 12 && blob(0) == 'R'.toByte && blob(1) == 'I'.toByte &&
+        blob(8) == 'W'.toByte && blob(9) == 'A'.toByte) "audio/wav"
+      else "application/octet-stream"
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"decodeWavStats: unexpected PCM layout $fmt")
+    val ch = fmt.getChannels
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / (ch * 2)
+    var s0 = 0L; var s1 = 0L
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val off = (i * ch + c) * 2
+        val v = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort.toLong
+        if (c == 0) s0 += v else if (c == 1) s1 += v
+        c += 1
+      }
+      i += 1
+    }
+    (mime, fmt.getSampleRate.toLong, ch.toLong, n.toLong, s0, s1)
+  }
+
+  /** m07: REAL audio decode over the binary column — WAV container
+    * bytes in, (mime, sample_rate, channels, n_frames, exact
+    * per-channel sample sums) out, via pure-JVM javax.sound inside
+    * the same bounded per-partition batches as [[m02ImageFeatures]].
+    * Completes the modality set: m02 decodes the image rows, m07 the
+    * audio rows, m03's video-style frame sampler remains the one
+    * declared stub (no video codec exists in any pure JVM).
+    *
+    * Scale shape: identical to m02 — blob built/read inside the
+    * partition scan, embarrassingly parallel decode, narrow typed
+    * output row, orderBy only for the gate.
+    */
+  def m07AudioFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2)
+    val blobSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val blobEnc = org.apache.spark.sql.Encoders.row(blobSchema)
+    val blobs = src.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), encodeWav(r.getLong(0))))
+    }(blobEnc)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_ch0", LongType, nullable = false),
+      StructField("sum_ch1", LongType, nullable = false),
+      StructField("batch_n", IntegerType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    blobs.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val (mime, rate, ch, n, s0, s1) =
+            decodeWavStats(r.getAs[Array[Byte]](1))
+          Row(id, mime, rate, ch, n, s0, s1, batch.size)
+        }
+      }
+    }(encoder)
+      .orderBy(col("doc_id"))
+  }
+
+  /** m07 driver-facing output — [[m07AudioFeatures]] minus the
+    * spec-only batch column.
+    */
+  def m07AudioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    m07AudioFeatures(spark, sfDir).drop("batch_n")
+
   private val FrameStride = 16
 
   /** m03: frame-sampling plumbing — one input blob row fans out to

@@ -322,6 +322,43 @@ class TextMultimodalSpec extends AnyFunSuite {
       "n_channels", "mean_r_ticks", "mean_g_ticks", "mean_b_ticks"))
   }
 
+  test("m07 audio decode: exact header/sums on planted WAV, mono and stereo") {
+    // planted kernel pins: encode -> real WAV container -> real
+    // javax.sound decode must reproduce the arithmetic PCM plant
+    // exactly (WAV PCM is lossless). ids cover mono/stereo and all
+    // three sample rates.
+    for (id <- Seq(2L, 5L, 8L, 11L)) {
+      val blob = Multimodal.encodeWav(id)
+      val (mime, rate, ch, n, s0, s1) = Multimodal.decodeWavStats(blob)
+      assert(mime == "audio/wav", s"id $id sniffed $mime")
+      assert(rate == Multimodal.wavRate(id).toLong, s"id $id rate $rate")
+      assert(ch == Multimodal.wavChannels(id).toLong, s"id $id channels $ch")
+      assert(n == Multimodal.wavFrames(id).toLong, s"id $id frames $n")
+      val want0 = (0 until Multimodal.wavFrames(id))
+        .map(i => Multimodal.wavSample(id, 0, i).toLong).sum
+      val want1 = if (ch == 2)
+        (0 until Multimodal.wavFrames(id))
+          .map(i => Multimodal.wavSample(id, 1, i).toLong).sum
+      else 0L
+      assert((s0, s1) == (want0, want1), s"id $id sums ($s0, $s1)")
+    }
+    val out = Multimodal.m07AudioFeatures(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bn = r.getInt(7)
+      assert(bn >= 1 && bn <= 32, s"batch_n $bn out of bounds")
+      assert(Seq(8000L, 11025L, 16000L).contains(r.getLong(2)))
+      assert(r.getLong(3) == 1L || r.getLong(3) == 2L)
+      if (r.getLong(3) == 1L) assert(r.getLong(6) == 0L, "mono sum_ch1 must be 0")
+    }
+    // corpus determinism
+    val again = Multimodal.m07AudioFeatures(spark, sfDir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val driverCols = Multimodal.m07AudioDecode(spark, sfDir).columns.toSeq
+    assert(driverCols == Seq("doc_id", "mime", "sample_rate", "channels",
+      "n_frames", "sum_ch0", "sum_ch1"))
+  }
+
   test("t18 bpe: known merge sequence, tie-break, and exhaustion contract") {
     import spark.implicits._
     // "low"×2 + "lower"×1: round 1 ties (l,o)=3 with (o,w)=3 -> lexicographic
