@@ -804,6 +804,38 @@ object StreamOps {
   def linregInitState(spark: SparkSession): DataFrame =
     spark.range(1).select((0 to 3).map(j => lit(0L).as(s"w$j")): _*)
 
+  /** stream_huber: the ROBUST member of the streaming-GD family —
+    * one clamped-gradient step per micro-batch on q65's integer
+    * contract (the pinball/squared siblings' posture; reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * regression/StreamingLinearRegressionWithSGD.scala:1 — one step
+    * per arriving batch): residual clamp least(greatest(r24, −δ), δ)
+    * before the gradient, then the exact q50-family update. State is
+    * the 4 weight ticks zero-initialized ([[linregInitState]] — the
+    * batch warm-start aggregate has no stateless-fold analogue, the
+    * stream_poisson documented divergence). Exact longs make the
+    * streamed model ≡ the same fold applied by hand to the ordered
+    * batches (spec'd), and a planted outlier batch moves the robust
+    * fold strictly less than the squared-loss fold (spec'd).
+    */
+  def huberFoldBatch(state: DataFrame, batch: DataFrame,
+      delta24: Long = graft.operators.Relational.HuberDelta24): DataFrame = {
+    val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
+    val clamp = graft.operators.Relational.HuberClamp
+    val aggCols =
+      (0 to 3).map(j => sum(col("cr") * col(s"f$j")).as(s"g$j")) ++
+        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
+    batch.crossJoin(broadcast(state))
+      .withColumn("r24", m24 - col("y12") * lit(4096L))
+      .withColumn("cr",
+        least(greatest(col("r24"), lit(-delta24)), lit(delta24)))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .select((0 to 3).map(j =>
+        least(greatest(col(s"w$j") -
+          expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"),
+          lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
+  }
+
   /** stream_logreg: the classifier sibling (reference: /root/
     * reference/mllib/src/main/scala/org/apache/spark/mllib/
     * classification/StreamingLogisticRegressionWithSGD.scala:1) —

@@ -1111,6 +1111,53 @@ class StreamingSpec extends AnyFunSuite {
       "absent features must stay zero")
   }
 
+  test("stream_huber: streamed robust folds equal hand folds; outlier batch moves it less") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // batch 1: clean y = 2*x1; batch 2: the same plus one huge outlier
+    val clean = (1 to 8).map { i =>
+      val f1 = (i % 4 + 1) * 1024L
+      (2L * f1, 4096L, f1, 0L, 0L)
+    }
+    val h1 = clean.toDF("y12", "f0", "f1", "f2", "f3").localCheckpoint(true)
+    val h2 = (clean :+ ((120000L, 4096L, 1024L, 0L, 0L)))
+      .toDF("y12", "f0", "f1", "f2", "f3").localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-huber-stream")
+    val schema = StructType(Seq("y12", "f0", "f1", "f2", "f3")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.linregInitState(spark).localCheckpoint(true)
+    val init = state
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.huberFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.huberFoldBatch(
+      StreamOps.huberFoldBatch(init, h1), h2)
+    val got = state.collect().head
+    val want = expected.collect().head
+    assert((0 to 3).forall(j => got.getLong(j) == want.getLong(j)),
+      s"streamed model diverged: $got vs $want")
+    // robustness: on the outlier batch the clamped fold's intercept
+    // moves strictly less than the squared-loss fold's
+    val pre = StreamOps.huberFoldBatch(init, h1).localCheckpoint(true)
+    val hub = StreamOps.huberFoldBatch(pre, h2).collect().head.getLong(0)
+    val sq = StreamOps.linregFoldBatch(pre, h2).collect().head.getLong(0)
+    assert(hub < sq, s"clamp must damp the outlier pull: huber $hub vs ls $sq")
+    // and it still learns: positive slope, absent features exactly 0
+    assert(got.getLong(1) > 0L, s"slope ${got.getLong(1)}")
+    assert(got.getLong(2) == 0L && got.getLong(3) == 0L)
+  }
+
   test("stream_quantile: streamed pinball folds equal hand folds; " +
     "first-fold intercepts pin at tau*step/4 and order") {
     import org.apache.spark.sql.types._
