@@ -60,6 +60,7 @@ object SparkEntry {
     "q57_lasso" -> (Relational.q57Lasso _),
     "q62_quantile_reg" -> (Relational.q62QuantileReg _),
     "q65_huber" -> (Relational.q65Huber _),
+    "q66_relu_mlp" -> (Relational.q66ReluMlp _),
     "q63_one_vs_rest" -> (Relational.q63OneVsRest _),
     "q64_poisson_glm" -> (Relational.q64PoissonGlm _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
@@ -1449,6 +1450,87 @@ object SparkEntry {
        |ORDER BY round""".stripMargin
   }
 
+  /** q66 oracle: the exact-integer ReLU backprop rounds unrolled —
+    * the q57 CTE shape widened to the 21-column network state (W2
+    * row + flattened W1), the ReLU forward as greatest(·, 0), the
+    * indicator backward as a CASE, and the literal W1 init matrix
+    * interpolated from the SAME [[graft.operators.Relational
+    * .mlpW1Init]] the engine uses.
+    */
+  private def q66OracleSql: String = {
+    val H = graft.operators.Relational.MlpHidden
+    val iters = graft.operators.Relational.MlpIters
+    val clamp = graft.operators.Relational.MlpClamp
+    val rc = graft.operators.Relational.MlpResidClamp24
+    val wCols = Seq("w2_0") ++ (1 to H).map(h => s"w2_$h") ++
+      (for (h <- 0 until H; j <- 0 to 3) yield s"w1_${h}_$j")
+    def scanCte(k: Int): String = {
+      val as = (0 until H).map(h =>
+        (0 to 3).map(j => s"w1_${h}_$j * f$j").mkString(" + "))
+      val aDefs = as.zipWithIndex
+        .map { case (e, h) => s"$e AS a_$h" }.mkString(",\n    ")
+      val hDefs = (0 until H)
+        .map(h => s"greatest(a_$h, 0) // 4096 AS h12_${h + 1}")
+        .mkString(", ")
+      val yhat = (0 to H).map(h => s"w2_$h * h12_$h").mkString(" + ")
+      val g2 = (0 to H)
+        .map(h => s"CAST(sum(cr12 * h12_$h) AS BIGINT) AS g2_$h")
+        .mkString(", ")
+      val g1 = (for (h <- 0 until H; j <- 0 to 3) yield
+        s"CAST(sum(cr12 * w2_${h + 1} * " +
+          s"(CASE WHEN a_$h > 0 THEN 1 ELSE 0 END) * f$j) AS BIGINT)" +
+          s" AS g1_${h}_$j").mkString(", ")
+      val ws = wCols.map(w => s"max($w) AS $w").mkString(", ")
+      s"""s$k AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(abs(cr12)) AS BIGINT) AS sae12,
+         |    $g2, $g1, $ws
+         |  FROM (
+         |    SELECT c.*,
+         |      least(greatest(($yhat) - y12 * 4096, -$rc), $rc) // 4096 AS cr12
+         |    FROM (
+         |      SELECT b.*, 4096 AS h12_0, $hDefs
+         |      FROM (SELECT feats.*, wr.*,
+         |        $aDefs
+         |        FROM feats, w$k wr) b) c) d)""".stripMargin
+    }
+    def updCte(k: Int): String = {
+      val u2 = (0 to H).map(h =>
+        s"least(greatest(w2_$h - g2_$h // (4 * greatest(n, 1) * 4096), " +
+          s"-$clamp), $clamp) AS w2_$h").mkString(", ")
+      val u1 = (for (h <- 0 until H; j <- 0 to 3) yield
+        s"least(greatest(w1_${h}_$j - g1_${h}_$j // " +
+          s"(4 * greatest(n, 1) * 1048576), -$clamp), $clamp)" +
+          s" AS w1_${h}_$j").mkString(", ")
+      s"w${k + 1} AS (SELECT $u2, $u1 FROM s$k)"
+    }
+    val w1Init = (for (h <- 0 until H; j <- 0 to 3) yield
+      s"CAST(${graft.operators.Relational.mlpW1Init(h, j)} AS BIGINT)" +
+        s" AS w1_${h}_$j").mkString(", ")
+    val w0 = "w0 AS (SELECT " +
+      "(SELECT CAST(sum(y12) AS BIGINT) // count(*) FROM feats) AS w2_0, " +
+      (1 to H).map(h =>
+        s"CAST(${graft.operators.Relational.mlpW2Init(h)} AS BIGINT)" +
+          s" AS w2_$h").mkString(", ") +
+      s", $w1Init)"
+    val ctes = (w0 +: (0 to iters).flatMap(k =>
+      scanCte(k) +: (if (k < iters) Seq(updCte(k)) else Nil))).mkString(",\n")
+    val rounds = (0 to iters).map { k =>
+      val ws = wCols.map(w => s"$w AS ${w}_ticks").mkString(", ")
+      s"SELECT CAST($k AS BIGINT) AS round, n, sae12, $ws FROM s$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH feats AS (
+       |  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y12,
+       |    CAST(4096 AS BIGINT) AS f0,
+       |    CAST(l_quantity AS BIGINT) * 64 AS f1,
+       |    CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT) AS f2,
+       |    CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT) AS f3
+       |  FROM lineitem),
+       |$ctes
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
   /** q56 oracle: the hinge-loss rounds unrolled — the q50 CTE shape
     * with the violation indicator and the Pegasos-style update.
     */
@@ -2763,6 +2845,7 @@ object SparkEntry {
     // dimension — integer pinball CASE, halved steps, mean init.
     "q62_quantile_reg" -> q62OracleSql,
     "q65_huber" -> q65OracleSql,
+    "q66_relu_mlp" -> q66OracleSql,
     "q63_one_vs_rest" -> q63OracleSql,
     "q64_poisson_glm" -> q64OracleSql,
     "q56_linear_svm" -> q56OracleSql,

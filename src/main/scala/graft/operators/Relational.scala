@@ -1818,6 +1818,160 @@ object Relational {
     huberRounds(feats)
   }
 
+  /** Hidden width / gradient rounds for [[q66ReluMlp]]. */
+  private[graft] val MlpHidden = 4
+  private[graft] val MlpIters = 6
+
+  /** Weight clamp in 2⁻¹² ticks (the q50 bound). */
+  private[graft] val MlpClamp = 65536L
+
+  /** Residual clamp on the 2⁻²⁴ grid (the q65 robustness clamp —
+    * also the stability guard that bounds every gradient term).
+    */
+  private[graft] val MlpResidClamp24 = 1L << 25
+
+  /** Fixed symmetry-breaking W1 init in 2⁻¹² ticks — a deterministic
+    * literal matrix (no seed): W1[h][j] = (((h+1)(j+1)) mod 5 − 2)·4096.
+    * Distinct rows make the hidden units distinguishable from round
+    * 1, and the ±1-unit weight scale puts initial hidden activations
+    * on the SAME 2¹² scale as the constant bias unit (a 16× smaller
+    * init left h12 two orders below h12₀ and the hidden layer
+    * effectively dormant — measured). Any fixed distinct matrix
+    * works; this one is transparent to the oracle (interpolated as
+    * literals).
+    */
+  private[graft] def mlpW1Init(h: Int, j: Int): Long =
+    (((h + 1L) * (j + 1L)) % 5L - 2L) * 4096L
+
+  /** Fixed ±¼-unit alternating W2 init for the hidden units
+    * (h = 1..[[MlpHidden]]): a zero hidden-weight init would zero
+    * every W1 gradient (backprop multiplies by W2ₕ) and leave the
+    * first layer frozen for rounds while W2 crawls off zero —
+    * measured. Alternating signs keep the initial hidden
+    * contributions roughly balanced around the warm-started bias.
+    */
+  private[graft] def mlpW2Init(h: Int): Long =
+    if (h % 2 == 1) 1024L else -1024L
+
+  /** The fixed-round ReLU-MLP core over a (y12, f0..f3) frame — ONE
+    * hidden layer of [[MlpHidden]] ReLU units trained by exact
+    * integer backprop (reference surface: /root/reference/mllib/src/
+    * main/scala/org/apache/spark/ml/classification/
+    * MultilayerPerceptronClassifier.scala:1 — the reference trains
+    * through SOFT sigmoids, which SURVEY §2's omission note shows
+    * cannot carry the cross-engine exact contract; the ReLU member
+    * CAN, because relu = greatest(x, 0) is piecewise linear and its
+    * subgradient is an integer indicator, so forward, backward, and
+    * update are all exact longs — the same argument that admitted
+    * hinge q56 and the q57 prox. A ReLU network IS the modern MLP;
+    * what stays omitted is the transcendental-activation variant).
+    *
+    * Contract (the q57 frame): features |f| ≤ 2¹², all weights on
+    * the 2⁻¹² grid clamped ±[[MlpClamp]].
+    *   pre-activation  a_h = Σⱼ W1ₕⱼ·fⱼ            (2⁻²⁴ grid, ≤ 2³⁰)
+    *   hidden          h12ₕ = relu(a_h) div 4096   (2⁻¹² grid, ≤ 2¹⁸)
+    *   h12₀ ≡ 4096 — the constant unit carrying the output bias as
+    *   W2₀, so one update form covers weights and bias;
+    *   output          ŷ24 = Σₕ W2ₕ·h12ₕ, r24 = ŷ24 − y12·4096
+    *   clamped resid   cr = clamp(r24, ±[[MlpResidClamp24]]),
+    *                   cr12 = cr div 4096 (≤ 2¹³)
+    * Gradients: gW2ₕ = Σ cr12·h12ₕ (terms ≤ 2³¹ — exact past 2³⁰
+    * rows); gW1ₕⱼ = Σ cr12·W2ₕ·1[a_h > 0]·fⱼ (terms ≤ 2⁴¹ — exact to
+    * 2²² rows; the documented retune coarsens cr12·W2 to the 2⁻¹²
+    * grid). Updates (η = 1/4, truncating div, the s15 agreement):
+    * W2ₕ ← clamp(W2ₕ − gW2ₕ div (4n·2¹²)); W1ₕⱼ ← clamp(W1ₕⱼ −
+    * gW1ₕⱼ div (4n·2²⁰)) — a LAYER-WISE learning rate (standard
+    * deep-net practice made explicit): in tick units the hidden
+    * layer's gradient runs well under the output layer's on this
+    * corpus, and the 2²⁰ divisor is what lets BOTH layers move
+    * visibly inside the fixed rounds (measured: at 2²⁴ the W1
+    * trajectory froze at init). W2₀ warm-starts at Σy12 div n (the
+    * q62/q65 moment init — h12₀·W2₀ in 2⁻²⁴ units IS W2₀ y-units),
+    * the hidden W2ₕ at the alternating ±¼-unit [[mlpW2Init]]
+    * (backprop multiplies every W1 gradient by W2ₕ, so a zero init
+    * would freeze the first layer — measured), W1 at [[mlpW1Init]].
+    *
+    * Output per round k ∈ 0..[[MlpIters]]: (round, n, sae12 =
+    * Σ|cr12|, w2_0..w2_4 ticks, w1_h_j ticks ×16).
+    *
+    * Scale shape: the q50 shape — one partial-agg'd scan per round
+    * carrying 22 running sums, the whole model ONE broadcast row
+    * (21 longs), nothing collected.
+    */
+  private[graft] def mlpRounds(feats: DataFrame): DataFrame = {
+    val H = MlpHidden
+    val init = feats.agg(expr("sum(y12) div count(1)").as("w2_0"))
+      .select(Seq(col("w2_0")) ++
+        (1 to H).map(h => lit(mlpW2Init(h)).as(s"w2_$h")) ++
+        (for (h <- 0 until H; j <- 0 to 3)
+          yield lit(mlpW1Init(h, j)).as(s"w1_${h}_$j")): _*)
+    var weights = init.localCheckpoint(true)
+    var rows: Seq[DataFrame] = Nil
+    val wCols = Seq("w2_0") ++ (1 to H).map(h => s"w2_$h") ++
+      (for (h <- 0 until H; j <- 0 to 3) yield s"w1_${h}_$j")
+    for (k <- 0 to MlpIters) {
+      var scan = feats.crossJoin(broadcast(weights))
+      for (h <- 0 until H)
+        scan = scan.withColumn(s"a_$h",
+          (0 to 3).map(j => col(s"w1_${h}_$j") * col(s"f$j")).reduce(_ + _))
+      for (h <- 0 until H)
+        scan = scan.withColumn(s"h12_${h + 1}",
+          expr(s"greatest(a_$h, 0L) div 4096L"))
+      scan = scan
+        .withColumn("h12_0", lit(4096L))
+        .withColumn("yhat24",
+          (0 to H).map(h => col(s"w2_$h") * col(s"h12_$h")).reduce(_ + _))
+        .withColumn("r24", col("yhat24") - col("y12") * lit(4096L))
+        .withColumn("cr12", expr(
+          s"least(greatest(r24, ${-MlpResidClamp24}L), ${MlpResidClamp24}L)" +
+            " div 4096L"))
+      val aggCols =
+        Seq(sum(abs(col("cr12"))).as("sae12")) ++
+          (0 to H).map(h =>
+            sum(col("cr12") * col(s"h12_$h")).as(s"g2_$h")) ++
+          (for (h <- 0 until H; j <- 0 to 3) yield
+            sum(col("cr12") * col(s"w2_${h + 1}") *
+              (col(s"a_$h") > 0L).cast("long") * col(s"f$j"))
+              .as(s"g1_${h}_$j")) ++
+          wCols.map(w => max(col(w)).as(w))
+      val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+        .localCheckpoint(true)
+      rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
+        col("sae12")) ++ wCols.map(w => col(w).as(s"${w}_ticks")): _*)
+      if (k < MlpIters) {
+        weights = s.select(
+          (0 to H).map(h =>
+            least(greatest(col(s"w2_$h") -
+              expr(s"g2_$h div (4L * greatest(n, 1L) * 4096L)"),
+              lit(-MlpClamp)), lit(MlpClamp)).as(s"w2_$h")) ++
+          (for (h <- 0 until H; j <- 0 to 3) yield
+            least(greatest(col(s"w1_${h}_$j") -
+              expr(s"g1_${h}_$j div (4L * greatest(n, 1L) * 1048576L)"),
+              lit(-MlpClamp)), lit(MlpClamp)).as(s"w1_${h}_$j")): _*)
+          .localCheckpoint(true)
+      }
+    }
+    rows.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** q66: one-hidden-layer ReLU MLP regression of the q49 target on
+    * the q50 features — the network member next to the linear family
+    * (ridge q49 … Huber q65) and the tree ensembles (t25/t26/t31/
+    * t33): a LEARNED piecewise-linear model where the trees are
+    * piecewise-constant; see [[mlpRounds]] for the exact-integer
+    * backprop contract and the MLP-omission resolution.
+    */
+  def q66ReluMlp(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir).select(
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y12"),
+        lit(4096L).as("f0"),
+        (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+        floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+        floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+      .localCheckpoint(true)
+    mlpRounds(feats)
+  }
+
   /** Trust-region gradient rounds for [[q64PoissonGlm]]. */
   private[graft] val PoisIters = 6
 

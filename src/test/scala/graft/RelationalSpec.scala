@@ -726,6 +726,69 @@ class RelationalSpec extends AnyFunSuite {
     assert(a == Relational.q65Huber(spark, sfDir).collect().toSeq)
   }
 
+  test("q66 ReLU MLP: engine rounds equal the exact backprop recurrence; both layers learn") {
+    val sess = spark
+    import sess.implicits._
+    // planted nonlinearity: y = |f1 - 2048| / 8 on a signed grid — a
+    // shape no linear model fits; the in-test truth re-runs the exact
+    // integer forward/backward recurrence (truncating /, same clamps)
+    // so every round must match bit-for-bit
+    val feats = (-8 to 8).map { i =>
+      val f1 = i * 256L
+      (math.abs(f1 - 2048L) / 8L, 4096L, f1, 0L, 0L)
+    }
+    val H = Relational.MlpHidden
+    def truth(): Seq[(Long, Long, Long, Seq[Long])] = {
+      val n = feats.length.toLong
+      var w2 = Array(feats.map(_._1).sum / n) ++
+        (1 to H).map(Relational.mlpW2Init)
+      var w1 = Array.tabulate(H, 4)((h, j) => Relational.mlpW1Init(h, j))
+      val rc = Relational.MlpResidClamp24
+      (0 to Relational.MlpIters).map { k =>
+        val rows = feats.map { case (y12, f0, f1, f2, f3) =>
+          val f = Array(f0, f1, f2, f3)
+          val a = Array.tabulate(H)(h => (0 to 3).map(j => w1(h)(j) * f(j)).sum)
+          val h12 = Array(4096L) ++ a.map(x => math.max(x, 0L) / 4096L)
+          val yhat = (0 to H).map(h => w2(h) * h12(h)).sum
+          val cr12 = math.max(-rc, math.min(rc, yhat - y12 * 4096L)) / 4096L
+          (cr12, h12, a, f)
+        }
+        val sae = rows.map(r => math.abs(r._1)).sum
+        val g2 = (0 to H).map(h => rows.map(r => r._1 * r._2(h)).sum)
+        val g1 = Array.tabulate(H, 4)((h, j) => rows.map { r =>
+          r._1 * w2(h + 1) * (if (r._3(h) > 0L) 1L else 0L) * r._4(j) }.sum)
+        val out = (k.toLong, n, sae,
+          w2.toSeq ++ w1.flatten.toSeq)
+        if (k < Relational.MlpIters) {
+          val c = Relational.MlpClamp
+          w2 = Array.tabulate(H + 1)(h =>
+            math.max(-c, math.min(c, w2(h) - g2(h) / (4L * n * 4096L))))
+          w1 = Array.tabulate(H, 4)((h, j) =>
+            math.max(-c, math.min(c, w1(h)(j) - g1(h)(j) / (4L * n * 1048576L))))
+        }
+        out
+      }
+    }
+    val got = Relational.mlpRounds(
+        feats.toDF("y12", "f0", "f1", "f2", "f3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        (3 until 3 + (H + 1) + H * 4).map(r.getLong).toSeq)).toSeq
+    assert(got == truth(), s"recurrence drift:\n$got\nvs\n${truth()}")
+    // the network LEARNS: the exact objective falls, and BOTH layers
+    // moved off their init (backprop reached the first layer)
+    assert(got.last._3 < got.head._3,
+      s"sae must fall: ${got.map(_._3)}")
+    val w2Init = Seq(feats.map(_._1).sum / feats.length) ++
+      (1 to H).map(Relational.mlpW2Init)
+    val w1Init = for (h <- 0 until H; j <- 0 to 3)
+      yield Relational.mlpW1Init(h, j)
+    assert(got.last._4.take(H + 1) != w2Init, "output layer frozen")
+    assert(got.last._4.drop(H + 1) != w1Init, "hidden layer frozen")
+    // corpus determinism
+    val a = Relational.q66ReluMlp(spark, sfDir).collect().toSeq
+    assert(a == Relational.q66ReluMlp(spark, sfDir).collect().toSeq)
+  }
+
   test("q62 quantile: engine rounds equal the recurrence; taus bracket and order") {
     val sess = spark
     import sess.implicits._
