@@ -836,6 +836,69 @@ object StreamOps {
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 
+  /** stream_mlp state: the q66 network row — W2₀ zero-initialized
+    * (the batch moment warm start has no stateless-fold analogue,
+    * the stream_poisson documented divergence), hidden W2 and W1 at
+    * the SAME literal inits as batch q66.
+    */
+  def mlpInitState(spark: SparkSession): DataFrame = {
+    val H = graft.operators.Relational.MlpHidden
+    spark.range(1).select(
+      Seq(lit(0L).as("w2_0")) ++
+        (1 to H).map(h =>
+          lit(graft.operators.Relational.mlpW2Init(h)).as(s"w2_$h")) ++
+        (for (h <- 0 until H; j <- 0 to 3) yield
+          lit(graft.operators.Relational.mlpW1Init(h, j))
+            .as(s"w1_${h}_$j")): _*)
+  }
+
+  /** stream_mlp: the NETWORK member of the streaming-GD family — one
+    * exact integer backprop step per micro-batch on q66's ReLU
+    * contract (reference posture StreamingLinearRegressionWithSGD's
+    * train-per-batch): per batch one partial-agg'd pass computing the
+    * identical forward (relu hidden, constant bias unit), clamped
+    * residual, and both layers' gradients, then the identical
+    * layer-wise updates. Exact longs make the streamed model ≡ the
+    * same fold applied by hand to the ordered batches (spec'd).
+    */
+  def mlpFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+    val H = graft.operators.Relational.MlpHidden
+    val clamp = graft.operators.Relational.MlpClamp
+    val rc = graft.operators.Relational.MlpResidClamp24
+    var scan = batch.crossJoin(broadcast(state))
+    for (h <- 0 until H)
+      scan = scan.withColumn(s"a_$h",
+        (0 to 3).map(j => col(s"w1_${h}_$j") * col(s"f$j")).reduce(_ + _))
+    for (h <- 0 until H)
+      scan = scan.withColumn(s"h12_${h + 1}",
+        expr(s"greatest(a_$h, 0L) div 4096L"))
+    scan = scan
+      .withColumn("h12_0", lit(4096L))
+      .withColumn("yhat24",
+        (0 to H).map(h => col(s"w2_$h") * col(s"h12_$h")).reduce(_ + _))
+      .withColumn("cr12", expr(
+        s"least(greatest(yhat24 - y12 * 4096L, ${-rc}L), ${rc}L) div 4096L"))
+    val aggCols =
+      (0 to H).map(h => sum(col("cr12") * col(s"h12_$h")).as(s"g2_$h")) ++
+        (for (h <- 0 until H; j <- 0 to 3) yield
+          sum(col("cr12") * col(s"w2_${h + 1}") *
+            (col(s"a_$h") > 0L).cast("long") * col(s"f$j"))
+            .as(s"g1_${h}_$j")) ++
+        (Seq("w2_0") ++ (1 to H).map(h => s"w2_$h") ++
+          (for (h <- 0 until H; j <- 0 to 3) yield s"w1_${h}_$j"))
+          .map(w => max(col(w)).as(w))
+    scan.agg(count(lit(1)).as("n"), aggCols: _*)
+      .select(
+        (0 to H).map(h =>
+          least(greatest(col(s"w2_$h") -
+            expr(s"g2_$h div (4L * greatest(n, 1L) * 4096L)"),
+            lit(-clamp)), lit(clamp)).as(s"w2_$h")) ++
+        (for (h <- 0 until H; j <- 0 to 3) yield
+          least(greatest(col(s"w1_${h}_$j") -
+            expr(s"g1_${h}_$j div (4L * greatest(n, 1L) * 1048576L)"),
+            lit(-clamp)), lit(clamp)).as(s"w1_${h}_$j")): _*)
+  }
+
   /** stream_logreg: the classifier sibling (reference: /root/
     * reference/mllib/src/main/scala/org/apache/spark/mllib/
     * classification/StreamingLogisticRegressionWithSGD.scala:1) —

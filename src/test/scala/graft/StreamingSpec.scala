@@ -1111,6 +1111,50 @@ class StreamingSpec extends AnyFunSuite {
       "absent features must stay zero")
   }
 
+  test("stream_mlp: streamed backprop folds equal hand folds; both layers move") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // planted nonlinearity split across two ordered batches
+    val rows = (-8 to 8).map { i =>
+      val f1 = i * 256L
+      (math.abs(f1 - 2048L) / 8L, 4096L, f1, 0L, 0L)
+    }
+    val h1 = rows.take(9).toDF("y12", "f0", "f1", "f2", "f3").localCheckpoint(true)
+    val h2 = rows.drop(9).toDF("y12", "f0", "f1", "f2", "f3").localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mlp-stream")
+    val schema = StructType(Seq("y12", "f0", "f1", "f2", "f3")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.mlpInitState(spark).localCheckpoint(true)
+    val init = state
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty)
+          state = StreamOps.mlpFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = StreamOps.mlpFoldBatch(StreamOps.mlpFoldBatch(init, h1), h2)
+    val got = state.collect().head
+    val want = expected.collect().head
+    val n = got.length
+    assert((0 until n).forall(j => got.getLong(j) == want.getLong(j)),
+      s"streamed model diverged: $got vs $want")
+    // backprop reached both layers across the two folds
+    val initRow = init.collect().head
+    val H = graft.operators.Relational.MlpHidden
+    assert((0 to H).exists(j => got.getLong(j) != initRow.getLong(j)),
+      "output layer frozen")
+    assert((H + 1 until n).exists(j => got.getLong(j) != initRow.getLong(j)),
+      "hidden layer frozen")
+  }
+
   test("stream_huber: streamed robust folds equal hand folds; outlier batch moves it less") {
     import org.apache.spark.sql.types._
     val sess = spark
