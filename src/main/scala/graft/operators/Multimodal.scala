@@ -5,17 +5,17 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.functions.Kernels
 
 /** Multimodal-column plumbing (SURVEY §2): media as opaque `binary`
-  * columns with typed metadata alongside. The IMAGE decode (m02) is
-  * real — pure-JVM ImageIO over real PNG/BMP container bytes, hash-
-  * verified against an arithmetic oracle because the planted pixel
-  * content is a function of doc_id and both formats are lossless.
-  * The container has no audio/video codecs, so the frame-sampling
-  * decode (m03) remains a deterministic stub — the Spark-side shape
-  * (schema, magic-number sniffing, bounded per-partition batching)
-  * is real and tested throughout.
+  * columns with typed metadata alongside. The IMAGE decode (m02) and
+  * the AUDIO decode (m07) are real — pure-JVM ImageIO over real
+  * PNG/BMP containers and javax.sound over real WAV containers,
+  * hash-verified against arithmetic oracles because the planted
+  * pixel/PCM content is a function of doc_id and all three formats
+  * are lossless. No pure-JVM video codec exists, so the video-style
+  * frame sampler (m03) remains the one deterministic stub — the
+  * Spark-side shape (schema, magic-number sniffing, bounded
+  * per-partition batching) is real and tested throughout.
   *
   * At 100 TB the invariants that matter: binary payloads are never
   * parsed by Catalyst (opaque pass-through), per-partition memory is
