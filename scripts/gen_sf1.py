@@ -2,10 +2,14 @@
 """Dev-only sf1 generator: 10 key-shifted copies of the driver's sf0.1
 parquet (shift = i * 10_000_000 on every entity key, referential
 integrity preserved copy-locally; dims region/nation copied as-is;
-text/embedding payloads unchanged — cross-copy duplicates are
-realistic dedup input). Used for the one-decade scale rehearsal in
-BASELINE.md; never a library dependency."""
-import duckdb, sys
+text payloads unchanged — cross-copy duplicates are realistic dedup
+input). Embeddings of copies i >= 1 get a small deterministic
+per-(vec_id, dim, copy) perturbation: exact 10-cliques of identical
+vectors made every LSH band bucket degenerate (the r13 s05 rehearsal
+measured the adversarial guard, not natural scaling), while the
+perturbed corpus re-derives naturally. Used for the one-decade scale
+rehearsal in BASELINE.md; never a library dependency."""
+import duckdb, os, sys
 import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -24,6 +28,7 @@ SHIFTS = {
     "embeddings": ["vec_id"],
 }
 
+os.makedirs(DST, exist_ok=True)
 c = duckdb.connect()
 for t in ["region", "nation"]:
     c.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
@@ -31,6 +36,10 @@ for t, keys in SHIFTS.items():
     parts = []
     for i in range(COPIES):
         rep = ", ".join(f"{k} + {i * SHIFT} AS {k}" for k in keys)
+        if t == "embeddings" and i > 0:
+            rep += (", list_transform(range(1, len(embedding)+1), j -> "
+                    f"CAST(embedding[j] + ((vec_id * 31 + j * 7 + {i} * 13)"
+                    " % 17 - 8) * 0.0015 AS FLOAT)) AS embedding")
         parts.append(f"SELECT * REPLACE ({rep}) FROM '{SRC}/{t}.parquet'")
     c.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     # schema must match the source exactly (the engine's Tables

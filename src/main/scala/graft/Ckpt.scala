@@ -28,6 +28,16 @@ import org.apache.spark.sql.Dataset
   * main/scala/org/apache/spark/rdd/RDD.scala:1 — `checkpoint` vs
   * `localCheckpoint`, with the same executor-loss caveat documented
   * on the local variant).
+  *
+  * Disk-growth tradeoff of the opt-in: Spark does NOT delete
+  * reliable-checkpoint files when the frame goes out of scope unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and the
+  * iterative operators write one checkpoint per round per
+  * invocation — a long-lived session with the conf set accumulates
+  * checkpoint directories unbounded. Set the cleaner conf alongside
+  * [[DirConf]] for long-lived sessions (it is a SparkContext conf,
+  * so it must be set at session build time, not per-query), or point
+  * the dir at storage with a TTL/lifecycle rule.
   */
 object Ckpt {
   /** Session conf key: when set (non-empty), lineage truncation uses

@@ -99,7 +99,7 @@ object Dedup {
     * ever holds a quadratic pair set in memory:
     *
     *  1. count per bucket (map-side partial agg; the shuffle carries
-    *     (key, count) only), `localCheckpoint`ed so the expensive
+    *     (key, count) only), `ckpt`ed so the expensive
     *     banded scan behind it runs ONCE for all tier filters;
     *  2. buckets over `maxBucket` are dropped entirely BEFORE any row
     *     set materializes (degenerate 10⁷-identical-doc buckets —
@@ -671,7 +671,7 @@ object Dedup {
     * restores the fail-loud contract for callers that would rather
     * abort than change algorithm mid-query.
     *
-    * Each round's label frame is `localCheckpoint`ed (eager): a
+    * Each round's label frame is `ckpt`ed (eager): a
     * plain persist would NOT truncate the logical plan, and with the
     * previous frame referenced twice per round the un-truncated plan
     * DOUBLES in size every iteration — exponential analysis cost and
@@ -758,7 +758,7 @@ object Dedup {
     * set — row count plus an exact decimal sum of a 60-bit md5 prefix
     * per edge — one partial-agg'd scan per round, no comparison join
     * (same digest trick as the Verify oracle hashes). Each round is
-    * eagerly `localCheckpoint`ed for the same lineage-doubling reason
+    * eagerly `ckpt`ed for the same lineage-doubling reason
     * documented on [[connectedComponents]].
     *
     * @param nodes single column `id`
@@ -825,7 +825,7 @@ object Dedup {
     * d08 both derive from the same connected-components labels, and
     * the driver contract evaluates each operator standalone — without
     * this memo d08 re-runs the whole candidate→verify→CC pipeline.
-    * [[connectedComponents]] already `localCheckpoint`s its result;
+    * [[connectedComponents]] already `ckpt`s its result;
     * the memo keeps that reference so the second caller reads the
     * materialized blocks (the production "materialize labels once"
     * pattern, previously only documented). Bounded by construction:

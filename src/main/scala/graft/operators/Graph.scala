@@ -37,7 +37,7 @@ import graft.Tables
   * broadcast-free left join back to the node set; the edge frame with
   * its out-degrees is computed once and reused every round
   * (production: bucketed by src so the per-round join is
-  * exchange-free). Per-round `localCheckpoint` keeps lineage flat —
+  * exchange-free). Per-round `ckpt` keeps lineage flat —
   * the same exponential-plan lesson as connectedComponents.
   *
   * Coverage vs the reference graph library: PageRank (g01/g03), HITS
@@ -74,7 +74,7 @@ object Graph {
     * combinator owns what every iterative graph operator here had to
     * get right individually — the FIXED round bound (determinism +
     * oracle-unrollability contract), the eager initial checkpoint,
-    * and the per-round lazy `localCheckpoint` that keeps lineage flat
+    * and the per-round lazy `ckpt` that keeps lineage flat
     * (the exponential-plan lesson from connectedComponents).
     *
     * The shipped iterative operators are instances — label
@@ -496,7 +496,7 @@ object Graph {
     * Scale shape per round: one shuffle to count (dst, label) pairs
     * with map-side partial aggregation, one partial-agg'd struct-max
     * per dst — the CC loop's cost profile with mode instead of min.
-    * Lazy per-round localCheckpoint, the measured g01 strategy.
+    * Lazy per-round ckpt, the measured g01 strategy.
     */
   /** Synchronous label-propagation core: `edges` is a mirrored
     * (src, dst) frame; returns (id, lab) after `iters` rounds.
@@ -912,7 +912,7 @@ object Graph {
     * histogram, ≤ min(c_t(v), ⌊√(2m)⌋+1) rows, NOT the degree: a
     * 10⁷-degree hub contributes at most its (rapidly shrinking)
     * running h-index in rows from round 2 on. Flat lineage via
-    * per-round localCheckpoint — the g01/g05 loop posture.
+    * per-round ckpt — the g01/g05 loop posture.
     */
   /** One h-index round over the clamped histogram — shared by the
     * bounded spec loop and the converged production loop.
@@ -1635,7 +1635,7 @@ object Graph {
     * partial-agg'd min (coloring), or a semi-join frontier expansion
     * + distinct (backward) — two longs of state per node, the g15
     * per-round profile. The backward phase's same-color edge frame is
-    * computed once per outer round. Eager per-round localCheckpoint
+    * computed once per outer round. Eager per-round ckpt
     * keeps lineage flat across the nested loops. Output: (id, scc).
     */
   private[graft] def sccLabels(edges0: DataFrame): DataFrame = {

@@ -59,7 +59,7 @@ import graft.Tables
   * shuffle carries rank²/2-wide combined state, not raw pairs). The
   * solve itself is a per-row expression chain after the aggregate:
   * embarrassingly parallel, no collect, no driver-side linear
-  * algebra. Factor frames are localCheckpoint'd per half-round (flat
+  * algebra. Factor frames are ckpt'd per half-round (flat
   * lineage, the g01 lesson).
   */
 object Recommend {
@@ -129,7 +129,7 @@ object Recommend {
   /** One half-round: given (key, r, f0..f3) — ratings joined to the
     * counterpart side's factors — aggregate the exact Gram/rhs sums
     * per key and run [[solveSteps]]. Returns (key, n_rated,
-    * t0..t3, f0..f3), localCheckpoint'd. Package-private: q49's
+    * t0..t3, f0..f3), ckpt'd. Package-private: q49's
     * grouped ridge regression is the same Gram-solve over observed
     * features instead of learned factors.
     */

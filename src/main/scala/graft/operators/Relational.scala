@@ -569,7 +569,7 @@ object Relational {
     *  1. range-repartition on (priority, price, key) — Spark's
     *     parallel sort: every partition holds a contiguous slice of
     *     each group's order, so global rank = per-partition offset +
-    *     local row_number. The frame is `localCheckpoint`ed to freeze
+    *     local row_number. The frame is `ckpt`ed to freeze
     *     `spark_partition_id` across the two consumers;
     *  2. offsets come from a (pid, priority) count — ~partitions ×
     *     groups rows — cumulated by a window over that TINY frame and
@@ -1905,7 +1905,7 @@ object Relational {
         (1 to H).map(h => lit(mlpW2Init(h)).as(s"w2_$h")) ++
         (for (h <- 0 until H; j <- 0 to 3)
           yield lit(mlpW1Init(h, j)).as(s"w1_${h}_$j")): _*)
-    var weights = init.localCheckpoint(true)
+    var weights = init.ckpt(true)
     var rows: Seq[DataFrame] = Nil
     val wCols = Seq("w2_0") ++ (1 to H).map(h => s"w2_$h") ++
       (for (h <- 0 until H; j <- 0 to 3) yield s"w1_${h}_$j")
@@ -1935,7 +1935,7 @@ object Relational {
               .as(s"g1_${h}_$j")) ++
           wCols.map(w => max(col(w)).as(w))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
-        .localCheckpoint(true)
+        .ckpt(true)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
         col("sae12")) ++ wCols.map(w => col(w).as(s"${w}_ticks")): _*)
       if (k < MlpIters) {
@@ -1948,7 +1948,7 @@ object Relational {
             least(greatest(col(s"w1_${h}_$j") -
               expr(s"g1_${h}_$j div (4L * greatest(n, 1L) * 1048576L)"),
               lit(-MlpClamp)), lit(MlpClamp)).as(s"w1_${h}_$j")): _*)
-          .localCheckpoint(true)
+          .ckpt(true)
       }
     }
     rows.reduce(_ unionByName _).orderBy(col("round"))
@@ -1968,7 +1968,7 @@ object Relational {
         (col("l_quantity").cast("long") * lit(64L)).as("f1"),
         floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
         floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
-      .localCheckpoint(true)
+      .ckpt(true)
     mlpRounds(feats)
   }
 

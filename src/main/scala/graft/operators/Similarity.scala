@@ -78,7 +78,7 @@ object Similarity {
     * smaller cid), then replace each centroid with its cell MEAN;
     * empty cells keep their seed. Same plan shape as the final
     * assignment pass — one broadcast cross join + one partial-agg'd
-    * reduce — and the 32-row result is `localCheckpoint`ed so the two
+    * reduce — and the 32-row result is `ckpt`ed so the two
     * downstream consumers don't re-run the corpus pass.
     *
     * The mean is computed in FIXED POINT: per-dimension sums of

@@ -680,7 +680,7 @@ object TextAnalysis {
     * decomposition. Per round: one vocabulary-local pair explode +
     * partial-agg'd pair count, a 1-row TakeOrdered argmax (no global
     * sort, no driver fetch — broadcast back), and a per-row replace.
-    * Vocabulary is eagerly localCheckpoint'd per round (flat lineage,
+    * Vocabulary is eagerly ckpt'd per round (flat lineage,
     * the g01 lesson).
     */
   def t18BpeMerges(spark: SparkSession, sfDir: String): DataFrame =

@@ -822,17 +822,17 @@ object StreamOps {
       delta24: Long = graft.operators.Relational.HuberDelta24): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
     val clamp = graft.operators.Relational.HuberClamp
-    val aggCols =
-      (0 to 3).map(j => sum(col("cr") * col(s"f$j")).as(s"g$j")) ++
-        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
-    batch.crossJoin(broadcast(state))
+    val g = batch.crossJoin(broadcast(state))
       .withColumn("r24", m24 - col("y12") * lit(4096L))
       .withColumn("cr",
         least(greatest(col("r24"), lit(-delta24)), lit(delta24)))
-      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .agg(count(lit(1)).as("n"),
+        (0 to 3).map(j => sum(col("cr") * col(s"f$j")).as(s"g$j")): _*)
+    state.crossJoin(broadcast(g))
       .select((0 to 3).map(j =>
         least(greatest(col(s"w$j") -
-          expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"),
+          coalesce(
+            expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"), lit(0L)),
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 
@@ -883,19 +883,20 @@ object StreamOps {
         (for (h <- 0 until H; j <- 0 to 3) yield
           sum(col("cr12") * col(s"w2_${h + 1}") *
             (col(s"a_$h") > 0L).cast("long") * col(s"f$j"))
-            .as(s"g1_${h}_$j")) ++
-        (Seq("w2_0") ++ (1 to H).map(h => s"w2_$h") ++
-          (for (h <- 0 until H; j <- 0 to 3) yield s"w1_${h}_$j"))
-          .map(w => max(col(w)).as(w))
-    scan.agg(count(lit(1)).as("n"), aggCols: _*)
+            .as(s"g1_${h}_$j"))
+    val g = scan.agg(count(lit(1)).as("n"), aggCols: _*)
+    state.crossJoin(broadcast(g))
       .select(
         (0 to H).map(h =>
           least(greatest(col(s"w2_$h") -
-            expr(s"g2_$h div (4L * greatest(n, 1L) * 4096L)"),
+            coalesce(
+              expr(s"g2_$h div (4L * greatest(n, 1L) * 4096L)"), lit(0L)),
             lit(-clamp)), lit(clamp)).as(s"w2_$h")) ++
         (for (h <- 0 until H; j <- 0 to 3) yield
           least(greatest(col(s"w1_${h}_$j") -
-            expr(s"g1_${h}_$j div (4L * greatest(n, 1L) * 1048576L)"),
+            coalesce(
+              expr(s"g1_${h}_$j div (4L * greatest(n, 1L) * 1048576L)"),
+              lit(0L)),
             lit(-clamp)), lit(clamp)).as(s"w1_${h}_$j")): _*)
   }
 
@@ -910,18 +911,18 @@ object StreamOps {
   def logregFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
     val clamp = graft.operators.Relational.LogregClamp
-    val aggCols =
-      (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")) ++
-        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
-    batch.crossJoin(broadcast(state))
+    val g = batch.crossJoin(broadcast(state))
       .withColumn("m24", m24)
       .withColumn("p26",
         least(greatest(col("m24") + lit(33554432L), lit(0L)), lit(67108864L)))
       .withColumn("r26", col("p26") - col("y") * lit(67108864L))
-      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .agg(count(lit(1)).as("n"),
+        (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")): _*)
+    state.crossJoin(broadcast(g))
       .select((0 to 3).map(j =>
         least(greatest(col(s"w$j") -
-          expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"),
+          coalesce(
+            expr(s"(g$j * 4L) div (greatest(n, 1L) * 67108864L)"), lit(0L)),
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 
@@ -962,8 +963,10 @@ object StreamOps {
     * IDENTICAL [[graft.operators.Relational.poisStages]] link
     * pipeline and applies the trust-region update with the constant
     * [[PoisStreamStep]]. Exact longs make the streamed model ≡ the
-    * same fold applied by hand to the ordered batches (spec'd;
-    * caller-side isEmpty guard, the linreg/logreg convention).
+    * same fold applied by hand to the ordered batches (spec'd). An
+    * EMPTY micro-batch folds to the identity: the gradient agg joins
+    * back onto the state with coalesce(g, 0), so a trigger with no
+    * new files never nulls the model (the GD-family convention).
     */
   def poissonFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val clamp = graft.operators.Relational.PoisClamp
@@ -971,13 +974,13 @@ object StreamOps {
     graft.operators.Relational.poisStages("div").foreach {
       case (c, e) => scan = scan.withColumn(c, expr(e))
     }
-    val aggCols =
-      (0 to 2).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
-        (0 to 2).map(j => max(col(s"w$j")).as(s"w$j"))
-    scan.agg(count(lit(1)).as("n"), aggCols: _*)
+    val g = scan.agg(count(lit(1)).as("n"),
+      (0 to 2).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")): _*)
+    state.crossJoin(broadcast(g))
       .select((0 to 2).map(j =>
         least(greatest(col(s"w$j") -
-          least(greatest(expr(s"g$j div (greatest(n, 1L) * 67108864L)"),
+          least(greatest(
+            coalesce(expr(s"g$j div (greatest(n, 1L) * 67108864L)"), lit(0L)),
             lit(-PoisStreamStep)), lit(PoisStreamStep)),
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
@@ -986,15 +989,15 @@ object StreamOps {
   def linregFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)
     val clamp = graft.operators.Relational.LassoClamp
-    val aggCols =
-      (0 to 3).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
-        (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
-    batch.crossJoin(broadcast(state))
+    val g = batch.crossJoin(broadcast(state))
       .withColumn("r24", m24 - col("y12") * lit(4096L))
-      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .agg(count(lit(1)).as("n"),
+        (0 to 3).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")): _*)
+    state.crossJoin(broadcast(g))
       .select((0 to 3).map(j =>
         least(greatest(col(s"w$j") -
-          expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"),
+          coalesce(
+            expr(s"g$j div (4L * greatest(n, 1L) * 16777216L)"), lit(0L)),
           lit(-clamp)), lit(clamp)).as(s"w$j")): _*)
   }
 
@@ -1022,9 +1025,8 @@ object StreamOps {
   /** One micro-batch fold: 3-row state × (y12, f0..f3) batch → state.
     * The gradient frame LEFT-joins back onto the state, so an EMPTY
     * micro-batch (a trigger with no new files) folds to the identity
-    * instead of silently emptying the model — the no-op-trigger
-    * safety the per-row folds get from their caller-side isEmpty
-    * guard, built into the state-keyed fold itself.
+    * instead of silently emptying the model — the same no-op-trigger
+    * safety every GD-family fold builds in via coalesce(g, 0).
     */
   def quantileFoldBatch(state: DataFrame, batch: DataFrame): DataFrame = {
     val m24 = (0 to 3).map(j => col(s"w$j") * col(s"f$j")).reduce(_ + _)

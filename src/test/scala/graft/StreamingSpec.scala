@@ -1340,4 +1340,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(w > n2 && w <= n1 / 2 + n2, s"total weight $w vs n1=$n1 n2=$n2")
     assert(got.keySet == asMap(init).keySet, "cell set must be stable")
   }
+
+  test("GD foldBatch family: an empty micro-batch folds to the identity " +
+    "(no fold may null the model on a no-op trigger)") {
+    val sess = spark
+    import sess.implicits._
+    val b4 = Seq((900L, 4096L, 512L, 128L, 32L), (1800L, 4096L, 1024L, 0L, 64L))
+      .toDF("y12", "f0", "f1", "f2", "f3").localCheckpoint(true)
+    val cls = Seq((1L, 4096L, 512L, 128L, 32L), (0L, 4096L, 1024L, 0L, 64L))
+      .toDF("y", "f0", "f1", "f2", "f3").localCheckpoint(true)
+    val p3 = Seq((8L, 4096L, 512L, 128L), (3L, 4096L, 1024L, 0L))
+      .toDF("y", "f0", "f1", "f2").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      df.collect().toSeq.map(r => r.toSeq.map(_.asInstanceOf[Long]))
+    val folds: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("linreg", StreamOps.linregFoldBatch(
+        StreamOps.linregInitState(spark), b4)),
+      ("huber", StreamOps.huberFoldBatch(
+        StreamOps.linregInitState(spark), b4)),
+      ("logreg", StreamOps.logregFoldBatch(
+        StreamOps.linregInitState(spark), cls)),
+      ("poisson", StreamOps.poissonFoldBatch(
+        StreamOps.poissonInitState(spark), p3)),
+      ("mlp", StreamOps.mlpFoldBatch(StreamOps.mlpInitState(spark), b4)))
+    folds.foreach { case (name, warmed) =>
+      val st = warmed.localCheckpoint(true)
+      val got = rows(name match {
+        case "linreg" => StreamOps.linregFoldBatch(st, b4.limit(0))
+        case "huber" => StreamOps.huberFoldBatch(st, b4.limit(0))
+        case "logreg" => StreamOps.logregFoldBatch(st, cls.limit(0))
+        case "poisson" => StreamOps.poissonFoldBatch(st, p3.limit(0))
+        case "mlp" => StreamOps.mlpFoldBatch(st, b4.limit(0))
+      })
+      val want = rows(st)
+      assert(got == want, s"$name: empty fold must be identity: $got vs $want")
+      assert(want.head.exists(_ != 0L), s"$name: warm state must be non-zero")
+    }
+  }
 }
