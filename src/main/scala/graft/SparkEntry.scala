@@ -4680,18 +4680,27 @@ object SparkEntry {
         |FROM sh JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b
         |WHERE 10 * shared_frames >= 3 * (x.nf + y.nf - shared_frames)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // m03 oracle: the engine encodes planted grayscale frames into a
+    // REAL animated-GIF container and decodes every sampled frame
+    // with ImageIO; the oracle recomputes the decoded statistics
+    // ARITHMETICALLY (frame count, dims, and every pixel are a pure
+    // function of doc_id, and GIF on an explicit 256-gray palette is
+    // lossless) — the m02/m07 recipe for the multi-frame modality.
     "m03_frame_sample" ->
-      """WITH p AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM documents
-        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 16),
-        |u AS (
-        |  SELECT doc_id, hx, unnest(range(n // 16)) AS f
-        |  FROM p)
-        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-        |  CAST(4 + f * 16 AS BIGINT) AS frame_offset,
-        |  md5(substr(hx, CAST(f * 32 + 1 AS BIGINT), 32)) AS frame_digest
-        |FROM u
+      """WITH v AS (
+        |  SELECT doc_id, 3 + doc_id % 5 AS nf, 8 + doc_id % 6 AS w,
+        |    6 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fi FROM v),
+        |sf AS (SELECT * FROM f WHERE fi % 2 = 0),
+        |xs AS (SELECT doc_id, nf, w, h, fi, unnest(range(0, w)) AS x FROM sf),
+        |px AS (SELECT doc_id, nf, w, h, fi, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, 'image/gif' AS mime, CAST(fi AS INTEGER) AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id * 31 + fi * 97 + x * 7 + y * 13) % 256) AS BIGINT)
+        |    AS pixel_sum
+        |FROM px GROUP BY doc_id, fi, nf, w, h
         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

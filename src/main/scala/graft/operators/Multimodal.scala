@@ -7,15 +7,13 @@ import org.apache.spark.sql.types._
 import graft.Tables
 
 /** Multimodal-column plumbing (SURVEY §2): media as opaque `binary`
-  * columns with typed metadata alongside. The IMAGE decode (m02) and
-  * the AUDIO decode (m07) are real — pure-JVM ImageIO over real
-  * PNG/BMP containers and javax.sound over real WAV containers,
-  * hash-verified against arithmetic oracles because the planted
-  * pixel/PCM content is a function of doc_id and all three formats
-  * are lossless. No pure-JVM video codec exists, so the video-style
-  * frame sampler (m03) remains the one deterministic stub — the
-  * Spark-side shape (schema, magic-number sniffing, bounded
-  * per-partition batching) is real and tested throughout.
+  * columns with typed metadata alongside. All three decodes are
+  * REAL pure-JVM codecs hash-verified against arithmetic oracles —
+  * ImageIO over PNG/BMP containers (m02, still images), javax.sound
+  * over WAV containers (m07, audio), and ImageIO's GIF codec over
+  * animated-GIF containers (m03, the multi-frame/video-style
+  * modality) — because the planted pixel/PCM content is a function
+  * of doc_id and all four formats are lossless. No stubs remain.
   *
   * At 100 TB the invariants that matter: binary payloads are never
   * parsed by Catalyst (opaque pass-through), per-partition memory is
@@ -71,7 +69,8 @@ object Multimodal {
     * Modalities: doc_id % 3 == 0 → PNG (RGBA when doc_id % 2 == 0,
     * RGB otherwise — so n_channels is a real decode output, not a
     * constant), doc_id % 3 == 1 → 24-bit BMP; % 3 == 2 rows are the
-    * audio modality and stay with [[m03FrameSample]]'s stub.
+    * audio ([[m07AudioFeatures]]) and multi-frame
+    * ([[m03FrameSample]]) modalities.
     */
   private[graft] def imgWidth(id: Long): Int = (8 + id % 9).toInt
   private[graft] def imgHeight(id: Long): Int = (8 + id % 7).toInt
@@ -345,18 +344,21 @@ object Multimodal {
 
   private val FrameStride = 16
 
-  /** m03: frame-sampling plumbing — one input blob row fans out to
-    * one row per sampled "frame" (every [[FrameStride]]-th byte
-    * offset of the payload), the shape of video keyframe extraction.
-    * The DECODE is stubbed (offset + an md5 digest of the frame's
-    * byte window stand in for decoded pixels); the Spark-side
-    * contract is real: fan-out happens inside `mapPartitions` with
-    * memory bounded per input row (frames stream out of an iterator,
-    * never a per-partition buffer), and payload size prunes BEFORE
-    * the fan-out. Only media rows (audio/wav here) are sampled —
-    * metadata predicates cut the expensive path first.
+  /** m06's fingerprint generator: one input blob row fans out to one
+    * digest row per fixed [[FrameStride]]-byte payload window — the
+    * chunk-hash fingerprint content-ID systems use when frames are
+    * unavailable or decode is too expensive. Fan-out happens inside
+    * `mapPartitions` with memory bounded per input row (windows
+    * stream out of an iterator, never a per-partition buffer), and
+    * payload size prunes BEFORE the fan-out. Digest is md5 over the
+    * UPPERCASE-hex rendering of the window bytes so a SQL oracle
+    * (which cannot md5 raw blobs) reproduces it via
+    * md5(substr(hex(payload), 32f+1, 32)). (Until round 14 this was
+    * also m03's output; m03 is now a real multi-frame decode —
+    * [[m03FrameSample]].)
     */
-  def m03FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def byteWindowFingerprints(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val src = withBlob(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("blob"))
       .filter((col("doc_id") % 3) === 2 && length(col("blob")) > lit(4 + FrameStride))
@@ -372,17 +374,158 @@ object Multimodal {
         val id = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
         val payloadLen = blob.length - 4
-        // STUB: a real implementation seeks container keyframes; the
-        // deterministic stand-in samples fixed byte strides. Digest is
-        // md5 over the UPPERCASE-hex rendering of the frame bytes so a
-        // SQL oracle (which cannot md5 raw blobs) reproduces it via
-        // md5(substr(hex(payload), 32f+1, 32)).
         Iterator.range(0, payloadLen / FrameStride).map { f =>
           val off = 4 + f * FrameStride
           val hexFrame = blob.slice(off, off + FrameStride).map("%02X".format(_)).mkString
           md.reset()
           val digest = md.digest(hexFrame.getBytes("UTF-8")).map("%02x".format(_)).mkString
           Row(id, f, off.toLong, digest)
+        }
+      }
+    }(encoder)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Planted video-style content for [[m03FrameSample]] — the m02/m07
+    * recipe applied to the multi-frame modality (doc_id % 3 == 2):
+    * frame count, dims, and every grayscale pixel of every frame are
+    * an arithmetic function of doc_id, encoded into a REAL animated
+    * GIF container with pure-JVM javax.imageio and decoded back with
+    * the same. GIF with an explicit 256-entry grayscale palette is
+    * lossless (each 8-bit sample IS its palette index), so the decode
+    * is hash-verified end to end against an arithmetic oracle —
+    * retiring the suite's last declared stub.
+    */
+  private[graft] def gifFrames(id: Long): Int = (3 + id % 5).toInt
+  private[graft] def gifWidth(id: Long): Int = (8 + id % 6).toInt
+  private[graft] def gifHeight(id: Long): Int = (6 + id % 5).toInt
+  private[graft] def gifPix(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 97L + x * 7L + y * 13L) % 256).toInt
+
+  /** Every [[GifFrameStride]]-th frame is a sampled "keyframe". */
+  private[graft] val GifFrameStride = 2
+
+  /** Encode doc_id's planted frames to real animated-GIF container
+    * bytes (one writeToSequence image per frame, indexed on an
+    * explicit 256-gray palette so encoding is exact).
+    */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import javax.imageio.{IIOImage, ImageIO}
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new IndexColorModel(8, 256, grays, grays, grays)
+    val w = gifWidth(id); val h = gifHeight(id); val nf = gifFrames(id)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, gifPix(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode real animated-GIF container bytes with pure-JVM ImageIO
+    * and stride-sample the frames: sniffed mime (GIF8 magic), total
+    * frame count, dims, and for every [[GifFrameStride]]-th frame the
+    * exact grayscale pixel sum. Only sampled frames are rasterized —
+    * the keyframe-extraction economics this operator models (skipped
+    * frames cost a header seek, not a decode).
+    */
+  private[graft] def decodeGifFrames(
+      blob: Array[Byte]): (String, Int, Int, Int, Seq[(Int, Long)]) = {
+    import javax.imageio.ImageIO
+    val mime =
+      if (blob.length >= 4 && blob(0) == 'G'.toByte && blob(1) == 'I'.toByte &&
+        blob(2) == 'F'.toByte && blob(3) == '8'.toByte) "image/gif"
+      else "application/octet-stream"
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try {
+      reader.setInput(iis)
+      val nf = reader.getNumImages(true)
+      require(nf > 0, s"decodeGifFrames: no frames ($mime)")
+      var out = List.newBuilder[(Int, Long)]
+      var w = 0; var h = 0
+      var f = 0
+      while (f < nf) {
+        val img = reader.read(f)
+        w = img.getWidth; h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }
+          y += 1
+        }
+        out += ((f, sum))
+        f += GifFrameStride
+      }
+      (mime, nf, w, h, out.result())
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** m03: REAL multi-frame decode + keyframe sampling over the binary
+    * column — animated-GIF container bytes in, one row per SAMPLED
+    * frame out (mime, frame_idx, n_frames, dims, exact grayscale
+    * pixel sum), via pure-JVM ImageIO inside the same bounded
+    * per-partition batches as [[m02ImageFeatures]]. Completes the
+    * modality set for real: m02 decodes still images, m07 audio, m03
+    * the multi-frame (video-style) rows — no stubs remain. Sums, not
+    * means — no division enters the cross-engine contract (the m07
+    * posture).
+    *
+    * Scale shape: blob built/read inside the partition scan (never
+    * shuffled), modality predicate prunes before any encode/decode,
+    * fan-out streams one sampled frame row at a time (memory bounded
+    * by ONE decoded frame, not the container), skipped frames are
+    * never rasterized, orderBy only for the gate.
+    */
+  def m03FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 2)
+    val blobSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val blobEnc = org.apache.spark.sql.Encoders.row(blobSchema)
+    val blobs = src.mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), encodeGif(r.getLong(0))))
+    }(blobEnc)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    blobs.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val (mime, nf, w, h, frames) = decodeGifFrames(r.getAs[Array[Byte]](1))
+          frames.iterator.map { case (f, sum) =>
+            Row(id, mime, f, nf.toLong, w.toLong, h.toLong, sum)
+          }
         }
       }
     }(encoder)
@@ -467,12 +610,14 @@ object Multimodal {
   private[graft] val NearDupNum = 3
   private[graft] val NearDupDen = 10
 
-  /** m06: media near-duplicate detection by shared sampled-frame
-    * fingerprints — the video/audio dedup step of a multimodal
-    * training pipeline (two files are near-dups when their keyframe
-    * fingerprint SETS overlap, the standard content-ID shape; the
-    * decode inside the frame sampler is [[m03FrameSample]]'s stub,
-    * the pipeline around it is real). Distinct (doc, digest) first —
+  /** m06: media near-duplicate detection by shared fingerprints —
+    * the video/audio dedup step of a multimodal training pipeline
+    * (two files are near-dups when their fingerprint SETS overlap,
+    * the standard content-ID shape; the fingerprints are
+    * [[byteWindowFingerprints]]'s payload chunk hashes — the
+    * decode-free variant content-ID systems run at ingest, where
+    * decoding every candidate is unaffordable). Distinct (doc,
+    * digest) first —
     * a digest repeated WITHIN one file counts once, so repetitive
     * content can't inflate its own similarity. Output one row per
     * qualifying pair: (doc_a, doc_b, frames_a, frames_b,
@@ -488,7 +633,7 @@ object Multimodal {
     * partial-agg'd pass, no second fan-out.
     */
   def m06MediaNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val frames = m03FrameSample(spark, sfDir)
+    val frames = byteWindowFingerprints(spark, sfDir)
       .select(col("doc_id"), col("frame_digest")).distinct()
       .ckpt(true)
     val nf = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))

@@ -242,25 +242,49 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"missing verdict classes: $classes")
   }
 
-  test("m03 frame sample: media rows fan out to strided frames, deterministic") {
+  test("m03 frame sample: real animated-GIF roundtrip pins exact dims and " +
+    "per-frame pixel sums; corpus run stride-samples, deterministic") {
+    // hand-planted kernel pins: encode -> real animated-GIF container
+    // bytes -> real ImageIO decode must reproduce the arithmetic
+    // frame plant exactly (indexed 256-gray GIF is lossless)
+    for (id <- Seq(2L, 5L, 8L, 11L, 14L)) {
+      val blob = Multimodal.encodeGif(id)
+      assert(blob.take(3).map(_.toChar).mkString == "GIF", s"id $id magic")
+      val (mime, nf, w, h, frames) = Multimodal.decodeGifFrames(blob)
+      assert(mime == "image/gif", s"id $id sniffed $mime")
+      assert(nf == Multimodal.gifFrames(id), s"id $id frames $nf")
+      assert(w == Multimodal.gifWidth(id) && h == Multimodal.gifHeight(id),
+        s"id $id dims ${w}x$h")
+      val wantIdx = 0 until nf by Multimodal.GifFrameStride
+      assert(frames.map(_._1) == wantIdx.toSeq, s"id $id sampled frames")
+      frames.foreach { case (f, sum) =>
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.gifPix(id, f, x, y).toLong).sum
+        assert(sum == want, s"id $id frame $f pixel sum $sum vs $want")
+      }
+    }
     val out = Multimodal.m03FrameSample(spark, sfDir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getLong(0) % 3 == 2, "only audio/wav rows are sampled")
-      assert(r.getLong(2) == 4L + r.getInt(1) * 16L, "offset = 4 + idx*stride")
-      assert(r.getString(3).length == 32)
+      val id = r.getLong(0)
+      assert(id % 3 == 2, "only multi-frame modality rows are sampled")
+      assert(r.getString(1) == "image/gif")
+      assert(r.getLong(3) == Multimodal.gifFrames(id))
+      assert(r.getLong(4) == Multimodal.gifWidth(id))
+      assert(r.getLong(5) == Multimodal.gifHeight(id))
     }
-    // frame indexes are dense per doc starting at 0
-    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
-      assert(rs.map(_.getInt(1)).sorted.toSeq == (0 until rs.length).toSeq)
+    // sampled frame indexes are exactly the stride grid per doc
+    out.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val want = 0 until Multimodal.gifFrames(id) by Multimodal.GifFrameStride
+      assert(rs.map(_.getInt(2)).sorted.toSeq == want.toSeq, s"doc $id")
     }
     val again = Multimodal.m03FrameSample(spark, sfDir).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
   test("m06 media near-dup: equals brute-force frame-set Jaccard, cap does not bind") {
-    // brute-force truth from the m03 frames themselves
-    val frames = Multimodal.m03FrameSample(spark, sfDir).collect()
+    // brute-force truth from the fingerprint windows themselves
+    val frames = Multimodal.byteWindowFingerprints(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(3)))
     val sets = frames.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val docs = sets.keys.toSeq.sorted
