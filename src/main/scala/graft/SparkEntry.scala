@@ -119,6 +119,7 @@ object SparkEntry {
     "s15_biased_mf" -> (Recommend.s15BiasedMf _),
     "s17_pca" -> (Similarity.s17Pca _),
     "s18_pca_ann" -> (Similarity.s18PcaAnn _),
+    "s34_svd" -> (Similarity.s34Svd _),
     "s19_corr_matrix" -> (Similarity.s19CorrMatrix _),
     "s02_ann_lsh" -> (Similarity.s02AnnLsh _),
     "s07_radius_search" -> (Similarity.s07RadiusSearch _),
@@ -2427,6 +2428,8 @@ object SparkEntry {
       graft.operators.Similarity.PqTick),
     "s17_pca" -> graft.operators.Similarity.pcaOracleSql,
     "s18_pca_ann" -> graft.operators.Similarity.s18OracleSql,
+    // s34: the pca chain on the uncentered Gram + sigma/projection.
+    "s34_svd" -> graft.operators.Similarity.svdOracleSql,
     "s19_corr_matrix" -> graft.operators.Similarity.s19OracleSql,
     // s26: grid-CDF midranks, centered rank Gram, the s19 tree.
     "s26_spearman" -> graft.operators.Similarity.s26OracleSql,

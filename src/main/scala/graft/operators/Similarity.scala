@@ -1608,18 +1608,31 @@ object Similarity {
         (col("n") * col("p") - col("si") * col("sj")).as("g"))
   }
 
-  private def pcaCompute(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val g0 = gramFrame(spark, sfDir)
+  /** Collect the rescaled Gram ticks of a (i, j, g) frame — the
+    * bounded control-plane read: fixed 64×64 rows, corpus-size
+    * independent. Shared by s17 (centered Gram) and s34 (uncentered).
+    */
+  private def collectGramTicks(g0: DataFrame): Array[Array[Long]] = {
     val gmax = g0.agg(greatest(max(abs(col("g"))), lit(1L)).as("gmax"))
-    // the bounded control-plane read: fixed 64x64 Gram ticks
     val gsRows = g0.crossJoin(broadcast(gmax))
       .select(col("i"), col("j"),
         expr("g div greatest(gmax div 1048576, 1)").as("g"))
       .collect()
-    val d = EmbDim
-    val G = Array.ofDim[Long](d, d)
+    val G = Array.ofDim[Long](EmbDim, EmbDim)
     gsRows.foreach(r => G(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    G
+  }
+
+  /** Driver-side power-iteration / Rayleigh / clamped-deflation
+    * eigensolve over a collected rescaled Gram — the in-core step
+    * shared by s17's PCA and s34's SVD (the reference runs the same
+    * split: distributed Gram, in-core decomposition —
+    * mllib/linalg/distributed/RowMatrix.scala computeSVD). Mutates G;
+    * returns (component, dim, v_ticks, eigval_ticks) rows, exact
+    * integer arithmetic identical to the unrolled oracle CTEs.
+    */
+  private def powerDeflate(G: Array[Array[Long]]): Seq[(Long, Long, Long, Long)] = {
+    val d = G.length
     val out = Seq.newBuilder[(Long, Long, Long, Long)]
     for (comp <- 0 until PcaComponents) {
       var k0 = 0
@@ -1645,6 +1658,11 @@ object Similarity {
       for (i <- 0 until d) out += ((comp.toLong, i.toLong, v(i), lam))
     }
     out.result()
+  }
+
+  private def pcaCompute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    powerDeflate(collectGramTicks(gramFrame(spark, sfDir)))
       .toDF("component", "dim", "loading_ticks", "eigval_ticks")
       .orderBy(col("component"), col("dim"))
   }
@@ -1725,6 +1743,145 @@ object Similarity {
       .mkString("\nUNION ALL\n")
     s"""WITH $pcaCtes
        |SELECT component, dim, loading_ticks, eigval_ticks FROM (
+       |$union
+       |) ORDER BY component, dim""".stripMargin
+  }
+
+  /** Exact integer square root: the largest s ≥ 0 with s² ≤ x. The
+    * double sqrt seed is within 1 ulp for x < 2⁵³, so one correction
+    * step each way lands exactly — the SAME correction the oracle
+    * applies in SQL, making σ bit-reproducible cross-engine.
+    */
+  private[graft] def isqrt(x: Long): Long = {
+    if (x <= 0L) 0L
+    else {
+      var s = math.sqrt(x.toDouble).toLong
+      while (s > 0 && s * s > x) s -= 1
+      while ((s + 1) * (s + 1) <= x) s += 1
+      s
+    }
+  }
+
+  /** s34: distributed SVD of the embedding matrix — the
+    * `RowMatrix.computeSVD` surface (reference: /root/reference/
+    * mllib/src/main/scala/org/apache/spark/mllib/linalg/distributed/
+    * RowMatrix.scala:200, which Grams A'A distributed, eigensolves
+    * in-core, and takes σ = √λ): the s17 machinery on the UNCENTERED
+    * second-moment matrix. Per top-[[PcaComponents]] component k the
+    * report carries the right-singular vector ticks (the eigensolve's
+    * v), the Gram eigenvalue λ ticks, σ ticks = [[isqrt]](max(λ, 0))
+    * (exact integer sqrt — the double seed + shared correction makes
+    * both engines agree bit-for-bit), and the DISTRIBUTED check the
+    * verdict asked for: proj_l1 = Σ_rows |q·v| div 2¹² — the
+    * projected left-side mass A·v_k, computed by ONE corpus scan with
+    * all K loading vectors inlined (they are driver-held 64-long
+    * arrays after the bounded eigensolve — the broadcast-literal
+    * pattern), abs before div so truncation is floor in both engines.
+    *
+    * Scale shape: identical to s17 — one partial-agg'd moment scan to
+    * a fixed 64×64 Gram (map-side outer product, shuffle ≤ 64² rows
+    * per task), one fixed-size control-plane read, in-core bounded
+    * eigensolve, then one more partial-agg'd scan for the projection
+    * check. Nothing grows with the corpus except the two scans.
+    */
+  def s34Svd(spark: SparkSession, sfDir: String): DataFrame =
+    svdFor(Tables.embeddings(spark, sfDir))
+
+  /** [[s34Svd]] on an explicit embeddings frame — package-private so
+    * the spec can pin exact σ/loading/projection ticks on a planted
+    * low-rank corpus.
+    */
+  private[graft] def svdFor(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qf = emb
+      .select(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+      .ckpt(true)
+    val g0 = pairMoments(qf).select(col("i"), col("j"), col("p").as("g"))
+    val comps = powerDeflate(collectGramTicks(g0))
+    val loadings = comps.toDF("component", "dim", "loading_ticks", "eigval_ticks")
+    val vByComp = comps.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    // one corpus scan, all K projection masses partial-agg'd at once
+    val projCols = (0 until PcaComponents).map { c =>
+      val vs = vByComp(c.toLong).map(v => s"${v}L").mkString(", ")
+      sum(expr(
+        s"abs(aggregate(zip_with(q, array($vs), (x, y) -> x * y), 0L," +
+          " (acc, t) -> acc + t)) div 4096")).as(s"pj_$c")
+    }
+    val pj = qf.agg(projCols.head, projCols.tail: _*)
+    val projCase = (0 until PcaComponents)
+      .map(c => s"WHEN $c THEN pj_$c").mkString("CASE component ", " ", " END")
+    loadings.crossJoin(broadcast(pj))
+      .select(col("component"), col("dim"), col("loading_ticks"),
+        col("eigval_ticks"),
+        sigmaTicks(col("eigval_ticks")).as("sigma_ticks"),
+        expr(projCase).as("proj_l1"))
+      .orderBy(col("component"), col("dim"))
+  }
+
+  /** σ ticks as ONE shared SQL expression over the eigenvalue column:
+    * double-sqrt seed + the two-sided exact correction (the [[isqrt]]
+    * contract rendered in SQL so Spark and DuckDB agree bit-for-bit).
+    */
+  private def sigmaTicks(lam: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val l = greatest(lam, lit(0L))
+    val s0 = floor(sqrt(l.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= l, s0 + 1)
+      .when(s0 * s0 > l, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** The DuckDB twin of [[s34Svd]]: the pca CTE chain on the
+    * UNCENTERED Gram (g0 = raw pair moments), plus per component the
+    * σ correction and the projected-mass scan.
+    */
+  private[graft] def svdOracleSql: String = {
+    val extras = (0 until PcaComponents).map { c =>
+      s"""sg$c AS MATERIALIZED (
+         |  SELECT greatest((SELECT lam FROM lm$c), 0) AS l),
+         |sq$c AS MATERIALIZED (
+         |  SELECT l, CAST(floor(sqrt(CAST(l AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM sg$c),
+         |si$c AS MATERIALIZED (
+         |  SELECT CASE WHEN (s0 + 1) * (s0 + 1) <= l THEN s0 + 1
+         |              WHEN s0 * s0 > l THEN s0 - 1 ELSE s0 END AS sigma
+         |  FROM sq$c),
+         |pj$c AS MATERIALIZED (
+         |  SELECT coalesce(CAST(sum(abs(pp) // 4096) AS BIGINT), 0) AS proj
+         |  FROM (SELECT b.rid, CAST(sum(b.q[v.j + 1] * v.vt) AS BIGINT) AS pp
+         |        FROM baser b, vv${c}_$PcaIters v GROUP BY b.rid)),
+         |outx$c AS MATERIALIZED (
+         |  SELECT o.component, o.dim, o.loading_ticks, o.eigval_ticks,
+         |    (SELECT sigma FROM si$c) AS sigma_ticks,
+         |    (SELECT proj FROM pj$c) AS proj_l1
+         |  FROM out$c o)""".stripMargin
+    }
+    val union = (0 until PcaComponents).map(c => s"SELECT * FROM outx$c")
+      .mkString("\nUNION ALL\n")
+    s"""WITH baser AS MATERIALIZED (
+       |  SELECT vec_id AS rid, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sums AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i
+       |  FROM UNNEST(generate_series(0, 63)) AS a(i)),
+       |g0 AS MATERIALIZED (SELECT CAST(a.i AS BIGINT) AS i,
+       |    CAST(b.j AS BIGINT) AS j,
+       |    CAST(sum(q[a.i + 1] * q[b.j + 1]) AS BIGINT) AS g
+       |  FROM baser, UNNEST(generate_series(0, 63)) AS a(i),
+       |       UNNEST(generate_series(0, 63)) AS b(j)
+       |  GROUP BY 1, 2),
+       |gm AS MATERIALIZED (SELECT greatest(max(abs(g)), 1) AS gmax FROM g0),
+       |gs0 AS MATERIALIZED (
+       |  SELECT i, j, g // greatest((SELECT gmax FROM gm) // 1048576, 1) AS g
+       |  FROM g0),
+       |${(0 until PcaComponents).map(pcaCompCtes).mkString(",\n")},
+       |${extras.mkString(",\n")}
+       |SELECT component, dim, loading_ticks, eigval_ticks, sigma_ticks,
+       |  proj_l1 FROM (
        |$union
        |) ORDER BY component, dim""".stripMargin
   }

@@ -1440,4 +1440,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Similarity.s26Spearman(spark, sfDir).collect().toSeq ==
       Similarity.s26Spearman(spark, sfDir).collect().toSeq)
   }
+
+  test("s34 svd: exact sigma/loadings/projection on a planted rank-1 corpus; " +
+    "isqrt is the exact integer sqrt") {
+    import spark.implicits._
+    // isqrt: exact against BigInt sqrt on squares, neighbors, and a
+    // spread of magnitudes up to 2^52
+    for (x <- Seq(0L, 1L, 2L, 3L, 4L, 8L, 15L, 16L, 17L, 1048575L, 1048576L,
+      (1L << 40) - 1, 1L << 40, (1L << 52) - 3, 1L << 52, -5L)) {
+      val got = Similarity.isqrt(x)
+      val want =
+        if (x <= 0) 0L
+        else java.math.BigInteger.valueOf(x).sqrt().longValueExact()
+      assert(got == want, s"isqrt($x) = $got, want $want")
+      if (x > 0) assert(got * got <= x && (got + 1) * (got + 1) > x)
+    }
+    // rank-1 plant along e0: a in {±2, ±1} => q0 in {±2048, ±1024};
+    // P00 = 10485760, rescale divisor 10, Gs00 = 2^20; the exact
+    // integer chain gives lambda = 2^20, sigma = 2^10, and deflation
+    // zeroes the matrix so components 1..3 are empty
+    val rows = Seq(2f, -2f, 1f, -1f).zipWithIndex.map { case (a, k) =>
+      val v = Array.fill(64)(0f); v(0) = a
+      (k.toLong, v.toSeq, 0)
+    }
+    val out = Similarity.svdFor(
+      rows.toDF("vec_id", "embedding", "label")
+        .selectExpr("vec_id", "CAST(embedding AS array<float>) AS embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == Similarity.PcaComponents * 64)
+    val byComp = out.groupBy(_._1)
+    val c0 = byComp(0L).map(t => t._2 -> t._3).toMap
+    assert(c0(0L) == 4096L, "right-singular vector is e0")
+    assert((1L until 64L).forall(c0(_) == 0L), "no off-axis loading")
+    assert(byComp(0L).head._4 == 1048576L, "lambda = 2^20 ticks")
+    assert(byComp(0L).head._5 == 1024L, "sigma = isqrt(lambda) = 2^10")
+    assert(byComp(0L).head._6 == 6144L,
+      "proj_l1 = sum |q0| = 2048+2048+1024+1024")
+    for (c <- 1L until Similarity.PcaComponents.toLong) {
+      assert(byComp(c).forall(_._3 == 0L), s"component $c must be empty")
+      assert(byComp(c).head._4 == 0L && byComp(c).head._5 == 0L &&
+        byComp(c).head._6 == 0L)
+    }
+    // corpus run: deterministic, sigma consistent with its eigenvalue,
+    // projections non-negative
+    val a = Similarity.s34Svd(spark, sfDir).collect().toSeq
+    assert(a == Similarity.s34Svd(spark, sfDir).collect().toSeq)
+    a.foreach { r =>
+      assert(r.getLong(4) == Similarity.isqrt(math.max(r.getLong(3), 0L)),
+        s"sigma/eigval contract at ${r.getLong(0)}/${r.getLong(1)}")
+      assert(r.getLong(5) >= 0L)
+    }
+  }
 }
