@@ -76,6 +76,7 @@ object SparkEntry {
     "q52_rolling_anomaly" -> (Events.q52RollingAnomaly _),
     "q53_ks_test" -> (Events.q53KsTest _),
     "q58_ks_uniform" -> (Events.q58KsUniform _),
+    "q67_kaplan_meier" -> (Events.q67KaplanMeier _),
     "q55_isotonic" -> (Relational.q55Isotonic _),
     "q54_rank_sum" -> (Events.q54RankSum _),
     "q59_t_test" -> (Events.q59TTest _),
@@ -2740,6 +2741,60 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+    // q67: the engine's tick recurrence unrolled as a recursive CTE;
+    // epoch_us comparisons mirror Spark's microsecond timestamp read
+    // (events.ts is nanosecond parquet). Non-recursive CTEs under
+    // WITH RECURSIVE avoid bare UNION (the DuckDB dedup quirk).
+    "q67_kaplan_meier" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p0 AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= epoch_us(s0.t0)
+        |  GROUP BY 1),
+        |subj AS (
+        |  SELECT CAST(s0.user_id % 4 AS BIGINT) AS cohort,
+        |    CASE WHEN tp IS NOT NULL AND
+        |      date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) + 1 <= 8
+        |      THEN CAST(date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+        |           + 1 AS BIGINT)
+        |      ELSE CAST(8 AS BIGINT) END AS t_obs,
+        |    CASE WHEN tp IS NOT NULL AND
+        |      date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) + 1 <= 8
+        |      THEN 1 ELSE 0 END AS is_event
+        |  FROM s0 LEFT JOIN p0 ON p0.user_id = s0.user_id),
+        |grid AS (
+        |  SELECT cohort, CAST(a.t AS BIGINT) AS t
+        |  FROM (SELECT DISTINCT cohort FROM subj),
+        |       UNNEST(generate_series(1, 8)) AS a(t)),
+        |cnt AS (
+        |  SELECT cohort, t_obs AS t, CAST(sum(is_event) AS BIGINT) AS d,
+        |    CAST(sum(1 - is_event) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT g.cohort, g.t, coalesce(d, 0) AS d, coalesce(c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt ON cnt.cohort = g.cohort AND cnt.t = g.t),
+        |km AS (
+        |  SELECT cohort, t, d, c,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t DESC)
+        |         AS BIGINT) AS n
+        |  FROM dense),
+        |rec AS (
+        |  SELECT cohort, CAST(0 AS BIGINT) AS t, CAST(16777216 AS BIGINT) AS s
+        |  FROM (SELECT DISTINCT cohort FROM km)
+        |  UNION ALL
+        |  SELECT r.cohort, k.t,
+        |    (r.s * (16777216 - (k.d * 16777216) // greatest(k.n, 1)))
+        |      // 16777216
+        |  FROM rec r JOIN km k ON k.cohort = r.cohort AND k.t = r.t + 1
+        |  WHERE r.t < 8)
+        |SELECT km.cohort AS cohort, km.t AS t, km.n AS n_risk,
+        |  km.d AS d_events, km.c AS c_censored, rec.s AS surv_ticks
+        |FROM km JOIN rec ON rec.cohort = km.cohort AND rec.t = km.t
+        |ORDER BY 1, 2""".stripMargin,
     "q41_retention_cohorts" ->
       """WITH w AS (
         |  SELECT user_id,

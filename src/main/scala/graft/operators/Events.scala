@@ -569,4 +569,106 @@ object Events {
         (col("r2_a") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Administrative censoring horizon for [[q67KaplanMeier]] —
+    * discrete day grid t = 1..8; subjects still unconverted at the
+    * horizon are censored there (the standard right-censoring form).
+    */
+  private[graft] val KmHorizon = 8
+
+  /** Survival ticks grid: S(t) is carried in 2⁻²⁴ units. */
+  private[graft] val KmTick = 16777216L
+
+  /** q67: Kaplan–Meier product-limit survival per cohort — the
+    * nonparametric survival surface next to the reference's
+    * parametric AFT regression (reference anchor:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/ml/
+    * regression/AFTSurvivalRegression.scala:1; the Weibull-AFT
+    * omission note in SURVEY routes survival users HERE). Subjects
+    * are signup users; the event is the first purchase AT OR AFTER
+    * the first signup; observed time is the 1-based day offset
+    * t = datediff(purchase, signup) + 1, right-censored at
+    * [[KmHorizon]] (no purchase, or conversion past the horizon);
+    * cohort = user_id % 4.
+    *
+    * Exact-integer contract (the q59 posture): risk counts
+    * n_t = #{T_i ≥ t} and event counts d_t are exact partial-agg'd
+    * longs on a DENSE (cohort × t) grid; the product-limit curve is
+    * the tick recurrence S_0 = 2²⁴,
+    * S_t = S_{t−1}·(2²⁴ − (d_t·2²⁴ div max(n_t, 1))) div 2²⁴ — the
+    * per-step hazard quantized to the 2⁻²⁴ grid BEFORE the product,
+    * so every intermediate stays ≤ 2⁴⁸ regardless of corpus size
+    * (n_t enters only inside d·2²⁴ div n — int64-safe to d ≈ 2³⁹
+    * events per step, the 100 TB posture; no cumulative n products).
+    * Both engines run the same truncating recurrence — Spark as a
+    * per-cohort `aggregate` fold over the sorted (t, n, d) array
+    * (H = 8 structs, bounded), DuckDB as the recursive-CTE unroll.
+    *
+    * Scale shape: two partial-agg'd scans (first-signup,
+    * first-purchase) + one per-subject row, then everything is
+    * cohorts × H sized: the descending cumulative risk sum is a
+    * window over ≤ H rows per cohort, and the fold runs on a
+    * K·H-row frame. Output: (cohort, t, n_risk, d_events,
+    * c_censored, surv_ticks), dense t = 1..H per cohort.
+    */
+  def q67KaplanMeier(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p0 = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(s0, "user_id")
+      .filter(col("ts") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val h = lit(KmHorizon.toLong)
+    val subj = s0.join(p0, Seq("user_id"), "left")
+      .select(
+        (col("user_id") % 4).as("cohort"),
+        when(col("tp").isNotNull &&
+          datediff(col("tp"), col("t0")) + 1 <= h,
+          (datediff(col("tp"), col("t0")) + 1).cast("long"))
+          .otherwise(h).as("t_obs"),
+        when(col("tp").isNotNull &&
+          datediff(col("tp"), col("t0")) + 1 <= h, 1L)
+          .otherwise(0L).as("is_event"))
+    kmCurve(subj)
+  }
+
+  /** The product-limit pipeline over an explicit
+    * (cohort, t_obs, is_event) subjects frame — package-private so
+    * the spec can pin a hand-computed curve on a planted censored
+    * sample.
+    */
+  private[graft] def kmCurve(subj: DataFrame): DataFrame = {
+    val spark = subj.sparkSession
+    val counts = subj.groupBy(col("cohort"), col("t_obs"))
+      .agg(sum(col("is_event")).as("d"),
+        sum(lit(1L) - col("is_event")).as("c"))
+    // dense (cohort x t) grid so both engines emit identical rows
+    val grid = subj.select(col("cohort")).distinct()
+      .crossJoin(spark.range(1, KmHorizon + 1).select(col("id").as("t")))
+    val dense = grid.join(counts,
+        grid("cohort") === counts("cohort") && grid("t") === counts("t_obs"),
+        "left")
+      .select(grid("cohort"), grid("t"),
+        coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    // at-risk: subjects with T >= t  ==  descending cumulative (d+c)
+    val w = Window.partitionBy(col("cohort")).orderBy(col("t").desc)
+    val km = dense.withColumn("n", sum(col("d") + col("c")).over(w))
+    // the product-limit fold: per cohort, sort the <= H structs and
+    // emit each prefix's survival ticks
+    km.groupBy(col("cohort"))
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("n"), col("d"), col("c")))).as("arr"))
+      .select(col("cohort"), expr(
+        s"""explode(transform(arr, (x, i) -> struct(
+           |  x.t AS t, x.n AS n_risk, x.d AS d_events, x.c AS c_censored,
+           |  aggregate(slice(arr, 1, i + 1), ${KmTick}L, (acc, y) ->
+           |    (acc * (${KmTick}L - (y.d * ${KmTick}L) div greatest(y.n, 1L)))
+           |      div ${KmTick}L) AS surv_ticks)))""".stripMargin).as("r"))
+      .select(col("cohort"), col("r.t").as("t"), col("r.n_risk"),
+        col("r.d_events"), col("r.c_censored"), col("r.surv_ticks"))
+      .orderBy(col("cohort"), col("t"))
+  }
 }

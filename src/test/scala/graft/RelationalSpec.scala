@@ -854,4 +854,51 @@ class RelationalSpec extends AnyFunSuite {
     val a = Relational.q62QuantileReg(spark, sfDir).collect().toSeq
     assert(a == Relational.q62QuantileReg(spark, sfDir).collect().toSeq)
   }
+
+  test("q67 kaplan-meier: hand-computed product-limit curve on a planted " +
+    "censored sample; corpus run is dense, monotone, deterministic") {
+    val sess = spark
+    import sess.implicits._
+    // cohort 0: events at t=1 (x2) and t=3, censored at t=2 and at
+    // the horizon; cohort 1: one horizon-censored subject.
+    // Hand fold (ticks 2^24): S1 = 2^24 - (2*2^24 div 5) = 10066330;
+    // d=0 steps hold; S3 = (10066330 * (2^24 - 2^24 div 2)) div 2^24
+    //    = 5033165; survival never moves on censor-only steps.
+    val subj = Seq(
+      (0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 0L), (0L, 3L, 1L), (0L, 8L, 0L),
+      (1L, 8L, 0L)).toDF("cohort", "t_obs", "is_event")
+    val got = graft.operators.Events.kmCurve(subj).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val h = graft.operators.Events.KmHorizon
+    val c0 = Seq(
+      (0L, 1L, 5L, 2L, 0L, 10066330L),
+      (0L, 2L, 3L, 0L, 1L, 10066330L),
+      (0L, 3L, 2L, 1L, 0L, 5033165L)) ++
+      (4 to 7).map(t => (0L, t.toLong, 1L, 0L, 0L, 5033165L)) :+
+      (0L, 8L, 1L, 0L, 1L, 5033165L)
+    val c1 = (1 to 7).map(t => (1L, t.toLong, 1L, 0L, 0L, 16777216L)) :+
+      (1L, 8L, 1L, 0L, 1L, 16777216L)
+    assert(got == c0 ++ c1, s"planted curve mismatch:\n$got")
+    // corpus run: dense grid, at-risk monotone non-increasing,
+    // survival monotone non-increasing from 2^24, deterministic
+    val a = graft.operators.Events.q67KaplanMeier(spark, sfDir).collect().toSeq
+    assert(a == graft.operators.Events.q67KaplanMeier(spark, sfDir)
+      .collect().toSeq)
+    a.groupBy(_.getLong(0)).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)) == (1 to h).map(_.toLong),
+        s"cohort $cohort grid not dense")
+      val ns = sorted.map(_.getLong(2))
+      assert(ns.zip(ns.tail).forall { case (x, y) => x >= y },
+        s"cohort $cohort at-risk must be non-increasing")
+      val ss = sorted.map(_.getLong(5))
+      assert(ss.head <= 16777216L &&
+        ss.zip(ss.tail).forall { case (x, y) => x >= y },
+        s"cohort $cohort survival must be non-increasing")
+      // accounting: subjects at risk at t=1 all resolve by the horizon
+      assert(sorted.map(r => r.getLong(3) + r.getLong(4)).sum == ns.head,
+        s"cohort $cohort event+censor mass must equal the risk set")
+    }
+  }
 }
