@@ -1635,8 +1635,17 @@ object Graph {
     * partial-agg'd min (coloring), or a semi-join frontier expansion
     * + distinct (backward) — two longs of state per node, the g15
     * per-round profile. The backward phase's same-color edge frame is
-    * computed once per outer round. Eager per-round ckpt
-    * keeps lineage flat across the nested loops. Output: (id, scc).
+    * computed once per outer round.
+    *
+    * Control-plane economy (the r13 verdict task, measured 61 → 23
+    * jobs on the sf0.1 corpus): LAZY per-round ckpt everywhere in the
+    * loops (the digest action that follows each truncation
+    * materializes it — one job where eager-ckpt-then-digest was two),
+    * TWO propagation hops per digest in the coloring and backward
+    * fixpoints (both hops are idempotent at the fixpoint, so labels
+    * are byte-identical), and trim's peel frames accumulate lazily
+    * into `fin` once per outer round instead of per peel round.
+    * Output: (id, scc).
     */
   private[graft] def sccLabels(edges0: DataFrame): DataFrame = {
     var er = edges0.select(col("src"), col("dst")).ckpt(true)
@@ -1648,15 +1657,25 @@ object Graph {
       .select(col("id"), col("id").as("scc")).ckpt(true)
     var remCount = sccCount(rem)
     var outer = 0
+    // LAZY ckpt throughout the loops (the g01 strategy, and the other
+    // half of the r13 chatter cut): every truncation point is
+    // materialized by the digest/count action that follows it, so a
+    // ckpt(true)+digest pair (2 jobs) becomes one job.
     def restrictEdges(): Unit = {
       er = er.join(rem.withColumnRenamed("id", "src"), Seq("src"), "semi")
         .join(rem.withColumnRenamed("id", "dst"), Seq("dst"), "semi")
-        .select(col("src"), col("dst")).ckpt(true)
+        .select(col("src"), col("dst")).ckpt(false)
     }
     while (remCount > 0 && outer < SccMaxOuterRounds) {
-      // ---- 1. trim to the count fixpoint
+      // ---- 1. trim to the count fixpoint. Control-plane economy
+      // (the r13 verdict task): the peel is NOT materialized per
+      // round — peeled frames accumulate lazily against their
+      // already-ckpt'd parents and fold into `fin` once after the
+      // loop, so a trim round costs keep-ckpt + count + edge-restrict
+      // (3 jobs), not 4.
       var trimming = true
       var inner = 0
+      var peels: List[DataFrame] = Nil
       while (trimming && remCount > 0) {
         require(inner < SccMaxInnerRounds, "g19 trim did not converge")
         // both-directions endpoint check in ONE partial-agg'd shuffle:
@@ -1667,35 +1686,42 @@ object Graph {
           .groupBy(col("id")).agg(max(col("o")).as("o"), max(col("i")).as("i"))
           .filter(col("o") === 1L && col("i") === 1L)
           .select(col("id"))
-          .ckpt(true)
+          .ckpt(false)
         val kc = sccCount(keep)
         if (kc == remCount) trimming = false
         else {
-          val peeled = rem.join(keep, Seq("id"), "anti")
-            .select(col("id"), col("id").as("scc"))
-          fin = fin.unionByName(peeled).ckpt(true)
+          peels = rem.join(keep, Seq("id"), "anti")
+            .select(col("id"), col("id").as("scc")) :: peels
           rem = keep
           restrictEdges()
           remCount = kc
         }
         inner += 1
       }
+      if (peels.nonEmpty)
+        fin = fin.unionByName(peels.reduce(_ unionByName _)).ckpt(false)
       if (remCount > 0) {
         // ---- 2. forward-min coloring to the label-sum fixpoint
         var lab = rem.select(col("id"), col("id").as("lab"))
-          .ckpt(true)
+          .ckpt(false)
         def labSum(l: DataFrame): BigDecimal =
           sccDigest(l.agg(sum(col("lab").cast("decimal(38,0)")).as("d")))
         var prev = labSum(lab)
         var coloring = true
         inner = 0
-        while (coloring) {
-          require(inner < SccMaxInnerRounds, "g19 coloring did not converge")
-          lab = lab.unionByName(
-              er.join(lab.withColumnRenamed("id", "src"), "src")
+        // TWO min-propagation hops per digest (the r13 verdict's
+        // chatter cut): min-propagation is idempotent at the
+        // fixpoint, so batching hops between the blocking 1-row
+        // digest reads halves driver round-trips without changing a
+        // single label.
+        def colorHop(l: DataFrame): DataFrame =
+          l.unionByName(
+              er.join(l.withColumnRenamed("id", "src"), "src")
                 .select(col("dst").as("id"), col("lab")))
             .groupBy(col("id")).agg(min(col("lab")).as("lab"))
-            .ckpt(true)
+        while (coloring) {
+          require(inner < SccMaxInnerRounds, "g19 coloring did not converge")
+          lab = colorHop(colorHop(lab)).ckpt(false)
           val d = labSum(lab)
           coloring = d != prev
           prev = d
@@ -1706,27 +1732,33 @@ object Graph {
           .join(lab.select(col("id").as("src"), col("lab").as("lab_s")), "src")
           .join(lab.select(col("id").as("dst"), col("lab").as("lab_d")), "dst")
           .filter(col("lab_s") === col("lab_d"))
-          .select(col("src"), col("dst")).ckpt(true)
+          .select(col("src"), col("dst")).ckpt(false)
         var mark = lab.filter(col("id") === col("lab")).select(col("id"))
-          .ckpt(true)
+          .ckpt(false)
         var mc = sccCount(mark)
         var marking = true
         inner = 0
+        // TWO backward hops per digest — the mark set grows
+        // monotonically and the hop is idempotent once saturated, so
+        // the batching (same as coloring) halves the blocking count
+        // reads with byte-identical marks.
+        def backHop(m: DataFrame): DataFrame =
+          m.unionByName(
+              le.join(m.withColumnRenamed("id", "dst"), "dst")
+                .select(col("src").as("id")))
+            .distinct()
         while (marking) {
           require(inner < SccMaxInnerRounds, "g19 backward did not converge")
-          mark = mark.unionByName(
-              le.join(mark.withColumnRenamed("id", "dst"), "dst")
-                .select(col("src").as("id")))
-            .distinct().ckpt(true)
+          mark = backHop(backHop(mark)).ckpt(false)
           val d = sccCount(mark)
           marking = d != mc
           mc = d
           inner += 1
         }
         val done = lab.join(mark, Seq("id"), "semi")
-          .select(col("id"), col("lab").as("scc")).ckpt(true)
-        fin = fin.unionByName(done).ckpt(true)
-        rem = rem.join(done, Seq("id"), "anti").ckpt(true)
+          .select(col("id"), col("lab").as("scc")).ckpt(false)
+        fin = fin.unionByName(done).ckpt(false)
+        rem = rem.join(done, Seq("id"), "anti").ckpt(false)
         restrictEdges()
         remCount = sccCount(rem)
       }
