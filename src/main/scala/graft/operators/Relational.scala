@@ -1246,7 +1246,8 @@ object Relational {
       val aggCols =
         Seq(sum(when((col("m24") >= 0).cast("int") === col("y"), 1L)
             .otherwise(0L)).as("correct")) ++
-          (0 to 3).map(j => sum(col("r26") * col(s"f$j")).as(s"g$j")) ++
+          (0 to 3).map(j => graft.Sums.gradSum(feats.sparkSession,
+            col("r26") * col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
         .ckpt(true)
@@ -1463,8 +1464,8 @@ object Relational {
         Seq(sum(when((col("m24") >= 0).cast("int") === col("y"), 1L)
             .otherwise(0L)).as("correct"),
           sum(col("viol")).as("violations")) ++
-          (0 to 3).map(j =>
-            sum(col("viol") * ys * col(s"f$j")).as(s"h$j")) ++
+          (0 to 3).map(j => graft.Sums.gradSum(feats.sparkSession,
+            col("viol") * ys * col(s"f$j")).as(s"h$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
         .ckpt(true)
@@ -1552,15 +1553,17 @@ object Relational {
       val scan = feats.crossJoin(broadcast(weights))
         .withColumn("r24", m24 - col("y12") * lit(4096L))
       val aggCols =
-        Seq(sum(expr("(r24 div 4096) * (r24 div 4096)")).as("sse12")) ++
-          (0 to 3).map(j => sum(col("r24") * col(s"f$j")).as(s"g$j")) ++
+        Seq(graft.Sums.gradSum(feats.sparkSession,
+            expr("(r24 div 4096) * (r24 div 4096)")).as("sse12")) ++
+          (0 to 3).map(j => graft.Sums.gradSum(feats.sparkSession,
+            col("r24") * col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
         .ckpt(true)
       val nnz = (0 to 3).map(j =>
         when(col(s"w$j") =!= 0L, 1L).otherwise(0L)).reduce(_ + _)
       rows = rows :+ s.select(Seq(lit(k.toLong).as("round"), col("n"),
-        nnz.as("nnz"), col("sse12")) ++
+        nnz.as("nnz"), col("sse12").cast("long").as("sse12")) ++
         (0 to 3).map(j => col(s"w$j").as(s"w${j}_ticks")): _*)
       if (k < LassoIters) {
         weights = s.select((0 to 3).map { j =>

@@ -901,4 +901,24 @@ class RelationalSpec extends AnyFunSuite {
         s"cohort $cohort event+censor mass must equal the risk set")
     }
   }
+
+  test("graft.sum.twolevel: the exact-GD family is bit-identical with the " +
+    "decimal gradient carrier on (the executable two-level retune)") {
+    import graft.operators.Relational
+    val keys: Seq[(String, () => Seq[Seq[Any]])] = Seq(
+      ("q50", () => Relational.q50LogisticRegression(spark, sfDir)
+        .collect().toSeq.map(_.toSeq)),
+      ("q56", () => Relational.q56LinearSvm(spark, sfDir)
+        .collect().toSeq.map(_.toSeq)),
+      ("q57", () => Relational.q57Lasso(spark, sfDir)
+        .collect().toSeq.map(_.toSeq)))
+    assert(spark.conf.getOption(graft.Sums.TwoLevelConf).isEmpty)
+    val off = keys.map { case (k, f) => k -> f() }.toMap
+    spark.conf.set(graft.Sums.TwoLevelConf, "true")
+    try {
+      keys.foreach { case (k, f) =>
+        assert(f() == off(k), s"$k drifted under the two-level carrier")
+      }
+    } finally spark.conf.unset(graft.Sums.TwoLevelConf)
+  }
 }
