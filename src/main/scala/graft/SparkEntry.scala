@@ -178,6 +178,7 @@ object SparkEntry {
     "p17_roc_auc" -> (Pipeline.p17RocAuc _),
     "p18_regression_eval" -> (Pipeline.p18RegressionEval _),
     "p19_ranking_eval" -> (Pipeline.p19RankingEval _),
+    "p28_ranking_eval_sampled" -> (Pipeline.p28RankingEvalSampled _),
     "p20_random_features" -> (Pipeline.p20RandomFeatures _),
     "p21_quantile_bins" -> (Pipeline.p21QuantileBins _),
     "p22_cross_validation" -> (Pipeline.p22CrossValidation _),
@@ -4379,6 +4380,9 @@ object SparkEntry {
     "p18_regression_eval" -> p18OracleSql,
     // p19: the s25 rk chain + hit joins + literal NDCG tick tables.
     "p19_ranking_eval" -> Pipeline.p19OracleSql(Recommend.recTopkCtes),
+    // p28: the p19 chain under the p01 md5-bucket user sample.
+    "p28_ranking_eval_sampled" ->
+      Pipeline.p28OracleSql(Recommend.recTopkCtes),
     // p20: pure md5 bit-slice arithmetic, identical both engines.
     "p20_random_features" -> Pipeline.p20OracleSql,
     // p21: exact type-1 grid quantiles, integer split rule.

@@ -1529,11 +1529,20 @@ object Pipeline {
     * customer, rated pairs shuffle once on customer, k-bounded
     * window, one final 1-row aggregate. Nothing corpus-wide buffers.
     */
-  def p19RankingEval(spark: SparkSession, sfDir: String): DataFrame = {
+  def p19RankingEval(spark: SparkSession, sfDir: String): DataFrame =
+    rankingMetricsOf(
+      graft.operators.Recommend.s25RecommendTopk(spark, sfDir),
+      graft.operators.Recommend.purchaseRatings(spark, sfDir)
+        .select(col("c"), col("s")))
+
+  /** The p19 metric tail over arbitrary (o_custkey, rank, l_suppkey)
+    * serve and (c, s) relevant-pair frames — shared by exact p19 and
+    * the sampled p28 so the two keys differ ONLY in which users are
+    * scored.
+    */
+  private[graft] def rankingMetricsOf(
+      rec: DataFrame, rel: DataFrame): DataFrame = {
     val k = graft.operators.Recommend.RecTopK
-    val rec = graft.operators.Recommend.s25RecommendTopk(spark, sfDir)
-    val rel = graft.operators.Recommend.purchaseRatings(spark, sfDir)
-      .select(col("c"), col("s"))
     val nrel = rel.groupBy(col("c")).agg(count(lit(1)).as("nrel"))
     val wCase = (1 to k).map(i =>
       s"WHEN $i THEN ${NdcgWTicks(i - 1)}L").mkString(" ")
@@ -1585,6 +1594,101 @@ object Pipeline {
        |  SELECT rk.c, rk.rank,
        |    CASE WHEN rel.s IS NULL THEN 0 ELSE 1 END AS hit
        |  FROM rk LEFT JOIN rel ON rk.c = rel.c AND rk.s = rel.s),
+       |ch AS (
+       |  SELECT c, rank, hit,
+       |    sum(hit) OVER (PARTITION BY c ORDER BY rank
+       |      ROWS UNBOUNDED PRECEDING) AS cumhits
+       |  FROM h),
+       |pu AS (
+       |  SELECT ch.c,
+       |    CAST(sum(hit) AS BIGINT) AS hits_k,
+       |    CAST(sum(hit * ((cumhits * 1048576) // rank)) AS BIGINT) AS ap_num,
+       |    CAST(sum(hit * (CASE rank $wCase END)) AS BIGINT) AS dcg
+       |  FROM ch GROUP BY ch.c),
+       |pm AS (
+       |  SELECT (pu.hits_k * 1048576) // $k AS p_ticks,
+       |    pu.ap_num // least($k, nrel.nrel) AS ap_ticks,
+       |    (pu.hits_k * 1048576) // nrel.nrel AS rec_ticks,
+       |    (pu.dcg * 1048576) //
+       |      (CASE least($k, nrel.nrel) $idcgCase END) AS ndcg_ticks
+       |  FROM pu JOIN nrel ON pu.c = nrel.c)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(CAST(sum(p_ticks) AS BIGINT) // count(*) AS BIGINT) AS p_at_k_ticks,
+       |  CAST(CAST(sum(ap_ticks) AS BIGINT) // count(*) AS BIGINT) AS map_at_k_ticks,
+       |  CAST(CAST(sum(rec_ticks) AS BIGINT) // count(*) AS BIGINT) AS recall_at_k_ticks,
+       |  CAST(CAST(sum(ndcg_ticks) AS BIGINT) // count(*) AS BIGINT) AS ndcg_at_k_ticks
+       |FROM pm""".stripMargin
+  }
+
+  /** Deterministic user-sample percentage for [[p28RankingEvalSampled]]
+    * (the p01 md5-bucket rule on the customer key).
+    */
+  private[graft] val RecEvalSamplePct = 25L
+
+  /** The p01 bucket of a key column: first 16 bits of md5 over the
+    * decimal rendering, mod 100.
+    */
+  private[graft] def md5Bucket(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** p28: the SAMPLED ranking eval — p19's exact users×catalog scoring
+    * is quadratic by semantics (the mllib recommendForAllUsers shape;
+    * 308.8 s at sf1), and at 100 TB nobody scores the full cross
+    * product for an eval METRIC. The production posture (reference
+    * anchor mllib/evaluation/RankingMetrics.scala:1, which is
+    * sample-agnostic — it evaluates whatever (predictions, labels)
+    * pairs it is given): evaluate a deterministic md5-bucketed
+    * [[RecEvalSamplePct]]% user subset, selected BEFORE the serve
+    * scoring so the expensive users×catalog pass shrinks by the
+    * sample rate — the p01 hash rule, so the subset is a pure
+    * function of the customer key (stable across runs, engines,
+    * partitionings; no random()).
+    *
+    * Same metric tail as p19 ([[rankingMetricsOf]] — the two keys
+    * differ ONLY in which users are scored), so at 100% the sampled
+    * metric IS the exact metric (spec-pinned); exact p19 remains the
+    * gate for the full-population number.
+    */
+  def p28RankingEvalSampled(spark: SparkSession, sfDir: String): DataFrame =
+    rankingEvalSampledAt(spark, sfDir, RecEvalSamplePct)
+
+  /** [[p28RankingEvalSampled]] at an explicit sample percentage —
+    * package-private so the spec can pin pct=100 ≡ exact p19.
+    */
+  private[graft] def rankingEvalSampledAt(
+      spark: SparkSession, sfDir: String, pct: Long): DataFrame = {
+    val (users, items) =
+      graft.operators.Recommend.purchaseFactors(spark, sfDir)
+    val su = users.filter(md5Bucket(col("c")) < pct)
+    val rec = graft.operators.Recommend.serveTopk(su, items)
+    val rel = graft.operators.Recommend.purchaseRatings(spark, sfDir)
+      .select(col("c"), col("s"))
+      .filter(md5Bucket(col("c")) < pct)
+    rankingMetricsOf(rec, rel)
+  }
+
+  /** p28's DuckDB twin: the p19 chain with the p01 md5-bucket sample
+    * predicate applied to both the ranked serve list and the
+    * relevant pairs.
+    */
+  private[graft] def p28OracleSql(recCtes: String): String = {
+    val k = graft.operators.Recommend.RecTopK
+    val wCase = (1 to k).map(i =>
+      s"WHEN $i THEN ${NdcgWTicks(i - 1)}").mkString(" ")
+    val idcgCase = (1 to k).map(m =>
+      s"WHEN $m THEN ${NdcgIdcgTicks(m - 1)}").mkString(" ")
+    val pick = (col: String) =>
+      s"(('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 4))::UBIGINT % 100" +
+        s" < $RecEvalSamplePct)"
+    s"""WITH $recCtes,
+       |rel AS (SELECT DISTINCT c, s FROM ratings WHERE ${pick("c")}),
+       |rks AS (SELECT * FROM rk WHERE ${pick("c")}),
+       |nrel AS (SELECT c, CAST(count(*) AS BIGINT) AS nrel FROM rel GROUP BY c),
+       |h AS (
+       |  SELECT rks.c, rks.rank,
+       |    CASE WHEN rel.s IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM rks LEFT JOIN rel ON rks.c = rel.c AND rks.s = rel.s),
        |ch AS (
        |  SELECT c, rank, hit,
        |    sum(hit) OVER (PARTITION BY c ORDER BY rank

@@ -800,4 +800,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == Pipeline.p27Multilabel(spark, sfDir).collect().toSeq)
     assert(a.nonEmpty)
   }
+
+  test("p28 sampled ranking eval: pct=100 equals exact p19 bit-for-bit; " +
+    "the 25% sample scores fewer users, bounded metrics, deterministic") {
+    import graft.operators.Pipeline
+    // when the sample does not bind (every bucket < 100), the sampled
+    // pipeline IS the exact pipeline — same serve tail, same metrics
+    val full = Pipeline.rankingEvalSampledAt(spark, sfDir, 100L)
+      .collect().toSeq.map(_.toSeq)
+    val exact = Pipeline.p19RankingEval(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    assert(full == exact, s"pct=100 must equal exact p19: $full vs $exact")
+    val sampled = Pipeline.p28RankingEvalSampled(spark, sfDir).collect()
+    assert(sampled.length == 1)
+    val r = sampled.head
+    val nFull = exact.head.head.asInstanceOf[Long]
+    assert(r.getLong(0) > 0 && r.getLong(0) < nFull,
+      s"sample must be a strict non-empty subset: ${r.getLong(0)} of $nFull")
+    (1 to 4).foreach(i => assert(r.getLong(i) >= 0L && r.getLong(i) <= 1048576L,
+      s"metric $i out of ticks range"))
+    assert(sampled.map(_.toSeq).toSeq ==
+      Pipeline.p28RankingEvalSampled(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
 }
