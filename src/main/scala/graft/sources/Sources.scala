@@ -94,6 +94,65 @@ object Sources {
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** LibSVM read — the one reference data-source format that had no
+    * counterpart here (reference: /root/reference/mllib/src/main/
+    * scala/org/apache/spark/ml/source/libsvm/LibSVMRelation.scala:1):
+    * lines of `label idx:val idx:val …` with 1-BASED strictly
+    * ascending indices. Output one row per line: (label DOUBLE,
+    * indices ARRAY<INT> — kept 1-based, the file convention —
+    * values ARRAY<DOUBLE>, `corruptCol` STRING). Malformed lines
+    * (unparseable label, non-`i:v` token, non-positive or
+    * non-strictly-ascending indices) carry the RAW line in
+    * `corruptCol` with null data columns — the [[readJsonLenient]]
+    * quarantine convention, so pipelines dead-letter instead of
+    * silently nulling.
+    *
+    * Pure codegen'd parse (split/transform/cast — no UDF), riding
+    * the line-mode text scan, so it parallelizes over 100 TB like
+    * any file scan. Blank lines are dropped (the reference skips
+    * them too).
+    */
+  def readLibsvm(spark: SparkSession, path: String,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairRe = "^[0-9]+:[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    readText(spark, path)
+      .filter(trim(col("value")) =!= "")
+      .withColumn("toks", split(trim(col("value")), "\\s+"))
+      .withColumn("label", expr("try_cast(element_at(toks, 1) AS DOUBLE)"))
+      .withColumn("pairs", expr("slice(toks, 2, size(toks) - 1)"))
+      .withColumn("idx", expr(
+        "transform(pairs, p -> try_cast(split_part(p, ':', 1) AS INT))"))
+      .withColumn("ok",
+        col("label").isNotNull &&
+          expr(s"forall(pairs, p -> p rlike '$pairRe')") &&
+          expr("forall(idx, i -> i IS NOT NULL AND i >= 1)") &&
+          expr("size(array_distinct(idx)) = size(idx)") &&
+          expr("idx = array_sort(idx)"))
+      .select(
+        when(col("ok"), col("label")).as("label"),
+        when(col("ok"), col("idx")).as("indices"),
+        when(col("ok"), expr(
+          "transform(pairs, p -> try_cast(split_part(p, ':', 2) AS DOUBLE))"))
+          .as("values"),
+        when(!col("ok"), col("value")).as(corruptCol))
+  }
+
+  /** LibSVM write: (label, indices, values) rows → `label i:v …`
+    * lines through [[writeText]]. Indices are written as given
+    * (1-based by the read's convention — keep them that way).
+    */
+  def writeLibsvm(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    writeText(
+      df.select(concat_ws(" ",
+        col("label").cast("string"),
+        expr("array_join(zip_with(indices, values, (i, v) -> " +
+          "concat(CAST(i AS STRING), ':', CAST(v AS STRING))), ' ')"))
+        .as("value")),
+      path)
+  }
+
   /** JDBC read — dimension/metadata tables routinely live in an
     * RDBMS. `partitioning = Some((column, lower, upper, n))` issues n
     * range-predicate queries in parallel (the scale path: a single

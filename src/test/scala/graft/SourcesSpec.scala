@@ -423,4 +423,72 @@ class SourcesSpec extends AnyFunSuite {
       assert(joined.orderBy(col("o_orderstatus")).collect().toSeq == expected)
     } finally spark.conf.set("graft.preagg.enabled", "true")
   }
+
+  test("libsvm source: round-trip, 1-based strict-index validation, " +
+    "corrupt-line quarantine, and q50 runs bit-equal off a libsvm file") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-libsvm")
+    // hand-planted file: 2 good lines + every malformed class
+    val raw = Seq(
+      "1.0 1:0.5 3:2 7:-1.25e-1",
+      "0 2:4",
+      "",
+      "oops 1:2",            // unparseable label
+      "1.0 1:2 zz",          // non-i:v token
+      "1.0 0:2",             // 0 index (1-based convention)
+      "1.0 3:1 2:1",         // not ascending
+      "1.0 2:1 2:3")         // duplicate index
+    raw.toDF("value").coalesce(1).write.mode("overwrite")
+      .text(dir.resolve("in").toString)
+    val got = Sources.readLibsvm(spark, dir.resolve("in").toString)
+    val goodRows = got.filter(col("_corrupt_record").isNull).collect()
+      .map(r => (r.getDouble(0), r.getSeq[Int](1).toList,
+        r.getSeq[Double](2).toList)).sortBy(_._1)
+    assert(goodRows.toList == List(
+      (0.0, List(2), List(4.0)),
+      (1.0, List(1, 3, 7), List(0.5, 2.0, -0.125))))
+    val bad = got.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(bad == raw.filter(_.nonEmpty).drop(2).toSet,
+      s"quarantine must carry exactly the malformed lines: $bad")
+    // round-trip: write the good rows, read back, same triples
+    val back = dir.resolve("back").toString
+    Sources.writeLibsvm(
+      got.filter(col("_corrupt_record").isNull)
+        .select("label", "indices", "values"), back)
+    val rt = Sources.readLibsvm(spark, back)
+    assert(rt.filter(col("_corrupt_record").isNotNull).count() == 0)
+    val rtRows = rt.collect().map(r => (r.getDouble(0),
+      r.getSeq[Int](1).toList, r.getSeq[Double](2).toList)).sortBy(_._1)
+    assert(rtRows.toList == goodRows.toList, "libsvm round-trip drift")
+    // an existing key off a libsvm file: q50's feature frame written
+    // as libsvm (indices 1..4 = f0..f3), read back, trained — the
+    // model trajectory must be bit-equal to the direct q50
+    val feats = Tables.lineitem(spark, sfDir).select(
+      when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L)).as("y"),
+      lit(4096L).as("f0"),
+      (col("l_quantity").cast("long") * lit(64L)).as("f1"),
+      floor(col("l_discount") * lit(4096.0) + lit(0.5)).cast("long").as("f2"),
+      floor(col("l_tax") * lit(4096.0) + lit(0.5)).cast("long").as("f3"))
+    val lsv = dir.resolve("q50").toString
+    Sources.writeLibsvm(
+      feats.select(col("y").cast("double").as("label"),
+        expr("array(1, 2, 3, 4)").as("indices"),
+        expr("array(CAST(f0 AS DOUBLE), CAST(f1 AS DOUBLE), " +
+          "CAST(f2 AS DOUBLE), CAST(f3 AS DOUBLE))").as("values")), lsv)
+    val fromFile = Sources.readLibsvm(spark, lsv)
+      .filter(col("_corrupt_record").isNull)
+      .select(Seq(col("label").cast("long").as("y")) ++
+        (0 to 3).map(j =>
+          expr(s"CAST(element_at(values, ${j + 1}) AS LONG)").as(s"f$j")): _*)
+      .localCheckpoint(true)
+    val viaFile = graft.operators.Relational.logregRounds(fromFile)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Relational
+      .q50LogisticRegression(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(viaFile == direct, "q50 off libsvm must equal direct q50")
+  }
 }
