@@ -153,6 +153,42 @@ object Sources {
       path)
   }
 
+  /** Edge-list read — the reference's GraphLoader surface (reference:
+    * /root/reference/graphx/src/main/scala/org/apache/spark/graphx/
+    * GraphLoader.scala:28: whitespace-separated `src dst` lines,
+    * `#`-comment lines skipped): one (src, dst) LONG row per edge,
+    * ready for the g01–g19 operators (which take exactly this frame).
+    * Malformed lines (wrong arity, unparseable ids) quarantine into
+    * `corruptCol` verbatim — the [[readLibsvm]] convention; comment
+    * and blank lines are dropped, not quarantined (they are legal in
+    * the format). Codegen'd parse on the line-mode text scan — 100 TB
+    * parallelism for free, no UDF.
+    */
+  def readEdgeList(spark: SparkSession, path: String,
+      corruptCol: String = "_corrupt_record"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readText(spark, path)
+      .filter(trim(col("value")) =!= "" &&
+        !trim(col("value")).startsWith("#"))
+      .withColumn("toks", split(trim(col("value")), "\\s+"))
+      .withColumn("ok", expr("size(toks) = 2") &&
+        expr("try_cast(element_at(toks, 1) AS LONG) IS NOT NULL") &&
+        expr("try_cast(element_at(toks, 2) AS LONG) IS NOT NULL"))
+      .select(
+        when(col("ok"), expr("try_cast(element_at(toks, 1) AS LONG)"))
+          .as("src"),
+        when(col("ok"), expr("try_cast(element_at(toks, 2) AS LONG)"))
+          .as("dst"),
+        when(!col("ok"), col("value")).as(corruptCol))
+  }
+
+  /** Edge-list write: (src, dst) rows → `src dst` lines. */
+  def writeEdgeList(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    writeText(df.select(concat_ws(" ",
+      col("src").cast("string"), col("dst").cast("string")).as("value")), path)
+  }
+
   /** JDBC read — dimension/metadata tables routinely live in an
     * RDBMS. `partitioning = Some((column, lower, upper, n))` issues n
     * range-predicate queries in parallel (the scale path: a single

@@ -491,4 +491,46 @@ class SourcesSpec extends AnyFunSuite {
       .q50LogisticRegression(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(viaFile == direct, "q50 off libsvm must equal direct q50")
   }
+
+  test("edge-list source: GraphLoader format round-trip, comments skipped, " +
+    "malformed quarantined, and g15 runs off an edge-list file") {
+    import graft.sources.Sources
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-edges")
+    val raw = Seq(
+      "# a comment line",
+      "1 2",
+      "2\t3",
+      "",
+      "5 6 7",      // wrong arity
+      "x 9")        // unparseable id
+    raw.toDF("value").coalesce(1).write.mode("overwrite")
+      .text(dir.resolve("in").toString)
+    val got = Sources.readEdgeList(spark, dir.resolve("in").toString)
+    val good = got.filter(col("_corrupt_record").isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(good == List((1L, 2L), (2L, 3L)))
+    val bad = got.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(bad == Set("5 6 7", "x 9"), s"quarantine: $bad")
+    // round-trip
+    val back = dir.resolve("back").toString
+    Sources.writeEdgeList(
+      got.filter(col("_corrupt_record").isNull).select("src", "dst"), back)
+    val rt = Sources.readEdgeList(spark, back)
+    assert(rt.filter(col("_corrupt_record").isNotNull).count() == 0)
+    assert(rt.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      == good)
+    // a graph operator off the file: two components via minLabelRounds
+    val comp = dir.resolve("comp").toString
+    Sources.writeEdgeList(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"), comp)
+    val labels = graft.operators.Graph.minLabelRounds(
+        Sources.readEdgeList(spark, comp)
+          .filter(col("_corrupt_record").isNull).select("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
