@@ -639,13 +639,21 @@ object Events {
     * the spec can pin a hand-computed curve on a planted censored
     * sample.
     */
-  private[graft] def kmCurve(subj: DataFrame): DataFrame = {
-    val spark = subj.sparkSession
-    val counts = subj.groupBy(col("cohort"), col("t_obs"))
+  private[graft] def kmCurve(subj: DataFrame): DataFrame =
+    kmFromCounts(subj.groupBy(col("cohort"), col("t_obs"))
       .agg(sum(col("is_event")).as("d"),
-        sum(lit(1L) - col("is_event")).as("c"))
+        sum(lit(1L) - col("is_event")).as("c")))
+
+  /** The product-limit pipeline over a pre-aggregated
+    * (cohort, t_obs, d, c) counts frame — the monoid state
+    * stream_survival folds per micro-batch (counts add; the curve is
+    * a pure function of the accumulated counts, so stream ≡ batch by
+    * construction).
+    */
+  private[graft] def kmFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
     // dense (cohort x t) grid so both engines emit identical rows
-    val grid = subj.select(col("cohort")).distinct()
+    val grid = counts.select(col("cohort")).distinct()
       .crossJoin(spark.range(1, KmHorizon + 1).select(col("id").as("t")))
     val dense = grid.join(counts,
         grid("cohort") === counts("cohort") && grid("t") === counts("t_obs"),

@@ -1171,6 +1171,36 @@ object StreamOps {
       expr("transform(s, x -> CAST(CAST(x AS DOUBLE)" +
         " / (1024.0 * greatest(w, 1L)) AS FLOAT))").as("cv"))
 
+  /** stream_survival state: the q67 Kaplan–Meier counts monoid —
+    * an empty (cohort, t_obs, d, c) frame. Counts ADD across
+    * micro-batches and the curve is a pure function of the
+    * accumulated counts, so the streamed curve after batches B1..Bn
+    * IS batch q67 on B1 ∪ … ∪ Bn (spec'd) — the strongest stream ≡
+    * batch contract in the suite (no step-order divergence at all).
+    */
+  def survivalInitState(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("cohort"), col("id").as("t_obs"),
+      col("id").as("d"), col("id").as("c"))
+
+  /** One micro-batch fold: arriving (cohort, t_obs, is_event)
+    * subject rows add into the counts state. An empty micro-batch
+    * unions nothing — the identity fold, no guard needed. State
+    * stays ≤ cohorts × horizon rows.
+    */
+  def survivalFoldBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(
+        batch.groupBy(col("cohort"), col("t_obs"))
+          .agg(sum(col("is_event")).as("d"),
+            sum(lit(1L) - col("is_event")).as("c")))
+      .groupBy(col("cohort"), col("t_obs"))
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"))
+
+  /** Live product-limit curve of a survival counts state — the
+    * IDENTICAL q67 tail ([[graft.operators.Events.kmFromCounts]]).
+    */
+  def survivalCurve(state: DataFrame): DataFrame =
+    graft.operators.Events.kmFromCounts(state)
+
   /** One micro-batch fold: pure state x batch -> state (the
     * foreachBatch body and the spec's hand-fold are the same
     * function, so stream == sequential batch folds by construction).

@@ -1377,4 +1377,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(want.head.exists(_ != 0L), s"$name: warm state must be non-zero")
     }
   }
+
+  test("stream_survival: streamed Kaplan-Meier counts fold equals batch q67 " +
+    "on the union of the arrived subjects; empty fold is the identity") {
+    import org.apache.spark.sql.types._
+    val sess = spark
+    import sess.implicits._
+    // the q67 planted sample split across two ordered micro-batches
+    val all = Seq(
+      (0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 0L), (0L, 3L, 1L), (0L, 8L, 0L),
+      (1L, 8L, 0L))
+    val h1 = all.take(3).toDF("cohort", "t_obs", "is_event").localCheckpoint(true)
+    val h2 = all.drop(3).toDF("cohort", "t_obs", "is_event").localCheckpoint(true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-surv-stream")
+    val schema = StructType(Seq("cohort", "t_obs", "is_event")
+      .map(StructField(_, LongType)))
+    var state = StreamOps.survivalInitState(spark).localCheckpoint(true)
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = StreamOps.survivalFoldBatch(state, df).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      h1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+      h2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // streamed curve == batch q67 tail on the union of all subjects
+    val streamed = rows(StreamOps.survivalCurve(state))
+    val batch = rows(graft.operators.Events.kmCurve(
+      all.toDF("cohort", "t_obs", "is_event")))
+    assert(streamed == batch, s"stream vs batch:\n$streamed\n$batch")
+    // the hand-pinned q67 values hold through the stream
+    assert(streamed.contains((0L, 1L, 5L, 2L, 0L, 10066330L)))
+    assert(streamed.contains((0L, 3L, 2L, 1L, 0L, 5033165L)))
+    // an empty micro-batch folds to the identity
+    val empty = StreamOps.survivalFoldBatch(state, h1.limit(0))
+    assert(empty.collect().toSeq.map(_.toSeq).sortBy(_.toString) ==
+      state.collect().toSeq.map(_.toSeq).sortBy(_.toString))
+  }
 }
