@@ -3,12 +3,18 @@
 parquet (shift = i * 10_000_000 on every entity key, referential
 integrity preserved copy-locally; dims region/nation copied as-is;
 text payloads unchanged — cross-copy duplicates are realistic dedup
-input). Embeddings of copies i >= 1 get a small deterministic
-per-(vec_id, dim, copy) perturbation: exact 10-cliques of identical
-vectors made every LSH band bucket degenerate (the r13 s05 rehearsal
-measured the adversarial guard, not natural scaling), while the
-perturbed corpus re-derives naturally. Used for the one-decade scale
-rehearsal in BASELINE.md; never a library dependency."""
+input). Embeddings of copies i >= 1 are DECORRELATED from their
+source: a per-copy circular coordinate rotation (preserves the
+coordinate distribution and the exact norm, but makes the copy
+geometrically independent of the original — cosine ~ random) plus a
+small per-(vec_id, dim, copy) perturbation. Exact 10-cliques of
+identical vectors made every LSH band bucket degenerate (the r13
+s05 rehearsal measured the adversarial guard, not natural scaling),
+and a tiny perturbation ALONE is worse (near-copies still share
+buckets but lose the exact-dedup collapse — measured 333 s vs the
+exact-copy 182.8 s); the rotated corpus scales like independent
+data. Used for the one-decade scale rehearsal in BASELINE.md; never
+a library dependency."""
 import duckdb, os, sys
 import pyarrow.parquet as pq
 
@@ -37,8 +43,11 @@ for t, keys in SHIFTS.items():
     for i in range(COPIES):
         rep = ", ".join(f"{k} + {i * SHIFT} AS {k}" for k in keys)
         if t == "embeddings" and i > 0:
-            rep += (", list_transform(range(1, len(embedding)+1), j -> "
-                    f"CAST(embedding[j] + ((vec_id * 31 + j * 7 + {i} * 13)"
+            rot = (i * 7) % 64
+            rotated = (f"list_concat(embedding[{rot + 1}:64], "
+                       f"embedding[1:{rot}])")
+            rep += (f", list_transform(range(1, len(embedding)+1), j -> "
+                    f"CAST(({rotated})[j] + ((vec_id * 31 + j * 7 + {i} * 13)"
                     " % 17 - 8) * 0.0015 AS FLOAT)) AS embedding")
         parts.append(f"SELECT * REPLACE ({rep}) FROM '{SRC}/{t}.parquet'")
     c.execute(f"COPY ({' UNION ALL '.join(parts)}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
