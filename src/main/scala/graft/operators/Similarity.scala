@@ -1561,18 +1561,12 @@ object Similarity {
     * shared by s17/s18's eigensolve and s19's correlation matrix.
     */
   /** Map-side outer-product moment scan over a frame with a LONG
-    * array column `q`: P_ij = Σ q_i·q_j partial-aggregated to ≤ 64²
-    * rows per task before any shuffle. Shared by the PCA/correlation
-    * Gram and s26's centered-rank Gram.
+    * array column `q`: P_ij = Σ q_i·q_j partial-aggregated to
+    * ≤ d(d+1)/2 rows per task before any shuffle. Every consumer is
+    * symmetric, so only the upper triangle is ever generated
+    * ([[pairMomentsUpper]]); square-matrix consumers mirror the
+    * aggregated frame ([[pairMomentsMirrored]]).
     */
-  private def pairMoments(qf: DataFrame): DataFrame =
-    qf.select(explode(expr(
-        """flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
-          |named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-          |             'p', qi * qj))))""".stripMargin)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("p"))
-
   /** [[pairMoments]] restricted to the UPPER TRIANGLE (i ≤ j) at
     * generation time — the inner transform runs over slice(q, i+1, …)
     * so only 64·65/2 structs per row are built, exploded, and
@@ -1581,6 +1575,20 @@ object Similarity {
     * redundant by P_ij = P_ji; s17's eigensolve and s26's
     * full-matrix report keep the square pass.
     */
+  /** Full symmetric moment matrix off ONE upper-triangle scan:
+    * P_ij = Σ q_i·q_j is EXACTLY symmetric (integer products
+    * commute), so the lower triangle mirrors from the aggregated
+    * ≤ d(d+1)/2-row frame instead of doubling the per-row explode —
+    * halves the dominant outer-product fan-out for the square-matrix
+    * consumers (s17/s19's Gram, s26's rank Gram, s34's uncentered
+    * Gram) with bit-identical values.
+    */
+  private def pairMomentsMirrored(qf: DataFrame): DataFrame = {
+    val up = pairMomentsUpper(qf)
+    up.unionByName(up.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("p")))
+  }
+
   private def pairMomentsUpper(qf: DataFrame): DataFrame =
     qf.select(explode(expr(
         """flatten(transform(q, (qi, i) ->
@@ -1599,7 +1607,7 @@ object Similarity {
     val nf = qf.agg(count(lit(1)).as("n"))
     val sums = qf.select(posexplode(col("q")).as(Seq("pi", "qi")))
       .groupBy(col("pi").cast("long").as("i")).agg(sum(col("qi")).as("s"))
-    val pairs = pairMoments(qf)
+    val pairs = pairMomentsMirrored(qf)
     pairs
       .join(sums.select(col("i"), col("s").as("si")), "i")
       .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
@@ -1799,7 +1807,8 @@ object Similarity {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
       .ckpt(true)
-    val g0 = pairMoments(qf).select(col("i"), col("j"), col("p").as("g"))
+    val g0 = pairMomentsMirrored(qf)
+      .select(col("i"), col("j"), col("p").as("g"))
     val comps = powerDeflate(collectGramTicks(g0))
     val loadings = comps.toDF("component", "dim", "loading_ticks", "eigval_ticks")
     val vByComp = comps.groupBy(_._1).view
@@ -2078,7 +2087,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(collect_list(struct(col("i"), col("m"))).as("im"))
       .select(expr("transform(array_sort(im), s -> s.m)").as("q"))
-    val p0 = pairMoments(ranks).ckpt(true)
+    val p0 = pairMomentsMirrored(ranks).ckpt(true)
     val diag = p0.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
     p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
@@ -2229,7 +2238,7 @@ object Similarity {
     *     thr_i = ⌊min(1, √γ/‖c_i‖)·2²⁴⌋ — the reference's
     *     column-norm-inverse sampling with the repo's deterministic
     *     draw (g10/p03 convention);
-    *   - estimate: the SAME [[pairMoments]] outer-product pass over
+    *   - estimate: the SAME [[pairMomentsUpper]] outer-product pass over
     *     the MASKED tick arrays (dropped entries zeroed — zero
     *     contributions vanish from the sums, so the sampled Gram
     *     costs one corpus scan with ≤ 64² rows/task, identical to
