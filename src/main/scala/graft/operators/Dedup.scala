@@ -711,7 +711,7 @@ object Dedup {
         .select(col("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .ckpt(true)
+        .ckpt(false) // lazy: labelSum materializes it (one job, not two)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum == prevSum
@@ -804,7 +804,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(e)).ckpt(true)
+      val next = smallStar(largeStar(e)).ckpt(false) // lazy: digest materializes
       val d = digest(next)
       converged = d == prev
       prev = d

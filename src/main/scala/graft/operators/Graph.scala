@@ -977,7 +977,9 @@ object Graph {
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
-      c = corenessStep(edges, c, gcap).ckpt(true)
+      // lazy ckpt: the digest action materializes the truncation —
+      // one job per round instead of two (the g19 chatter cut)
+      c = corenessStep(edges, c, gcap).ckpt(false)
       val d = digest(c)
       converged = d == prev
       prev = d
