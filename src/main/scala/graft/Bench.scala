@@ -166,7 +166,22 @@ object Bench {
         .map(_.group(1))
       def canon(p: String) = java.nio.file.Paths.get(p)
         .toAbsolutePath.normalize.toString
+      // REGIME guard (the r14 lesson, same failure class as the r12
+      // SF clobber): a committed map recorded under host load — its
+      // own regime_ratio stamp outside the documented idle band
+      // (<= 1.1) — would inflate the vs_committed baseline ~3x and
+      // neuter the >3x stall tripwire. Refuse to compare against it;
+      // a map with no stamp (pre-r12 format) is adopted as before.
+      val committedRegime =
+        """"regime_ratio":([0-9]+\.[0-9]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
       if (!committedSf.exists(s => canon(s) == canon(sfDir))) Map.empty
+      else if (committedRegime.exists(_ > 1.1)) {
+        System.err.println("bench: committed map's regime_ratio " +
+          s"${committedRegime.get} is outside the idle band (>1.1) — " +
+          "ignoring it as a vs_committed baseline; re-land an idle sweep")
+        Map.empty
+      }
       else """"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => SparkEntry.queries.contains(k) }.toMap

@@ -29,6 +29,20 @@ import org.apache.spark.sql.Dataset
   * `localCheckpoint`, with the same executor-loss caveat documented
   * on the local variant).
   *
+  * Lazy-ckpt caveat in RELIABLE mode: the iterative operators'
+  * digest-converged loops call `ckpt(false)` and let the 1-row
+  * convergence digest materialize the round frame ("one job instead
+  * of two"). That fusion is real only for `localCheckpoint` — with
+  * [[DirConf]] set, `checkpoint(false)` still runs a SEPARATE write
+  * job on the first action, RECOMPUTING the round frame after the
+  * digest job. The digest and the persisted blocks therefore come
+  * from two different computations of the same plan; this is safe
+  * only because every round frame in the library is
+  * value-deterministic (pure aggregations over checkpointed inputs).
+  * A future round frame with nondeterminism (sampling without a
+  * seed, timestamps, …) must NOT adopt the lazy pattern — use
+  * `ckpt(true)` so the digest reads the persisted computation.
+  *
   * Disk-growth tradeoff of the opt-in: Spark does NOT delete
   * reliable-checkpoint files when the frame goes out of scope unless
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, and the

@@ -25,11 +25,28 @@ object Sums {
   /** Session conf key: when "true", gradient sums carry DECIMAL(38,0). */
   val TwoLevelConf = "graft.sum.twolevel"
 
-  /** The GD family's single gradient-sum point: int64 by default,
-    * exact DECIMAL(38,0) under the [[TwoLevelConf]] opt-in.
+  /** The GD family's single gradient-sum point: the summed term is
+    * the PRODUCT of `factors`, built here so the knob can protect the
+    * whole chain. Default (conf unset): plain int64 multiply + int64
+    * SUM — exact inside each operator's documented row/term bound.
+    * Under [[TwoLevelConf]], the FIRST factor is cast to
+    * DECIMAL(38,0) before the multiply, so the per-term product
+    * (e.g. residual × feature, where each factor alone is
+    * 2³¹-bounded but the int64 product of three could wrap) and the
+    * SUM both carry exact 38-digit decimals — two 2⁶³-bounded
+    * factors' product (< 10³⁸) cannot wrap the carrier.
+    *
+    * The conf is read ONCE, at plan-build time: flipping
+    * [[TwoLevelConf]] mid-session does not change already-built
+    * frames — rebuild the query (call the operator again) after
+    * setting it.
     */
-  def gradSum(spark: SparkSession, c: Column): Column =
-    if (spark.conf.getOption(TwoLevelConf).exists(_.equalsIgnoreCase("true")))
-      sum(c.cast("decimal(38,0)"))
-    else sum(c)
+  def gradSum(spark: SparkSession, factors: Column*): Column = {
+    require(factors.nonEmpty, "gradSum needs at least one factor")
+    val twoLevel =
+      spark.conf.getOption(TwoLevelConf).exists(_.equalsIgnoreCase("true"))
+    val head =
+      if (twoLevel) factors.head.cast("decimal(38,0)") else factors.head
+    sum(factors.tail.foldLeft(head)(_ * _))
+  }
 }

@@ -650,8 +650,26 @@ object Events {
     * a pure function of the accumulated counts, so stream ≡ batch by
     * construction).
     */
-  private[graft] def kmFromCounts(counts: DataFrame): DataFrame = {
-    val spark = counts.sparkSession
+  private[graft] def kmFromCounts(rawCounts: DataFrame): DataFrame = {
+    val spark = rawCounts.sparkSession
+    // Enforce the q67 censoring contract HERE, not just in the batch
+    // producer: a subject observed beyond the horizon is at risk
+    // through H and censored AT H (its events beyond H are unseen),
+    // and t_obs < 1 clamps to the first grid day. Without this, a
+    // streaming producer that forgets the horizon clamp
+    // (survivalFoldBatch takes raw subject rows) would silently DROP
+    // out-of-range rows from both the dense grid and the at-risk
+    // window sum — a plausible-looking but wrong curve.
+    val counts = rawCounts
+      .select(col("cohort"),
+        least(greatest(col("t_obs").cast("long"), lit(1L)),
+          lit(KmHorizon.toLong)).as("t_obs"),
+        when(col("t_obs") > KmHorizon, lit(0L))
+          .otherwise(col("d")).as("d"),
+        when(col("t_obs") > KmHorizon, col("d") + col("c"))
+          .otherwise(col("c")).as("c"))
+      .groupBy(col("cohort"), col("t_obs"))
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"))
     // dense (cohort x t) grid so both engines emit identical rows
     val grid = counts.select(col("cohort")).distinct()
       .crossJoin(spark.range(1, KmHorizon + 1).select(col("id").as("t")))

@@ -1247,7 +1247,7 @@ object Relational {
         Seq(sum(when((col("m24") >= 0).cast("int") === col("y"), 1L)
             .otherwise(0L)).as("correct")) ++
           (0 to 3).map(j => graft.Sums.gradSum(feats.sparkSession,
-            col("r26") * col(s"f$j")).as(s"g$j")) ++
+            col("r26"), col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
         .ckpt(true)
@@ -1465,7 +1465,7 @@ object Relational {
             .otherwise(0L)).as("correct"),
           sum(col("viol")).as("violations")) ++
           (0 to 3).map(j => graft.Sums.gradSum(feats.sparkSession,
-            col("viol") * ys * col(s"f$j")).as(s"h$j")) ++
+            col("viol"), ys, col(s"f$j")).as(s"h$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
         .ckpt(true)
@@ -1554,9 +1554,9 @@ object Relational {
         .withColumn("r24", m24 - col("y12") * lit(4096L))
       val aggCols =
         Seq(graft.Sums.gradSum(feats.sparkSession,
-            expr("(r24 div 4096) * (r24 div 4096)")).as("sse12")) ++
+            expr("r24 div 4096"), expr("r24 div 4096")).as("sse12")) ++
           (0 to 3).map(j => graft.Sums.gradSum(feats.sparkSession,
-            col("r24") * col(s"f$j")).as(s"g$j")) ++
+            col("r24"), col(s"f$j")).as(s"g$j")) ++
           (0 to 3).map(j => max(col(s"w$j")).as(s"w$j"))
       val s = scan.agg(count(lit(1)).as("n"), aggCols: _*)
         .ckpt(true)

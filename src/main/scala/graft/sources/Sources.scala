@@ -123,18 +123,26 @@ object Sources {
       .withColumn("pairs", expr("slice(toks, 2, size(toks) - 1)"))
       .withColumn("idx", expr(
         "transform(pairs, p -> try_cast(split_part(p, ':', 1) AS INT))"))
+      .withColumn("vals", expr(
+        "transform(pairs, p -> try_cast(split_part(p, ':', 2) AS DOUBLE))"))
+      // The token-format gate runs through the Column API (`rlike` on
+      // a Scala string), NOT through expr("... rlike '<re>'"): the
+      // SQL string literal layer unescapes backslashes, which would
+      // turn \. into the any-char wildcard and let tokens like
+      // `1:2x3` through the gate. Belt and braces, every parsed value
+      // must also be non-NULL — an unparseable value always
+      // quarantines, never silently nulls inside `values`.
       .withColumn("ok",
         col("label").isNotNull &&
-          expr(s"forall(pairs, p -> p rlike '$pairRe')") &&
+          forall(col("pairs"), p => p.rlike(pairRe)) &&
           expr("forall(idx, i -> i IS NOT NULL AND i >= 1)") &&
+          expr("forall(vals, v -> v IS NOT NULL)") &&
           expr("size(array_distinct(idx)) = size(idx)") &&
           expr("idx = array_sort(idx)"))
       .select(
         when(col("ok"), col("label")).as("label"),
         when(col("ok"), col("idx")).as("indices"),
-        when(col("ok"), expr(
-          "transform(pairs, p -> try_cast(split_part(p, ':', 2) AS DOUBLE))"))
-          .as("values"),
+        when(col("ok"), col("vals")).as("values"),
         when(!col("ok"), col("value")).as(corruptCol))
   }
 

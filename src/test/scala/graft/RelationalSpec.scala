@@ -880,6 +880,18 @@ class RelationalSpec extends AnyFunSuite {
     val c1 = (1 to 7).map(t => (1L, t.toLong, 1L, 0L, 0L, 16777216L)) :+
       (1L, 8L, 1L, 0L, 1L, 16777216L)
     assert(got == c0 ++ c1, s"planted curve mismatch:\n$got")
+    // out-of-horizon producer rows are clamped to the censoring
+    // contract INSIDE kmFromCounts (a streaming producer that skips
+    // the horizon clamp must not silently lose subjects): an event
+    // beyond H is unseen — the subject is censored AT H; t_obs < 1
+    // clamps to the first grid day.
+    val sloppy = graft.operators.Events.kmCurve(Seq(
+        (0L, 13L, 1L), (0L, 9L, 0L), (1L, 0L, 0L))
+      .toDF("cohort", "t_obs", "is_event")).collect().toSeq
+    val clamped = graft.operators.Events.kmCurve(Seq(
+        (0L, 8L, 0L), (0L, 8L, 0L), (1L, 1L, 0L))
+      .toDF("cohort", "t_obs", "is_event")).collect().toSeq
+    assert(sloppy == clamped, s"horizon clamp drift:\n$sloppy\nvs\n$clamped")
     // corpus run: dense grid, at-risk monotone non-increasing,
     // survival monotone non-increasing from 2^24, deterministic
     val a = graft.operators.Events.q67KaplanMeier(spark, sfDir).collect().toSeq

@@ -440,7 +440,12 @@ class SourcesSpec extends AnyFunSuite {
       "1.0 1:2 zz",          // non-i:v token
       "1.0 0:2",             // 0 index (1-based convention)
       "1.0 3:1 2:1",         // not ascending
-      "1.0 2:1 2:3")         // duplicate index
+      "1.0 2:1 2:3",         // duplicate index
+      "1.0 1:2x3",           // malformed VALUE — `.` in the format
+                             // regex must not act as a wildcard
+                             // (the expr() single-quote unescape bug)
+      "1.0 1:x5")            // value parses to NULL — must quarantine,
+                             // never emit a NULL inside `values`
     raw.toDF("value").coalesce(1).write.mode("overwrite")
       .text(dir.resolve("in").toString)
     val got = Sources.readLibsvm(spark, dir.resolve("in").toString)
