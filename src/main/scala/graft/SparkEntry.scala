@@ -77,6 +77,7 @@ object SparkEntry {
     "q53_ks_test" -> (Events.q53KsTest _),
     "q58_ks_uniform" -> (Events.q58KsUniform _),
     "q67_kaplan_meier" -> (Events.q67KaplanMeier _),
+    "q68_aft_weibull" -> (Events.q68AftWeibull _),
     "q55_isotonic" -> (Relational.q55Isotonic _),
     "q54_rank_sum" -> (Events.q54RankSum _),
     "q59_t_test" -> (Events.q59TTest _),
@@ -2796,6 +2797,43 @@ object SparkEntry {
         |  km.d AS d_events, km.c AS c_censored, rec.s AS surv_ticks
         |FROM km JOIN rec ON rec.cohort = km.cohort AND rec.t = km.t
         |ORDER BY 1, 2""".stripMargin,
+    // q68 oracle: the EXACT censoring table (per-cohort subject /
+    // event / censor counts + t_obs sum, from the same subjects
+    // derivation as q67) checks by hash; the transcendental Weibull
+    // fit checks by its boolean contracts — ascent trace, strict
+    // improvement over the moment start, KM-band goodness of fit —
+    // which the oracle pins TRUE (the q34 posture).
+    "q68_aft_weibull" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p0 AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= epoch_us(s0.t0)
+        |  GROUP BY 1),
+        |subj AS (
+        |  SELECT CAST(s0.user_id % 4 AS BIGINT) AS cohort,
+        |    CASE WHEN tp IS NOT NULL AND
+        |      date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) + 1 <= 8
+        |      THEN CAST(date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+        |           + 1 AS BIGINT)
+        |      ELSE CAST(8 AS BIGINT) END AS t_obs,
+        |    CASE WHEN tp IS NOT NULL AND
+        |      date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE)) + 1 <= 8
+        |      THEN 1 ELSE 0 END AS is_event
+        |  FROM s0 LEFT JOIN p0 ON p0.user_id = s0.user_id)
+        |SELECT cohort,
+        |  CAST(count(*) AS BIGINT) AS n_subj,
+        |  CAST(sum(is_event) AS BIGINT) AS d_events,
+        |  CAST(sum(1 - is_event) AS BIGINT) AS c_censored,
+        |  CAST(sum(t_obs) AS BIGINT) AS t_sum,
+        |  TRUE AS ll_ascent_ok,
+        |  TRUE AS fit_improved_ok,
+        |  TRUE AS km_band_ok
+        |FROM subj GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q41_retention_cohorts" ->
       """WITH w AS (
         |  SELECT user_id,

@@ -914,6 +914,52 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 aft-weibull: planted cohort effect pins the location sign; " +
+    "ascent trace is strictly monotone; corpus booleans hold and the " +
+    "censoring table cross-checks q67") {
+    import graft.operators.Events
+    // planted: cohort 0 converts early (t=1,2), cohort 3 late
+    // (t=5,7) with heavier censoring — the fitted one-hot locations
+    // must order mu(3) > mu(0) (longer survival = larger location),
+    // the planted "coefficient sign" contract
+    val cells = Seq(
+      Events.AftCell(0L, 1L, 30L, 0L), Events.AftCell(0L, 2L, 15L, 0L),
+      Events.AftCell(0L, 8L, 0L, 5L),
+      Events.AftCell(3L, 5L, 15L, 0L), Events.AftCell(3L, 7L, 20L, 0L),
+      Events.AftCell(3L, 8L, 0L, 15L))
+    val (mu, sigma, trace) = Events.aftFit(cells)
+    assert(sigma > 0.0)
+    assert(mu(3L) > mu(0L), s"planted effect sign: $mu")
+    assert(trace.zip(trace.tail).forall(p => p._2 > p._1),
+      s"ascent trace not strictly monotone: $trace")
+    assert(trace.last > trace.head)
+    // the early cohort's fitted median day must be earlier too
+    // (exp(mu) is the AFT median-ish location on the day scale)
+    assert(math.exp(mu(0L)) < math.exp(mu(3L)))
+    // determinism: pure double arithmetic from exact counts, no RNG
+    assert(Events.aftFit(cells) == ((mu, sigma, trace)))
+    // corpus: all three contract booleans hold at the spec SF (the
+    // smallest corpus — the WORST case for the KM band), and the
+    // exact censoring table agrees with q67's risk set at t=1
+    // (n_risk(1) counts every subject)
+    val a = graft.operators.Events.q68AftWeibull(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+        s"contract booleans failed: $r")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_subj != d + c")
+    }
+    val kmN1 = graft.operators.Events.q67KaplanMeier(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("t") === 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    a.foreach(r => assert(r.getLong(1) == kmN1(r.getLong(0)),
+      s"cohort ${r.getLong(0)}: n_subj ${r.getLong(1)} != KM n_risk(1)"))
+    // determinism of the full key
+    val b = graft.operators.Events.q68AftWeibull(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("graft.sum.twolevel: the exact-GD family is bit-identical with the " +
     "decimal gradient carrier on (the executable two-level retune)") {
     import graft.operators.Relational
