@@ -183,6 +183,7 @@ object SparkEntry {
     "p20_random_features" -> (Pipeline.p20RandomFeatures _),
     "p21_quantile_bins" -> (Pipeline.p21QuantileBins _),
     "p22_cross_validation" -> (Pipeline.p22CrossValidation _),
+    "p29_param_sweep" -> (Pipeline.p29ParamSweep _),
     "p24_data_scaling" -> (Pipeline.p24DataScaling _),
     "p23_vector_transforms" -> (Pipeline.p23VectorTransforms _),
     "p25_feature_scalers" -> (Pipeline.p25FeatureScalers _),
@@ -981,14 +982,18 @@ object SparkEntry {
     */
   private def ridgeSolvedSql: String = ridgeSolvedSqlOver("b")
 
-  private def ridgeSolvedSqlOver(rel: String): String = {
+  private def ridgeSolvedSqlOver(rel: String): String =
+    ridgeSolvedSqlOverLam(rel, "0.25")
+
+  private def ridgeSolvedSqlOverLam(rel: String, lamCoef: String): String = {
     val rank = graft.operators.Recommend.AlsRank
     val gramSel =
       (for { i <- 0 until rank; j <- 0 to i }
         yield s"sum(f$j * f$i) AS g$i$j").mkString(", ") + ", " +
         (0 until rank).map(k => s"sum(r * f$k) AS b$k").mkString(", ")
-    graft.operators.Recommend.solveSqlNested(
-      s"SELECT l_returnflag, count(*) AS n, $gramSel FROM $rel GROUP BY l_returnflag")
+    graft.operators.Recommend.solveSqlNestedFor(
+      s"SELECT l_returnflag, count(*) AS n, $gramSel FROM $rel GROUP BY l_returnflag",
+      lamCoef)
   }
 
   private def q49OracleSql: String = {
@@ -1067,6 +1072,36 @@ object SparkEntry {
        |$foldCtes
        |$unions
        |ORDER BY fold, l_returnflag""".stripMargin
+  }
+
+  /** p29's DuckDB twin: ONE train/test split CTE pair, the ridge
+    * solve CTE per grid λ (same Gram aggregate text — DuckDB's
+    * optimizer can share it; the engine side shares it physically),
+    * the p18 metric chain per λ over the SAME te relation, and the
+    * identical row_number best-pick.
+    */
+  private def p29OracleSql: String = {
+    val lams = graft.operators.Pipeline.SweepLams
+    val valFold = graft.operators.Pipeline.SweepValFold
+    val modelCtes = lams.zipWithIndex.map { case ((coef, _), i) =>
+      s"""m$i AS (SELECT l_returnflag, f0 AS c0, f1 AS c1, f2 AS c2, f3 AS c3
+         |  FROM ${ridgeSolvedSqlOverLam("tr", coef)})""".stripMargin
+    }.mkString(",\n")
+    val unions = lams.zipWithIndex.map { case ((_, ticks), i) =>
+      s"SELECT CAST($ticks AS BIGINT) AS lam_ticks, * FROM (" +
+        s"${regressionMetricsSql("te", s"m$i")}) s$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ridgeBaseSql,
+       |tr AS (SELECT * FROM b WHERE fold <> $valFold),
+       |te AS (SELECT * FROM b WHERE fold = $valFold),
+       |$modelCtes,
+       |u AS ($unions)
+       |SELECT lam_ticks, l_returnflag, n, mae_ticks, mse_ticks,
+       |  r2_ticks, evar_ticks,
+       |  row_number() OVER (PARTITION BY l_returnflag
+       |    ORDER BY mse_ticks, lam_ticks) = 1 AS is_best
+       |FROM u
+       |ORDER BY lam_ticks, l_returnflag""".stripMargin
   }
 
   /** p24's DuckDB twin: per nested pool fold ≤ t, the ridge solve
@@ -4427,6 +4462,7 @@ object SparkEntry {
     "p21_quantile_bins" -> Pipeline.p21OracleSql,
     // p22: per-fold ridge solves + the shared p18 metric chain.
     "p22_cross_validation" -> p22OracleSql,
+    "p29_param_sweep" -> p29OracleSql,
     // p24: nested-pool ridge solves + the shared p18 metric chain
     // over the fixed held-out fold.
     "p24_data_scaling" -> p24OracleSql,

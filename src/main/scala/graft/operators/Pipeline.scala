@@ -1056,15 +1056,25 @@ object Pipeline {
     */
   private[graft] def regressionMetrics(base: DataFrame,
       model: DataFrame): DataFrame =
+    regressionMetricsBy(base, model, Nil)
+
+  /** [[regressionMetrics]] with extra MODEL-side grouping keys
+    * (p29 scores one held-out scan against several models at once —
+    * the join on l_returnflag fans each row out to every model
+    * variant and the aggregate groups them apart again).
+    */
+  private[graft] def regressionMetricsBy(base: DataFrame,
+      model: DataFrame, extraKeys: Seq[String]): DataFrame = {
+    val keys = extraKeys :+ "l_returnflag"
     base.join(broadcast(model), "l_returnflag")
       .withColumn("pred", expr("c0*f0 + c1*f1 + c2*f2 + c3*f3"))
       .withColumn("res", col("r") - col("pred"))
-      .select(col("l_returnflag"),
+      .select(keys.map(col) ++ Seq(
         expr("CAST(floor(res * 4096.0 + 0.5) AS BIGINT)").as("r12"),
         expr("CAST(floor(res * 64.0 + 0.5) AS BIGINT)").as("r6"),
         expr("CAST(floor(r * 64.0 + 0.5) AS BIGINT)").as("y6"),
-        expr("CAST(floor(pred * 64.0 + 0.5) AS BIGINT)").as("p6"))
-      .groupBy(col("l_returnflag"))
+        expr("CAST(floor(pred * 64.0 + 0.5) AS BIGINT)").as("p6")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(abs(col("r12"))).as("sae12"),
         sum(col("r6") * col("r6")).as("sse6"),
@@ -1072,7 +1082,7 @@ object Pipeline {
         sum(col("y6") * col("y6")).as("syy6"),
         sum(col("p6")).as("sp6"),
         sum(col("p6") * col("p6")).as("spp6"))
-      .select(col("l_returnflag"), col("n"),
+      .select(keys.map(col) ++ Seq(col("n"),
         expr("(sae12 * 256) div n").as("mae_ticks"),
         expr("(sse6 * 256) div n").as("mse_ticks"),
         // zero-variance target -> R^2 reported 0 by a shared CASE
@@ -1081,8 +1091,10 @@ object Pipeline {
                |THEN 1048576 - (sse6 * 1048576)
                |  div ((n * syy6 - sy6 * sy6) div n)
                |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("r2_ticks"),
-        expr("(((n * spp6 - sp6 * sp6) div n) * 256) div n").as("evar_ticks"))
-      .orderBy(col("l_returnflag"))
+        expr("(((n * spp6 - sp6 * sp6) div n) * 256) div n")
+          .as("evar_ticks")): _*)
+      .orderBy(keys.map(col): _*)
+  }
 
   /** p20: reproducible random feature attachment — the reference's
     * synthetic-data surface (reference: /root/reference/mllib/src/
@@ -1393,6 +1405,68 @@ object Pipeline {
       .select(col("fold"), col("l_returnflag"), col("n"), col("mae_ticks"),
         col("mse_ticks"), col("r2_ticks"), col("evar_ticks"))
       .orderBy(col("fold"), col("l_returnflag"))
+  }
+
+  /** λ grid for [[p29ParamSweep]]: ridge coefficients as exact
+    * dyadic literals (so both engines parse the identical double)
+    * with their 2¹² ticks. The middle value is q49/p22's fixed 0.25
+    * — the sweep brackets the production default one octave-ish to
+    * each side.
+    */
+  private[graft] val SweepLams: Seq[(String, Long)] =
+    Seq(("0.0625", 256L), ("0.25", 1024L), ("1.0", 4096L))
+
+  /** The held-out fold of p29's single train/validation split. */
+  private[graft] val SweepValFold = 0L
+
+  /** p29: hyperparameter grid search over the ridge λ at a FIXED
+    * train/validation split — the reference's other model-selection
+    * half (reference: /root/reference/mllib/src/main/scala/org/
+    * apache/spark/ml/tuning/TrainValidationSplit.scala:1 +
+    * ParamGridBuilder.scala:1 — one split, one fit per grid point,
+    * pick the best by the evaluator; p22 varies the folds at fixed
+    * λ, this key varies λ at a fixed fold). Folds are p22's md5
+    * row-key ids (partition-invariant); train = folds ≠ 0, held-out
+    * = fold 0; the evaluator is the SAME integer metric tail as p18;
+    * best-λ per group = lowest held-out mse_ticks, ties to the
+    * smaller λ (row_number over the ≤ groups×|grid| frame — both
+    * engines run the identical ordering).
+    *
+    * Scale shape BEATS the reference's loop: the training Gram is
+    * paid ONCE (one partial-agg'd scan — λ only enters the solve's
+    * diagonal, so all grid points share the aggregate; the reference
+    * refits per point, re-scanning the corpus |grid| times), and the
+    * held-out scan is also paid once — the 3 solved models union
+    * into one ≤ groups×3-row broadcast and every λ scores in the
+    * same pass, grouped apart by lam_ticks.
+    *
+    * Output: per (lam_ticks, group) the p18 metric row + is_best.
+    */
+  def p29ParamSweep(spark: SparkSession, sfDir: String): DataFrame =
+    paramSweepCore(Relational.ridgeBase(spark, sfDir))
+
+  /** The sweep over an arbitrary on-grid (fold, l_returnflag, r,
+    * f0..f3) frame — package-private so the spec can plant a split
+    * where the MIDDLE λ wins (train slope 1.5× the held-out truth,
+    * Σf1²/n = 1/2 ⇒ the ridge x1 = 1.5·S2/(S2 + λn) crosses 1.0
+    * exactly at λ = 0.25).
+    */
+  private[graft] def paramSweepCore(baseIn: DataFrame): DataFrame = {
+    val base = baseIn.ckpt(true)
+    val gram = graft.operators.Recommend.gramFor(
+      base.filter(col("fold") =!= SweepValFold), "l_returnflag").ckpt(true)
+    val models = SweepLams.map { case (coef, ticks) =>
+      graft.operators.Recommend.solveGram(gram, "l_returnflag", coef)
+        .select(Seq(lit(ticks).as("lam_ticks"), col("l_returnflag")) ++
+          (0 to 3).map(k => col(s"f$k").as(s"c$k")): _*)
+    }.reduce(_ unionByName _)
+    val scored = regressionMetricsBy(
+      base.filter(col("fold") === SweepValFold), models, Seq("lam_ticks"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("mse_ticks"), col("lam_ticks"))
+    scored
+      .withColumn("is_best", row_number().over(w) === 1)
+      .orderBy(col("lam_ticks"), col("l_returnflag"))
   }
 
   /** Buckets produced by [[p21QuantileBins]]. */

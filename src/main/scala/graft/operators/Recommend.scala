@@ -90,11 +90,20 @@ object Recommend {
     * Both dialects parse these identically: left-associative `-`,
     * `*` over `+`, correctly-rounded sqrt.
     */
-  private[graft] val solveSteps: Seq[(String, String)] = Seq(
-    "a00" -> "g00 + CAST(0.25 AS DOUBLE) * n",
-    "a11" -> "g11 + CAST(0.25 AS DOUBLE) * n",
-    "a22" -> "g22 + CAST(0.25 AS DOUBLE) * n",
-    "a33" -> "g33 + CAST(0.25 AS DOUBLE) * n",
+  private[graft] val solveSteps: Seq[(String, String)] =
+    solveStepsFor("0.25")
+
+  /** [[solveSteps]] with the ridge coefficient as a parameter — the
+    * p29 hyperparameter sweep solves the SAME Gram at several λ·n
+    * ridges; every other caller uses the fixed-0.25 [[solveSteps]].
+    * The coefficient string must be an exact dyadic literal so both
+    * engines parse the identical double.
+    */
+  private[graft] def solveStepsFor(lamCoef: String): Seq[(String, String)] = Seq(
+    "a00" -> s"g00 + CAST($lamCoef AS DOUBLE) * n",
+    "a11" -> s"g11 + CAST($lamCoef AS DOUBLE) * n",
+    "a22" -> s"g22 + CAST($lamCoef AS DOUBLE) * n",
+    "a33" -> s"g33 + CAST($lamCoef AS DOUBLE) * n",
     "l00" -> "sqrt(a00)",
     "l10" -> "g10 / l00",
     "l20" -> "g20 / l00",
@@ -133,21 +142,33 @@ object Recommend {
     * grouped ridge regression is the same Gram-solve over observed
     * features instead of learned factors.
     */
-  private[graft] def solveSide(joined: DataFrame, key: String): DataFrame = {
+  private[graft] def solveSide(joined: DataFrame, key: String): DataFrame =
+    solveGram(gramFor(joined, key), key, "0.25").ckpt(true)
+
+  /** The exact Gram/rhs aggregation [[solveSide]] runs — factored
+    * out so p29's hyperparameter sweep can pay for it ONCE and solve
+    * at several ridges off the same aggregated frame.
+    */
+  private[graft] def gramFor(joined: DataFrame, key: String): DataFrame = {
     val gramCols: Seq[Column] =
       (for {
         i <- 0 until AlsRank; j <- 0 to i
       } yield sum(col(s"f$j") * col(s"f$i")).as(s"g$i$j")) ++
         (0 until AlsRank).map(k => sum(col("r") * col(s"f$k")).as(s"b$k"))
-    val gram = joined.groupBy(col(key))
-      .agg(count(lit(1)).as("n"), gramCols: _*)
-    solveSteps.foldLeft(gram) { case (df, (name, sql)) =>
+    joined.groupBy(col(key)).agg(count(lit(1)).as("n"), gramCols: _*)
+  }
+
+  /** [[solveStepsFor]] applied to an aggregated Gram frame — the
+    * per-key expression chain, no shuffle. Not checkpointed (the
+    * caller decides; solveSide keeps its historical ckpt).
+    */
+  private[graft] def solveGram(gram: DataFrame, key: String,
+      lamCoef: String): DataFrame =
+    solveStepsFor(lamCoef).foldLeft(gram) { case (df, (name, sql)) =>
       df.withColumn(name, expr(sql))
     }.select(Seq(col(key), col("n").as("n_rated")) ++
         (0 until AlsRank).map(k => col(s"t$k")) ++
         (0 until AlsRank).map(k => col(s"f$k")): _*)
-      .ckpt(true)
-  }
 
   /** The alternating-solve core over an arbitrary (c, s, r) ratings
     * frame: md5-tick item init, [[AlsIters]] rounds of user/item
@@ -378,8 +399,16 @@ object Recommend {
     * oracles here and q49's ridge-regression oracle.
     */
   private[graft] def solveSqlNested(gramSql: String): String =
-    solveSteps.foldLeft(s"($gramSql)") { case (inner, (name, sql)) =>
-      s"(SELECT *, $sql AS $name FROM $inner)"
+    solveSqlNestedFor(gramSql, "0.25")
+
+  /** The nested-SELECT twin of [[solveStepsFor]] — p29's oracle
+    * solves the same Gram at each grid ridge.
+    */
+  private[graft] def solveSqlNestedFor(gramSql: String,
+      lamCoef: String): String =
+    solveStepsFor(lamCoef).foldLeft(s"($gramSql)") {
+      case (inner, (name, sql)) =>
+        s"(SELECT *, $sql AS $name FROM $inner)"
     }
 
   /** The alternating-round CTE chain over a CTE named `ratings` —

@@ -543,6 +543,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == Pipeline.p26FeatureExpand(spark, sfDir).collect().toSeq)
   }
 
+  test("p29: planted sweep where the MIDDLE lambda wins exactly; corpus " +
+    "sweep picks one best per group and is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    // Plant (hand-solved): train slope is 1.5x the held-out truth
+    // and Sum f1^2 / n = 1/2, so the ridge slope x1 = 1.5*S2/(S2+lam*n)
+    // crosses 1.0 EXACTLY at lam = 0.25 — the middle grid point:
+    //   lam=1/16 -> x1 = 4/3  (overfit survives the light ridge)
+    //   lam=1/4  -> x1 = 1    (held-out residual identically 0)
+    //   lam=1    -> x1 = 1/2  (overshrunk)
+    // train: 8 rows (f1=+1, y=+1.5), 8 (f1=-1, y=-1.5), 16 (f1=0, y=0)
+    // held-out (fold 0): 4 rows (f1=+1, y=+1), 4 (f1=-1, y=-1)
+    val train =
+      (1 to 8).map(i => ("G", (i % 3 + 1).toLong, 1.5, 1.0, 1.0, 0.0, 0.0)) ++
+      (1 to 8).map(i => ("G", (i % 3 + 1).toLong, -1.5, 1.0, -1.0, 0.0, 0.0)) ++
+      (1 to 16).map(i => ("G", (i % 3 + 1).toLong, 0.0, 1.0, 0.0, 0.0, 0.0))
+    val held =
+      (1 to 4).map(_ => ("G", 0L, 1.0, 1.0, 1.0, 0.0, 0.0)) ++
+      (1 to 4).map(_ => ("G", 0L, -1.0, 1.0, -1.0, 0.0, 0.0))
+    val base = (train ++ held)
+      .toDF("l_returnflag", "fold", "r", "f0", "f1", "f2", "f3")
+    val got = Pipeline.paramSweepCore(base).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    // hand-computed metric rows: residuals are exact on the 2^-12
+    // coefficient grid (x1 = 4/3 ticks to 5461 -> |res| = 1365/4096)
+    // r2 = 2^20 - sse6*2^20/(syy6 centered: 32768/8 per n form);
+    // evar = spp6*32 with sp6 = 0 (p6 = +/-85, +/-64, +/-32)
+    assert(got.toSeq == Seq(
+      (256L, "G", 8L, 349440L, 112896L, 935680L, 1849600L, false),
+      (1024L, "G", 8L, 0L, 0L, 1048576L, 1048576L, true),
+      (4096L, "G", 8L, 524288L, 262144L, 786432L, 262144L, false)),
+      s"planted sweep mismatch:\n${got.toSeq}")
+    // corpus: 3 lambdas x groups, exactly one best per group, the
+    // best row carries that group's minimum held-out mse, two runs
+    // bit-identical
+    val a = Pipeline.p29ParamSweep(spark, sfDir).collect()
+    val b = Pipeline.p29ParamSweep(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 3 * a.map(_.getString(1)).distinct.length)
+    a.groupBy(_.getString(1)).foreach { case (g, rs) =>
+      val best = rs.filter(_.getBoolean(7))
+      assert(best.length == 1, s"group $g: ${best.length} best rows")
+      assert(best.head.getLong(4) == rs.map(_.getLong(4)).min,
+        s"group $g: best row is not the min-mse row")
+    }
+  }
+
   test("p22: held-out folds partition, models differ, fold-0 metrics replicate") {
     import graft.operators.Relational
     import org.apache.spark.sql.functions.col
