@@ -204,6 +204,7 @@ object SparkEntry {
     "t32_topic_infer" -> (Recommend.t32TopicInfer _),
     "s26_spearman" -> (Similarity.s26Spearman _),
     "s27_gmm" -> (Similarity.s27Gmm _),
+    "s35_gmm_soft" -> (Similarity.s35GmmSoft _),
     "s29_col_similarity" -> (Similarity.s29ColSimilarity _),
     "d11_dedup_semantic" -> (Similarity.d11DedupSemantic _),
     "m01_binary_meta" -> (Multimodal.m01BinaryMeta _),
@@ -2473,6 +2474,7 @@ object SparkEntry {
     "s26_spearman" -> graft.operators.Similarity.s26OracleSql,
     // s27: hard-EM rounds unrolled, model-entry log trees shared.
     "s27_gmm" -> graft.operators.Similarity.s27OracleSql,
+    "s35_gmm_soft" -> graft.operators.Similarity.s35OracleSql,
     // s29: uncentered moment scan + the shared cosine tree.
     "s29_col_similarity" -> graft.operators.Similarity.s29OracleSql,
     "d11_dedup_semantic" -> d11OracleSql(

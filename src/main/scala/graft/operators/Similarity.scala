@@ -261,24 +261,8 @@ object Similarity {
     * — package-private for the planted-cluster spec.
     */
   private[graft] def gmmCore(vecs: DataFrame): DataFrame = {
-    val qf = vecs
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
-        .as("q"))
-      .ckpt(true)
-    val seeds = qf
-      .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
-        col("vec_id"))
-      .limit(GmmK)
-      .withColumn("k", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
-            col("vec_id"))).cast("long") - 1L)
-    var stats = seeds
-      .select(col("k"), posexplode(col("q")).as(Seq("d", "mu")))
-      .select(col("k"), col("d").cast("long").as("d"), col("mu"),
-        lit(GmmVarInit).as("var"), lit(1L).as("w"))
-      .ckpt(true)
+    val qf = gmmTicks(vecs)
+    var stats = gmmInit(qf)
     for (_ <- 1 to GmmIters) {
       val model = gmmDerive(stats)
       val assigned = gmmAssign(qf, model)
@@ -288,6 +272,36 @@ object Similarity {
         col("mu").as("mu_ticks"), col("var").as("var_ticks"),
         col("w").as("n_members"))
       .orderBy(col("component"), col("dim"))
+  }
+
+  /** The shared 2⁻¹⁰ embedding quantization both GMM flavors open
+    * with, checkpointed.
+    */
+  private[graft] def gmmTicks(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
+        .as("q"))
+      .ckpt(true)
+
+  /** The shared md5-seeded init stats (k, d, mu, var, w) both GMM
+    * flavors start from — s35's round-0 integer score grid is exact
+    * BECAUSE it shares this init with s27.
+    */
+  private[graft] def gmmInit(qf: DataFrame): DataFrame = {
+    val seeds = qf
+      .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(GmmK)
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(md5(concat(lit("gmm:"), col("vec_id").cast("string"))),
+            col("vec_id"))).cast("long") - 1L)
+    seeds
+      .select(col("k"), posexplode(col("q")).as(Seq("d", "mu")))
+      .select(col("k"), col("d").cast("long").as("d"), col("mu"),
+        lit(GmmVarInit).as("var"), lit(1L).as("w"))
+      .ckpt(true)
   }
 
   /** Model derivation for [[s27Gmm]]: long-form stats → broadcast
@@ -352,6 +366,194 @@ object Similarity {
       .select(col("k"), col("d"), col("mu"), col("var"), lit(0L).as("w"))
     agg.unionByName(kept).ckpt(true)
   }
+
+  /** Soft-EM rounds for [[s35GmmSoft]] — few and fixed: the ascent
+    * contract checks every step, convergence is not the claim.
+    */
+  private[graft] val SoftGmmIters = 3
+
+  /** s35: SOFT-EM Gaussian mixture — posterior responsibilities, the
+    * output semantics the reference's GaussianMixture actually has
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/clustering/GaussianMixture.scala:1) and the gap
+    * s27's hard-assignment variant leaves. The softmax E-step needs
+    * exp(), whose cross-engine summation order is unfixable — so the
+    * key follows the q34/q68 contract-checked posture:
+    *
+    * HASHED (exact integers, oracle recomputes independently): the
+    * round-0 E-step score grid — per component the score sum and
+    * minimum over ALL vectors, plus the hard-argmin member count —
+    * under s27's exact integer score contract off the SAME md5
+    * seeds/var-init/uniform-prior model ([[gmmInit]]).
+    *
+    * CONTRACT-CHECKED (booleans the oracle pins TRUE): across
+    * [[SoftGmmIters]] soft rounds in double space, (1) the data
+    * log-likelihood Σ_v log2 Σ_k w_k·N_k(v) ascends every round
+    * (the EM guarantee — a wrong E/M step breaks it immediately;
+    * tolerance 1e-6 relative for float summation), (2) per-vector
+    * responsibilities quantized to 2²⁰ ticks sum to 2²⁰ ± 2 at the
+    * final model (K = 4 half-ulp roundings), (3) final priors sum
+    * to 1 within 1e-6, (4) every variance respects [[GmmVarFloor]].
+    *
+    * Scale shape: one corpus scan per round against the broadcast
+    * ONE-ROW pivoted model (K arrays of 64 doubles): scores, the
+    * log-sum-exp responsibilities (max-shifted — underflow-safe),
+    * and the M-step sums all ride that scan; the posexplode fans 64×
+    * into a map-side-combined 64-row (d) aggregate carrying all
+    * 3K + 2 sums, so nothing corpus-sized shuffles. The ll and every
+    * contract boolean are Spark-side aggregates — no driver fetch.
+    *
+    * Output: one row per component — the hashed round-0 grid columns
+    * + the four contract booleans.
+    */
+  def s35GmmSoft(spark: SparkSession, sfDir: String): DataFrame =
+    gmmSoftCore(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The soft-EM core over any (vec_id, embedding float array) frame
+    * — package-private for the planted-cluster spec.
+    */
+  private[graft] def gmmSoftCore(vecs: DataFrame): DataFrame = {
+    val qf = gmmTicks(vecs)
+    val stats0 = gmmInit(qf)
+    // hashable round-0 integer score grid: the s27 score contract
+    val sc0 = qf.crossJoin(broadcast(gmmDerive(stats0)))
+      .withColumn("score", expr(
+        "aggregate(zip_with(zip_with(q, mu, (a, b) -> (a - b) * (a - b)), " +
+          "ivl, (d2, iv) -> d2 * iv), CAST(0 AS BIGINT), (acc, x) -> acc + x) " +
+          "+ lvsum - pr"))
+    val hashAgg = sc0.groupBy(col("k"))
+      .agg(sum(col("score")).as("score0_sum"),
+        min(col("score")).as("score0_min"))
+    val n0 = sc0.groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("k"))).getField("k").as("k0"))
+      .groupBy(col("k0")).agg(count(lit(1)).as("n0_members"))
+    // soft rounds: double-space model, same init
+    var statsD = stats0.select(col("k"), col("d"),
+      col("mu").cast("double").as("muD"),
+      col("var").cast("double").as("varD"),
+      (lit(1.0) / lit(GmmK.toDouble)).as("w"))
+    var lls: Seq[DataFrame] = Nil
+    var lastAgg: DataFrame = null
+    for (r <- 0 to SoftGmmIters) {
+      val scored = softScore(qf, softPivot(statsD))
+      lastAgg = softMStepAgg(scored)
+      lls = lls :+ lastAgg.agg(max(col("ll")).as("ll"))
+        .select(lit(r.toLong).as("round"), col("ll"))
+      if (r < SoftGmmIters) statsD = softStatsFrom(lastAgg)
+    }
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("round"))
+    val ascent = lls.reduce(_ unionByName _)
+      .withColumn("prev", lag(col("ll"), 1).over(wOrd))
+      .agg(min(when(col("prev").isNull, lit(true))
+        .otherwise(col("ll") >=
+          col("prev") - lit(1e-6) * abs(col("prev"))))
+        .as("ll_ascent_ok"))
+    val respOk = lastAgg.agg(min(col("norm_ok")).as("resp_norm_ok"))
+    val wOk = statsD.select(col("k"), col("w")).distinct()
+      .agg((abs(sum(col("w")) - lit(1.0)) <= lit(1e-6))
+        .as("weights_norm_ok"))
+    val vOk = statsD
+      .agg(min(col("varD") >= lit(GmmVarFloor.toDouble)).as("var_floor_ok"))
+    hashAgg
+      .join(n0, col("k") === col("k0"), "left")
+      .crossJoin(broadcast(ascent))
+      .crossJoin(broadcast(respOk))
+      .crossJoin(broadcast(wOk))
+      .crossJoin(broadcast(vOk))
+      .select(col("k").as("component"),
+        coalesce(col("n0_members"), lit(0L)).as("n0_members"),
+        col("score0_sum"), col("score0_min"),
+        col("ll_ascent_ok"), col("resp_norm_ok"),
+        col("weights_norm_ok"), col("var_floor_ok"))
+      .orderBy(col("component"))
+  }
+
+  /** Long-form double stats → the ONE-ROW broadcast model: per
+    * component a 64-double mean array, the per-dim quadratic weights
+    * log2e/(2σ²) (the s27 ivl entries un-quantized), and the scalar
+    * ½Σlog2σ² − log2 w.
+    */
+  private[graft] def softPivot(st: DataFrame): DataFrame = {
+    val rows = st
+      .groupBy(col("k"), col("w"))
+      .agg(collect_list(struct(col("d"), col("muD"), col("varD"))).as("dm"))
+      .select(col("k"),
+        expr("transform(array_sort(dm), s -> s.muD)").as("mu"),
+        expr("transform(array_sort(dm), s -> " +
+          "CAST(0.7213475204444817 AS DOUBLE) / s.varD)").as("iv"),
+        (expr("aggregate(transform(dm, s -> CAST(0.5 AS DOUBLE) " +
+          "* log2(s.varD)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          - log2(col("w"))).as("c"))
+    val pcols = (0 until GmmK).flatMap(k => Seq(
+      max(when(col("k") === k.toLong, col("mu"))).as(s"mu$k"),
+      max(when(col("k") === k.toLong, col("iv"))).as(s"iv$k"),
+      max(when(col("k") === k.toLong, col("c"))).as(s"c$k")))
+    rows.groupBy().agg(pcols.head, pcols.tail: _*).ckpt(true)
+  }
+
+  /** The per-vector soft E-step against the one-row model: scores,
+    * max-shifted log-sum-exp responsibilities (underflow-safe: the
+    * minimum-score term is always 2⁰ = 1), the per-vector ll and the
+    * 2²⁰-tick normalization boolean.
+    */
+  private[graft] def softScore(qf: DataFrame, modelRow: DataFrame): DataFrame = {
+    var f = qf.crossJoin(broadcast(modelRow))
+    for (k <- 0 until GmmK)
+      f = f.withColumn(s"s$k", expr(
+        s"aggregate(zip_with(zip_with(q, mu$k, " +
+          "(a, b) -> CAST(a AS DOUBLE) - b), " +
+          s"iv$k, (df, iv) -> df * df * iv), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x)") + col(s"c$k"))
+    f = f.withColumn("m", least((0 until GmmK).map(k => col(s"s$k")): _*))
+    for (k <- 0 until GmmK)
+      f = f.withColumn(s"e$k", pow(lit(2.0), col("m") - col(s"s$k")))
+    f = f.withColumn("tot", (0 until GmmK).map(k => col(s"e$k")).reduce(_ + _))
+    for (k <- 0 until GmmK)
+      f = f.withColumn(s"r$k", col(s"e$k") / col("tot"))
+    f.withColumn("llv", -col("m") + log2(col("tot")))
+      .withColumn("norm_ok",
+        abs((0 until GmmK).map(k =>
+          floor(col(s"r$k") * lit(1048576.0) + lit(0.5))).reduce(_ + _)
+          - lit(1048576.0)) <= lit(2.0))
+  }
+
+  /** The soft M-step aggregation: posexplode to (d) rows carrying
+    * Σr_k, Σr_k·q_d, Σr_k·q_d² per component plus the ll sum and the
+    * norm conjunction (identical across d by construction) — 64 rows,
+    * checkpointed per round.
+    */
+  private def softMStepAgg(scored: DataFrame): DataFrame = {
+    val aggCols = (0 until GmmK).flatMap(k => Seq(
+      sum(col(s"r$k")).as(s"n$k"),
+      sum(col(s"r$k") * col("qd")).as(s"s$k"),
+      sum(col(s"r$k") * col("qd") * col("qd")).as(s"ss$k"))) ++ Seq(
+      sum(col("llv")).as("ll"),
+      min(col("norm_ok")).as("norm_ok"),
+      count(lit(1)).as("nvec"))
+    scored
+      .select(Seq(posexplode(col("q")).as(Seq("dd", "qdL"))) ++
+        (0 until GmmK).map(k => col(s"r$k")) ++
+        Seq(col("llv"), col("norm_ok")): _*)
+      .withColumn("qd", col("qdL").cast("double"))
+      .groupBy(col("dd").cast("long").as("d"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .ckpt(true)
+  }
+
+  /** New long-form double stats from the per-d sums: μ = Σrq/Σr,
+    * σ² = Σrq²/Σr − μ² floored at [[GmmVarFloor]], prior = Σr/N
+    * (floored at 1e-6 so a dying component keeps a finite log).
+    */
+  private def softStatsFrom(m: DataFrame): DataFrame =
+    (0 until GmmK).map { k =>
+      val nk = greatest(col(s"n$k"), lit(1e-9))
+      m.select(lit(k.toLong).as("k"), col("d"),
+        (col(s"s$k") / nk).as("muD"),
+        greatest(col(s"ss$k") / nk - pow(col(s"s$k") / nk, lit(2.0)),
+          lit(GmmVarFloor.toDouble)).as("varD"),
+        (greatest(col(s"n$k"), lit(1e-6)) / col("nvec")).as("w"))
+    }.reduce(_ unionByName _)
 
   /** The DuckDB twin of [[s27Gmm]]: the hard-EM rounds unrolled —
     * identical model-entry log trees, exact integer E/M arithmetic.
@@ -425,6 +627,65 @@ object Similarity {
        |FROM st$GmmIters
        |ORDER BY component, dim""".stripMargin
   }
+
+  /** The DuckDB twin of [[s35GmmSoft]]: the round-0 integer score
+    * grid recomputed independently (the s27 CTE texts off the same
+    * md5 seed init), the hard-argmin member counts, and the four
+    * soft-fit contract booleans pinned TRUE.
+    */
+  private[graft] def s35OracleSql: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(a.i AS BIGINT) AS d,
+       |    CAST(floor(CAST(embedding[a.i + 1] AS DOUBLE) * 1024.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(generate_series(0, 63)) AS a(i)),
+       |sd AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5('gmm:' || CAST(vec_id AS VARCHAR)),
+       |      vec_id) - 1 AS k
+       |  FROM (SELECT vec_id FROM embeddings
+       |        ORDER BY md5('gmm:' || CAST(vec_id AS VARCHAR)), vec_id
+       |        LIMIT $GmmK) s),
+       |st0 AS MATERIALIZED (
+       |  SELECT sd.k, e.d, e.q AS mu, CAST($GmmVarInit AS BIGINT) AS var,
+       |    CAST(1 AS BIGINT) AS w
+       |  FROM sd JOIN e ON sd.vec_id = e.vec_id),
+       |dv AS MATERIALIZED (
+       |  SELECT k, d, mu,
+       |    CAST(floor(CAST(0.7213475204444817 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+       |      * CAST(67108864.0 AS DOUBLE) / CAST(var AS DOUBLE)) AS BIGINT) AS ivl,
+       |    CAST(floor(CAST(0.5 AS DOUBLE) * log2(CAST(var AS DOUBLE))
+       |      * CAST(67108864.0 AS DOUBLE)) AS BIGINT) AS lvh
+       |  FROM st0),
+       |wt AS (SELECT CAST(sum(greatest(w, 1)) AS BIGINT) AS wtot
+       |       FROM (SELECT DISTINCT k, w FROM st0)),
+       |pk AS (SELECT k, CAST(floor(log2(CAST(greatest(w, 1) AS DOUBLE)
+       |      / CAST((SELECT wtot FROM wt) AS DOUBLE))
+       |    * CAST(67108864.0 AS DOUBLE)) AS BIGINT) AS pr
+       |  FROM (SELECT DISTINCT k, w FROM st0)),
+       |lv AS (SELECT k, CAST(sum(lvh) AS BIGINT) AS lvsum FROM dv GROUP BY k),
+       |sc AS MATERIALIZED (
+       |  SELECT e.vec_id, dv.k,
+       |    CAST(sum((e.q - dv.mu) * (e.q - dv.mu) * dv.ivl) AS BIGINT) AS s2
+       |  FROM e JOIN dv ON e.d = dv.d GROUP BY 1, 2),
+       |fs AS MATERIALIZED (
+       |  SELECT sc.vec_id, sc.k, sc.s2 + lv.lvsum - pk.pr AS score
+       |  FROM sc JOIN lv ON lv.k = sc.k JOIN pk ON pk.k = sc.k),
+       |asg AS (SELECT vec_id, k FROM (
+       |  SELECT vec_id, k,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score, k) AS rn
+       |  FROM fs) r WHERE rn = 1),
+       |n0 AS (SELECT k, CAST(count(*) AS BIGINT) AS n0_members
+       |       FROM asg GROUP BY k),
+       |ag AS (SELECT k, CAST(sum(score) AS BIGINT) AS score0_sum,
+       |         CAST(min(score) AS BIGINT) AS score0_min FROM fs GROUP BY k)
+       |SELECT ag.k AS component,
+       |  coalesce(n0.n0_members, CAST(0 AS BIGINT)) AS n0_members,
+       |  ag.score0_sum, ag.score0_min,
+       |  TRUE AS ll_ascent_ok, TRUE AS resp_norm_ok,
+       |  TRUE AS weights_norm_ok, TRUE AS var_floor_ok
+       |FROM ag LEFT JOIN n0 ON n0.k = ag.k
+       |ORDER BY component""".stripMargin
 
   /** Cosine bar for [[d11DedupSemantic]] — matches d05's near-dup
     * threshold so the two operators' notions of "duplicate" align.

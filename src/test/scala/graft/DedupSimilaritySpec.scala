@@ -1412,6 +1412,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(c.toSeq == Similarity.s27Gmm(spark, sfDir).collect().toSeq)
   }
 
+  test("s35 soft GMM: planted overlap yields fractional posteriors that " +
+    "normalize; an at-mean vector goes near-hard; full fit and corpus " +
+    "contracts hold with round-0 members partitioning") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted MODEL (bypassing the fit): components 0/1 at ±512
+    // ticks on all 4 dims with equal priors, components 2/3 parked
+    // far away — a vector at the 0/1 midpoint must split ~50/50
+    // (the posterior semantics s27's argmin cannot express), a
+    // vector AT a mean must lean overwhelmingly to it
+    val statsD = (0 until 4).flatMap { d =>
+      Seq((0L, d.toLong, 512.0, 65536.0, 0.25),
+        (1L, d.toLong, -512.0, 65536.0, 0.25),
+        (2L, d.toLong, 8192.0, 65536.0, 0.25),
+        (3L, d.toLong, -8192.0, 65536.0, 0.25))
+    }.toDF("k", "d", "muD", "varD", "w")
+    val probe = Seq(
+      (1L, Array.fill(4)(0.0f)),   // midpoint of 0/1
+      (2L, Array.fill(4)(0.5f)))   // exactly at component 0's mean
+      .toDF("vec_id", "embedding")
+    val scored = Similarity.softScore(Similarity.gmmTicks(probe),
+        Similarity.softPivot(statsD))
+      .select(col("vec_id"), col("r0"), col("r1"), col("r2"), col("r3"),
+        col("norm_ok"), col("llv"))
+      .collect().map(r => r.getLong(0) ->
+        (Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)),
+          r.getBoolean(5), r.getDouble(6))).toMap
+    val (rMid, okMid, llMid) = scored(1L)
+    assert(math.abs(rMid(0) - 0.5) < 0.01 && math.abs(rMid(1) - 0.5) < 0.01,
+      s"midpoint must split ~50/50: $rMid")
+    assert(rMid(2) < 1e-6 && rMid(3) < 1e-6, s"parked components: $rMid")
+    assert(okMid && !llMid.isNaN && !llMid.isInfinite)
+    val (rAt, okAt, _) = scored(2L)
+    assert(rAt(0) > 0.99, s"at-mean vector must go near-hard: $rAt")
+    assert(okAt)
+    // full soft fit on the planted two-mass corpus: every contract
+    // boolean holds and round-0 members partition the corpus
+    val a4 = Array.fill(4)(0.5f); val b4 = Array.fill(4)(-0.5f)
+    val vecs = ((1L to 6L).map(i => (i, a4)) ++ (7L to 12L).map(i => (i, b4)))
+      .toDF("vec_id", "embedding")
+    val fit = Similarity.gmmSoftCore(vecs).collect()
+    assert(fit.map(_.getLong(1)).sum == 12L, "round-0 members partition")
+    fit.foreach(r => assert(r.getBoolean(4) && r.getBoolean(5) &&
+      r.getBoolean(6) && r.getBoolean(7), s"contract booleans: $r"))
+    // corpus: booleans hold, members partition, determinism
+    val c = Similarity.s35GmmSoft(spark, sfDir).collect()
+    assert(c.map(_.getLong(1)).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    c.foreach(r => assert(r.getBoolean(4) && r.getBoolean(5) &&
+      r.getBoolean(6) && r.getBoolean(7), s"corpus booleans: $r"))
+    assert(c.map(_.toSeq).toSeq ==
+      Similarity.s35GmmSoft(spark, sfDir).collect().map(_.toSeq).toSeq)
+  }
+
   test("s26 Spearman: monotone/reversed/constant poles are exact; corpus invariants") {
     val sess = spark
     import sess.implicits._
