@@ -907,7 +907,9 @@ object SparkEntry {
     s"""WITH ${s20GraphCtes(k, rounds)},
        |gm AS MATERIALIZED (SELECT query_id, vec_id FROM g$rounds),
        |bq AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
-       |en AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $b),
+       |en AS (SELECT vec_id FROM embeddings
+       |       ORDER BY md5('hnsw:' || CAST(vec_id AS VARCHAR)), vec_id
+       |       LIMIT ${graft.operators.Similarity.CoarseSize}),
        |bc0 AS (SELECT b.query_id, e.vec_id FROM bq b CROSS JOIN en e),
        |${scoreCtes(0, "bc0")},
        |$hopCtes

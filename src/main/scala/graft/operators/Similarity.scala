@@ -1282,10 +1282,41 @@ object Similarity {
     * corpus-sized moves after the entry scan. Package-private for
     * the spec's planted chain graph.
     */
+  /** Coarse entry-layer size for [[s33GraphAnn]] — a fixed-size
+    * md5-ordered sample of the corpus (the 'hnsw:' stream), i.e. the
+    * HNSW upper-layer hierarchy collapsed to ONE level: the query
+    * brute-forces this bounded layer first and enters the bottom
+    * graph at its per-query best members, instead of at a fixed
+    * low-id entry set that may sit across the graph from the answer.
+    * Corpus-independent cost: |queries| × [[CoarseSize]] cosines.
+    * Production grows this log-style (more levels, each a sample of
+    * the one below); one level already moves entries query-side —
+    * the recall-uplift spec pins a planted case where the flat entry
+    * set scores recall 0 and the layered one is exact at equal beam
+    * cost.
+    */
+  private[graft] val CoarseSize = 256
+
+  /** The (query_id, vec_id) entry candidates from the coarse layer:
+    * every query crosses the broadcast layer; [[beamSearchFor]]'s
+    * first scoring pass cuts it to the beam width — so the layer
+    * probe reuses the beam's own top-k machinery.
+    */
+  private[graft] def coarseEntries(emb: DataFrame,
+      queries: DataFrame): DataFrame =
+    queries.select(col("query_id")).crossJoin(broadcast(
+      emb.select(col("vec_id"))
+        .orderBy(md5(concat(lit("hnsw:"), col("vec_id").cast("string"))),
+          col("vec_id"))
+        .limit(CoarseSize)))
+
   private[graft] def beamSearchFor(emb: DataFrame, graph: DataFrame,
-      queries: DataFrame, b: Int, hops: Int): DataFrame = {
+      queries: DataFrame, b: Int, hops: Int,
+      entries: Option[DataFrame] = None): DataFrame = {
     registerAll(emb.sparkSession)
-    val entry = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(b)
+    val cand0 = entries.getOrElse(
+      queries.select(col("query_id")).crossJoin(broadcast(
+        emb.select(col("vec_id")).orderBy(col("vec_id")).limit(b))))
     def score(cand: DataFrame): DataFrame = cand
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(queries), "query_id")
@@ -1298,8 +1329,7 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("vec_id"),
         col("t.score").as("cos_raw"), (col("pos") + 1).cast("long").as("rank"))
-    var beam = score(
-      queries.select(col("query_id")).crossJoin(broadcast(entry)))
+    var beam = score(cand0)
     for (_ <- 1 to hops) {
       val cand = beam.select(col("query_id"), col("vec_id"))
         .union(beam.select(col("query_id"), col("vec_id"))
@@ -1325,18 +1355,24 @@ object Similarity {
     * reference mllib/src/main/scala/org/apache/spark/ml/feature/
     * LSH.scala:1, which is exactly why the graph triad is the
     * engine's extension). Uses the SAME memoized refined graph as
-    * s20 — one build backs both keys per sweep. Fixed entry set +
-    * bounded hops keep the result a pure corpus function; recall on
-    * near-uniform corpora is honestly bounded by the k = 3 graph
-    * degree (documented — production raises degree and adds the
-    * HNSW layer hierarchy; the s11 pool→rerank recovery applies).
+    * s20 — one build backs both keys per sweep. Entries come from
+    * the [[CoarseSize]] md5-sampled coarse layer ([[coarseEntries]]
+    * — the HNSW hierarchy's first level), so the beam starts at the
+    * query's best layer members instead of a fixed low-id set; the
+    * deterministic layer + bounded hops keep the result a pure
+    * corpus function. Residual recall is honestly bounded by the
+    * k = 3 bottom-graph degree (documented — production raises
+    * degree and adds more layers; the s11 pool→rerank recovery
+    * applies).
     */
   def s33GraphAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
+    val queries = queriesBlock(spark, sfDir)
     beamSearchFor(emb,
       refinedKnnGraph(spark, sfDir).select(col("query_id"), col("neighbor_id")),
-      queriesBlock(spark, sfDir), BeamWidth, BeamHops)
+      queries, BeamWidth, BeamHops,
+      entries = Some(coarseEntries(emb, queries)))
   }
 
   /** s06: k-NN classification over the [[s05KnnJoin]] graph — each

@@ -771,7 +771,7 @@ object StreamOps {
     * posture: the s20/s33 refined neighbor graph is the batch-built
     * index; each micro-batch of (query_id, qv) rows runs the
     * IDENTICAL [[graft.operators.Similarity.beamSearchFor]] tail —
-    * same entry set, hops and tie order — so streamed results are
+    * same coarse entry layer, hops and tie order — so streamed results are
     * bit-equal to the batch s33 rows for those queries (spec'd).
     * Stateless stream side: the graph and corpus are the batch index,
     * per-batch work is queries×beam sized.
@@ -782,11 +782,14 @@ object StreamOps {
     // arbitrary row — a micro-batch carrying one query_id with two
     // different qv vectors would otherwise serve a nondeterministic
     // result and silently break the bit-equal-to-batch contract
-    graft.operators.Similarity.beamSearchFor(emb, graph,
-      batch.select(col("query_id"), col("qv"))
-        .groupBy(col("query_id")).agg(min(col("qv")).as("qv")),
-      graft.operators.Similarity.BeamWidth,
-      graft.operators.Similarity.BeamHops)
+    {
+      val q = batch.select(col("query_id"), col("qv"))
+        .groupBy(col("query_id")).agg(min(col("qv")).as("qv"))
+      graft.operators.Similarity.beamSearchFor(emb, graph, q,
+        graft.operators.Similarity.BeamWidth,
+        graft.operators.Similarity.BeamHops,
+        entries = Some(graft.operators.Similarity.coarseEntries(emb, q)))
+    }
 
   /** stream_linreg: the reference's streaming linear regression
     * (reference: /root/reference/mllib/src/main/scala/org/apache/

@@ -432,6 +432,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == Similarity.s20NnDescent(spark, sfDir).collect().toSeq)
   }
 
+  test("s33 coarse entry layer: on a two-cluster plant the flat entry " +
+    "set scores recall 0 and the layered one is exact at equal beam cost") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster A: 470 vectors fanned over 0..40 deg — holds EVERY
+    // low id, so the flat entry set (lowest b ids) starts here and
+    // the within-cluster graph can never leave; cluster B: 50
+    // vectors at 90 - j*0.5 deg (ids 470+j) — the query sits at 90
+    // deg, so the exact top-3 is ids 470, 471, 472 and greedy
+    // descent inside B walks j downward
+    def vec(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      (Array(math.cos(r).toFloat, math.sin(r).toFloat) ++
+        Array.fill(62)(0.0f)).toSeq
+    }
+    val emb = ((0 until 470).map(i => (i.toLong, vec(i * 40.0 / 470.0))) ++
+      (0 until 50).map(j => ((470 + j).toLong, vec(90.0 - j * 0.5))))
+      .toDF("vec_id", "embedding")
+    // strided chains WITHIN each cluster only (both directions)
+    def chain(ids: Range): Seq[(Long, Long)] = for {
+      i <- ids; d <- Seq(-3, -2, -1, 1, 2, 3)
+      if ids.contains(i + d)
+    } yield (i.toLong, (i + d).toLong)
+    val graph = (chain(0 until 470) ++ chain(470 until 520))
+      .toDF("query_id", "neighbor_id")
+    val queries = Seq((999L, vec(90.0))).toDF("query_id", "qv")
+    // precondition that makes the uplift reachable (deterministic
+    // given the ids): the md5 layer must contain a B member within
+    // stride*hops of the target — loudly, so a CoarseSize retune
+    // that breaks the plant fails here and not in the recall line
+    val layer = Similarity.coarseEntries(emb, queries)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val bInLayer = layer.filter(_ >= 470L)
+    assert(bInLayer.nonEmpty && bInLayer.min <= 470L + 9L,
+      s"plant precondition: nearest B layer member ${bInLayer.toSeq.sorted.headOption}")
+    def top3(entries: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.beamSearchFor(emb, graph, queries, b = 10, hops = 3,
+        entries = entries)
+        .filter(col("rank") <= 3).collect().map(_.getLong(1)).toSet
+    val flat = top3(None)
+    val layered = top3(Some(Similarity.coarseEntries(emb, queries)))
+    val exact = Set(470L, 471L, 472L)
+    assert((flat intersect exact).isEmpty,
+      s"flat entries must miss cluster B entirely: $flat")
+    assert(layered == exact,
+      s"layered entries must recover the exact top-3: $layered")
+  }
+
   test("s33 beam search: the planted chain is walked to the far target; " +
     "beam never degrades; corpus serve is deterministic") {
     val sess = spark
