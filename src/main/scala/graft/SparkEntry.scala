@@ -61,6 +61,7 @@ object SparkEntry {
     "q62_quantile_reg" -> (Relational.q62QuantileReg _),
     "q65_huber" -> (Relational.q65Huber _),
     "q66_relu_mlp" -> (Relational.q66ReluMlp _),
+    "q69_mlp_sigmoid" -> (Relational.q69MlpSigmoid _),
     "q63_one_vs_rest" -> (Relational.q63OneVsRest _),
     "q64_poisson_glm" -> (Relational.q64PoissonGlm _),
     "q56_linear_svm" -> (Relational.q56LinearSvm _),
@@ -2982,6 +2983,26 @@ object SparkEntry {
     "q62_quantile_reg" -> q62OracleSql,
     "q65_huber" -> q65OracleSql,
     "q66_relu_mlp" -> q66OracleSql,
+    // q69: the contract-checked sigmoid MLP — the oracle recomputes
+    // the exact per-class feature-moment grid the fit consumes and
+    // pins the four fit booleans TRUE (the q68/s35 posture; the
+    // transcendental sigmoid itself has no cross-engine surrogate).
+    "q69_mlp_sigmoid" ->
+      """SELECT CAST(CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * 64) AS BIGINT) AS f1_sum,
+        |  CAST(sum(CAST(floor(l_discount * 4096.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS f2_sum,
+        |  CAST(sum(CAST(floor(l_tax * 4096.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS f3_sum,
+        |  TRUE AS loss_monotone_ok,
+        |  TRUE AS loss_improved_ok,
+        |  TRUE AS posterior_norm_ok,
+        |  TRUE AS separation_ok
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q63_one_vs_rest" -> q63OracleSql,
     "q64_poisson_glm" -> q64OracleSql,
     "q56_linear_svm" -> q56OracleSql,

@@ -960,6 +960,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("q69 sigmoid MLP: planted separable sample trains to strong " +
+    "posteriors; loss trace non-increasing; corpus booleans hold; " +
+    "deterministic") {
+    import spark.implicits._
+    // planted: y = 1 rows carry f1 = 48/64 units, y = 0 rows 8/64 —
+    // linearly separable on x1 with a wide margin, so six rounds
+    // must reach visible posterior separation
+    val planted = (1 to 200).map { i =>
+      val y = i % 2
+      val f1 = if (y == 1) 48L * 64L else 8L * 64L
+      (y.toLong, 4096L, f1, (i % 40).toLong * 10L, (i % 7).toLong * 30L)
+    }.toDF("y", "f0", "f1", "f2", "f3")
+    val trace = Relational.mlpSigmoidDebug(planted)
+      .orderBy(col("round")).collect()
+    assert(trace.length == Relational.MlpSigIters + 1)
+    val losses = trace.map(_.getDouble(1)).toSeq
+    losses.zip(losses.tail).foreach { case (a, b) =>
+      assert(b <= a + 1e-9 * math.abs(a), s"loss trace increased: $losses")
+    }
+    assert(losses.last < losses.head, s"no improvement: $losses")
+    // posterior separation on the separable plant must be large, not
+    // merely positive (mean p over y=1 minus y=0 at the final model)
+    val finalSep = trace.last.getDouble(2)
+    assert(finalSep > 0.3, s"planted separation too weak: $finalSep")
+    // corpus: the hashed moment grid is the per-class truth and all
+    // four contract booleans hold at the spec SF
+    val a = Relational.q69MlpSigmoid(spark, sfDir).collect()
+    assert(a.length == 2)
+    a.foreach { r =>
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8), s"contract booleans failed: $r")
+    }
+    assert(a.map(_.getLong(1)).sum > 0)
+    // determinism: fixed inits, fixed ladder, no RNG
+    val b = Relational.q69MlpSigmoid(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("graft.sum.twolevel: the exact-GD family is bit-identical with the " +
     "decimal gradient carrier on (the executable two-level retune)") {
     import graft.operators.Relational
