@@ -203,6 +203,7 @@ object SparkEntry {
     "s25_recommend_topk" -> (Recommend.s25RecommendTopk _),
     "s28_svdpp" -> (Recommend.s28Svdpp _),
     "t32_topic_infer" -> (Recommend.t32TopicInfer _),
+    "t35_lda_map" -> (Recommend.t35LdaMap _),
     "s26_spearman" -> (Similarity.s26Spearman _),
     "s27_gmm" -> (Similarity.s27Gmm _),
     "s35_gmm_soft" -> (Similarity.s35GmmSoft _),
@@ -4500,6 +4501,10 @@ object SparkEntry {
     "t24_topic_terms" -> Recommend.topicTermsOracleSql,
     // t32: the shared topic chain + the SpGEMM fold-in join.
     "t32_topic_infer" -> Recommend.topicInferOracleSql,
+    // t35: the contract-checked MAP-LDA — the oracle recomputes the
+    // exact md5 theta-seed grid over the top-V vocabulary and pins
+    // the EM/Dirichlet booleans TRUE (the q68/s35 posture).
+    "t35_lda_map" -> Recommend.ldaOracleSql,
     // t28: positional-equi-join skip-gram pairs, g11's PPMI scoring
     // text, the s16 coarsening, the shared alternating-solve chain.
     "t28_word_vectors" -> Recommend.wordVectorsOracleSql,

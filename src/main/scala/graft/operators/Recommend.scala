@@ -1575,4 +1575,258 @@ object Recommend {
        |  j AS l_suppkey, score AS score_ticks
        |FROM rk WHERE rank <= $ItemKnnK
        |ORDER BY o_custkey, rank""".stripMargin
+
+  /** Topics / vocabulary cap / MAP-EM rounds for [[t35LdaMap]]. */
+  private[graft] val LdaK = 4
+  private[graft] val LdaV = 128
+  private[graft] val LdaIters = 3
+
+  /** Dirichlet pseudo-count α−1 = β−1 — strictly positive so the
+    * MAP M-step keeps every θ/φ entry off zero (the positivity
+    * boolean) and the penalized objective carries the EM ascent
+    * guarantee.
+    */
+  private[graft] val LdaPrior = 1.0 / 16.0
+
+  /** t35: MAP-LDA topic model — the Dirichlet-smoothed posterior
+    * DOC-TOPIC DISTRIBUTIONS the reference's LDA actually emits
+    * (reference: /root/reference/mllib/src/main/scala/org/apache/
+    * spark/mllib/clustering/LDA.scala:1, topicDistributions /
+    * describeTopics) and the soft-semantics gap t23 (unconstrained
+    * ALS axes) and t32 (integer scores + argmax) leave open. The
+    * E-step's θφ/Σθφ responsibilities are transcendental-free but
+    * their normalization is a float divide whose cross-engine
+    * summation order is unfixable, so the key follows the q68/s35
+    * contract-checked posture:
+    *
+    * HASHED (exact integers, oracle recomputes independently): the
+    * per-topic init grid — Σ_d ticks(d,k) and Σ_d n_d·ticks(d,k)
+    * where ticks(d,k) = 1024 + md5₁₆("lda:doc:k") mod 1024 is the
+    * p01-style deterministic θ-seed draw and n_d the doc's in-vocab
+    * token count — plus n_docs and v_size (the top-[[LdaV]]-by-tf
+    * vocabulary, ties to the smaller token; OOV tokens drop, the t32
+    * contract).
+    *
+    * CONTRACT-CHECKED (booleans the oracle pins TRUE): across
+    * [[LdaIters]] EM rounds, (1) the MAP objective — data
+    * log-likelihood Σ_dw n·log2 Σ_k θ_dk φ_kw plus the Dirichlet
+    * terms (α−1)Σ log2 θ + (β−1)Σ log2 φ — ascends every round (the
+    * EM guarantee on the smoothed objective; 1e-6 relative
+    * tolerance), (2) per-doc final θ quantized to 2²⁰ ticks sums to
+    * 2²⁰ ± [[LdaK]], (3) per-topic final φ sums to 1 ± 1e-6,
+    * (4) every θ/φ entry stays strictly positive (the Dirichlet
+    * floor).
+    *
+    * Scale shape: the corpus collapses ONCE to the doc-grouped
+    * in-vocab frame (doc_id, [(w, n)], n_d, θ array) — θ lives WITH
+    * the doc row, so the E/M θ-update never shuffles; φ is a ONE-ROW
+    * broadcast (K arrays × [[LdaV]] doubles). Each round = two
+    * partial-agg'd scans of that frame: the exploded φ/ll scan
+    * (map-combines to ≤ V rows carrying K sums + the ll piece) and
+    * the doc-local θ scan (higher-order aggregate per row, new θ
+    * checkpointed). Nothing corpus-sized shuffles after the initial
+    * group-by; no driver fetch. Output: one row per topic.
+    */
+  def t35LdaMap(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    ldaCore(tf)
+  }
+
+  /** Final per-doc topic posteriors — the spec's planted-recovery
+    * surface: (doc_id, theta array of [[LdaK]] doubles).
+    */
+  private[graft] def ldaTheta(tf: DataFrame): DataFrame =
+    ldaCore(tf, debugTheta = true)
+
+  private[graft] def ldaCore(tf: DataFrame,
+      debugTheta: Boolean = false): DataFrame = {
+    val K = LdaK
+    val am1 = LdaPrior
+    // vocabulary: top-V tokens by corpus tf (distributed top-V heap,
+    // then a row_number over the <= V survivors — a bounded frame)
+    val w0 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("vtf").desc, col("token"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("vtf"))
+      .orderBy(col("vtf").desc, col("token")).limit(LdaV)
+      .withColumn("w", row_number().over(w0).cast("long") - 1L)
+      .ckpt(true)
+    // the doc-grouped in-vocab frame with the md5 theta-seed ticks
+    val tickCols = (0 until K).map(k =>
+      (lit(1024L) + conv(substring(md5(concat(lit("lda:"),
+        col("doc_id").cast("string"), lit(s":$k"))), 1, 4), 16, 10)
+        .cast("long") % 1024L).as(s"tk$k"))
+    val docs0 = tf.join(broadcast(vocab.select(col("token"), col("w"))),
+        "token")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("tf").as("n"))))
+          .as("ws"),
+        sum(col("tf")).as("nd"))
+      .select(Seq(col("doc_id"), col("ws"), col("nd")) ++ tickCols: _*)
+      .withColumn("tksum",
+        (0 until K).map(k => col(s"tk$k")).reduce(_ + _))
+      .withColumn("th", array((0 until K).map(k =>
+        col(s"tk$k").cast("double") / col("tksum").cast("double")): _*))
+      .ckpt(true)
+    // hashed init grid (exact longs off the seed draw)
+    val hashAgg = (0 until K).map { k =>
+      docs0.agg(count(lit(1)).as("n_docs"),
+          sum(col(s"tk$k")).as("theta0_sum_ticks"),
+          sum(col("nd") * col(s"tk$k")).as("theta0_wsum_ticks"))
+        .select(lit(k.toLong).as("topic"), col("n_docs"),
+          col("theta0_sum_ticks"), col("theta0_wsum_ticks"))
+    }.reduce(_ unionByName _)
+    val vSize = vocab.agg(count(lit(1)).as("v_size"))
+    // phi init: deterministic symmetry-breaking weights over the
+    // ACTUAL vocab grid (so every round's objective lives on the
+    // same support), row-normalized; one broadcast row of K arrays
+    def phiInitRow: DataFrame =
+      vocab.agg(sort_array(collect_list(col("w"))).as("wg"))
+        .select((0 until K).map(k => expr(
+          s"transform(wg, w -> 16.0D + CAST((31 * ${k + 1} * (w + 3)) " +
+            s"% 61 AS DOUBLE))").as(s"raw$k")): _*)
+        .select((0 until K).map(k => expr(
+          s"transform(raw$k, v -> v / aggregate(raw$k, " +
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x))").as(s"phi$k")): _*)
+    // denom(x) = sum_k th[k] * phi_k[w+1] as ONE expression string
+    def denomSql(wRef: String): String =
+      (0 until K).map(k =>
+        s"element_at(th, ${k + 1}) * element_at(phi$k, $wRef + 1)")
+        .mkString(" + ")
+    var phi = phiInitRow.ckpt(true)
+    var docs = docs0.select(col("doc_id"), col("ws"), col("nd"), col("th"))
+    var objRows: Seq[DataFrame] = Nil
+    var thetaNormOk: DataFrame = null
+    for (r <- 0 until LdaIters) {
+      val joined = docs.crossJoin(broadcast(phi))
+      // scan A: exploded phi/ll aggregation (map-combines to <= V
+      // rows) + the phi prior off the broadcast row itself
+      val ex = joined
+        .select(Seq(col("th"), explode(col("ws")).as("x")) ++
+          (0 until K).map(k => col(s"phi$k")): _*)
+        .withColumn("denom", expr(denomSql("x.w")))
+      val wAggs = (0 until K).map(k =>
+        sum(col("x.n") * expr(s"element_at(th, ${k + 1}) * " +
+          s"element_at(phi$k, x.w + 1)") / col("denom")).as(s"c$k")) :+
+        sum(col("x.n") * log2(col("denom"))).as("llw")
+      val wSums = ex.groupBy(col("x.w").as("w"))
+        .agg(wAggs.head, wAggs.tail: _*)
+        .ckpt(true)
+      val llData = wSums.agg(sum(col("llw")).as("ll_data"))
+      val phiPrior = phi.select(((0 until K).map(k =>
+        expr(s"aggregate(phi$k, CAST(0.0 AS DOUBLE), " +
+          "(a, p) -> a + log2(p))")).reduce(_ + _) * lit(am1))
+        .as("phi_prior"))
+      // scan B: doc-local theta update + the theta prior (CURRENT th)
+      val sExprs = (0 until K).map(k =>
+        expr(s"aggregate(ws, CAST(0.0 AS DOUBLE), (a, x) -> a + x.n * " +
+          s"(element_at(th, ${k + 1}) * element_at(phi$k, x.w + 1)) / " +
+          s"(${denomSql("x.w")}))").as(s"s$k"))
+      val upd = joined
+        .select(Seq(col("doc_id"), col("ws"), col("nd"), col("th")) ++
+          sExprs: _*)
+        .withColumn("th2", array((0 until K).map(k =>
+          (col(s"s$k") + lit(am1)) /
+            (col("nd").cast("double") + lit(K * am1))): _*))
+      val updC = upd.select(col("doc_id"), col("ws"), col("nd"),
+          col("th").as("th_prev"), col("th2").as("th"))
+        .ckpt(true)
+      val thPrior = updC.agg((sum(expr(
+        "aggregate(th_prev, CAST(0.0 AS DOUBLE), (a, t) -> a + log2(t))"))
+        * lit(am1)).as("th_prior"))
+      objRows = objRows :+ llData.crossJoin(broadcast(phiPrior))
+        .crossJoin(broadcast(thPrior))
+        .select(lit(r.toLong).as("round"),
+          (col("ll_data") + col("phi_prior") + col("th_prior")).as("obj"))
+      // M-step phi off the same wSums rows (the grid covers every
+      // vocab word by construction: vocab membership implies tf > 0)
+      val phiAggs = (0 until K).flatMap(k => Seq(
+        sum(col(s"c$k")).as(s"tot$k"),
+        sort_array(collect_list(struct(col("w"), col(s"c$k").as("c"))))
+          .as(s"arr$k")))
+      val phiRows = wSums.agg(phiAggs.head, phiAggs.tail: _*)
+      phi = phiRows.select((0 until K).map(k =>
+          expr(s"transform(arr$k, x -> (x.c + $am1) / " +
+            s"(tot$k + size(arr$k) * $am1))").as(s"phi$k")): _*)
+        .ckpt(true)
+      docs = updC.select(col("doc_id"), col("ws"), col("nd"), col("th"))
+      if (r == LdaIters - 1) {
+        thetaNormOk = updC.agg(
+          min(abs((0 until K).map(k =>
+            floor(expr(s"element_at(th, ${k + 1})") * lit(1048576.0) +
+              lit(0.5))).reduce(_ + _) - lit(1048576.0)) <= lit(K.toDouble))
+            .as("theta_norm_ok"),
+          min(expr("aggregate(th, CAST(1.0 AS DOUBLE), " +
+            "(a, t) -> least(a, t))") > lit(0.0)).as("theta_pos_ok"))
+      }
+    }
+    if (debugTheta)
+      return docs.select(col("doc_id"), col("th"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("round"))
+    val ascent = objRows.reduce(_ unionByName _)
+      .withColumn("prev", lag(col("obj"), 1).over(wOrd))
+      .agg(min(when(col("prev").isNull, lit(true))
+        .otherwise(col("obj") >=
+          col("prev") - lit(1e-6) * abs(col("prev"))))
+        .as("objective_ascends_ok"))
+    val phiOk = phi.select(
+      (0 until K).map(k =>
+        abs(expr(s"aggregate(phi$k, CAST(0.0 AS DOUBLE), (a, p) -> a + p)")
+          - lit(1.0)) <= lit(1e-6)).reduce(_ && _).as("phi_norm_ok"),
+      (0 until K).map(k =>
+        expr(s"aggregate(phi$k, CAST(1.0 AS DOUBLE), " +
+          "(a, p) -> least(a, p))") > lit(0.0)).reduce(_ && _)
+        .as("phi_pos_ok"))
+    hashAgg
+      .crossJoin(broadcast(vSize))
+      .crossJoin(broadcast(ascent))
+      .crossJoin(broadcast(thetaNormOk))
+      .crossJoin(broadcast(phiOk))
+      .select(col("topic"), col("n_docs"), col("v_size"),
+        col("theta0_sum_ticks"), col("theta0_wsum_ticks"),
+        col("objective_ascends_ok"), col("theta_norm_ok"),
+        col("phi_norm_ok"),
+        (col("theta_pos_ok") && col("phi_pos_ok")).as("positive_ok"))
+      .orderBy(col("topic"))
+  }
+
+  /** The DuckDB twin of [[t35LdaMap]]'s hashed init grid: the shared
+    * tokenize CTEs, the top-[[LdaV]] vocabulary (ties to the smaller
+    * token), per-doc in-vocab counts, and the same md5 seed draw.
+    */
+  private[graft] def ldaOracleSql: String = {
+    val ticks = (0 until LdaK).map(k =>
+      s"SELECT doc_id, nd, CAST($k AS BIGINT) AS topic, " +
+        s"1024 + CAST(('0x' || substr(md5('lda:' || CAST(doc_id AS VARCHAR) " +
+        s"|| ':$k'), 1, 4))::UBIGINT % 1024 AS BIGINT) AS tk FROM dn")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $topicRatingsCtes,
+       |voc AS (
+       |  SELECT token,
+       |    row_number() OVER (ORDER BY sum(r) DESC, token) - 1 AS w
+       |  FROM ratings GROUP BY token
+       |  ORDER BY sum(r) DESC, token LIMIT $LdaV),
+       |dn AS (
+       |  SELECT r.c AS doc_id, CAST(sum(r.r) AS BIGINT) AS nd
+       |  FROM ratings r JOIN voc ON voc.token = r.s GROUP BY 1),
+       |tks AS (
+       |$ticks)
+       |SELECT topic,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM voc) AS v_size,
+       |  CAST(sum(tk) AS BIGINT) AS theta0_sum_ticks,
+       |  CAST(sum(nd * tk) AS BIGINT) AS theta0_wsum_ticks,
+       |  TRUE AS objective_ascends_ok,
+       |  TRUE AS theta_norm_ok,
+       |  TRUE AS phi_norm_ok,
+       |  TRUE AS positive_ok
+       |FROM tks
+       |GROUP BY topic
+       |ORDER BY topic""".stripMargin
+  }
 }

@@ -2239,9 +2239,10 @@ object Relational {
     ovrConfusion(base)
   }
 
-  /** Gradient rounds for [[q69MlpSigmoid]] — few and fixed; the
-    * monotone-loss contract checks every step, convergence is not
-    * the claim (the s35 framing).
+  /** Backtracking rounds for [[q69MlpSigmoid]] — each round either
+    * accepts one gradient step or shrinks the step; few and fixed,
+    * the monotone-loss contract checks every step, convergence is
+    * not the claim (the s35 framing).
     */
   private[graft] val MlpSigIters = 6
 
@@ -2268,12 +2269,13 @@ object Relational {
     * contract: f ticks on the 2⁻¹² grid).
     *
     * CONTRACT-CHECKED (booleans the oracle pins TRUE):
-    * (1) loss_monotone_ok — the per-round mean log-loss never
-    *     increases. GUARANTEED by construction: each round scores a
-    *     candidate ladder that always includes the null step and
-    *     keeps the argmin (see [[mlpSigmoidRounds]]), so a wrong
-    *     gradient can stall the trace but never break the boolean —
-    *     what breaks instead is (2);
+    * (1) loss_monotone_ok — the per-round loss trace never
+    *     increases. GUARANTEED by construction: each backtracking
+    *     round adopts a candidate step only on STRICT improvement
+    *     and otherwise keeps the stored state (see
+    *     [[mlpSigmoidRounds]]), so a wrong gradient can stall the
+    *     trace but never break the boolean — what breaks instead
+    *     is (2);
     * (2) loss_improved_ok — the final loss is strictly below the
     *     round-0 loss of the warm-started intercept model, which is
     *     the OPTIMAL constant predictor (base-rate logit), so any
@@ -2288,12 +2290,12 @@ object Relational {
     *     training-set discrimination any loss-improving fit of THIS
     *     sample must show (a flat or inverted fit fails).
     *
-    * Scale shape: two partial-agg'd scans per round of the
-    * checkpointed feature frame — one carrying the 21 gradient sums
-    * + loss, one scoring the 3-step candidate ladder (all models in
-    * ONE broadcast row; per-candidate loss/separation/norm sums ride
-    * the same aggregate) — nothing corpus-sized shuffles, no driver
-    * fetch. Output: one row per class label.
+    * Scale shape: ONE partial-agg'd scan per round of the
+    * checkpointed feature frame, carrying the loss, the 21 gradient
+    * sums AND the contract stats against a one-row broadcast model;
+    * every round reuses the same plan shape (one codegen unit,
+    * JIT-warm — see [[mlpSigmoidRounds]]); nothing corpus-sized
+    * shuffles, no driver fetch. Output: one row per class label.
     */
   def q69MlpSigmoid(spark: SparkSession, sfDir: String): DataFrame = {
     // Target: the high-quantity line (qty ≥ 25, the median split of
@@ -2325,56 +2327,82 @@ object Relational {
     * W1_hj·x_j), a constant unit h_0 ≡ 1 carrying the output bias,
     * output posterior p = σ(clamp(Σ_h W2_h·h_h)). Init: W1 from
     * [[mlpW1Init]]/4096 (the q66 symmetry-break, unit scale), hidden
-    * W2 from [[mlpW2Init]]/4096 (±¼ alternating — a zero init would
-    * freeze W1, the q66 measurement), W2_0 warm-started at the
-    * base-rate logit ln(n₁/n₀) — the optimal constant model, making
-    * the round-0 loss the improvement bar.
+    * W2 at zero, W2_0 warm-started at the base-rate logit ln(n₁/n₀)
+    * — the optimal constant model, making the round-0 loss the
+    * improvement bar (rationale at the init definition below).
     *
-    * Training: full-batch gradient descent in double space. Each
-    * round computes the exact batch gradient (∂loss/∂W2_h = Σ e·h_h,
-    * ∂loss/∂W1_hj = Σ e·W2_h·h_h(1−h_h)·x_j with e = p − y — the
-    * textbook backprop), then scores the step ladder η ∈ {64, 16, 4,
-    * 1, ¼, 0} on the mean gradient in ONE scan and keeps the argmin.
-    * The null step makes the loss trace non-increasing BY
-    * CONSTRUCTION — the monotone boolean cannot be saved by luck —
-    * and the 256× ladder span is load-bearing: the loss curvature
-    * along the intercept after a big hidden-weight move is ~100×
-    * the curvature at the calibrated start (measured: a {64, 16, 4}
-    * ladder took one η = 16 step and then stalled at the null step
-    * for every remaining round because even η = 4 overshot).
+    * Training: full-batch backtracking gradient descent in double
+    * space. Each round evaluates ONE candidate w − η·mean-gradient
+    * (∂loss/∂W2_h = Σ e·h_h, ∂loss/∂W1_hj = Σ e·W2_h·h_h(1−h_h)·x_j
+    * with e = p − y — the textbook backprop), adopts it only on
+    * STRICT loss improvement (η ×2 on accept, ÷4 on reject — the
+    * classic Armijo-style schedule, decided entirely in-frame by a
+    * when() over two one-row frames, no driver fetch), so the trace
+    * is non-increasing by construction and a rejected round costs
+    * one scan, not a divergence.
     */
   private[graft] def mlpSigmoidDebug(feats: DataFrame): DataFrame =
     mlpSigmoidRounds(feats, debugTrace = true)
+
 
   private[graft] def mlpSigmoidRounds(feats: DataFrame,
       debugTrace: Boolean = false): DataFrame = {
     val H = MlpHidden
     val wCols = (0 to H).map(h => s"w2_$h") ++
       (for (h <- 0 until H; j <- 0 to 3) yield s"w1_${h}_$j")
+    def gOf(w: String): String =
+      if (w.startsWith("w2_")) s"g2_${w.stripPrefix("w2_")}"
+      else s"g1_${w.stripPrefix("w1_")}"
+    // the evaluation stats a state row carries alongside its weights
+    val statCols = Seq("n", "loss") ++ wCols.map(gOf) ++
+      Seq("sp1", "sp0", "n1c", "n0c", "norm_ok")
     val c = MlpSigMarginClamp
     // σ with a clamped margin: exact 0.5 at 0, strictly inside (0,1)
     def sig(x: Column): Column =
       lit(1.0) / (lit(1.0) + exp(-least(greatest(x, lit(-c)), lit(c))))
-    // forward columns for model slot `tag` (weight cols w2_$h$tag /
-    // w1_${h}_$j$tag already joined in): h_1..h_H, posterior p$tag
-    def forward(df0: DataFrame, tag: String): DataFrame = {
-      var df = df0
-      for (h <- 0 until H)
-        df = df.withColumn(s"h_${h + 1}$tag",
-          sig((0 to 3).map(j =>
-            col(s"w1_${h}_$j$tag") * col(s"x$j")).reduce(_ + _)))
-      df.withColumn(s"p$tag", sig(
-        col(s"w2_0$tag") +
-          (1 to H).map(h => col(s"w2_$h$tag") * col(s"h_$h$tag"))
-            .reduce(_ + _)))
-    }
-    def lossCol(tag: String): Column =
-      -(col("yd") * log(col(s"p$tag")) +
-        (lit(1.0) - col("yd")) * log(lit(1.0) - col(s"p$tag")))
     val xed = feats
       .select(Seq(col("y"), col("y").cast("double").as("yd")) ++
         (0 to 3).map(j =>
           (col(s"f$j").cast("double") / lit(4096.0)).as(s"x$j")): _*)
+    // Evaluate (loss, batch gradient, contract stats) at a ONE-ROW
+    // weight frame. Every training round calls this with the same
+    // plan SHAPE, so the whole loop shares one codegen unit and runs
+    // JIT-warm from round 1 (~0.4 s at sf0.1) — the fused
+    // multi-candidate ladder this replaced generated a 4-forward
+    // scan too large to JIT and re-ran it interpreted EVERY round
+    // (measured 4.5 s/round at sf0.1, 10× this shape).
+    def evalAt(w: DataFrame): DataFrame = {
+      var g = xed.crossJoin(broadcast(
+        w.select(wCols.map(x => col(x).as(s"${x}_")): _*)))
+      for (h <- 0 until H)
+        g = g.withColumn(s"h_${h + 1}_",
+          sig((0 to 3).map(j =>
+            col(s"w1_${h}_${j}_") * col(s"x$j")).reduce(_ + _)))
+      g = g.withColumn("p_", sig(
+          col("w2_0_") +
+            (1 to H).map(h => col(s"w2_${h}_") * col(s"h_${h}_"))
+              .reduce(_ + _)))
+        .withColumn("e", col("p_") - col("yd"))
+      val aggs =
+        Seq(sum(-(col("yd") * log(col("p_")) +
+            (lit(1.0) - col("yd")) * log(lit(1.0) - col("p_")))).as("loss"),
+          sum(col("e")).as("g2_0")) ++
+        (1 to H).map(h =>
+          sum(col("e") * col(s"h_${h}_")).as(s"g2_$h")) ++
+        (for (h <- 0 until H; j <- 0 to 3) yield
+          sum(col("e") * col(s"w2_${h + 1}_") * col(s"h_${h + 1}_") *
+            (lit(1.0) - col(s"h_${h + 1}_")) * col(s"x$j"))
+            .as(s"g1_${h}_$j")) ++
+        Seq(sum(when(col("y") === 1L, col("p_"))).as("sp1"),
+          sum(when(col("y") === 0L, col("p_"))).as("sp0"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1c"),
+          sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0c"),
+          min(col("p_") > lit(0.0) && col("p_") < lit(1.0) &&
+            abs(floor(col("p_") * lit(1048576.0) + lit(0.5)) +
+              floor((lit(1.0) - col("p_")) * lit(1048576.0) + lit(0.5)) -
+              lit(1048576.0)) <= lit(1.0)).as("norm_ok"))
+      g.agg(count(lit(1)).cast("double").as("n"), aggs: _*).ckpt(true)
+    }
     // Warm start: intercept at the base-rate logit and hidden W2 at
     // ZERO, so the init IS the optimal constant predictor exactly —
     // the improvement boolean's bar. (q66's ±¼ hidden init is wrong
@@ -2382,108 +2410,61 @@ object Relational {
     // round-0 loss measured ~8% above the base-rate entropy — and
     // their fixed arbitrary correlation with y swamps the learned
     // separation sign. The zero init freezes W1 for exactly one
-    // round (backprop multiplies its gradient by W2_h), after which
-    // W2 has moved onto the cov(y, h_h) direction and both layers
-    // train; even the frozen-W1 limit is a legitimate fit — logistic
-    // regression on fixed random features.)
+    // accepted round (backprop multiplies its gradient by W2_h),
+    // after which W2 has moved onto the cov(y, h_h) direction and
+    // both layers train; even the frozen-W1 limit is a legitimate
+    // fit — logistic regression on fixed random features.)
     val init = xed.agg(count(lit(1)).cast("double").as("n"),
         sum(col("yd")).as("n1"))
       .select(Seq(log(col("n1") / (col("n") - col("n1"))).as("w2_0")) ++
         (1 to H).map(h => lit(0.0).as(s"w2_$h")) ++
         (for (h <- 0 until H; j <- 0 to 3) yield
           lit(mlpW1Init(h, j).toDouble / 4096.0).as(s"w1_${h}_$j")): _*)
-    var state = init.ckpt(true)
-    var lossRows: Seq[DataFrame] = Nil
-    var lastPick: DataFrame = null
-    var initLoss: DataFrame = null
-    for (r <- 0 to MlpSigIters) {
-      // scan 1: exact batch gradient + current loss off one scan
-      var g = forward(xed.crossJoin(broadcast(
-        state.select(wCols.map(w => col(w).as(s"${w}_")): _*))), "_")
-        .withColumn("e", col("p_") - col("yd"))
-      val gradCols =
-        Seq(sum(lossCol("_")).as("loss_cur")) ++
-          Seq(sum(col("e")).as("g2_0")) ++
-          (1 to H).map(h => sum(col("e") * col(s"h_$h" + "_")).as(s"g2_$h")) ++
-          (for (h <- 0 until H; j <- 0 to 3) yield
-            sum(col("e") * col(s"w2_${h + 1}_") * col(s"h_${h + 1}_") *
-              (lit(1.0) - col(s"h_${h + 1}_")) * col(s"x$j"))
-              .as(s"g1_${h}_$j"))
-      val grads = g.agg(count(lit(1)).cast("double").as("n"), gradCols: _*)
+      .ckpt(true)
+    // state: weights + their evaluation + the adaptive step. η
+    // starts at 16 (the step the measured traces actually accepted
+    // first), doubles on accept (capped 64), quarters on reject —
+    // the classic backtracking schedule, entirely in-frame.
+    var state = init.crossJoin(broadcast(evalAt(init)))
+      .withColumn("eta", lit(16.0)).ckpt(true)
+    def traceRow(r: Int, st: DataFrame): DataFrame =
+      st.select(lit(r.toLong).as("round"), col("loss"),
+        (col("sp1") / col("n1c") - col("sp0") / col("n0c")).as("sep"))
+    var lossRows: Seq[DataFrame] = Seq(traceRow(0, state))
+    for (r <- 1 to MlpSigIters) {
+      // candidate = w − η·mean gradient, its evaluation in ONE scan
+      val cand = state.select(wCols.map(w =>
+        (col(w) - col("eta") * col(gOf(w)) / col("n")).as(w)): _*)
+      val ce = evalAt(cand)
+      val ceR = ce.select(ce.columns.map(x => col(x).as(s"c_$x")): _*)
+      // accept only a STRICT improvement — the carried loss is the
+      // stored double of the accepted evaluation, so the trace is
+      // non-increasing exactly, not merely within tolerance. A NaN
+      // candidate loss compares false and is rejected.
+      val acc = col("c_loss") < col("loss")
+      state = state.crossJoin(broadcast(ceR))
+        .select(wCols.map(w =>
+            when(acc, col(w) - col("eta") * col(gOf(w)) / col("n"))
+              .otherwise(col(w)).as(w)) ++
+          statCols.map(sc =>
+            when(acc, col(s"c_$sc")).otherwise(col(sc)).as(sc)) ++
+          Seq(when(acc, least(col("eta") * 2.0, lit(64.0)))
+            .otherwise(col("eta") / lit(4.0)).as("eta")): _*)
         .ckpt(true)
-      if (r == 0)
-        initLoss = grads.select(col("loss_cur").as("loss_init"))
-      // candidate ladder: slots 1..3 step the mean gradient at
-      // η ∈ {64, 16, 4}; slot 0 is the null step. Aggressive is safe
-      // under the argmin — an overshoot loses to a smaller step or
-      // to standing still, never diverges — and mean-gradient steps
-      // below ~1 were measured to leave the model at the intercept
-      // after the fixed rounds.
-      val etas = Seq(0.0, 64.0, 16.0, 4.0, 1.0, 0.25)
-      val ladder = state.crossJoin(broadcast(grads))
-        .select(etas.zipWithIndex.flatMap { case (eta, s) =>
-          wCols.map { w =>
-            val gw = if (w.startsWith("w2_")) s"g2_${w.stripPrefix("w2_")}"
-              else s"g1_${w.stripPrefix("w1_")}"
-            (col(w) - lit(eta) * col(gw) / col("n")).as(s"${w}_c$s")
-          }
-        }: _*).ckpt(true)
-      // scan 2: all 4 candidates forward in one pass; per-candidate
-      // loss + the final-model contract sums
-      var sc = xed.crossJoin(broadcast(ladder))
-      for (s <- etas.indices) sc = forward(sc, s"_c$s")
-      val candAgg = etas.indices.flatMap { s =>
-        Seq(sum(lossCol(s"_c$s")).as(s"loss_c$s"),
-          sum(when(col("y") === 1L, col(s"p_c$s"))).as(s"sp1_c$s"),
-          sum(when(col("y") === 0L, col(s"p_c$s"))).as(s"sp0_c$s"),
-          min(col(s"p_c$s") > lit(0.0) && col(s"p_c$s") < lit(1.0) &&
-            abs(floor(col(s"p_c$s") * lit(1048576.0) + lit(0.5)) +
-              floor((lit(1.0) - col(s"p_c$s")) * lit(1048576.0) + lit(0.5)) -
-              lit(1048576.0)) <= lit(1.0)).as(s"norm_c$s"))
-      }
-      val allAgg =
-        Seq(sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0c")) ++ candAgg
-      val scored = sc
-        .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1c"),
-          allAgg: _*)
-        .crossJoin(broadcast(ladder)).ckpt(true)
-      // keep the argmin candidate (ties to the smaller step index,
-      // which includes the null step — monotone by construction)
-      val best = etas.indices.map(s => struct(col(s"loss_c$s").as("l"),
-        lit(s).as("s"))).reduce((a, b) =>
-        when(b.getField("l") < a.getField("l"), b).otherwise(a))
-      val picked = scored.withColumn("bs", best.getField("s"))
-      def pick(f: Int => Column): Column =
-        (1 until etas.size).foldLeft(f(0))((acc, s) =>
-          when(col("bs") === s, f(s)).otherwise(acc))
-      lastPick = picked.select(Seq(
-          pick(s => col(s"loss_c$s")).as("loss"),
-          pick(s => col(s"sp1_c$s")).as("sp1"),
-          pick(s => col(s"sp0_c$s")).as("sp0"),
-          pick(s => col(s"norm_c$s")).as("norm_ok"),
-          col("n1c"), col("n0c")) ++
-          wCols.map(w => pick(s => col(s"${w}_c$s")).as(w)): _*)
-        .ckpt(true)
-      lossRows = lossRows :+ lastPick
-        .select(lit(r.toLong).as("round"), col("loss"),
-          (col("sp1") / col("n1c") - col("sp0") / col("n0c")).as("sep"))
-      state = lastPick.select(wCols.map(col): _*)
+      lossRows = lossRows :+ traceRow(r, state)
     }
     if (debugTrace) return lossRows.reduce(_ unionByName _)
-    // booleans off the trace + the final pick
+    // booleans off the trace + the final carried stats
     val wOrd = Window.orderBy(col("round"))
     val mono = lossRows.reduce(_ unionByName _)
       .withColumn("prev", lag(col("loss"), 1).over(wOrd))
       .agg(min(when(col("prev").isNull, lit(true))
-          .otherwise(col("loss") <=
-            col("prev") + lit(1e-9) * abs(col("prev"))))
+          .otherwise(col("loss") <= col("prev")))
           .as("loss_monotone_ok"),
-        min(when(col("round") === MlpSigIters.toLong, col("loss")))
-          .as("loss_final"))
-      .crossJoin(broadcast(initLoss))
-      .select(col("loss_monotone_ok"),
-        (col("loss_final") < col("loss_init")).as("loss_improved_ok"))
-    val fin = lastPick.select(
+        (min(when(col("round") === MlpSigIters.toLong, col("loss"))) <
+          min(when(col("round") === 0L, col("loss"))))
+          .as("loss_improved_ok"))
+    val fin = state.select(
       col("norm_ok").as("posterior_norm_ok"),
       (col("sp1") / col("n1c") > col("sp0") / col("n0c"))
         .as("separation_ok"))

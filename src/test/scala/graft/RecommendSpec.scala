@@ -520,4 +520,51 @@ class RecommendSpec extends AnyFunSuite {
     val ratings = Recommend.purchaseRatings(spark, sfDir)
     assert(Recommend.cappedRatings(ratings).count() == ratings.count())
   }
+
+  test("t35 MAP-LDA: planted two-topic corpus recovers disjoint " +
+    "dominant topics; a mixed doc SPLITS its posterior (the soft " +
+    "semantics t32's argmax cannot express); corpus booleans; " +
+    "deterministic") {
+    import spark.implicits._
+    // planted: docs 0-4 use only A-vocabulary, docs 5-9 only
+    // B-vocabulary, doc 10 mixes both halves evenly; heavy counts so
+    // three EM rounds separate cleanly
+    val aTok = Seq("alpha", "amber", "arbor")
+    val bTok = Seq("basil", "birch", "bream")
+    val rows =
+      (0 to 4).flatMap(d => aTok.map(t => (d.toLong, t, 40L))) ++
+      (5 to 9).flatMap(d => bTok.map(t => (d.toLong, t, 40L))) ++
+      (aTok ++ bTok).map(t => (10L, t, 20L))
+    val tf = rows.toDF("doc_id", "token", "tf")
+    val th = Recommend.ldaTheta(tf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def argmax(a: Array[Double]): Int = a.indices.maxBy(a)
+    val aTop = (0 to 4).map(d => argmax(th(d)))
+    val bTop = (5 to 9).map(d => argmax(th(d)))
+    // every pure doc within a block lands on the same topic, and the
+    // blocks land on DIFFERENT topics
+    assert(aTop.distinct.size == 1, s"A docs split: $aTop")
+    assert(bTop.distinct.size == 1, s"B docs split: $bTop")
+    assert(aTop.head != bTop.head, s"blocks merged: $aTop vs $bTop")
+    // dominance: the pure docs' posteriors concentrate
+    (0 to 9).foreach(d => assert(th(d).max > 0.5,
+      s"doc $d not dominated: ${th(d).toSeq}"))
+    // the mixed doc holds REAL mass on both block topics — the
+    // posterior split a hard assignment cannot express
+    val mx = th(10L)
+    assert(mx(aTop.head) > 0.2 && mx(bTop.head) > 0.2,
+      s"mixed doc did not split: ${mx.toSeq}")
+    // corpus: hashed grid + all four booleans at the spec SF
+    val a = Recommend.t35LdaMap(spark, sfDir).collect()
+    assert(a.length == Recommend.LdaK)
+    a.foreach { r =>
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8), s"contract booleans failed: $r")
+      assert(r.getLong(2) <= Recommend.LdaV)
+    }
+    // determinism: md5 seeds, literal phi init, fixed rounds
+    val b = Recommend.t35LdaMap(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }
