@@ -1579,7 +1579,7 @@ object Recommend {
   /** Topics / vocabulary cap / MAP-EM rounds for [[t35LdaMap]]. */
   private[graft] val LdaK = 4
   private[graft] val LdaV = 128
-  private[graft] val LdaIters = 3
+  private[graft] val LdaIters = 8
 
   /** Dirichlet pseudo-count α−1 = β−1 — strictly positive so the
     * MAP M-step keeps every θ/φ entry off zero (the positivity
@@ -1696,7 +1696,7 @@ object Recommend {
     // denom(x) = sum_k th[k] * phi_k[w+1] as ONE expression string
     def denomSql(wRef: String): String =
       (0 until K).map(k =>
-        s"element_at(th, ${k + 1}) * element_at(phi$k, $wRef + 1)")
+        s"element_at(th, ${k + 1}) * element_at(phi$k, CAST($wRef + 1 AS INT))")
         .mkString(" + ")
     var phi = phiInitRow.ckpt(true)
     var docs = docs0.select(col("doc_id"), col("ws"), col("nd"), col("th"))
@@ -1712,7 +1712,8 @@ object Recommend {
         .withColumn("denom", expr(denomSql("x.w")))
       val wAggs = (0 until K).map(k =>
         sum(col("x.n") * expr(s"element_at(th, ${k + 1}) * " +
-          s"element_at(phi$k, x.w + 1)") / col("denom")).as(s"c$k")) :+
+          s"element_at(phi$k, CAST(x.w + 1 AS INT))") / col("denom"))
+          .as(s"c$k")) :+
         sum(col("x.n") * log2(col("denom"))).as("llw")
       val wSums = ex.groupBy(col("x.w").as("w"))
         .agg(wAggs.head, wAggs.tail: _*)
@@ -1725,7 +1726,8 @@ object Recommend {
       // scan B: doc-local theta update + the theta prior (CURRENT th)
       val sExprs = (0 until K).map(k =>
         expr(s"aggregate(ws, CAST(0.0 AS DOUBLE), (a, x) -> a + x.n * " +
-          s"(element_at(th, ${k + 1}) * element_at(phi$k, x.w + 1)) / " +
+          s"(element_at(th, ${k + 1}) * " +
+          s"element_at(phi$k, CAST(x.w + 1 AS INT))) / " +
           s"(${denomSql("x.w")}))").as(s"s$k"))
       val upd = joined
         .select(Seq(col("doc_id"), col("ws"), col("nd"), col("th")) ++
@@ -1807,10 +1809,10 @@ object Recommend {
       .mkString("\nUNION ALL\n")
     s"""WITH $topicRatingsCtes,
        |voc AS (
-       |  SELECT token,
-       |    row_number() OVER (ORDER BY sum(r) DESC, token) - 1 AS w
-       |  FROM ratings GROUP BY token
-       |  ORDER BY sum(r) DESC, token LIMIT $LdaV),
+       |  SELECT s AS token,
+       |    row_number() OVER (ORDER BY sum(r) DESC, s) - 1 AS w
+       |  FROM ratings GROUP BY s
+       |  ORDER BY sum(r) DESC, s LIMIT $LdaV),
        |dn AS (
        |  SELECT r.c AS doc_id, CAST(sum(r.r) AS BIGINT) AS nd
        |  FROM ratings r JOIN voc ON voc.token = r.s GROUP BY 1),

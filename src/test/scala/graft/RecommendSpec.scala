@@ -540,21 +540,30 @@ class RecommendSpec extends AnyFunSuite {
       .map(r => r.getLong(0) ->
         r.getSeq[Double](1).toArray).toMap
     def argmax(a: Array[Double]): Int = a.indices.maxBy(a)
-    val aTop = (0 to 4).map(d => argmax(th(d)))
-    val bTop = (5 to 9).map(d => argmax(th(d)))
-    // every pure doc within a block lands on the same topic, and the
-    // blocks land on DIFFERENT topics
-    assert(aTop.distinct.size == 1, s"A docs split: $aTop")
-    assert(bTop.distinct.size == 1, s"B docs split: $bTop")
-    assert(aTop.head != bTop.head, s"blocks merged: $aTop vs $bTop")
-    // dominance: the pure docs' posteriors concentrate
-    (0 to 9).foreach(d => assert(th(d).max > 0.5,
-      s"doc $d not dominated: ${th(d).toSeq}"))
-    // the mixed doc holds REAL mass on both block topics — the
+    // LDA with K > true topics is non-identifiable WITHIN a block
+    // (several components may legitimately duplicate one word
+    // distribution and split a doc's mass among themselves), so
+    // every topic is first ASSIGNED to the block whose pure docs
+    // give it more total mass; the falsifiable claims are CROSS-
+    // block: the blocks' argmax topics disagree, and a pure doc
+    // holds (almost) no posterior mass on the OTHER block's side —
+    // a topic fitted to B-words assigns A-words vanishing likelihood
+    val aTops = (0 until Recommend.LdaK).filter(k =>
+      (0 to 4).map(d => th(d.toLong)(k)).sum >
+        (5 to 9).map(d => th(d.toLong)(k)).sum).toSet
+    val bTops = (0 until Recommend.LdaK).toSet -- aTops
+    assert((0 to 4).map(d => argmax(th(d))).forall(aTops) &&
+      (5 to 9).map(d => argmax(th(d))).forall(bTops),
+      s"argmax crosses blocks: $aTops $bTops")
+    def mass(d: Long, ts: Set[Int]): Double = ts.toSeq.map(th(d)).sum
+    (0 to 4).foreach(d => assert(mass(d, bTops) < 0.1,
+      s"A doc $d leaks to B topics: ${th(d.toLong).toSeq}"))
+    (5 to 9).foreach(d => assert(mass(d, aTops) < 0.1,
+      s"B doc $d leaks to A topics: ${th(d.toLong).toSeq}"))
+    // the mixed doc holds REAL mass on both blocks' topic sets — the
     // posterior split a hard assignment cannot express
-    val mx = th(10L)
-    assert(mx(aTop.head) > 0.2 && mx(bTop.head) > 0.2,
-      s"mixed doc did not split: ${mx.toSeq}")
+    assert(mass(10L, aTops) > 0.2 && mass(10L, bTops) > 0.2,
+      s"mixed doc did not split: ${th(10L).toSeq} over $aTops/$bTops")
     // corpus: hashed grid + all four booleans at the spec SF
     val a = Recommend.t35LdaMap(spark, sfDir).collect()
     assert(a.length == Recommend.LdaK)
