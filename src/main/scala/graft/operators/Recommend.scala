@@ -1579,7 +1579,7 @@ object Recommend {
   /** Topics / vocabulary cap / MAP-EM rounds for [[t35LdaMap]]. */
   private[graft] val LdaK = 4
   private[graft] val LdaV = 128
-  private[graft] val LdaIters = 8
+  private[graft] val LdaIters = 6
 
   /** Dirichlet pseudo-count α−1 = β−1 — strictly positive so the
     * MAP M-step keeps every θ/φ entry off zero (the positivity
