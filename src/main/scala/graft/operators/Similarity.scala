@@ -278,11 +278,18 @@ object Similarity {
     * with, checkpointed.
     */
   private[graft] def gmmTicks(vecs: DataFrame): DataFrame =
+    gmmTicksLazy(vecs).ckpt(true)
+
+  /** The tick projection alone (no checkpoint) — the form a
+    * STREAMING scan can use (an eager ckpt is an action, illegal on
+    * a streaming frame; the batch trainer wants the ckpt because it
+    * re-scans the ticks every round).
+    */
+  private[graft] def gmmTicksLazy(vecs: DataFrame): DataFrame =
     vecs
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
         .as("q"))
-      .ckpt(true)
 
   /** The shared md5-seeded init stats (k, d, mu, var, w) both GMM
     * flavors start from — s35's round-0 integer score grid is exact
@@ -467,6 +474,25 @@ object Similarity {
         col("ll_ascent_ok"), col("resp_norm_ok"),
         col("weights_norm_ok"), col("var_floor_ok"))
       .orderBy(col("component"))
+  }
+
+  /** The TRAINED soft model as the one-row broadcast frame
+    * [[softScore]] scores against — the serve surface
+    * stream_gmm_assign broadcasts (the "one stream, one model"
+    * posture of stream_nb/stream_topic/stream_recommend). Same md5
+    * init and the same [[SoftGmmIters]] M-step updates as
+    * [[gmmSoftCore]]'s final model, so streaming posteriors are
+    * scored against exactly the model s35 certifies.
+    */
+  private[graft] def gmmSoftModelRow(vecs: DataFrame): DataFrame = {
+    val qf = gmmTicks(vecs)
+    var statsD = gmmInit(qf).select(col("k"), col("d"),
+      col("mu").cast("double").as("muD"),
+      col("var").cast("double").as("varD"),
+      (lit(1.0) / lit(GmmK.toDouble)).as("w"))
+    for (_ <- 0 until SoftGmmIters)
+      statsD = softStatsFrom(softMStepAgg(softScore(qf, softPivot(statsD))))
+    softPivot(statsD)
   }
 
   /** Long-form double stats → the ONE-ROW broadcast model: per

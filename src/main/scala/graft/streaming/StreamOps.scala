@@ -257,6 +257,36 @@ object StreamOps {
         col("b.s").as("score_ticks"))
   }
 
+  /** Streaming twin of s35's posterior semantics, serve side: each
+    * arriving embedding vector is scored against the BROADCAST
+    * trained soft-GMM model ([[graft.operators.Similarity.
+    * gmmSoftModelRow]]) — stateless stream-static, so stream ≡ batch
+    * bit-for-bit by construction (the stream_nb / stream_topic /
+    * stream_recommend "one stream, one model" posture). Emits the
+    * raw soft-score row; quantization and the argmax belong in the
+    * sink via [[gmmAssignBatch]].
+    */
+  def gmmAssignStream(vecs: DataFrame, modelRow: DataFrame): DataFrame =
+    graft.operators.Similarity.softScore(
+      graft.operators.Similarity.gmmTicksLazy(vecs), modelRow)
+
+  /** Sink-side posterior quantization for [[gmmAssignStream]]: per
+    * vector the 2²⁰-tick responsibilities (the s35 normalization
+    * contract — they sum to 2²⁰ ± K), the dominant component (ties
+    * to the smaller k) and the normalization boolean. Per-row
+    * stateless, so exact regardless of micro-batch boundaries.
+    */
+  def gmmAssignBatch(scored: DataFrame): DataFrame = {
+    val K = graft.operators.Similarity.GmmK
+    val best = greatest((0 until K).map(k =>
+      struct(col(s"r$k").as("r"), lit(-k.toLong).as("nk"))): _*)
+    scored.select(Seq(col("vec_id")) ++
+      (0 until K).map(k =>
+        floor(col(s"r$k") * lit(1048576.0) + lit(0.5)).cast("long")
+          .as(s"r${k}_ticks")) ++
+      Seq((-best.getField("nk")).as("component"), col("norm_ok")): _*)
+  }
+
   /** Streaming twin of d10 incremental dedup, candidate stage: new
     * documents arrive as a stream and probe the STATIC corpus band
     * index — the continuous form of the daily batch-vs-corpus probe.

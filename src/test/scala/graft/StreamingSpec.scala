@@ -573,6 +573,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(p3Files == before, "untouched partition rewritten by CDC upsert")
   }
 
+  test("stream_gmm_assign: streamed posterior scoring equals the batch " +
+    "soft model bit-for-bit; ticks normalize") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // one trained model, broadcast to both paths (the s02 contract)
+    val model = Similarity.gmmSoftModelRow(emb).localCheckpoint(true)
+    val probe = emb.filter(col("vec_id") < 5)
+    val src = java.nio.file.Files.createTempDirectory("graft-gmm-stream")
+    probe.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val got = scala.collection.mutable.Set[Seq[Any]]()
+    val q = StreamOps.gmmAssignStream(stream, model)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.gmmAssignBatch(df).collect().foreach(r =>
+          got.synchronized { got += r.toSeq })
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = StreamOps.gmmAssignBatch(
+      StreamOps.gmmAssignStream(probe, model)).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got.toSet == expected,
+      s"streaming GMM posteriors diverged: ${got.toSet} vs $expected")
+    // the s35 normalization contract holds row-wise on the stream
+    // output: ticks sum to 2^20 within K half-ulp roundings, the
+    // norm boolean is true, the component is a valid index
+    got.foreach { r =>
+      val ticks = (1 to Similarity.GmmK).map(i => r(i).asInstanceOf[Long])
+      assert(math.abs(ticks.sum - 1048576L) <= Similarity.GmmK,
+        s"ticks do not normalize: $r")
+      val comp = r(Similarity.GmmK + 1).asInstanceOf[Long]
+      assert(comp >= 0 && comp < Similarity.GmmK, s"bad component: $r")
+      assert(r(Similarity.GmmK + 2).asInstanceOf[Boolean], s"norm_ok false: $r")
+    }
+  }
+
   test("stream_ann_probe: probe of the static band index equals batch s02") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
