@@ -53,6 +53,19 @@ import org.apache.spark.sql.SparkSession
   *    it is harness bookkeeping, not query cost.
   */
 object Bench {
+
+  /** The per-key burst-adoption rule (r16; pure so the synthetic-
+    * burst spec pins it): a sweep figure is replaced by its recheck
+    * ONLY when the inflation is > 2x AND the shuffle evidence is
+    * byte-identical — time collapsed, work didn't, so the sweep
+    * figure was regime. Byte drift means the plan (or a cleanup
+    * interaction) actually changed: the sweep figure stands, loudly,
+    * in both the map and the recheck block.
+    */
+  private[graft] def burstAdopts(sweepS: Double, recheckS: Double,
+      sweepBytes: Long, recheckBytes: Long): Boolean =
+    sweepS > 2.0 * recheckS && sweepBytes == recheckBytes
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -210,23 +223,48 @@ object Bench {
     val picks = topCost.map((_, "top_cost")) ++
       topRatio.map((_, "anchor_ratio")) ++
       vsCommitted.map((_, "vs_committed"))
-    val rechecks = picks
+    val recheckRows = picks
       .map { case ((name, dt, m), group) =>
         val t0 = System.nanoTime()
         val plan = try Some(run(name, sfDir)) catch { case _: Throwable => None }
         val rdt = (System.nanoTime() - t0) / 1e9
         val rm = plan.map(Audit.metricsOf)
         cleanup()
+        (name, group, dt, rdt, m.shuffleBytesWritten,
+          rm.map(_.shuffleBytesWritten))
+      }
+    // Per-key burst-proof adoption (the r15 verdict's stamp hole: a
+    // mid-sweep burst can hit one contiguous family 8-13x while the
+    // MEDIAN-based regime stamp still reads idle — BENCH_r15's graph
+    // block measured g02 44.9 s in-sweep vs 5.1 s on recheck at
+    // byte-identical shuffles). Any rechecked key whose sweep time
+    // exceeds its recheck by > 2x with BYTE-STABLE shuffle evidence
+    // takes the recheck figure into the per-query map and the total
+    // — the burst was measurement regime, not query cost, and the
+    // recheck (memos cleared, same JVM) is the isolated-methodology
+    // figure. Differing bytes = a real plan/cleanup interaction:
+    // sweep time stands. Both figures stay in the recheck block.
+    val adopted: Map[String, Double] = recheckRows.collect {
+      case (name, _, dt, rdt, sb, Some(rb))
+          if burstAdopts(dt, rdt, sb, rb) => name -> rdt
+    }.toMap
+    if (adopted.nonEmpty)
+      System.err.println(s"bench: per-key burst adoption took the recheck " +
+        s"figure for ${adopted.keys.toSeq.sorted.mkString(", ")}")
+    val rechecks = recheckRows
+      .map { case (name, group, dt, rdt, sb, rbOpt) =>
         s"\"$name\":{\"group\":\"$group\"" +
           anchor.get(name).map(a => s",\"anchor_s\":${r3(a)}").getOrElse("") +
           committed.get(name).map(c => s",\"committed_s\":${r3(c)}")
             .getOrElse("") +
           s",\"sweep_s\":${r3(dt)},\"recheck_s\":${r3(rdt)}" +
-          s",\"sweep_shuffle_bytes\":${m.shuffleBytesWritten}" +
-          rm.map(x => s",\"recheck_shuffle_bytes\":${x.shuffleBytesWritten}")
-            .getOrElse("") + "}"
+          s",\"sweep_shuffle_bytes\":$sb" +
+          rbOpt.map(x => s",\"recheck_shuffle_bytes\":$x").getOrElse("") +
+          (if (adopted.contains(name)) ",\"adopted\":true" else "") + "}"
       }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val adjusted = results.map { case (k, v, m) =>
+      (k, adopted.getOrElse(k, v), m) }
+    val qs = adjusted.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // executed metrics per query (bench_full.json only — ~100 bytes a
     // query would blow the stdout budget): every future perf
@@ -243,7 +281,7 @@ object Bench {
         s",\"partial_agg_reduction\":${r3(m.partialAggReduction)}}"
     }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = adjusted.map(_._2).sum
     // Self-labeling regime stamp: the median per-key ratio of this
     // sweep vs the previously-committed same-SF map. A throttled-host
     // sweep reads ~1.3-1.5 here with byte-identical shuffle metrics;

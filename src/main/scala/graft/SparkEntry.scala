@@ -107,6 +107,7 @@ object SparkEntry {
     "f02_assoc_rules" -> (Itemsets.f02AssocRules _),
     "f03_itemsets_l3" -> (Itemsets.f03FreqTriples _),
     "f04_seq_patterns" -> (Itemsets.f04SeqPatterns _),
+    "f05_itemsets_depth" -> (Itemsets.f05ItemsetsDepth _),
     "d08_dedup_apply" -> (Dedup.d08DedupApply _),
     "p03_mix_sample" -> (Pipeline.p03MixSample _),
     "j01_asof_join" -> (Joins.j01AsofJoin _),
@@ -830,7 +831,7 @@ object SparkEntry {
     * refinedMemo (the g16Ctes pattern; replaces the substring cut
     * that used to extract this from the finished s20 SQL).
     */
-  private def s20GraphCtes(k: Int, rounds: Int): String = {
+  private def s20GraphCtes(seedK: Int, k: Int, rounds: Int): String = {
     def cosSql(q: String, v: String) = cosSqlAliased(q, v)
     val roundCtes = (1 to rounds).map { kk =>
       val prev = if (kk == 1) "g0" else s"g${kk - 1}"
@@ -863,12 +864,12 @@ object SparkEntry {
     }.mkString(",\n")
     knnGraphOracleCtes + s""",
        |g0 AS (SELECT query_id, vec_id, round(cos_raw, 4) AS cos
-       |       FROM r WHERE rank <= $k),
+       |       FROM r WHERE rank <= $seedK),
        |$roundCtes""".stripMargin
   }
 
-  private def s20OracleSql(k: Int, rounds: Int): String =
-    "WITH " + s20GraphCtes(k, rounds) + s"""
+  private def s20OracleSql(seedK: Int, k: Int, rounds: Int): String =
+    "WITH " + s20GraphCtes(seedK, k, rounds) + s"""
        |SELECT query_id, vec_id AS neighbor_id, cos, CAST(rank AS BIGINT) AS rank
        |FROM g$rounds ORDER BY query_id, rank""".stripMargin
 
@@ -879,7 +880,8 @@ object SparkEntry {
     * row_number over (cos desc, vec_id) — the top_k_by_score total
     * order.
     */
-  private def s33OracleSql(k: Int, rounds: Int, b: Int, hops: Int): String = {
+  private def s33OracleSql(seedK: Int, k: Int, rounds: Int, b: Int,
+      hops: Int): String = {
     def cosSql(q: String, v: String) = cosSqlAliased(q, v)
     // every bm is referenced twice by the next hop and gm three
     // times — MATERIALIZED throughout, or DuckDB's CTE inlining
@@ -906,7 +908,7 @@ object SparkEntry {
          |    FROM bm${t - 1} bb JOIN gm g ON g.query_id = bb.vec_id) u),
          |${scoreCtes(t, s"bc$t")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${s20GraphCtes(k, rounds)},
+    s"""WITH ${s20GraphCtes(seedK, k, rounds)},
        |gm AS MATERIALIZED (SELECT query_id, vec_id FROM g$rounds),
        |bq AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
        |en AS (SELECT vec_id FROM embeddings
@@ -3038,40 +3040,63 @@ object SparkEntry {
     // rank-sum — sums CAST back from DuckDB's HUGEINT widening.
     "q53_ks_test" ->
       s"""WITH $tickCdfOracleCtes
+         |SELECT type_a, type_b, n_a, n_b, d_num, d_ticks,
+         |  round(${graft.functions.PValues.qksSql("lam")}, 4) AS p_value
+         |FROM (
+         |SELECT *, ${graft.functions.PValues.ksLambdaSql("ne", "dks")} AS lam
+         |FROM (
          |SELECT type_a, type_b, n_a, n_b, d_num,
-         |  (d_num * ${graft.operators.Events.KsScale}) // (n_a * n_b) AS d_ticks
+         |  (d_num * ${graft.operators.Events.KsScale}) // (n_a * n_b) AS d_ticks,
+         |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS dks,
+         |  CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS ne
          |FROM (
          |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
-         |    max(abs(b.n * a.cum - a.n * b.cum)) AS d_num
+         |    CAST(max(abs(b.n * a.cum - a.n * b.cum)) AS BIGINT) AS d_num
          |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
-         |  GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2, 3, 4)))
          |ORDER BY type_a, type_b""".stripMargin,
     // q58: one-sample KS vs the discrete uniform — per grid tick the
     // post-jump and segment-end deviations, max'd per type.
     "q58_ks_uniform" ->
       s"""WITH $tickCdfOracleCtes,
          |bd AS (SELECT min(tick) AS lo, max(tick) AS hi FROM cd)
+         |SELECT t, n, lo, hi, d_num, d_ticks,
+         |  round(${graft.functions.PValues.qksSql("lam")}, 4) AS p_value
+         |FROM (
+         |SELECT *, ${graft.functions.PValues.ksLambdaSql(
+             "CAST(n AS DOUBLE)", "dks")} AS lam
+         |FROM (
          |SELECT t, n, lo, hi, d_num,
          |  (d_num * ${graft.operators.Events.KsScale}) // (n * (hi - lo + 1))
-         |    AS d_ticks
+         |    AS d_ticks,
+         |  CAST(d_num AS DOUBLE) / CAST(n * (hi - lo + 1) AS DOUBLE) AS dks
          |FROM (
          |  SELECT cd.t, cd.n, bd.lo, bd.hi,
          |    CAST(max(greatest(
          |      abs(cd.cum * (bd.hi - bd.lo + 1) - (cd.tick - bd.lo + 1) * cd.n),
          |      abs((cd.cum - cd.c) * (bd.hi - bd.lo + 1)
          |        - (cd.tick - bd.lo) * cd.n))) AS BIGINT) AS d_num
-         |  FROM cd, bd GROUP BY 1, 2, 3, 4) x
+         |  FROM cd, bd GROUP BY 1, 2, 3, 4) x))
          |ORDER BY t""".stripMargin,
     "q54_rank_sum" ->
       s"""WITH $tickCdfOracleCtes
-         |SELECT type_a, type_b, n_a, n_b,
+         |SELECT type_a, type_b, n_a, n_b, u2_a,
+         |  round(${graft.operators.Events.rankSumPSql}, 4) AS p_value
+         |FROM (
+         |SELECT *, ${graft.operators.Events.rankSumAbsZSql} AS absz
+         |FROM (
+         |SELECT *, ${graft.operators.Events.rankSumVar2Sql} AS var2
+         |FROM (
+         |SELECT type_a, type_b, n_a, n_b, tie3,
          |  r2_a - n_a * (n_a + 1) AS u2_a
          |FROM (
          |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
          |    CAST(sum(a.c * (2 * ((a.cum - a.c) + (b.cum - b.c))
-         |                    + a.c + b.c + 1)) AS BIGINT) AS r2_a
+         |                    + a.c + b.c + 1)) AS BIGINT) AS r2_a,
+         |    CAST(sum((a.c + b.c) * (a.c + b.c) * (a.c + b.c)
+         |             - (a.c + b.c)) AS BIGINT) AS tie3
          |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
-         |  GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2, 3, 4))))
          |ORDER BY type_a, type_b""".stripMargin,
     // q59: Student + Welch t on exact integer tick moments — the
     // division-cleared Student integers verbatim, the Welch ratios as
@@ -3119,12 +3144,14 @@ object SparkEntry {
          |    ELSE CAST(0 AS BIGINT) END AS t2w_ticks,
          |  CASE WHEN wa + wb > 0 THEN CAST(floor((va + vb) * (va + vb)
          |    / (wa + wb) * 1048576.0 + 0.5) AS BIGINT)
-         |    ELSE CAST(0 AS BIGINT) END AS dof_ticks
+         |    ELSE CAST(0 AS BIGINT) END AS dof_ticks,
+         |  round(${graft.operators.Events.tTestPStudentSql}, 4) AS p_student,
+         |  round(${graft.operators.Events.tTestPWelchSql}, 4) AS p_welch
          |FROM w)
          |SELECT type_a, type_b, n_a, n_b, dm_num,
          |  CAST(t2s_num AS VARCHAR) AS t2s_num,
          |  CAST(t2s_den AS VARCHAR) AS t2s_den,
-         |  t2s_ticks, t2w_ticks, dof_ticks
+         |  t2s_ticks, t2w_ticks, dof_ticks, p_student, p_welch
          |FROM r ORDER BY type_a, type_b""".stripMargin,
     // q60: exact raw power sums + the shared moment->ticks tree
     // (q60TreeSql interpolated verbatim — one definition, two engines)
@@ -3213,6 +3240,7 @@ object SparkEntry {
     "f02_assoc_rules" -> graft.operators.Itemsets.f02OracleSql,
     "f03_itemsets_l3" -> graft.operators.Itemsets.f03OracleSql,
     "f04_seq_patterns" -> graft.operators.Itemsets.f04OracleSql,
+    "f05_itemsets_depth" -> graft.operators.Itemsets.f05OracleSql,
     "q46_referential_audit" ->
       """WITH rel AS (
         |  SELECT 'lineitem->orders' AS relationship,
@@ -3628,11 +3656,13 @@ object SparkEntry {
     // s20: the seed graph's CTEs + the unrolled NN-descent rounds —
     // reverse cap, two-hop, exact rescore, bounded re-rank.
     "s20_nn_descent" -> s20OracleSql(3,
+      graft.operators.Similarity.GraphDegree,
       graft.operators.Similarity.NnDescentRounds),
     // s33: the shared s20 graph chain + the beam-search hops
     // unrolled — fixed entries, expand ∪ beam, exact rescore,
     // bounded cut per hop.
     "s33_graph_ann" -> s33OracleSql(3,
+      graft.operators.Similarity.GraphDegree,
       graft.operators.Similarity.NnDescentRounds,
       graft.operators.Similarity.BeamWidth,
       graft.operators.Similarity.BeamHops),

@@ -362,9 +362,18 @@ object Events {
       .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
       .agg(max(abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")))
         .as("d_num"))
+      // asymptotic two-sample p-value from the EXACT statistic:
+      // D = d_num/(n_a n_b), n_e = n_a n_b/(n_a+n_b), Q_KS(lambda)
+      // — one shared PValues tree, identical text in the oracle
+      .withColumn("dks", col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+      .withColumn("ne", (col("n_a") * col("n_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("lam", expr(graft.functions.PValues.ksLambdaSql("ne", "dks")))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("d_num"),
-        expr(s"(d_num * $KsScale) div (n_a * n_b)").as("d_ticks"))
+        expr(s"(d_num * $KsScale) div (n_a * n_b)").as("d_ticks"),
+        round(expr(graft.functions.PValues.qksSql("lam")), 4).as("p_value"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -429,8 +438,16 @@ object Events {
           (col("tick") - col("lo")) * col("n")))
       .groupBy(col("t"), col("n"), col("lo"), col("hi"))
       .agg(max(greatest(col("dev1"), col("dev0"))).as("d_num"))
+      // one-sample asymptotic p: D = d_num/(n R), n_e = n (the
+      // KolmogorovSmirnovTest.scala pValue surface, closed here by
+      // the shared PValues tree)
+      .withColumn("dks", col("d_num").cast("double") /
+        (col("n") * (col("hi") - col("lo") + lit(1L))).cast("double"))
+      .withColumn("lam", expr(graft.functions.PValues.ksLambdaSql(
+        "CAST(n AS DOUBLE)", "dks")))
       .select(col("t"), col("n"), col("lo"), col("hi"), col("d_num"),
-        expr(s"(d_num * $KsScale) div (n * (hi - lo + 1))").as("d_ticks"))
+        expr(s"(d_num * $KsScale) div (n * (hi - lo + 1))").as("d_ticks"),
+        round(expr(graft.functions.PValues.qksSql("lam")), 4).as("p_value"))
       .orderBy(col("t"))
   }
 
@@ -542,9 +559,35 @@ object Events {
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         col("dm_num"), col("t2s_num").cast("string").as("t2s_num"),
         col("t2s_den").cast("string").as("t2s_den"), col("t2s_ticks"),
-        col("t2w_ticks"), col("dof_ticks"))
+        col("t2w_ticks"), col("dof_ticks"),
+        round(expr(tTestPStudentSql), 4).as("p_student"),
+        round(expr(tTestPWelchSql), 4).as("p_welch"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Student p: the shared large-dof map on the division-cleared
+    * exact t^2 = t2s_num/t2s_den (ONE IEEE divide of exact values)
+    * and dof = n_a + n_b - 2. Degenerate pairs (constant values,
+    * t2s_den = 0, or dof <= 0) report 1 — no evidence against the
+    * null. One SQL text, both engines (the q60TreeSql contract).
+    */
+  private[graft] val tTestPStudentSql: String =
+    "(CASE WHEN t2s_den > 0 AND n_a + n_b > 2 THEN " +
+      graft.functions.PValues.tTwoSidedSql(
+        "(CAST(t2s_num AS DOUBLE) / CAST(t2s_den AS DOUBLE))",
+        "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)") +
+      " ELSE 1.0 END)"
+
+  /** Welch p on the same fixed double tree the ticks already carry:
+    * t^2 = dm^2/(va+vb), dof = (va+vb)^2/(wa+wb) (Welch–
+    * Satterthwaite). Requires bound va/vb/dm/wa/wb columns.
+    */
+  private[graft] val tTestPWelchSql: String =
+    "(CASE WHEN va + vb > 0.0 AND wa + wb > 0.0 THEN " +
+      graft.functions.PValues.tTwoSidedSql(
+        "(dm * dm / (va + vb))",
+        "((va + vb) * (va + vb) / (wa + wb))") +
+      " ELSE 1.0 END)"
 
   /** The q54 pair rank-sum report over any (t, tick, c) counts frame
     * — shared verbatim by the batch key and the streaming A/B gate
@@ -564,11 +607,49 @@ object Events {
       .groupBy(col("type_a"), col("type_b"), col("n_a"), col("n_b"))
       .agg(sum(col("c_a") *
         (lit(2L) * col("before") + col("c_a") + col("c_b") + lit(1L)))
-        .as("r2_a"))
+        .as("r2_a"),
+        // pooled tie term sum(tc^3 - tc) for the tie-corrected
+        // normal variance — exact longs (tc <= n_a+n_b; headroom
+        // grid * (4e4)^3 ~ 1e17 at sf0.1; retune = coarser ticks)
+        sum((col("c_a") + col("c_b")) * (col("c_a") + col("c_b"))
+          * (col("c_a") + col("c_b")) - (col("c_a") + col("c_b")))
+          .as("tie3"))
+      .withColumn("u2_a",
+        col("r2_a") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("var2", expr(rankSumVar2Sql))
+      .withColumn("absz", expr(rankSumAbsZSql))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-        (col("r2_a") - col("n_a") * (col("n_a") + lit(1L))).as("u2_a"))
+        col("u2_a"),
+        round(expr(rankSumPSql), 4).as("p_value"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** Tie-corrected variance of 2U (= 4 sigma_U^2), the textbook
+    * Mann–Whitney normal-approximation variance on the doubled
+    * integers: var2 = (n_a n_b / 3) ((n+1) - tie3/(n(n-1))). ONE
+    * SQL text for both engines (the q60TreeSql contract); inputs
+    * n_a/n_b/tie3 are exact longs.
+    */
+  private[graft] val rankSumVar2Sql: String = {
+    val nn = "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))"
+    "((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0) * " +
+      s"(($nn + 1.0) - CAST(tie3 AS DOUBLE) / ($nn * ($nn - 1.0))))"
+  }
+
+  /** |z| of the doubled statistic: |u2_a - n_a n_b| / sqrt(var2)
+    * (mean of 2U is n_a n_b). Requires a bound `var2` column.
+    */
+  private[graft] val rankSumAbsZSql: String =
+    "(abs(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))" +
+      " / sqrt(var2))"
+
+  /** Two-sided p of the rank-sum z (all-tied pairs — var2 = 0 —
+    * report 1 by the CASE; no continuity correction, documented:
+    * the tie-corrected asymptotic form). Requires bound var2/absz.
+    */
+  private[graft] val rankSumPSql: String =
+    "(CASE WHEN var2 <= 0.0 THEN 1.0 ELSE " +
+      graft.functions.PValues.normTwoSidedSql("absz") + " END)"
 
   /** Administrative censoring horizon for [[q67KaplanMeier]] —
     * discrete day grid t = 1..8; subjects still unconverted at the

@@ -379,6 +379,195 @@ object Itemsets {
       |SELECT CAST(3 AS BIGINT), e1, e2, e3, support FROM l3
       |ORDER BY k, e1, e2, e3""".stripMargin
 
+  /** Depth mined by the public f05 key. */
+  private[graft] val ItemsetDepth = 4
+
+  /** f05's support-floor denominator: σ = ceil(nb / 2000) = 0.05%.
+    * f01–f03's 2% floor is honest for pairs but vacuous past L3 on
+    * this corpus — the reference's FPGrowth takes minSupport as a
+    * free parameter for exactly this reason (reference:
+    * /root/reference/mllib/src/main/scala/org/apache/spark/mllib/
+    * fpm/FPGrowth.scala:1). Measured max 4-set support: 0.41% of
+    * baskets at sf0.001, 0.156% at sf0.01, 0.079% at sf0.1 — brand
+    * co-occurrence is near-random, so the RELATIVE max decays toward
+    * the most-likely-quad probability as the corpus grows; 0.05%
+    * sits under it at every test SF (L4 non-vacuous), and the
+    * per-level [[LevelTopK]] cut keeps the REPORT bounded where the
+    * low floor stops binding (σ = 1 at sf0.001).
+    */
+  private[graft] val DepthFloorDenom = 2000L
+
+  /** Per-level report cap for f05 — the f03 top-k posture applied at
+    * every level: report the top-[[LevelTopK]] σ-frequent sets by
+    * (support desc, items asc). Candidate GENERATION gates on the
+    * full σ-frequent level (downward closure stays exact); only the
+    * report is cut, deterministically, in both engines.
+    */
+  private[graft] val LevelTopK = 50
+
+  /** f05: the parameterized depth-L frequent-itemset miner — f03's
+    * L3 claim generalized (the t33 depth-parameterization precedent
+    * applied to Apriori): candidate (k)-sets are generated by the
+    * classic prefix join of the frequent (k−1)-level with itself
+    * (two sets sharing their first k−2 items), pruned by the FULL
+    * downward-closure check (every drop-one subset must be
+    * (k−1)-frequent — an explode + array_remove + broadcast
+    * semi-count, no driver loop), and counted by extending the
+    * (k−1)-level OCCURRENCE frame one item per basket — so the only
+    * corpus-sized frames ever shuffled are the basket frame (once,
+    * memoized) and the occurrence frames, each semi-joined down to
+    * candidate support before it grows. All levels 1..[[ItemsetDepth]]
+    * report at the [[DepthFloorDenom]] floor, cut to the
+    * deterministic per-level top-[[LevelTopK]].
+    *
+    * Scale shape: per level ONE equi-join of the occurrence frame
+    * with the basket frame on the basket key (co-partitioned — the
+    * f01 posture), one broadcast semi-join against the
+    * vocabulary-bounded candidate frame, one partial-agg'd count.
+    * Candidate and level frames are ≤ C(|vocab|, k) rows —
+    * broadcast-sized at any corpus scale; nothing quadratic in
+    * baskets anywhere. [[BasketCap]] bounds per-basket expansion
+    * exactly as in f01/f03.
+    *
+    * Output: (k, item_1..item_4 NULL-padded, support), ordered by
+    * (k, items) — `element_at` past the set size pads NULL in both
+    * engines.
+    */
+  def f05ItemsetsDepth(spark: SparkSession, sfDir: String): DataFrame =
+    itemsetsToDepth(spark, sfDir, ItemsetDepth)
+
+  /** [[f05ItemsetsDepth]] at an explicit depth — package-private so
+    * the spec can brute-force-check L = 4 and probe other depths.
+    */
+  private[graft] def itemsetsToDepth(
+      spark: SparkSession, sfDir: String, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= ItemsetDepth,
+      s"depth must be in [1, $ItemsetDepth]")
+    val (baskets, support0) = basketsAndSupport(spark, sfDir)
+    val support = support0.select(col("nb"),
+      expr(s"(nb + ${DepthFloorDenom - 1}) div $DepthFloorDenom").as("sigma"))
+    val l1 = baskets.groupBy(col("it")).agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(support))
+      .filter(col("support") >= col("sigma"))
+      .select(array(col("it")).as("items"), col("support"))
+      .ckpt(true)
+    val fb = baskets.join(
+      broadcast(l1.select(element_at(col("items"), 1).as("it"))), "it")
+      .select(col("o"), col("it"))
+    // occurrence frame: one row per (basket, frequent candidate set)
+    var occ = fb.select(col("o"), array(col("it")).as("items")).ckpt(true)
+    var lk = l1
+    var out = l1
+    for (k <- 2 to depth) {
+      val a = lk.select(col("items"))
+      val b = lk.select(col("items").as("itemsb"))
+      val joined =
+        if (k == 2) a.crossJoin(b)
+        else a.join(b,
+          slice(col("items"), 1, k - 2) === slice(col("itemsb"), 1, k - 2))
+      val cand0 = joined
+        .filter(element_at(col("items"), k - 1) <
+          element_at(col("itemsb"), k - 1))
+        .select(concat(col("items"), slice(col("itemsb"), k - 1, 1))
+          .as("items"))
+      // downward closure: all k drop-one subsets must be frequent
+      // (the prefix join already guarantees two of them)
+      val cands =
+        if (k == 2) cand0
+        else cand0.withColumn("dropped", explode(col("items")))
+          .withColumn("sub", array_remove(col("items"), col("dropped")))
+          .join(broadcast(lk.select(col("items").as("sub"))), "sub")
+          .groupBy(col("items")).agg(count(lit(1)).as("nsub"))
+          .filter(col("nsub") === k)
+          .select(col("items"))
+      val occExp = occ.join(fb, "o")
+        .filter(col("it") > element_at(col("items"), k - 1))
+        .select(col("o"), concat(col("items"), array(col("it"))).as("items"))
+        .join(broadcast(cands), Seq("items"), "left_semi")
+      lk = occExp.groupBy(col("items")).agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(support))
+        .filter(col("support") >= col("sigma"))
+        .select(col("items"), col("support"))
+        .ckpt(true)
+      // keep only frequent occurrences for the next extension
+      occ = occExp
+        .join(broadcast(lk.select(col("items"))), Seq("items"), "left_semi")
+        .ckpt(true)
+      out = out.unionByName(lk)
+    }
+    // try_element_at: past-the-end pads NULL (plain element_at
+    // throws under ANSI — the DuckDB list index already pads)
+    val full = out.select(Seq(size(col("items")).cast("long").as("k")) ++
+      (1 to ItemsetDepth).map(i =>
+        expr(s"try_element_at(items, $i)").as(s"item_$i")) :+
+      col("support"): _*)
+    // per-level top-K report cut — the window runs over the tiny
+    // (≤ C(|vocab|, k)-row) level frames, never over data rows
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(Seq(col("support").desc) ++
+        (1 to ItemsetDepth).map(i => col(s"item_$i")): _*)
+    full.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LevelTopK)
+      .drop("rn")
+      .orderBy(Seq(col("k")) ++
+        (1 to ItemsetDepth).map(i => col(s"item_$i")): _*)
+  }
+
+  /** The DuckDB twin of [[f05ItemsetsDepth]]: Apriori is exact, so
+    * the oracle just ENUMERATES every k-subset per basket by k-way
+    * self-join and applies the same σ floor + per-level top-K cut —
+    * the brute-force form whose parity with the pruned engine plan
+    * is the point of the check. Own MATERIALIZED basket CTE (the b5
+    * chain) with CHAINED o-keys (x=y, y=z, z=w): the star form
+    * (x=y, x=z, x=w) drove DuckDB's join order pathological
+    * (measured minutes vs 0.2 s at sf0.01).
+    */
+  private[graft] def f05OracleSql: String =
+    s"""WITH bk5 AS (
+       |  SELECT DISTINCT l_orderkey AS o, p_brand AS it
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |keep5 AS (SELECT o FROM bk5 GROUP BY o HAVING count(*) <= $BasketCap),
+       |b5 AS MATERIALIZED (
+       |  SELECT bk5.o, bk5.it FROM bk5 JOIN keep5 ON bk5.o = keep5.o),
+       |n5 AS (SELECT count(DISTINCT o) AS nb,
+       |        (count(DISTINCT o) + ${DepthFloorDenom - 1})
+       |          // $DepthFloorDenom AS sigma FROM b5),
+       |g1 AS (SELECT it AS i1, CAST(count(*) AS BIGINT) AS support
+       |       FROM b5 GROUP BY 1
+       |       HAVING count(*) >= (SELECT sigma FROM n5)),
+       |g2 AS (SELECT x.it AS i1, y.it AS i2, CAST(count(*) AS BIGINT) AS support
+       |       FROM b5 x JOIN b5 y ON x.o = y.o AND x.it < y.it
+       |       GROUP BY 1, 2 HAVING count(*) >= (SELECT sigma FROM n5)),
+       |g3 AS (SELECT x.it AS i1, y.it AS i2, z.it AS i3,
+       |         CAST(count(*) AS BIGINT) AS support
+       |       FROM b5 x JOIN b5 y ON x.o = y.o AND x.it < y.it
+       |       JOIN b5 z ON y.o = z.o AND z.it > y.it
+       |       GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT sigma FROM n5)),
+       |g4 AS (SELECT x.it AS i1, y.it AS i2, z.it AS i3, w.it AS i4,
+       |         CAST(count(*) AS BIGINT) AS support
+       |       FROM b5 x JOIN b5 y ON x.o = y.o AND x.it < y.it
+       |       JOIN b5 z ON y.o = z.o AND z.it > y.it
+       |       JOIN b5 w ON z.o = w.o AND w.it > z.it
+       |       GROUP BY 1, 2, 3, 4 HAVING count(*) >= (SELECT sigma FROM n5)),
+       |lv AS (
+       |  SELECT CAST(1 AS BIGINT) AS k, i1 AS item_1,
+       |    CAST(NULL AS VARCHAR) AS item_2, CAST(NULL AS VARCHAR) AS item_3,
+       |    CAST(NULL AS VARCHAR) AS item_4, support FROM g1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), i1, i2, CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS VARCHAR), support FROM g2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), i1, i2, i3, CAST(NULL AS VARCHAR),
+       |    support FROM g3
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), i1, i2, i3, i4, support FROM g4)
+       |SELECT k, item_1, item_2, item_3, item_4, support FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY k
+       |    ORDER BY support DESC, item_1, item_2, item_3, item_4) AS rn
+       |  FROM lv) x
+       |WHERE rn <= $LevelTopK
+       |ORDER BY k, item_1, item_2, item_3, item_4""".stripMargin
+
   private[graft] def f02OracleSql: String =
     s"""WITH $basketsOracleCtes,
        |r AS (SELECT ia AS antecedent, ib AS consequent, support FROM l2

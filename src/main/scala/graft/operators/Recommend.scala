@@ -470,11 +470,12 @@ object Recommend {
     */
   private[graft] def memoRetainedIds: Set[Int] =
     topicsMemo.retainedIds ++ purchaseMemo.retainedIds ++
-      factorsMemo.retainedIds
+      factorsMemo.retainedIds ++ serveMemo.retainedIds
 
   /** Drop the factorization memos and unpersist their blocks. */
   private[graft] def clearMemos(): Unit = {
     topicsMemo.clear(); purchaseMemo.clear(); factorsMemo.clear()
+    serveMemo.clear()
   }
 
   /** The memoized doc×term count factorization behind t23/t24:
@@ -1044,9 +1045,35 @@ object Recommend {
     * item blocks (the mllib blockify knob) — documented, not needed
     * at any test SF.
     */
-  def s25RecommendTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  def s25RecommendTopk(spark: SparkSession, sfDir: String): DataFrame =
+    servedTopkFull(spark, sfDir)
+
+  /** Memo for the FULL served top-k frame — the r15 verdict's serve-
+    * frame task: s25 reports it and p19 scores it, so the users ×
+    * catalog scoring pass (the family's dominant cost — quadratic by
+    * semantics, the recommendForAllUsers shape) ran once per KEY
+    * instead of once per SWEEP. The served frame is tiny (users ×
+    * [[RecTopK]] rows) so parking it is free; the memo covers the
+    * FULL user set only — p28's 25% pre-serve sample stays its own
+    * (cheaper) scan, because a single-entry memo keyed on the subset
+    * would thrash between pct regimes mid-sweep, and sampling AFTER
+    * a memoized full serve would erase exactly the pre-serve cost
+    * shape p28 exists to pin.
+    */
+  private val serveMemo = new graft.FrameMemo[DataFrame]
+
+  /** The memoized full serve (see [[serveMemo]]); factors are
+    * computed BEFORE entering the memo (the FrameMemo
+    * no-nested-compute contract).
+    */
+  private[graft] def servedTopkFull(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val (users, items) = purchaseFactors(spark, sfDir)
-    serveTopk(users, items)
+    serveMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "orders") + "|" +
+        Tables.fingerprint(spark, sfDir, "lineitem") + "|serve100") {
+      serveTopk(users, items).ckpt(true)
+    }
   }
 
   /** The serve scoring tail over arbitrary (c, t0..t3) user and
@@ -1627,15 +1654,22 @@ object Recommend {
     * checkpointed). Nothing corpus-sized shuffles after the initial
     * group-by; no driver fetch. Output: one row per topic.
     */
-  def t35LdaMap(spark: SparkSession, sfDir: String): DataFrame = {
+  def t35LdaMap(spark: SparkSession, sfDir: String): DataFrame =
+    ldaCore(ldaCorpusTf(spark, sfDir))
+
+  /** The t35 tokenization: per-(doc, token) term frequencies over
+    * the documents table — shared by the batch trainer and the
+    * stream_lda_assign model build.
+    */
+  private[graft] def ldaCorpusTf(
+      spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.registerAll(spark)
-    val tf = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(call_function("word_grams", lower(col("text")), lit(1)))
           .as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    ldaCore(tf)
   }
 
   /** Final per-doc topic posteriors — the spec's planted-recovery
@@ -1644,8 +1678,27 @@ object Recommend {
   private[graft] def ldaTheta(tf: DataFrame): DataFrame =
     ldaCore(tf, debugTheta = true)
 
+  /** The trained SERVING model for the stream twin: the vocabulary
+    * (token, w) crossed with the one-row trained φ — ≤ [[LdaV]]
+    * rows, broadcastable. Train batch, serve stream (the
+    * stream_nb / stream_topic / stream_gmm "one stream, one model"
+    * posture).
+    */
+  private[graft] def ldaServeModel(tf: DataFrame): DataFrame =
+    ldaCore(tf, debugModel = true)
+
+  /** The p01-style deterministic θ-seed draw: tick columns
+    * tk0..tk{K-1} off md5("lda:doc:k") — ONE definition shared by
+    * training init and the serve fold-in, so a folded-in training
+    * doc starts from the identical seed.
+    */
+  private def ldaSeedTickCols: Seq[Column] = (0 until LdaK).map(k =>
+    (lit(1024L) + conv(substring(md5(concat(lit("lda:"),
+      col("doc_id").cast("string"), lit(s":$k"))), 1, 4), 16, 10)
+      .cast("long") % 1024L).as(s"tk$k"))
+
   private[graft] def ldaCore(tf: DataFrame,
-      debugTheta: Boolean = false): DataFrame = {
+      debugTheta: Boolean = false, debugModel: Boolean = false): DataFrame = {
     val K = LdaK
     val am1 = LdaPrior
     // vocabulary: top-V tokens by corpus tf (distributed top-V heap,
@@ -1657,10 +1710,7 @@ object Recommend {
       .withColumn("w", row_number().over(w0).cast("long") - 1L)
       .ckpt(true)
     // the doc-grouped in-vocab frame with the md5 theta-seed ticks
-    val tickCols = (0 until K).map(k =>
-      (lit(1024L) + conv(substring(md5(concat(lit("lda:"),
-        col("doc_id").cast("string"), lit(s":$k"))), 1, 4), 16, 10)
-        .cast("long") % 1024L).as(s"tk$k"))
+    val tickCols = ldaSeedTickCols
     val docs0 = tf.join(broadcast(vocab.select(col("token"), col("w"))),
         "token")
       .groupBy(col("doc_id"))
@@ -1769,6 +1819,8 @@ object Recommend {
     }
     if (debugTheta)
       return docs.select(col("doc_id"), col("th"))
+    if (debugModel)
+      return vocab.select(col("token"), col("w")).crossJoin(broadcast(phi))
     val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("round"))
     val ascent = objRows.reduce(_ unionByName _)
       .withColumn("prev", lag(col("obj"), 1).over(wOrd))
@@ -1795,6 +1847,60 @@ object Recommend {
         col("phi_norm_ok"),
         (col("theta_pos_ok") && col("phi_pos_ok")).as("positive_ok"))
       .orderBy(col("topic"))
+  }
+
+  /** Serve-side LDA posterior fold-in — the θ-only EM against a
+    * FIXED broadcast trained φ (the textbook fold-in for unseen
+    * documents: Asuncion et al., UAI 2009 treat inference-at-serve
+    * as E-steps with φ clamped). Input: (doc_id, w) rows, one per
+    * in-vocab token OCCURRENCE (the stream stage's output); the
+    * doc is grouped here, seeded by the SAME md5 θ-draw as training
+    * ([[ldaSeedTickCols]]), then [[LdaIters]] doc-local updates
+    * θ_k ∝ Σ_w n·θ_k φ_kw / Σ_j θ_j φ_jw, Dirichlet-smoothed
+    * exactly as the trainer's scan B — every update is a per-row
+    * higher-order aggregate over the doc's own tokens, so the serve
+    * path never shuffles after the per-doc group-by. Lineage is
+    * truncated per round (the beamSearchFor pattern — the θ tree
+    * would otherwise grow K-fold per round). Returns
+    * (doc_id, th array).
+    */
+  private[graft] def ldaFoldInTheta(
+      tokRows: DataFrame, phi: DataFrame): DataFrame = {
+    val K = LdaK
+    val am1 = LdaPrior
+    def denomSql(wRef: String): String =
+      (0 until K).map(k =>
+        s"element_at(th, ${k + 1}) * element_at(phi$k, CAST($wRef + 1 AS INT))")
+        .mkString(" + ")
+    var docs = tokRows.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w"), col("n")))).as("ws"),
+        sum(col("n")).as("nd"))
+      .select(Seq(col("doc_id"), col("ws"), col("nd")) ++
+        ldaSeedTickCols: _*)
+      .withColumn("tksum", (0 until K).map(k => col(s"tk$k")).reduce(_ + _))
+      .withColumn("th", array((0 until K).map(k =>
+        col(s"tk$k").cast("double") / col("tksum").cast("double")): _*))
+      .select(col("doc_id"), col("ws"), col("nd"), col("th"))
+      .crossJoin(broadcast(phi))
+    for (_ <- 0 until LdaIters) {
+      val sExprs = (0 until K).map(k =>
+        expr(s"aggregate(ws, CAST(0.0 AS DOUBLE), (a, x) -> a + x.n * " +
+          s"(element_at(th, ${k + 1}) * " +
+          s"element_at(phi$k, CAST(x.w + 1 AS INT))) / " +
+          s"(${denomSql("x.w")}))").as(s"s$k"))
+      docs = docs.select(Seq(col("doc_id"), col("ws"), col("nd")) ++
+          (0 until K).map(k => col(s"phi$k")) ++ Seq(col("th")) ++
+          sExprs: _*)
+        .withColumn("th", array((0 until K).map(k =>
+          (col(s"s$k") + lit(am1)) /
+            (col("nd").cast("double") + lit(K * am1))): _*))
+        .select(Seq(col("doc_id"), col("ws"), col("nd"), col("th")) ++
+          (0 until K).map(k => col(s"phi$k")): _*)
+        .ckpt(false)
+    }
+    docs.select(col("doc_id"), col("th"))
   }
 
   /** The DuckDB twin of [[t35LdaMap]]'s hashed init grid: the shared

@@ -1190,6 +1190,20 @@ object Similarity {
     */
   private[graft] val NnDescentRounds = 2
 
+  /** Bottom-graph degree for the REFINED graph (s20/s33) — raised
+    * from the s05 serve k of 3 (the r15 verdict task: the k = 3
+    * floor was the documented recall limiter once s33's coarse layer
+    * fixed the entry problem; degree caps the walk). The SEED stays
+    * the memoized k = 3 s05 graph — NN-descent's candidate pool
+    * (fwd ∪ rev ∪ two-hop) is what widens each node to up to
+    * [[GraphDegree]] neighbors, so the seed build costs nothing
+    * extra in a sweep. HNSW practice uses M = 8..48; 8 keeps the
+    * per-hop beam expansion (b·[[GraphDegree]] candidate rows per
+    * query) and the refine-round rescore (≤ 2k+(2k)² candidates per
+    * node) inside the same bounded shapes.
+    */
+  private[graft] val GraphDegree = 8
+
   /** The NN-descent core (public algorithm: Dong, Moses & Li,
     * "Efficient k-nearest neighbor graph construction for generic
     * similarity measures", WWW 2011 — the construction behind
@@ -1272,8 +1286,8 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     refinedMemo.getOrCompute(spark, sfDir,
-      Tables.fingerprint(spark, sfDir, "embeddings") + "|nnd") {
-      nnDescentFrom(emb, g0, KnnK, NnDescentRounds).ckpt(true)
+      Tables.fingerprint(spark, sfDir, "embeddings") + s"|nnd$GraphDegree") {
+      nnDescentFrom(emb, g0, GraphDegree, NnDescentRounds).ckpt(true)
     }
   }
 
@@ -1386,10 +1400,12 @@ object Similarity {
     * — the HNSW hierarchy's first level), so the beam starts at the
     * query's best layer members instead of a fixed low-id set; the
     * deterministic layer + bounded hops keep the result a pure
-    * corpus function. Residual recall is honestly bounded by the
-    * k = 3 bottom-graph degree (documented — production raises
-    * degree and adds more layers; the s11 pool→rerank recovery
-    * applies).
+    * corpus function. The bottom graph carries [[GraphDegree]] = 8
+    * edges per node (HNSW-M-style; raised from the k = 3 recall
+    * floor the r15 verdict flagged once the coarse layer fixed
+    * entry) — residual recall is bounded by degree × hops, and
+    * production adds more layers; the s11 pool→rerank recovery
+    * applies.
     */
   def s33GraphAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -2029,7 +2029,7 @@ object TextAnalysis {
     val rl = obs.groupBy(col("lang")).agg(sum(col("o")).as("r"))
     val cs = obs.groupBy(col("source")).agg(sum(col("o")).as("c"))
     val nn = obs.agg(sum(col("o")).as("n"))
-    rl.crossJoin(broadcast(cs))
+    val grid = rl.crossJoin(broadcast(cs))
       .join(obs, Seq("lang", "source"), "left")
       .crossJoin(broadcast(nn))
       .select(col("lang"), col("source"),
@@ -2041,12 +2041,27 @@ object TextAnalysis {
                |  / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
                |  * 1048576.0D + 0.5D) AS BIGINT)""".stripMargin)
           .as("chi2_ticks"))
+    // the TEST itself: total chi2 (an order-free exact tick sum) and
+    // df = (R-1)(C-1), mapped to p by the shared closed-form
+    // survival (reference ChiSqTest.scala pValue surface); constant
+    // over the report's rows, the p19 literal-frame posture
+    val tot = grid.agg(sum(col("chi2_ticks")).as("chi2_total_ticks"),
+      ((countDistinct(col("lang")) - lit(1L)) *
+        (countDistinct(col("source")) - lit(1L))).as("dof"))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("chi2_total",
+        col("chi2_total_ticks").cast("double") / lit(1048576.0))
+      .select(col("lang"), col("source"), col("observed"),
+        col("expected_ticks"), col("chi2_ticks"),
+        col("chi2_total_ticks"), col("dof"),
+        round(expr(graft.functions.PValues.chi2SfSql("chi2_total", "dof")), 4)
+          .as("p_value"))
       .orderBy(col("lang"), col("source"))
   }
 
   /** The DuckDB twin of [[t27Chi2]]. */
   private[graft] def chi2OracleSql: String =
-    """WITH obs AS MATERIALIZED (
+    s"""WITH obs AS MATERIALIZED (
       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
       |  FROM documents GROUP BY 1, 2),
       |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
@@ -2056,15 +2071,28 @@ object TextAnalysis {
       |  SELECT rl.lang, cs.source, rl.r, cs.c,
       |    coalesce(obs.o, 0) AS observed, (SELECT n FROM nn) AS n
       |  FROM rl CROSS JOIN cs
-      |  LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source)
-      |SELECT lang, source, observed,
-      |  (r * c * 1048576) // n AS expected_ticks,
-      |  CAST(floor(
-      |    CAST(observed * n - r * c AS DOUBLE)
-      |    * CAST(observed * n - r * c AS DOUBLE)
-      |    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
-      |    * 1048576.0 + 0.5) AS BIGINT) AS chi2_ticks
-      |FROM grid
+      |  LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source),
+      |cells AS (
+      |  SELECT lang, source, observed,
+      |    (r * c * 1048576) // n AS expected_ticks,
+      |    CAST(floor(
+      |      CAST(observed * n - r * c AS DOUBLE)
+      |      * CAST(observed * n - r * c AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      * 1048576.0 + 0.5) AS BIGINT) AS chi2_ticks
+      |  FROM grid),
+      |tot AS (
+      |  SELECT CAST(sum(chi2_ticks) AS BIGINT) AS chi2_total_ticks,
+      |    CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+      |      AS BIGINT) AS dof
+      |  FROM cells)
+      |SELECT lang, source, observed, expected_ticks, chi2_ticks,
+      |  chi2_total_ticks, dof,
+      |  round(${graft.functions.PValues.chi2SfSql("chi2_total", "dof")}, 4)
+      |    AS p_value
+      |FROM (SELECT cells.*, tot.chi2_total_ticks, tot.dof,
+      |        CAST(tot.chi2_total_ticks AS DOUBLE) / 1048576.0 AS chi2_total
+      |      FROM cells CROSS JOIN tot)
       |ORDER BY lang, source""".stripMargin
 
   /** Hash-bucket count for [[t30HashingTf]] — the fixed feature
@@ -2229,7 +2257,15 @@ object TextAnalysis {
       .agg(sum(col("term_ticks")).as("chi2_ticks"))
       .orderBy(col("chi2_ticks").desc, col("token"))
       .limit(Chi2SelTopK)
-      .select(col("token"), col("doc_freq"), col("chi2_ticks"))
+      // per-token p from the tick-exact statistic, df = L - 1 (the
+      // presence x lang table is 2 x L); shared closed-form survival
+      .crossJoin(broadcast(nl.agg(
+        (countDistinct(col("lang")) - lit(1L)).as("dof"))))
+      .withColumn("chi2", col("chi2_ticks").cast("double") / lit(1048576.0))
+      .select(col("token"), col("doc_freq"), col("chi2_ticks"),
+        round(expr(graft.functions.PValues.chi2SfSql("chi2", "dof")), 4)
+          .as("p_value"))
+      .orderBy(col("chi2_ticks").desc, col("token"))
   }
 
   /** The DuckDB twin of [[t29Chi2Select]]. */
@@ -2254,12 +2290,21 @@ object TextAnalysis {
        |    (SELECT nn FROM nn) AS nn
        |  FROM nw CROSS JOIN nl
        |  LEFT JOIN nwl ON nwl.token = nw.token AND nwl.lang = nl.lang
-       |  WHERE nw.n_w >= ${Chi2SelMinDf} AND nw.n_w < (SELECT nn FROM nn))
-       |SELECT token, n_w AS doc_freq,
-       |  CAST(sum((((n_wl * nn - n_w * n_l) * (n_wl * nn - n_w * n_l))
-       |    // (n_w * (nn - n_w)) * 1048576) // n_l) AS BIGINT) AS chi2_ticks
-       |FROM g GROUP BY 1, 2
-       |ORDER BY chi2_ticks DESC, token LIMIT ${Chi2SelTopK}""".stripMargin
+       |  WHERE nw.n_w >= ${Chi2SelMinDf} AND nw.n_w < (SELECT nn FROM nn)),
+       |sel AS (
+       |  SELECT token, n_w AS doc_freq,
+       |    CAST(sum((((n_wl * nn - n_w * n_l) * (n_wl * nn - n_w * n_l))
+       |      // (n_w * (nn - n_w)) * 1048576) // n_l) AS BIGINT) AS chi2_ticks
+       |  FROM g GROUP BY 1, 2
+       |  ORDER BY chi2_ticks DESC, token LIMIT ${Chi2SelTopK}),
+       |dd AS (SELECT CAST(count(DISTINCT lang) - 1 AS BIGINT) AS dof FROM nl)
+       |SELECT token, doc_freq, chi2_ticks,
+       |  round(${graft.functions.PValues.chi2SfSql("chi2", "dof")}, 4)
+       |    AS p_value
+       |FROM (SELECT sel.*, dd.dof,
+       |        CAST(chi2_ticks AS DOUBLE) / 1048576.0 AS chi2
+       |      FROM sel CROSS JOIN dd)
+       |ORDER BY chi2_ticks DESC, token""".stripMargin
 
   /** Boosting rounds for [[t31GbtStumps]] — fixed so the model is a
     * pure function of the corpus and the oracle can unroll the

@@ -287,6 +287,53 @@ object StreamOps {
       Seq((-best.getField("nk")).as("component"), col("norm_ok")): _*)
   }
 
+  /** Streaming twin of t35's posterior serve, stream stage: arriving
+    * documents explode to tokens and probe the BROADCAST trained LDA
+    * model ([[graft.operators.Recommend.ldaServeModel]] — vocab ×
+    * trained φ; train batch, serve stream). Stateless (scalar
+    * tokenize + stream-static broadcast join; OOV tokens drop, the
+    * t32 contract), emitting one (doc_id, w) row per in-vocab token
+    * occurrence. The per-doc posterior fold-in is an AGGREGATION and
+    * belongs in the sink via [[ldaAssignBatch]] — a doc's tokens
+    * share its micro-batch, so the sink's per-batch group-by is
+    * exact, where a stream-side group-by would need unbounded keyed
+    * state (the d10 sink-fold rationale).
+    */
+  def ldaAssignStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.registerAll(docs.sparkSession)
+    docs.select(col("doc_id"),
+        explode(call_function("word_grams", lower(col("text")), lit(1)))
+          .as("token"))
+      .join(broadcast(model.select(col("token"), col("w"))), "token")
+      .select(col("doc_id"), col("w"))
+  }
+
+  /** Sink-side posterior fold-in + quantization for
+    * [[ldaAssignStream]]: group the batch's (doc_id, w) rows per
+    * doc, run the θ-only EM against the clamped φ
+    * ([[graft.operators.Recommend.ldaFoldInTheta]] — the SAME code
+    * path batch callers use, so stream ≡ batch row-for-row), then
+    * the s35/gmm quantization contract: 2²⁰-tick θ (sums to
+    * 2²⁰ ± K), dominant topic (ties to the smaller k), norm
+    * boolean. φ is read off the model frame's (identical) rows.
+    */
+  def ldaAssignBatch(rows: DataFrame, model: DataFrame): DataFrame = {
+    val K = graft.operators.Recommend.LdaK
+    val phi = model
+      .select((0 until K).map(k => col(s"phi$k")): _*).limit(1)
+    val th = graft.operators.Recommend.ldaFoldInTheta(rows, phi)
+    val ticks = th.select(Seq(col("doc_id")) ++ (0 until K).map(k =>
+      floor(expr(s"element_at(th, ${k + 1})") * lit(1048576.0) + lit(0.5))
+        .cast("long").as(s"t${k}_ticks")): _*)
+    val best = greatest((0 until K).map(k =>
+      struct(col(s"t${k}_ticks").as("t"), lit(-k.toLong).as("nk"))): _*)
+    ticks
+      .withColumn("topic", -best.getField("nk"))
+      .withColumn("norm_ok",
+        abs((0 until K).map(k => col(s"t${k}_ticks")).reduce(_ + _) -
+          lit(1048576L)) <= lit(K.toLong))
+  }
+
   /** Streaming twin of d10 incremental dedup, candidate stage: new
     * documents arrive as a stream and probe the STATIC corpus band
     * index — the continuous form of the daily batch-vs-corpus probe.

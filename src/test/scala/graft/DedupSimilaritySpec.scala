@@ -417,9 +417,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(f"recall@3: seed $rSeed%.4f -> refined $rRef%.4f")
     assert(rRef >= rSeed, "refinement must never lose recall")
     assert(rRef > 0.95, s"refined recall@3 $rRef too low")
-    // structure: ≤ k dense ranks per node, true cosines, non-increasing
+    // degree raise (3 -> GraphDegree = 8, r16): measured graph
+    // recall@3 0.962 -> 0.968 here (0.964 -> 0.971 at sf0.01) — the
+    // graph-BUILD recall was already near its LSH-seed ceiling; the
+    // serve-side walk is where degree pays (see the degree-curve
+    // test below)
+    assert(rRef > 0.96, s"refined graph recall@3 $rRef below the k=8 bar")
+    // structure: ≤ GraphDegree dense ranks per node, true cosines,
+    // non-increasing
     refined.groupBy(_._1).foreach { case (q, rows) =>
-      assert(rows.length <= 3 &&
+      assert(rows.length <= Similarity.GraphDegree &&
         rows.map(_._4).sorted.sameElements(1L to rows.length))
       val byRank = rows.sortBy(_._4).map(_._3)
       assert(byRank.sliding(2).forall(p => p.head >= p.last - 5e-4))
@@ -536,6 +543,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Similarity.s33GraphAnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toSeq)
+    // recall@3 of the SERVED beam vs exact brute force — the r16
+    // degree-raise measurement (GraphDegree 3 -> 8 caps the walk no
+    // longer; the coarse layer already fixed entry)
+    val exact3 = got.map(_._1).distinct.flatMap { q =>
+      embC.toSeq.filter(_._1 != q)
+        .map { case (v, e) => (v, cos(embC(q), e)) }
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(v => (q, v._1))
+    }.toSet
+    val served3 = got.filter(_._4 <= 3L).map(r => (r._1, r._2)).toSet
+    val r3 = (exact3 & served3).size.toDouble / exact3.size
+    info(f"s33 serve recall@3 = $r3%.4f")
+    // this 500-vector random-embedding corpus is the hard case for
+    // graph navigation (no cosine locality to walk); the floor is
+    // the measured figure, the degree UPLIFT is pinned on the
+    // larger corpus in the next test
+    assert(r3 >= 0.6, s"s33 serve recall@3 $r3 regressed")
+  }
+
+  test("graph-ANN degree curve (r16): raising the bottom-graph degree " +
+    "3 -> 8 lifts serve recall@3 on the sf0.01 corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val embC = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val g0 = Similarity.knnGraphFor(emb)
+    val exact3 = (0L until 5L).flatMap { q =>
+      embC.toSeq.filter(_._1 != q)
+        .map { case (v, e) => (v, cos(embC(q), e)) }
+        .sortBy { case (v, c) => (-c, v) }.take(3).map(v => (q, v._1))
+    }.toSet
+    def serveRecall(deg: Int): Double = {
+      val g = Similarity.nnDescentFrom(emb, g0, deg, 2)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val served = Similarity.beamSearchFor(emb, g, queries,
+          Similarity.BeamWidth, Similarity.BeamHops,
+          entries = Some(Similarity.coarseEntries(emb, queries)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .filter(_._3 <= 3L).map(r => (r._1, r._2)).toSet
+      (exact3 & served).size.toDouble / exact3.size
+    }
+    val (r3deg3, r3deg8) = (serveRecall(3), serveRecall(Similarity.GraphDegree))
+    info(f"serve recall@3: degree 3 = $r3deg3%.4f, " +
+      f"degree ${Similarity.GraphDegree} = $r3deg8%.4f")
+    // measured 0.60 -> 0.80: the degree raise is the serve-recall
+    // lever the r15 verdict named (entry was fixed by the coarse
+    // layer; degree capped the walk)
+    assert(r3deg8 > r3deg3, "degree raise must lift serve recall")
+    assert(r3deg8 >= 0.75, s"k=8 serve recall@3 $r3deg8 below measured bar")
   }
 
   test("s05 cap contract: degenerate buckets drop, graph stays bounded") {

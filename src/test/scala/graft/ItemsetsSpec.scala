@@ -105,6 +105,64 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(sigma >= 2)
   }
 
+  test("f05 depth-4 itemsets equal brute-force enumeration at sf0.001; " +
+    "downward closure holds; every level non-vacuous") {
+    val byBasket = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nb = byBasket.size.toLong
+    val sigma = (nb + Itemsets.DepthFloorDenom - 1) / Itemsets.DepthFloorDenom
+    // brute force: every k-subset of every basket, sigma floor,
+    // per-level (support desc, items asc) top-K cut
+    def level(k: Int): Seq[(Seq[String], Long)] = byBasket.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(k).map(_.toSeq))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .filter(_._2 >= sigma)
+      .sortBy { case (is, s) => (-s, is.mkString("\u0001")) }
+      .take(Itemsets.LevelTopK)
+    val truth4 = (1 to Itemsets.ItemsetDepth).flatMap { k =>
+      level(k).map { case (is, s) => (k.toLong, is, s) }
+    }.sortBy { case (k, is, _) => (k, is.mkString("\u0001")) }
+    val got = Itemsets.f05ItemsetsDepth(spark, sfDir).collect()
+      .map { r =>
+        val items = (1 to Itemsets.ItemsetDepth)
+          .flatMap(i => Option(r.getString(i))).toSeq
+        (r.getLong(0), items, r.getLong(5))
+      }.toSeq
+    assert(got == truth4,
+      s"depth-4 drift: ${got.size} rows vs ${truth4.size}")
+    // every level to depth 4 carries rows (the 0.05% floor's point)
+    (1L to Itemsets.ItemsetDepth.toLong).foreach { k =>
+      assert(got.exists(_._1 == k), s"level $k vacuous")
+    }
+    // downward closure: every reported set's drop-one subsets are
+    // sigma-frequent in the brute-force truth (not necessarily in the
+    // top-K REPORT - the cut is presentation, the floor is semantics)
+    val freqAll: Map[Int, Set[Seq[String]]] = (1 to Itemsets.ItemsetDepth)
+      .map { k =>
+        k -> byBasket.values.toSeq
+          .flatMap(items => items.toSeq.sorted.combinations(k).map(_.toSeq))
+          .groupBy(identity).view.mapValues(_.length.toLong)
+          .filter(_._2 >= sigma).keySet.toSet
+      }.toMap
+    got.filter(_._1 >= 2).foreach { case (k, items, _) =>
+      items.indices.foreach { i =>
+        val sub = items.patch(i, Nil, 1)
+        assert(freqAll(k.toInt - 1)(sub), s"closure violated: $items / $sub")
+      }
+    }
+    // deterministic
+    assert(got == Itemsets.f05ItemsetsDepth(spark, sfDir).collect()
+      .map { r =>
+        val items = (1 to Itemsets.ItemsetDepth)
+          .flatMap(i => Option(r.getString(i))).toSeq
+        (r.getLong(0), items, r.getLong(5))
+      }.toSeq)
+  }
+
   test("f04 sequential patterns equal brute-force subsequence truth") {
     // in-test truth: per-user type sequences ordered by (ts, event_id),
     // pattern support = users whose sequence CONTAINS the subsequence

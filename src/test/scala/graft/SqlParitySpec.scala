@@ -125,13 +125,20 @@ class SqlParitySpec extends AnyFunSuite {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM grid g CROSS JOIN ty
          |  LEFT JOIN ct ON ct.t = ty.t AND ct.tick = g.tick)
+         |SELECT type_a, type_b, n_a, n_b, d_num, d_ticks,
+         |  round(${graft.functions.PValues.qksSql("lam")}, 4) AS p_value
+         |FROM (
+         |SELECT *, ${graft.functions.PValues.ksLambdaSql("ne", "dks")} AS lam
+         |FROM (
          |SELECT type_a, type_b, n_a, n_b, d_num,
-         |  (d_num * 1048576L) div (n_a * n_b) AS d_ticks
+         |  (d_num * 1048576L) div (n_a * n_b) AS d_ticks,
+         |  CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS dks,
+         |  CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS ne
          |FROM (
          |  SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
          |    max(abs(b.n * a.cum - a.n * b.cum)) AS d_num
          |  FROM cd a JOIN cd b ON a.tick = b.tick AND a.t < b.t
-         |  GROUP BY 1, 2, 3, 4)
+         |  GROUP BY 1, 2, 3, 4)))
          |ORDER BY type_a, type_b""".stripMargin,
       SparkEntry.queries("q53_ks_test")(spark, sfDir))
   }

@@ -613,6 +613,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_lda_assign: streamed posterior fold-in equals the batch " +
+    "fold-in row-for-row; ticks normalize; seed docs recover topics") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Recommend
+    // one trained model, broadcast to both paths (the gmm contract)
+    val model = Recommend.ldaServeModel(
+      Recommend.ldaCorpusTf(spark, sfDir)).localCheckpoint(true)
+    val probe = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 5)
+    val src = java.nio.file.Files.createTempDirectory("graft-lda-stream")
+    probe.coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+    val got = scala.collection.mutable.Set[Seq[Any]]()
+    val q = StreamOps.ldaAssignStream(stream, model)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.ldaAssignBatch(df, model).collect().foreach(r =>
+          got.synchronized { got += r.toSeq })
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = StreamOps.ldaAssignBatch(
+      StreamOps.ldaAssignStream(probe, model), model)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got.toSet == expected,
+      s"streaming LDA posteriors diverged: ${got.toSet} vs $expected")
+    val K = Recommend.LdaK
+    got.foreach { r =>
+      val ticks = (1 to K).map(i => r(i).asInstanceOf[Long])
+      assert(ticks.forall(_ >= 0L), s"negative tick: $r")
+      assert(math.abs(ticks.sum - 1048576L) <= K.toLong,
+        s"ticks do not normalize: $r")
+      val topic = r(K + 1).asInstanceOf[Long]
+      assert(topic >= 0 && topic < K, s"bad topic: $r")
+      assert(r(K + 2).asInstanceOf[Boolean], s"norm_ok false: $r")
+    }
+    // determinism of the whole serve path
+    assert(StreamOps.ldaAssignBatch(
+      StreamOps.ldaAssignStream(probe, model), model)
+      .collect().map(_.toSeq).toSet == expected)
+  }
+
   test("stream_ann_probe: probe of the static band index equals batch s02") {
     import org.apache.spark.sql.types._
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
