@@ -1702,7 +1702,12 @@ object Recommend {
     val K = LdaK
     val am1 = LdaPrior
     // vocabulary: top-V tokens by corpus tf (distributed top-V heap,
-    // then a row_number over the <= V survivors — a bounded frame)
+    // then a row_number over the <= V survivors — a bounded frame).
+    // SAFETY INVARIANT (r16 advice): the un-partitioned window below
+    // is a single-partition sort and is safe ONLY because it runs
+    // AFTER limit(LdaV) has bounded the frame to <= 128 rows — an
+    // edit that moves the withColumn above the limit would
+    // single-partition-shuffle the full token set.
     val w0 = org.apache.spark.sql.expressions.Window
       .orderBy(col("vtf").desc, col("token"))
     val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("vtf"))
@@ -1723,14 +1728,21 @@ object Recommend {
       .withColumn("th", array((0 until K).map(k =>
         col(s"tk$k").cast("double") / col("tksum").cast("double")): _*))
       .ckpt(true)
-    // hashed init grid (exact longs off the seed draw)
-    val hashAgg = (0 until K).map { k =>
-      docs0.agg(count(lit(1)).as("n_docs"),
-          sum(col(s"tk$k")).as("theta0_sum_ticks"),
-          sum(col("nd") * col(s"tk$k")).as("theta0_wsum_ticks"))
-        .select(lit(k.toLong).as("topic"), col("n_docs"),
-          col("theta0_sum_ticks"), col("theta0_wsum_ticks"))
-    }.reduce(_ unionByName _)
+    // hashed init grid (exact longs off the seed draw): ONE
+    // aggregation emits all 2K sums (r16 advice — the K separate
+    // aggs were the only multi-scan spot in the plan), eagerly
+    // checkpointed as a 1-row frame, then a literal unpivot to the
+    // per-topic rows
+    val hashAggCols = Seq(count(lit(1)).as("n_docs")) ++
+      (0 until K).flatMap(k => Seq(sum(col(s"tk$k")).as(s"ts$k"),
+        sum(col("nd") * col(s"tk$k")).as(s"tw$k")))
+    val hashAggOne = docs0.agg(hashAggCols.head, hashAggCols.tail: _*)
+      .ckpt(true)
+    val hashAgg = (0 until K).map(k =>
+      hashAggOne.select(lit(k.toLong).as("topic"), col("n_docs"),
+        col(s"ts$k").as("theta0_sum_ticks"),
+        col(s"tw$k").as("theta0_wsum_ticks")))
+      .reduce(_ unionByName _)
     val vSize = vocab.agg(count(lit(1)).as("v_size"))
     // phi init: deterministic symmetry-breaking weights over the
     // ACTUAL vocab grid (so every round's objective lives on the

@@ -2243,6 +2243,16 @@ object Relational {
     * accepts one gradient step or shrinks the step; few and fixed,
     * the monotone-loss contract checks every step, convergence is
     * not the claim (the s35 framing).
+    *
+    * RETUNE KNOB (r16 advice — so a spurious oracle red is
+    * diagnosable): loss_improved_ok is an EMPIRICAL property of
+    * these rounds on the planted qty >= 25 target — eta starts at
+    * 16 (the state init below) and quartering/doubling over 6 rounds
+    * was measured to accept at least one step at every test SF. A
+    * corpus regeneration where every candidate step rejects fails
+    * the oracle with no engine bug; the fix is here (more rounds,
+    * or a smaller eta start so the first backtracks land sooner),
+    * not in the gradient code.
     */
   private[graft] val MlpSigIters = 6
 
@@ -2464,9 +2474,15 @@ object Relational {
         (min(when(col("round") === MlpSigIters.toLong, col("loss"))) <
           min(when(col("round") === 0L, col("loss"))))
           .as("loss_improved_ok"))
+    // empty-class guard (r16 advice): with a degenerate corpus one
+    // class can be empty and sp/n is 0/0 — separation is then
+    // VACUOUSLY true, never a NaN/NULL that hash-fails the oracle
+    // with no engine bug
     val fin = state.select(
       col("norm_ok").as("posterior_norm_ok"),
-      (col("sp1") / col("n1c") > col("sp0") / col("n0c"))
+      when(col("n0c") > 0 && col("n1c") > 0,
+        col("sp1") / col("n1c") > col("sp0") / col("n0c"))
+        .otherwise(lit(true))
         .as("separation_ok"))
     // hashed per-class moment grid — the exact part of the contract
     feats.groupBy(col("y").as("label"))
