@@ -976,13 +976,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         call_function("ngram_containment", col("text_a"), col("text_b"), lit(3)).as("ab"),
         call_function("ngram_containment", col("text_b"), col("text_a"), lit(3)).as("ba"))
-    // one row per DIRECTED containment: contained -> container
-    scored.filter(col("ab") >= ContainBar)
-      .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
-        round(col("ab"), 4).as("containment"))
-      .union(scored.filter(col("ba") >= ContainBar)
-        .select(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
-          round(col("ba"), 4).as("containment")))
+    // one row per DIRECTED containment: contained -> container.
+    // Both directions in ONE pass (r16): the old two-branch
+    // self-union planned the un-checkpointed `scored` subtree TWICE —
+    // candidate build, text joins, and the ngram_containment kernel
+    // all ran double; exploding a 2-element struct array emits both
+    // directed rows from a single verification pass.
+    scored.select(explode(array(
+        struct(col("doc_a").as("contained_id"),
+          col("doc_b").as("container_id"), col("ab").as("cont")),
+        struct(col("doc_b").as("contained_id"),
+          col("doc_a").as("container_id"), col("ba").as("cont")))).as("x"))
+      .filter(col("x.cont") >= ContainBar)
+      .select(col("x.contained_id").as("contained_id"),
+        col("x.container_id").as("container_id"),
+        round(col("x.cont"), 4).as("containment"))
       .orderBy(col("contained_id"), col("container_id"))
   }
 

@@ -30,13 +30,13 @@ import graft.Tables
   *    by frequent-item baskets even on corpora where most items are
   *    rare.
   *
-  * Scale shape: one (order, item) distinct shuffle builds the basket
-  * frame (checkpointed, shared by all levels); L1 is one partial-agg'd
-  * count; L2 self-joins baskets on the order key — co-partitioned by
-  * the basket build, per-basket C(k≤cap, 2) expansion — then one
-  * partial-agg'd pair count. Rules (f02) join the TINY L2/L1 result
-  * frames only. At 10¹² baskets nothing changes shape: the frequent
-  * frames stay vocabulary-sized.
+  * Scale shape: ONE per-order shuffle builds the capped basket frame
+  * (groupBy collect_set + size filter + explode — checkpointed,
+  * shared by all levels); L1 is one partial-agg'd count; L2
+  * self-joins baskets on the order key — per-basket C(k≤cap, 2)
+  * expansion — then one partial-agg'd pair count. Rules (f02) join
+  * the TINY L2/L1 result frames only. At 10¹² baskets nothing
+  * changes shape: the frequent frames stay vocabulary-sized.
   */
 object Itemsets {
 
@@ -71,16 +71,21 @@ object Itemsets {
     val baskets = basketMemo.getOrCompute(spark, sfDir,
       graft.Tables.fingerprint(spark, sfDir, "lineitem") + "|" +
         graft.Tables.fingerprint(spark, sfDir, "part") + "|baskets") {
-      val raw = Tables.lineitem(spark, sfDir)
+      // ONE shuffle builds the capped basket frame (r16): collect_set
+      // per order subsumes the old distinct, and the size filter IS
+      // the cap — replacing distinct-ckpt + count-groupBy + join
+      // (3 shuffles, 2 materializations) with groupBy + explode
+      // (1 shuffle, 1 materialization). Row set identical: distinct
+      // (o, it) pairs of baskets with <= BasketCap distinct items.
+      Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("o"), col("l_partkey"))
         .join(Tables.part(spark, sfDir)
           .select(col("p_partkey").as("l_partkey"), col("p_brand").as("it")),
           "l_partkey")
-        .select(col("o"), col("it")).distinct()
+        .groupBy(col("o")).agg(collect_set(col("it")).as("its"))
+        .filter(size(col("its")) <= BasketCap)
+        .select(col("o"), explode(col("its")).as("it"))
         .ckpt(true)
-      val keep = raw.groupBy(col("o")).agg(count(lit(1)).as("k"))
-        .filter(col("k") <= BasketCap).select(col("o"))
-      raw.join(keep, "o").ckpt(true)
     }
     val support = baskets.agg(countDistinct(col("o")).as("nb"))
       .withColumn("sigma", expr("(nb + 49) div 50"))
@@ -97,8 +102,11 @@ object Itemsets {
       .crossJoin(broadcast(support))
       .filter(col("support") >= col("sigma"))
       .ckpt(true)
-    // Apriori prune: only L1-frequent items enter the pair expansion
-    val fb = baskets.join(l1.select(col("it")), "it")
+    // Apriori prune: only L1-frequent items enter the pair expansion.
+    // Explicit broadcast (r16): l1 is vocabulary-sized (<= 25 rows)
+    // but checkpointed — the planner's LogicalRDD default stats made
+    // this a SortMergeJoin with two exchanges of the basket frame.
+    val fb = baskets.join(broadcast(l1.select(col("it"))), "it")
     val l2 = fb.select(col("o"), col("it").as("ia"))
       .join(fb.select(col("o"), col("it").as("ib")), "o")
       .filter(col("ia") < col("ib"))
@@ -131,22 +139,30 @@ object Itemsets {
       .filter(col("sup1") >= col("sigma"))
       .select(col("it"), col("sup1"))
       .ckpt(true)
-    val fb = baskets.join(l1.select(col("it")), "it")
+    val fb = baskets.join(broadcast(l1.select(col("it"))), "it")
     val l2 = fb.select(col("o"), col("it").as("ia"))
       .join(fb.select(col("o"), col("it").as("ib")), "o")
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(support))
       .filter(col("support") >= col("sigma"))
-    val both = l2.select(col("ia").as("antecedent"), col("ib").as("consequent"),
-        col("support"), col("nb"))
-      .unionByName(l2.select(col("ib").as("antecedent"),
-        col("ia").as("consequent"), col("support"), col("nb")))
+    // both directions in ONE pass (r16): the old self-union planned
+    // the un-checkpointed l2 subtree — the full pair expansion —
+    // TWICE; exploding a 2-element struct array emits the same two
+    // rows per itemset from a single computation.
+    val both = l2.select(explode(array(
+        struct(col("ia").as("antecedent"), col("ib").as("consequent"),
+          col("support"), col("nb")),
+        struct(col("ib").as("antecedent"), col("ia").as("consequent"),
+          col("support"), col("nb")))).as("x"))
+      .select(col("x.antecedent").as("antecedent"),
+        col("x.consequent").as("consequent"),
+        col("x.support").as("support"), col("x.nb").as("nb"))
     both
-      .join(l1.select(col("it").as("antecedent"), col("sup1").as("sup_a")),
-        "antecedent")
-      .join(l1.select(col("it").as("consequent"), col("sup1").as("sup_c")),
-        "consequent")
+      .join(broadcast(l1.select(col("it").as("antecedent"),
+        col("sup1").as("sup_a"))), "antecedent")
+      .join(broadcast(l1.select(col("it").as("consequent"),
+        col("sup1").as("sup_c"))), "consequent")
       .select(col("antecedent"), col("consequent"), col("support"),
         expr(s"(support * $RuleScale) div sup_a").as("conf_ticks"),
         expr(s"(support * nb * $RuleScale) div (sup_a * sup_c)")
@@ -454,8 +470,12 @@ object Itemsets {
     val fb = baskets.join(
       broadcast(l1.select(element_at(col("items"), 1).as("it"))), "it")
       .select(col("o"), col("it"))
-    // occurrence frame: one row per (basket, frequent candidate set)
-    var occ = fb.select(col("o"), array(col("it")).as("items")).ckpt(true)
+    // occurrence frame: one row per (basket, frequent candidate set).
+    // Lazy (r16): the k=2 extension derives both join sides from the
+    // memoized basket frame directly — eagerly materializing a copy
+    // of fb with an array column was a whole corpus-sized pass for
+    // nothing.
+    var occ = fb.select(col("o"), array(col("it")).as("items"))
     var lk = l1
     var out = l1
     for (k <- 2 to depth) {
@@ -480,19 +500,28 @@ object Itemsets {
           .groupBy(col("items")).agg(count(lit(1)).as("nsub"))
           .filter(col("nsub") === k)
           .select(col("items"))
+      // ONE materialization per level (r16): the extension join is
+      // checkpointed once and BOTH the level counts and the next
+      // level's occurrence frame read the blocks — the old shape
+      // re-ran the whole occ⋈fb expansion for each (two corpus-sized
+      // joins per level, plus an eager occ checkpoint the final level
+      // never consumed).
       val occExp = occ.join(fb, "o")
         .filter(col("it") > element_at(col("items"), k - 1))
         .select(col("o"), concat(col("items"), array(col("it"))).as("items"))
         .join(broadcast(cands), Seq("items"), "left_semi")
+        .ckpt(true)
       lk = occExp.groupBy(col("items")).agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(support))
         .filter(col("support") >= col("sigma"))
         .select(col("items"), col("support"))
         .ckpt(true)
-      // keep only frequent occurrences for the next extension
-      occ = occExp
-        .join(broadcast(lk.select(col("items"))), Seq("items"), "left_semi")
-        .ckpt(true)
+      // keep only frequent occurrences for the next extension; lazy —
+      // a cheap semi-join over the checkpointed occExp blocks, and
+      // skipped entirely after the last level (nothing extends it)
+      if (k < depth)
+        occ = occExp
+          .join(broadcast(lk.select(col("items"))), Seq("items"), "left_semi")
       out = out.unionByName(lk)
     }
     // try_element_at: past-the-end pads NULL (plain element_at

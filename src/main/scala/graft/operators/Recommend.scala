@@ -730,8 +730,20 @@ object Recommend {
           col("tok").as("b")), Seq("doc_id", "jpos"))
         .select(col("a"), col("b"))
     }.reduce(_ unionByName _)
-    val sym = pd.unionByName(pd.select(col("b").as("a"), col("a").as("b")))
-    sym.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    // directed counts FIRST, then symmetrize the aggregated frame
+    // (r16): the old self-union planned the un-checkpointed pd
+    // subtree — all WordWindow positional joins — TWICE, and shuffled
+    // the raw 2×(tokens·window) rows into the group-by. Aggregating
+    // the directed pairs once, exploding both directions of the
+    // (distinct-pair-sized) counts, and summing is the same multiset:
+    // count over mirrored rows ≡ sum of directed counts both ways
+    // (a = b rows contribute twice on both shapes).
+    val dir = pd.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    dir.select(explode(array(
+        struct(col("a"), col("b"), col("cnt")),
+        struct(col("b").as("a"), col("a").as("b"), col("cnt")))).as("x"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("x.cnt").as("cnt"))
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
   }
 
   private[graft] def wordPpmi(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1501,8 +1513,16 @@ object Recommend {
                |  / sqrt(CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))
                |  * 1048576.0D + 0.5D) AS BIGINT)
                |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("simt"))
-    val sym = sims.union(
-      sims.select(col("j").as("i"), col("i").as("j"), col("simt")))
+    // both directions in ONE pass (r16): the old self-union planned
+    // the un-checkpointed sims subtree TWICE — i.e. the per-basket
+    // pair expansion and its shuffle (the suite's largest, ~170 MB)
+    // ran twice per invocation; exploding a 2-element struct array
+    // emits the same two rows per pair from a single computation.
+    val sym = sims.select(explode(array(
+        struct(col("i"), col("j"), col("simt")),
+        struct(col("j").as("i"), col("i").as("j"), col("simt")))).as("x"))
+      .select(col("x.i").as("i"), col("x.j").as("j"),
+        col("x.simt").as("simt"))
     val nbr = sym.groupBy(col("i"))
       .agg(call_function("top_k_by_score",
         col("simt").cast("double"), col("j"), lit(ItemKnnM)).as("top"))
@@ -1760,7 +1780,7 @@ object Recommend {
       (0 until K).map(k =>
         s"element_at(th, ${k + 1}) * element_at(phi$k, CAST($wRef + 1 AS INT))")
         .mkString(" + ")
-    var phi = phiInitRow.ckpt(true)
+    var phi = phiInitRow.ckpt(false)
     var docs = docs0.select(col("doc_id"), col("ws"), col("nd"), col("th"))
     var objRows: Seq[DataFrame] = Nil
     var thetaNormOk: DataFrame = null
@@ -1797,9 +1817,14 @@ object Recommend {
         .withColumn("th2", array((0 until K).map(k =>
           (col(s"s$k") + lit(am1)) /
             (col("nd").cast("double") + lit(K * am1))): _*))
+      // LAZY round checkpoint (r16): the next round's scan-A job (or
+      // the final assembly, for the last round) materializes the
+      // blocks — an eager ckpt here was a dedicated corpus-sized job
+      // per round. Value-deterministic (pure arithmetic off md5
+      // seeds), so the lazy pattern is safe in RELIABLE mode too.
       val updC = upd.select(col("doc_id"), col("ws"), col("nd"),
           col("th").as("th_prev"), col("th2").as("th"))
-        .ckpt(true)
+        .ckpt(false)
       val thPrior = updC.agg((sum(expr(
         "aggregate(th_prev, CAST(0.0 AS DOUBLE), (a, t) -> a + log2(t))"))
         * lit(am1)).as("th_prior"))
@@ -1814,10 +1839,13 @@ object Recommend {
         sort_array(collect_list(struct(col("w"), col(s"c$k").as("c"))))
           .as(s"arr$k")))
       val phiRows = wSums.agg(phiAggs.head, phiAggs.tail: _*)
+      // lazy too (r16): a 1-row frame over the eagerly-checkpointed
+      // wSums — the first broadcast build of the next round
+      // materializes it; eager was one more blocking job per round
       phi = phiRows.select((0 until K).map(k =>
           expr(s"transform(arr$k, x -> (x.c + $am1) / " +
             s"(tot$k + size(arr$k) * $am1))").as(s"phi$k")): _*)
-        .ckpt(true)
+        .ckpt(false)
       docs = updC.select(col("doc_id"), col("ws"), col("nd"), col("th"))
       if (r == LdaIters - 1) {
         thetaNormOk = updC.agg(
