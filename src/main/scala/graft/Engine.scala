@@ -86,4 +86,47 @@ object Engine {
   def buildFor(dataDir: String, master: String = "local[*]",
       totalCores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
     build(master, shufflePartitionsFor(dirBytes(dataDir), totalCores))
+
+  /** Session conf key for [[hintSmall]]'s row threshold — a
+    * scale-dependent knob, parameterized per the optimization-round
+    * contract (local default below; a cluster sizes it to executor
+    * memory headroom).
+    */
+  val BroadcastMaxRowsConf = "graft.broadcast.maxRows"
+
+  /** Default [[hintSmall]] threshold: 1M rows of per-entity state
+    * (≤ ~50 B/row) is a ≤ ~50 MB broadcast — inside the "few hundred
+    * MB is fine" band of the optimization guide (§3.1), far under the
+    * 8 GB / 512M-row hard cap.
+    */
+  private val BroadcastMaxRowsDefault = 1000000L
+
+  private[graft] def broadcastMaxRows(
+      spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastMaxRowsConf).map(_.toLong)
+      .getOrElse(BroadcastMaxRowsDefault)
+
+  /** Scale-adaptive build-side choice for the iterative operators'
+    * per-round state joins (guide §3.1 "pick the join strategy
+    * deliberately"). A checkpointed frame loses its size estimate —
+    * LogicalRDD plans with `spark.sql.defaultSizeInBytes`, so
+    * auto-broadcast NEVER fires on one: measured SortMergeJoins with
+    * exchanges on BOTH sides for 25-row vocabulary frames (f01) and
+    * node-sized rank states (g01). AQE's runtime SMJ→BHJ conversion
+    * only halves the damage: both exchanges still WRITE before the
+    * conversion reads one of them locally.
+    *
+    * The operators hold a real row count of the state's key domain
+    * anyway (their convergence digests / require guards), so they
+    * decide: under the threshold the state frame broadcasts and the
+    * corpus-sized side never shuffles; past it the hint switches off
+    * and the shuffle join stands — the plan adapts to scale instead
+    * of hard-coding either strategy.
+    */
+  private[graft] def hintSmall(
+      df: org.apache.spark.sql.DataFrame,
+      rows: Long): org.apache.spark.sql.DataFrame =
+    if (rows >= 0 && rows <= broadcastMaxRows(df.sparkSession))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 }

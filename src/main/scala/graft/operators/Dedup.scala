@@ -704,10 +704,15 @@ object Dedup {
       Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prevSum = labelSum(labels)
+    // node-sized round-invariant label state — the r16 scale-adaptive
+    // broadcast ([[graft.Engine.hintSmall]]): the symmetrized edge
+    // frame then never re-shuffles per round
+    val nNodes = labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val viaEdges = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+      val viaEdges = sym.join(graft.Engine.hintSmall(
+          labels.withColumnRenamed("id", "dst"), nNodes), "dst")
         .select(col("src").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))

@@ -94,8 +94,16 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 0, s"pregel: iters must be >= 0, got $iters")
     var state = init.ckpt(true)
+    // Scale-adaptive build side (r16, [[graft.Engine.hintSmall]]):
+    // the per-round state is node-sized and checkpointed, so the
+    // planner sees default stats and SMJ-shuffles the EDGE frame in
+    // `send` every round; the state row count is round-invariant
+    // (one row per node), so one bounded count decides the hint for
+    // all rounds — broadcast under the threshold, shuffle join past
+    // it (the graphx block shape).
+    val n = state.count()
     for (_ <- 1 to iters)
-      state = apply(state, send(state)).ckpt(false)
+      state = apply(state, send(graft.Engine.hintSmall(state, n))).ckpt(false)
     state
   }
 
@@ -187,11 +195,15 @@ object Graph {
     // Lazy truncates lineage while materializing inside the next
     // round's own first job — measured fastest of the three.
     var ranks = nodes.select(col("id"), lit(r0).as("r"))
+    // node-sized per-round state: scale-adaptive broadcast off the
+    // count the operator already takes (r16, the pregel rationale) —
+    // the edge frame then never re-shuffles inside the loop
     for (_ <- 1 to PageRankIters) {
-      val contribs = edges.join(ranks.withColumnRenamed("id", "src"), "src")
+      val contribs = edges.join(graft.Engine.hintSmall(
+          ranks.withColumnRenamed("id", "src"), n), "src")
         .select(col("dst").as("id"), expr("r div odeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = nodes.join(graft.Engine.hintSmall(contribs, n), Seq("id"), "left")
         .select(col("id"),
           (lit(base) + coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
         .ckpt(false)
@@ -228,13 +240,16 @@ object Graph {
     require(!seedRow.isNullAt(0), "g03: empty trading graph (no customer nodes)")
     val seed = seedRow.getLong(0)
     val teleport = RankScale * 15 / 100
+    // the g01 scale-adaptive loop hint, off one bounded node count
+    val n = nodes.count()
     var ranks = nodes.select(col("id"),
       when(col("id") === seed, lit(RankScale)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to PageRankIters) {
-      val contribs = edges.join(ranks.withColumnRenamed("id", "src"), "src")
+      val contribs = edges.join(graft.Engine.hintSmall(
+          ranks.withColumnRenamed("id", "src"), n), "src")
         .select(col("dst").as("id"), expr("r div odeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = nodes.join(graft.Engine.hintSmall(contribs, n), Seq("id"), "left")
         .select(col("id"),
           (when(col("id") === seed, lit(teleport)).otherwise(lit(0L)) +
             coalesce(expr("(85 * s) div 100"), lit(0L))).as("r"))
@@ -299,14 +314,22 @@ object Graph {
         .select(r.columns.filterNot(_ == valueCol).map(col) :+
           expr(s"($valueCol * $HitsScale) div __m").as(valueCol): _*)
     }
+    // one bounded 1-row read of both entity-domain sizes decides the
+    // scale-adaptive loop hints (r16, the g01 rationale): the score
+    // frames are ≤ these counts every half-round
+    val domRow = edges.agg(countDistinct(col("c")).as("ncd"),
+      countDistinct(col("s")).as("nsd")).collect()(0)
+    val (ncd, nsd) = (domRow.getLong(0), domRow.getLong(1))
     var hubs = edges.select(col("c")).distinct()
       .select(col("c"), lit(HitsScale).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to HitsIters) {
       auths = normalized(
-        edges.join(hubs, "c").groupBy(col("s")).agg(sum(col("h")).as("a")), "a")
+        edges.join(graft.Engine.hintSmall(hubs, ncd), "c")
+          .groupBy(col("s")).agg(sum(col("h")).as("a")), "a")
       hubs = normalized(
-        edges.join(auths, "s").groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
+        edges.join(graft.Engine.hintSmall(auths, nsd), "s")
+          .groupBy(col("c")).agg(sum(col("a")).as("h")), "h")
     }
     hubs.select(lit("c").as("node_type"), col("c").as("entity_key"),
         col("h").as("score_ticks"))
@@ -507,8 +530,11 @@ object Graph {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
       .ckpt(true)
+    // node-sized round-invariant state: one count, hints every round
+    val n = labels.count()
     for (_ <- 1 to iters) {
-      labels = edges.join(labels.withColumnRenamed("id", "src"), "src")
+      labels = edges.join(graft.Engine.hintSmall(
+          labels.withColumnRenamed("id", "src"), n), "src")
         .groupBy(col("dst").as("id"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("id"))
@@ -589,18 +615,24 @@ object Graph {
     * reached within `iters` hops. Package-private for the spec.
     */
   private[graft] def boundedBfs(
-      edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+      edges: DataFrame, seeds: DataFrame, iters: Int,
+      nodeBound: Long = -1L): DataFrame = {
     var dist = seeds.distinct()
       .select(col("id"), lit(0L).as("d")).ckpt(true)
     var frontier = dist
+    // frontier and reached set are both ≤ the caller's node bound —
+    // scale-adaptive hints keep the edge frame un-shuffled per hop
+    // (r16); callers without a cheap bound pass -1 (hint off)
     for (_ <- 1 to iters) {
-      val next = edges.join(frontier.withColumnRenamed("id", "src"), "src")
+      val next = edges.join(graft.Engine.hintSmall(
+          frontier.withColumnRenamed("id", "src"), nodeBound), "src")
         .select(col("dst").as("id"), (col("d") + 1).as("d"))
       // min over THIS round's candidates only, then keep the truly new
       // ids — first touch is minimal on unit weights, so dist never
       // needs re-aggregating and the union below stays disjoint
       val newly = next.groupBy(col("id")).agg(min(col("d")).as("d"))
-        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .join(graft.Engine.hintSmall(dist.select(col("id")), nodeBound),
+          Seq("id"), "left_anti")
         .ckpt(false)
       dist = dist.union(newly).ckpt(false)
       frontier = newly
@@ -613,7 +645,7 @@ object Graph {
     val nodes = edges.select(col("src").as("id")).distinct()
     val seeds = nodes.filter(col("id") % 2 === 0)
       .orderBy(col("id")).limit(SsspSeeds)
-    boundedBfs(edges, seeds, SsspIters).select(
+    boundedBfs(edges, seeds, SsspIters, nodes.count()).select(
         when(col("id") % 2 === 0, lit("c")).otherwise(lit("s")).as("node_type"),
         expr("id div 2").as("entity_key"),
         col("d").as("hops"))
@@ -634,17 +666,21 @@ object Graph {
     * boundedBfs argument per landmark).
     */
   private[graft] def landmarkPaths(edges: DataFrame, landmarks: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, stateBound: Long = -1L): DataFrame = {
     var dist = landmarks.distinct()
       .select(col("id").as("lm"), col("id"), lit(0L).as("d"))
       .ckpt(true)
     var frontier = dist
+    // per-landmark frontier/reached ≤ L·nodes — the boundedBfs hint
+    // with the caller's O(N·L) bound
     for (_ <- 1 to iters) {
-      val next = edges.join(
-          frontier.select(col("lm"), col("id").as("src"), col("d")), "src")
+      val next = edges.join(graft.Engine.hintSmall(
+          frontier.select(col("lm"), col("id").as("src"), col("d")),
+          stateBound), "src")
         .select(col("lm"), col("dst").as("id"), (col("d") + 1).as("d"))
       val newly = next.groupBy(col("lm"), col("id")).agg(min(col("d")).as("d"))
-        .join(dist.select(col("lm"), col("id")), Seq("lm", "id"), "left_anti")
+        .join(graft.Engine.hintSmall(dist.select(col("lm"), col("id")),
+          stateBound), Seq("lm", "id"), "left_anti")
         .ckpt(false)
       dist = dist.union(newly).ckpt(false)
       frontier = newly
@@ -671,7 +707,8 @@ object Graph {
       val nodes = edges.select(col("src").as("id")).distinct()
       val seeds = nodes.filter(col("id") % 2 === 0)
         .orderBy(col("id")).limit(SsspSeeds)
-      landmarkPaths(edges, seeds, SsspIters).ckpt(true)
+      landmarkPaths(edges, seeds, SsspIters,
+        SsspSeeds.toLong * nodes.count()).ckpt(true)
     }
   }
 
@@ -873,12 +910,14 @@ object Graph {
     * assert the bound directly.
     */
   private[graft] def corenessHistogram(
-      edges: DataFrame, c: DataFrame, gcap: DataFrame): DataFrame = {
+      edges: DataFrame, c: DataFrame, gcap: DataFrame,
+      nodeBound: Long = -1L): DataFrame = {
     val caps = c.crossJoin(broadcast(gcap))
       .select(col("id").as("src"), least(col("c"), col("gcap")).as("cap"))
-    edges.join(c.withColumnRenamed("id", "dst"), "dst")
+    edges.join(graft.Engine.hintSmall(
+        c.withColumnRenamed("id", "dst"), nodeBound), "dst")
       .select(col("src"), col("c"))
-      .join(caps, "src")
+      .join(graft.Engine.hintSmall(caps, nodeBound), "src")
       .groupBy(col("src"), least(col("c"), col("cap")).as("cv"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -918,10 +957,11 @@ object Graph {
     * bounded spec loop and the converged production loop.
     */
   private def corenessStep(
-      edges: DataFrame, c: DataFrame, gcap: DataFrame): DataFrame = {
+      edges: DataFrame, c: DataFrame, gcap: DataFrame,
+      nodeBound: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("src")).orderBy(col("cv").desc)
-    corenessHistogram(edges, c, gcap)
+    corenessHistogram(edges, c, gcap, nodeBound)
       .withColumn("f", sum(col("cnt")).over(w))
       .groupBy(col("src").as("id"))
       .agg(max(least(col("cv"), col("f"))).as("c"))
@@ -941,9 +981,10 @@ object Graph {
 
   private[graft] def corenessRounds(edges: DataFrame, iters: Int): DataFrame = {
     val (c0, gcap) = corenessInit(edges)
+    val n = c0.count() // node-sized round-invariant state (r16 hint)
     var c = c0
     for (_ <- 1 to iters)
-      c = corenessStep(edges, c, gcap).ckpt(false)
+      c = corenessStep(edges, c, gcap, n).ckpt(false)
     c
   }
 
@@ -972,6 +1013,7 @@ object Graph {
     def digest(df: DataFrame): BigDecimal =
       Option(df.agg(sum(col("c").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    val n = c0.count() // node-sized round-invariant state (r16 hint)
     var c = c0
     var prev = digest(c)
     var converged = false
@@ -979,7 +1021,7 @@ object Graph {
     while (!converged && iter < maxRounds) {
       // lazy ckpt: the digest action materializes the truncation —
       // one job per round instead of two (the g19 chatter cut)
-      c = corenessStep(edges, c, gcap).ckpt(false)
+      c = corenessStep(edges, c, gcap, n).ckpt(false)
       val d = digest(c)
       converged = d == prev
       prev = d
@@ -1058,14 +1100,19 @@ object Graph {
     var state = nb.select(col("src").as("walk_id")).distinct()
       .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("node"))
       .ckpt(true)
+    // one walker row per node, round-invariant — the walker frame is
+    // the scale-adaptive broadcast side of BOTH per-hop joins (r16):
+    // the ranked adjacency (edge-sized) then never shuffles per hop
+    val nWalks = state.count()
     var frontier = state
     for (t <- 1 to len) {
-      val drawn = frontier.select(col("walk_id"), col("node").as("src"))
+      val drawn = graft.Engine.hintSmall(
+        frontier.select(col("walk_id"), col("node").as("src")), nWalks)
         .join(deg, "src")
         .withColumn("r",
           conv(substring(md5(concat(lit("walk:"), col("walk_id").cast("string"),
             lit(s":$t"))), 1, 12), 16, 10).cast("long") % col("deg"))
-      val next = drawn.join(nb, Seq("src", "r"))
+      val next = graft.Engine.hintSmall(drawn, nWalks).join(nb, Seq("src", "r"))
         .select(col("walk_id"), lit(t).as("step"), col("dst").as("node"))
         .ckpt(false)
       state = state.union(next)
@@ -1197,10 +1244,12 @@ object Graph {
     var v = deg.crossJoin(broadcast(dmax))
       .select(col("src").as("id"), expr("(deg * 4096) div dm").as("v"))
       .ckpt(true)
+    val n = deg.count() // node-sized round-invariant state (r16 hint)
     for (_ <- 1 to iters) {
-      val s = edges.join(v.withColumnRenamed("id", "dst"), "dst")
+      val s = edges.join(graft.Engine.hintSmall(
+          v.withColumnRenamed("id", "dst"), n), "dst")
         .groupBy(col("src")).agg(sum(col("v")).as("s"))
-        .join(deg, "src")
+        .join(graft.Engine.hintSmall(deg, n), "src")
         .select(col("src").as("id"), expr("(s * 4096) div deg").as("u"))
       val umax = s.agg(greatest(max(col("u")), lit(1L)).as("um"))
       v = s.crossJoin(broadcast(umax))
@@ -1663,6 +1712,15 @@ object Graph {
     // half of the r13 chatter cut): every truncation point is
     // materialized by the digest/count action that follows it, so a
     // ckpt(true)+digest pair (2 jobs) becomes one job.
+    // NO scale-adaptive broadcast hints in this operator (r16,
+    // measured): g19's edge frame is itself node-scale sparse (the
+    // SccBackMinCount threshold keeps it ~3% of pairs, ~500 KB at
+    // sf0.1), so the per-round shuffles the hints would remove cost
+    // nothing, while every broadcast build adds a scan job of its own
+    // — measured CPU 16.3 s → 20.0 s (partial hints) → 28.7 s (hints
+    // incl. the double-referenced hop frames) on byte-identical work.
+    // The g01/g09 loops, whose edge frames are ~30× bigger, are where
+    // the hint pays.
     def restrictEdges(): Unit = {
       er = er.join(rem.withColumnRenamed("id", "src"), Seq("src"), "semi")
         .join(rem.withColumnRenamed("id", "dst"), Seq("dst"), "semi")
@@ -1716,6 +1774,12 @@ object Graph {
         // fixpoint, so batching hops between the blocking 1-row
         // digest reads halves driver round-trips without changing a
         // single label.
+        // NO broadcast hint here (r16, measured): the hop input `l`
+        // is referenced by BOTH the union branch and the join side;
+        // the inner hop of each double-hop batch is un-checkpointed,
+        // and a broadcast of it defeats the shuffle-exchange reuse
+        // that deduplicates the two references — measured CPU 2x,
+        // tasks 264 -> 513. The shuffle join keeps the reuse.
         def colorHop(l: DataFrame): DataFrame =
           l.unionByName(
               er.join(l.withColumnRenamed("id", "src"), "src")
@@ -1744,6 +1808,7 @@ object Graph {
         // monotonically and the hop is idempotent once saturated, so
         // the batching (same as coloring) halves the blocking count
         // reads with byte-identical marks.
+        // same no-hint rationale as colorHop: m is double-referenced
         def backHop(m: DataFrame): DataFrame =
           m.unionByName(
               le.join(m.withColumnRenamed("id", "dst"), "dst")

@@ -184,14 +184,27 @@ object Recommend {
         (0 until AlsRank).map(k =>
           (initTick(col("s"), k) / lit(4096.0)).as(s"f$k")): _*)
       .ckpt(true)
+    // Scale-adaptive build side (r16, [[graft.Engine.hintSmall]]):
+    // the factor frames are checkpointed, so the planner sees default
+    // stats and SMJ-shuffled the RATINGS frame on both half-round
+    // joins; counting the eagerly-checkpointed entity frames is a
+    // bounded driver scalar, and the row counts are round-invariant
+    // (the key domains never change), so one count per side decides
+    // every round's hint. Past the threshold the shuffle join stands
+    // — the mllib block-ALS shape.
+    val nItems = items.count()
     var users: DataFrame = null
-    for (_ <- 1 to AlsIters) {
+    var nUsers = -1L
+    for (i <- 1 to AlsIters) {
       users = solveSide(
-        ratings.join(items.select(Seq(col("s")) ++
-          (0 until AlsRank).map(k => col(s"f$k")): _*), "s"), "c")
+        ratings.join(graft.Engine.hintSmall(
+          items.select(Seq(col("s")) ++
+            (0 until AlsRank).map(k => col(s"f$k")): _*), nItems), "s"), "c")
+      if (i == 1) nUsers = users.count()
       items = solveSide(
-        ratings.join(users.select(Seq(col("c")) ++
-          (0 until AlsRank).map(k => col(s"f$k")): _*), "c"), "s")
+        ratings.join(graft.Engine.hintSmall(
+          users.select(Seq(col("c")) ++
+            (0 until AlsRank).map(k => col(s"f$k")): _*), nUsers), "c"), "s")
     }
     (users, items)
   }
@@ -1235,15 +1248,27 @@ object Recommend {
       (0 until AlsRank).map(k =>
         svdppInit("y", col("s"), k, 256L).as(s"y$k")): _*)
       .ckpt(true)
+    // Scale-adaptive build side (r16, the alsFactor rationale): the
+    // model frames are checkpointed (default stats — the ratings
+    // frame SMJ-shuffled on EVERY per-round join); the entity counts
+    // off the eager nc/ns checkpoints are round-invariant and bound
+    // every c-/s-keyed round frame (ysum, uagg, yagg included: their
+    // key domains are subsets), so two bounded driver scalars decide
+    // all the hints for all rounds.
+    val nUsers = nc.count()
+    val nItems = ns.count()
+    def hintU(df: DataFrame): DataFrame = graft.Engine.hintSmall(df, nUsers)
+    def hintI(df: DataFrame): DataFrame = graft.Engine.hintSmall(df, nItems)
     for (_ <- 1 to SvdppIters) {
-      val ysum = raw.join(itemM.select(Seq(col("s")) ++
-          (0 until AlsRank).map(k => col(s"y$k")): _*), "s")
+      val ysum = raw.join(hintI(itemM.select(Seq(col("s")) ++
+          (0 until AlsRank).map(k => col(s"y$k")): _*)), "s")
         .groupBy(col("c"))
         .agg((0 until AlsRank).map(k => sum(col(s"y$k")).as(s"ys$k")).head,
           (0 until AlsRank).map(k => sum(col(s"y$k")).as(s"ys$k")).tail: _*)
       val zCols = (0 until AlsRank).map(k =>
         clampT(col(s"p$k") + expr(s"(wu * ys$k) div 4096")).as(s"z$k"))
-      val joined0 = raw.join(userM, "c").join(itemM, "s").join(ysum, "c")
+      val joined0 = raw.join(hintU(userM), "c").join(hintI(itemM), "s")
+        .join(hintU(ysum), "c")
         .crossJoin(broadcast(mu))
       val joined = (0 until AlsRank).foldLeft(joined0) { (df, k) =>
           df.withColumn(s"z$k", zCols(k))
@@ -1264,8 +1289,8 @@ object Recommend {
       val iagg = staged.groupBy(col("s"))
         .agg(sum(col("e24")).as("se"),
           (0 until AlsRank).map(k => sum(col(s"gq$k")).as(s"sgq$k")): _*)
-      val yagg = raw.join(uagg.select(Seq(col("c")) ++
-          (0 until AlsRank).map(k => col(s"sy$k")): _*), "c")
+      val yagg = raw.join(hintU(uagg.select(Seq(col("c")) ++
+          (0 until AlsRank).map(k => col(s"sy$k")): _*)), "c")
         .groupBy(col("s"))
         .agg((0 until AlsRank).map(k => sum(col(s"sy$k")).as(s"gy$k")).head,
           (0 until AlsRank).map(k => sum(col(s"sy$k")).as(s"gy$k")).tail: _*)
