@@ -78,6 +78,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Engine.tuneSql(spark)
     // dev isolation: SPARK_GRAFT_ONLY=q01_pricing_summary,m03_... runs
     // a subset (the driver never sets it — full sweep by default)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

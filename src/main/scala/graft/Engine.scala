@@ -18,8 +18,41 @@ object Engine {
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
+    tuneSql(spark)
     graft.functions.registerAll(spark)
     spark
+  }
+
+  /** Execution tuning every session the library drives shares —
+    * runtime SQL confs, so callable on an externally-built session
+    * (guide §3.1/§9; r16, measured on the s32 node metrics):
+    *
+    *  - ObjectHashAggregate's sort-based fallback threshold defaults
+    *    to 128 distinct keys per task, so EVERY bounded-heap top-k
+    *    aggregation (top_k_by_score — per-item neighbor lists,
+    *    per-user serve cuts) over more than 128 groups fell back to
+    *    sort-based aggregation, which serializes the typed buffer per
+    *    update row — measured 68 s in ONE s32 aggregation at sf0.1
+    *    (numTasksFallBacked=32). 512k keys/task bounds worst-case
+    *    fallback-free memory at ~200 MB/task for the library's
+    *    k-heaps; aggregates with unbounded per-group state
+    *    (collect_list) still fall back past it — that is the knob's
+    *    job, not a regression.
+    *  - AQE's SMJ→shuffled-hash rewrite is OFF by default
+    *    (threshold 0). Checkpointed frames plan from
+    *    defaultSizeInBytes, so the STATIC planner can never pick the
+    *    hash join for them; the runtime rewrite sees the true
+    *    post-shuffle sizes and drops the sort on both sides
+    *    (measured: a single 30.8 s sort under s32's dots self-join).
+    *    128 MB per-partition build cap = the advisory partition size;
+    *    at any scale AQE only converts partitions that genuinely fit.
+    */
+  def tuneSql(spark: SparkSession): Unit = {
+    val c = spark.conf
+    c.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "524288")
+    c.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      (128L << 20).toString)
   }
 
   /** Default post-shuffle partition target. 128 MiB ≈ one HDFS/object

@@ -27,6 +27,7 @@ object JobStats {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Engine.tuneSql(spark)
     val jobs = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
@@ -55,12 +56,25 @@ object JobStats {
       jobs.set(0); stages.set(0); tasks.set(0); runMs.set(0L); cpuNs.set(0L)
       val t0 = System.nanoTime()
       try {
-        graft.plans.PlanAudit.executedPlan(SparkEntry.queries(name)(spark, sfDir))
+        val plan =
+          graft.plans.PlanAudit.executedPlan(SparkEntry.queries(name)(spark, sfDir))
         settle()
         val wall = (System.nanoTime() - t0) / 1e9
         println(f"[jobstats] $name jobs=${jobs.get} stages=${stages.get} " +
           f"tasks=${tasks.get} run_s=${runMs.get / 1e3}%.2f " +
           f"cpu_s=${cpuNs.get / 1e9}%.2f wall_s=$wall%.2f")
+        // optional per-node SQLMetrics dump of the FINAL action's plan
+        // (loop rounds ran as earlier jobs and are not covered)
+        if (sys.env.contains("SPARK_GRAFT_NODEMETRICS"))
+          graft.plans.PlanAudit.allNodes(plan).foreach { n =>
+            val ms = n.metrics.toSeq
+              .filter { case (_, m) => m.value > 0 }
+              .sortBy(-_._2.value)
+              .take(6)
+              .map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+            if (ms.nonEmpty)
+              println(s"[nodemetrics] $name ${n.nodeName} $ms")
+          }
       } catch { case e: Throwable =>
         println(s"[jobstats] $name FAILED ${e.getClass.getName}: ${e.getMessage}")
       }

@@ -436,10 +436,17 @@ object Graph {
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .agg(count(lit(1)).as("nl"))
       val tp = capCustFanout(cs)
-      val cc = tp.as("x").join(tp.as("y"),
+      // r16: SHUFFLE_HASH on the projection self-join (the window
+      // output planned SMJ — two sorts of the capped frame) and the
+      // supplier pair packed into ONE long for the count aggregation
+      // (the s32 dots treatment; suppkeys < 2³¹, the g04 RankBase
+      // bound already documented above).
+      val cc = tp.as("x").join(tp.as("y").hint("shuffle_hash"),
           col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-        .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+        .groupBy((shiftleft(col("x.s"), 32) + col("y.s")).as("ss"))
         .agg(count(lit(1)).as("n"))
+        .select(shiftright(col("ss"), 32).as("s1"),
+          col("ss").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"), col("n"))
       val dir = cc.select(col("s1").as("u"), col("s2").as("v"), col("n"))
         .union(cc.select(col("s2").as("u"), col("s1").as("v"), col("n")))
       val topk = Window.partitionBy(col("u")).orderBy(col("n").desc, col("v").asc)
@@ -1096,7 +1103,10 @@ object Graph {
       .withColumn("r", (col("__r1") - 1).cast("long"))
       .select(col("src"), col("dst"), col("r"))
       .ckpt(true)
+    // eager: FOUR hops re-aggregated the edge-sized ranked adjacency
+    // into degrees before r16 — one materialization, four cheap reads
     val deg = nb.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .ckpt(true)
     var state = nb.select(col("src").as("walk_id")).distinct()
       .select(col("walk_id"), lit(0).as("step"), col("walk_id").as("node"))
       .ckpt(true)

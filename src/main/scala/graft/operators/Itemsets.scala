@@ -107,8 +107,13 @@ object Itemsets {
     // but checkpointed — the planner's LogicalRDD default stats made
     // this a SortMergeJoin with two exchanges of the basket frame.
     val fb = baskets.join(broadcast(l1.select(col("it"))), "it")
+    // SHUFFLE_HASH on every per-order expansion self-join (r16): the
+    // checkpointed basket frame plans SMJ from default stats, paying
+    // two corpus-sized sorts per level; the per-partition build side
+    // is basket-frame/partitions — exactly a hash map's size (guide
+    // §3.1). Applied family-wide (f01/f02/f03/f05).
     val l2 = fb.select(col("o"), col("it").as("ia"))
-      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .join(fb.select(col("o"), col("it").as("ib")).hint("shuffle_hash"), "o")
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(support))
@@ -141,7 +146,7 @@ object Itemsets {
       .ckpt(true)
     val fb = baskets.join(broadcast(l1.select(col("it"))), "it")
     val l2 = fb.select(col("o"), col("it").as("ia"))
-      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .join(fb.select(col("o"), col("it").as("ib")).hint("shuffle_hash"), "o")
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(support))
@@ -228,7 +233,7 @@ object Itemsets {
       .ckpt(true)
     val fb = baskets.join(broadcast(l1), "it").ckpt(true)
     val l2k = fb.select(col("o"), col("it").as("ia"))
-      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .join(fb.select(col("o"), col("it").as("ib")).hint("shuffle_hash"), "o")
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("s2"))
       .crossJoin(broadcast(support))
@@ -236,11 +241,11 @@ object Itemsets {
       .select(col("ia"), col("ib"))
       .ckpt(true)
     val basketPairs = fb.select(col("o"), col("it").as("ia"))
-      .join(fb.select(col("o"), col("it").as("ib")), "o")
+      .join(fb.select(col("o"), col("it").as("ib")).hint("shuffle_hash"), "o")
       .filter(col("ia") < col("ib"))
       .join(broadcast(l2k), Seq("ia", "ib"), "left_semi")
     val tri = basketPairs
-      .join(fb.select(col("o"), col("it").as("ic")), "o")
+      .join(fb.select(col("o"), col("it").as("ic")).hint("shuffle_hash"), "o")
       .filter(col("ic") > col("ib"))
       .join(broadcast(l2k.select(col("ia"), col("ib").as("ic"))),
         Seq("ia", "ic"), "left_semi")
@@ -506,7 +511,7 @@ object Itemsets {
       // re-ran the whole occ⋈fb expansion for each (two corpus-sized
       // joins per level, plus an eager occ checkpoint the final level
       // never consumed).
-      val occExp = occ.join(fb, "o")
+      val occExp = occ.join(fb.hint("shuffle_hash"), "o")
         .filter(col("it") > element_at(col("items"), k - 1))
         .select(col("o"), concat(col("items"), array(col("it"))).as("items"))
         .join(broadcast(cands), Seq("items"), "left_semi")

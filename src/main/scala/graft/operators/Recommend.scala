@@ -1524,11 +1524,24 @@ object Recommend {
     val model = cappedRatings(ratings)
     val nrm = model.groupBy(col("s"))
       .agg(sum(col("r") * col("r")).as("n2"))
+    // r16 per-task-work tuning, measured on the executed node metrics:
+    // (a) SHUFFLE_HASH on the self-join — the checkpointed ratings
+    // frame plans SMJ from default stats, paying two corpus-sized
+    // sorts; the per-partition build side (ratings/partitions) is
+    // exactly what a hash map wants (guide §3.1). (b) the (i, j) pair
+    // key packed into ONE long for the aggregation — the two-long key
+    // measured avgHashProbe ≈ 444 near map capacity; an 8-byte key
+    // halves the row and probes cleanly. Requires keys < 2³¹
+    // (suppkeys at any realistic SF — the g04 RankBase bound); past
+    // that the documented retune reverts to the two-column key.
     val dots = model.select(col("c"), col("s").as("i"), col("r").as("ri"))
-      .join(model.select(col("c"), col("s").as("j"), col("r").as("rj")), "c")
+      .join(model.select(col("c"), col("s").as("j"), col("r").as("rj"))
+        .hint("shuffle_hash"), "c")
       .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
+      .groupBy((shiftleft(col("i"), 32) + col("j")).as("ij"))
       .agg(sum(col("ri") * col("rj")).as("dot"))
+      .select(shiftright(col("ij"), 32).as("i"),
+        col("ij").bitwiseAND(lit(0xFFFFFFFFL)).as("j"), col("dot"))
     val sims = dots
       .join(broadcast(nrm.select(col("s").as("i"), col("n2").as("ni"))), "i")
       .join(broadcast(nrm.select(col("s").as("j"), col("n2").as("nj"))), "j")
@@ -1560,11 +1573,19 @@ object Recommend {
     // rows) and arrives already hash-partitioned on its key, so the
     // anti-join reuses the exchange instead of shuffling the raw
     // ratings×M fan-out
+    // same packed-key + SHUFFLE_HASH treatment for the serve side
+    // (the (c, j) agg measured avgHashProbe ≈ 483 at 536 MB peak, and
+    // the anti-join's SMJ sorted the 4.7 M-row candidate frame for
+    // 31.6 s): the anti-join still reuses the group-by's exchange —
+    // both sides are keyed on the packed cj.
     val cand = ratings.join(nbr, col("s") === col("i"))
       .select(col("c"), col("j"), (col("r") * col("simt")).as("contr"))
-      .groupBy(col("c"), col("j")).agg(sum(col("contr")).as("score"))
-      .join(ratings.select(col("c"), col("s").as("j")), Seq("c", "j"),
-        "left_anti")
+      .groupBy((shiftleft(col("c"), 32) + col("j")).as("cj"))
+      .agg(sum(col("contr")).as("score"))
+      .join(ratings.select((shiftleft(col("c"), 32) + col("s")).as("cj"))
+        .hint("shuffle_hash"), Seq("cj"), "left_anti")
+      .select(shiftright(col("cj"), 32).as("c"),
+        col("cj").bitwiseAND(lit(0xFFFFFFFFL)).as("j"), col("score"))
     cand.groupBy(col("c"))
       .agg(call_function("top_k_by_score",
         col("score").cast("double"), col("j"), lit(ItemKnnK)).as("top"))
