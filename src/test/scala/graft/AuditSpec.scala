@@ -141,7 +141,7 @@ class AuditSpec extends AnyFunSuite {
     val allow = Map(
       "operators/Relational.scala" -> 1, // q39 calendar bounds
       "operators/Events.scala" -> 1, // q68 AFT count-grid fetch
-      "operators/Graph.scala" -> 3, // g03 seed + g09 digest + g19 digest
+      "operators/Graph.scala" -> 4, // g03 seed + g09 digest + g19 digest + g02 domain sizes
       "operators/Similarity.scala" -> 3, // s09 min-id + s09 steps + s17 Gram
       "operators/Dedup.scala" -> 3, // d12 sketch + d07 two digests
       "sources/Sources.scala" -> 2, // upsert guard count + partition list
