@@ -32,11 +32,13 @@ import org.apache.spark.sql.SparkSession
   *
   *  - The driver's stdout capture is tail-bounded — BENCH_r05/r06
   *    lost the head of the (4-5 KB) per-query map to truncation, so
-  *    the driver-side artifact recorded `parsed: null`. The stdout
-  *    line now carries the per-query map ONLY when the whole line
-  *    stays under a conservative budget (subset runs); the full map
-  *    always goes un-truncated to SPARK_GRAFT_BENCH_OUT (default
-  *    `bench_full.json`).
+  *    the driver-side artifact recorded `parsed: null`. Since r17 the
+  *    final stdout line carries the full map when it fits a 1700-char
+  *    budget (subset runs) and otherwise the most-expensive keys that
+  *    fit, with the COMPLETE map printed as chunked JSON lines just
+  *    before it; the full map always also goes un-truncated to
+  *    SPARK_GRAFT_BENCH_OUT (default `bench_full.json`). See the
+  *    comment at the print site.
   *
   *  - One JVM running 103 queries back-to-back accumulates every
   *    query's `localCheckpoint(true)` blocks (bucket counts, k-means
@@ -65,6 +67,49 @@ object Bench {
   private[graft] def burstAdopts(sweepS: Double, recheckS: Double,
       sweepBytes: Long, recheckBytes: Long): Boolean =
     sweepS > 2.0 * recheckS && sweepBytes == recheckBytes
+
+  private def fmt(v: Double, prec: Int): String =
+    s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The most-expensive-first subset of `pairs` whose rendered map
+    * keeps the final stdout line within `budget` chars (`overhead` =
+    * the line's length with an empty map). Pure so BenchLineSpec pins
+    * the budget behavior; see main for why the budget exists.
+    */
+  private[graft] def inlineTopPairs(pairs: Seq[(String, Double)],
+      overhead: Int, budget: Int, prec: Int = 2): String = {
+    val sb = new StringBuilder
+    var n = 0
+    pairs.sortBy(-_._2).foreach { case (k, v) =>
+      val p = (if (n == 0) "" else ",") + "\"" + k + "\":" + fmt(v, prec)
+      if (overhead + sb.length + p.length <= budget) { sb.append(p); n += 1 }
+    }
+    "{" + sb.toString + "}"
+  }
+
+  /** The COMPLETE per-query map rendered as standalone JSON lines of
+    * at most ~`chunkBudget` chars each, most-expensive keys first (so
+    * the LAST chunk — the one nearest a tail-bounded capture window —
+    * carries the cheap keys the final line's top-cost prefix omits).
+    */
+  private[graft] def chunkLines(pairs: Seq[(String, Double)],
+      chunkBudget: Int, prec: Int = 3): Seq[String] = {
+    val rendered = pairs.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, prec) }
+    val chunks = scala.collection.mutable.ArrayBuffer[List[String]]()
+    var cur = List.empty[String]
+    var len = 0
+    rendered.foreach { p =>
+      if (cur.nonEmpty && len + p.length + 1 > chunkBudget) {
+        chunks += cur.reverse; cur = Nil; len = 0
+      }
+      cur = p :: cur; len += p.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.reverse
+    chunks.toSeq.zipWithIndex.map { case (c, i) =>
+      s"""{"queries_chunk":${i + 1},"of":${chunks.size},"queries":{${c.mkString(",")}}}"""
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -313,11 +358,39 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line still carries the result
-    // Tail-bounded driver capture (~3.5 KB observed): emit the
-    // per-query map inline only when the line safely fits (metrics
-    // never go to stdout); the full map is always in bench_full.json.
+    // Driver-visible per-query output (r17, VERDICT task 1). The
+    // driver's stdout capture is tail-bounded to the LAST ~2000
+    // characters (every driver BENCH artifact stores exactly a
+    // 2000-char tail, and BENCH_r03..r06 — the rounds that printed
+    // 4-5 KB inline maps — all recorded parsed:null with the head of
+    // the line missing), so a 225-key map can never reach the driver
+    // in one parseable line, and the old all-or-nothing 2500-char
+    // budget self-censored to queries:{} on every full sweep
+    // (PERF n_common=0 since the suite passed ~100 keys). Three-layer
+    // degrade instead:
+    //  1. subset runs: the full map inline, as before (it fits);
+    //  2. full sweeps: the final line carries the MOST EXPENSIVE keys
+    //     that fit a 1700-char line (~55-60 keys, the bulk of total
+    //     seconds) at 10 ms precision — short enough to parse under a
+    //     2000-char tail capture (plus sbt's ~75-char epilogue) and
+    //     trivially under a full capture, so the driver's per-query
+    //     table is populated in either world;
+    //  3. the COMPLETE map additionally goes to stdout as chunked
+    //     {"queries_chunk":i,...} lines right before the final line
+    //     (cheapest keys in the last chunk, complementing the final
+    //     line's top-cost prefix inside a tail-bounded window); a
+    //     full-capture driver can regex-recover every "key":N.NNN
+    //     pair, and bench_full.json stays the durable byte-exact copy.
     val slim = line(qs, "")
-    println(if (slim.length <= 2500) slim else line("{}", ""))
+    val budget = 1700
+    val output =
+      if (slim.length <= budget) slim
+      else {
+        val pairs = adjusted.map { case (k, v, _) => (k, v) }
+        chunkLines(pairs, 1500).foreach(println)
+        line(inlineTopPairs(pairs, line("{}", "").length, budget), "")
+      }
+    println(output)
     spark.stop()
   }
 }
