@@ -162,4 +162,24 @@ object Engine {
     if (rows >= 0 && rows <= broadcastMaxRows(df.sparkSession))
       org.apache.spark.sql.functions.broadcast(df)
     else df
+
+  /** Pack a key pair into ONE long for aggregation/join keys — the
+    * s32/g04 narrow-key treatment (guide §2.3 "narrower types") with
+    * the r16-advice guard: the packing is injective ONLY for
+    * 0 ≤ hi < 2³¹ and 0 ≤ lo < 2³²; past the bound distinct pairs
+    * would silently merge (e.g. custkeys cross 2³¹ near SF 14k), so
+    * the expression fails LOUDLY instead — the documented retune is
+    * the two-column key. The check is two shifts per row (arithmetic
+    * shift maps negatives to -1, so it also rejects them), noise
+    * next to the shuffle the narrow key exists to shrink.
+    */
+  private[graft] def packPair(hi: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(shiftright(hi, 31) === 0 && shiftright(lo, 32) === 0,
+      shiftleft(hi, 32) + lo)
+      .otherwise(raise_error(lit(
+        "packed pair key out of range (hi >= 2^31, lo >= 2^32, or negative):" +
+          " retune to the two-column key")).cast("long"))
+  }
 }

@@ -123,3 +123,140 @@ case class TopKByScore(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(score = newChildren(0), id = newChildren(1))
 }
+
+/** pair_moments(q: array<bigint>) → array<struct<i, j, p>>: the fused
+  * second-moment sweep behind the Gram/correlation family (r17).
+  *
+  * Per input row one tight JVM loop accumulates, into a single long
+  * buffer per partition, everything the old explode-based scan
+  * shuffled as d(d+1)/2 struct rows PER ROW through a hash aggregate:
+  *
+  *  - `(i, j, Σ q_i·q_j)` for every 0 ≤ i ≤ j < d (upper moments),
+  *  - `(i, -1, Σ q_i)` per-dimension sums,
+  *  - `(-1, -1, n)` the row count.
+  *
+  * Exact integer sums, order-independent — bit-identical to the
+  * explode + groupBy form it replaces, at ~d²/2 multiply-adds per row
+  * instead of d²/2 struct allocations + hash probes. The merge adds
+  * two fixed ≤ (2 + d + d(d+1)/2)-long buffers, so the partial state
+  * the shuffle carries is one ~17 KB array per map partition at
+  * d = 64 — corpus-size independent at any scale.
+  *
+  * Ragged inputs fail loudly (dimension agreement is the moment
+  * matrix's precondition); null input rows are skipped; array
+  * elements must be non-null (library-internal quantize transforms
+  * guarantee it).
+  */
+case class PairMoments(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def prettyName: String = "pair_moments"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("p", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_moments expects array<bigint>, got ${other.simpleString}")
+    }
+
+  // buffer layout: [0] = d, [1] = n, [2, 2+d) = sums,
+  // [2+d, ...) = upper-triangle moments, row-major (i outer, j >= i)
+  override def createAggregationBuffer(): Array[Long] = Array.empty
+
+  private def alloc(d: Int): Array[Long] = {
+    val b = new Array[Long](2 + d + d * (d + 1) / 2)
+    b(0) = d.toLong
+    b
+  }
+
+  override def update(buf0: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf0
+    val q = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = q.numElements()
+    val buf = if (buf0.isEmpty) alloc(d) else buf0
+    require(buf(0) == d.toLong,
+      s"pair_moments: ragged input (${buf(0)} vs $d dims)")
+    buf(1) += 1L
+    val qs = new Array[Long](d)
+    var i = 0
+    while (i < d) { qs(i) = q.getLong(i); i += 1 }
+    var base = 2 + d
+    i = 0
+    while (i < d) {
+      val qi = qs(i)
+      buf(2 + i) += qi
+      var j = i
+      while (j < d) { buf(base + (j - i)) += qi * qs(j); j += 1 }
+      base += d - i
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (b.isEmpty) return a
+    if (a.isEmpty) return b
+    require(a(0) == b(0),
+      s"pair_moments: ragged partials (${a(0)} vs ${b(0)} dims)")
+    var k = 1
+    while (k < a.length) { a(k) += b(k); k += 1 }
+    a
+  }
+
+  override def eval(buf0: Array[Long]): Any = {
+    val buf = if (buf0.isEmpty) alloc(0) else buf0
+    val d = buf(0).toInt
+    val out = new Array[Any](1 + d + d * (d + 1) / 2)
+    out(0) = InternalRow(-1L, -1L, buf(1))
+    var k = 1
+    var i = 0
+    while (i < d) { out(k) = InternalRow(i.toLong, -1L, buf(2 + i)); k += 1; i += 1 }
+    var base = 2 + d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = InternalRow(i.toLong, j.toLong, buf(base + (j - i)))
+        k += 1; j += 1
+      }
+      base += d - i
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 8)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    Array.fill(n)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PairMoments =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PairMoments =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}

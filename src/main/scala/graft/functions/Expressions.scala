@@ -37,6 +37,29 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** als_serve_topk(uv: array<bigint>, items: array<bigint>, k) →
+  * array<struct<score: double, id: bigint>>: one user's top-k catalog
+  * serve off a flattened item matrix — see
+  * [[graft.functions.Kernels.alsServeTopk]] for the exact-ordering
+  * contract shared with [[TopKByScore]].
+  */
+case class AlsServeTopK(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, s"als_serve_topk needs k >= 1, got $k")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.alsServeTopk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.alsServeTopk($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** minhash_sig(text, k, n) → array<long>: k-permutation MinHash over
   * word n-gram shingles.
   */

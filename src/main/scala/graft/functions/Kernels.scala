@@ -415,6 +415,57 @@ object Kernels {
     hits
   }
 
+  /** Top-k factor-model serve over a flattened item matrix (r17).
+    *
+    * `uv` is one user's rank-d tick vector; `items` is the whole
+    * catalog flattened to stride d+1: [id, t_0..t_{d-1}, id, ...].
+    * Scores every item with an exact long dot product and keeps the
+    * top k by (score desc, id asc) via bounded insertion — the SAME
+    * total order and output struct<score double, id bigint> shape as
+    * [[TopKByScore]], so the declarative serve (users × catalog cross
+    * join into the heap aggregate) and this kernel are row-identical.
+    * Scores are exact longs < 2³⁴ (clamped ±2¹⁶ factor ticks at
+    * rank 4), so the double compare IS the long compare.
+    */
+  def alsServeTopk(uv: ArrayData, items: ArrayData, k: Int): ArrayData = {
+    val d = uv.numElements()
+    val u = new Array[Long](d)
+    var x = 0
+    while (x < d) { u(x) = uv.getLong(x); x += 1 }
+    val stride = d + 1
+    val n = items.numElements() / stride
+    val ss = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var m = 0
+    var idx = 0
+    var base = 0
+    while (idx < n) {
+      val id = items.getLong(base)
+      var s = 0L
+      var j = 0
+      while (j < d) { s += u(j) * items.getLong(base + 1 + j); j += 1 }
+      val sc = s.toDouble
+      // beats(m-1): (sc, id) sorts strictly before the current last
+      if (m < k || sc > ss(m - 1) || (sc == ss(m - 1) && id < ids(m - 1))) {
+        var pos = if (m < k) m else k - 1
+        while (pos > 0 && (sc > ss(pos - 1) ||
+            (sc == ss(pos - 1) && id < ids(pos - 1)))) {
+          ss(pos) = ss(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        ss(pos) = sc; ids(pos) = id
+        if (m < k) m += 1
+      }
+      idx += 1
+      base += stride
+    }
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(ss(r), ids(r)); r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Dot product of two float vectors, accumulated in double. */
   def dotF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -38,6 +38,8 @@ package object functions {
       intArg(es(2), "bits"), longArg(es(3), "seed"))),
     "window_hashes" -> (es => WindowHashes(es(0), intArg(es(1), "w"))),
     "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
+    "pair_moments" -> (es => PairMoments(es(0))),
+    "als_serve_topk" -> (es => AlsServeTopK(es(0), es(1), intArg(es(2), "k"))),
     "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),
     "langid_top" -> (es => LangidTop(es(0))),

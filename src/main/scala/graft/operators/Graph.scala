@@ -439,11 +439,11 @@ object Graph {
       // r16: SHUFFLE_HASH on the projection self-join (the window
       // output planned SMJ — two sorts of the capped frame) and the
       // supplier pair packed into ONE long for the count aggregation
-      // (the s32 dots treatment; suppkeys < 2³¹, the g04 RankBase
-      // bound already documented above).
+      // (the s32 dots treatment; [[graft.Engine.packPair]] guards the
+      // < 2³¹ injectivity bound in-flight — r17).
       val cc = tp.as("x").join(tp.as("y").hint("shuffle_hash"),
           col("x.c") === col("y.c") && col("x.s") < col("y.s"))
-        .groupBy((shiftleft(col("x.s"), 32) + col("y.s")).as("ss"))
+        .groupBy(graft.Engine.packPair(col("x.s"), col("y.s")).as("ss"))
         .agg(count(lit(1)).as("n"))
         .select(shiftright(col("ss"), 32).as("s1"),
           col("ss").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"), col("n"))

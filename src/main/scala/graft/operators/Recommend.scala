@@ -1105,21 +1105,32 @@ object Recommend {
     * (s, t0..t3) item factor frames — shared by batch s25 and the
     * streaming serve twin (which passes the ARRIVING customers'
     * factor slice; the model and ranking rule are ONE code path).
+    *
+    * r17 rewrite (the blocked-dot serve, guide §1.2 per-task work):
+    * the old shape materialized the FULL users × catalog cross join
+    * (15 M rows at sf0.1) through a per-row heap update in the
+    * top_k_by_score ObjectHashAggregate plus one exchange of the
+    * partial heaps. Now the catalog flattens into ONE broadcast row
+    * (stride [id, t0..t3] longs — vocabulary-sized, the same
+    * "broadcast whole" contract as before; the 10⁸-item blockify
+    * retune stands documented) and each user row makes a single
+    * [[graft.functions.Kernels.alsServeTopk]] call — a codegen'd
+    * catalog loop with a bounded insertion top-k, the SAME
+    * (score desc, id asc) total order and exact long tick dots as
+    * the aggregate it replaces (row-identical output, spec-pinned).
+    * No exchange, no object agg, no 15 M-row materialization.
     */
   private[graft] def serveTopk(users: DataFrame, items: DataFrame): DataFrame = {
     graft.functions.registerAll(users.sparkSession)
-    val u = users.select(Seq(col("c")) ++
-      (0 until AlsRank).map(k => col(s"t$k").as(s"ut$k")): _*)
-    val it = items.select(Seq(col("s")) ++
-      (0 until AlsRank).map(k => col(s"t$k").as(s"it$k")): _*)
-    val dot = (0 until AlsRank)
-      .map(k => col(s"ut$k").cast("long") * col(s"it$k").cast("long"))
-      .reduce(_ + _)
-    u.crossJoin(broadcast(it))
-      .withColumn("score", dot.cast("double"))
-      .groupBy(col("c"))
-      .agg(call_function("top_k_by_score",
-        col("score"), col("s"), lit(RecTopK)).as("top"))
+    val u = users.select(col("c"),
+      array((0 until AlsRank).map(k => col(s"t$k").cast("long")): _*).as("uv"))
+    val itemsRow = items
+      .select(array(Seq(col("s").cast("long")) ++
+        (0 until AlsRank).map(k => col(s"t$k").cast("long")): _*).as("ia"))
+      .agg(flatten(collect_list(col("ia"))).as("ia"))
+    u.crossJoin(broadcast(itemsRow))
+      .select(col("c"), call_function("als_serve_topk",
+        col("uv"), col("ia"), lit(RecTopK)).as("top"))
       .select(col("c"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("c").as("o_custkey"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("l_suppkey"), col("t.score").cast("long").as("score_ticks24"))
@@ -1531,14 +1542,14 @@ object Recommend {
     // exactly what a hash map wants (guide §3.1). (b) the (i, j) pair
     // key packed into ONE long for the aggregation — the two-long key
     // measured avgHashProbe ≈ 444 near map capacity; an 8-byte key
-    // halves the row and probes cleanly. Requires keys < 2³¹
-    // (suppkeys at any realistic SF — the g04 RankBase bound); past
-    // that the documented retune reverts to the two-column key.
+    // halves the row and probes cleanly. [[graft.Engine.packPair]]
+    // guards the < 2³¹ injectivity bound in-flight (r17); past it the
+    // documented retune reverts to the two-column key.
     val dots = model.select(col("c"), col("s").as("i"), col("r").as("ri"))
       .join(model.select(col("c"), col("s").as("j"), col("r").as("rj"))
         .hint("shuffle_hash"), "c")
       .filter(col("i") < col("j"))
-      .groupBy((shiftleft(col("i"), 32) + col("j")).as("ij"))
+      .groupBy(graft.Engine.packPair(col("i"), col("j")).as("ij"))
       .agg(sum(col("ri") * col("rj")).as("dot"))
       .select(shiftright(col("ij"), 32).as("i"),
         col("ij").bitwiseAND(lit(0xFFFFFFFFL)).as("j"), col("dot"))
@@ -1580,9 +1591,9 @@ object Recommend {
     // both sides are keyed on the packed cj.
     val cand = ratings.join(nbr, col("s") === col("i"))
       .select(col("c"), col("j"), (col("r") * col("simt")).as("contr"))
-      .groupBy((shiftleft(col("c"), 32) + col("j")).as("cj"))
+      .groupBy(graft.Engine.packPair(col("c"), col("j")).as("cj"))
       .agg(sum(col("contr")).as("score"))
-      .join(ratings.select((shiftleft(col("c"), 32) + col("s")).as("cj"))
+      .join(ratings.select(graft.Engine.packPair(col("c"), col("s")).as("cj"))
         .hint("shuffle_hash"), Seq("cj"), "left_anti")
       .select(shiftright(col("cj"), 32).as("c"),
         col("cj").bitwiseAND(lit(0xFFFFFFFFL)).as("j"), col("score"))

@@ -1143,11 +1143,12 @@ object Similarity {
     * [[graft.FrameMemo]] for the bench-harness cleanup contract.
     */
   private[graft] def memoRetainedIds: Set[Int] =
-    knnMemo.retainedIds ++ pcaMemo.retainedIds ++ refinedMemo.retainedIds
+    knnMemo.retainedIds ++ pcaMemo.retainedIds ++ refinedMemo.retainedIds ++
+      momentsMemo.retainedIds
 
   /** Drop the similarity memos and unpersist their blocks. */
   private[graft] def clearMemos(): Unit = {
-    knnMemo.clear(); pcaMemo.clear(); refinedMemo.clear()
+    knnMemo.clear(); pcaMemo.clear(); refinedMemo.clear(); momentsMemo.clear()
   }
 
   private def knnGraphCompute(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1889,11 +1890,16 @@ object Similarity {
     * Output: (component, dim, loading_ticks, eigval_ticks), 4×64
     * rows.
     */
-  def s17Pca(spark: SparkSession, sfDir: String): DataFrame =
+  def s17Pca(spark: SparkSession, sfDir: String): DataFrame = {
+    // the Gram derives from the moments memo — resolve it BEFORE
+    // entering pcaMemo's compute (the FrameMemo no-nested-compute
+    // lock-order contract)
+    val gram = gramFrame(spark, sfDir)
     pcaMemo.getOrCompute(spark, sfDir,
       Tables.fingerprint(spark, sfDir, "embeddings") + "|pca") {
-      pcaCompute(spark, sfDir).ckpt(true)
+      pcaComputeFrom(spark, gram).ckpt(true)
     }
+  }
 
   /** The exact centered Gram ticks (i, j, g = n·P_ij − s_i·s_j) over
     * the quantized embedding corpus — ONE partial-agg'd moment scan,
@@ -1922,35 +1928,94 @@ object Similarity {
     * consumers (s17/s19's Gram, s26's rank Gram, s34's uncentered
     * Gram) with bit-identical values.
     */
-  private def pairMomentsMirrored(qf: DataFrame): DataFrame = {
-    val up = pairMomentsUpper(qf)
+  private def pairMomentsMirrored(qf: DataFrame): DataFrame =
+    mirrorUpper(pairMomentsUpper(qf))
+
+  /** Full symmetric matrix from an upper-triangle (i ≤ j, p) frame —
+    * integer products commute, so the mirror is bit-exact.
+    */
+  private def mirrorUpper(up: DataFrame): DataFrame =
     up.unionByName(up.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("p")))
+
+  /** One-pass kernel moment scan (r17): the old flatten/transform
+    * explode built d(d+1)/2 struct rows PER CORPUS ROW and pushed
+    * ~100 M rows through a hash aggregate at sf0.1; the
+    * [[graft.functions.PairMoments]] typed aggregate accumulates the
+    * same exact integer sums in one long buffer per partition (a
+    * tight d²/2 multiply-add loop per row, one ≤ 17 KB partial per
+    * map task). Bit-identical output rows (the kernel's sum/count
+    * sentinel rows are filtered here; [[momentsBundle]] keeps them).
+    */
+  private def pairMomentsUpper(qf: DataFrame): DataFrame = {
+    graft.functions.registerAll(qf.sparkSession)
+    qf.agg(call_function("pair_moments", col("q")).as("m"))
+      .select(explode(col("m")).as("t"))
+      .filter(col("t.j") >= 0)
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
   }
 
-  private def pairMomentsUpper(qf: DataFrame): DataFrame =
-    qf.select(explode(expr(
-        """flatten(transform(q, (qi, i) ->
-          |transform(slice(q, i + 1, size(q)), (qj, j2) ->
-          |named_struct('i', CAST(i AS BIGINT), 'j', CAST(i + j2 AS BIGINT),
-          |             'p', qi * qj))))""".stripMargin)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("p"))
+  /** The shared ×1024 tick quantization of the embedding column —
+    * ONE definition so every Gram-family consumer provably feeds the
+    * same grid (and the memoized bundle below applies to all).
+    */
+  private val QuantizeSql: String =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))"
 
+  /** Materialize-once second-moment bundle over the quantized
+    * embedding corpus, per (session, sfDir, embeddings fingerprint) —
+    * ONE kernel scan emits, in the same pass, everything the
+    * Gram/correlation family re-derived corpus-wide per key:
+    * rows (i, j, v) with j ≥ 0 are the upper-triangle moments
+    * P_ij = Σ q_i·q_j; (i, -1, v) the per-dimension sums Σ q_i;
+    * (-1, -1, v) the row count n. s17/s18 (centered Gram eigensolve),
+    * s19 (centered Gram correlations), s29 (uncentered cosines),
+    * s31 (exact norms + truth column) and s34 (uncentered Gram SVD)
+    * all derive from this ≤ 2145-row frame, so the corpus
+    * outer-product scan — the family's dominant cost — runs once per
+    * sweep instead of once per key (the knnMemo rationale; guide
+    * §1.2 "the distributed algorithm first": remove whole passes).
+    */
+  private val momentsMemo = new graft.FrameMemo[org.apache.spark.sql.DataFrame]
+
+  private def momentsBundle(spark: SparkSession, sfDir: String): DataFrame =
+    momentsMemo.getOrCompute(spark, sfDir,
+      Tables.fingerprint(spark, sfDir, "embeddings") + "|moments") {
+      registerAll(spark)
+      Tables.embeddings(spark, sfDir)
+        .select(expr(QuantizeSql).as("q"))
+        .agg(call_function("pair_moments", col("q")).as("m"))
+        .select(explode(col("m")).as("t"))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("v"))
+        .ckpt(true)
+    }
+
+  /** Upper-triangle moments (i ≤ j, p) of a [[momentsBundle]]. */
+  private def upperMomentsOf(b: DataFrame): DataFrame =
+    b.filter(col("j") >= 0).select(col("i"), col("j"), col("v").as("p"))
+
+  /** Per-dimension sums (i, s) of a [[momentsBundle]]. */
+  private def sumsOf(b: DataFrame): DataFrame =
+    b.filter(col("j") === -1 && col("i") >= 0)
+      .select(col("i"), col("v").as("s"))
+
+  /** The 1-row corpus count (n) of a [[momentsBundle]]. */
+  private def nOf(b: DataFrame): DataFrame =
+    b.filter(col("i") === -1).select(col("v").as("n"))
+
+  /** The exact centered Gram G_ij = n·P_ij − s_i·s_j off the memoized
+    * bundle — every input is a ≤ 2145-row frame, so the joins are
+    * broadcast-trivial and NO corpus scan runs here (r17; the old
+    * form re-scanned the corpus three times per key for pairs, sums
+    * and n).
+    */
   private def gramFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val qf = Tables.embeddings(spark, sfDir)
-      .select(expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
-        .as("q"))
-      .ckpt(true)
-    val nf = qf.agg(count(lit(1)).as("n"))
-    val sums = qf.select(posexplode(col("q")).as(Seq("pi", "qi")))
-      .groupBy(col("pi").cast("long").as("i")).agg(sum(col("qi")).as("s"))
-    val pairs = pairMomentsMirrored(qf)
-    pairs
-      .join(sums.select(col("i"), col("s").as("si")), "i")
-      .join(sums.select(col("i").as("j"), col("s").as("sj")), "j")
-      .crossJoin(broadcast(nf))
+    val b = momentsBundle(spark, sfDir)
+    val sums = sumsOf(b)
+    mirrorUpper(upperMomentsOf(b))
+      .join(broadcast(sums.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(sums.select(col("i").as("j"), col("s").as("sj"))), "j")
+      .crossJoin(broadcast(nOf(b)))
       .select(col("i"), col("j"),
         (col("n") * col("p") - col("si") * col("sj")).as("g"))
   }
@@ -2007,9 +2072,9 @@ object Similarity {
     out.result()
   }
 
-  private def pcaCompute(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pcaComputeFrom(spark: SparkSession, gram: DataFrame): DataFrame = {
     import spark.implicits._
-    powerDeflate(collectGramTicks(gramFrame(spark, sfDir)))
+    powerDeflate(collectGramTicks(gram))
       .toDF("component", "dim", "loading_ticks", "eigval_ticks")
       .orderBy(col("component"), col("dim"))
   }
@@ -2132,22 +2197,29 @@ object Similarity {
     * check. Nothing grows with the corpus except the two scans.
     */
   def s34Svd(spark: SparkSession, sfDir: String): DataFrame =
-    svdFor(Tables.embeddings(spark, sfDir))
+    // uncentered Gram off the memoized moments bundle (r17): the only
+    // corpus scan left in this key is the projection pass
+    svdCore(
+      Tables.embeddings(spark, sfDir).select(col("embedding")),
+      mirrorUpper(upperMomentsOf(momentsBundle(spark, sfDir))))
 
   /** [[s34Svd]] on an explicit embeddings frame — package-private so
     * the spec can pin exact σ/loading/projection ticks on a planted
-    * low-rank corpus.
+    * low-rank corpus. Computes its own moments inline (spec corpora
+    * are tiny; the sfDir entry above rides the memo).
     */
-  private[graft] def svdFor(emb: DataFrame): DataFrame = {
+  private[graft] def svdFor(emb: DataFrame): DataFrame =
+    svdCore(emb.select(col("embedding")),
+      pairMomentsMirrored(emb.select(expr(QuantizeSql).as("q"))))
+
+  /** The SVD assembly over an embeddings frame and its uncentered
+    * moment matrix (i, j, p) — eigensolve in-core, then ONE corpus
+    * scan for all K projection masses with the quantization inlined.
+    */
+  private def svdCore(emb: DataFrame, moments: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qf = emb
-      .select(expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
-        .as("q"))
-      .ckpt(true)
-    val g0 = pairMomentsMirrored(qf)
-      .select(col("i"), col("j"), col("p").as("g"))
+    val g0 = moments.select(col("i"), col("j"), col("p").as("g"))
     val comps = powerDeflate(collectGramTicks(g0))
     val loadings = comps.toDF("component", "dim", "loading_ticks", "eigval_ticks")
     val vByComp = comps.groupBy(_._1).view
@@ -2156,10 +2228,10 @@ object Similarity {
     val projCols = (0 until PcaComponents).map { c =>
       val vs = vByComp(c.toLong).map(v => s"${v}L").mkString(", ")
       sum(expr(
-        s"abs(aggregate(zip_with(q, array($vs), (x, y) -> x * y), 0L," +
+        s"abs(aggregate(zip_with($QuantizeSql, array($vs), (x, y) -> x * y), 0L," +
           " (acc, t) -> acc + t)) div 4096")).as(s"pj_$c")
     }
-    val pj = qf.agg(projCols.head, projCols.tail: _*)
+    val pj = emb.agg(projCols.head, projCols.tail: _*)
     val projCase = (0 until PcaComponents)
       .map(c => s"WHEN $c THEN pj_$c").mkString("CASE component ", " ", " END")
     loadings.crossJoin(broadcast(pj))
@@ -2492,18 +2564,21 @@ object Similarity {
     * [[s31DimsumSampled]] with a per-pair error contract.
     */
   def s29ColSimilarity(spark: SparkSession, sfDir: String): DataFrame =
-    colSimCore(Tables.embeddings(spark, sfDir).select(col("embedding")))
+    // the uncentered upper moments come straight off the memoized
+    // bundle (r17) — NO corpus scan runs in this key at all
+    colSimTail(upperMomentsOf(momentsBundle(spark, sfDir)))
 
   /** The column-similarity core over any (embedding float array)
-    * frame — package-private for the planted-poles spec.
+    * frame — package-private for the planted-poles spec. Computes its
+    * own moments inline; the sfDir entry above rides the memo.
     */
   private[graft] def colSimCore(vecs: DataFrame): DataFrame = {
-    val qf = vecs
-      .select(expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
-        .as("q"))
-      .ckpt(true)
-    val p0 = pairMomentsUpper(qf).ckpt(true)
+    val qf = vecs.select(expr(QuantizeSql).as("q")).ckpt(true)
+    colSimTail(pairMomentsUpper(qf).ckpt(true))
+  }
+
+  /** The cosine tail over an upper-triangle (i ≤ j, p) moment frame. */
+  private def colSimTail(p0: DataFrame): DataFrame = {
     val diag = p0.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
     p0.join(broadcast(diag.select(col("d").as("i"), col("pd").as("pii"))), "i")
@@ -2599,23 +2674,31 @@ object Similarity {
     * pass's shuffle shrinks by the kept-fraction², which is DIMSUM's
     * whole point.
     */
-  def s31DimsumSampled(spark: SparkSession, sfDir: String): DataFrame =
-    dimsumCore(
+  def s31DimsumSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    // exact Gram (norms + truth column) and n off the memoized bundle
+    // (r17): only the MASKED pass still scans the corpus — the shape
+    // production ships is now also the only data-plane cost here
+    val b = momentsBundle(spark, sfDir)
+    dimsumCoreShared(
       Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")),
-      DimsumSqgFactor)
+      DimsumSqgFactor, Some((upperMomentsOf(b), nOf(b))))
+  }
 
   /** The s31 core over any (vec_id, embedding) frame with an
     * explicit oversampling factor — package-private so the spec can
     * force p = 1 (a huge factor), where the estimator provably
     * collapses to the exact cosine bit-for-bit.
     */
-  private[graft] def dimsumCore(vecs: DataFrame, sqgFactor: Double): DataFrame = {
-    val qf = vecs.select(col("vec_id"), expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT))")
-        .as("q"))
+  private[graft] def dimsumCore(vecs: DataFrame, sqgFactor: Double): DataFrame =
+    dimsumCoreShared(vecs, sqgFactor, None)
+
+  private def dimsumCoreShared(vecs: DataFrame, sqgFactor: Double,
+      exactAndN: Option[(DataFrame, DataFrame)]): DataFrame = {
+    val qf = vecs.select(col("vec_id"), expr(QuantizeSql).as("q"))
       .ckpt(true)
-    val exact = pairMomentsUpper(qf.select(col("q"))).ckpt(true)
-    val nf = qf.agg(count(lit(1)).as("n"))
+    val exact = exactAndN.map(_._1)
+      .getOrElse(pairMomentsUpper(qf.select(col("q"))).ckpt(true))
+    val nf = exactAndN.map(_._2).getOrElse(qf.agg(count(lit(1)).as("n")))
     val diag = exact.filter(col("i") === col("j"))
       .select(col("i").as("d"), col("p").as("pd"))
     val thr = diag.crossJoin(broadcast(nf))

@@ -21,6 +21,30 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Engine.shufflePartitionsFor(1L, 0))
   }
 
+  test("packPair is injective inside the bound and fails loudly past it") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // round-trip: pack → shift/mask unpack is identity inside the bound
+    val ok = Seq((0L, 0L), (1L, 2L), ((1L << 31) - 1, (1L << 32) - 1),
+        (150000L * 10000L % (1L << 31), 4294967295L))
+      .toDF("hi", "lo")
+      .select(col("hi"), col("lo"), Engine.packPair(col("hi"), col("lo")).as("p"))
+      .select(col("hi"), col("lo"),
+        org.apache.spark.sql.functions.shiftright(col("p"), 32).as("h2"),
+        col("p").bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFFFFFL)).as("l2"))
+      .collect()
+    ok.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3)) }
+    // past the bound (hi = 2^31): the job FAILS instead of merging keys
+    def packs(hi: Long, lo: Long): Unit =
+      Seq((hi, lo)).toDF("hi", "lo")
+        .select(Engine.packPair(col("hi"), col("lo"))).collect()
+    intercept[Exception](packs(1L << 31, 0L))
+    intercept[Exception](packs(0L, 1L << 32))
+    intercept[Exception](packs(-1L, 0L))
+  }
+
   test("dirBytes sums regular files recursively, 0 for missing dirs") {
     val d = java.nio.file.Files.createTempDirectory("graft-dirbytes")
     java.nio.file.Files.write(d.resolve("a.bin"), new Array[Byte](1000))

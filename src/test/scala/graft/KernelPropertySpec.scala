@@ -23,6 +23,74 @@ class KernelPropertySpec extends AnyFunSuite {
   private def vec(n: Int): Array[Float] =
     Array.fill(n)(rnd.nextFloat() * 6.0f - 3.0f)
 
+  test("pair_moments aggregate matches the explode reference, across " +
+    "partials, serialization and merge") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val agg = graft.functions.PairMoments(
+      BoundReference(0, ArrayType(LongType), nullable = true))
+    val d = 5
+    val rows = (1 to 50).map(_ => Array.fill(d)(rnd.nextInt(2000).toLong - 1000))
+    val sums = Array.fill(d)(0L)
+    val mom = Array.ofDim[Long](d, d)
+    rows.foreach { q =>
+      for (i <- 0 until d) {
+        sums(i) += q(i)
+        for (j <- i until d) mom(i)(j) += q(i) * q(j)
+      }
+    }
+    val (h1, h2) = rows.splitAt(20)
+    var buf1 = agg.createAggregationBuffer()
+    h1.foreach(q => buf1 = agg.update(buf1, InternalRow(new GenericArrayData(q))))
+    buf1 = agg.update(buf1, InternalRow(null)) // null rows are skipped
+    var buf2 = agg.createAggregationBuffer()
+    h2.foreach(q => buf2 = agg.update(buf2, InternalRow(new GenericArrayData(q))))
+    val merged = agg.merge(
+      agg.deserialize(agg.serialize(buf1)),
+      agg.deserialize(agg.serialize(buf2)))
+    val out = agg.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val triples = (0 until out.numElements()).map { k =>
+      val r = out.getStruct(k, 3); (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(triples.size == 1 + d + d * (d + 1) / 2)
+    assert(triples.contains((-1L, -1L, rows.size.toLong)))
+    for (i <- 0 until d) assert(triples.contains((i.toLong, -1L, sums(i))))
+    for (i <- 0 until d; j <- i until d)
+      assert(triples.contains((i.toLong, j.toLong, mom(i)(j))))
+    // ragged input fails loudly
+    intercept[IllegalArgumentException](
+      agg.update(merged, InternalRow(new GenericArrayData(Array(1L, 2L)))))
+  }
+
+  test("alsServeTopk equals the sort-based (score desc, id asc) " +
+    "reference, ties included") {
+    for (_ <- 1 to 300) {
+      val d = 4
+      val uv = Array.fill(d)(rnd.nextInt(100).toLong - 50)
+      val nItems = 1 + rnd.nextInt(30)
+      // small tick range forces score ties; ids made unique like a catalog
+      val items = (0 until nItems)
+        .map(i => (rnd.nextInt(1000).toLong, Array.fill(d)(rnd.nextInt(4).toLong - 2)))
+        .groupBy(_._1).map(_._2.head).toSeq
+      val flat = items.flatMap { case (id, t) => id +: t.toSeq }.toArray
+      val k = 1 + rnd.nextInt(6)
+      val got = Kernels.alsServeTopk(
+        new GenericArrayData(uv), new GenericArrayData(flat), k)
+      val ref = items
+        .map { case (id, t) =>
+          (t.zip(uv).map { case (a, b) => a * b }.sum.toDouble, id) }
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got.numElements() == ref.size)
+      ref.indices.foreach { r =>
+        val row = got.getStruct(r, 2)
+        assert(row.getDouble(0) == ref(r)._1 && row.getLong(1) == ref(r)._2,
+          s"rank $r: got (${row.getDouble(0)}, ${row.getLong(1)}), want ${ref(r)}")
+      }
+    }
+  }
+
   test("ngramJaccard is symmetric, bounded, and 1 on self") {
     for (_ <- 1 to 300) {
       val (a, b) = (text(), text())
