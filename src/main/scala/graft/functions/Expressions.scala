@@ -60,6 +60,79 @@ case class AlsServeTopK(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** shingle_hash_set(text, n) → array<bigint>: sorted distinct word
+  * n-gram shingle hashes — the per-document half of the pair kernels
+  * ([[graft.functions.Kernels.shingleHashSet]]).
+  */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle_hash_set needs n >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.shingleHashSet(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sorted_containment(ha, hb) → double: |A ∩ B| / |A| over sorted
+  * distinct hash arrays — bit-identical to ngram_containment on the
+  * documents the arrays came from
+  * ([[graft.functions.Kernels.sortedContainment]]).
+  */
+case class SortedContainment(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedContainment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sortedContainment($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sorted_jaccard_ge(ha: array<bigint>, hb: array<bigint>, t) →
+  * boolean: early-exit Jaccard ≥ t over sorted distinct hash arrays —
+  * see [[graft.functions.Kernels.sortedJaccardGe]] for the permissive
+  * (superset-safe) contract.
+  */
+case class SortedJaccardGe(left: Expression, right: Expression, t: Double)
+    extends BinaryExpression {
+  require(t > 0.0 && t <= 1.0, s"sorted_jaccard_ge needs t in (0, 1], got $t")
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedJaccardGe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], t)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sortedJaccardGe($a, $b, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** item_knn_serve(rated: array<struct<s,r>>, nbrs: array<struct<i,j,simt>>,
+  * k) → array<struct<score: double, id: bigint>>: one customer's
+  * neighborhood-CF serve — see
+  * [[graft.functions.Kernels.itemKnnServe]] for the exactness
+  * contract.
+  */
+case class ItemKnnServe(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 0, s"item_knn_serve needs k >= 1, got $k")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.itemKnnServe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.itemKnnServe($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** minhash_sig(text, k, n) → array<long>: k-permutation MinHash over
   * word n-gram shingles.
   */

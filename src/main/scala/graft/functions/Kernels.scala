@@ -415,6 +415,162 @@ object Kernels {
     hits
   }
 
+  /** The SORTED DISTINCT shingle-hash set of a document (r17): the
+    * exact hash universe [[ngramContainment]]/[[ngramJaccard]] build
+    * per CALL, materialized once per document so per-pair verify
+    * kernels become linear merges instead of re-tokenizing both
+    * texts for every candidate pair.
+    */
+  def shingleHashSet(text: UTF8String, n: Int): ArrayData = {
+    val hs = shingleHashes(text, n)
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted array
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Containment |A ∩ B| / |A| over two sorted distinct hash arrays —
+    * BIT-IDENTICAL to [[ngramContainment]] on the same documents
+    * (that kernel already counts over the fnv64/mix64 shingle-hash
+    * sets; this one just takes them precomputed and merges instead of
+    * hashing per pair).
+    */
+  def sortedContainment(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na.toDouble
+  }
+
+  /** Jaccard ≥ t pre-filter over two SORTED DISTINCT long arrays
+    * (r17, the d15 verify kernel): one linear merge counts the
+    * intersection with an early abort as soon as even matching every
+    * remaining element cannot reach t. `needed` floors the true
+    * minimum intersection (t·(na+nb)/(1+t)), so the abort is strictly
+    * permissive; the final compare is the exact same double division
+    * the SQL filter uses. Callers rely on the superset theorem
+    * (merging elements by hash only RAISES set Jaccard), so a true
+    * string-Jaccard ≥ t pair can never be rejected here.
+    */
+  def sortedJaccardGe(a: ArrayData, b: ArrayData, t: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return false
+    val needed = math.floor(t * (na + nb) / (1.0 + t)).toInt
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < needed) return false
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c.toDouble / (na + nb - c).toDouble >= t
+  }
+
+  /** Item-kNN neighborhood serve for one customer (r17, the s32
+    * serve leg): `rated` is the customer's (item, rating) list,
+    * `nbrs` the whole model's (i, j, simt) neighbor rows SORTED BY i
+    * (vocabulary × M rows — broadcast once). Accumulates
+    * score(j) = Σ_{i rated} r(c,i)·simt(i,j) over unrated j only and
+    * returns the top k by (score desc, id asc) — the same exclusion,
+    * total order and struct<score double, id bigint> shape as the
+    * declarative expand → packed-key aggregate → anti-join →
+    * top_k_by_score chain it replaces (row-identical; scores are
+    * exact integers < 2⁵³, so double accumulation in any order is
+    * exact — the module's documented serve-headroom bound).
+    */
+  def itemKnnServe(rated: ArrayData, nbrs: ArrayData, k: Int): ArrayData = {
+    val nr = rated.numElements()
+    val nn = nbrs.numElements()
+    if (nr == 0 || nn == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val ritems = new Array[Long](nr)
+    val rvals = new Array[Double](nr)
+    var x = 0
+    while (x < nr) {
+      val st = rated.getStruct(x, 2)
+      ritems(x) = st.getLong(0)
+      rvals(x) = st.getDouble(1)
+      x += 1
+    }
+    val sortedRated = ritems.clone()
+    java.util.Arrays.sort(sortedRated)
+    val acc = new java.util.HashMap[Long, java.lang.Double]()
+    x = 0
+    while (x < nr) {
+      val i0 = ritems(x)
+      val rv = rvals(x)
+      // first neighbor row of item i0 (nbrs sorted by i)
+      var lo = 0
+      var hi = nn
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (nbrs.getStruct(mid, 3).getLong(0) < i0) lo = mid + 1 else hi = mid
+      }
+      var p = lo
+      var more = true
+      while (more && p < nn) {
+        val st = nbrs.getStruct(p, 3)
+        if (st.getLong(0) != i0) more = false
+        else {
+          val j = st.getLong(1)
+          if (java.util.Arrays.binarySearch(sortedRated, j) < 0) {
+            val add = rv * st.getLong(2).toDouble
+            val cur = acc.get(j)
+            acc.put(j, if (cur == null) add else cur + add)
+          }
+          p += 1
+        }
+      }
+      x += 1
+    }
+    // bounded insertion top-k by (score desc, id asc)
+    val ss = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var m = 0
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val id = e.getKey.longValue()
+      val sc = e.getValue.doubleValue()
+      if (m < k || sc > ss(m - 1) || (sc == ss(m - 1) && id < ids(m - 1))) {
+        var pos = if (m < k) m else k - 1
+        while (pos > 0 && (sc > ss(pos - 1) ||
+            (sc == ss(pos - 1) && id < ids(pos - 1)))) {
+          ss(pos) = ss(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+        }
+        ss(pos) = sc; ids(pos) = id
+        if (m < k) m += 1
+      }
+    }
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(ss(r), ids(r)); r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Top-k factor-model serve over a flattened item matrix (r17).
     *
     * `uv` is one user's rank-d tick vector; `items` is the whole

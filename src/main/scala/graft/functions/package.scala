@@ -25,6 +25,12 @@ package object functions {
     case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
   }
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a double literal, got $other")
+  }
+
   /** (name, builder) for every graft SQL function. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSim(es(0), es(1))),
@@ -39,7 +45,11 @@ package object functions {
     "window_hashes" -> (es => WindowHashes(es(0), intArg(es(1), "w"))),
     "top_k_by_score" -> (es => TopKByScore(es(0), es(1), intArg(es(2), "k"))),
     "pair_moments" -> (es => PairMoments(es(0))),
+    "sorted_jaccard_ge" -> (es => SortedJaccardGe(es(0), es(1), doubleArg(es(2), "t"))),
+    "shingle_hash_set" -> (es => ShingleHashSet(es(0), intArg(es(1), "n"))),
+    "sorted_containment" -> (es => SortedContainment(es(0), es(1))),
     "als_serve_topk" -> (es => AlsServeTopK(es(0), es(1), intArg(es(2), "k"))),
+    "item_knn_serve" -> (es => ItemKnnServe(es(0), es(1), intArg(es(2), "k"))),
     "word_grams" -> (es => WordGrams(es(0), intArg(es(1), "n"))),
     "repetition_top" -> (es => RepetitionTop(es(0), intArg(es(1), "n"))),
     "langid_top" -> (es => LangidTop(es(0))),

@@ -619,17 +619,22 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(call_function("word_grams", col("text"), lit(3))).as("s"))
       .filter(size(col("s")) > 0)
+      // hs: the shingle HASH SET, sorted — computed once per doc and
+      // carried through the checkpoint; feeds both the candidate
+      // explode and the r17 verify pre-filter below
+      .withColumn("hs",
+        expr("array_sort(array_distinct(transform(s, x -> xxhash64(x))))"))
       .ckpt(true)
-    // candidate generation runs on 64-bit shingle hashes (codegen'd
-    // xxhash64 after the explode — NOT a per-element HOF lambda), so
-    // every shuffle from here to the verify carries longs, never
-    // shingle text. Collisions cannot lose pairs: merging elements
-    // only RAISES set Jaccard (|∩| grows, |∪| shrinks), so hashed
+    // candidate generation runs on 64-bit shingle hashes (the hs
+    // column — hashed once per doc, NOT per exploded row), so every
+    // shuffle from here to the verify carries longs, never shingle
+    // text. Collisions cannot lose pairs: merging elements only
+    // RAISES set Jaccard (|∩| grows, |∪| shrinks), so hashed
     // candidates are a superset of string candidates and the exact
-    // string verify restores precision.
+    // string verify restores precision. (n = |hs| keeps the prefix
+    // theorem exact over the hash sets the join actually runs on.)
     val exploded = toks
-      .select(col("doc_id"), size(col("s")).as("n"), explode(col("s")).as("sh0"))
-      .select(col("doc_id"), col("n"), xxhash64(col("sh0")).as("sh"))
+      .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("sh"))
     val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val prefix = exploded.join(dfreq, "sh")
@@ -647,9 +652,24 @@ object Dedup {
         ceil(greatest(col("a.n"), col("b.n")) * lit(PrefixJaccardBar)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // r17 two-stage verify: the old single stage ran the string-set
+    // intersect kernel on EVERY length-qualified candidate pair
+    // (~208 k pairs, 8.2 s of the key's 13 s CPU at sf0.1 — node
+    // metrics). Stage 1 merges the per-doc sorted hash sets with the
+    // early-exit sorted_jaccard_ge kernel (~long compares instead of
+    // per-pair string hashing); by the superset theorem above a true
+    // ≥ t pair can never be rejected, so stage 2's EXACT string
+    // intersect — unchanged, the output the oracle hashes — runs on
+    // the tiny plausible set only.
+    val ha = toks.select(col("doc_id").as("doc_a"), col("hs").as("hsa"))
+    val hb = toks.select(col("doc_id").as("doc_b"), col("hs").as("hsb"))
+    val plausible = cand.join(ha, "doc_a").join(hb, "doc_b")
+      .filter(call_function("sorted_jaccard_ge",
+        col("hsa"), col("hsb"), lit(PrefixJaccardBar)))
+      .select(col("doc_a"), col("doc_b"))
     val sa = toks.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val sb = toks.select(col("doc_id").as("doc_b"), col("s").as("sb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    plausible.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("i").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("i")).cast("double"))
@@ -975,12 +995,22 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= ContainMinShared)
       .select(col("doc_a"), col("doc_b"))
-    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // r17 verify: ngram_containment re-tokenized and re-hashed BOTH
+    // texts on every candidate pair (twice — once per direction), and
+    // a doc pays that again for every pair it appears in. The kernel
+    // already counts over fnv64/mix64 shingle-hash SETS, so
+    // materializing each doc's sorted hash set once and merging per
+    // pair (sorted_containment) is bit-identical — the verify drops
+    // from ~30-60 µs per pair to a ~|set| long-merge.
+    val hsets = docs.select(col("doc_id"),
+      call_function("shingle_hash_set", col("text"), lit(3)).as("hs"))
+      .ckpt(true)
+    val ta = hsets.select(col("doc_id").as("doc_a"), col("hs").as("hsa"))
+    val tb = hsets.select(col("doc_id").as("doc_b"), col("hs").as("hsb"))
     val scored = cands.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        call_function("ngram_containment", col("text_a"), col("text_b"), lit(3)).as("ab"),
-        call_function("ngram_containment", col("text_b"), col("text_a"), lit(3)).as("ba"))
+        call_function("sorted_containment", col("hsa"), col("hsb")).as("ab"),
+        call_function("sorted_containment", col("hsb"), col("hsa")).as("ba"))
     // one row per DIRECTED containment: contained -> container.
     // Both directions in ONE pass (r16): the old two-branch
     // self-union planned the un-checkpointed `scored` subtree TWICE —

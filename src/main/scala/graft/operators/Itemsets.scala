@@ -460,6 +460,23 @@ object Itemsets {
   /** [[f05ItemsetsDepth]] at an explicit depth — package-private so
     * the spec can brute-force-check L = 4 and probe other depths.
     */
+  /** Bits per item slot in the r17 packed-key representation: a
+    * k-itemset packs into ONE long, 16 bits per item id (ids 1..m in
+    * LEXICOGRAPHIC brand order, 0 = empty slot) — so every level
+    * aggregation groups on a primitive long (codegen fast-map
+    * HashAggregate instead of UnsafeRow array keys), the occurrence
+    * shuffles carry 16 B rows instead of string arrays, and all the
+    * prefix/extend/drop-one set algebra is integer arithmetic. Ids
+    * are order-preserving, so id comparisons ARE the string
+    * comparisons the oracle ranks by. Bound: 4 slots × 16 bits with
+    * the top bit clear ⇒ up to 32 767 frequent items — guarded
+    * in-flight below; the documented retune past it is an
+    * array<int>-keyed level (this corpus: 25 brands).
+    */
+  private val SlotBits = 16
+  private val SlotBase = 1L << SlotBits
+  private val MaxDictId = 32767L
+
   private[graft] def itemsetsToDepth(
       spark: SparkSession, sfDir: String, depth: Int): DataFrame = {
     require(depth >= 1 && depth <= ItemsetDepth,
@@ -467,74 +484,101 @@ object Itemsets {
     val (baskets, support0) = basketsAndSupport(spark, sfDir)
     val support = support0.select(col("nb"),
       expr(s"(nb + ${DepthFloorDenom - 1}) div $DepthFloorDenom").as("sigma"))
-    val l1 = baskets.groupBy(col("it")).agg(count(lit(1)).as("support"))
+    val l1s = baskets.groupBy(col("it")).agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(support))
       .filter(col("support") >= col("sigma"))
-      .select(array(col("it")).as("items"), col("support"))
+      .select(col("it"), col("support"))
       .ckpt(true)
-    val fb = baskets.join(
-      broadcast(l1.select(element_at(col("items"), 1).as("it"))), "it")
-      .select(col("o"), col("it"))
-    // occurrence frame: one row per (basket, frequent candidate set).
-    // Lazy (r16): the k=2 extension derives both join sides from the
-    // memoized basket frame directly — eagerly materializing a copy
-    // of fb with an array column was a whole corpus-sized pass for
-    // nothing.
-    var occ = fb.select(col("o"), array(col("it")).as("items"))
-    var lk = l1
-    var out = l1
+    // the id dictionary: dense lexicographic ranks over the FREQUENT
+    // vocabulary (items only ever enter levels through l1, so the
+    // dictionary covers every id the loop can see); the global window
+    // runs over a vocabulary-sized frame, never data rows
+    val dict = l1s.select(col("it"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("it")))
+        .cast("long"))
+      .ckpt(true)
+    // loud in-flight guard on the 16-bit slot bound (the packPair
+    // posture): past MaxDictId the packing would silently merge sets
+    val fb = baskets.join(broadcast(dict), "it")
+      .select(col("o"),
+        when(col("id") <= MaxDictId, col("id"))
+          .otherwise(expr(
+            s"raise_error('f05: frequent vocabulary exceeds $MaxDictId" +
+              " ids - retune to array<int> level keys')").cast("long"))
+          .as("id"))
+    var occ = fb.select(col("o"), col("id").as("p"))
+    var lk = l1s.join(broadcast(dict), "it")
+      .select(col("id").as("p"), col("support"))
+      .ckpt(true)
+    var out = lk.withColumn("k", lit(1L))
     for (k <- 2 to depth) {
-      val a = lk.select(col("items"))
-      val b = lk.select(col("items").as("itemsb"))
+      // prefix join: two (k-1)-sets sharing their first k-2 items ≡
+      // equal packed keys above the last slot; the extension item is
+      // the low slot. At k = 2 the shared prefix is empty (p div base
+      // = 0 on both sides) — same expression, degenerate equi-key.
+      val a = lk.select(col("p").as("pa"))
+      val b = lk.select(col("p").as("pb"))
       val joined =
         if (k == 2) a.crossJoin(b)
-        else a.join(b,
-          slice(col("items"), 1, k - 2) === slice(col("itemsb"), 1, k - 2))
+        else a.join(b, expr(s"pa div $SlotBase") === expr(s"pb div $SlotBase"))
       val cand0 = joined
-        .filter(element_at(col("items"), k - 1) <
-          element_at(col("itemsb"), k - 1))
-        .select(concat(col("items"), slice(col("itemsb"), k - 1, 1))
-          .as("items"))
-      // downward closure: all k drop-one subsets must be frequent
-      // (the prefix join already guarantees two of them)
+        .filter(expr(s"pa % $SlotBase") < expr(s"pb % $SlotBase"))
+        .select((col("pa") * SlotBase + expr(s"pb % $SlotBase")).as("p"))
+      // downward closure: all k drop-one subsets must be frequent —
+      // dropping slot i of a packed key is two shifts and an add
       val cands =
         if (k == 2) cand0
-        else cand0.withColumn("dropped", explode(col("items")))
-          .withColumn("sub", array_remove(col("items"), col("dropped")))
-          .join(broadcast(lk.select(col("items").as("sub"))), "sub")
-          .groupBy(col("items")).agg(count(lit(1)).as("nsub"))
-          .filter(col("nsub") === k)
-          .select(col("items"))
+        else {
+          val subs = (1 to k).map { i =>
+            val keep = k - i // low slots kept verbatim
+            if (i == 1) expr(s"p % ${1L << (SlotBits * keep)}") // drop the top slot
+            else expr(s"(p div ${1L << (SlotBits * (keep + 1))})" +
+              s" * ${1L << (SlotBits * keep)} + (p % ${1L << (SlotBits * keep)})")
+          }
+          cand0.withColumn("sub", explode(array(subs: _*)))
+            .join(broadcast(lk.select(col("p").as("sub"))), "sub")
+            .groupBy(col("p")).agg(count(lit(1)).as("nsub"))
+            .filter(col("nsub") === k)
+            .select(col("p"))
+        }
       // ONE materialization per level (r16): the extension join is
       // checkpointed once and BOTH the level counts and the next
-      // level's occurrence frame read the blocks — the old shape
-      // re-ran the whole occ⋈fb expansion for each (two corpus-sized
-      // joins per level, plus an eager occ checkpoint the final level
-      // never consumed).
+      // level's occurrence frame read the blocks. All keys here are
+      // packed longs — the groupBy below is a codegen fast-map agg.
       val occExp = occ.join(fb.hint("shuffle_hash"), "o")
-        .filter(col("it") > element_at(col("items"), k - 1))
-        .select(col("o"), concat(col("items"), array(col("it"))).as("items"))
-        .join(broadcast(cands), Seq("items"), "left_semi")
+        .filter(col("id") > expr(s"p % $SlotBase"))
+        .select(col("o"), (col("p") * SlotBase + col("id")).as("p"))
+        .join(broadcast(cands), Seq("p"), "left_semi")
         .ckpt(true)
-      lk = occExp.groupBy(col("items")).agg(count(lit(1)).as("support"))
+      lk = occExp.groupBy(col("p")).agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(support))
         .filter(col("support") >= col("sigma"))
-        .select(col("items"), col("support"))
+        .select(col("p"), col("support"))
         .ckpt(true)
       // keep only frequent occurrences for the next extension; lazy —
       // a cheap semi-join over the checkpointed occExp blocks, and
       // skipped entirely after the last level (nothing extends it)
       if (k < depth)
         occ = occExp
-          .join(broadcast(lk.select(col("items"))), Seq("items"), "left_semi")
-      out = out.unionByName(lk)
+          .join(broadcast(lk.select(col("p"))), Seq("p"), "left_semi")
+      out = out.unionByName(lk.withColumn("k", lit(k.toLong)))
     }
-    // try_element_at: past-the-end pads NULL (plain element_at
-    // throws under ANSI — the DuckDB list index already pads)
-    val full = out.select(Seq(size(col("items")).cast("long").as("k")) ++
+    // unpack ids back to brands for the report: slot i of a level-k
+    // key is a shift/mask, then one broadcast dictionary join per
+    // report column — all over ≤ C(|vocab|, k)-row level frames
+    var full = out.select(Seq(col("k")) ++
       (1 to ItemsetDepth).map(i =>
-        expr(s"try_element_at(items, $i)").as(s"item_$i")) :+
+        when(col("k") >= i, expr(
+          s"shiftright(p, CAST($SlotBits * (k - $i) AS INT)) % $SlotBase"))
+          .as(s"id_$i")) :+
       col("support"): _*)
+    for (i <- 1 to ItemsetDepth)
+      full = full.join(
+        broadcast(dict.select(col("id").as(s"id_$i"), col("it").as(s"item_$i"))),
+        Seq(s"id_$i"), "left")
+    full = full.select(Seq(col("k")) ++
+      (1 to ItemsetDepth).map(i => col(s"item_$i")) :+ col("support"): _*)
     // per-level top-K report cut — the window runs over the tiny
     // (≤ C(|vocab|, k)-row) level frames, never over data rows
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))

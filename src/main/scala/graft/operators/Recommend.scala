@@ -1578,28 +1578,28 @@ object Recommend {
       .select(col("i"), explode(col("top")).as("t"))
       .select(col("i"), col("t.id").as("j"),
         col("t.score").cast("long").as("simt"))
-    // aggregate BEFORE the seen filter: the anti-join drops whole
-    // (c, j) groups, so sum-then-filter ≡ filter-then-sum — and the
-    // grouped frame both shrinks the anti-join's left side (M× fewer
-    // rows) and arrives already hash-partitioned on its key, so the
-    // anti-join reuses the exchange instead of shuffling the raw
-    // ratings×M fan-out
-    // same packed-key + SHUFFLE_HASH treatment for the serve side
-    // (the (c, j) agg measured avgHashProbe ≈ 483 at 536 MB peak, and
-    // the anti-join's SMJ sorted the 4.7 M-row candidate frame for
-    // 31.6 s): the anti-join still reuses the group-by's exchange —
-    // both sides are keyed on the packed cj.
-    val cand = ratings.join(nbr, col("s") === col("i"))
-      .select(col("c"), col("j"), (col("r") * col("simt")).as("contr"))
-      .groupBy(graft.Engine.packPair(col("c"), col("j")).as("cj"))
-      .agg(sum(col("contr")).as("score"))
-      .join(ratings.select(graft.Engine.packPair(col("c"), col("s")).as("cj"))
-        .hint("shuffle_hash"), Seq("cj"), "left_anti")
-      .select(shiftright(col("cj"), 32).as("c"),
-        col("cj").bitwiseAND(lit(0xFFFFFFFFL)).as("j"), col("score"))
-    cand.groupBy(col("c"))
-      .agg(call_function("top_k_by_score",
-        col("score").cast("double"), col("j"), lit(ItemKnnK)).as("top"))
+    // r17 serve: the expand → packed-key aggregate → anti-join →
+    // top_k_by_score chain materialized the rated×M candidate frame
+    // (4.7 M rows, 536 MB agg peak, ~45 of the key's 68 s CPU at
+    // sf0.1 — node metrics). Now the whole M-row-per-item neighbor
+    // model — vocabulary-sized, the natural broadcast side —
+    // collapses into ONE sorted broadcast row, each customer's rated
+    // list gathers on ONE narrow exchange, and a single
+    // item_knn_serve kernel call per customer does the
+    // accumulate/exclude/top-k with the identical exclusion rule and
+    // (score desc, id asc) order (scores are exact integers, so the
+    // kernel's double sums match the aggregate's bit-for-bit). At a
+    // catalog too big to broadcast the M-per-item model, the
+    // documented retune is the old expand shape — the same blockify
+    // trade as the s25 serve.
+    val nbrRow = nbr
+      .agg(expr("array_sort(collect_list(struct(i, j, simt)))").as("nbrs"))
+    ratings.groupBy(col("c"))
+      .agg(collect_list(struct(col("s"),
+        col("r").cast("double").as("r"))).as("rated"))
+      .crossJoin(broadcast(nbrRow))
+      .select(col("c"), call_function("item_knn_serve",
+        col("rated"), col("nbrs"), lit(ItemKnnK)).as("top"))
       .select(col("c"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("c").as("o_custkey"),
         (col("pos") + 1).cast("long").as("rank"),

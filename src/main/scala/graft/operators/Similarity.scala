@@ -1173,12 +1173,25 @@ object Similarity {
     val half = Dedup.bucketPairs(bands, Seq("band_id", "band_val"),
         col("vec_id"), maxBucket, pairStream)
       .select(col("a").as("query_id"), col("b").as("vec_id"))
-    val candIds = half.union(
-      half.select(col("vec_id").as("query_id"), col("query_id").as("vec_id")))
-    val scored = candIds
+    // Score each undirected candidate pair ONCE — cosine is symmetric
+    // — then emit both directions of the SCORED row (the r16 s32/f02
+    // struct-explode pattern). The old shape mirrored the ID pairs
+    // first and so paid the two embedding joins and the kernel twice
+    // per pair; at sf0.1 the candidate set is ~1.6 M pairs (the
+    // banding is near-exhaustive on a 2 k corpus by design — bucket
+    // occupancy ≈ 250), and the scored stage measured 13.0 s CPU of
+    // which this halves the join + kernel work (r17, probe-measured).
+    val scoredHalf = half
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
       .join(emb, "vec_id")
-      .withColumn("cos_raw", call_function("cosine_sim", col("qv"), col("embedding")))
+      .select(col("query_id"), col("vec_id"),
+        call_function("cosine_sim", col("qv"), col("embedding")).as("cos_raw"))
+    val scored = scoredHalf.select(explode(array(
+        struct(col("query_id"), col("vec_id"), col("cos_raw")),
+        struct(col("vec_id").as("query_id"), col("query_id").as("vec_id"),
+          col("cos_raw")))).as("x"))
+      .select(col("x.query_id").as("query_id"), col("x.vec_id").as("vec_id"),
+        col("x.cos_raw").as("cos_raw"))
     topKPerQuery(scored, k)
   }
 

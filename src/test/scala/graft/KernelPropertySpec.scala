@@ -91,6 +91,40 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedJaccardGe agrees with the exact set-Jaccard threshold " +
+    "on random sorted sets (early exit never rejects a true pair)") {
+    for (_ <- 1 to 500) {
+      val universe = (0 until 60).map(_ => rnd.nextInt(80).toLong)
+      val a = universe.filter(_ => rnd.nextBoolean()).distinct.sorted.toArray
+      val b = universe.filter(_ => rnd.nextBoolean()).distinct.sorted.toArray
+      val i = a.toSet.intersect(b.toSet).size
+      val u = a.length + b.length - i
+      val exact = if (a.isEmpty || b.isEmpty) false
+        else i.toDouble / u.toDouble >= 0.7
+      val got = Kernels.sortedJaccardGe(
+        new GenericArrayData(a), new GenericArrayData(b), 0.7)
+      assert(got == exact, s"a=${a.toSeq} b=${b.toSeq} i=$i")
+    }
+    // identical sets pass at any bar; disjoint sets never do
+    val s = Array(1L, 5L, 9L)
+    assert(Kernels.sortedJaccardGe(new GenericArrayData(s), new GenericArrayData(s), 1.0))
+    assert(!Kernels.sortedJaccardGe(
+      new GenericArrayData(Array(1L)), new GenericArrayData(Array(2L)), 0.1))
+  }
+
+  test("sortedContainment over shingleHashSet is bit-identical to " +
+    "ngramContainment on the same texts") {
+    for (_ <- 1 to 300) {
+      val (a, b) = (text(), text())
+      val (ha, hb) = (Kernels.shingleHashSet(u(a), 3), Kernels.shingleHashSet(u(b), 3))
+      assert(Kernels.sortedContainment(ha, hb) == Kernels.ngramContainment(u(a), u(b), 3))
+      assert(Kernels.sortedContainment(hb, ha) == Kernels.ngramContainment(u(b), u(a), 3))
+      // the set is sorted and distinct
+      val arr = (0 until ha.numElements()).map(ha.getLong)
+      assert(arr == arr.sorted && arr.toSet.size == arr.size)
+    }
+  }
+
   test("ngramJaccard is symmetric, bounded, and 1 on self") {
     for (_ <- 1 to 300) {
       val (a, b) = (text(), text())
