@@ -37,7 +37,17 @@ object Engine {
     *    fallback-free memory at ~200 MB/task for the library's
     *    k-heaps; aggregates with unbounded per-group state
     *    (collect_list) still fall back past it — that is the knob's
-    *    job, not a regression.
+    *    job, not a regression. Scope note (r17, the r16-advice item):
+    *    the conf is global by Spark's design (a per-task threshold
+    *    with no per-query override surface on a shared session), and
+    *    the in-tree object aggs are all bounded-state —
+    *    top_k_by_score (fixed 2k-word buffer), pair_moments (fixed
+    *    ≤ 17 KB buffer) — while the collect_list-class calls run on
+    *    vocabulary- or pair-bounded groups (serve catalog rows,
+    *    neighbor models, per-vector rank rows). An operator that ever
+    *    aggregates unbounded per-group state on high-cardinality keys
+    *    should set this conf lower around that query; none exists
+    *    today.
     *  - AQE's SMJ→shuffled-hash rewrite is OFF by default
     *    (threshold 0). Checkpointed frames plan from
     *    defaultSizeInBytes, so the STATIC planner can never pick the
@@ -130,7 +140,13 @@ object Engine {
   /** Default [[hintSmall]] threshold: 1M rows of per-entity state
     * (≤ ~50 B/row) is a ≤ ~50 MB broadcast — inside the "few hundred
     * MB is fine" band of the optimization guide (§3.1), far under the
-    * 8 GB / 512M-row hard cap.
+    * 8 GB / 512M-row hard cap. Width note (r17, the r16-advice item):
+    * the WIDEST frames any caller hints are the ALS/SVD++ factor and
+    * model frames at 9–17 narrow integer columns ≈ ≤ ~100 B/row, so
+    * the worst case at the default is ~100 MB built — still inside
+    * the band; a deployment hinting genuinely wide state should lower
+    * this conf rather than rely on the row count alone (rows × width
+    * is the real bound, and width is the caller's to know).
     */
   private val BroadcastMaxRowsDefault = 1000000L
 

@@ -101,6 +101,15 @@ object Graph {
     // (one row per node), so one bounded count decides the hint for
     // all rounds — broadcast under the threshold, shuffle join past
     // it (the graphx block shape).
+    //
+    // PRECONDITION (r17, the r16-advice note): the count below bounds
+    // every round ONLY when `apply` keeps the state keyed inside the
+    // init frame's node domain. Every in-tree caller does — their
+    // edges are mirrored/undirected, so message dst ids ⊆ the src
+    // domain init was built from. A caller whose apply can grow the
+    // key set past init (directed edges reaching nodes with no init
+    // row) must count src ∪ dst instead, or the broadcast side can
+    // exceed the counted bound.
     val n = state.count()
     for (_ <- 1 to iters)
       state = apply(state, send(graft.Engine.hintSmall(state, n))).ckpt(false)
