@@ -138,11 +138,29 @@ object Dedup {
     val overStream = counts.filter(col("bucket_n") > pairStream)
     val streamKeys = overStream.filter(col("bucket_n") <= maxBucket).select(keys: _*)
     val sorted = array_sort(collect_set(item))
+    // Explicit pre-expansion spread (r17): the per-bucket item frame
+    // is BYTE-tiny (one row per bucket), so AQE's byte-driven
+    // coalescing parks it on ~1 post-shuffle partition — and the
+    // C(n,2) pair EXPLOSION below it (30 000× the rows) then runs
+    // single-task (probe-measured: the s05 memo build spent its
+    // whole pair expansion + distinct on 1 of 32 cores). AQE cannot
+    // see a generator's fan-out; a deterministic hash repartition on
+    // the bucket key, sized from the session's parallelism, spreads
+    // the expansion (per-bucket work stays bounded by `pairStream`,
+    // so per-task skew is capped by construction).
+    // the repartition key must DIFFER from the groupBy keys (a
+    // same-key repartition is already satisfied by the aggregation's
+    // exchange and gets elided — leaving the coalesced 1-partition
+    // read in place); a deterministic hash of the bucket key gives
+    // the planner a distinct, explicit-width distribution it must
+    // honor
+    val spread = banded.sparkSession.sparkContext.defaultParallelism
     val smallPairs = banded
       .join(broadcast(overStream.select(keys: _*)), bucketCols, "left_anti")
       .groupBy(keys: _*)
       .agg(sorted.as("items"))
       .filter(size(col("items")) >= 2)
+      .repartition(spread, pmod(xxhash64(keys: _*), lit(spread * 64)))
       .select(explode(flatten(transform(col("items"), (x, i) =>
         transform(slice(col("items"), i + lit(2), size(col("items"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
@@ -151,7 +169,11 @@ object Dedup {
       if (streamKeys.isEmpty) smallPairs
       else {
         val inStream = banded.join(broadcast(streamKeys), bucketCols, "left_semi")
+        // same spread rationale: the streamed self-join's input is
+        // small by the tier's definition but its output is quadratic
+        // per bucket
         val left = inStream.select(keys :+ item.as("a"): _*)
+          .repartition(spread, keys: _*)
         val right = inStream.select(keys :+ item.as("b"): _*)
         val streamedPairs = left.join(right, bucketCols)
           .filter(col("a") < col("b"))
